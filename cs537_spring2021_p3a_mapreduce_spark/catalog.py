@@ -1,0 +1,52 @@
+"""Table catalog over the driver's parquet layout.
+
+One parquet file per table under an sf directory (TESTDATA.md). The
+reference's only source is a line-oriented text file list dealt
+round-robin to mapper threads (mapreduce.c:163-189); Spark's file
+source replaces that with split-based scheduling, columnar reads,
+predicate pushdown and partition pruning — all free once the scan is
+declared through ``spark.read``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor
+# (region is 5 rows, nation 25 at every TPC-H sf; a 100 TB run still
+# broadcasts them).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame (lazy scan, no action)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table; also registers each as a temp view so the
+    ``spark.sql`` surface works against the same catalog names the
+    DuckDB oracle uses."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,170 @@
+"""Tier-1 queries: the reference's own observable surface (SURVEY
+§2.A → §2.C tier 1) re-expressed as DataFrame plans over
+``documents.text`` (the corpus role of basic.txt).
+
+Reference traces per query are in each docstring. Scale notes:
+every query here is a single scan → (optional narrow ops) → one
+shuffle; no collect(), no driver loops, and the scan only reads the
+columns each plan needs (column pruning reaches the parquet footer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.text import djb2_partition, tokens
+
+# How many partitions the reference's main client uses for the djb2
+# histogram query (10 reducers → n_partitions=10, main.c:64,
+# mapreduce.c:144).
+N_PARTITIONS = 10
+
+# The point-lookup term for wordcount_lookup (main.c:59,67). Chosen
+# from the fixture vocabulary so the lookup is non-empty.
+LOOKUP_TERM = "scan"
+GREP_PATTERN = "ord"  # substring match, lands on 'order'/'word'-ish tokens
+
+
+def _token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → one row per (doc_id, token).
+
+    Reference A2+A3: line-scan source + whitespace flatMap
+    (main.c:11-31). `explode` keeps this a narrow op — tokenizing
+    100 TB of text is embarrassingly parallel, no shuffle until an
+    aggregation asks for one.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → count. The reference flagship (A2+A3+A8+A9,
+    main.c:11-43): Map emits (token, "1"), Reduce counts the
+    iterator. Here: one scan, one hash-aggregate with map-side
+    partial aggregation (Catalyst's HashAggregate pair replaces the
+    emit→shuffle→sort→count pipeline wholesale)."""
+    return (
+        _token_df(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def wordcount_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordcount then point-lookup one term (A11: MapGet after
+    MR_Run, main.c:66-71). The filter sits below the aggregate after
+    Catalyst pushes it, so the plan scans, filters to one token, and
+    counts — a 100 TB run never materializes the full histogram."""
+    return wordcount(spark, sf_dir).filter(F.col("token") == LOOKUP_TERM)
+
+
+def grep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens matching a literal substring, with counts (the client
+    predicate shape of hashmap_test.c:35-37). Predicate is sargable;
+    at scale this is scan+filter+agg, no full-vocabulary state."""
+    return (
+        _token_df(spark, sf_dir)
+        .filter(F.col("token").contains(GREP_PATTERN))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct tokens — the key set a reducer iterates (A8 key
+    loop, mapreduce.c:127-138). Hash-distinct with partial
+    de-duplication map-side."""
+    return _token_df(spark, sf_dir).select("token").distinct()
+
+
+def partitioned_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (token, cnt) ordered by token — the sequential
+    engine's observable output order (A14, sequential_mapreduce.c:81
+    sorts one global list; A7 is the per-partition form). Spark's
+    orderBy is a range-partitioned sort: sampled split points keep
+    it parallel at any scale, unlike the reference's single qsort."""
+    return wordcount(spark, sf_dir).orderBy("token")
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token → sorted distinct doc_id list (classic MR inverted
+    index; A8 with a list-building reduce). collect_set is the
+    engine-managed reduce-side multiset (§1.3) — order-insensitive
+    until the explicit sort_array. Emitted as a joined string so the
+    oracle comparison is type-stable."""
+    return (
+        _token_df(spark, sf_dir)
+        .groupBy("token")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("doc_ids"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def custom_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows per partition under bit-exact djb2 with n=10 (A5,
+    MR_DefaultHashPartition mapreduce.c:88-94; pluggable-partitioner
+    contract A6, mapreduce.h:11). The hash is a pure Catalyst
+    expression (functions/text.py), so this stays inside
+    whole-stage codegen; the groupBy on 10 ids is a trivial
+    shuffle."""
+    return (
+        _token_df(spark, sf_dir)
+        .select(djb2_partition(F.col("token"), N_PARTITIONS).alias("pid"))
+        .groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (identical aliases; see operators/__init__.py).
+# Documents.text is single-space separated, but we split on regex
+# whitespace + drop empties on both sides for identical semantics.
+
+_TOKENS_CTE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+)
+"""
+
+_DJB2 = (
+    "list_reduce("
+    "list_prepend(5381::HUGEINT, list_transform(string_split(token, ''), c -> ord(c)::HUGEINT)), "
+    "(acc, c) -> (acc * 33 + c) % 18446744073709551616::HUGEINT"
+    ") % 10"
+)
+
+QUERIES = {
+    "wordcount": wordcount,
+    "wordcount_lookup": wordcount_lookup,
+    "grep_filter": grep_filter,
+    "distinct_keys": distinct_keys,
+    "partitioned_sort": partitioned_sort,
+    "inverted_index": inverted_index,
+    "custom_partition_hist": custom_partition_hist,
+}
+
+ORACLES = {
+    "wordcount": _TOKENS_CTE
+    + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
+    "wordcount_lookup": _TOKENS_CTE
+    + f"SELECT token, count(*)::BIGINT AS cnt FROM toks WHERE token = '{LOOKUP_TERM}' GROUP BY token",
+    "grep_filter": _TOKENS_CTE
+    + f"SELECT token, count(*)::BIGINT AS cnt FROM toks WHERE contains(token, '{GREP_PATTERN}') GROUP BY token",
+    "distinct_keys": _TOKENS_CTE + "SELECT DISTINCT token FROM toks",
+    "partitioned_sort": _TOKENS_CTE
+    + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token ORDER BY token",
+    "inverted_index": _TOKENS_CTE
+    + (
+        "SELECT token, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids, "
+        "count(DISTINCT doc_id)::BIGINT AS n_docs FROM toks GROUP BY token"
+    ),
+    "custom_partition_hist": _TOKENS_CTE
+    + f"SELECT ({_DJB2})::BIGINT AS pid, count(*)::BIGINT AS cnt FROM toks GROUP BY 1",
+}

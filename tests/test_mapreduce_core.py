@@ -1,0 +1,84 @@
+"""Tier-1 unit tests, including the basic.txt-equivalent inline
+fixture (FIXTURES.md: token n appears n times) and a pure-Python
+cross-check of the bit-exact djb2 expression."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark.functions.text import djb2_partition, tokens
+from cs537_spring2021_p3a_mapreduce_spark.operators import mapreduce_core as mc
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+BASIC_ROWS = [("one",), ("two two",), ("three three three",), ("four four four four",)]
+
+
+def basic_df(spark):
+    return spark.createDataFrame(BASIC_ROWS, ["text"])
+
+
+def test_wordcount_basic_fixture(spark):
+    """Reference golden fixture semantics: basic.txt → {one:1, two:2,
+    three:3, four:4} (basic.txt:1-4, main.c:68)."""
+    out = (
+        basic_df(spark)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert {r.token: r.cnt for r in out} == {"one": 1, "two": 2, "three": 3, "four": 4}
+
+
+def test_tokens_whitespace_and_empties(spark):
+    df = spark.createDataFrame([("  a\t b\n\nc  ",), ("",), ("   ",)], ["text"])
+    rows = df.select(tokens("text").alias("t")).collect()
+    assert rows[0].t == ["a", "b", "c"]
+    assert rows[1].t == []
+    assert rows[2].t == []
+
+
+def _djb2_c(key: str, n: int) -> int:
+    """Literal transcription of MR_DefaultHashPartition
+    (mapreduce.c:88-94) for cross-checking only."""
+    h = 5381
+    for ch in key.encode():
+        h = (h * 33 + ch) % (1 << 64)
+    return h % n
+
+
+def test_djb2_bit_exact(spark):
+    words = ["", "a", "hello", "Quality", "the-quick-brown-fox", "zzzzzzzzzzzzzzzz"]
+    for n in (1, 7, 10, 32):
+        df = spark.createDataFrame([(w,) for w in words], ["k"])
+        got = {r.k: r.pid for r in df.select("k", djb2_partition("k", n).alias("pid")).collect()}
+        for w in words:
+            assert got[w] == _djb2_c(w, n), (w, n)
+
+
+def test_wordcount_sf_smoke(spark):
+    df = mc.wordcount(spark, SF_SMOKE)
+    assert df.columns == ["token", "cnt"]
+    total = df.agg(F.sum("cnt")).first()[0]
+    assert total > 0
+    assert df.count() > 0
+
+
+def test_partitioned_sort_is_sorted(spark):
+    toks = [r.token for r in mc.partitioned_sort(spark, SF_SMOKE).collect()]
+    assert toks == sorted(toks)
+
+
+def test_partition_hist_covers_all_rows(spark):
+    hist = mc.custom_partition_hist(spark, SF_SMOKE).collect()
+    assert {r.pid for r in hist} <= set(range(10))
+    n_tokens = mc.wordcount(spark, SF_SMOKE).agg(F.sum("cnt")).first()[0]
+    assert sum(r.cnt for r in hist) == n_tokens
+
+
+def test_inverted_index_sorted_doc_ids(spark):
+    row = mc.inverted_index(spark, SF_SMOKE).first()
+    ids = [int(x) for x in row.doc_ids.split(",")]
+    assert ids == sorted(ids)
+    assert row.n_docs == len(ids)

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry via PySpark and its ``oracle_sql()``
+via DuckDB on the same sf parquet dir, then compares:
+row-count, schema (sorted column names), and an order-insensitive
+value comparison (rows sorted by all columns, exact match for
+non-floats, tiny-epsilon report for floats).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row-count spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"schema spark={s_cols} duck={d_cols}")
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sv_f = pd.to_numeric(sv, errors="coerce")
+            dv_f = pd.to_numeric(dv, errors="coerce")
+            bad = ~(
+                (sv_f.isna() & dv_f.isna())
+                | (abs(sv_f - dv_f) <= 1e-9 + 1e-9 * abs(dv_f))
+            )
+            if bad.any():
+                i = bad.idxmax()
+                problems.append(
+                    f"col {c}: {int(bad.sum())} float mismatches, first at row {i}: "
+                    f"spark={sv_f[i]!r} duck={dv_f[i]!r}"
+                )
+            else:
+                md = float((sv_f - dv_f).abs().max() or 0.0)
+                if md > 0:
+                    problems.append(f"col {c}: OK within eps (max abs diff {md:.2e}) [WOULD FAIL EXACT HASH]")
+        else:
+            if not sv.equals(dv):
+                bad = sv != dv
+                i = bad.idxmax()
+                problems.append(
+                    f"col {c}: {int(bad.sum())} mismatches, first at row {i}: "
+                    f"spark={sv[i]!r} duck={dv[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from cs537_spring2021_p3a_mapreduce_spark.session import get_spark
+
+    spark = get_spark("check-oracles")
+    spark.sparkContext.setLogLevel("WARN")
+    con = duck_con(SF_DIR)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[2:])
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows)")
+            continue
+        try:
+            duck_pdf = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        hard = [p for p in problems if "WOULD FAIL" not in p]
+        if hard:
+            print(f"FAIL {name}:")
+            for p in problems:
+                print(f"     - {p}")
+            failures += 1
+        else:
+            note = "" if not problems else f"  ({problems[0]})"
+            print(f"ok   {name}: {len(spark_pdf)} rows{note}")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
