@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cs537_spring2021_p3a_mapreduce_spark.operators import mapreduce_core
+from cs537_spring2021_p3a_mapreduce_spark.operators import mapreduce_core, relational
 
-_MODULES = [mapreduce_core]
+_MODULES = [mapreduce_core, relational]
 
 
 def entry(spark: SparkSession) -> DataFrame:

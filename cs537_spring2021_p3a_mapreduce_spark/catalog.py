@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -34,10 +36,19 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table as a DataFrame (lazy scan, no action)."""
+    """Load one table as a DataFrame (lazy scan, no action).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet; with
+    ``nanosAsLong`` (session.py) it scans as epoch-nanos LongType
+    and is converted here to a µs timestamp by integer division —
+    bit-identical to DuckDB's ns→µs truncation.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

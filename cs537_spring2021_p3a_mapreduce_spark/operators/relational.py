@@ -1,0 +1,485 @@
+"""Tier-2 relational queries (SURVEY §2.C) over the TPC-H-ish
+fixture schema — the capability extension mandated by the north
+star (the reference itself has no joins/windows/set-ops, SURVEY
+§2.B; its only aggregate is count-per-key, main.c:33-43).
+
+Everything is pure DataFrame API → Catalyst: filters push to the
+parquet scan, small dims are broadcast explicitly, aggregates get
+map-side partial aggregation, and AQE handles skew/coalescing at
+runtime.
+
+Float-determinism policy: monetary columns in the fixtures are
+exact 2-decimal doubles, discounts/taxes exact 2-decimal fractions,
+quantities integral. Every aggregate therefore runs on exact
+integers (cents / percent / basis points, via round+cast) and only
+converts to double at the end — both engines then divide identical
+integers by identical literals, producing bit-identical doubles, so
+the driver's value-hash comparison is stable with no tolerance
+needed. At sf≫1000 the widest product (sum of cents·pct·pct) nears
+int64 range; the documented upgrade is DECIMAL(38,4) columns, same
+plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+
+TOPK = 10
+RANK_K = 3
+SESSION_GAP_MIN = 30
+
+
+def _cents(col: Column | str) -> Column:
+    """Exact integer cents from a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def _pct(col: Column | str) -> Column:
+    """Exact integer percent from a 2-decimal fraction column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-aggregate groupBy on
+    lineitem with a sargable shipdate filter (pushed to the scan).
+    One shuffle on a 6-value grouping key; partial aggregation makes
+    the shuffle O(groups), not O(rows) — the shape that survives
+    100 TB."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-31 00:00:00").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("long")
+    price_c = _cents("l_extendedprice")
+    disc_p = _pct("l_discount")
+    tax_p = _pct("l_tax")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_p)) / F.lit(1e4)).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_p) * (100 + tax_p)) / F.lit(1e6)).alias(
+                "sum_charge"
+            ),
+            (F.sum(qty) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price_c) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc_p) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def join_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join orders⋈customer + per-customer aggregate.
+    Both sides shuffle on the join key (no broadcast: customer grows
+    with sf); AQE may still convert to broadcast at small sf — the
+    plan is declarative either way."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+def join_multiway_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈nation⋈region with explicit broadcast of the dims
+    (nation=25, region=5 rows at any sf — broadcast is correct even
+    at 100 TB). The fact table never shuffles for the join."""
+    cust = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(_cents("c_acctbal")) / F.lit(100.0)).alias("sum_acctbal"),
+        )
+    )
+
+
+def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins: customers with ≥1 open order /
+    with none, tagged and unioned. Semi/anti avoid materializing the
+    join — existence checks only, no fan-out."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    open_orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select("o_custkey")
+    semi = cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select(F.lit("has_open_order").alias("kind"), "c_custkey")
+    anti = cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti"
+    ).select(F.lit("no_open_order").alias("kind"), "c_custkey")
+    return semi.unionAll(anti)
+
+
+def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k customers by lineitem revenue. orderBy+limit lets Spark
+    run TakeOrderedAndProject: per-partition top-k then a k-row
+    merge on the driver — no global sort at any scale. Ordering key
+    is the exact integer revenue with custkey tiebreak, so the k-set
+    is deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    rev_units = F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(rev_units.alias("rev_units"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return (
+        per_cust.orderBy(F.desc("rev_units"), F.asc("o_custkey"))
+        .limit(TOPK)
+        .select(
+            "o_custkey",
+            (F.col("rev_units") / F.lit(1e4)).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() per customer by order price (top-RANK_K kept).
+    Window is bounded by partitionBy(o_custkey) — state per key is
+    k rows, shuffle is one hash exchange on the partition key."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= RANK_K)
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of event value per user in event-time order
+    (unbounded-preceding → current row). Integer-cents accumulation
+    keeps the running double bit-stable; event_id tiebreak makes the
+    order total."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        (F.sum(_cents("value")).over(w) / F.lit(100.0)).alias("running_value"),
+    )
+
+
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct forms) of two customer
+    key sets, tagged into one result. Spark plans these as
+    hash-aggregate + joins; keys are unique so the sets are small
+    relative to input."""
+    cust = table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    wealthy = cust.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    tagged = lambda df, kind: df.select(F.lit(kind).alias("kind"), "c_custkey")  # noqa: E731
+    return (
+        tagged(building.union(wealthy).distinct(), "union")
+        .unionAll(tagged(building.intersect(wealthy), "intersect"))
+        .unionAll(tagged(building.exceptAll(wealthy).distinct(), "except"))
+    )
+
+
+def cube_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): grand total, per-status, and
+    per-(status,priority) rows in one pass — Spark expands grouping
+    sets before the single shuffle. Rollup NULLs are coalesced to
+    'ALL' for type-stable comparison."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents("o_totalprice")) / F.lit(100.0)).alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type. At 100 TB this
+    is THE way to count distincts: fixed-size sketch per group,
+    mergeable map-side, no exact-distinct shuffle explosion. No SQL
+    oracle (sketch estimate ≠ exact) → rows-only driver check; the
+    pytest suite asserts the 2% default rsd against the exact count
+    locally."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract props.k from the JSON payload column and aggregate.
+    get_json_object is a JVM-side path evaluation — no Python, no
+    full JSON parse into a struct."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), _cents("value").alias("value_c"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum("value_c") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+def time_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour counts — the batch analog of a streaming
+    windowed aggregation (streaming/ has the readStream form).
+    date_trunc keeps the bucket a plain column → normal hash agg."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents("value")) / F.lit(100.0)).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events per user with a 30-minute inactivity gap —
+    batch analog of session_window streaming aggregation. Classic
+    gaps-and-islands: lag → new-session flag → running sum as
+    session id → per-session aggregate. Two window passes over the
+    same (user_id, ts) partitioning: Spark reuses one exchange."""
+    ev = table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev_ts = F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(order_w)
+    cur_ts = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_session = F.when(
+        prev_ts.isNull() | ((cur_ts - prev_ts) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sid = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_session).over(run_w).alias("session_id"),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — identical aliases, identical integer-exact arithmetic.
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))
+           * (100 + CAST(round(l_tax*100) AS BIGINT))) / 1e6 AS sum_charge,
+       sum(CAST(l_quantity AS BIGINT)) / count(*) AS avg_qty,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 / count(*) AS avg_price,
+       sum(CAST(round(l_discount*100) AS BIGINT)) / 100.0 / count(*) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_JOC = """
+SELECT c_custkey, c_name, count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_custkey, c_name
+"""
+
+_JMR = """
+SELECT r_name, n_name, count(*)::BIGINT AS n_customers,
+       sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+_SEMI_ANTI = """
+SELECT 'has_open_order' AS kind, c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT 'no_open_order' AS kind, c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+_TOPK = f"""
+SELECT o_custkey, rev_units / 1e4 AS revenue, n_items
+FROM (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_units,
+         count(*)::BIGINT AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+)
+ORDER BY rev_units DESC, o_custkey ASC
+LIMIT {TOPK}
+"""
+
+_WRANK = f"""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= {RANK_K}
+"""
+
+_WRUN = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       sum(CAST(round(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_value
+FROM events
+"""
+
+_SETOPS = """
+SELECT 'union' AS kind, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+)
+UNION ALL
+SELECT 'intersect' AS kind, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+)
+UNION ALL
+SELECT 'except' AS kind, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+)
+"""
+
+_ROLLUP = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*)::BIGINT AS cnt,
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+_TBUCKET = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+_SESSION = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+QUERIES = {
+    "agg_pricing_summary": agg_pricing_summary,
+    "join_order_customer": join_order_customer,
+    "join_multiway_region": join_multiway_region,
+    "semi_anti_orders": semi_anti_orders,
+    "topk_revenue": topk_revenue,
+    "window_rank_orders": window_rank_orders,
+    "window_running_sum": window_running_sum,
+    "set_ops_segments": set_ops_segments,
+    "cube_rollup_sales": cube_rollup_sales,
+    "approx_distinct_users": approx_distinct_users,
+    "json_extract_events": json_extract_events,
+    "time_bucket_events": time_bucket_events,
+    "session_windows": session_windows,
+}
+
+ORACLES = {
+    "agg_pricing_summary": _Q1,
+    "join_order_customer": _JOC,
+    "join_multiway_region": _JMR,
+    "semi_anti_orders": _SEMI_ANTI,
+    "topk_revenue": _TOPK,
+    "window_rank_orders": _WRANK,
+    "window_running_sum": _WRUN,
+    "set_ops_segments": _SETOPS,
+    "cube_rollup_sales": _ROLLUP,
+    # approx_distinct_users: intentionally no oracle (sketch estimate).
+    "json_extract_events": _JSON,
+    "time_bucket_events": _TBUCKET,
+    "session_windows": _SESSION,
+}

@@ -30,6 +30,11 @@ _SCALE_CONFS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
+    # The events fixture stores TIMESTAMP(NANOS) parquet, which Spark
+    # has no native type for; read as epoch-nanos long and convert in
+    # the catalog (catalog.table) with integer µs truncation — the
+    # same conversion DuckDB applies, so event-time semantics agree.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Keep implicit driver-side materialization honest: operators in
     # this repo never collect(); the driver does that at the end.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
