@@ -15,9 +15,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cs537_spring2021_p3a_mapreduce_spark.operators import mapreduce_core, relational
+from cs537_spring2021_p3a_mapreduce_spark.operators import (
+    dedup,
+    llm,
+    mapreduce_core,
+    relational,
+)
 
-_MODULES = [mapreduce_core, relational]
+_MODULES = [mapreduce_core, relational, llm, dedup]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,245 @@
+"""Sub-quadratic near-duplicate detection: MinHash-LSH and SimHash.
+
+These are the 100 TB dedup paths — candidate generation is a
+hash-bucket equi-join (shuffle ∝ corpus size, never corpus²);
+exact verification runs only on candidate pairs. The quadratic
+baselines they replace live in llm.py (dedup_ngram /
+dedup_embedding) and double as recall oracles in tests.
+
+No SQL oracle exists for these (the driver records rows-only);
+tests/test_dedup.py asserts recall/precision against exact Jaccard
+on planted near-duplicates instead (FIXTURES.md's mandate).
+
+Everything is expression-only: xxhash64 for the hash family
+(per-seed via the multi-arg form), higher-order functions for
+signatures — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.text import tokens
+
+SHINGLE_K = 3
+N_HASHES = 32
+BAND_ROWS = 4  # 8 bands × 4 rows
+MINHASH_JACCARD_THRESHOLD = 0.7
+
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16  # 4 bands
+SIMHASH_MAX_HAMMING = 12
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle): distinct word-SHINGLE_K-shingles via a
+    per-doc sliding window over token positions. Window state is
+    bounded per doc; the op is narrow until the distinct."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("token")] + [
+        F.lead("token", i).over(w).alias(f"t{i}") for i in range(1, SHINGLE_K)
+    ]
+    return (
+        toks.select("doc_id", *cols)
+        .filter(F.col(f"t{SHINGLE_K - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "token", *[f"t{i}" for i in range(1, SHINGLE_K)]).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+
+def _minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, seed, minhash): per-seed minimum of xxhash64(seed,
+    shingle). The seed column participates in the hash input, which
+    is the standard Spark idiom for a keyed hash family. One
+    explode (×N_HASHES) then a map-side-combinable min aggregate."""
+    per_seed = shingles.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+                lambda s: F.xxhash64(s, F.col("shingle")),
+            )
+        ).alias("seed", "h"),
+    )
+    return per_seed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs: docs agreeing on all BAND_ROWS
+    minhashes within any band. The band signature is a string key;
+    the self-join is an equi-join on (band, signature) — bucket
+    sizes, not corpus², bound the work."""
+    sigs = _minhash_signatures(_shingles(spark, sf_dir))
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).minhash
+            ).alias("band_sig")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), "band", F.col("band_sig").alias("sig_a")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band").alias("band_b"),
+        F.col("band_sig").alias("sig_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification.
+
+    Pipeline: shingle → 32-seed minhash signature → 8×4 banded
+    candidates → exact shingle-Jaccard on candidates only → keep
+    pairs ≥ threshold. At 100 TB the only wide ops are the signature
+    aggregate, the bucket join, and the candidate-bounded verify
+    join — never an all-pairs comparison.
+
+    Output: a_id, b_id, jaccard (round 6). Rows-only driver check;
+    recall/precision asserted in tests against llm.dedup_ngram-style
+    exact ground truth on planted duplicates.
+    """
+    shingles = _shingles(spark, sf_dir)
+    cands = minhash_candidates(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingles.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sh"))
+    sb = shingles.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh"))
+    shared = (
+        cands.join(sa, "a_id")
+        .join(sb, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+    )
+
+
+def _simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bits array<int>[64]): classic SimHash — per bit
+    position, sum token-count-weighted ±1 by whether
+    xxhash64(token)'s bit is set; the sign is the fingerprint bit.
+    The bit explosion is ×64 but stays narrow until one bounded
+    aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    contrib = tok_counts.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+                lambda b: F.when(F.getbit(F.col("h"), b) == 1, F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                ),
+            )
+        ).alias("bit_pos", "w"),
+    )
+    bit_vals = contrib.groupBy("doc_id", "bit_pos").agg(
+        F.when(F.sum("w") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
+    )
+    return bit_vals.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("bit_pos", "bit"))).bit.alias("bits")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, 4×16-bit band
+    bucketing for candidates, Hamming-distance verification.
+
+    By pigeonhole, any pair within Hamming distance 3·16/…
+    sharing-band guarantee: pairs with ≤ (bands-1) differing bands
+    — i.e. Hamming clusters concentrated in ≤3 bands — are caught;
+    the threshold check then filters exactly. Candidate join is an
+    equi-join on (band, 16-bit chunk string).
+
+    Output: a_id, b_id, hamming (int). Rows-only driver check.
+    """
+    fps = _simhash_bits(spark, sf_dir)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    banded = fps.select(
+        "doc_id",
+        "bits",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.concat_ws(
+                    "",
+                    F.slice(
+                        F.col("bits"), b * SIMHASH_BAND_BITS + 1, SIMHASH_BAND_BITS
+                    ),
+                ),
+            )
+        ).alias("band", "chunk"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("bits").alias("bits_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("bits").alias("bits_b"), "band", "chunk"
+    )
+    cands = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "bits_a", "bits_b")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+QUERIES = {
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+}
+
+# Intentionally no ORACLES: LSH candidate generation is not
+# SQL-expressible in a form DuckDB can mirror exactly; the driver
+# records rows-only checks and tests/test_dedup.py carries the
+# recall/precision assertions on planted near-duplicates.
+ORACLES: dict[str, str] = {}

@@ -1,0 +1,607 @@
+"""LLM-data-pipeline tier (SURVEY §2.C): dedup, similarity search,
+text analysis and typed-metadata queries over ``documents`` /
+``embeddings`` — the operators a 100 TB training-data pipeline
+needs. The reference has none of this surface (SURVEY §2.B); these
+derive from the north-star mandate, built on the same tokenizer the
+Tier-1 queries trace to the reference (main.c:22-27).
+
+Scale notes per operator are in docstrings; the common rules:
+- candidate generation before O(n²) work (LSH in dedup.py is the
+  scale path; the quadratic forms here exist as oracles/baselines
+  and are explicitly subset- or threshold-bounded),
+- array math via higher-order functions (JVM, codegen),
+- deterministic outputs: integer arithmetic or round(·, 6), total
+  orderings with key tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.text import tokens
+from ..functions.vectors import cosine_similarity
+
+TFIDF_K = 5
+SIM_K = 5
+SIM_N_QUERIES = 10
+EMB_DEDUP_THRESHOLD = 0.40  # fixture cosine max is ~0.46
+NGRAM_JACCARD_THRESHOLD = 0.8
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+# Tiny per-language marker lexicon for the language-ID heuristic.
+# Deterministic toy lexicon over the fixture vocabulary — the Spark
+# shape (broadcast lexicon join + per-doc argmax) is the point; a
+# real pipeline swaps in character-n-gram tables.
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "fast", "key", "order"),
+    "de": ("sort", "table", "scan"),
+    "es": ("merge", "part", "window"),
+    "fr": ("small", "hash", "join"),
+    "zh": ("batch", "stream", "spark"),
+}
+
+
+def _docs_tokens_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, token) — posexplode keeps token order for
+    n-gram construction. Narrow op, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+
+
+# --- deduplication ---------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → sha2-256 → keep the lowest doc_id
+    per hash. At scale this is one hash-shuffle on the digest (a
+    64-hex key distributes uniformly — no skew); the window is
+    bounded per digest group.
+
+    Output: text_hash, keeper_doc_id, n_copies.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(F.lower(F.trim("text")), 256).alias("text_hash")
+    )
+    return hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-Jaccard near-dup pairs (subset-bounded oracle form).
+
+    Candidate pairs come from an equi-join on shared bigrams — only
+    docs sharing at least one bigram are compared, never all pairs.
+    The fixture vocabulary is tiny so sharing is dense; the query is
+    bounded to doc_id<500 to stay an oracle-checkable baseline. The
+    100 TB path is dedup_minhash (dedup.py): banded MinHash makes
+    candidate generation subquadratic regardless of density.
+
+    Output: a_id, b_id, jaccard (round 6), for jaccard ≥ 0.8.
+    """
+    bigrams = (
+        _bigram_df(spark, sf_dir)
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "bigram")
+        .distinct()
+    )
+    sizes = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bg"))
+    a, b = bigrams.alias("a"), bigrams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.bigram") == F.col("b.bigram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_bg").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_bg").alias("nb"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold.
+
+    Brute-force self-join baseline (oracle-checkable); symmetric
+    pairs halved via vec_id ordering. The scale path is LSH
+    bucketing (dedup.py simhash / similarity LSH): at 100 TB a full
+    cross-join is off the table, but THIS form is what verifies
+    those approximations' recall.
+
+    Output: a_id, b_id, cos_sim (round 6) for cos ≥ threshold.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity("ea", "eb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
+    )
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the first SIM_N_QUERIES vectors are
+    the query set, broadcast against the full corpus; per-query
+    top-SIM_K by (rounded sim desc, vec_id asc).
+
+    Scale shape: the query side is small and broadcast — the corpus
+    never shuffles; per-partition partial top-k via the rank window
+    on a (query_id)-partitioned window whose state is k rows. An
+    IVF/LSH variant for huge corpora is dedup.py's bucketed join.
+
+    Output: query_id, neighbor_id, cos_sim.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < SIM_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        q.join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("qe", "embedding"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_K)
+        .drop("rn")
+    )
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc count, token totals,
+    averages — integer sums, double division at the end. One narrow
+    projection + one tiny-key aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("token_chars"),
+        F.col("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") / F.count(F.lit(1))).alias("avg_tokens_per_doc"),
+        (F.sum("token_chars") / F.nullif(F.sum("n_tokens"), F.lit(0).cast("long"))).alias(
+            "avg_token_len"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _bigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bigram) via lead() over token positions."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        _docs_tokens_pos(spark, sf_dir)
+        .withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("bigram"))
+    )
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies. The lead() window is partitioned
+    per doc (bounded state); the count agg is map-side partial.
+
+    Output: bigram, cnt.
+    """
+    return _bigram_df(spark, sf_dir).groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_K terms per doc: tf·idf with idf = ln(N/df).
+
+    Two aggregates (tf per doc-term, df per term) + a broadcast-able
+    df-side join + bounded rank window. N is a scalar via a count
+    aggregate crossJoined (1-row broadcast), not a driver-side
+    collect.
+
+    Output: doc_id, term, tf, tfidf (round 6).
+    """
+    toks = _docs_tokens_pos(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_K)
+        .drop("rn")
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: broadcast marker-lexicon join, count
+    hits per (doc, lang), argmax with lexicographic tiebreak, 'und'
+    when nothing matches. The lexicon is O(languages·markers) rows —
+    always broadcast; the doc side never shuffles for the join.
+
+    Output: doc_id, pred_lang, n_hits.
+    """
+    lex_rows = [
+        (lang, tok) for lang, toks_ in sorted(LANG_LEXICON.items()) for tok in toks_
+    ]
+    lexicon = F.broadcast(
+        spark.createDataFrame(lex_rows, ["lex_lang", "lex_token"])
+    )
+    toks = _docs_tokens_pos(spark, sf_dir)
+    hits = (
+        toks.join(lexicon, toks.token == lexicon.lex_token)
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lex_lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lex_lang").alias("pred_lang"), "n_hits")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality heuristics: token count, mean token length,
+    stopword ratio, and a blended [0,1] score. Pure ratio arithmetic
+    from integers — bit-stable. Narrow (no shuffle at all).
+
+    Output: doc_id, n_tokens, avg_token_len, stop_ratio, quality.
+    """
+    stopwords = ("the", "of", "and", "a", "in", "to", "is")
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*stopwords))
+    ).cast("long")
+    # nullif guard: empty/whitespace-only docs (n_tokens=0) yield
+    # NULL metrics instead of an ANSI divide-by-zero job failure —
+    # dirty corpora must degrade, not crash.
+    safe_n = F.nullif(n_tok, F.lit(0))
+    avg_len = tok_chars / safe_n
+    stop_ratio = n_stop / safe_n
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(20.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash
+    over the raw character stream, mod 1e9+7 (modulus applied per
+    step — ANSI-safe, max intermediate ≈ 31·10⁹). Narrow op; the
+    fingerprint is the join/dedup key downstream.
+
+    Output: doc_id, fingerprint.
+    """
+    docs = table(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * F.lit(FP_BASE) + F.ascii(ch).cast("long"), F.lit(FP_MOD)
+        ),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    regex segmentation (alnum runs vs single punctuation marks) —
+    the cheap pre-tokenizer count a data pipeline uses for budget
+    estimates. Narrow projection only.
+
+    Output: doc_id, n_ws_tokens, n_bpe_tokens.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bpe_pat = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_pat), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed struct/array metadata projection: build a struct column
+    and array ops over tokens, emitted flat for comparison. The
+    struct/array construction is the Spark-native data model the
+    multimodal module (multimodal.py) hangs binary payloads off.
+
+    Output: doc_id, meta_lang, meta_source, n_tokens, first_token,
+    last_token.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    with_meta = docs.select(
+        "doc_id",
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+        toks.alias("toks"),
+    )
+    return with_meta.select(
+        "doc_id",
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.element_at("toks", 1).alias("first_token"),
+        F.element_at("toks", -1).alias("last_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles.
+
+_TOKS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token,
+         generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''), 1) AS pos
+  FROM documents
+)
+"""
+
+_BIGRAMS = _TOKS + """
+, bg AS (
+  SELECT doc_id, token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM toks
+  QUALIFY bigram IS NOT NULL
+)
+"""
+
+_DEDUP_EXACT = """
+SELECT sha256(lower(trim(text))) AS text_hash,
+       min(doc_id)::BIGINT AS keeper_doc_id,
+       count(*)::BIGINT AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+_DEDUP_NGRAM = _BIGRAMS + f"""
+, dbg AS (SELECT DISTINCT doc_id, bigram FROM bg WHERE doc_id < 500),
+sizes AS (SELECT doc_id, count(*) AS n_bg FROM dbg GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS sh
+  FROM dbg a JOIN dbg b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(sh * 1.0 / (x.n_bg + y.n_bg - sh), 6) AS jaccard
+FROM shared JOIN sizes x ON x.doc_id = a_id JOIN sizes y ON y.doc_id = b_id
+WHERE round(sh * 1.0 / (x.n_bg + y.n_bg - sh), 6) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+_DEDUP_EMB = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {EMB_DEDUP_THRESHOLD}
+"""
+
+_SIM_TOPK = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {SIM_N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {SIM_K}
+"""
+
+_TEXT_STATS = _TOKS + """
+, per_doc AS (
+  SELECT d.lang, d.doc_id, d.n_chars,
+         count(t.token) AS n_tokens,
+         sum(length(t.token)) AS token_chars
+  FROM documents d JOIN toks t USING (doc_id)
+  GROUP BY 1, 2, 3
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(n_tokens) * 1.0 / count(*) AS avg_tokens_per_doc,
+       sum(token_chars) * 1.0 / nullif(sum(n_tokens), 0) AS avg_token_len,
+       sum(n_chars)::BIGINT AS total_chars
+FROM per_doc GROUP BY lang
+"""
+
+_NGRAM_COUNTS = _BIGRAMS + """
+SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY bigram
+"""
+
+_TFIDF = _TOKS + f"""
+, tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token AS term, tf.tf,
+         round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_K}
+"""
+
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{tok}')"
+    for lang, toks_ in sorted(LANG_LEXICON.items())
+    for tok in toks_
+)
+
+_LANG_ID = _TOKS + f"""
+, lexicon(lex_lang, lex_token) AS (VALUES {_LEX_VALUES}),
+hits AS (
+  SELECT t.doc_id, l.lex_lang, count(*)::BIGINT AS n_hits
+  FROM toks t JOIN lexicon l ON t.token = l.lex_token
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lex_lang AS pred_lang, n_hits FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY n_hits DESC, lex_lang ASC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(b.pred_lang, 'und') AS pred_lang,
+       coalesce(b.n_hits, 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+_STOPLIST = "('the', 'of', 'and', 'a', 'in', 'to', 'is')"
+
+_QUALITY = _TOKS + f"""
+, per_doc AS (
+  SELECT d.doc_id,
+         count(t.token)::BIGINT AS n_tokens,
+         coalesce(sum(length(t.token)), 0) AS token_chars,
+         coalesce(sum(CASE WHEN t.token IN {_STOPLIST} THEN 1 ELSE 0 END), 0) AS n_stop
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(token_chars * 1.0 / nullif(n_tokens, 0), 6) AS avg_token_len,
+       round(n_stop * 1.0 / nullif(n_tokens, 0), 6) AS stop_ratio,
+       round(0.4 * least(1.0, n_tokens / 20.0)
+             + 0.3 * (1.0 - n_stop * 1.0 / nullif(n_tokens, 0))
+             + 0.3 * least(1.0, (token_chars * 1.0 / nullif(n_tokens, 0)) / 8.0), 6) AS quality
+FROM per_doc
+"""
+
+_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+         (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}
+       )::BIGINT AS fingerprint
+FROM documents
+"""
+
+_BPE = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+_MULTIMODAL = _TOKS + """
+, arr AS (
+  SELECT doc_id, list(token ORDER BY pos) AS toks FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang AS meta_lang, d.source AS meta_source,
+       len(a.toks)::BIGINT AS n_tokens,
+       a.toks[1] AS first_token,
+       a.toks[-1] AS last_token
+FROM documents d JOIN arr a USING (doc_id)
+"""
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram": dedup_ngram,
+    "dedup_embedding": dedup_embedding,
+    "similarity_topk": similarity_topk,
+    "text_stats": text_stats,
+    "ngram_counts": ngram_counts,
+    "tfidf_terms": tfidf_terms,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "doc_fingerprint": doc_fingerprint,
+    "token_count_bpe": token_count_bpe,
+    "multimodal_meta": multimodal_meta,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT,
+    "dedup_ngram": _DEDUP_NGRAM,
+    "dedup_embedding": _DEDUP_EMB,
+    "similarity_topk": _SIM_TOPK,
+    "text_stats": _TEXT_STATS,
+    "ngram_counts": _NGRAM_COUNTS,
+    "tfidf_terms": _TFIDF,
+    "lang_id": _LANG_ID,
+    "quality_score": _QUALITY,
+    "doc_fingerprint": _FINGERPRINT,
+    "token_count_bpe": _BPE,
+    "multimodal_meta": _MULTIMODAL,
+}

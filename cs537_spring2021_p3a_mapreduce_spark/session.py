@@ -35,6 +35,9 @@ _SCALE_CONFS: dict[str, str] = {
     # the catalog (catalog.table) with integer µs truncation — the
     # same conversion DuckDB applies, so event-time semantics agree.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Progress bars interleave with captured stdout in the driver's
+    # harness; keep output machine-readable.
+    "spark.ui.showConsoleProgress": "false",
     # Keep implicit driver-side materialization honest: operators in
     # this repo never collect(); the driver does that at the end.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

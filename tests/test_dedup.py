@@ -1,0 +1,101 @@
+"""MinHash-LSH / SimHash dedup tests against planted near-dups and
+exact-Jaccard ground truth (FIXTURES.md: rows-only driver check, so
+recall/precision lives here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark.operators import dedup, llm
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """Copy the sf0.001 documents and plant near-duplicates: 10 docs
+    duplicated with one token changed (high Jaccard), plus 5 exact
+    copies. Returns (dir, expected_pairs)."""
+    out = tmp_path_factory.mktemp("planted")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = docs.orderBy("doc_id").limit(200).collect()
+    base = max(r.doc_id for r in rows) + 1
+    extra, edit_pairs, exact_pairs = [], set(), set()
+    for i, r in enumerate(rows[:10]):
+        toks = r.text.split()
+        toks[len(toks) // 2] = "plantedtoken"
+        extra.append((base + i, " ".join(toks), r.lang, r.source, r.n_chars))
+        edit_pairs.add((r.doc_id, base + i))
+    for i, r in enumerate(rows[10:15]):
+        extra.append((base + 100 + i, r.text, r.lang, r.source, r.n_chars))
+        exact_pairs.add((r.doc_id, base + 100 + i))
+    all_rows = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in rows] + extra
+    spark.createDataFrame(
+        all_rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return str(out), edit_pairs, exact_pairs
+
+
+def _exact_pairs(spark, sf_dir, threshold):
+    """Ground truth: exact shingle-Jaccard over ALL pairs."""
+    sh = dedup._shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    shared = (
+        a.join(b, ["shingle"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    j = shared.join(na, "a_id").join(nb, "b_id").select(
+        "a_id", "b_id", (F.col("sh") / (F.col("na") + F.col("nb") - F.col("sh"))).alias("j")
+    )
+    return {(r.a_id, r.b_id) for r in j.filter(F.col("j") >= threshold).collect()}
+
+
+def test_minhash_finds_planted_dups(spark, planted):
+    sf_dir, edit_pairs, exact_pairs = planted
+    found = {(r.a_id, r.b_id) for r in dedup.dedup_minhash(spark, sf_dir).collect()}
+    missed = (edit_pairs | exact_pairs) - found
+    assert not missed, f"missed planted pairs: {missed}"
+
+
+def test_minhash_matches_exact_jaccard(spark, planted):
+    sf_dir, _, _ = planted
+    found = {(r.a_id, r.b_id) for r in dedup.dedup_minhash(spark, sf_dir).collect()}
+    truth = _exact_pairs(spark, sf_dir, dedup.MINHASH_JACCARD_THRESHOLD)
+    # precision is exact by construction (candidates are re-verified
+    # with true Jaccard), so no false positives can survive
+    false_pos = found - truth
+    assert not false_pos, f"false positives: {false_pos}"
+    recall = len(found & truth) / max(1, len(truth))
+    assert recall >= 0.9, f"recall {recall}: found {len(found)} of {len(truth)}"
+
+
+def test_simhash_finds_exact_copies(spark, planted):
+    sf_dir, _, exact_pairs = planted
+    found = {(r.a_id, r.b_id) for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+    for p in exact_pairs:
+        assert p in found, f"exact copy {p} not found by simhash"
+
+
+def test_simhash_hamming_symmetric_bound(spark):
+    rows = dedup.dedup_simhash(spark, SF).collect()
+    assert all(0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING for r in rows)
+
+
+def test_minhash_agrees_with_ngram_baseline(spark):
+    """On the raw corpus, minhash (shingle jaccard ≥0.7) pairs must
+    be a superset-of-threshold view consistent with the quadratic
+    bigram baseline at its higher threshold."""
+    mh = {(r.a_id, r.b_id) for r in dedup.dedup_minhash(spark, SF).collect()}
+    ng = {(r.a_id, r.b_id) for r in llm.dedup_ngram(spark, SF).collect()}
+    # bigram-jaccard ≥0.8 pairs are extremely similar → 3-shingle
+    # jaccard ≥0.7 should recall nearly all of them
+    if ng:
+        recall = len(mh & ng) / len(ng)
+        assert recall >= 0.8, (recall, len(ng), len(mh))

@@ -1,0 +1,76 @@
+"""LLM-pipeline tier tests: semantic invariants beyond the oracle
+parity the driver already checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_partitions_docs(spark):
+    out = llm.dedup_exact(spark, SF)
+    n_docs = table(spark, SF, "documents").count()
+    assert out.agg(F.sum("n_copies")).first()[0] == n_docs
+    assert out.filter(F.col("n_copies") < 1).count() == 0
+
+
+def test_similarity_topk_shape(spark):
+    rows = llm.similarity_topk(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(llm.SIM_N_QUERIES))
+    for q, rs in by_q.items():
+        assert len(rs) == llm.SIM_K
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        llm.similarity_topk(spark, SF)._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_topk_per_doc(spark):
+    out = llm.tfidf_terms(spark, SF)
+    per_doc = out.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert per_doc <= llm.TFIDF_K
+    assert out.filter(F.col("tfidf") < 0).count() == 0
+
+
+def test_lang_id_covers_all_docs(spark):
+    out = llm.lang_id(spark, SF)
+    assert out.count() == table(spark, SF, "documents").count()
+    langs = {r.pred_lang for r in out.select("pred_lang").distinct().collect()}
+    assert langs <= set(llm.LANG_LEXICON) | {"und"}
+
+
+def test_quality_score_bounded(spark):
+    out = llm.quality_score(spark, SF)
+    bad = out.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_fingerprint_stable_and_discriminating(spark):
+    a = {r.doc_id: r.fingerprint for r in llm.doc_fingerprint(spark, SF).collect()}
+    b = {r.doc_id: r.fingerprint for r in llm.doc_fingerprint(spark, SF).collect()}
+    assert a == b  # deterministic
+    # distinct texts should mostly get distinct fingerprints
+    n_unique_fp = len(set(a.values()))
+    n_unique_text = (
+        table(spark, SF, "documents").select("text").distinct().count()
+    )
+    assert n_unique_fp >= 0.99 * n_unique_text
+
+
+def test_bpe_counts_at_least_ws(spark):
+    out = llm.token_count_bpe(spark, SF)
+    assert out.filter(F.col("n_bpe_tokens") < F.col("n_ws_tokens")).count() == 0
