@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..functions.text import tokens
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 
 TFIDF_K = 5
 SIM_K = 5
@@ -126,16 +126,30 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     those approximations' recall.
 
     Output: a_id, b_id, cos_sim (round 6) for cos ≥ threshold.
+
+    Norms are precomputed once per vector (O(n) folds) so each of
+    the O(n²) candidate pairs pays only the dot-product fold — same
+    arithmetic (dot/(‖a‖·‖b‖)), ~3× less per-pair work.
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
     return (
         pairs.select(
             "a_id",
             "b_id",
-            F.round(cosine_similarity("ea", "eb"), 6).alias("cos_sim"),
+            F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
     )
