@@ -1,0 +1,178 @@
+"""``mr`` — spirit-faithful port of the reference's public API.
+
+The reference's entire "UDF surface" is four function pointers and
+three functions (mapreduce.h:5-23):
+
+    Mapper       void (*)(char* file_name)            mapreduce.h:7
+    Reducer      void (*)(char*, Getter, int)         mapreduce.h:10
+    Partitioner  unsigned long (*)(char*, int)        mapreduce.h:11
+    MR_Emit, MR_DefaultHashPartition, MR_Run          mapreduce.h:14-23
+
+This module re-expresses that contract Spark-first:
+
+- ``Mapper`` here maps one input *record* (not a file — Spark's
+  scheduler owns file→task assignment, replacing the round-robin
+  deal at mapreduce.c:163-189) to an iterable of (key, value) pairs.
+  Yielding pairs IS ``MR_Emit``; there is no side-effecting emit
+  because the shuffle is engine-managed, not a locked shared array
+  (mapreduce.c:37-55).
+- ``Reducer`` receives (key, values, partition_id) exactly like
+  ``Reduce(key, get_next, partition_number)`` (mapreduce.h:10):
+  ``values`` is the key's full value multiset — the same contract as
+  draining ``get_next`` until NULL (mapreduce.c:57-67). Per-key
+  value order is unspecified in the reference (unstable qsort on
+  keys only, SURVEY §1.3), so an order-insensitive reducer is the
+  only correct reducer there too.
+- ``Partitioner`` is a Catalyst *expression factory*
+  ``(key_col, n) -> pid_col`` rather than a C function pointer, so
+  partition-id computation stays JVM-side and codegen'd. The default
+  is the bit-exact djb2 of MR_DefaultHashPartition
+  (mapreduce.c:88-94).
+
+Execution shape (one job): ``mapInPandas`` (Arrow-batched flatMap)
+→ hash shuffle on (pid, key) → ``applyInPandas`` per key group.
+The shuffle+sort+scan machinery of mapreduce.c:207-252 collapses
+into Spark's shuffle; the per-partition qsort (mapreduce.c:225-228)
+has no observable output effect (the result is a keyed set), so no
+explicit sort is planned — Catalyst picks hash- or sort-based
+grouping itself.
+
+Scale notes (100 TB): the map phase is narrow and Arrow-batched; the
+reduce phase holds ONE KEY GROUP per pandas frame in executor
+memory. That matches the reference (which also materializes each
+key's run in RAM) but a combinable reduction (count/sum/min/max)
+should use :func:`mr_run_agg` instead — pure Catalyst, map-side
+partial aggregation, no Python in the hot path. ``mr_run`` is the
+general contract; ``mr_run_agg`` is the fast path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import djb2_partition
+
+# Mirrors the reference's defaults: main.c:64 runs 10 reducers, so
+# n_partitions = 10 (mapreduce.c:144).
+DEFAULT_NUM_REDUCERS = 10
+
+Mapper = Callable[[Any], Iterable[tuple[str, str]]]
+Reducer = Callable[[str, Iterator[str], int], Any]
+Partitioner = Callable[[Column, int], Column]
+
+
+def default_hash_partition(key: Column, n_partitions: int) -> Column:
+    """``MR_DefaultHashPartition`` (mapreduce.c:88-94): bit-exact
+    djb2 mod n, as a pure Catalyst expression."""
+    return djb2_partition(key, n_partitions)
+
+
+def mr_run(
+    df: DataFrame,
+    mapper: Mapper,
+    reducer: Reducer,
+    num_reducers: int = DEFAULT_NUM_REDUCERS,
+    partitioner: Partitioner | None = None,
+    input_col: str | None = None,
+    value_type: str = "string",
+    sort_output: bool = False,
+) -> DataFrame:
+    """``MR_Run`` (mapreduce.h:18-23, mapreduce.c:141-253) as one
+    Spark job over a DataFrame source.
+
+    Parameters mirror the reference signature: ``mapper`` replaces
+    ``Map`` (+ the implicit ``MR_Emit``), ``reducer`` replaces
+    ``Reduce`` (+ ``get_next`` drained to exhaustion), ``num_reducers``
+    sets the partition count, ``partitioner`` defaults to djb2. The
+    file-list argv + ``num_mappers`` have no analog: the input is any
+    DataFrame and map parallelism is Spark's task scheduling.
+
+    ``sort_output=True`` reproduces the *sequential* engine's
+    observable global key order (sequential_mapreduce.c:81) — the
+    concurrent engine guarantees only per-partition order, which is
+    not visible in a keyed result set.
+
+    Returns a DataFrame ``(pid int, key string, value <value_type>)``.
+    """
+    if partitioner is None:
+        partitioner = default_hash_partition
+    if input_col is None:
+        input_col = df.columns[0]
+
+    def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys: list[str] = []
+            vals: list[str] = []
+            for rec in pdf[input_col]:
+                for k, v in mapper(rec):
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"key": pd.Series(keys, dtype="object"),
+                                "value": pd.Series(vals, dtype="object")})
+
+    pairs = df.select(input_col).mapInPandas(
+        _map_batches, schema="key string, value string"
+    )
+    keyed = pairs.withColumn(
+        "pid", partitioner(F.col("key"), num_reducers).cast("int")
+    )
+
+    out_schema = f"pid int, key string, value {value_type}"
+
+    def _reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        pid = int(pdf["pid"].iloc[0])
+        result = reducer(key, iter(pdf["value"]), pid)
+        return pd.DataFrame({"pid": [pid], "key": [key], "value": [result]})
+
+    # groupBy (pid, key) == groupBy key (pid is a pure function of
+    # key); carrying pid through gives the reducer its
+    # partition_number argument, per Reduce's signature.
+    out = keyed.groupBy("pid", "key").applyInPandas(_reduce_group, out_schema)
+    return out.orderBy("key") if sort_output else out
+
+
+def mr_run_agg(
+    df: DataFrame,
+    mapper: Mapper,
+    agg: Column,
+    num_reducers: int = DEFAULT_NUM_REDUCERS,
+    partitioner: Partitioner | None = None,
+    input_col: str | None = None,
+) -> DataFrame:
+    """Combinable-reducer fast path: same map contract, but the
+    reduction is a Catalyst aggregate expression over the ``value``
+    column (e.g. ``F.count('*')``, ``F.sum('value')``) — map-side
+    partial aggregation, no per-group pandas materialization. This is
+    what the reference's count-reducer (main.c:33-43) *means*, minus
+    the iterator plumbing."""
+    if partitioner is None:
+        partitioner = default_hash_partition
+    if input_col is None:
+        input_col = df.columns[0]
+
+    def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys: list[str] = []
+            vals: list[str] = []
+            for rec in pdf[input_col]:
+                for k, v in mapper(rec):
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"key": pd.Series(keys, dtype="object"),
+                                "value": pd.Series(vals, dtype="object")})
+
+    pairs = df.select(input_col).mapInPandas(
+        _map_batches, schema="key string, value string"
+    )
+    return (
+        pairs.withColumn("pid", partitioner(F.col("key"), num_reducers).cast("int"))
+        .groupBy("pid", "key")
+        .agg(agg.alias("value"))
+    )

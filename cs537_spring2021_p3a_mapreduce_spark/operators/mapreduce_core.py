@@ -106,6 +106,32 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordcount driven through the ``mr`` compatibility layer — the
+    full reference API shape (MR_Run + Map emitting (token,"1") +
+    counting Reduce, main.c:11-43,64) executed as mapInPandas →
+    djb2 partition → applyInPandas. Exists to prove the compat
+    layer's contract against the same oracle as ``wordcount``; the
+    DataFrame-native ``wordcount`` is the production path (pure
+    Catalyst, no Python)."""
+    from ..mr import mr_run
+
+    docs = table(spark, sf_dir, "documents").select("text")
+
+    def mapper(line: str):
+        # str.split() == split on runs of whitespace, empties dropped
+        # — same clean semantics as functions.text.tokens.
+        return ((tok, "1") for tok in line.split())
+
+    def reducer(key: str, values, pid: int) -> int:
+        # The reference Reduce counts get_next yields (main.c:39-40).
+        return sum(1 for _ in values)
+
+    return mr_run(docs, mapper, reducer, value_type="long").select(
+        F.col("key").alias("token"), F.col("value").alias("cnt")
+    )
+
+
 def custom_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows per partition under bit-exact djb2 with n=10 (A5,
     MR_DefaultHashPartition mapreduce.c:88-94; pluggable-partitioner
@@ -148,6 +174,7 @@ QUERIES = {
     "partitioned_sort": partitioned_sort,
     "inverted_index": inverted_index,
     "custom_partition_hist": custom_partition_hist,
+    "mr_wordcount": mr_wordcount,
 }
 
 ORACLES = {
@@ -167,4 +194,6 @@ ORACLES = {
     ),
     "custom_partition_hist": _TOKENS_CTE
     + f"SELECT ({_DJB2})::BIGINT AS pid, count(*)::BIGINT AS cnt FROM toks GROUP BY 1",
+    "mr_wordcount": _TOKENS_CTE
+    + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
 }

@@ -1,0 +1,95 @@
+"""mr compat layer: the reference's 4-function API contract
+(mapreduce.h:5-23) holds under the Spark re-expression."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+from cs537_spring2021_p3a_mapreduce_spark.functions.text import djb2_partition
+from cs537_spring2021_p3a_mapreduce_spark.mr import mr_run, mr_run_agg
+from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+    mr_wordcount,
+    wordcount,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# NB: mapper/reducer must be defined as closures (or in an importable
+# package module), not at this test module's top level — Spark workers
+# unpickle local functions by value but module functions by reference,
+# and `test_mr` is not importable on the worker.
+
+
+def _tok_mapper():
+    return lambda line: ((tok, "1") for tok in line.split())
+
+
+def _count_reducer():
+    return lambda key, values, pid: sum(1 for _ in values)
+
+
+def test_mr_wordcount_matches_dataframe_wordcount(spark):
+    via_mr = {
+        (r.token, r.cnt) for r in mr_wordcount(spark, SF_SMOKE).collect()
+    }
+    via_df = {(r.token, r.cnt) for r in wordcount(spark, SF_SMOKE).collect()}
+    assert via_mr == via_df
+    assert len(via_mr) > 0
+
+
+def test_mr_run_agg_fast_path_matches_general_path(spark):
+    docs = table(spark, SF_SMOKE, "documents").select("text")
+    slow = mr_run(docs, _tok_mapper(), _count_reducer(), value_type="long")
+    fast = mr_run_agg(docs, _tok_mapper(), F.count("*"))
+    assert {(r.pid, r.key, r.value) for r in slow.collect()} == {
+        (r.pid, r.key, r.value) for r in fast.collect()
+    }
+
+
+def test_partition_ids_are_bitexact_djb2(spark):
+    docs = table(spark, SF_SMOKE, "documents").select("text")
+    out = mr_run(docs, _tok_mapper(), _count_reducer(), num_reducers=10,
+                 value_type="long")
+    expected = out.select(
+        "key", djb2_partition(F.col("key"), 10).cast("int").alias("want"),
+        "pid",
+    )
+    assert expected.filter(F.col("pid") != F.col("want")).count() == 0
+
+
+def test_custom_partitioner_is_honored(spark):
+    docs = table(spark, SF_SMOKE, "documents").select("text")
+    out = mr_run(
+        docs, _tok_mapper(), _count_reducer(),
+        partitioner=lambda key, n: F.lit(0), value_type="long",
+    )
+    pids = {r.pid for r in out.select("pid").distinct().collect()}
+    assert pids == {0}
+
+
+def test_sequential_sort_output_global_order(spark):
+    docs = table(spark, SF_SMOKE, "documents").select("text")
+    rows = mr_run(
+        docs, _tok_mapper(), _count_reducer(), sort_output=True,
+        value_type="long",
+    ).collect()
+    keys = [r.key for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_reducer_sees_partition_id_and_multiset(spark):
+    docs = table(spark, SF_SMOKE, "documents").select("text")
+
+    def join_reducer(key: str, values, pid: int) -> str:
+        # order-insensitive fold over the value multiset (SURVEY §1.3)
+        vals = sorted(values)
+        return f"{pid}:{len(vals)}:{vals[0]}"
+
+    out = mr_run(docs, _tok_mapper(), join_reducer).collect()
+    for r in out:
+        pid, n, v0 = r.value.split(":")
+        assert int(pid) == r.pid
+        assert int(n) >= 1
+        assert v0 == "1"
