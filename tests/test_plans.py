@@ -1,0 +1,86 @@
+"""Physical-plan shape assertions: the properties that decide
+whether each query survives a 100 TB scale-up, checked against
+Catalyst's actual plans (not guessed).
+
+These are regression guards: if a refactor turns the dimension
+joins into sort-merge joins, un-prunes a scan, or adds a shuffle,
+these tests fail before the benchmark does.
+"""
+
+from __future__ import annotations
+
+from cs537_spring2021_p3a_mapreduce_spark import plans as P
+from cs537_spring2021_p3a_mapreduce_spark.operators import (
+    llm,
+    mapreduce_core as mc,
+    relational as rel,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_wordcount_prunes_to_text_and_single_shuffle(spark):
+    df = mc.wordcount(spark, SF_SMOKE)
+    # column pruning reaches the footer: only `text` is read
+    assert P.read_schemas(df) == ["struct<text:string>"]
+    # one hash-aggregate shuffle, nothing else
+    assert P.shuffle_count(df) == 1
+    # map-side partial aggregation: HashAggregate pair around the
+    # exchange (partial_count below, final count above)
+    assert P.count_nodes(P.plan(df, "simple"), "HashAggregate") >= 2
+    assert len(P.codegen_ids(df)) > 0
+
+
+def test_multiway_region_join_broadcasts_dims(spark):
+    df = rel.join_multiway_region(spark, SF_SMOKE)
+    # nation (25 rows) and region (5 rows) must broadcast at ANY sf
+    assert P.uses_broadcast_join(df)
+    assert not P.uses_sort_merge_join(df)
+    # join keys push IsNotNull to every parquet scan
+    assert all("IsNotNull" in f for f in P.pushed_filters(df))
+
+
+def test_topk_avoids_global_sort(spark):
+    # top-k must plan as TakeOrderedAndProject (per-partition heap +
+    # driver merge of k rows), never a full orderBy -> limit sort
+    assert "TakeOrderedAndProject" in P.plan(rel.topk_revenue(spark, SF_SMOKE))
+
+
+def test_pricing_summary_partial_agg_and_pruning(spark):
+    df = rel.agg_pricing_summary(spark, SF_SMOKE)
+    assert P.shuffle_count(df) == 1
+    [schema] = P.read_schemas(df)
+    # only the columns the query touches, not all 16 lineitem cols
+    assert "l_orderkey" not in schema
+    assert "l_returnflag" in schema and "l_quantity" in schema
+
+
+def test_window_queries_single_shuffle(spark):
+    # a partitioned window is one hash shuffle + in-partition sort;
+    # a global window (no partitionBy) would be a scale bug
+    assert P.shuffle_count(rel.window_rank_orders(spark, SF_SMOKE)) == 1
+    assert P.shuffle_count(rel.window_running_sum(spark, SF_SMOKE)) == 1
+
+
+def test_semi_anti_stay_joins_not_subquery_scans(spark):
+    df = rel.semi_anti_orders(spark, SF_SMOKE)
+    simple = P.plan(df, "simple")
+    assert "LeftSemi" in simple
+    assert "LeftAnti" in simple
+
+
+def test_similarity_topk_is_single_pass(spark):
+    df = llm.similarity_topk(spark, SF_SMOKE)
+    # brute-force cosine baseline: the pairwise compare is a join +
+    # one shuffle for the per-query top-k window; no extra exchanges
+    assert P.shuffle_count(df) <= 2
+
+
+def test_tokenizer_stays_jvm_side(spark):
+    # the flatMap hot path must be Generate(explode), not a Python
+    # UDF (BatchEvalPython) — Python in the per-token loop is the
+    # 10-100x slow path (SURVEY §4.2)
+    simple = P.plan(mc.wordcount(spark, SF_SMOKE), "simple")
+    assert "Generate explode" in simple
+    assert "BatchEvalPython" not in simple
+    assert "ArrowEvalPython" not in simple
