@@ -1,0 +1,149 @@
+"""Sources & sinks.
+
+The reference's entire IO surface is: a file-path list dealt
+round-robin to mapper threads (A1, mapreduce.c:163-189), line-at-a-
+time text scan (A2, main.c:13-31), and an in-memory hashmap sink
+with last-write-wins upsert (A10, hashmap.c:21-56). This module
+re-expresses those Spark-first and widens them to the formats a real
+engine needs (parquet/csv/json, partitioned + bucketed writes).
+
+Scale notes: every reader here returns a lazy scan — split planning,
+locality, columnar decode, pushdown and pruning are the data source
+framework's job. Writers default to snappy parquet; partitioned
+writes give downstream queries partition pruning, bucketed writes
+give shuffle-free joins on the bucket key.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+
+def text_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Reference A1+A2: the argv file list, one row per line, with
+    file provenance. Spark's scheduler replaces the round-robin
+    file→thread deal with split-based assignment (large files split,
+    small files packed — no skew from one big file pinned to one
+    mapper thread). Columns: ``path``, ``line``."""
+    df = spark.read.text(paths)
+    return df.select(
+        F.input_file_name().alias("path"), F.col("value").alias("line")
+    )
+
+
+def read_csv(
+    spark: SparkSession, paths: list[str] | str, schema: StructType | str | None = None
+) -> DataFrame:
+    """CSV with explicit schema preferred (schema inference is a
+    whole extra pass over 100 TB)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(paths)
+
+
+def read_json(
+    spark: SparkSession, paths: list[str] | str, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines with explicit schema preferred (inference reads the
+    corpus twice; at scale always pass a schema or sample first)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(paths)
+
+
+def read_parquet(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    return spark.read.parquet(paths)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink; ``partition_by`` produces hive-style directories
+    so downstream scans prune partitions on those columns."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: joins/aggregations on ``bucket_cols``
+    between co-bucketed tables plan with ZERO shuffle — this is the
+    pre-partitioning story for repeated 100 TB fact-fact joins."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name, format="parquet")
+
+
+def upsert_keyed_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str | None = None,
+) -> None:
+    """Reference A10: the hashmap sink's last-write-wins MapPut
+    (hashmap.c:40-46) as a keyed parquet merge.
+
+    Reads the existing table (if any), unions the updates, keeps one
+    row per key — the newest by ``version_col`` if given, else
+    preferring updates over existing rows — and atomically swaps the
+    directory. Local-filesystem rename swap; on a real deployment
+    this op is a transactional-table MERGE (Delta/Iceberg), which
+    this function's contract mirrors on purpose.
+    """
+    is_update = F.lit(1)
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path).withColumn("__gen", F.lit(0))
+        merged = existing.unionByName(updates.withColumn("__gen", is_update))
+    else:
+        merged = updates.withColumn("__gen", is_update)
+
+    order = (
+        [F.col(version_col).desc(), F.col("__gen").desc()]
+        if version_col
+        else [F.col("__gen").desc()]
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    result = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__gen")
+    )
+
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    result.write.mode("overwrite").parquet(staging)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def point_lookup(df: DataFrame, key_col: str, key: str) -> DataFrame:
+    """Reference A11 (MapGet, hashmap.c:58-76): point lookup as a
+    filter — returns a DataFrame so the predicate can push into the
+    scan; the caller collects the scalar if it wants one."""
+    return df.filter(F.col(key_col) == F.lit(key))

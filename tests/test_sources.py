@@ -1,0 +1,82 @@
+"""Sources & sinks: reference IO surface (file-list text source,
+upsert sink, point lookup) plus format round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark import sources as src
+from cs537_spring2021_p3a_mapreduce_spark.functions.text import tokens
+
+
+def test_text_lines_wordcount_like_reference(spark, tmp_path):
+    # basic.txt semantics: token n appears n times (SURVEY §5)
+    f = tmp_path / "basic.txt"
+    f.write_text("one\ntwo two\nthree three three\nfour four four four\n")
+    lines = src.text_lines(spark, str(f))
+    counts = {
+        r.token: r.cnt
+        for r in lines.select(F.explode(tokens("line")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert counts == {"one": 1, "two": 2, "three": 3, "four": 4}
+
+
+def test_text_lines_multiple_files_with_provenance(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("alpha\n")
+    (tmp_path / "b.txt").write_text("beta\nbeta\n")
+    df = src.text_lines(spark, [str(tmp_path / "a.txt"), str(tmp_path / "b.txt")])
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.path.rsplit("/", 1)[-1] for r in rows} == {"a.txt", "b.txt"}
+
+
+def test_csv_json_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id bigint, name string"
+    )
+    csv_dir, json_dir = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.option("header", "true").csv(csv_dir)
+    df.write.json(json_dir)
+    got_csv = src.read_csv(spark, csv_dir, "id bigint, name string")
+    got_json = src.read_json(spark, json_dir, "id bigint, name string")
+    want = {(1, "x"), (2, "y")}
+    assert {(r.id, r.name) for r in got_csv.collect()} == want
+    assert {(r.id, r.name) for r in got_json.collect()} == want
+
+
+def test_partitioned_parquet_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v bigint"
+    )
+    out = str(tmp_path / "part")
+    src.write_parquet(df, out, partition_by=["k"])
+    back = src.read_parquet(spark, out).filter(F.col("k") == "a")
+    assert back.count() == 2
+    # hive-style layout exists → partition pruning is available
+    assert (tmp_path / "part" / "k=a").is_dir()
+
+
+def test_upsert_keyed_parquet_last_write_wins(spark, tmp_path):
+    path = str(tmp_path / "kv")
+    v1 = spark.createDataFrame(
+        [("k1", "old"), ("k2", "keep")], "key string, value string"
+    )
+    src.upsert_keyed_parquet(spark, v1, path, ["key"])
+    v2 = spark.createDataFrame([("k1", "new")], "key string, value string")
+    src.upsert_keyed_parquet(spark, v2, path, ["key"])
+    got = {
+        (r.key, r.value) for r in spark.read.parquet(path).collect()
+    }
+    # MapPut overwrite semantics (hashmap.c:40-46): k1 replaced
+    assert got == {("k1", "new"), ("k2", "keep")}
+
+
+def test_point_lookup(spark):
+    df = spark.createDataFrame(
+        [("k1", 5), ("k2", 7)], "key string, cnt bigint"
+    )
+    assert src.point_lookup(df, "key", "k2").collect()[0].cnt == 7
+    assert src.point_lookup(df, "key", "nope").count() == 0
