@@ -1,0 +1,147 @@
+"""Structured Streaming surface.
+
+The reference has no streaming at all (SURVEY §2.B); the batch
+queries ``time_bucket_events`` / ``session_windows`` implement the
+window *semantics* over the static events table. This module is the
+declared upgrade path made real: the same event-time logic as
+``readStream`` plans with watermarks, so a user can move any of the
+batch event queries onto a live source by swapping the reader.
+
+Scale notes: all operators here are keyed-state streaming aggs —
+state lives in the executor state store, partitioned by group key,
+with watermark-driven eviction. That is exactly the 100 TB design:
+no global state, no driver-side accumulation, late data bounded by
+the watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType
+
+# events.parquet physical schema (TESTDATA.md): ts is TIMESTAMP(NANOS)
+# which Spark reads as long under nanosAsLong (session.py); the
+# streaming reader needs the schema up front (no inference on streams).
+EVENTS_FILE_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir_or_glob: str) -> DataFrame:
+    """events as an unbounded source: file-stream over the same
+    parquet layout the batch catalog reads, ts normalized to a µs
+    timestamp exactly like catalog.table (ns → µs integer division).
+    On a deployment this reader is swapped for Kafka/Kinesis; every
+    operator below only sees (columns, event-time), not the source.
+    """
+    raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(sf_dir_or_glob)
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming analog of the batch ``time_bucket_events``: tumbling
+    event-time windows with a watermark bounding late data and state
+    size. Output: window_start, event_type, cnt."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming analog of the batch ``session_windows``: native
+    session windows (gap-merged event-time intervals) per user.
+    Output: user_id, session_start, session_end, n_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_wordcount(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """The reference flagship as an incremental query: unbounded
+    lines → running token counts (update mode). State = one long per
+    distinct token, partitioned by token hash."""
+    from ..functions.text import tokens
+
+    return (
+        lines.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count emitted on every update — the shape any
+    bespoke streaming accumulator takes when window/session built-ins
+    don't fit. State: one long per user; no timeout (the watermark
+    column is not needed for a pure running count)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        state.update((seen,))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [seen]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain all currently-available input through the streaming
+    plan into an in-memory table (test/debug sink): availableNow
+    trigger, blocks until done. Production sinks are writeStream to
+    parquet/Kafka with the same plan."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

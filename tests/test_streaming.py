@@ -1,0 +1,85 @@
+"""Structured Streaming: the streaming analogs reproduce the batch
+event-time results when fed the same (finite) input — the
+batch/stream parity Spark's unified model promises."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark import streaming as st
+from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_match_batch(spark, tmp_path, events_stream_dir):
+    stream = st.windowed_event_counts(st.stream_events(spark, events_stream_dir))
+    # complete mode: append would withhold the final windows (the
+    # watermark never passes them on a finite input)
+    st.run_to_memory(stream, "win_counts", str(tmp_path / "ckpt"), "complete")
+    got = {
+        (r.window_start, r.event_type, r.cnt)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.cnt)
+        for r in (
+            table(spark, SF_SMOKE, "events")
+            .groupBy(
+                F.window("ts", "1 hour").start.alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_windows_match_batch_session_count(spark, tmp_path, events_stream_dir):
+    stream = st.session_event_counts(st.stream_events(spark, events_stream_dir))
+    st.run_to_memory(stream, "sess_counts", str(tmp_path / "ckpt"), "complete")
+    got = spark.sql("SELECT * FROM sess_counts")
+    # session windows partition each user's events: totals must add up
+    total_events = table(spark, SF_SMOKE, "events").count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == total_events
+    # native session windows agree with the batch gap-split on count
+    batch_sessions = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    assert got.select("user_id").distinct().count() == batch_sessions
+
+
+def test_streaming_wordcount_matches_batch(spark, tmp_path, documents_stream_dir):
+    lines = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).parquet(documents_stream_dir)
+    stream = st.streaming_wordcount(lines, "text")
+    st.run_to_memory(stream, "wc_stream", str(tmp_path / "ckpt"), "complete")
+    got = {
+        (r.token, r.cnt)
+        for r in spark.sql("SELECT * FROM wc_stream").collect()
+    }
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        wordcount,
+    )
+
+    want = {(r.token, r.cnt) for r in wordcount(spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_stateful_running_user_counts(spark, tmp_path, events_stream_dir):
+    stream = st.running_user_counts(st.stream_events(spark, events_stream_dir))
+    st.run_to_memory(stream, "run_counts", str(tmp_path / "ckpt"), "update")
+    # one availableNow drain → the last update per user is the total
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM run_counts GROUP BY user_id"
+    )
+    want = table(spark, SF_SMOKE, "events").groupBy("user_id").count()
+    diff = got.join(
+        want, (got.user_id == want.user_id) & (got.n == want["count"]), "inner"
+    )
+    assert diff.count() == want.count()
