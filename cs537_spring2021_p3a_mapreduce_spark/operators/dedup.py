@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import table
 from ..functions.text import tokens
@@ -74,12 +75,16 @@ def _minhash_signatures(shingles: DataFrame) -> DataFrame:
     return per_seed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
 
 
-def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidates(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """Banded-LSH candidate pairs: docs agreeing on all BAND_ROWS
     minhashes within any band. The band signature is a string key;
     the self-join is an equi-join on (band, signature) — bucket
     sizes, not corpus², bound the work."""
-    sigs = _minhash_signatures(_shingles(spark, sf_dir))
+    if shingles is None:
+        shingles = _shingles(spark, sf_dir)
+    sigs = _minhash_signatures(shingles)
     bands = (
         sigs.withColumn("band", F.floor(F.col("seed") / BAND_ROWS).cast("int"))
         .groupBy("doc_id", "band")
@@ -122,8 +127,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/precision asserted in tests against llm.dedup_ngram-style
     exact ground truth on planted duplicates.
     """
-    shingles = _shingles(spark, sf_dir)
-    cands = minhash_candidates(spark, sf_dir)
+    # The shingle set is a diamond in the dataflow (signatures,
+    # candidate join, verify join all consume it); persist it so the
+    # scan+window+distinct runs once, not three times. Spillable
+    # storage level — at 100 TB the shingle set exceeds memory and
+    # must degrade to disk, not OOM.
+    shingles = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_candidates(spark, sf_dir, shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sh"))
     sb = shingles.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh"))
@@ -153,8 +163,12 @@ def _simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bits array<int>[64]): classic SimHash — per bit
     position, sum token-count-weighted ±1 by whether
     xxhash64(token)'s bit is set; the sign is the fingerprint bit.
-    The bit explosion is ×64 but stays narrow until one bounded
-    aggregate."""
+
+    Shape: the 64 bit positions are 64 aggregate EXPRESSIONS over
+    one (doc_id) hash aggregate — not a ×64 row explosion. The
+    shuffle carries one row per (doc, distinct token) and the bit
+    sums combine map-side; an earlier posexplode formulation
+    shuffled 64× the rows for the same result."""
     docs = table(spark, sf_dir, "documents")
     tok_counts = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
@@ -162,23 +176,22 @@ def _simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.xxhash64("token"))
     )
-    contrib = tok_counts.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-                lambda b: F.when(F.getbit(F.col("h"), b) == 1, F.col("cnt")).otherwise(
-                    -F.col("cnt")
-                ),
+    signed = [
+        F.sum(
+            F.when(F.getbit(F.col("h"), F.lit(b)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
             )
-        ).alias("bit_pos", "w"),
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok_counts.groupBy("doc_id").agg(*signed)
+    bits = F.array(
+        *[
+            F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    bit_vals = contrib.groupBy("doc_id", "bit_pos").agg(
-        F.when(F.sum("w") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
-    )
-    return bit_vals.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("bit_pos", "bit"))).bit.alias("bits")
-    )
+    return sums.select("doc_id", bits.alias("bits"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +206,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: a_id, b_id, hamming (int). Rows-only driver check.
     """
-    fps = _simhash_bits(spark, sf_dir)
+    # fps feeds both sides of the band self-join — persist so the
+    # fingerprint aggregation runs once (spillable, as in minhash).
+    fps = _simhash_bits(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     banded = fps.select(
         "doc_id",
