@@ -22,9 +22,16 @@ _UINT64_MOD_10 = 6  # 2**64 % 10 == 6; general form computed per-n below.
 def tokens(text: Column | str) -> Column:
     """Split a text column on runs of whitespace → array<string>,
     empties removed. Pair with ``explode`` for the flatMap shape
-    (reference A3, main.c:22-27)."""
+    (reference A3, main.c:22-27).
+
+    ``array_remove(_, '')`` — not ``F.filter`` with a lambda — drops
+    the empties: same semantics (removes ALL empty strings, e.g. the
+    leading one from ' a'.split), but it is a plain codegen'd
+    expression, where higher-order-function lambdas are interpreted
+    per element and were ~3× the cost of the split itself on the
+    hot tokenize path."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(col, r"\s+"), "")
 
 
 def djb2_partition(key: Column | str, n_partitions: int) -> Column:

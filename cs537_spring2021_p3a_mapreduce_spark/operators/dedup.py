@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import table
@@ -36,43 +35,52 @@ SIMHASH_MAX_HAMMING = 12
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle): distinct word-SHINGLE_K-shingles via a
-    per-doc sliding window over token positions. Window state is
-    bounded per doc; the op is narrow until the distinct."""
+    """(doc_id, shingle int64): distinct word-SHINGLE_K-shingles,
+    built by sliding over the per-doc token ARRAY with higher-order
+    functions — fully narrow (no window, no shuffle) until the final
+    distinct. A lag/lead-window formulation computes the same thing
+    but pays a full shuffle+sort of every token row first.
+
+    Each shingle is carried as xxhash64(token_0..token_{K-1}) — an
+    8-byte identity instead of the joined string. Every downstream
+    consumer (signature mins, verify equi-join, size counts) only
+    needs shingle IDENTITY, so the distinct and both join shuffles
+    move ~4× fewer bytes; 64-bit collisions are negligible at any
+    corpus size that fits an exact verify."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("token")] + [
-        F.lead("token", i).over(w).alias(f"t{i}") for i in range(1, SHINGLE_K)
-    ]
+    # materialize the token array as a named column FIRST: inlining
+    # tokens("text") into every F.get would re-run the split per
+    # element access (no CSE inside lambda bodies) — O(len²)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    arr = F.col("toks")
+    n_windows = F.size(arr) - (SHINGLE_K - 1)
+    sliding = F.when(n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle_arr = F.transform(
+        sliding,
+        lambda i: F.xxhash64(*[F.get(arr, i + j) for j in range(SHINGLE_K)]),
+    )
     return (
-        toks.select("doc_id", *cols)
-        .filter(F.col(f"t{SHINGLE_K - 1}").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "token", *[f"t{i}" for i in range(1, SHINGLE_K)]).alias(
-                "shingle"
-            ),
-        )
+        toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
         .distinct()
     )
 
 
 def _minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(doc_id, seed, minhash): per-seed minimum of xxhash64(seed,
-    shingle). The seed column participates in the hash input, which
-    is the standard Spark idiom for a keyed hash family. One
-    explode (×N_HASHES) then a map-side-combinable min aggregate."""
-    per_seed = shingles.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-                lambda s: F.xxhash64(s, F.col("shingle")),
-            )
-        ).alias("seed", "h"),
-    )
-    return per_seed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    """(doc_id, m0..m{N-1}): per-seed minimum of xxhash64(seed,
+    shingle) — the seed participates in the hash input, the standard
+    Spark idiom for a keyed hash family.
+
+    Shape: the N_HASHES seeds are N_HASHES min-aggregate EXPRESSIONS
+    over one (doc_id) hash aggregate, all combining map-side — not a
+    ×N_HASHES posexplode (which would shuffle 32× the rows to carry
+    the same information). Same trick as _simhash_bits."""
+    mins = [
+        F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"m{s}")
+        for s in range(N_HASHES)
+    ]
+    return shingles.groupBy("doc_id").agg(*mins)
 
 
 def minhash_candidates(
@@ -85,14 +93,19 @@ def minhash_candidates(
     if shingles is None:
         shingles = _shingles(spark, sf_dir)
     sigs = _minhash_signatures(shingles)
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    n_bands = N_HASHES // BAND_ROWS
+    band_sigs = F.array(
+        *[
             F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).minhash
-            ).alias("band_sig")
-        )
+                ",", *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    # banding is a narrow ×n_bands explode of the wide signature row
+    # (seed order within each band preserved by construction)
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "band_sig")
     )
     a = bands.select(
         F.col("doc_id").alias("a_id"), "band", F.col("band_sig").alias("sig_a")

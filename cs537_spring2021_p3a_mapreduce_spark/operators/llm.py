@@ -316,36 +316,59 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: broadcast marker-lexicon join, count
-    hits per (doc, lang), argmax with lexicographic tiebreak, 'und'
-    when nothing matches. The lexicon is O(languages·markers) rows —
-    always broadcast; the doc side never shuffles for the join.
+    """Heuristic language ID: per-language marker-hit counts as
+    compile-time expressions over the token array, argmax with
+    lexicographic tiebreak, 'und' when nothing matches.
+
+    The lexicon is a compile-time constant, so it folds into the
+    plan instead of being a table at all: one narrow pass, ZERO
+    shuffles, no join — vs. the naive explode → broadcast-join →
+    two-level agg → window shape, which shuffles every token row
+    twice for the same answer. Tiebreak: langs get ranks in
+    REVERSE-lex order, so max(struct(n_hits, rank)) picks the
+    lexicographically-smallest language on equal hits — identical to
+    the oracle's ORDER BY n_hits DESC, lang ASC.
 
     Output: doc_id, pred_lang, n_hits.
     """
-    lex_rows = [
-        (lang, tok) for lang, toks_ in sorted(LANG_LEXICON.items()) for tok in toks_
+    langs = sorted(LANG_LEXICON)  # rank len..1 = reverse-lex
+    docs = table(spark, sf_dir, "documents")
+    # explode_outer: a token-less doc still yields one (doc_id, null)
+    # row, so every document appears in the output ('und'), matching
+    # the oracle's LEFT JOIN shape
+    exploded = docs.select(
+        "doc_id", F.explode_outer(tokens("text")).alias("token")
+    )
+    # per-language hit counters as conditional-sum aggregate
+    # expressions — codegen'd WHEN + map-side partial agg; a
+    # higher-order filter() per language would run interpreted per
+    # token and cost more than the whole rest of the query
+    counters = [
+        F.sum(
+            F.when(F.col("token").isin(*LANG_LEXICON[lang]), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"n_{lang}")
+        for lang in langs
     ]
-    lexicon = F.broadcast(
-        spark.createDataFrame(lex_rows, ["lex_lang", "lex_token"])
+    counts = exploded.groupBy("doc_id").agg(*counters)
+    per_lang = F.array(
+        *[
+            F.struct(
+                F.col(f"n_{lang}").alias("n_hits"),
+                F.lit(len(langs) - i).alias("rank"),
+            )
+            for i, lang in enumerate(langs)
+        ]
     )
-    toks = _docs_tokens_pos(spark, sf_dir)
-    hits = (
-        toks.join(lexicon, toks.token == lexicon.lex_token)
-        .groupBy("doc_id", "lex_lang")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lex_lang"))
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lex_lang").alias("pred_lang"), "n_hits")
-    )
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(best, "doc_id", "left").select(
+    best = F.array_max(per_lang)
+    lang_by_rank = F.array(*[F.lit(lang) for lang in reversed(langs)])
+    return counts.select(
         "doc_id",
-        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.when(best.n_hits > 0, F.element_at(lang_by_rank, best.rank))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        best.n_hits.alias("n_hits"),
     )
 
 
