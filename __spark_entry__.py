@@ -19,10 +19,11 @@ from cs537_spring2021_p3a_mapreduce_spark.operators import (
     dedup,
     llm,
     mapreduce_core,
+    multimodal,
     relational,
 )
 
-_MODULES = [mapreduce_core, relational, llm, dedup]
+_MODULES = [mapreduce_core, relational, llm, dedup, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,93 @@
+"""Multimodal binary-column plumbing: schemas, determinism, the
+decode seam, feature shapes, frame explosion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark.operators import multimodal as mm
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_synth_media_schema_and_kinds(spark):
+    df = mm.synth_media(spark, SF_SMOKE)
+    assert df.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,fmt:string,payload:binary,"
+        "width:int,height:int,sample_rate:int,duration_ms:int>"
+    )
+    kinds = {r.kind for r in df.select("kind").distinct().collect()}
+    assert kinds == set(mm.MEDIA_KINDS)
+    # payload really is bytes, with the constructed length
+    row = df.filter(F.col("media_id") == 3).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert len(row.payload) == 64 + (3 % 7) * 32
+
+
+def test_decode_fake_is_deterministic_across_partitionings(spark):
+    media = mm.synth_media(spark, SF_SMOKE)
+    once = {r.media_id: r.mean_byte for r in mm.decode_media(media).collect()}
+    again = {
+        r.media_id: r.mean_byte
+        for r in mm.decode_media(media.repartition(7)).collect()
+    }
+    assert once == again and len(once) > 0
+
+
+def test_decode_real_raises_at_the_seam(spark):
+    media = mm.synth_media(spark, SF_SMOKE)
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(media, decode="real")
+    with pytest.raises(ValueError):
+        mm.decode_media(media, decode="nope")
+
+
+def test_extract_features_shape_and_determinism(spark):
+    media = mm.synth_media(spark, SF_SMOKE)
+    feats = mm.extract_features(media, dim=16)
+    assert feats.schema["embedding"].dataType.simpleString() == "array<float>"
+    rows = feats.collect()
+    assert all(len(r.embedding) == 16 for r in rows)
+    # same payload bytes → same embedding (seeded from sha256)
+    again = mm.extract_features(media.repartition(5), dim=16).collect()
+    m1 = {r.media_id: tuple(r.embedding) for r in rows}
+    m2 = {r.media_id: tuple(r.embedding) for r in again}
+    assert m1 == m2
+
+
+def test_resize_only_touches_images(spark):
+    media = mm.synth_media(spark, SF_SMOKE)
+    resized = mm.resize_images(media, 224, 224)
+    img = resized.filter(F.col("kind") == "image")
+    assert img.filter(
+        (F.col("width") != 224) | (F.col("height") != 224)
+    ).count() == 0
+    aud = resized.filter(F.col("kind") == "audio")
+    assert aud.filter(F.col("width").isNotNull()).count() == 0
+
+
+def test_sample_frames_counts_match_duration(spark):
+    media = mm.synth_media(spark, SF_SMOKE)
+    frames = mm.sample_frames(media, every_ms=1000)
+    got = {
+        r.media_id: r.n for r in frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        r.media_id: max(1, r.duration_ms // 1000)
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    assert got == want and len(got) > 0
+    one = frames.filter(F.col("frame_idx") == 1).collect()[0]
+    assert one.frame_ts_ms == 1000
+    assert isinstance(one.frame_bytes, (bytes, bytearray))
+
+
+def test_pipeline_query_matches_constructed_sizes(spark):
+    stats = {
+        r.kind: (r.n_media, r.total_bytes)
+        for r in mm.media_feature_stats(spark, SF_SMOKE).collect()
+    }
+    docs_n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(v[0] for v in stats.values()) == docs_n
