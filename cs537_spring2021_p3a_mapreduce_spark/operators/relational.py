@@ -303,6 +303,104 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+QUANTILES = (0.25, 0.5, 0.75)
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event_type count matrix via the pivot operator. The
+    pivot VALUES are declared (EVENT_TYPES), so Spark skips the
+    extra distinct-scan job it otherwise runs to discover them —
+    at 100 TB that discovery pass costs a full extra read. Missing
+    cells coalesce to 0 to match conditional-aggregation SQL."""
+    ev = table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles of lineitem quantity (25/50/75) via
+    the sort-based ``percentile`` aggregate; the 100 TB path is
+    ``approx_percentile`` (t-digest sketch, map-side combinable, no
+    per-group sort state) — same call shape, documented swap, just
+    like approx_distinct_users vs count_distinct."""
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        f"percentile(l_quantity, array({', '.join(str(q) for q in QUANTILES)}))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(pct[0], 6).alias("q25"),
+        F.round(pct[1], 6).alias("q50"),
+        F.round(pct[2], 6).alias("q75"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively: each purchase
+    event matched to the same user's most recent 'view' at-or-before
+    it (inner as-of: unmatched purchases drop).
+
+    Implementation is the scalable union-tag trick, not a range
+    join: tag views 0 / purchases 1, one shuffle on user_id, one
+    ordered window pass carrying last-non-null view attributes
+    (ties at equal ts order view-before-purchase, giving >= as-of
+    semantics). State per partition is O(1) — vs. a naive
+    inequality join that explodes to |views|×|purchases| per user
+    before picking the max. Oracle: DuckDB's native ASOF JOIN.
+
+    Output: purchase_id, user_id, purchase_ts, view_id, gap_us.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "tag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    matched = views.unionByName(purchases).select(
+        "*",
+        F.last("view_id", ignorenulls=True).over(w).alias("last_view_id"),
+        F.last(
+            F.when(F.col("tag") == 0, F.unix_micros("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_view_us"),
+    )
+    return matched.filter(
+        (F.col("tag") == 1) & F.col("last_view_id").isNotNull()
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("last_view_id").alias("view_id"),
+        (F.unix_micros("ts") - F.col("last_view_us")).alias("gap_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — identical aliases, identical integer-exact arithmetic.
 
@@ -452,6 +550,34 @@ FROM sessions
 GROUP BY user_id, session_id
 """
 
+_PIVOT = (
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+    + ", ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1"
+)
+
+_QUANTILES = f"""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, {QUANTILES[0]}), 6) AS q25,
+       round(quantile_cont(l_quantity, {QUANTILES[1]}), 6) AS q50,
+       round(quantile_cont(l_quantity, {QUANTILES[2]}), 6) AS q75,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_ASOF = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       v.event_id AS view_id,
+       epoch_us(p.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "join_order_customer": join_order_customer,
@@ -466,6 +592,9 @@ QUERIES = {
     "json_extract_events": json_extract_events,
     "time_bucket_events": time_bucket_events,
     "session_windows": session_windows,
+    "pivot_event_counts": pivot_event_counts,
+    "grouped_quantiles": grouped_quantiles,
+    "asof_purchase_attribution": asof_purchase_attribution,
 }
 
 ORACLES = {
@@ -482,4 +611,7 @@ ORACLES = {
     "json_extract_events": _JSON,
     "time_bucket_events": _TBUCKET,
     "session_windows": _SESSION,
+    "pivot_event_counts": _PIVOT,
+    "grouped_quantiles": _QUANTILES,
+    "asof_purchase_attribution": _ASOF,
 }

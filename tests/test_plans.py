@@ -76,6 +76,15 @@ def test_similarity_topk_is_single_pass(spark):
     assert P.shuffle_count(df) <= 2
 
 
+def test_asof_join_is_single_shuffle(spark):
+    # the union-tag as-of implementation must cost exactly one hash
+    # exchange on user_id — no range-join row explosion, no second
+    # shuffle for the window
+    df = rel.asof_purchase_attribution(spark, SF_SMOKE)
+    assert P.shuffle_count(df) == 1
+    assert "Join" not in P.plan(df, "simple")
+
+
 def test_tokenizer_stays_jvm_side(spark):
     # the flatMap hot path must be Generate(explode), not a Python
     # UDF (BatchEvalPython) — Python in the per-token loop is the
