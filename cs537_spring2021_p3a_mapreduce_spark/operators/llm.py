@@ -227,6 +227,82 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_STRIDE = 37  # deterministic coarse centroids: every 37th vector
+IVF_NPROBE = 4
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the scale
+    path next to the brute-force ``similarity_topk`` baseline.
+
+    Structure (classic IVF, all deterministic):
+    1. coarse centroids: every IVF_STRIDE-th vector (a real deploy
+       trains k-means; the partition/probe dataflow is identical);
+    2. assignment: each corpus vector joins its nearest centroid →
+       an inverted list per cell. Centroids broadcast (O(√n) rows);
+       the corpus never shuffles for assignment;
+    3. probe: each query scores only the cells of its IVF_NPROBE
+       nearest centroids — the candidate set is |cells probed| ×
+       avg cell size instead of the whole corpus;
+    4. exact cosine re-rank of candidates, per-query top-k window.
+
+    At 100 TB assignment becomes the blocked GEMM of
+    ``dedup_embedding`` (corpus × centroids tiles) and the inverted
+    lists become the partitioning key for the index write — probing
+    then prunes partitions at scan time. Rows-only driver check;
+    recall@k vs the exact baseline is asserted in tests.
+
+    Output: query_id, neighbor_id, cos_sim (round 6).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+        )
+    )
+
+    # nearest-centroid ranking, shared by assignment (rank 1) and
+    # query probing (ranks 1..nprobe); ties break on cent_id
+    scored = emb.crossJoin(cents).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine_similarity("embedding", "ce").alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+
+    index = ranked.filter(F.col("crank") == 1).select(
+        F.col("cent_id").alias("cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < SIM_N_QUERIES) & (F.col("crank") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("cell"),
+    )
+
+    cands = probes.join(index, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    rerank = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity("qe", "ne"), 6).alias("cos_sim"),
+    )
+    topw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(topw))
+        .filter(F.col("rn") <= SIM_K)
+        .drop("rn")
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -651,6 +727,7 @@ QUERIES = {
     "dedup_ngram": dedup_ngram,
     "dedup_embedding": dedup_embedding,
     "similarity_topk": similarity_topk,
+    "similarity_ann_ivf": similarity_ann_ivf,
     "text_stats": text_stats,
     "ngram_counts": ngram_counts,
     "tfidf_terms": tfidf_terms,

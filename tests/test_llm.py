@@ -74,3 +74,27 @@ def test_fingerprint_stable_and_discriminating(spark):
 def test_bpe_counts_at_least_ws(spark):
     out = llm.token_count_bpe(spark, SF)
     assert out.filter(F.col("n_bpe_tokens") < F.col("n_ws_tokens")).count() == 0
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF with nprobe cells must recover most of the exact top-k
+    (rows-only driver check, so recall lives here)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        SIM_K,
+        similarity_ann_ivf,
+        similarity_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.query_id, r.neighbor_id) for r in similarity_topk(spark, sf).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ann_ivf(spark, sf).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@{SIM_K} too low: {recall}"
+    # every returned neighbor must be a real vector, never the query
+    assert all(q != n for q, n in approx)
