@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the contract-critical pure
+functions: the bit-exact djb2 partitioner and the tokenizer. These
+run the Spark EXPRESSIONS against independent Python models over
+randomized inputs — the expression-level analog of the reference's
+sequential-vs-concurrent differential oracle (SURVEY §5)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark.functions.text import (
+    djb2_partition,
+    tokens,
+)
+
+# printable ASCII without whitespace — the reference reads bytes and
+# the fixtures are ASCII (functions/text.py documents the scope)
+_WORD = st.text(
+    st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=12
+)
+_TEXT = st.lists(
+    st.one_of(_WORD, st.sampled_from([" ", "\t", "\n", "  "])),
+    min_size=0,
+    max_size=30,
+).map("".join)
+
+
+def _djb2_model(key: str, n: int) -> int:
+    """C semantics: unsigned long hash = 5381; hash = hash*33 + c,
+    silent mod-2^64 (MR_DefaultHashPartition, mapreduce.c:88-94)."""
+    h = 5381
+    for ch in key:
+        h = (h * 33 + ord(ch)) % (1 << 64)
+    return h % n
+
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(keys=st.lists(_WORD, min_size=1, max_size=20, unique=True),
+       n=st.integers(min_value=1, max_value=64))
+@_SETTINGS
+def test_djb2_expression_matches_c_model(spark, keys, n):
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    got = {
+        r.key: r.pid
+        for r in df.select("key", djb2_partition(F.col("key"), n).alias("pid"))
+        .collect()
+    }
+    assert got == {k: _djb2_model(k, n) for k in keys}
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=10))
+@_SETTINGS
+def test_tokens_expression_matches_python_split(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = df.select("text", tokens("text").alias("toks")).collect()
+    for r in rows:
+        # str.split() == split on whitespace runs, empties dropped —
+        # the clean semantics SURVEY §2.A (A3) declares
+        assert list(r.toks) == r.text.split()
