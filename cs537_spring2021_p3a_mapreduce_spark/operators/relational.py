@@ -401,6 +401,86 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_BAND_S = 600  # range-join band: events within ±10 minutes
+
+
+def range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join — same-user event pairs within ±RANGE_BAND_S
+    seconds. Spark has no native range join, and the naive form
+    (equi-join on user + |Δts| filter) fans out to every same-user
+    pair before filtering. The scale shape: bucketize time into
+    band-width cells, explode ONE side to its cell and both
+    neighbors, equi-join on (user, cell), then apply the exact band
+    predicate. Every qualifying pair lands in exactly one
+    (a.cell = exploded b.cell) bucket — no dedup pass — and the
+    shuffle carries cell-local groups instead of user-global ones,
+    which also de-skews hot users. Oracle: DuckDB inequality join.
+
+    Output: a_id, b_id, user_id, gap_us (signed, b relative to a).
+    """
+    band_us = RANGE_BAND_S * 1_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("us").alias("a_us"),
+        (F.col("us") / band_us).cast("long").alias("cell"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("us").alias("b_us"),
+        F.explode(
+            F.array(
+                (F.col("us") / band_us).cast("long") - 1,
+                (F.col("us") / band_us).cast("long"),
+                (F.col("us") / band_us).cast("long") + 1,
+            )
+        ).alias("cell"),
+    )
+    return (
+        a.join(b, ["cell"])
+        .filter(
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("b_us") - F.col("a_us")) <= band_us)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "user_id",
+            (F.col("b_us") - F.col("a_us")).alias("gap_us"),
+        )
+    )
+
+
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    built into Spark 4): per-event-type user sketches plus their
+    UNION re-aggregated from the sketch bytes — the pattern that
+    lets 100 TB daily partitions keep tiny mergeable state instead
+    of re-scanning history for every rollup window. Estimates are
+    sketch-dependent, so the driver check is rows-only; the exact
+    baseline is approx_distinct_users' oracle.
+
+    Output: event_type ('ALL' for the union), est_users.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return typed.unionByName(merged)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — identical aliases, identical integer-exact arithmetic.
 
@@ -568,6 +648,15 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
+_RANGE = f"""
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+       epoch_us(b.ts::TIMESTAMP) - epoch_us(a.ts::TIMESTAMP) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP))
+     <= {RANGE_BAND_S}::BIGINT * 1000000
+"""
+
 _ASOF = """
 SELECT p.event_id AS purchase_id, p.user_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
@@ -595,6 +684,8 @@ QUERIES = {
     "pivot_event_counts": pivot_event_counts,
     "grouped_quantiles": grouped_quantiles,
     "asof_purchase_attribution": asof_purchase_attribution,
+    "range_join_nearby_events": range_join_nearby_events,
+    "hll_sketch_users": hll_sketch_users,
 }
 
 ORACLES = {
@@ -614,4 +705,6 @@ ORACLES = {
     "pivot_event_counts": _PIVOT,
     "grouped_quantiles": _QUANTILES,
     "asof_purchase_attribution": _ASOF,
+    "range_join_nearby_events": _RANGE,
+    # hll_sketch_users: intentionally no oracle (sketch estimates).
 }
