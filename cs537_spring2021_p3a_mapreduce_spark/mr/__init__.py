@@ -138,6 +138,65 @@ def mr_run(
     return out.orderBy("key") if sort_output else out
 
 
+def mr_run_rdd(
+    df: DataFrame,
+    mapper: Mapper,
+    reducer: Reducer,
+    num_reducers: int = DEFAULT_NUM_REDUCERS,
+    input_col: str | None = None,
+) -> DataFrame:
+    """The A5–A8 contract at the RDD level, with BIT-EXACT partition
+    placement: djb2(key) % n decides the physical partition (A5,
+    mapreduce.c:88-94), keys are sorted bytewise ascending WITHIN
+    each partition (A7, qsort cmp mapreduce.c:69-73 applied at
+    225-228), and the reducer drains each key's contiguous run
+    exactly like get_next (A8, mapreduce.c:57-67) — reducer call
+    order per partition IS the reference's reduce loop order
+    (mapreduce.c:127-138).
+
+    This is `repartitionAndSortWithinPartitions` + a streaming
+    per-partition grouped scan — the one case SURVEY §1.4 reserves
+    for the RDD API, because partition *placement* and in-partition
+    *visit order* are not observable through a DataFrame result set.
+    ``mr_run`` (Arrow path) is faster; this one is the letter of the
+    reference contract. Returns (pid, key, value string) with values
+    stringified (the reference's values are always C strings).
+    """
+    if input_col is None:
+        input_col = df.columns[0]
+
+    def _djb2(key: str) -> int:
+        h = 5381
+        for ch in key:
+            h = (h * 33 + ord(ch)) % (1 << 64)
+        return h % num_reducers
+
+    def _flat_map(rec) -> Iterable[tuple[str, str]]:
+        return mapper(rec[0])
+
+    def _reduce_partition(split_index: int, pairs):
+        # pairs arrive key-sorted; group contiguous runs lazily and
+        # hand the reducer a value iterator per distinct key — the
+        # get_next contract without materializing the run
+        from itertools import groupby
+
+        for key, run in groupby(pairs, key=lambda kv: kv[0]):
+            yield (split_index, key, str(reducer(key, (v for _, v in run), split_index)))
+
+    shuffled = (
+        df.select(input_col)
+        .rdd.flatMap(_flat_map)
+        .repartitionAndSortWithinPartitions(
+            numPartitions=num_reducers,
+            partitionFunc=_djb2,
+            ascending=True,
+            keyfunc=lambda k: k,
+        )
+    )
+    out = shuffled.mapPartitionsWithIndex(_reduce_partition)
+    return out.toDF(["pid", "key", "value"])
+
+
 def mr_run_agg(
     df: DataFrame,
     mapper: Mapper,

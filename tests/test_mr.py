@@ -93,3 +93,36 @@ def test_reducer_sees_partition_id_and_multiset(spark):
         assert int(pid) == r.pid
         assert int(n) >= 1
         assert v0 == "1"
+
+
+def test_mr_run_rdd_bitexact_placement_and_order(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.mr import mr_run_rdd
+
+    docs = table(spark, SF_SMOKE, "documents").select("text")
+
+    def mapper(line):
+        return ((tok, "1") for tok in line.split())
+
+    def reducer(key, values, pid):
+        return sum(1 for _ in values)
+
+    out = mr_run_rdd(docs, mapper, reducer, num_reducers=10)
+    rows = out.collect()
+
+    def djb2(key, n=10):
+        h = 5381
+        for ch in key:
+            h = (h * 33 + ord(ch)) % (1 << 64)
+        return h % n
+
+    # bit-exact physical placement: the partition that processed the
+    # key (pid reported by the reduce task) IS djb2(key) % 10
+    assert all(r.pid == djb2(r.key) for r in rows)
+    # counts agree with the DataFrame-native wordcount
+    want = {(r.token, r.cnt) for r in wordcount(spark, SF_SMOKE).collect()}
+    assert {(r.key, int(r.value)) for r in rows} == want
+    # within each partition, reducer visit order was ascending-bytewise
+    per_pid = out.rdd.map(lambda r: (r.pid, r.key)).groupByKey().collect()
+    for _, keys in per_pid:
+        ks = list(keys)
+        assert ks == sorted(ks)

@@ -1,0 +1,43 @@
+"""spark.sql surface: catalog.load_all registers every fixture
+table as a temp view, and ANSI SQL over those views agrees with the
+DataFrame plans — the engine's SQL front door (the reference has no
+query language at all, SURVEY §3)."""
+
+from __future__ import annotations
+
+from cs537_spring2021_p3a_mapreduce_spark.catalog import TABLES, load_all
+from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+    join_multiway_region,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_load_all_registers_every_table(spark):
+    dfs = load_all(spark, SF_SMOKE)
+    assert set(dfs) == set(TABLES)
+    for name in TABLES:
+        assert spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n > 0
+
+
+def test_sql_matches_dataframe_plan(spark):
+    load_all(spark, SF_SMOKE)
+    via_sql = spark.sql(
+        """
+        SELECT r_name, n_name, count(*) AS n_customers,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0D AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        """
+    )
+    want = {
+        (r.r_name, r.n_name, r.n_customers, r.sum_acctbal)
+        for r in join_multiway_region(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r.r_name, r.n_name, r.n_customers, r.sum_acctbal)
+        for r in via_sql.collect()
+    }
+    assert got == want
