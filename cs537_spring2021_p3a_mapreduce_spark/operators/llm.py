@@ -332,14 +332,23 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bigram) via lead() over token positions."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        _docs_tokens_pos(spark, sf_dir)
-        .withColumn("nxt", F.lead("token").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("bigram"))
+    """(doc_id, bigram) by sliding over the token array — fully
+    narrow (a lead() window computes the same pairs but costs a
+    shuffle+sort of every token row first; the order the window
+    would rebuild is already in the array). Token array materializes
+    as a named column first: Catalyst does not CSE expressions
+    inlined into lambda bodies."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    arr = F.col("toks")
+    sliding = F.when(
+        F.size(arr) >= 2, F.sequence(F.lit(0), F.size(arr) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bigram_arr = F.transform(
+        sliding,
+        lambda i: F.concat_ws(" ", F.get(arr, i), F.get(arr, i + 1)),
     )
+    return toks.select("doc_id", F.explode(bigram_arr).alias("bigram"))
 
 
 def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
