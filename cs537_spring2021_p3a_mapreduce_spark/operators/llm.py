@@ -246,43 +246,78 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        avg cell size instead of the whole corpus;
     4. exact cosine re-rank of candidates, per-query top-k window.
 
-    At 100 TB assignment becomes the blocked GEMM of
-    ``dedup_embedding`` (corpus × centroids tiles) and the inverted
-    lists become the partitioning key for the index write — probing
-    then prunes partitions at scan time. Rows-only driver check;
-    recall@k vs the exact baseline is asserted in tests.
+    Assignment runs as the blocked GEMM of ``dedup_embedding``
+    (corpus blocks × a broadcast centroid block). At 100 TB the
+    inverted lists become the partitioning key for the index write —
+    probing then prunes partitions at scan time. Rows-only driver
+    check; recall@k vs the exact baseline is asserted in tests.
 
     Output: query_id, neighbor_id, cos_sim (round 6).
     """
+    import numpy as np
+    import pandas as pd
+
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = F.broadcast(
-        emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    cent_block = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("cs")
+    )
+
+    # nearest-centroid ranking via blocked GEMM (corpus blocks ×
+    # one centroid block — same tile pattern as dedup_embedding;
+    # an expression-cosine cross join recomputes the fold per pair
+    # interpreted and was ~4× slower). Ties break on cent_id asc.
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") / EMB_BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vs"))
+    )
+    tiles = blocks.crossJoin(F.broadcast(cent_block))
+
+    def _assign(batches):
+        def unpack(vs):
+            ids = np.fromiter((r["vec_id"] for r in vs), dtype=np.int64)
+            mat = np.array([r["embedding"] for r in vs], dtype=np.float64)
+            return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                vids, vm = unpack(row["vs"])
+                cids, cm = unpack(row["cs"])
+                sims = vm @ cm.T
+                # stable (-sim, cent_id) order per vector
+                order = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)
+                out_ids, out_cells, out_ranks = [], [], []
+                for i, vid in enumerate(vids):
+                    nprobe = IVF_NPROBE if vid < SIM_N_QUERIES else 1
+                    for r in range(min(nprobe, len(cids))):
+                        out_ids.append(vid)
+                        out_cells.append(cids[order[i, r]])
+                        out_ranks.append(r + 1)
+                yield pd.DataFrame(
+                    {"vec_id": out_ids, "cell": out_cells, "crank": out_ranks}
+                )
+
+    ranked = tiles.mapInPandas(
+        _assign, schema="vec_id long, cell long, crank int"
+    )
+
+    index = (
+        ranked.filter(F.col("crank") == 1)
+        .join(emb, "vec_id")
+        .select(
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
         )
     )
-
-    # nearest-centroid ranking, shared by assignment (rank 1) and
-    # query probing (ranks 1..nprobe); ties break on cent_id
-    scored = emb.crossJoin(cents).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        cosine_similarity("embedding", "ce").alias("c_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cent_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(w))
-
-    index = ranked.filter(F.col("crank") == 1).select(
-        F.col("cent_id").alias("cell"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ne"),
-    )
-    probes = ranked.filter(
-        (F.col("vec_id") < SIM_N_QUERIES) & (F.col("crank") <= IVF_NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("cent_id").alias("cell"),
+    probes = (
+        ranked.filter(F.col("vec_id") < SIM_N_QUERIES)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "cell",
+        )
     )
 
     cands = probes.join(index, "cell").filter(
