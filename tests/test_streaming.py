@@ -83,3 +83,61 @@ def test_stateful_running_user_counts(spark, tmp_path, events_stream_dir):
         want, (got.user_id == want.user_id) & (got.n == want["count"]), "inner"
     )
     assert diff.count() == want.count()
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Late-data handling: a row older than the watermark arriving in
+    a LATER micro-batch must not reopen its (already finalized)
+    window. maxFilesPerTrigger=1 forces two batches; file mtimes fix
+    the batch order."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+
+    def write(name, rows, mtime):
+        t = pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["ts", "event_type"]).astype(
+                {"ts": "datetime64[us]"}
+            )
+        )
+        p = src_dir / name
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: two rows in the 00:00 window + one at 03:00 that
+    # advances the watermark (30 min delay) to 02:30 > 01:00 close
+    write(
+        "0.parquet",
+        [("2024-01-01 00:10:00", "x"), ("2024-01-01 00:20:00", "x"),
+         ("2024-01-01 03:00:00", "x")],
+        1_000,
+    )
+    # batch 2: on-time row; the 00:00 window state evicts + emits
+    # during this batch (watermark crossing is applied at eviction,
+    # so a late row in THIS batch could still merge — documented
+    # best-effort semantics)
+    write("1.parquet", [("2024-01-01 03:10:00", "x")], 2_000)
+    # batch 3: a LATE row for the long-closed 00:00 window — state
+    # is gone and window end < watermark, so it MUST drop
+    write("2.parquet", [("2024-01-01 00:30:00", "x")], 3_000)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+    st.run_to_memory(stream, "late_counts", str(tmp_path / "ckpt"), "append")
+    rows = spark.sql("SELECT * FROM late_counts").collect()
+    first_window = [r.cnt for r in rows if r.ws.isoformat() == "2024-01-01T00:00:00"]
+    # the finalized window emitted once with the 2 on-time rows; the
+    # late 00:30 row was dropped (no duplicate/updated emission)
+    assert first_window == [2]
