@@ -126,6 +126,37 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_keyed_parquet(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> None:
+    """Streaming → keyed-upsert sink: every micro-batch MERGEs into
+    the parquet table with last-write-wins per key (the hashmap-sink
+    semantics, A10, applied to an unbounded source). foreachBatch is
+    the documented Spark pattern for sinks without native streaming
+    writers; with a transactional table (Delta/Iceberg) the same
+    callback body becomes an atomic MERGE, giving exactly-once.
+    Drains available input (availableNow) and blocks."""
+    from ..sources import upsert_keyed_parquet
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_keyed_parquet(
+            batch_df.sparkSession, batch_df, path, key_cols
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_merge)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     df: DataFrame,
     table: str,

@@ -141,3 +141,20 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # the finalized window emitted once with the 2 on-time rows; the
     # late 00:30 row was dropped (no duplicate/updated emission)
     assert first_window == [2]
+
+
+def test_streaming_upsert_sink_matches_batch_counts(spark, tmp_path, events_stream_dir):
+    """Streaming running counts drained through the foreachBatch
+    keyed-upsert sink: the final table holds exactly one row per
+    user with the total count (last write wins across batches)."""
+    out = str(tmp_path / "kv_counts")
+    stream = st.running_user_counts(st.stream_events(spark, events_stream_dir))
+    st.run_to_keyed_parquet(stream, out, ["user_id"], str(tmp_path / "ckpt"))
+    got = {
+        (r.user_id, r.n_events) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.user_id, r["count"])
+        for r in table(spark, SF_SMOKE, "events").groupBy("user_id").count().collect()
+    }
+    assert got == want
