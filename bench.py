@@ -36,10 +36,12 @@ def main() -> None:
     # aggregate, so the first measured query doesn't absorb the
     # one-time parquet reader / codegen / Python-worker spin-up
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    warm = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    warm.selectExpr(
-        "explode(array_remove(split(text, '\\\\s+'), '')) AS t"
-    ).groupBy("t").count().write.format("noop").mode("overwrite").save()
+    warm_path = "/root/testdata/sf0.001/documents.parquet"
+    if os.path.exists(warm_path):
+        warm = spark.read.parquet(warm_path)
+        warm.selectExpr(
+            "explode(array_remove(split(text, '\\\\s+'), '')) AS t"
+        ).groupBy("t").count().write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
