@@ -48,6 +48,10 @@ def main() -> None:
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # queries that persist() reused subplans (LSH diamonds, IVF
+        # assignment) would otherwise leak cache across queries and
+        # skew later timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

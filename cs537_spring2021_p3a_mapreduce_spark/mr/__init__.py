@@ -73,6 +73,26 @@ def default_hash_partition(key: Column, n_partitions: int) -> Column:
     return djb2_partition(key, n_partitions)
 
 
+def _pairs(df: DataFrame, mapper: Mapper, input_col: str) -> DataFrame:
+    """Map phase shared by mr_run / mr_run_agg: Arrow-batched flatMap
+    of the user mapper into (key, value) string pairs."""
+
+    def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys: list[str] = []
+            vals: list[str] = []
+            for rec in pdf[input_col]:
+                for k, v in mapper(rec):
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"key": pd.Series(keys, dtype="object"),
+                                "value": pd.Series(vals, dtype="object")})
+
+    return df.select(input_col).mapInPandas(
+        _map_batches, schema="key string, value string"
+    )
+
+
 def mr_run(
     df: DataFrame,
     mapper: Mapper,
@@ -105,20 +125,7 @@ def mr_run(
     if input_col is None:
         input_col = df.columns[0]
 
-    def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            keys: list[str] = []
-            vals: list[str] = []
-            for rec in pdf[input_col]:
-                for k, v in mapper(rec):
-                    keys.append(k)
-                    vals.append(v)
-            yield pd.DataFrame({"key": pd.Series(keys, dtype="object"),
-                                "value": pd.Series(vals, dtype="object")})
-
-    pairs = df.select(input_col).mapInPandas(
-        _map_batches, schema="key string, value string"
-    )
+    pairs = _pairs(df, mapper, input_col)
     keyed = pairs.withColumn(
         "pid", partitioner(F.col("key"), num_reducers).cast("int")
     )
@@ -216,20 +223,7 @@ def mr_run_agg(
     if input_col is None:
         input_col = df.columns[0]
 
-    def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            keys: list[str] = []
-            vals: list[str] = []
-            for rec in pdf[input_col]:
-                for k, v in mapper(rec):
-                    keys.append(k)
-                    vals.append(v)
-            yield pd.DataFrame({"key": pd.Series(keys, dtype="object"),
-                                "value": pd.Series(vals, dtype="object")})
-
-    pairs = df.select(input_col).mapInPandas(
-        _map_batches, schema="key string, value string"
-    )
+    pairs = _pairs(df, mapper, input_col)
     return (
         pairs.withColumn("pid", partitioner(F.col("key"), num_reducers).cast("int"))
         .groupBy("pid", "key")

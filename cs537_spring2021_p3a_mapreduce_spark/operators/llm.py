@@ -297,9 +297,15 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"vec_id": out_ids, "cell": out_cells, "crank": out_ranks}
                 )
 
+    # ranked feeds both the index (crank==1) and the probe branch —
+    # persist the diamond so the GEMM assignment runs once, not twice
+    # (different downstream filters defeat exchange reuse); spillable
+    # level, same policy as dedup_minhash's shingles
+    from pyspark.storagelevel import StorageLevel
+
     ranked = tiles.mapInPandas(
         _assign, schema="vec_id long, cell long, crank int"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     index = (
         ranked.filter(F.col("crank") == 1)

@@ -378,8 +378,13 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("view_id"),
         F.col("event_id").alias("purchase_id"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "tag").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # order: ts, then view-before-purchase at equal ts (>= as-of),
+    # then view_id so ties between same-ts views pick the max id
+    # deterministically regardless of partitioning
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", F.col("view_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = views.unionByName(purchases).select(
         "*",
@@ -467,9 +472,15 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: event_type ('ALL' for the union), est_users.
     """
+    from pyspark.storagelevel import StorageLevel
+
     ev = table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    # per_type (one row per event type) feeds both branches; persist
+    # so the full-table sketch aggregation scans events once
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     typed = per_type.select(
         "event_type", F.hll_sketch_estimate("sk").alias("est_users")

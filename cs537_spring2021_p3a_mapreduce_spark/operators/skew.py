@@ -34,9 +34,15 @@ def salted_join(
     bookkeeping per salt shard; keep those on AQE). The salt is a
     hash of the whole big-side row id stream — any assignment is
     correct, the only goal is spreading one key's rows."""
+    # salt must be DETERMINISTIC per row content: a salt derived from
+    # monotonically_increasing_id / rand changes on partial stage
+    # retry, so recomputed map outputs land in different (key, salt)
+    # reduce partitions than already-fetched ones — rows join twice
+    # or never (the SPARK-23207 bug class). Hashing the full row is
+    # stable under recomputation; identical rows co-locating is fine.
     salted_big = big.withColumn(
         SALT_COL,
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast(
             "int"
         ),
     )

@@ -46,8 +46,13 @@ def shuffle_count(df: DataFrame) -> int:
     ``Exchange hashpartitioning(...)`` / ``Exchange rangepartitioning``
     inline (formatted mode splits node and arguments)."""
     simple = plan(df, "simple")
-    return count_nodes(simple, "Exchange hashpartitioning") + count_nodes(
-        simple, "Exchange rangepartitioning"
+    return (
+        count_nodes(simple, "Exchange hashpartitioning")
+        + count_nodes(simple, "Exchange rangepartitioning")
+        # a global collapse (agg to one row, coalesce-to-1 sort) is a
+        # full network pass too — missing it would let a test assert
+        # "zero shuffles" on a plan that actually shuffles
+        + count_nodes(simple, "Exchange SinglePartition")
     )
 
 

@@ -108,10 +108,13 @@ def upsert_keyed_parquet(
 
     Reads the existing table (if any), unions the updates, keeps one
     row per key — the newest by ``version_col`` if given, else
-    preferring updates over existing rows — and atomically swaps the
-    directory. Local-filesystem rename swap; on a real deployment
-    this op is a transactional-table MERGE (Delta/Iceberg), which
-    this function's contract mirrors on purpose.
+    preferring updates over existing rows — and swaps the directory
+    via two renames with rollback on failure. NOT atomic: a crash
+    between the renames leaves the table absent (recoverable from
+    the ``__old_*`` directory). On a real deployment this op is a
+    transactional-table MERGE (Delta/Iceberg), which this function's
+    contract mirrors on purpose — the transaction log is exactly
+    what removes this window.
     """
     is_update = F.lit(1)
     if os.path.isdir(path):
@@ -137,7 +140,12 @@ def upsert_keyed_parquet(
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     if os.path.isdir(path):
         os.rename(path, old)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        if os.path.isdir(old):  # roll the previous table back in
+            os.rename(old, path)
+        raise
     if os.path.isdir(old):
         shutil.rmtree(old)
 

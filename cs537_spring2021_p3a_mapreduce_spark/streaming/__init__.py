@@ -24,7 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType
 
 # events.parquet physical schema (TESTDATA.md): ts is TIMESTAMP(NANOS)
 # which Spark reads as long under nanosAsLong (session.py); the
@@ -43,9 +42,10 @@ def stream_events(spark: SparkSession, sf_dir_or_glob: str) -> DataFrame:
     operator below only sees (columns, event-time), not the source.
     """
     raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(sf_dir_or_glob)
-    if isinstance(raw.schema["ts"].dataType, LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw
+    # EVENTS_FILE_SCHEMA pins ts as epoch-nanos bigint, so the
+    # conversion is unconditional; a timestamp-typed source (Kafka)
+    # would swap the reader AND skip this line
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def windowed_event_counts(

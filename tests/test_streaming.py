@@ -43,14 +43,15 @@ def test_session_windows_match_batch_session_count(spark, tmp_path, events_strea
     # session windows partition each user's events: totals must add up
     total_events = table(spark, SF_SMOKE, "events").count()
     assert got.agg(F.sum("n_events")).collect()[0][0] == total_events
-    # native session windows agree with the batch gap-split on count
-    batch_sessions = (
-        table(spark, SF_SMOKE, "events")
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n"))
-        .count()
+    # native session windows agree with the batch gaps-and-islands
+    # sessionization on the NUMBER OF SESSIONS (same 30-min gap;
+    # boundary semantics differ only at exactly-30:00 gaps, absent
+    # from the µs-resolution fixture)
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        session_windows,
     )
-    assert got.select("user_id").distinct().count() == batch_sessions
+
+    assert got.count() == session_windows(spark, SF_SMOKE).count()
 
 
 def test_streaming_wordcount_matches_batch(spark, tmp_path, documents_stream_dir):
