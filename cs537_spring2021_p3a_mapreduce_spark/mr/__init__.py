@@ -79,14 +79,13 @@ def _pairs(df: DataFrame, mapper: Mapper, input_col: str) -> DataFrame:
 
     def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys: list[str] = []
-            vals: list[str] = []
-            for rec in pdf[input_col]:
-                for k, v in mapper(rec):
-                    keys.append(k)
-                    vals.append(v)
-            yield pd.DataFrame({"key": pd.Series(keys, dtype="object"),
-                                "value": pd.Series(vals, dtype="object")})
+            # C-level list comprehension instead of nested appends —
+            # this per-record loop is the compat layer's hot path
+            kv = [p for rec in pdf[input_col] for p in mapper(rec)]
+            yield pd.DataFrame({
+                "key": pd.Series([p[0] for p in kv], dtype="object"),
+                "value": pd.Series([p[1] for p in kv], dtype="object"),
+            })
 
     return df.select(input_col).mapInPandas(
         _map_batches, schema="key string, value string"

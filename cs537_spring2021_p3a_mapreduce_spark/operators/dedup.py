@@ -34,19 +34,13 @@ SIMHASH_BAND_BITS = 16  # 4 bands
 SIMHASH_MAX_HAMMING = 12
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle int64): distinct word-SHINGLE_K-shingles,
-    built by sliding over the per-doc token ARRAY with higher-order
-    functions — fully narrow (no window, no shuffle) until the final
-    distinct. A lag/lead-window formulation computes the same thing
-    but pays a full shuffle+sort of every token row first.
-
-    Each shingle is carried as xxhash64(token_0..token_{K-1}) — an
-    8-byte identity instead of the joined string. Every downstream
-    consumer (signature mins, verify equi-join, size counts) only
-    needs shingle IDENTITY, so the distinct and both join shuffles
-    move ~4× fewer bytes; 64-bit collisions are negligible at any
-    corpus size that fits an exact verify."""
+def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle int64) WITH duplicates — fully narrow, no
+    shuffle at all. Min-aggregation (signatures) is duplicate-
+    insensitive, so the LSH stage consumes this directly; only the
+    exact-Jaccard verify needs sets, and it deduplicates AFTER
+    restricting to candidate docs (a semi-join-sized input instead
+    of the whole corpus)."""
     docs = table(spark, sf_dir, "documents")
     # materialize the token array as a named column FIRST: inlining
     # tokens("text") into every F.get would re-run the split per
@@ -61,10 +55,23 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliding,
         lambda i: F.xxhash64(*[F.get(arr, i + j) for j in range(SHINGLE_K)]),
     )
-    return (
-        toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .distinct()
-    )
+    return toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle int64): distinct word-SHINGLE_K-shingles,
+    built by sliding over the per-doc token ARRAY with higher-order
+    functions — fully narrow (no window, no shuffle) until the final
+    distinct. A lag/lead-window formulation computes the same thing
+    but pays a full shuffle+sort of every token row first.
+
+    Each shingle is carried as xxhash64(token_0..token_{K-1}) — an
+    8-byte identity instead of the joined string. Every downstream
+    consumer (signature mins, verify equi-join, size counts) only
+    needs shingle IDENTITY, so the distinct and both join shuffles
+    move ~4× fewer bytes; 64-bit collisions are negligible at any
+    corpus size that fits an exact verify."""
+    return _shingles_raw(spark, sf_dir).distinct()
 
 
 def _minhash_signatures(shingles: DataFrame) -> DataFrame:
@@ -91,7 +98,7 @@ def minhash_candidates(
     the self-join is an equi-join on (band, signature) — bucket
     sizes, not corpus², bound the work."""
     if shingles is None:
-        shingles = _shingles(spark, sf_dir)
+        shingles = _shingles_raw(spark, sf_dir)  # min is dup-insensitive
     sigs = _minhash_signatures(shingles)
     n_bands = N_HASHES // BAND_ROWS
     band_sigs = F.array(
@@ -140,13 +147,25 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/precision asserted in tests against llm.dedup_ngram-style
     exact ground truth on planted duplicates.
     """
-    # The shingle set is a diamond in the dataflow (signatures,
-    # candidate join, verify join all consume it); persist it so the
-    # scan+window+distinct runs once, not three times. Spillable
-    # storage level — at 100 TB the shingle set exceeds memory and
-    # must degrade to disk, not OOM.
-    shingles = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = minhash_candidates(spark, sf_dir, shingles)
+    # Signatures consume RAW shingles (min is duplicate-insensitive:
+    # no global distinct, no shuffle before the signature aggregate).
+    # The exact-Jaccard verify needs shingle SETS, but only for
+    # candidate docs — dedupe AFTER a semi-join down to candidates,
+    # so the distinct's shuffle is candidate-sized, not corpus-sized.
+    cands = minhash_candidates(
+        spark, sf_dir, _shingles_raw(spark, sf_dir)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        cands.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cands.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    shingles = (
+        _shingles_raw(spark, sf_dir)
+        .join(cand_ids, "doc_id", "left_semi")  # Catalyst/AQE picks broadcast when it fits
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sh"))
     sb = shingles.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh"))
