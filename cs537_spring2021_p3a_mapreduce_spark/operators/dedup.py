@@ -17,6 +17,8 @@ signatures — no Python UDFs anywhere.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -191,16 +193,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bits array<int>[64]): classic SimHash — per bit
-    position, sum token-count-weighted ±1 by whether
-    xxhash64(token)'s bit is set; the sign is the fingerprint bit.
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp bigint): classic SimHash packed into ONE 64-bit
+    fingerprint — per bit position, sum token-count-weighted ±1 by
+    whether xxhash64(token)'s bit is set; the sign is the
+    fingerprint bit, OR-folded into a single long.
 
     Shape: the 64 bit positions are 64 aggregate EXPRESSIONS over
     one (doc_id) hash aggregate — not a ×64 row explosion. The
     shuffle carries one row per (doc, distinct token) and the bit
     sums combine map-side; an earlier posexplode formulation
-    shuffled 64× the rows for the same result."""
+    shuffled 64× the rows for the same result. Packing to a bigint
+    (vs an array<int>[64]) shrinks every downstream row ~60×: the
+    band self-join, the candidate distinct, and the Hamming check
+    all run on longs (bit_count(a XOR b)) instead of arrays."""
     docs = table(spark, sf_dir, "documents")
     tok_counts = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
@@ -217,13 +223,18 @@ def _simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(SIMHASH_BITS)
     ]
     sums = tok_counts.groupBy("doc_id").agg(*signed)
-    bits = F.array(
-        *[
-            F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
-            for b in range(SIMHASH_BITS)
-        ]
+    # bit b set iff s_b > 0; distinct bits → OR-fold never overflows
+    # (shiftleft wraps bit 63 into the sign bit, which is the point).
+    fp = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(
+                F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
     )
-    return sums.select("doc_id", bits.alias("bits"))
+    return sums.select("doc_id", fp.alias("fp"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,40 +251,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # fps feeds both sides of the band self-join — persist so the
     # fingerprint aggregation runs once (spillable, as in minhash).
-    fps = _simhash_bits(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    fps = _simhash_fp(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = fps.select(
         "doc_id",
-        "bits",
+        "fp",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.concat_ws(
-                    "",
-                    F.slice(
-                        F.col("bits"), b * SIMHASH_BAND_BITS + 1, SIMHASH_BAND_BITS
-                    ),
-                ),
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col("fp"), b * SIMHASH_BAND_BITS
+                    ).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
             )
         ).alias("band", "chunk"),
     )
     a = banded.select(
-        F.col("doc_id").alias("a_id"), F.col("bits").alias("bits_a"), "band", "chunk"
+        F.col("doc_id").alias("a_id"), F.col("fp").alias("fp_a"), "band", "chunk"
     )
     b = banded.select(
-        F.col("doc_id").alias("b_id"), F.col("bits").alias("bits_b"), "band", "chunk"
+        F.col("doc_id").alias("b_id"), F.col("fp").alias("fp_b"), "band", "chunk"
     )
     cands = (
         a.join(b, ["band", "chunk"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "bits_a", "bits_b")
+        .select("a_id", "b_id", "fp_a", "fp_b")
         .distinct()
     )
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         cands.select("a_id", "b_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
