@@ -30,12 +30,13 @@ This module re-expresses that contract Spark-first:
   (mapreduce.c:88-94).
 
 Execution shape (one job): ``mapInPandas`` (Arrow-batched flatMap)
-→ hash shuffle on (pid, key) → ``applyInPandas`` per key group.
-The shuffle+sort+scan machinery of mapreduce.c:207-252 collapses
-into Spark's shuffle; the per-partition qsort (mapreduce.c:225-228)
-has no observable output effect (the result is a keyed set), so no
-explicit sort is planned — Catalyst picks hash- or sort-based
-grouping itself.
+→ hash shuffle on pid → per-partition key sort → streaming grouped
+scan (``mapInPandas`` with a cross-batch run carry). That is the
+reference pipeline move for move — shuffle (mapreduce.c:37-55),
+per-partition qsort (mapreduce.c:225-228), reduce loop
+(mapreduce.c:127-138) — with Spark's shuffle standing in for the
+locked shared arrays and Python overhead paid per Arrow batch, not
+per key.
 
 Scale notes (100 TB): the map phase is narrow and Arrow-batched; the
 reduce phase holds ONE KEY GROUP per pandas frame in executor
@@ -131,16 +132,64 @@ def mr_run(
 
     out_schema = f"pid int, key string, value {value_type}"
 
-    def _reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf["key"].iloc[0]
-        pid = int(pdf["pid"].iloc[0])
-        result = reducer(key, iter(pdf["value"]), pid)
-        return pd.DataFrame({"pid": [pid], "key": [key], "value": [result]})
+    def _reduce_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Keys arrive sorted within the partition (the A7 contract,
+        # mapreduce.c:225-228), so each key's run is contiguous — but
+        # a run may straddle Arrow batch boundaries. Carry the
+        # trailing run between batches and call the reducer exactly
+        # once per distinct key, in ascending key order: this IS the
+        # reference's reduce loop (mapreduce.c:127-138) with Python
+        # overhead per Arrow batch, not per key (the applyInPandas
+        # formulation paid one pandas frame per key — ~10^3 more
+        # framework crossings than reducer work on real vocab sizes).
+        import numpy as np
 
-    # groupBy (pid, key) == groupBy key (pid is a pure function of
-    # key); carrying pid through gives the reducer its
-    # partition_number argument, per Reduce's signature.
-    out = keyed.groupBy("pid", "key").applyInPandas(_reduce_group, out_schema)
+        pend_key = None
+        pend_pid = 0
+        pend_vals: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["key"].to_numpy()
+            pids = pdf["pid"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            idx = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            bounds = [0, *idx.tolist(), len(keys)]
+            out_pid: list = []
+            out_key: list = []
+            out_val: list = []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if pend_key is not None and keys[s] == pend_key:
+                    pend_vals.extend(vals[s:e])
+                    continue
+                if pend_key is not None:
+                    out_pid.append(pend_pid)
+                    out_key.append(pend_key)
+                    out_val.append(reducer(pend_key, iter(pend_vals), pend_pid))
+                pend_key = keys[s]
+                pend_pid = int(pids[s])
+                pend_vals = list(vals[s:e])
+            if out_key:
+                yield pd.DataFrame(
+                    {"pid": out_pid, "key": out_key, "value": out_val}
+                )
+        if pend_key is not None:
+            yield pd.DataFrame(
+                {
+                    "pid": [pend_pid],
+                    "key": [pend_key],
+                    "value": [reducer(pend_key, iter(pend_vals), pend_pid)],
+                }
+            )
+
+    # One shuffle on pid (a pure function of key, so every key's run
+    # lands whole in one of num_reducers partitions — A5/A6), then a
+    # local key sort (A7) and a streaming grouped scan (A8).
+    out = (
+        keyed.repartition(num_reducers, "pid")
+        .sortWithinPartitions("key")
+        .mapInPandas(_reduce_stream, out_schema)
+    )
     return out.orderBy("key") if sort_output else out
 
 
