@@ -35,6 +35,14 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+# Relation-metadata cache, keyed per session: `spark.read.parquet`
+# re-reads parquet footers for schema on every call (~80 ms each), and
+# a DataFrame is an immutable logical plan — exactly what a catalog
+# caches. Spark's own `spark.table()` does the same for registered
+# tables; this is that behavior for our path-addressed layout.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy scan, no action).
 
@@ -45,9 +53,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _RELATION_CACHE[key] = df
     return df
 
 

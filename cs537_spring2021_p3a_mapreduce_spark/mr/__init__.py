@@ -74,9 +74,23 @@ def default_hash_partition(key: Column, n_partitions: int) -> Column:
     return djb2_partition(key, n_partitions)
 
 
-def _pairs(df: DataFrame, mapper: Mapper, input_col: str) -> DataFrame:
+def _pairs(
+    df: DataFrame, mapper: Mapper, input_col: str, num_mappers: int | None
+) -> DataFrame:
     """Map phase shared by mr_run / mr_run_agg: Arrow-batched flatMap
-    of the user mapper into (key, value) string pairs."""
+    of the user mapper into (key, value) string pairs.
+
+    ``num_mappers`` is the reference's map-parallelism knob
+    (``MR_Run``'s round-robin file deal, mapreduce.c:163-189),
+    re-expressed as a round-robin ``repartition`` of the source ahead
+    of the flatMap. Default (None) lets the engine pick
+    ``defaultParallelism`` — without this, map parallelism equals the
+    source's split count, and a single-file source would run the
+    whole Python map phase (and the djb2 fold above it) on one core."""
+    src = df.select(input_col)
+    n = num_mappers or df.sparkSession.sparkContext.defaultParallelism
+    if n > 1:
+        src = src.repartition(n)
 
     def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,9 +102,7 @@ def _pairs(df: DataFrame, mapper: Mapper, input_col: str) -> DataFrame:
                 "value": pd.Series([p[1] for p in kv], dtype="object"),
             })
 
-    return df.select(input_col).mapInPandas(
-        _map_batches, schema="key string, value string"
-    )
+    return src.mapInPandas(_map_batches, schema="key string, value string")
 
 
 def mr_run(
@@ -102,6 +114,7 @@ def mr_run(
     input_col: str | None = None,
     value_type: str = "string",
     sort_output: bool = False,
+    num_mappers: int | None = None,
 ) -> DataFrame:
     """``MR_Run`` (mapreduce.h:18-23, mapreduce.c:141-253) as one
     Spark job over a DataFrame source.
@@ -109,9 +122,10 @@ def mr_run(
     Parameters mirror the reference signature: ``mapper`` replaces
     ``Map`` (+ the implicit ``MR_Emit``), ``reducer`` replaces
     ``Reduce`` (+ ``get_next`` drained to exhaustion), ``num_reducers``
-    sets the partition count, ``partitioner`` defaults to djb2. The
-    file-list argv + ``num_mappers`` have no analog: the input is any
-    DataFrame and map parallelism is Spark's task scheduling.
+    sets the partition count, ``partitioner`` defaults to djb2,
+    ``num_mappers`` the map parallelism (None = engine-chosen; see
+    ``_pairs``). The file-list argv has no analog: the input is any
+    DataFrame.
 
     ``sort_output=True`` reproduces the *sequential* engine's
     observable global key order (sequential_mapreduce.c:81) — the
@@ -125,7 +139,7 @@ def mr_run(
     if input_col is None:
         input_col = df.columns[0]
 
-    pairs = _pairs(df, mapper, input_col)
+    pairs = _pairs(df, mapper, input_col, num_mappers)
     keyed = pairs.withColumn(
         "pid", partitioner(F.col("key"), num_reducers).cast("int")
     )
@@ -259,6 +273,7 @@ def mr_run_agg(
     num_reducers: int = DEFAULT_NUM_REDUCERS,
     partitioner: Partitioner | None = None,
     input_col: str | None = None,
+    num_mappers: int | None = None,
 ) -> DataFrame:
     """Combinable-reducer fast path: same map contract, but the
     reduction is a Catalyst aggregate expression over the ``value``
@@ -271,7 +286,7 @@ def mr_run_agg(
     if input_col is None:
         input_col = df.columns[0]
 
-    pairs = _pairs(df, mapper, input_col)
+    pairs = _pairs(df, mapper, input_col, num_mappers)
     return (
         pairs.withColumn("pid", partitioner(F.col("key"), num_reducers).cast("int"))
         .groupBy("pid", "key")

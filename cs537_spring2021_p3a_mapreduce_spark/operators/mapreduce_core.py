@@ -136,14 +136,25 @@ def custom_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows per partition under bit-exact djb2 with n=10 (A5,
     MR_DefaultHashPartition mapreduce.c:88-94; pluggable-partitioner
     contract A6, mapreduce.h:11). The hash is a pure Catalyst
-    expression (functions/text.py), so this stays inside
-    whole-stage codegen; the groupBy on 10 ids is a trivial
-    shuffle."""
+    expression (functions/text.py).
+
+    Shape: pid is a pure function of the token, so hash the
+    VOCABULARY, not the token stream — count per token first (cheap
+    codegen'd hash-agg with map-side combine), then run the
+    per-character djb2 fold over the distinct tokens only and re-sum.
+    On a zipfian corpus that is orders of magnitude fewer fold
+    evaluations than hashing every occurrence; at 100 TB the
+    occurrence-stream formulation is the difference between hashing
+    10^12 rows and 10^7."""
     return (
         _token_df(spark, sf_dir)
-        .select(djb2_partition(F.col("token"), N_PARTITIONS).alias("pid"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tok_cnt"))
+        .select(
+            djb2_partition(F.col("token"), N_PARTITIONS).alias("pid"), "tok_cnt"
+        )
         .groupBy("pid")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("tok_cnt").alias("cnt"))
     )
 
 
