@@ -126,6 +126,47 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def content_key(text_col: str = "text") -> F.Column:
+    """The batch ``dedup_exact`` identity (normalize → sha2-256),
+    exposed so stream and batch dedup agree on what "same document"
+    means."""
+    return F.sha2(F.lower(F.trim(text_col)), 256)
+
+
+def dedup_stream(
+    df: DataFrame,
+    key: F.Column | str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST record seen per
+    key; later arrivals with the same key are dropped for as long as
+    the key's state lives. ``dropDuplicatesWithinWatermark`` keys the
+    state store on the dedup key and evicts entries once the
+    watermark passes them — state is bounded by (keys per horizon),
+    not by stream history.
+
+    That bound is the 100 TB contract: an unbounded-horizon streaming
+    dedup would accumulate one state row per distinct document ever
+    seen. Exactness beyond the horizon belongs to the batch layer
+    (``operators.llm.dedup_exact`` over the accumulated table); this
+    operator guarantees no duplicate pair within ``watermark`` of
+    each other survives, which is the within-batch/near-in-time dup
+    case (crawler retries, producer replays) a pipeline actually
+    faces at ingest.
+
+    ``key`` is any expression — ``content_key()`` for exact text
+    identity, or e.g. a SimHash band for a cheap near-dup screen."""
+    keyed = df.withColumn(
+        "dedup_key", F.col(key) if isinstance(key, str) else key
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["dedup_key"])
+        .drop("dedup_key")
+    )
+
+
 def run_to_keyed_parquet(
     df: DataFrame,
     path: str,

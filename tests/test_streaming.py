@@ -159,3 +159,29 @@ def test_streaming_upsert_sink_matches_batch_counts(spark, tmp_path, events_stre
         for r in table(spark, SF_SMOKE, "events").groupBy("user_id").count().collect()
     }
     assert got == want
+
+
+def test_dedup_stream_drops_duplicates_within_horizon(spark, tmp_path):
+    src = tmp_path / "dedup_src"
+    spark.createDataFrame(
+        [
+            (1, "hello world", "2024-01-01 00:00:00"),
+            (2, "  HELLO WORLD  ", "2024-01-01 00:10:00"),  # dup after normalize
+            (3, "something else", "2024-01-01 00:20:00"),
+            (4, "hello world", "2024-01-01 00:30:00"),  # dup again
+        ],
+        "doc_id bigint, text string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").parquet(
+        str(src)
+    )
+    out = st.dedup_stream(stream, st.content_key("text"), "ts", "1 hour")
+    st.run_to_memory(out, "dedup_stream_out", str(tmp_path / "ckpt"), "append")
+    got = spark.sql("SELECT * FROM dedup_stream_out").collect()
+    # exactly one survivor per normalized content key
+    assert len(got) == 2
+    assert {r.text.strip().lower() for r in got} == {"hello world", "something else"}
+    # schema passes through minus the internal dedup key
+    assert set(got[0].asDict()) == {"doc_id", "text", "ts"}
