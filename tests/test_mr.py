@@ -126,3 +126,33 @@ def test_mr_run_rdd_bitexact_placement_and_order(spark):
     for _, keys in per_pid:
         ks = list(keys)
         assert ks == sorted(ks)
+
+
+def test_reduce_runs_straddling_arrow_batches(spark):
+    """The streaming grouped scan must call the reducer exactly once
+    per key even when a key's run spans multiple Arrow batches: force
+    tiny batches so every multi-occurrence key straddles."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        # 4 keys x 25 copies each, single partition -> runs of 25 rows
+        # sliced into batches of 3
+        df = spark.createDataFrame(
+            [(f"k{i % 4}",) for i in range(100)], "rec string"
+        ).coalesce(1)
+        out = mr_run(
+            df,
+            lambda rec: [(rec, "1")],
+            lambda key, values, pid: sum(1 for _ in values),
+            num_reducers=2,
+            value_type="long",
+            num_mappers=1,
+        ).collect()
+        assert sorted((r.key, r.value) for r in out) == [
+            (f"k{i}", 25) for i in range(4)
+        ]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
