@@ -66,6 +66,25 @@ def read_parquet(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     return spark.read.parquet(paths)
 
 
+def read_orc(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """ORC: the other columnar format with native vectorized reads,
+    predicate pushdown, and column pruning — same scan discipline as
+    parquet, no extra code."""
+    return spark.read.orc(paths)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -80,3 +80,14 @@ def test_point_lookup(spark):
     )
     assert src.point_lookup(df, "key", "k2").collect()[0].cnt == 7
     assert src.point_lookup(df, "key", "nope").count() == 0
+
+
+def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v bigint"
+    )
+    out = str(tmp_path / "orc")
+    src.write_orc(df, out, partition_by=["k"])
+    back = src.read_orc(spark, out).filter(F.col("k") == "a")
+    assert {(r.k, r.v) for r in back.collect()} == {("a", 1), ("a", 2)}
+    assert (tmp_path / "orc" / "k=a").is_dir()
