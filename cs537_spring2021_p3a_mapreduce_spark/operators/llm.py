@@ -600,6 +600,47 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language keep rates (percent) for the data-mixing sampler, plus
+# the default for unknown languages. Golden-ratio multiplicative hash
+# on doc_id: the 2^31 pre-mod keeps doc_id * 2654435761 inside a
+# signed 64-bit long for ANY doc_id (ANSI mode throws on overflow),
+# while preserving a uniform bucket distribution.
+SAMPLE_RATES: dict[str, int] = {"en": 80, "de": 60, "es": 40, "fr": 40, "zh": 20}
+SAMPLE_DEFAULT = 10
+_SAMPLE_MIX = 2654435761  # floor(2^32 / golden ratio), Knuth
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified / budget-weighted sampling — the data-mixing
+    primitive of a training pipeline (upsample high-value strata,
+    downsample the rest). Bernoulli keep-decision per row from a
+    DETERMINISTIC arithmetic hash of the row key, not an RNG:
+
+    - reproducible across reruns, engines, and partitionings (a
+      seeded `sample()` is only stable for a fixed partitioning —
+      repartition the input and the sample changes);
+    - fully narrow: no shuffle, filter evaluated at the scan, so at
+      100 TB it costs one pass and prunes to the kept fraction;
+    - consistent: the same doc_id keeps or drops in every derived
+      dataset, which is what makes downstream joins of two sampled
+      tables line up.
+
+    Output: doc_id, lang, bucket (the hash bucket 0-99 that decided).
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(_SAMPLE_MIX),
+        F.lit(100),
+    )
+    rate: Column = F.lit(SAMPLE_DEFAULT)
+    for lang, pct in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles.
 
@@ -772,6 +813,19 @@ SELECT d.doc_id, d.lang AS meta_lang, d.source AS meta_source,
 FROM documents d JOIN arr a USING (doc_id)
 """
 
+_SAMPLE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {pct}" for lang, pct in SAMPLE_RATES.items())
+    + f" ELSE {SAMPLE_DEFAULT} END"
+)
+
+_SAMPLE_STRAT = f"""
+SELECT doc_id, lang,
+       ((doc_id % 2147483648) * {_SAMPLE_MIX}) % 100 AS bucket
+FROM documents
+WHERE ((doc_id % 2147483648) * {_SAMPLE_MIX}) % 100 < {_SAMPLE_CASE}
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
@@ -786,6 +840,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "token_count_bpe": token_count_bpe,
     "multimodal_meta": multimodal_meta,
+    "sample_stratified": sample_stratified,
 }
 
 ORACLES = {
@@ -801,4 +856,5 @@ ORACLES = {
     "doc_fingerprint": _FINGERPRINT,
     "token_count_bpe": _BPE,
     "multimodal_meta": _MULTIMODAL,
+    "sample_stratified": _SAMPLE_STRAT,
 }

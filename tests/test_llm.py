@@ -98,3 +98,29 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall@{SIM_K} too low: {recall}"
     # every returned neighbor must be a real vector, never the query
     assert all(q != n for q, n in approx)
+
+
+def test_sample_stratified_tracks_rates_and_is_deterministic(spark):
+    """Deterministic arithmetic-hash sampling: per-language kept
+    fraction tracks the configured rate, and reruns are identical
+    row-for-row (no RNG, no partitioning sensitivity)."""
+    sf = "/root/testdata/sf0.01"
+    first = {(r.doc_id, r.lang, r.bucket) for r in llm.sample_stratified(spark, sf).collect()}
+    again = {
+        (r.doc_id, r.lang, r.bucket)
+        for r in llm.sample_stratified(spark, sf).collect()
+    }
+    assert first == again and len(first) > 0
+    totals = {
+        r.lang: r.n
+        for r in table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from collections import Counter
+
+    kept = Counter(lang for _, lang, _ in first)
+    for lang, pct in llm.SAMPLE_RATES.items():
+        frac = kept.get(lang, 0) / totals[lang]
+        assert abs(frac - pct / 100) < 0.12, (lang, frac, pct)
