@@ -103,7 +103,14 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     running event count emitted on every update — the shape any
     bespoke streaming accumulator takes when window/session built-ins
     don't fit. State: one long per user; no timeout (the watermark
-    column is not needed for a pure running count)."""
+    column is not needed for a pure running count).
+
+    Spark 4's successor API (``transformWithStateInPandas`` +
+    ``StatefulProcessor``) expresses the same operator with typed
+    state and timers; it needs the RocksDB state store and a working
+    ``protobuf`` Python package (absent in this environment — probed
+    and the streaming Python runner crashes on import), so this repo
+    standardizes on applyInPandasWithState."""
 
     def update(
         key: tuple[Any, ...],
