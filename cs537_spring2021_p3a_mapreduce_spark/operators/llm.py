@@ -641,6 +641,50 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per pack
+PACK_BAND = 16  # length-band width (tokens)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-token-budget
+    packs for training-batch construction, the step after
+    dedup/sampling in a data pipeline.
+
+    Exact bin packing is inherently sequential; the distributed
+    approximation here is banded greedy packing: docs bucket into
+    length bands (similar lengths pack together, which is where
+    greedy packing's efficiency comes from), each band runs an
+    ordered running token sum, and the pack index is the running
+    sum's budget quotient. Every window is bounded by its band
+    partition — no global sort, no sequential pass; band id offsets
+    make pack ids globally unique. A pack may overflow the budget by
+    at most one document's tokens (the standard streaming-packing
+    trade).
+
+    Output: doc_id, n_tok, pack_id. Deterministic (doc_id order
+    within band), exact SQL-window oracle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    ).withColumn("band", F.expr(f"n_tok DIV {PACK_BAND}"))
+    w = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    # greatest(cum,1): a run of zero-token docs has cum=0, where
+    # Spark's DIV (truncate) and DuckDB's // (floor) disagree on -1/B
+    pack_id = F.col("band") * 1_000_000 + F.expr(
+        f"(greatest(cum, 1) - 1) DIV {PACK_BUDGET}"
+    )
+    return (
+        sized.withColumn("cum", cum)
+        .select("doc_id", "n_tok", pack_id.alias("pack_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles.
 
@@ -826,6 +870,24 @@ FROM documents
 WHERE ((doc_id % 2147483648) * {_SAMPLE_MIX}) % 100 < {_SAMPLE_CASE}
 """
 
+_PACK_SEQ = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tok
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tok, n_tok // {PACK_BAND} AS band,
+         sum(n_tok) OVER (
+           PARTITION BY n_tok // {PACK_BAND} ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM t
+)
+SELECT doc_id, n_tok,
+       (band * 1000000 + (greatest(cum, 1) - 1) // {PACK_BUDGET})::BIGINT AS pack_id
+FROM b
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
@@ -841,6 +903,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "multimodal_meta": multimodal_meta,
     "sample_stratified": sample_stratified,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLES = {
@@ -857,4 +920,5 @@ ORACLES = {
     "token_count_bpe": _BPE,
     "multimodal_meta": _MULTIMODAL,
     "sample_stratified": _SAMPLE_STRAT,
+    "pack_sequences": _PACK_SEQ,
 }

@@ -124,3 +124,19 @@ def test_sample_stratified_tracks_rates_and_is_deterministic(spark):
     for lang, pct in llm.SAMPLE_RATES.items():
         frac = kept.get(lang, 0) / totals[lang]
         assert abs(frac - pct / 100) < 0.12, (lang, frac, pct)
+
+
+def test_pack_sequences_budget_overflow_bound(spark):
+    """Banded greedy packing invariant: every doc packed exactly
+    once, and a pack exceeds the token budget by less than its
+    largest member (the streaming-packing bound)."""
+    from collections import defaultdict
+
+    sf = "/root/testdata/sf0.01"
+    rows = llm.pack_sequences(spark, sf).collect()
+    assert len(rows) == table(spark, sf, "documents").count()
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r.pack_id].append(r.n_tok)
+    for pid, toks in packs.items():
+        assert sum(toks) < llm.PACK_BUDGET + max(toks), (pid, sum(toks))
