@@ -57,6 +57,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _RELATION_CACHE.get(key)
     if cached is not None:
         return cached
+    if name == "events":
+        # Sources must not depend on how the caller built its session
+        # (the reference's file source never does: mapreduce.c:163-189).
+        # TIMESTAMP(NANOS) parquet is only readable with this conf; it is
+        # runtime-settable, so set it here rather than in session.py only.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

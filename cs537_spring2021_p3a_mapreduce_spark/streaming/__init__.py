@@ -41,6 +41,10 @@ def stream_events(spark: SparkSession, sf_dir_or_glob: str) -> DataFrame:
     On a deployment this reader is swapped for Kafka/Kinesis; every
     operator below only sees (columns, event-time), not the source.
     """
+    # Caller-independent source contract: the explicit bigint ts schema
+    # only scans if TIMESTAMP(NANOS) is read as long — set the conf at
+    # runtime so an externally built session works too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(sf_dir_or_glob)
     # EVENTS_FILE_SCHEMA pins ts as epoch-nanos bigint, so the
     # conversion is unconditional; a timestamp-typed source (Kafka)

@@ -90,9 +90,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 def main() -> int:
     import __spark_entry__ as entrymod
-    from cs537_spring2021_p3a_mapreduce_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("check-oracles")
+    # Deliberately a VANILLA session (not session.get_spark): the
+    # driver's t2 harness builds its own SparkSession without any of
+    # our confs, so queries must not depend on session-build-time
+    # settings (the round-1 nanosAsLong bug was exactly this).
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("check-oracles")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
     con = duck_con(SF_DIR)
     qs = entrymod.queries()
