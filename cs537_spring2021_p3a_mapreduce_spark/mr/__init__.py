@@ -235,9 +235,15 @@ def mr_run_rdd(
         input_col = df.columns[0]
 
     def _djb2(key: str) -> int:
+        # Bit-exact with MR_DefaultHashPartition (mapreduce.c:88-94)
+        # for ANY input: the C loop consumes *signed* chars of the
+        # UTF-8 byte string, so hash encoded bytes (reinterpreted
+        # signed) rather than Unicode codepoints — identical for
+        # ASCII, and matches the reference for multi-byte text too.
         h = 5381
-        for ch in key:
-            h = (h * 33 + ord(ch)) % (1 << 64)
+        for byte in key.encode("utf-8"):
+            c = byte - 256 if byte >= 128 else byte
+            h = (h * 33 + c) % (1 << 64)
         return h % num_reducers
 
     def _flat_map(rec) -> Iterable[tuple[str, str]]:

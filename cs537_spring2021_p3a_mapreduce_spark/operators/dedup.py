@@ -96,17 +96,22 @@ def minhash_candidates(
     spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs agreeing on all BAND_ROWS
-    minhashes within any band. The band signature is a string key;
-    the self-join is an equi-join on (band, signature) — bucket
-    sizes, not corpus², bound the work."""
+    minhashes within any band. The band signature is xxhash64 over
+    the band's BAND_ROWS min-values — an 8-byte join key instead of
+    a ~80-byte concat_ws string, so the band self-join shuffles ~4×
+    fewer bytes (same trick as the shingle identities). A 64-bit
+    signature collision can only ADD a candidate pair, and every
+    candidate passes exact-Jaccard verification downstream. The
+    self-join is an equi-join on (band, signature) — bucket sizes,
+    not corpus², bound the work."""
     if shingles is None:
         shingles = _shingles_raw(spark, sf_dir)  # min is dup-insensitive
     sigs = _minhash_signatures(shingles)
     n_bands = N_HASHES // BAND_ROWS
     band_sigs = F.array(
         *[
-            F.concat_ws(
-                ",", *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            F.xxhash64(
+                *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
             )
             for b in range(n_bands)
         ]
@@ -243,11 +248,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, 4×16-bit band
     bucketing for candidates, Hamming-distance verification.
 
-    By pigeonhole, any pair within Hamming distance 3·16/…
-    sharing-band guarantee: pairs with ≤ (bands-1) differing bands
-    — i.e. Hamming clusters concentrated in ≤3 bands — are caught;
-    the threshold check then filters exactly. Candidate join is an
-    equi-join on (band, 16-bit chunk string).
+    Recall guarantee (pigeonhole): a pair with Hamming distance
+    d < 4 bands has at least one band with zero differing bits and
+    is ALWAYS generated as a candidate. For 4 ≤ d ≤
+    SIMHASH_MAX_HAMMING the pair is caught iff its differing bits
+    leave some 16-bit band untouched — near-certain for small d
+    (missing requires the bits to spread across all 4 bands) and the
+    standard banded-SimHash trade; the Hamming filter afterwards is
+    exact on whatever the bands surface. Candidate join is an
+    equi-join on (band, 16-bit chunk long).
 
     Output: a_id, b_id, hamming (int). Rows-only driver check.
     """
@@ -308,13 +317,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked form of the MinHash-LSH pipeline: the full
+    LSH → exact-Jaccard-verify output, compared against an exact
+    all-pairs shingle-Jaccard SQL oracle.
+
+    The verify stage makes this checkable: every emitted pair
+    carries its EXACT Jaccard, so precision is 1.0 by construction
+    and the only way to diverge from the oracle is an LSH recall
+    miss. With 8 bands × 4 rows the miss probability at the 0.7
+    threshold is (1−s⁴)⁸ ≤ 11% per borderline pair and everything
+    here is deterministic hashing — on the fixture corpus recall is
+    exactly 100% (asserted per-value by the driver's hash compare;
+    planted near-dups sit well above threshold where miss
+    probability is ~10⁻⁴). A recall miss at a new sf would surface
+    as a row-count diff, which is precisely what this entry exists
+    to expose."""
+    return dedup_minhash(spark, sf_dir)
+
+
 QUERIES = {
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_verify": dedup_minhash_verify,
     "dedup_simhash": dedup_simhash,
 }
 
-# Intentionally no ORACLES: LSH candidate generation is not
-# SQL-expressible in a form DuckDB can mirror exactly; the driver
-# records rows-only checks and tests/test_dedup.py carries the
+# dedup_minhash / dedup_simhash are rows-only for the driver: LSH
+# candidate generation is not SQL-expressible in a form DuckDB can
+# mirror (xxhash64 family), and tests/test_dedup.py carries the
 # recall/precision assertions on planted near-duplicates.
-ORACLES: dict[str, str] = {}
+# dedup_minhash_verify IS oracle-checked: its output is the exact
+# Jaccard over candidates, which equals exact all-pairs Jaccard
+# whenever LSH recall is 1 (it is, deterministically, on the
+# fixtures — see the docstring).
+ORACLES: dict[str, str] = {
+    "dedup_minhash_verify": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - 2, 0)),
+           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]
+         )) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(shared / (na.n + nb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes na ON pairs.a_id = na.doc_id
+JOIN sizes nb ON pairs.b_id = nb.doc_id
+WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.7
+""",
+}

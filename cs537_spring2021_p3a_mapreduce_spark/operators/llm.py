@@ -227,8 +227,14 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_STRIDE = 37  # deterministic coarse centroids: every 37th vector
-IVF_NPROBE = 4
+# Fixed coarse-centroid count, independent of corpus size (a deploy
+# sets K ≈ √n as a config constant and trains k-means at the same
+# seam). nprobe/K is the recall knob: the synthetic embeddings are
+# near-uniform (no cluster structure), so recall tracks the probed
+# fraction — nprobe 8 of 16 cells ≈ half the corpus scored per query,
+# which the recall test bounds from below.
+IVF_K = 16
+IVF_NPROBE = 8
 
 
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,11 +242,16 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path next to the brute-force ``similarity_topk`` baseline.
 
     Structure (classic IVF, all deterministic):
-    1. coarse centroids: every IVF_STRIDE-th vector (a real deploy
-       trains k-means; the partition/probe dataflow is identical);
+    1. coarse centroids: the IVF_K vectors with the smallest
+       ``xxhash64(vec_id)`` — a deterministic uniform sample whose
+       size is FIXED at K regardless of corpus size, selected via
+       TakeOrderedAndProject (per-partition top-K, no full sort). A
+       real deploy trains k-means; the partition/probe dataflow is
+       identical and this seam is where it plugs in;
     2. assignment: each corpus vector joins its nearest centroid →
-       an inverted list per cell. Centroids broadcast (O(√n) rows);
-       the corpus never shuffles for assignment;
+       an inverted list per cell. Centroids broadcast (O(K) rows,
+       constant); assignment cost is O(n·K) GEMM and the corpus
+       never shuffles for assignment;
     3. probe: each query scores only the cells of its IVF_NPROBE
        nearest centroids — the candidate set is |cells probed| ×
        avg cell size instead of the whole corpus;
@@ -258,8 +269,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_block = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("cs")
+    cent_block = (
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(IVF_K)
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("cs"))
     )
 
     # nearest-centroid ranking via blocked GEMM (corpus blocks ×
@@ -406,8 +419,9 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-TFIDF_K terms per doc: tf·idf with idf = ln(N/df).
 
-    Two aggregates (tf per doc-term, df per term) + a broadcast-able
-    df-side join + bounded rank window. N is a scalar via a count
+    Two aggregates (tf per doc-term, df per term) + a df-side join
+    sized by AQE (broadcast when the vocabulary fits, shuffle when
+    it doesn't) + bounded rank window. N is a scalar via a count
     aggregate crossJoined (1-row broadcast), not a driver-side
     collect.
 
@@ -419,8 +433,12 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    # No broadcast hint on df_: the vocabulary table is small at test
+    # scale but unbounded at 100 TB (it grows with the corpus), so
+    # let AQE pick broadcast when the stats say it fits and fall back
+    # to a shuffle join when they don't.
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

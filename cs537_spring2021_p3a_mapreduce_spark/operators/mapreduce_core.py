@@ -10,6 +10,8 @@ columns each plan needs (column pruning reaches the parquet footer).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,18 +92,41 @@ def partitioned_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordcount(spark, sf_dir).orderBy("token")
 
 
+# Posting-list shard fan-out: the hottest token's aggregation state
+# is corpus_docs / IDX_SHARDS per reducer key instead of corpus_docs.
+IDX_SHARDS = 32
+
+
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token → sorted distinct doc_id list (classic MR inverted
-    index; A8 with a list-building reduce). collect_set is the
-    engine-managed reduce-side multiset (§1.3) — order-insensitive
-    until the explicit sort_array. Emitted as a joined string so the
-    oracle comparison is type-stable."""
-    return (
+    index; A8 with a list-building reduce). Emitted as a joined
+    string so the oracle comparison is type-stable.
+
+    Scale shape — bounded per-key state: a naive
+    ``groupBy(token).collect_set(doc_id)`` holds the full posting
+    list of a stopword token in ONE aggregation buffer (state ∝
+    corpus size → OOM at 100×). Instead postings shard by
+    ``doc_id % IDX_SHARDS``: stage 1 builds per-(token, shard)
+    distinct sets (state ∝ corpus/IDX_SHARDS even for the hottest
+    key, and shards are disjoint so per-shard distinct == global
+    distinct); stage 2 merges IDX_SHARDS pre-reduced arrays per
+    token — it receives ≤ IDX_SHARDS rows per key, not one row per
+    occurrence. The final row still carries the full list because
+    the output contract demands it; a production index would write
+    the stage-1 shards as the (token, shard)-bucketed layout and
+    never materialize the concatenation."""
+    shards = (
         _token_df(spark, sf_dir)
-        .groupBy("token")
+        .groupBy("token", (F.col("doc_id") % IDX_SHARDS).alias("shard"))
+        .agg(F.collect_set("doc_id").alias("part"))
+    )
+    return (
+        shards.groupBy("token")
         .agg(
-            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("doc_ids"),
-            F.count_distinct("doc_id").alias("n_docs"),
+            F.array_join(
+                F.sort_array(F.flatten(F.collect_list("part"))), ","
+            ).alias("doc_ids"),
+            F.sum(F.size("part")).alias("n_docs"),
         )
     )
 
@@ -130,6 +155,41 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mr_run(docs, mapper, reducer, value_type="long").select(
         F.col("key").alias("token"), F.col("value").alias("cnt")
     )
+
+
+def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A10 (hashmap sink last-write-wins MapPut,
+    hashmap.c:40-46) exercised end-to-end through the keyed parquet
+    sink: orders split into two update batches by order-key parity,
+    upserted sequentially into one keyed table (key = cust_key,
+    version = order_key), then read back. Last-write-wins by version
+    across both batches means the surviving row per customer is the
+    one with the maximum order key — which is exactly what the
+    window-SQL oracle computes over the raw table, so the sink's
+    merge semantics (not just its plumbing) are value-checked.
+
+    Scale shape: the merge is one window over (key) — a single hash
+    shuffle on the key column; the swap is the Delta/Iceberg MERGE
+    seam documented on the sink."""
+    import tempfile
+
+    from ..sources import upsert_keyed_parquet
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="upsert_rt_"), "state")
+    for parity in (0, 1):
+        upsert_keyed_parquet(
+            spark,
+            orders.filter(F.col("order_key") % 2 == parity),
+            path,
+            key_cols=["cust_key"],
+            version_col="order_key",
+        )
+    return spark.read.parquet(path)
 
 
 def custom_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,6 +246,7 @@ QUERIES = {
     "inverted_index": inverted_index,
     "custom_partition_hist": custom_partition_hist,
     "mr_wordcount": mr_wordcount,
+    "upsert_roundtrip": upsert_roundtrip,
 }
 
 ORACLES = {
@@ -207,4 +268,11 @@ ORACLES = {
     + f"SELECT ({_DJB2})::BIGINT AS pid, count(*)::BIGINT AS cnt FROM toks GROUP BY 1",
     "mr_wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
+    "upsert_roundtrip": (
+        "SELECT cust_key, order_key, total_price FROM ("
+        "  SELECT o_custkey AS cust_key, o_orderkey AS order_key,"
+        "         o_totalprice AS total_price,"
+        "         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn"
+        "  FROM orders) WHERE rn = 1"
+    ),
 }

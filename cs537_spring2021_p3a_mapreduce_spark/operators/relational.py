@@ -427,23 +427,21 @@ def range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_micros("ts").alias("us")
     )
+    # Integer division for the cell id: float division + cast can
+    # round a quotient one cell off near exact band multiples, which
+    # would silently drop an edge pair with |gap| == band_us.
+    cell0 = F.expr(f"us DIV {band_us}")
     a = ev.select(
         F.col("event_id").alias("a_id"),
         "user_id",
         F.col("us").alias("a_us"),
-        (F.col("us") / band_us).cast("long").alias("cell"),
+        cell0.alias("cell"),
     )
     b = ev.select(
         F.col("event_id").alias("b_id"),
         F.col("user_id").alias("b_user"),
         F.col("us").alias("b_us"),
-        F.explode(
-            F.array(
-                (F.col("us") / band_us).cast("long") - 1,
-                (F.col("us") / band_us).cast("long"),
-                (F.col("us") / band_us).cast("long") + 1,
-            )
-        ).alias("cell"),
+        F.explode(F.array(cell0 - 1, cell0, cell0 + 1)).alias("cell"),
     )
     return (
         a.join(b, ["cell"])

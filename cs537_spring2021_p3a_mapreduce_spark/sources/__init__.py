@@ -135,6 +135,16 @@ def upsert_keyed_parquet(
     contract mirrors on purpose — the transaction log is exactly
     what removes this window.
     """
+    # The os.rename swap below is local-filesystem only; on object
+    # stores / HDFS this op is a transactional MERGE (see docstring),
+    # so fail loudly instead of silently renaming nothing.
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            f"upsert_keyed_parquet only supports local paths, got {path!r}; "
+            "use a transactional table format (Delta/Iceberg MERGE) for "
+            "remote filesystems"
+        )
+
     is_update = F.lit(1)
     if os.path.isdir(path):
         existing = spark.read.parquet(path).withColumn("__gen", F.lit(0))
@@ -142,11 +152,20 @@ def upsert_keyed_parquet(
     else:
         merged = updates.withColumn("__gen", is_update)
 
+    # Deterministic winner even when several same-key rows share one
+    # batch and version: after (version, __gen) every remaining column
+    # breaks ties, so the kept row is a function of the DATA, not of
+    # partition visit order under row_number.
+    tiebreak = [
+        F.col(c).desc()
+        for c in merged.columns
+        if c not in key_cols and c != version_col and c != "__gen"
+    ]
     order = (
         [F.col(version_col).desc(), F.col("__gen").desc()]
         if version_col
         else [F.col("__gen").desc()]
-    )
+    ) + tiebreak
     w = Window.partitionBy(*key_cols).orderBy(*order)
     result = (
         merged.withColumn("__rn", F.row_number().over(w))

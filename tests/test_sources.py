@@ -74,6 +74,26 @@ def test_upsert_keyed_parquet_last_write_wins(spark, tmp_path):
     assert got == {("k1", "new"), ("k2", "keep")}
 
 
+def test_upsert_deterministic_tiebreak_and_uri_guard(spark, tmp_path):
+    """No-version_col duplicates within ONE batch must resolve to a
+    deterministic winner (function of the data, not partition visit
+    order), and remote URIs must fail loudly — the os.rename swap
+    only works on local paths."""
+    import pytest
+
+    path = str(tmp_path / "kv")
+    dup = spark.createDataFrame(
+        [("k1", "b"), ("k1", "a"), ("k1", "c")], "key string, value string"
+    ).repartition(3)
+    src.upsert_keyed_parquet(spark, dup, path, ["key"])
+    got = [(r.key, r.value) for r in spark.read.parquet(path).collect()]
+    # all non-key columns desc → "c" wins, every run
+    assert got == [("k1", "c")]
+
+    with pytest.raises(ValueError, match="local paths"):
+        src.upsert_keyed_parquet(spark, dup, "s3://bucket/kv", ["key"])
+
+
 def test_point_lookup(spark):
     df = spark.createDataFrame(
         [("k1", 5), ("k2", 7)], "key string, cnt bigint"
