@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cs537_spring2021_p3a_mapreduce_spark import streaming
 from cs537_spring2021_p3a_mapreduce_spark.operators import (
     dedup,
     llm,
@@ -23,7 +24,7 @@ from cs537_spring2021_p3a_mapreduce_spark.operators import (
     relational,
 )
 
-_MODULES = [mapreduce_core, relational, llm, dedup, multimodal]
+_MODULES = [mapreduce_core, relational, llm, dedup, multimodal, streaming]
 
 
 def entry(spark: SparkSession) -> DataFrame:

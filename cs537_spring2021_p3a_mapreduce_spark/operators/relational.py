@@ -110,6 +110,34 @@ def join_multiway_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders through the explicit salt-sharded join
+    (operators/skew.py), aggregated per order priority — the manual
+    skew-mitigation path value-checked against a plain-SQL join
+    oracle (salting must be RESULT-INVISIBLE: same rows, different
+    task placement).
+
+    Scale shape: the big side's rows shard across 8 salt buckets so
+    one pathological order key cannot pin a whole join task; the
+    small side replicates ×8 — the regime where small ≪ big/8, i.e.
+    exactly when a key is hot enough to need this. Aggregates run on
+    exact cents (float-determinism policy above)."""
+    from .skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        (F.sum(_cents("l_extendedprice")) / F.lit(100.0)).alias("sum_price"),
+    )
+
+
 def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi and left-anti joins: customers with ≥1 open order /
     with none, tagged and unioned. Semi/anti avoid materializing the
@@ -676,10 +704,20 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+_SALTED = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_items,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "join_order_customer": join_order_customer,
     "join_multiway_region": join_multiway_region,
+    "skew_salted_join_agg": skew_salted_join_agg,
     "semi_anti_orders": semi_anti_orders,
     "topk_revenue": topk_revenue,
     "window_rank_orders": window_rank_orders,
@@ -701,6 +739,7 @@ ORACLES = {
     "agg_pricing_summary": _Q1,
     "join_order_customer": _JOC,
     "join_multiway_region": _JMR,
+    "skew_salted_join_agg": _SALTED,
     "semi_anti_orders": _SEMI_ANTI,
     "topk_revenue": _TOPK,
     "window_rank_orders": _WRANK,

@@ -16,6 +16,7 @@ the watermark.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 from typing import Any
 
@@ -207,6 +208,88 @@ def run_to_keyed_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def _staged_events_stream(spark: SparkSession, sf_dir: str, work: str) -> DataFrame:
+    """Copy events.parquet into a fresh directory (the file-stream
+    source requires a directory basePath, not a bare file) and open
+    it as the standard events stream."""
+    import shutil
+
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "part-0.parquet"),
+    )
+    return stream_events(spark, src_dir)
+
+
+def stream_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming entry: tumbling 1-hour event counts
+    computed BY THE STREAMING ENGINE (readStream → window agg →
+    availableNow drain into a memory sink), value-checked against
+    the plain batch SQL oracle — the batch/stream parity Spark's
+    unified model promises, enforced by the driver's hash compare.
+
+    Complete output mode: on a finite input the watermark never
+    passes the trailing windows, so append mode would withhold them;
+    complete emits the full (small: one row per window×type) result
+    each trigger. Bucket emitted as a formatted string for
+    type-stable oracle comparison."""
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_tb_")
+    counts = windowed_event_counts(_staged_events_stream(spark, sf_dir, work))
+    out = counts.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        F.col("cnt").alias("n_events"),
+    )
+    name = f"stream_tb_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, os.path.join(work, "ckpt"), "complete")
+    return spark.table(name)
+
+
+def stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the CUSTOM STATEFUL operator
+    (applyInPandasWithState running per-user counts): drain the
+    events stream in update mode, then reduce the update log with
+    max() — the last update per user is its total, whatever the
+    micro-batch split was — and value-check against a batch
+    count(*) oracle. This closes the \"custom stateful streaming is
+    only rows-only checkable\" hole: the state machine's final
+    answer is exact and SQL-expressible even though its increments
+    aren't."""
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_rc_")
+    counts = running_user_counts(_staged_events_stream(spark, sf_dir, work))
+    name = f"stream_rc_{uuid.uuid4().hex[:8]}"
+    run_to_memory(counts, name, os.path.join(work, "ckpt"), "update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+QUERIES = {
+    "stream_time_bucket": stream_time_bucket,
+    "stream_running_counts": stream_running_counts,
+}
+
+ORACLES = {
+    "stream_time_bucket": (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+        "event_type, count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
+    ),
+    "stream_running_counts": (
+        "SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1"
+    ),
+}
 
 
 def run_to_memory(
