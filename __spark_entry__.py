@@ -18,13 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 from cs537_spring2021_p3a_mapreduce_spark import streaming
 from cs537_spring2021_p3a_mapreduce_spark.operators import (
     dedup,
+    graph,
     llm,
     mapreduce_core,
     multimodal,
     relational,
 )
 
-_MODULES = [mapreduce_core, relational, llm, dedup, multimodal, streaming]
+_MODULES = [mapreduce_core, relational, llm, dedup, graph, multimodal, streaming]
 
 
 def entry(spark: SparkSession) -> DataFrame:

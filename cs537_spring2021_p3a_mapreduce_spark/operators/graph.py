@@ -1,0 +1,143 @@
+"""Iterative graph operators: connected components over near-dup
+pairs — the step that turns pairwise dedup output (a_id, b_id) into
+per-document cluster assignments so a pipeline can keep ONE document
+per duplicate cluster. The reference has nothing iterative (its
+engine is one map+reduce pass, mapreduce.c:141-253); this is part of
+the mandated LLM-pipeline capability extension.
+
+Scale shape: min-label propagation as a DataFrame loop. Each
+iteration is one equi-join (labels ⋈ edges) + one min-aggregate —
+both shuffle on vertex id, so a 100 TB edge set runs exactly like
+any other keyed join; convergence takes O(component diameter)
+iterations, and near-dup clusters are shallow (diameter ≤ a few
+hops), not social-graph deep. ``localCheckpoint`` truncates the plan
+lineage each round — without it the logical plan doubles per
+iteration and Catalyst analysis time explodes long before the data
+does. The classic refinement for adversarially deep graphs is the
+large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log² n) rounds with the same join-agg per round; the loop body
+below is the seam where those rewrite rules plug in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import dedup_minhash
+
+CC_MAX_ITER = 25
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; component
+    id is the smallest vertex id reachable via undirected edges.
+
+    Pure DataFrame iteration: labels start as identity; each round
+    every vertex takes min(own label, neighbors' labels); fixpoint
+    when no label changes (one tiny count action per round — the
+    driver only ever sees a scalar, never the data).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()  # edges reused every iteration: cut the
+        # upstream plan (LSH pipelines are deep) and materialize once
+    )
+    labels = (
+        e.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e["d"] == labels["v"])
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["v"] == nbr_min["s"], "left")
+            .select(
+                "v",
+                F.col("lbl").alias("old_lbl"),
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+        ).localCheckpoint()
+        if stepped.filter(F.col("lbl") != F.col("old_lbl")).count() == 0:
+            return stepped.select("v", "lbl")
+        labels = stepped.select("v", "lbl")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "component diameter exceeds the bound — raise max_iter or switch "
+        "the loop body to large-star/small-star"
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH verified pairs → connected
+    components → (doc_id, cluster_id) with cluster_id = min doc in
+    the component (the canonical "keeper"). Oracle: the same exact
+    shingle-Jaccard pair set (proved equal to the LSH output by
+    ``dedup_minhash_verify``) closed under a recursive CTE.
+
+    Output: doc_id, cluster_id, is_keeper.
+    """
+    pairs = dedup_minhash(spark, sf_dir)
+    comp = connected_components(pairs, "a_id", "b_id")
+    return comp.select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("v") == F.col("lbl")).alias("is_keeper"),
+    )
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+}
+
+# The pair-generation CTEs mirror dedup_minhash_verify's oracle; the
+# recursive part computes min-reachable per vertex (UNION dedups, so
+# the recursion terminates on cyclic components).
+ORACLES = {
+    "dedup_clusters": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - 2, 0)),
+           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]
+         )) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dup_pairs AS (
+  SELECT a_id, b_id
+  FROM pairs
+  JOIN sizes na ON pairs.a_id = na.doc_id
+  JOIN sizes nb ON pairs.b_id = nb.doc_id
+  WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.7
+), edges AS (
+  SELECT a_id AS s, b_id AS d FROM dup_pairs
+  UNION
+  SELECT b_id AS s, a_id AS d FROM dup_pairs
+), reach AS (
+  SELECT s AS doc_id, s AS r FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.doc_id
+)
+SELECT doc_id,
+       min(r) AS cluster_id,
+       doc_id = min(r) AS is_keeper
+FROM reach GROUP BY doc_id
+""",
+}

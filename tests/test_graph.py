@@ -1,0 +1,59 @@
+"""Iterative connected components: multi-hop transitivity, cycles,
+convergence — properties the (possibly shallow) fixture clusters
+don't exercise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+    connected_components,
+)
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    out = connected_components(df, "a", "b")
+    return {(r.v, r.lbl) for r in out.collect()}
+
+
+def test_chain_propagates_min_label_multi_hop(spark):
+    # 1-2-3-4-5 chain: label 1 must reach vertex 5 through 4 hops
+    got = _components(spark, [(i, i + 1) for i in range(1, 5)])
+    assert got == {(v, 1) for v in range(1, 6)}
+
+
+def test_cycle_and_disjoint_components(spark):
+    got = _components(
+        spark, [(10, 20), (20, 30), (30, 10), (7, 8), (100, 7)]
+    )
+    assert got == {(10, 10), (20, 10), (30, 10), (7, 7), (8, 7), (100, 7)}
+
+
+def test_edge_direction_is_irrelevant(spark):
+    # min vertex appearing only on the b side must still win
+    assert _components(spark, [(5, 1), (5, 9)]) == {(1, 1), (5, 1), (9, 1)}
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "a bigint, b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "a", "b", max_iter=1)
+
+
+def test_dedup_clusters_keeper_is_cluster_min(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    out = dedup_clusters(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert min(m.doc_id for m in members) == cid
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1 and keepers[0].doc_id == cid
