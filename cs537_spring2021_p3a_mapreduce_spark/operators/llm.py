@@ -357,6 +357,55 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64
+CENTROID_SCALE = 1_000_000  # micro-units: exact integer sums
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the pooling primitive behind
+    class prototypes, cluster summaries, and k-means seeding for the
+    IVF index (``similarity_ann_ivf``'s documented training seam).
+
+    Shape: the EMB_DIM per-dimension sums are EMB_DIM aggregate
+    expressions over ONE (label) hash aggregate — the simhash trick
+    again: map-side partial aggregation, and the shuffle carries
+    |labels| rows of 65 longs, not an exploded (row × dim) stream.
+    The wide row unpivots to (label, dim, centroid) with ``stack``
+    AFTER the aggregate, where it's |labels|·EMB_DIM rows, not
+    n·EMB_DIM.
+
+    Float determinism (module policy): each float32 element
+    quantizes to exact micro-unit longs before summing — integer
+    addition is order-free, so the result is identical whatever the
+    combine order — and converts to double in one final division
+    both engines perform on identical integers.
+
+    Output: label, dim, centroid.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("label", "embedding")
+    sums = [
+        F.sum(
+            F.round(F.col("embedding")[i].cast("double") * CENTROID_SCALE).cast(
+                "long"
+            )
+        ).alias(f"s{i}")
+        for i in range(EMB_DIM)
+    ]
+    agg = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sums)
+    stack_args = ", ".join(f"{i}L, s{i}" for i in range(EMB_DIM))
+    return agg.select(
+        "label",
+        F.expr(f"stack({EMB_DIM}, {stack_args}) AS (dim, s)"),
+        "n",
+    ).select(
+        "label",
+        "dim",
+        (F.col("s") / (F.lit(float(CENTROID_SCALE)) * F.col("n"))).alias(
+            "centroid"
+        ),
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -912,6 +961,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "similarity_topk": similarity_topk,
     "similarity_ann_ivf": similarity_ann_ivf,
+    "embedding_centroids": embedding_centroids,
     "text_stats": text_stats,
     "ngram_counts": ngram_counts,
     "tfidf_terms": tfidf_terms,
@@ -929,6 +979,15 @@ ORACLES = {
     "dedup_ngram": _DEDUP_NGRAM,
     "dedup_embedding": _DEDUP_EMB,
     "similarity_topk": _SIM_TOPK,
+    "embedding_centroids": f"""
+SELECT label, (pos - 1)::BIGINT AS dim,
+       sum(CAST(round(v::DOUBLE * {CENTROID_SCALE}) AS BIGINT))
+         / ({CENTROID_SCALE}.0 * count(*)) AS centroid
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY 1, 2
+""",
     "text_stats": _TEXT_STATS,
     "ngram_counts": _NGRAM_COUNTS,
     "tfidf_terms": _TFIDF,

@@ -93,3 +93,47 @@ def test_tokenizer_stays_jvm_side(spark):
     assert "Generate explode" in simple
     assert "BatchEvalPython" not in simple
     assert "ArrowEvalPython" not in simple
+
+
+def test_minhash_band_keys_are_longs_not_strings(spark):
+    """Round-2 band-key optimization: the LSH self-join must key on
+    xxhash64 longs; a concat_ws string key shuffles ~4x the bytes."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.dedup import (
+        minhash_candidates,
+    )
+
+    text = P.plan(minhash_candidates(spark, SF_SMOKE), "extended")
+    assert "concat_ws" not in text
+    assert "xxhash64" in text
+
+
+def test_ivf_centroid_selection_is_topk_not_global_sort(spark):
+    """Fixed-K centroids pick via per-partition top-K merge
+    (TakeOrderedAndProject), never a full sort of the corpus."""
+    df = llm.similarity_ann_ivf(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in P.plan(df, "simple")
+
+
+def test_salted_join_query_joins_on_salt(spark):
+    """The registered skew query must actually shard on the salt
+    column (salting that optimizes away would silently restore the
+    hot-key straggler)."""
+    df = rel.skew_salted_join_agg(spark, SF_SMOKE)
+    assert "__salt" in P.plan(df, "simple")
+
+
+def test_embedding_centroids_single_shuffle_no_pre_agg_explode(spark):
+    """Per-dim sums are aggregate EXPRESSIONS: one hash-agg shuffle
+    of |labels| wide rows; the (label,dim) unpivot happens above the
+    aggregate, so no n x dim row stream ever shuffles."""
+    df = llm.embedding_centroids(spark, SF_SMOKE)
+    assert P.shuffle_count(df) == 1
+    assert P.read_schemas(df) == ["struct<embedding:array<float>,label:int>"]
+
+
+def test_inverted_index_is_two_stage_sharded(spark):
+    """Bounded per-key state: shard aggregate then merge aggregate —
+    two exchanges by design (the price of never holding a stopword's
+    full posting list in one buffer)."""
+    df = mc.inverted_index(spark, SF_SMOKE)
+    assert P.shuffle_count(df) == 2
