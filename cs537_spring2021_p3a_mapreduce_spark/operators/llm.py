@@ -602,6 +602,47 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHINGLE_K_REP = 3  # repetition filter n-gram width
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram repetition ratio — the Gopher-style repetition
+    quality filter (Rae et al. 2021 §A1.1.3: heavily repetitive text
+    is low-quality training data and gets culled before training).
+
+    rep_ratio = 1 − distinct_3grams / total_3grams, computed entirely
+    per-row: the shingle array is built by the same sliding-window
+    transform as the MinHash pipeline (8-byte xxhash64 identities),
+    then ``array_distinct`` counts within the row. Zero shuffle at
+    any scale — the canonical embarrassingly-parallel quality pass.
+    Docs with <3 tokens have no 3-grams: ratio 0 by convention.
+
+    Output: doc_id, n_3grams, n_distinct, rep_ratio (round 6).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    arr = F.col("ts")
+    n_windows = F.size(arr) - (SHINGLE_K_REP - 1)
+    sliding = F.when(
+        n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    shingle_arr = F.transform(
+        sliding,
+        lambda i: F.xxhash64(*[F.get(arr, i + j) for j in range(SHINGLE_K_REP)]),
+    )
+    total = F.size(shingle_arr).cast("long")
+    distinct = F.size(F.array_distinct(shingle_arr)).cast("long")
+    ratio = F.when(total > 0, F.round((total - distinct) / total, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return toks.select(
+        "doc_id",
+        total.alias("n_3grams"),
+        distinct.alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint: polynomial rolling hash
     over the raw character stream, mod 1e9+7 (modulus applied per
@@ -967,6 +1008,7 @@ QUERIES = {
     "tfidf_terms": tfidf_terms,
     "lang_id": lang_id,
     "quality_score": quality_score,
+    "repetition_score": repetition_score,
     "doc_fingerprint": doc_fingerprint,
     "token_count_bpe": token_count_bpe,
     "multimodal_meta": multimodal_meta,
@@ -993,6 +1035,25 @@ GROUP BY 1, 2
     "tfidf_terms": _TFIDF,
     "lang_id": _LANG_ID,
     "quality_score": _QUALITY,
+    "repetition_score": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                        i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]) AS sh
+  FROM toks
+)
+SELECT doc_id,
+       len(sh)::BIGINT AS n_3grams,
+       len(list_distinct(sh))::BIGINT AS n_distinct,
+       CASE WHEN len(sh) > 0
+            THEN round((len(sh) - len(list_distinct(sh))) * 1.0 / len(sh), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM g
+""",
     "doc_fingerprint": _FINGERPRINT,
     "token_count_bpe": _BPE,
     "multimodal_meta": _MULTIMODAL,
