@@ -29,6 +29,10 @@ SIM_K = 5
 SIM_N_QUERIES = 10
 EMB_DEDUP_THRESHOLD = 0.40  # fixture cosine max is ~0.46
 NGRAM_JACCARD_THRESHOLD = 0.8
+# dedup_ngram is an exact ground-truth baseline over a bounded doc
+# sample (recall measurement for the approximate paths), never a
+# corpus-scale operator — see its docstring.
+NGRAM_EXACT_MAX_DOCS = 500
 FP_MOD = 1_000_000_007
 FP_BASE = 31
 
@@ -76,20 +80,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-Jaccard near-dup pairs (subset-bounded oracle form).
+    """Bigram-Jaccard near-dup pairs — EXACT BASELINE, deliberately
+    bounded to the first NGRAM_EXACT_MAX_DOCS doc_ids. This query is
+    an oracle-checkable ground-truth generator (the thing you run on
+    a SAMPLE to measure an approximate dedup's recall), not a
+    corpus-scale operator; calling it unbounded on a dense-sharing
+    corpus is quadratic by construction. The 100 TB path is
+    dedup_minhash (dedup.py): banded MinHash makes candidate
+    generation subquadratic regardless of sharing density.
 
     Candidate pairs come from an equi-join on shared bigrams — only
     docs sharing at least one bigram are compared, never all pairs.
-    The fixture vocabulary is tiny so sharing is dense; the query is
-    bounded to doc_id<500 to stay an oracle-checkable baseline. The
-    100 TB path is dedup_minhash (dedup.py): banded MinHash makes
-    candidate generation subquadratic regardless of density.
 
     Output: a_id, b_id, jaccard (round 6), for jaccard ≥ 0.8.
     """
     bigrams = (
         _bigram_df(spark, sf_dir)
-        .filter(F.col("doc_id") < 500)
+        .filter(F.col("doc_id") < NGRAM_EXACT_MAX_DOCS)
         .select("doc_id", "bigram")
         .distinct()
     )
@@ -822,7 +829,7 @@ GROUP BY 1
 """
 
 _DEDUP_NGRAM = _BIGRAMS + f"""
-, dbg AS (SELECT DISTINCT doc_id, bigram FROM bg WHERE doc_id < 500),
+, dbg AS (SELECT DISTINCT doc_id, bigram FROM bg WHERE doc_id < {NGRAM_EXACT_MAX_DOCS}),
 sizes AS (SELECT doc_id, count(*) AS n_bg FROM dbg GROUP BY 1),
 shared AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS sh

@@ -57,3 +57,42 @@ def test_dedup_clusters_keeper_is_cluster_min(spark):
         assert min(m.doc_id for m in members) == cid
         keepers = [m for m in members if m.is_keeper]
         assert len(keepers) == 1 and keepers[0].doc_id == cid
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Differential oracle: label propagation must agree with a
+    pure-Python union-find on randomized graphs (hypothesis-style
+    sweep with a fixed seed; one Spark job per case keeps it fast)."""
+    import random
+
+    rng = random.Random(0xC537)
+
+    def union_find(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    for _ in range(8):
+        n_verts = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randint(0, n_verts), rng.randint(0, n_verts))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        got = _components(spark, edges)
+        want = set(union_find(edges).items())
+        assert got == want, f"mismatch on {edges}"
