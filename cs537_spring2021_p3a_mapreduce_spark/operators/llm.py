@@ -413,6 +413,145 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KM_SCALE = 1_000_000  # micro-unit quantization: all k-means math on exact longs
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings — the
+    training step behind the IVF index's coarse centroids
+    (``similarity_ann_ivf``'s documented k-means seam) and the
+    cluster-then-curate pattern (semantic dedup, diversity sampling)
+    an LLM data pipeline runs on embedding spaces.
+
+    Fully value-checked against an unrolled SQL oracle, which is
+    only possible because every step is EXACT integer arithmetic:
+
+    - vectors quantize to micro-unit longs once up front — integer
+      distance sums are combine-order-free, so no float-association
+      drift between engines or partitionings;
+    - init = the KMEANS_K vectors with the smallest
+      ``md5(vec_id)`` (md5 because BOTH engines can compute it on
+      identical strings — a deterministic uniform hash-sample,
+      selected via TakeOrderedAndProject);
+    - assignment = argmin of squared-L2 in micro² longs, ties by
+      cluster id;
+    - update = per-dimension integer mean re-quantized to longs (64
+      sum expressions in one hash aggregate — the wide-agg trick —
+      then re-packed to an array).
+
+    Scale shape: each iteration is one n×K cross join (K tiny, the
+    centroid side broadcasts) + one K-key aggregate; the training
+    corpus is a SAMPLE by construction — production trains on a
+    bounded sample exactly like this, then assigns the full corpus
+    through the IVF GEMM path. The loop is lazily composed into one
+    DAG (KMEANS_ITERS is small and fixed); an open-iteration-count
+    variant would localCheckpoint per round like dedup_clusters.
+
+    Output: vec_id, cluster, dist (squared L2 in micro² units).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * KM_SCALE).cast("long")
+        ).alias("q"),
+    )
+
+    init_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    w_init = Window.orderBy(*init_order)
+    cents = (
+        vecs.orderBy(*init_order)
+        .limit(KMEANS_K)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("cid"),
+            F.col("q").alias("cq"),
+        )
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            vecs.crossJoin(F.broadcast(cents_df))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "q", "cid", "dist")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(cents)
+        dim_means = [
+            F.round(F.sum(F.col("q")[i]) / F.count(F.lit(1)))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(EMB_DIM)
+        ]
+        cents = (
+            assigned.groupBy("cid")
+            .agg(*dim_means)
+            .select(
+                "cid", F.array(*[F.col(f"c{i}") for i in range(EMB_DIM)]).alias("cq")
+            )
+        )
+
+    return assign(cents).select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd's iterations as chained CTEs — exact mirror of
+    ``embedding_kmeans`` (same integer arithmetic, same md5 init,
+    same (dist, cid) tie-break)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))"
+    )
+    sql = f"""
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {KM_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
+         q AS cq
+  FROM (SELECT * FROM emb ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {KMEANS_K})
+)"""
+    prev = "c0"
+    for t in range(1, KMEANS_ITERS + 1):
+        sql += f"""
+, a{t} AS (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT e.vec_id, e.q, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM emb e CROSS JOIN {prev} c)
+  WHERE rn = 1
+), c{t} AS (
+  SELECT cid, list(CAST(round(s * 1.0 / n) AS BIGINT) ORDER BY pos) AS cq
+  FROM (
+    SELECT cid, pos, sum(v) AS s, count(*) AS n
+    FROM (SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS v FROM a{t})
+    GROUP BY 1, 2)
+  GROUP BY cid
+)"""
+        prev = f"c{t}"
+    sql += f"""
+SELECT vec_id, cid AS cluster, dist FROM (
+  SELECT e.vec_id, c.cid, {dist} AS dist,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+  FROM emb e CROSS JOIN {prev} c)
+WHERE rn = 1
+"""
+    return sql
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -1010,6 +1149,7 @@ QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_ann_ivf": similarity_ann_ivf,
     "embedding_centroids": embedding_centroids,
+    "embedding_kmeans": embedding_kmeans,
     "text_stats": text_stats,
     "ngram_counts": ngram_counts,
     "tfidf_terms": tfidf_terms,
@@ -1028,6 +1168,7 @@ ORACLES = {
     "dedup_ngram": _DEDUP_NGRAM,
     "dedup_embedding": _DEDUP_EMB,
     "similarity_topk": _SIM_TOPK,
+    "embedding_kmeans": _kmeans_oracle_sql(),
     "embedding_centroids": f"""
 SELECT label, (pos - 1)::BIGINT AS dim,
        sum(CAST(round(v::DOUBLE * {CENTROID_SCALE}) AS BIGINT))

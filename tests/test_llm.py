@@ -140,3 +140,27 @@ def test_pack_sequences_budget_overflow_bound(spark):
         packs[r.pack_id].append(r.n_tok)
     for pid, toks in packs.items():
         assert sum(toks) < llm.PACK_BUDGET + max(toks), (pid, sum(toks))
+
+
+def test_kmeans_partitions_corpus_and_improves_over_init(spark):
+    """Every vector gets exactly one cluster, clusters land in
+    [0, K), more than one survives, and distances are sane (the
+    value-level equivalence to Lloyd's is the SQL oracle's job)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        KMEANS_K,
+        embedding_kmeans,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = embedding_kmeans(spark, sf)
+    rows = out.collect()
+    n_vecs = (
+        __import__("cs537_spring2021_p3a_mapreduce_spark.catalog", fromlist=["table"])
+        .table(spark, sf, "embeddings")
+        .count()
+    )
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(KMEANS_K)) and len(clusters) > 1
+    assert all(r.dist >= 0 for r in rows)
