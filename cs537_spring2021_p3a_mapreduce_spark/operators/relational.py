@@ -110,6 +110,91 @@ def join_multiway_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01 00:00:00"
+Q5_REGION = "ASIA"
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer⋈orders⋈lineitem with sargable
+    filters on all three scan sides (segment, order date, ship
+    date — each pushed to its parquet footer), revenue per unshipped
+    order, top-10. The limit plans as TakeOrderedAndProject over the
+    aggregate — per-partition heaps, never a global sort of the
+    order population. Revenue on exact cents×pct integers (module
+    float policy); ties broken by order key for determinism.
+
+    Output: l_orderkey, revenue, o_orderdate (string), o_orderpriority.
+    """
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    ).select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))) / F.lit(
+        1e4
+    )).alias("revenue")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(rev)
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(TOPK)
+    )
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table join (customer⋈orders⋈lineitem⋈
+    supplier⋈nation⋈region) with the local-supplier condition
+    (c_nationkey = s_nationkey) and a region filter, revenue per
+    nation. Dims broadcast (nation 25 / region 5 rows at any sf);
+    the fact chain is declarative — Catalyst + AQE pick the join
+    order and strategies, which is the point: a 100 TB run replans
+    from stats instead of honoring a hand-written order.
+
+    Output: n_name, revenue.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    )
+    region = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION).select(
+            "r_regionkey"
+        )
+    )
+    rev = (F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))) / F.lit(
+        1e4
+    )).alias("revenue")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(rev)
+    )
+
+
 def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem⋈orders through the explicit salt-sharded join
     (operators/skew.py), aggregated per order priority — the manual
@@ -704,6 +789,37 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+_Q3 = f"""
+SELECT l_orderkey,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {TOPK}
+"""
+
+_Q5 = f"""
+SELECT n_name,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+GROUP BY n_name
+"""
+
 _SALTED = """
 SELECT o_orderpriority,
        count(*)::BIGINT AS n_items,
@@ -717,6 +833,8 @@ QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "join_order_customer": join_order_customer,
     "join_multiway_region": join_multiway_region,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_volume": q5_region_volume,
     "skew_salted_join_agg": skew_salted_join_agg,
     "semi_anti_orders": semi_anti_orders,
     "topk_revenue": topk_revenue,
@@ -739,6 +857,8 @@ ORACLES = {
     "agg_pricing_summary": _Q1,
     "join_order_customer": _JOC,
     "join_multiway_region": _JMR,
+    "q3_shipping_priority": _Q3,
+    "q5_region_volume": _Q5,
     "skew_salted_join_agg": _SALTED,
     "semi_anti_orders": _SEMI_ANTI,
     "topk_revenue": _TOPK,

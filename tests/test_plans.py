@@ -137,3 +137,26 @@ def test_inverted_index_is_two_stage_sharded(spark):
     full posting list in one buffer)."""
     df = mc.inverted_index(spark, SF_SMOKE)
     assert P.shuffle_count(df) == 2
+
+
+def test_q3_pushes_all_three_filters_and_heaps_topk(spark):
+    """TPC-H Q3: the segment/orderdate/shipdate predicates must reach
+    their parquet scans (row-group pruning at 100 TB), and the top-10
+    must be a per-partition heap, not a global sort of all orders."""
+    df = rel.q3_shipping_priority(spark, SF_SMOKE)
+    pushed = " ".join(P.pushed_filters(df))
+    assert "c_mktsegment" in pushed
+    assert "o_orderdate" in pushed
+    assert "l_shipdate" in pushed
+    assert "TakeOrderedAndProject" in P.plan(df)
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    """TPC-H Q5: nation/region broadcast at any sf; the 6-table join
+    must plan as equi-joins (no BroadcastNestedLoop/cartesian from
+    the local-supplier condition)."""
+    df = rel.q5_region_volume(spark, SF_SMOKE)
+    p = P.plan(df)
+    assert P.uses_broadcast_join(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
