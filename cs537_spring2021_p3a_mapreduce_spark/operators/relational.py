@@ -603,6 +603,133 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(merged)
 
 
+Q18_QTY_THRESHOLD = 250
+Q18_TOPK = 100
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — the HAVING-subquery
+    join. The qualifying set (orders whose total quantity exceeds
+    the threshold) is ONE partial-aggregated shuffle on l_orderkey
+    producing a tiny relation (~1% of orders), which then drives
+    semi-join-style pruning of orders/customer; the wide lineitem
+    table is never joined unreduced. Top-k plans as
+    TakeOrderedAndProject. Quantities are integral → exact longs.
+
+    Output: c_name, c_custkey, o_orderkey, o_orderdate (string),
+    o_totalprice, sum_qty.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(Q18_TOPK)
+    )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel over the event stream: users
+    who viewed, then clicked AFTER their first view, then purchased
+    AFTER that first qualifying click.
+
+    Shape: each stage is a sargable event_type scan (predicate
+    pushed to the parquet footer) reduced to one row per user by a
+    partial-aggregated min, then equi-joined to the next stage on
+    user_id — per-user state is one timestamp, never a collected
+    event list (a hot user with 10⁸ events costs a bigger min-agg,
+    not an aggregation-buffer OOM; contrast the collect_list funnel
+    formulation this module deliberately avoids). All three hops
+    hash-partition by user_id, so AQE reuses the exchange layout.
+
+    Output: stage, n_users — one row per funnel stage.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def stage_scan(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+
+    views = stage_scan("view").groupBy("user_id").agg(F.min("ts").alias("t0"))
+    clicks = (
+        stage_scan("click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purchases = (
+        stage_scan("purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+
+    def count_stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+
+    return (
+        count_stage(views, "view")
+        .unionByName(count_stage(clicks, "view>click"))
+        .unionByName(count_stage(purchases, "view>click>purchase"))
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their
+    first event, counted in each later week they reappear — the
+    classic growth-analytics rollup.
+
+    Shape: first-touch is one min-aggregate per user; events then
+    re-join that single-row-per-user relation on user_id (both sides
+    hash-partitioned by user_id), and the final count-distinct
+    aggregates on (cohort_week, week_offset) — a key space bounded
+    by weeks², independent of corpus size. Week arithmetic is
+    date_trunc-based integer math, identical in both engines.
+
+    Output: cohort_week (string), week_offset, n_users.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("week", "t0"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts), date_trunc('week', t0))"
+                " DIV 7 AS BIGINT)"
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — identical aliases, identical integer-exact arithmetic.
 
@@ -820,6 +947,53 @@ WHERE r_name = '{Q5_REGION}'
 GROUP BY n_name
 """
 
+_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > {Q18_QTY_THRESHOLD}
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT {Q18_TOPK}
+"""
+
+_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t0
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t0
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t0
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, count(*)::BIGINT AS n_users FROM v
+UNION ALL
+SELECT 'view>click', count(*)::BIGINT FROM c
+UNION ALL
+SELECT 'view>click>purchase', count(*)::BIGINT FROM p
+"""
+
+_RETENTION = """
+WITH first_touch AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
+       date_diff('day', date_trunc('week', t0), date_trunc('week', ts)) // 7
+         AS week_offset,
+       count(DISTINCT e.user_id)::BIGINT AS n_users
+FROM events e JOIN first_touch f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
 _SALTED = """
 SELECT o_orderpriority,
        count(*)::BIGINT AS n_items,
@@ -835,6 +1009,9 @@ QUERIES = {
     "join_multiway_region": join_multiway_region,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
+    "q18_large_orders": q18_large_orders,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
     "skew_salted_join_agg": skew_salted_join_agg,
     "semi_anti_orders": semi_anti_orders,
     "topk_revenue": topk_revenue,
@@ -859,6 +1036,9 @@ ORACLES = {
     "join_multiway_region": _JMR,
     "q3_shipping_priority": _Q3,
     "q5_region_volume": _Q5,
+    "q18_large_orders": _Q18,
+    "funnel_conversion": _FUNNEL,
+    "retention_cohorts": _RETENTION,
     "skew_salted_join_agg": _SALTED,
     "semi_anti_orders": _SEMI_ANTI,
     "topk_revenue": _TOPK,

@@ -151,6 +151,29 @@ def test_q3_pushes_all_three_filters_and_heaps_topk(spark):
     assert "TakeOrderedAndProject" in P.plan(df)
 
 
+def test_q18_prunes_lineitem_and_heaps_topk(spark):
+    """Q18: the qualifying-orders aggregate must be map-side partial
+    (shuffle O(orders), not O(lineitems)) and the top-100 a heap."""
+    df = rel.q18_large_orders(spark, SF_SMOKE)
+    p = P.plan(df, "simple")
+    assert "TakeOrderedAndProject" in P.plan(df)
+    assert P.count_nodes(p, "HashAggregate") >= 2  # partial + final
+    # lineitem scan reads only the two columns the aggregate needs
+    assert any(
+        "l_orderkey" in s and "l_quantity" in s and "l_extendedprice" not in s
+        for s in P.read_schemas(df)
+    )
+
+
+def test_funnel_stage_predicates_push_to_scans(spark):
+    """Each funnel stage scans events with its event_type predicate
+    pushed; per-user state is a min timestamp, never a list."""
+    df = rel.funnel_conversion(spark, SF_SMOKE)
+    pushed = " ".join(P.pushed_filters(df))
+    assert "event_type" in pushed
+    assert "CollectList" not in P.plan(df) and "collect_list" not in P.plan(df)
+
+
 def test_q5_broadcasts_dims_no_cartesian(spark):
     """TPC-H Q5: nation/region broadcast at any sf; the 6-table join
     must plan as equi-joins (no BroadcastNestedLoop/cartesian from
