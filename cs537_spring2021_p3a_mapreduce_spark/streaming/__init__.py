@@ -276,8 +276,44 @@ def stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for NATIVE streaming session windows:
+    ``session_window`` gap-merged per-user sessions computed by the
+    streaming engine, value-checked against a gaps-and-islands SQL
+    oracle written to the ENGINE's merge rule — two per-user events
+    start a new session iff their gap is ≥ the window gap (each
+    event spans [ts, ts+gap) and merging requires overlap, so an
+    exactly-gap-apart pair does NOT merge; the batch
+    ``session_windows`` query uses the > convention, which is why
+    this entry carries its own oracle). ``session_end`` is the
+    engine's definition too: last event + gap, not last event.
+
+    Complete output mode for the finite-drain reason documented at
+    stream_time_bucket. State per key is one open session interval,
+    watermark-evicted — the 100 TB shape."""
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_sw_")
+    sessions = session_event_counts(_staged_events_stream(spark, sf_dir, work))
+    out = sessions.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+    name = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, os.path.join(work, "ckpt"), "complete")
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_time_bucket": stream_time_bucket,
+    "stream_session_windows": stream_session_windows,
     "stream_running_counts": stream_running_counts,
 }
 
@@ -289,6 +325,30 @@ ORACLES = {
     "stream_running_counts": (
         "SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1"
     ),
+    # Merge-rule-exact sessionization: new session when gap >= 30 min
+    # (session_window's overlap rule), session_end = last event + gap.
+    "stream_session_windows": """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
 }
 
 
