@@ -471,18 +471,38 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cents_df: DataFrame) -> DataFrame:
-        dist = F.aggregate(
-            F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        # All K centroids fold into ONE row (collect_list over K
+        # rows), 1-row-broadcast-crossJoined to the corpus; each
+        # vector then picks argmin_(dist, cid) via array_min over
+        # per-centroid (dist, cid) structs — struct comparison IS
+        # the tie-break rule, and collect_list's nondeterministic
+        # order is irrelevant to a min. Assignment is thereby fully
+        # NARROW: zero shuffle of the n×K product (the previous
+        # form shuffled it through a per-vec_id row_number window
+        # every iteration — 4 avoidable n×K exchanges).
+        carr = cents_df.agg(F.collect_list(F.struct("cid", "cq")).alias("cents"))
+        best = F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with("q", c["cq"], lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         return (
-            vecs.crossJoin(F.broadcast(cents_df))
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "q", "cid", "dist")
+            vecs.crossJoin(F.broadcast(carr))
+            .withColumn("best", best)
+            .select(
+                "vec_id",
+                "q",
+                F.col("best.cid").alias("cid"),
+                F.col("best.dist").alias("dist"),
+            )
         )
 
     for _ in range(KMEANS_ITERS):
