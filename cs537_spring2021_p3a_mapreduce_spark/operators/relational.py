@@ -645,6 +645,46 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q14_FROM = "1996-01-01 00:00:00"
+Q14_TO = "1997-01-01 00:00:00"
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: revenue share per part type (the PROMO row
+    is Q14's answer) for lineitems shipped in a year window — the
+    fact⋈mid-size-dim join. ``part`` carries NO broadcast hint on
+    purpose: it is the dimension whose size scales with sf (unlike
+    nation/region), so AQE's stats decide broadcast-vs-shuffle at
+    runtime — the same judgment call tfidf's vocabulary join makes.
+    The share divides two identical exact-unit longs, so the double
+    is bit-stable across engines.
+
+    Output: p_type, n_items, revenue, revenue_share.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    per = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias(
+                "rev_units"
+            ),
+        )
+    )
+    tot = per.agg(F.sum("rev_units").alias("tot_units"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "p_type",
+        "n_items",
+        (F.col("rev_units") / F.lit(1e4)).alias("revenue"),
+        F.round(F.col("rev_units") / F.col("tot_units"), 6).alias("revenue_share"),
+    )
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -962,6 +1002,22 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT {Q18_TOPK}
 """
 
+_Q14 = f"""
+WITH per AS (
+  SELECT p_type, count(*)::BIGINT AS n_items,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_units
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_FROM}'
+    AND l_shipdate < TIMESTAMP '{Q14_TO}'
+  GROUP BY p_type
+)
+SELECT p_type, n_items,
+       rev_units / 1e4 AS revenue,
+       round(rev_units / (SELECT sum(rev_units) FROM per), 6) AS revenue_share
+FROM per
+"""
+
 _FUNNEL = """
 WITH v AS (
   SELECT user_id, min(ts) AS t0 FROM events
@@ -1010,6 +1066,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
     "q18_large_orders": q18_large_orders,
+    "q14_promo_share": q14_promo_share,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "skew_salted_join_agg": skew_salted_join_agg,
@@ -1037,6 +1094,7 @@ ORACLES = {
     "q3_shipping_priority": _Q3,
     "q5_region_volume": _Q5,
     "q18_large_orders": _Q18,
+    "q14_promo_share": _Q14,
     "funnel_conversion": _FUNNEL,
     "retention_cohorts": _RETENTION,
     "skew_salted_join_agg": _SALTED,
