@@ -987,6 +987,9 @@ FROM documents
 GROUP BY 1
 """
 
+# curate_corpus oracle is composed below (after _TOKS/_STOPLIST are
+# defined) from the same fragments quality_score's oracle uses.
+
 _DEDUP_NGRAM = _BIGRAMS + f"""
 , dbg AS (SELECT DISTINCT doc_id, bigram FROM bg WHERE doc_id < {NGRAM_EXACT_MAX_DOCS}),
 sizes AS (SELECT doc_id, count(*) AS n_bg FROM dbg GROUP BY 1),
@@ -1103,6 +1106,34 @@ SELECT doc_id, n_tokens,
 FROM per_doc
 """
 
+CURATE_MIN_QUALITY = 0.85
+CURATE_MIN_TOKENS = 5
+
+_CURATE = _TOKS + f"""
+, per_doc AS (
+  SELECT d.doc_id,
+         count(t.token)::BIGINT AS n_tokens,
+         coalesce(sum(length(t.token)), 0) AS token_chars,
+         coalesce(sum(CASE WHEN t.token IN {_STOPLIST} THEN 1 ELSE 0 END), 0) AS n_stop
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY 1
+), metrics AS (
+  SELECT doc_id, n_tokens,
+         round(0.4 * least(1.0, n_tokens / 20.0)
+               + 0.3 * (1.0 - n_stop * 1.0 / nullif(n_tokens, 0))
+               + 0.3 * least(1.0, (token_chars * 1.0 / nullif(n_tokens, 0)) / 8.0), 6)
+           AS quality
+  FROM per_doc
+), keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY sha256(lower(trim(text)))
+)
+SELECT d.doc_id, d.lang, m.n_tokens, m.quality
+FROM documents d
+JOIN keepers k ON d.doc_id = k.doc_id
+JOIN metrics m ON d.doc_id = m.doc_id
+WHERE m.quality >= {CURATE_MIN_QUALITY} AND m.n_tokens >= {CURATE_MIN_TOKENS}
+"""
+
 _FINGERPRINT = f"""
 SELECT doc_id,
        list_reduce(
@@ -1162,8 +1193,49 @@ SELECT doc_id, n_tok,
 FROM b
 """
 
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass — the pipeline a training-data run
+    actually executes, composed from this module's own operators:
+    ``quality_score`` metrics + exact-dedup keeper selection
+    (``dedup_exact`` semantics) + quality and length thresholds, in
+    ONE declarative plan. The point of the entry is compositionality:
+    each stage is the already-verified operator, and Catalyst fuses
+    the narrow metric computation into the scan while the only
+    shuffles are the digest aggregate (uniform sha2 key) and the two
+    keyed joins. A 100 TB curation run adds the near-dup cluster
+    filter (``dedup_clusters``) at the same seam the exact keeper
+    occupies here.
+
+    Output: doc_id, lang, n_tokens, quality — the curated corpus
+    manifest, deterministic and oracle-checked end to end.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "lang", F.sha2(F.lower(F.trim("text")), 256).alias("text_hash")
+    )
+    keepers = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keeper_doc_id")
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    return (
+        hashed.join(
+            keepers,
+            (hashed.text_hash == keepers.text_hash)
+            & (hashed.doc_id == keepers.keeper_doc_id),
+            "left_semi",
+        )
+        .join(q, "doc_id")
+        .filter(
+            (F.col("quality") >= CURATE_MIN_QUALITY)
+            & (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+        )
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "curate_corpus": curate_corpus,
     "dedup_ngram": dedup_ngram,
     "dedup_embedding": dedup_embedding,
     "similarity_topk": similarity_topk,
@@ -1185,6 +1257,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": _DEDUP_EXACT,
+    "curate_corpus": _CURATE,
     "dedup_ngram": _DEDUP_NGRAM,
     "dedup_embedding": _DEDUP_EMB,
     "similarity_topk": _SIM_TOPK,
