@@ -645,6 +645,46 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUCKETS = 8
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via BUCKETED tables — the
+    pre-partitioning technique for repeated 100 TB joins: lineitem
+    and orders are written once as co-bucketed managed tables
+    (same key, same bucket count), after which every join on the
+    bucket key plans with NO exchange on either side — bucket i
+    joins bucket i in place, and only the final small aggregate
+    shuffles. The one-time write cost amortizes over every
+    subsequent join/agg on that key (the fact-table layout decision
+    a warehouse makes once, not per query). Plan-asserted in
+    tests/test_plans.py: zero Exchange under the join.
+
+    Output: o_orderpriority, n_items, revenue.
+    """
+    from ..sources import write_bucketed_table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li_t, o_t = "graft_bucketed_lineitem", "graft_bucketed_orders"
+    write_bucketed_table(li, li_t, ["l_orderkey"], BUCKETS, ["l_orderkey"])
+    write_bucketed_table(orders, o_t, ["o_orderkey"], BUCKETS, ["o_orderkey"])
+    return (
+        spark.table(li_t)
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
+                / F.lit(1e4)
+            ).alias("revenue"),
+        )
+    )
+
+
 Q14_FROM = "1996-01-01 00:00:00"
 Q14_TO = "1997-01-01 00:00:00"
 
@@ -1050,6 +1090,15 @@ FROM events e JOIN first_touch f ON e.user_id = f.user_id
 GROUP BY 1, 2
 """
 
+_BUCKETED = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_items,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
 _SALTED = """
 SELECT o_orderpriority,
        count(*)::BIGINT AS n_items,
@@ -1067,6 +1116,7 @@ QUERIES = {
     "q5_region_volume": q5_region_volume,
     "q18_large_orders": q18_large_orders,
     "q14_promo_share": q14_promo_share,
+    "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "skew_salted_join_agg": skew_salted_join_agg,
@@ -1095,6 +1145,7 @@ ORACLES = {
     "q5_region_volume": _Q5,
     "q18_large_orders": _Q18,
     "q14_promo_share": _Q14,
+    "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
     "retention_cohorts": _RETENTION,
     "skew_salted_join_agg": _SALTED,

@@ -108,7 +108,21 @@ def write_bucketed_table(
 ) -> None:
     """Bucketed managed table: joins/aggregations on ``bucket_cols``
     between co-bucketed tables plan with ZERO shuffle — this is the
-    pre-partitioning story for repeated 100 TB fact-fact joins."""
+    pre-partitioning story for repeated 100 TB fact-fact joins.
+
+    A fresh session's in-memory catalog doesn't know about a
+    previous session's managed-table directory, and ``saveAsTable``
+    refuses to adopt an unregistered location — so drop the catalog
+    entry AND any orphaned warehouse directory first (local-fs
+    layout; a real deployment's external catalog doesn't orphan)."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

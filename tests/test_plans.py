@@ -174,6 +174,24 @@ def test_funnel_stage_predicates_push_to_scans(spark):
     assert "CollectList" not in P.plan(df) and "collect_list" not in P.plan(df)
 
 
+def test_bucketed_join_has_no_exchange_under_join(spark):
+    """Co-bucketed tables join without shuffling either side: the
+    only exchange in the whole plan is the final aggregate's.
+    Broadcast is disabled for the assertion — at sf0.001 AQE would
+    broadcast the tiny table, which avoids a shuffle for the wrong
+    reason; the property under test is that a SORT-MERGE join of
+    co-bucketed facts needs no exchange (the 100 TB case, where
+    neither side broadcasts)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = rel.bucketed_join_revenue(spark, SF_SMOKE)
+        assert P.uses_sort_merge_join(df)
+        assert P.shuffle_count(df) == 1  # the groupBy only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_q5_broadcasts_dims_no_cartesian(spark):
     """TPC-H Q5: nation/region broadcast at any sf; the 6-table join
     must plan as equi-joins (no BroadcastNestedLoop/cartesian from
