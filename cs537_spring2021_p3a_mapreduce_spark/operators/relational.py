@@ -339,6 +339,63 @@ def cube_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form cube/rollup are
+    sugar for: an arbitrary set list ((status, priority), (status),
+    (priority), ()) in ONE pass and one shuffle, with
+    ``grouping_id`` disambiguating which set produced each row
+    (coalesce alone can't tell a real NULL from a rolled-up one).
+    Declared through the SQL surface (spark.sql) — the DataFrame
+    and SQL front-ends hit the same Catalyst plan.
+
+    Output: status, priority, gid, n_orders, sum_total.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority), (o_orderstatus),
+          (o_orderpriority), ()
+        )
+        """
+    )
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders priced above their own
+    customer's average — submitted through the SQL surface so
+    Catalyst's decorrelation rewrite is what's exercised: the
+    per-row subquery becomes ONE aggregate on o_custkey joined back
+    to orders (two shuffles on the same key, AQE-reusable), never a
+    re-executed inner query per outer row. The average divides
+    exact cent longs, so the comparison is bit-stable across
+    engines.
+
+    Output: o_orderkey, o_custkey, o_totalprice.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 1.0 > (
+          SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                 / count(*)
+          FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type. At 100 TB this
     is THE way to count distincts: fixed-size sketch per group,
@@ -918,6 +975,29 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
+_GSETS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+         AS gid,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS sum_total
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ()
+)
+"""
+
+_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 1.0 > (
+  SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) / count(*)
+  FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
 _JSON = """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        count(*)::BIGINT AS cnt,
@@ -1126,6 +1206,8 @@ QUERIES = {
     "window_running_sum": window_running_sum,
     "set_ops_segments": set_ops_segments,
     "cube_rollup_sales": cube_rollup_sales,
+    "grouping_sets_mix": grouping_sets_mix,
+    "above_avg_orders": above_avg_orders,
     "approx_distinct_users": approx_distinct_users,
     "json_extract_events": json_extract_events,
     "time_bucket_events": time_bucket_events,
@@ -1155,6 +1237,8 @@ ORACLES = {
     "window_running_sum": _WRUN,
     "set_ops_segments": _SETOPS,
     "cube_rollup_sales": _ROLLUP,
+    "grouping_sets_mix": _GSETS,
+    "above_avg_orders": _ABOVE_AVG,
     # approx_distinct_users: intentionally no oracle (sketch estimate).
     "json_extract_events": _JSON,
     "time_bucket_events": _TBUCKET,

@@ -192,6 +192,16 @@ def test_bucketed_join_has_no_exchange_under_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_correlated_subquery_decorrelates_to_one_join(spark):
+    """Catalyst must rewrite the per-row scalar subquery into one
+    aggregate joined back on the correlation key — a plan with a
+    re-executed inner query per outer row would be quadratic."""
+    df = rel.above_avg_orders(spark, SF_SMOKE)
+    p = P.plan(df, "simple")
+    assert "Join" in p
+    assert P.shuffle_count(df) <= 2  # agg exchange (+ join exchange at scale)
+
+
 def test_q5_broadcasts_dims_no_cartesian(spark):
     """TPC-H Q5: nation/region broadcast at any sf; the 6-table join
     must plan as equi-joins (no BroadcastNestedLoop/cartesian from
