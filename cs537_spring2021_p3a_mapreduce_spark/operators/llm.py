@@ -915,6 +915,55 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_BUDGETS = {"en": 3000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+MIX_DEFAULT_BUDGET = 1000  # tokens per unlisted language
+
+
+def mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus mixing: fill each language's token budget
+    with a deterministic hash-ordered prefix of its documents — the
+    data-mixing step that hits an exact per-source token target
+    (vs ``sample_stratified``'s rate-based Bernoulli form).
+
+    Docs are ordered within each language by ``md5(doc_id)`` (a
+    deterministic uniform shuffle both engines compute identically —
+    the kmeans-init trick), and a doc is kept while the cumulative
+    token count BEFORE it is under the budget, so the first doc
+    crossing the line still ships (budgets are floors, and the rule
+    stays prefix-decidable). One shuffle: the per-lang window.
+
+    Scale note: a per-lang window totally orders each language —
+    fine while languages are few and budgets modest (the training-
+    mix case: budgets ≪ corpus). For budgets near corpus scale the
+    variant is rate-estimation + the narrow hash-threshold filter of
+    ``sample_stratified``, trading exact budgets for zero shuffles.
+
+    Output: doc_id, lang, n_tokens, cum_before.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    budget: Column = F.lit(MIX_DEFAULT_BUDGET)
+    for lang, b in MIX_BUDGETS.items():
+        budget = F.when(F.col("lang") == lang, F.lit(b)).otherwise(budget)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_doc.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("cum_before") < budget)
+        .select("doc_id", "lang", "n_tokens", "cum_before")
+    )
+
+
 PACK_BUDGET = 512  # tokens per pack
 PACK_BAND = 16  # length-band width (tokens)
 
@@ -1109,6 +1158,26 @@ FROM per_doc
 CURATE_MIN_QUALITY = 0.85
 CURATE_MIN_TOKENS = 5
 
+_MIX = """
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT
+           AS n_tokens,
+         md5(doc_id::VARCHAR) AS h
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM per_doc
+)
+SELECT doc_id, lang, n_tokens, cum_before
+FROM cum
+WHERE cum_before < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 WHEN 'es' THEN 1500 WHEN 'fr' THEN 1500 WHEN 'zh' THEN 1500 ELSE 1000 END
+"""
+
 _CURATE = _TOKS + f"""
 , per_doc AS (
   SELECT d.doc_id,
@@ -1252,6 +1321,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "multimodal_meta": multimodal_meta,
     "sample_stratified": sample_stratified,
+    "mix_corpora": mix_corpora,
     "pack_sequences": pack_sequences,
 }
 
@@ -1299,5 +1369,6 @@ FROM g
     "token_count_bpe": _BPE,
     "multimodal_meta": _MULTIMODAL,
     "sample_stratified": _SAMPLE_STRAT,
+    "mix_corpora": _MIX,
     "pack_sequences": _PACK_SEQ,
 }
