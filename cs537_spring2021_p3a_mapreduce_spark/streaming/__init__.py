@@ -311,8 +311,51 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for STREAMING EXACT DEDUP
+    (``dropDuplicatesWithinWatermark``): the events file is staged
+    TWICE into the stream source, so every record arrives as an
+    exact duplicate pair; the streaming state keeps the first copy
+    per event_id and the oracle is simply the original table — the
+    duplicates must vanish, whatever micro-batch split the engine
+    chose. Within-watermark state covers in-batch and cross-batch
+    dups; a copy arriving after its key's state evicted is by
+    definition older than the watermark and is dropped as late —
+    either way exactly one copy survives (the bounded-state
+    guarantee documented on ``dedup_stream``).
+
+    Output: event_id, user_id, event_type, n (always 1 — the count
+    aggregate would double without the dedup, which is what makes
+    this value-check the dedup and not just the plumbing)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_dd_")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    for copy in (0, 1):
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, f"part-{copy}.parquet"),
+        )
+    deduped = dedup_stream(
+        stream_events(spark, src_dir), key="event_id", watermark="1 hour"
+    )
+    # dedup_stream already defined the event-time watermark; it
+    # propagates to this aggregate (re-declaring one is disallowed
+    # with multiple stateful operators).
+    counts = deduped.groupBy("event_id", "user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(counts, name, os.path.join(work, "ckpt"), "complete")
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_time_bucket": stream_time_bucket,
+    "stream_dedup_events": stream_dedup_events,
     "stream_session_windows": stream_session_windows,
     "stream_running_counts": stream_running_counts,
 }
@@ -324,6 +367,12 @@ ORACLES = {
     ),
     "stream_running_counts": (
         "SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1"
+    ),
+    # The doubled source must collapse back to the original table:
+    # one row per event, count 1.
+    "stream_dedup_events": (
+        "SELECT event_id, user_id, event_type, 1::BIGINT AS n "
+        "FROM events"
     ),
     # Merge-rule-exact sessionization: new session when gap >= 30 min
     # (session_window's overlap rule), session_end = last event + gap.
