@@ -248,7 +248,7 @@ def stream_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("n_events"),
     )
     name = f"stream_tb_{uuid.uuid4().hex[:8]}"
-    run_to_memory(out, name, os.path.join(work, "ckpt"), "complete")
+    run_to_memory(out, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8)
     return spark.table(name)
 
 
@@ -268,7 +268,7 @@ def stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_rc_")
     counts = running_user_counts(_staged_events_stream(spark, sf_dir, work))
     name = f"stream_rc_{uuid.uuid4().hex[:8]}"
-    run_to_memory(counts, name, os.path.join(work, "ckpt"), "update")
+    run_to_memory(counts, name, os.path.join(work, "ckpt"), "update", shuffle_partitions=8)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -307,7 +307,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     name = f"stream_sw_{uuid.uuid4().hex[:8]}"
-    run_to_memory(out, name, os.path.join(work, "ckpt"), "complete")
+    run_to_memory(out, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8)
     return spark.table(name)
 
 
@@ -349,7 +349,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n")
     )
     name = f"stream_dd_{uuid.uuid4().hex[:8]}"
-    run_to_memory(counts, name, os.path.join(work, "ckpt"), "complete")
+    run_to_memory(counts, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8)
     return spark.table(name)
 
 
@@ -406,17 +406,33 @@ def run_to_memory(
     table: str,
     checkpoint_dir: str,
     output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain all currently-available input through the streaming
     plan into an in-memory table (test/debug sink): availableNow
     trigger, blocks until done. Production sinks are writeStream to
-    parquet/Kafka with the same plan."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(table)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    parquet/Kafka with the same plan.
+
+    ``shuffle_partitions`` scopes the state-store partition count to
+    this drain (restored after): a stream's state partitioning is
+    fixed at the first checkpoint, and sizing it to the expected key
+    cardinality is the per-stream deploy decision — the driver-entry
+    drains are single-file bounded inputs where the session's batch
+    default (32) is pure per-partition overhead."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
