@@ -192,6 +192,22 @@ def test_bucketed_join_has_no_exchange_under_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_mix_corpora_single_window_shuffle(spark):
+    """Budget mixing costs exactly one exchange (the per-lang
+    window); the token counting stays narrow in the scan stage."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.mix_corpora(spark, SF_SMOKE)
+    assert P.shuffle_count(df) == 1
+
+
+def test_retention_joins_and_aggs_stay_keyed(spark):
+    """First-touch agg and re-join share the user_id partitioning;
+    final rollup is weeks²-bounded. No more than 3 exchanges."""
+    df = rel.retention_cohorts(spark, SF_SMOKE)
+    assert P.shuffle_count(df) <= 3
+
+
 def test_correlated_subquery_decorrelates_to_one_join(spark):
     """Catalyst must rewrite the per-row scalar subquery into one
     aggregate joined back on the correlation key — a plan with a

@@ -66,3 +66,40 @@ def test_tokens_expression_matches_python_split(spark, texts):
         # str.split() == split on whitespace runs, empties dropped —
         # the clean semantics SURVEY §2.A (A3) declares
         assert list(r.toks) == r.text.split()
+
+
+def test_funnel_stages_are_monotone_non_increasing(spark):
+    """Invariant independent of the oracle: each strict-order funnel
+    stage can only lose users relative to the previous one."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        funnel_conversion,
+    )
+
+    rows = {
+        r["stage"]: r["n_users"]
+        for r in funnel_conversion(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"] >= 0
+
+
+def test_mix_corpora_budgets_are_floors(spark):
+    """Every language's kept set crosses its token budget by at most
+    one document (the prefix rule: last kept doc starts under
+    budget), and dropping its largest kept doc goes under budget."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        MIX_BUDGETS,
+        MIX_DEFAULT_BUDGET,
+        mix_corpora,
+    )
+
+    out = mix_corpora(spark, "/root/testdata/sf0.001").collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        budget = MIX_BUDGETS.get(lang, MIX_DEFAULT_BUDGET)
+        assert all(r["cum_before"] < budget for r in rows)
+        total = sum(r["n_tokens"] for r in rows)
+        # the budget is a floor unless the language ran out of docs
+        last = max(rows, key=lambda r: r["cum_before"])
+        assert total >= budget or last["cum_before"] + last["n_tokens"] == total
