@@ -702,6 +702,98 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q8_NATION = "NATION_9"
+Q8_REGION = "ASIA"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a region's
+    order revenue, per order year — the 7-table join with a
+    CONDITIONAL aggregate (share numerator is a case-guarded sum
+    inside the same hash aggregate as the denominator — one pass,
+    one shuffle on the year key after the joins). nation/region
+    broadcast at any sf; supplier joins through the lineitem fact;
+    both share terms sum identical exact-unit longs, so the double
+    division is bit-stable.
+
+    Output: o_year, nation_rev, total_rev, mkt_share.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c_nation = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    region = F.broadcast(
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q8_REGION)
+        .select("r_regionkey")
+    )
+    s_nation = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    rev_units = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(c_nation, F.col("c_nationkey") == F.col("cn_key"))
+        .join(region, F.col("cn_region") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_NATION, rev_units).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.lit(1e4)
+            ).alias("nation_rev"),
+            (F.sum(rev_units) / F.lit(1e4)).alias("total_rev"),
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_NATION, rev_units).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum(rev_units),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def outer_join_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join aggregate: every customer with their order
+    count and revenue, INCLUDING zero-order customers (the join
+    type the semi/anti pair doesn't cover — null-extended rows must
+    aggregate to exact zeros, not drop). One outer hash join + one
+    aggregate, both on customer key.
+
+    Output: c_custkey, n_orders, revenue.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_custkey").alias("n_orders"),
+            (
+                F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)) / F.lit(100.0)
+            ).alias("revenue"),
+        )
+    )
+
+
 BUCKETS = 8
 
 
@@ -1122,6 +1214,37 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT {Q18_TOPK}
 """
 
+_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev_units ELSE 0 END) / 1e4
+         AS nation_rev,
+       sum(rev_units) / 1e4 AS total_rev,
+       round(sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev_units ELSE 0 END)
+             / sum(rev_units), 6) AS mkt_share
+FROM (
+  SELECT o_orderdate, sn.n_name AS supp_nation,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_units
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = '{Q8_REGION}'
+)
+GROUP BY 1
+"""
+
+_OUTER = """
+SELECT c_custkey,
+       count(o_custkey)::BIGINT AS n_orders,
+       coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) / 100.0 AS revenue
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
 _Q14 = f"""
 WITH per AS (
   SELECT p_type, count(*)::BIGINT AS n_items,
@@ -1195,6 +1318,8 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
     "q18_large_orders": q18_large_orders,
+    "q8_market_share": q8_market_share,
+    "outer_join_order_profile": outer_join_order_profile,
     "q14_promo_share": q14_promo_share,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
@@ -1226,6 +1351,8 @@ ORACLES = {
     "q3_shipping_priority": _Q3,
     "q5_region_volume": _Q5,
     "q18_large_orders": _Q18,
+    "q8_market_share": _Q8,
+    "outer_join_order_profile": _OUTER,
     "q14_promo_share": _Q14,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
