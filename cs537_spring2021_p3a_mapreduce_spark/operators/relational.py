@@ -817,7 +817,12 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    li_t, o_t = "graft_bucketed_lineitem", "graft_bucketed_orders"
+    # Session-scoped names: two concurrent sessions share the
+    # local warehouse directory, and a fixed name would let one
+    # rmtree the table the other is scanning. Within a session the
+    # overwrite is idempotent (bench reruns).
+    tag = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    li_t, o_t = f"graft_bucketed_lineitem_{tag}", f"graft_bucketed_orders_{tag}"
     write_bucketed_table(li, li_t, ["l_orderkey"], BUCKETS, ["l_orderkey"])
     write_bucketed_table(orders, o_t, ["o_orderkey"], BUCKETS, ["o_orderkey"])
     return (
