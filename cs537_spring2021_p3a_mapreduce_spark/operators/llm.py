@@ -441,8 +441,12 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       sum expressions in one hash aggregate — the wide-agg trick —
       then re-packed to an array).
 
-    Scale shape: each iteration is one n×K cross join (K tiny, the
-    centroid side broadcasts) + one K-key aggregate; the training
+    Scale shape: assignment is fully NARROW — the K centroids fold
+    into one collected row, 1-row-broadcast-crossJoined to the
+    corpus, and each vector takes argmin via ``array_min`` over
+    per-centroid (dist, cid) structs (struct ordering IS the
+    tie-break); each iteration then adds one K-key aggregate for
+    the centroid update, the only shuffle per round; the training
     corpus is a SAMPLE by construction — production trains on a
     bounded sample exactly like this, then assigns the full corpus
     through the IVF GEMM path. The loop is lazily composed into one

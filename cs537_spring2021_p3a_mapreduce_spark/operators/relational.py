@@ -893,8 +893,9 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — per-user state is one timestamp, never a collected
     event list (a hot user with 10⁸ events costs a bigger min-agg,
     not an aggregation-buffer OOM; contrast the collect_list funnel
-    formulation this module deliberately avoids). All three hops
-    hash-partition by user_id, so AQE reuses the exchange layout.
+    formulation this module deliberately avoids). Every hop
+    partitions on the same user_id key, so no stage ever
+    re-partitions data it receives already keyed.
 
     Output: stage, n_users — one row per funnel stage.
     """

@@ -344,7 +344,12 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # dedup_stream already defined the event-time watermark; it
     # propagates to this aggregate (re-declaring one is disallowed
-    # with multiple stateful operators).
+    # with multiple stateful operators). NOTE: this per-event count
+    # aggregate is the VERIFICATION harness, not the production op —
+    # complete-mode state grows with the drained input, which is fine
+    # for a bounded driver check. The production operator is
+    # ``dedup_stream`` alone (watermark-bounded state), whose output
+    # feeds a normal sink.
     counts = deduped.groupBy("event_id", "user_id", "event_type").agg(
         F.count("*").alias("n")
     )
