@@ -1,0 +1,279 @@
+#!/usr/bin/env python
+"""Measured scaling probe: do the headline plans actually scale?
+
+Generates DETERMINISTIC synthetic tables at a configurable multiple
+of the sf0.1 row counts (pure Spark expressions seeded by xxhash64
+of the row id — no RNG, so every run and every partitioning produces
+identical data), writes them to a temp dir as parquet, and times a
+set of headline queries at each scale. The point is evidence for
+SCALE.md: a plan whose wall-time grows superlinearly in rows is
+flagged by the printed ratio table, not by prose.
+
+Synthetic docs are near-duplicate-free by construction (token chosen
+by hash(doc, pos)), so dedup candidate generation is probed at its
+design point — bucket joins over mostly-unique corpora — rather
+than on an artificially duplicated corpus whose pair count explodes
+quadratically by construction.
+
+Usage: python tools/scale_probe.py [mult ...]   (default: 1 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# sf0.1 row counts (TESTDATA.md layout) — mult=1 reproduces them.
+BASE = {
+    "documents": 5_000,
+    "events": 100_000,
+    "orders": 15_000,
+    "lineitem": 60_000,
+    "customer": 15_000,
+    "embeddings": 5_000,
+}
+
+VOCAB = [
+    "the", "of", "and", "a", "in", "to", "is", "fast", "key", "order",
+    "sort", "table", "scan", "merge", "part", "window", "small", "hash",
+    "join", "batch", "stream", "spark", "quality", "filter", "group",
+    "shuffle", "broadcast", "partition", "reduce", "map", "count", "word",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+EVENT_TYPES = ["click", "signup", "purchase", "error", "view"]
+EMB_DIM = 64
+
+
+def _pick(arr: list[str], *cols) -> F.Column:
+    lit = F.array(*[F.lit(x) for x in arr])
+    return F.element_at(lit, (F.pmod(F.xxhash64(*cols), F.lit(len(arr))) + 1).cast("int"))
+
+
+def gen_documents(spark: SparkSession, n: int):
+    # Zipf-ish vocabulary: half the positions draw from the 32
+    # common words (stopword/lexicon hits for the text operators),
+    # half from a ~20k-word hashed long tail — WITHOUT the tail, a
+    # 32-word vocabulary makes every doc's bag-of-words genuinely
+    # similar and the corpus is near-dup-DENSE (SimHash legitimately
+    # emits O(n²) pairs), which is the wrong design point to probe.
+    ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    n_tok = (F.pmod(F.xxhash64("doc_id", F.lit("len")), F.lit(80)) + 20).cast("int")
+
+    def tok(i):
+        common = _pick(VOCAB, F.col("doc_id"), i)
+        tail = F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit("tail")), F.lit(20_000))
+        )
+        return F.when(
+            F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit("mix")), F.lit(2)) == 0,
+            common,
+        ).otherwise(tail)
+
+    toks = F.transform(F.sequence(F.lit(0), n_tok - 1), tok)
+    return ids.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("text"),
+        _pick(LANGS, F.col("doc_id"), F.lit("lang")).alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length(F.array_join(toks, " ")).alias("n_chars"),
+    )
+
+
+def gen_events(spark: SparkSession, n: int, n_users: int):
+    ids = spark.range(n).withColumnRenamed("id", "event_id")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    off = F.pmod(F.xxhash64("event_id", F.lit("ts")), F.lit(span_us))
+    return ids.select(
+        "event_id",
+        F.timestamp_micros(F.unix_micros(base) + off).alias("ts"),
+        F.pmod(F.xxhash64("event_id", F.lit("u")), F.lit(n_users)).alias("user_id"),
+        _pick(EVENT_TYPES, F.col("event_id"), F.lit("t")).alias("event_type"),
+        (F.pmod(F.xxhash64("event_id", F.lit("v")), F.lit(10_000)) / 100.0).alias(
+            "value"
+        ),
+        F.concat(
+            F.lit('{"k": '),
+            F.pmod(F.xxhash64("event_id", F.lit("k")), F.lit(100)),
+            F.lit("}"),
+        ).alias("props"),
+    )
+
+
+def gen_customer(spark: SparkSession, n: int):
+    ids = spark.range(n).withColumnRenamed("id", "c_custkey")
+    return ids.select(
+        "c_custkey",
+        F.concat(F.lit("Customer#"), F.col("c_custkey")).alias("c_name"),
+        F.pmod(F.xxhash64("c_custkey", F.lit("n")), F.lit(25)).alias("c_nationkey"),
+        (F.pmod(F.xxhash64("c_custkey", F.lit("b")), F.lit(1_000_000)) / 100.0).alias(
+            "c_acctbal"
+        ),
+        _pick(
+            ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"],
+            F.col("c_custkey"),
+            F.lit("s"),
+        ).alias("c_mktsegment"),
+    )
+
+
+def gen_orders(spark: SparkSession, n: int, n_cust: int):
+    ids = spark.range(n).withColumnRenamed("id", "o_orderkey")
+    day_us = 24 * 3600 * 1_000_000
+    base = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    return ids.select(
+        "o_orderkey",
+        F.pmod(F.xxhash64("o_orderkey", F.lit("c")), F.lit(n_cust)).alias("o_custkey"),
+        _pick(["O", "F", "P"], F.col("o_orderkey"), F.lit("st")).alias("o_orderstatus"),
+        (
+            F.pmod(F.xxhash64("o_orderkey", F.lit("p")), F.lit(30_000_000)) / 100.0
+        ).alias("o_totalprice"),
+        F.timestamp_micros(
+            F.unix_micros(base)
+            + F.pmod(F.xxhash64("o_orderkey", F.lit("d")), F.lit(2400)) * day_us
+        ).alias("o_orderdate"),
+        _pick(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            F.col("o_orderkey"),
+            F.lit("pr"),
+        ).alias("o_orderpriority"),
+    )
+
+
+def gen_lineitem(spark: SparkSession, n: int, n_orders: int):
+    ids = spark.range(n).withColumnRenamed("id", "lid")
+    day_us = 24 * 3600 * 1_000_000
+    base = F.lit("1995-01-02 00:00:00").cast("timestamp")
+    return ids.select(
+        (F.col("lid") % n_orders).alias("l_orderkey"),
+        F.pmod(F.xxhash64("lid", F.lit("pk")), F.lit(20_000)).alias("l_partkey"),
+        F.pmod(F.xxhash64("lid", F.lit("sk")), F.lit(1_000)).alias("l_suppkey"),
+        (F.col("lid") / n_orders).cast("int").alias("l_linenumber"),
+        (F.pmod(F.xxhash64("lid", F.lit("q")), F.lit(50)) + 1).cast("double").alias(
+            "l_quantity"
+        ),
+        (F.pmod(F.xxhash64("lid", F.lit("ep")), F.lit(10_000_000)) / 100.0).alias(
+            "l_extendedprice"
+        ),
+        (F.pmod(F.xxhash64("lid", F.lit("di")), F.lit(11)) / 100.0).alias("l_discount"),
+        (F.pmod(F.xxhash64("lid", F.lit("tx")), F.lit(9)) / 100.0).alias("l_tax"),
+        _pick(["A", "N", "R"], F.col("lid"), F.lit("rf")).alias("l_returnflag"),
+        _pick(["O", "F"], F.col("lid"), F.lit("ls")).alias("l_linestatus"),
+        F.timestamp_micros(
+            F.unix_micros(base)
+            + F.pmod(F.xxhash64("lid", F.lit("sd")), F.lit(2400)) * day_us
+        ).alias("l_shipdate"),
+    )
+
+
+def gen_embeddings(spark: SparkSession, n: int):
+    ids = spark.range(n).withColumnRenamed("id", "vec_id")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+        lambda i: (
+            (F.pmod(F.xxhash64("vec_id", i), F.lit(2001)) - 1000) / 1000.0
+        ).cast("float"),
+    )
+    return ids.select(
+        "vec_id",
+        vec.alias("embedding"),
+        F.pmod(F.xxhash64("vec_id", F.lit("lb")), F.lit(10)).cast("int").alias("label"),
+    )
+
+
+def build_dataset(spark: SparkSession, mult: int, out_dir: str) -> None:
+    n_cust = BASE["customer"] * mult
+    n_orders = BASE["orders"] * mult
+    gens = {
+        "documents": lambda: gen_documents(spark, BASE["documents"] * mult),
+        "events": lambda: gen_events(
+            spark, BASE["events"] * mult, max(150 * mult, 150)
+        ),
+        "customer": lambda: gen_customer(spark, n_cust),
+        "orders": lambda: gen_orders(spark, n_orders, n_cust),
+        "lineitem": lambda: gen_lineitem(spark, BASE["lineitem"] * mult, n_orders),
+        "embeddings": lambda: gen_embeddings(spark, BASE["embeddings"] * mult),
+    }
+    for name, gen in gens.items():
+        gen().write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    # dims: copy the real sf0.1 nation/region/supplier/part (size-fixed
+    # or slow-growing; the probe varies the fact tables)
+    for name in ("nation", "region", "supplier", "part"):
+        src = f"/root/testdata/sf0.1/{name}.parquet"
+        spark.read.parquet(src).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+
+PROBES = [
+    "wordcount",
+    "agg_pricing_summary",
+    "join_order_customer",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    "funnel_conversion",
+    "session_windows",
+    "time_bucket_events",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "tfidf_terms",
+    "quality_score",
+    "curate_corpus",
+    "embedding_centroids",
+]
+
+
+def main() -> int:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 10]
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBES}
+    rows: dict[int, int] = {}
+    for mult in mults:
+        out_dir = tempfile.mkdtemp(prefix=f"scale_probe_x{mult}_")
+        t0 = time.time()
+        build_dataset(spark, mult, out_dir)
+        gen_s = time.time() - t0
+        rows[mult] = mult * BASE["lineitem"]
+        print(f"# x{mult}: generated in {gen_s:.1f}s at {out_dir}", flush=True)
+        for name in PROBES:
+            t0 = time.time()
+            n = queries[name](spark, out_dir).count()
+            dt = time.time() - t0
+            results[name][mult] = dt
+            print(f"x{mult:<4} {name:<24} {dt:7.2f}s  rows={n}", flush=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    if len(mults) >= 2:
+        lo, hi = mults[0], mults[-1]
+        print(f"\n# scaling ratios (x{hi} time / x{lo} time; data ratio {hi // lo}×)")
+        for name in PROBES:
+            a, b = results[name].get(lo), results[name].get(hi)
+            if a and b:
+                print(f"{name:<24} {b / a:5.1f}×")
+    print(json.dumps({"rows": rows, "times": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
