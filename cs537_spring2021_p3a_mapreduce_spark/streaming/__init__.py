@@ -358,9 +358,42 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the STREAMING → KEYED-UPSERT SINK
+    chain (``run_to_keyed_parquet``): per-user running counts stream
+    through ``applyInPandasWithState`` in update mode, every
+    micro-batch MERGEs into one keyed parquet table last-write-wins
+    on (user_id, version=n_events), and the table read back must
+    equal the batch per-user totals — update-log replays through the
+    A10 sink semantics (hashmap.c:40-46) converge to the final
+    state, whatever the micro-batch split was.
+
+    Output: user_id, n_events.
+    """
+    import tempfile
+    import uuid as _uuid
+
+    work = tempfile.mkdtemp(prefix="stream_up_")
+    counts = running_user_counts(_staged_events_stream(spark, sf_dir, work))
+    path = os.path.join(work, "totals")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_keyed_parquet(
+            counts,
+            path,
+            key_cols=["user_id"],
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(path).select("user_id", "n_events")
+
+
 QUERIES = {
     "stream_time_bucket": stream_time_bucket,
     "stream_dedup_events": stream_dedup_events,
+    "stream_upsert_totals": stream_upsert_totals,
     "stream_session_windows": stream_session_windows,
     "stream_running_counts": stream_running_counts,
 }
@@ -371,6 +404,11 @@ ORACLES = {
         "event_type, count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
     ),
     "stream_running_counts": (
+        "SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1"
+    ),
+    # the sink's surviving row per user must be the final running
+    # count == the batch total
+    "stream_upsert_totals": (
         "SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1"
     ),
     # The doubled source must collapse back to the original table:
