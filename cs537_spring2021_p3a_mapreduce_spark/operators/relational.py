@@ -302,6 +302,34 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SPEND_TILES = 4
+
+
+def window_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles of customers by total spend — the equi-count
+    bucketing window (rank/running-sum/percentile are covered by the
+    neighboring queries; ntile is the remaining distinct window
+    primitive). The spend aggregate shuffles on customer; the ntile
+    window is a single global ordering of the AGGREGATED rows (one
+    row per customer — orders of magnitude smaller than the fact
+    input; for a billion-customer table the scale swap is
+    ``percentile_approx`` cut-points + a narrow bucket join, same
+    output contract). Exact-cents ordering with custkey tiebreak.
+
+    Output: c_custkey, spend, tile.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("spend_c")
+    )
+    w = Window.orderBy(F.desc("spend_c"), F.asc("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("c_custkey"),
+        (F.col("spend_c") / F.lit(100.0)).alias("spend"),
+        F.ntile(N_SPEND_TILES).over(w).cast("long").alias("tile"),
+    )
+
+
 def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT (distinct forms) of two customer
     key sets, tagged into one result. Spark plans these as
@@ -1044,6 +1072,17 @@ SELECT user_id, event_id,
 FROM events
 """
 
+_NTILE = f"""
+SELECT o_custkey AS c_custkey,
+       spend_c / 100.0 AS spend,
+       ntile({N_SPEND_TILES}) OVER (ORDER BY spend_c DESC, o_custkey ASC)::BIGINT
+         AS tile
+FROM (
+  SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY 1
+)
+"""
+
 _SETOPS = """
 SELECT 'union' AS kind, c_custkey FROM (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1335,6 +1374,7 @@ QUERIES = {
     "topk_revenue": topk_revenue,
     "window_rank_orders": window_rank_orders,
     "window_running_sum": window_running_sum,
+    "window_ntile_spend": window_ntile_spend,
     "set_ops_segments": set_ops_segments,
     "cube_rollup_sales": cube_rollup_sales,
     "grouping_sets_mix": grouping_sets_mix,
@@ -1368,6 +1408,7 @@ ORACLES = {
     "topk_revenue": _TOPK,
     "window_rank_orders": _WRANK,
     "window_running_sum": _WRUN,
+    "window_ntile_spend": _NTILE,
     "set_ops_segments": _SETOPS,
     "cube_rollup_sales": _ROLLUP,
     "grouping_sets_mix": _GSETS,
