@@ -1306,6 +1306,404 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- decontamination / chunking / PII / LSH-ANN (round 2 widening) ---
+
+DECON_K = 5  # n-gram width for benchmark-overlap matching
+DECON_EVAL_MOD = 97  # doc_id % MOD == 0 → member of the held-out eval set
+
+CHUNK_SIZE = 8  # tokens per training chunk
+CHUNK_STRIDE = 6  # chunk start stride (CHUNK_SIZE - CHUNK_STRIDE overlap)
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+ANN_LSH_PLANES = 64  # hyperplanes = total sign bits
+ANN_LSH_BAND_BITS = 16  # 4 bands × 16 bits
+ANN_LSH_QUANT = 1_000_000  # embedding micro-unit quantization
+
+
+def _doc_shingle_arr(k: int) -> Column:
+    """Sliding k-gram xxhash64 identities over a token array column
+    named ``ts`` — narrow, no shuffle (same construction as
+    dedup._shingles_raw, parameterized by k)."""
+    arr = F.col("ts")
+    n_windows = F.size(arr) - (k - 1)
+    sliding = F.when(n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        sliding,
+        lambda i: F.xxhash64(*[F.get(arr, i + j) for j in range(k)]),
+    )
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``DECON_K``-gram with a held-out eval set (here the
+    deterministic ``doc_id % DECON_EVAL_MOD == 0`` slice; in
+    production the benchmark suite). The standard pre-training
+    hygiene pass (n-gram overlap against eval benchmarks).
+
+    Scale shape: both sides reduce to distinct 8-byte shingle
+    identities; the membership probe is a left-semi equi-join on the
+    shingle hash — shuffle ∝ corpus shingle count, never corpus².
+    Real eval sets are tiny relative to the corpus, so AQE broadcasts
+    the eval side and the probe is shuffle-free; nothing in the plan
+    depends on that happening. Per-doc totals are one hash aggregate.
+
+    Output: doc_id, n_ngrams, n_hit_ngrams, contaminated.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    sh = toks.select(
+        "doc_id", F.explode(_doc_shingle_arr(DECON_K)).alias("sh")
+    ).distinct()
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    train_sh = sh.filter(~is_eval)
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    totals = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        train_sh.join(eval_sh, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    base = docs.filter(~is_eval).select("doc_id")
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep chunking: split each document's token stream
+    into fixed-size windows (``CHUNK_SIZE`` tokens, stride
+    ``CHUNK_STRIDE`` → 2-token overlap) — the doc→sample explosion
+    every context-window pipeline runs before packing/tokenization.
+
+    Fully narrow: chunk starts are a per-row ``sequence`` over the
+    token array, windows are ``slice`` — no shuffle anywhere, so the
+    operator scales with scan bandwidth alone and composes with
+    ``pack_sequences`` downstream. Empty docs yield zero chunks.
+
+    Output: doc_id, chunk_idx, n_tokens, chunk_text.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    n = F.size("ts")
+    starts = F.filter(
+        F.when(n >= 1, F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda s: s < n,
+    )
+    chunks = F.transform(starts, lambda s: F.slice(F.col("ts"), s + 1, CHUNK_SIZE))
+    return toks.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and mask email / phone patterns. The
+    fixture corpus has no organic PII, so the query plants
+    deterministic markers first (an email per doc, a phone on every
+    third doc — identical construction in the oracle), then the
+    operator under test redacts them; the md5 of the redacted text is
+    the oracle-checked witness that masking hit exactly the planted
+    spans and nothing else.
+
+    Zero shuffle: regex extraction and replacement are per-row
+    expressions inside the scan stage; at 100 TB the pass is
+    bandwidth-bound, which is exactly the profile a redaction sweep
+    wants. Java regex and RE2 agree on this pattern subset (kept to
+    character classes + bounded repeats, no lookaround).
+
+    Output: doc_id, n_emails, n_phones, clean_hash.
+    """
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id"),
+            F.lit("@ex"),
+            F.col("doc_id") % 7,
+            F.lit(".com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" call +1-555-"), F.lpad(F.col("doc_id") % 10000, 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text2"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text2", PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text2", F.lit(PII_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text2", F.lit(PII_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+def _ann_lsh_weights() -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-1000, 1000] via
+    multiplicative hashing of the flat (plane, dim) index:
+    w[p][d] = (((p·64 + d) · 2654435761) mod 2^31) mod 2001 - 1000.
+    The double mod (Knuth constant, then 2001) breaks the linearity
+    an affine formula would leave across planes — affine weights make
+    consecutive hyperplanes near-parallel and band bits correlated,
+    collapsing LSH selectivity. Pure integer arithmetic →
+    bit-identical in any engine, no RNG, no collect."""
+    return [
+        [(((p * 64 + d) * 2_654_435_761) % 2_147_483_648) % 2_001 - 1_000 for d in range(64)]
+        for p in range(ANN_LSH_PLANES)
+    ]
+
+
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity candidates via random-hyperplane LSH over the
+    embedding column — the bucketed alternative to the IVF path
+    (similarity_ann_ivf), and unlike it fully ORACLE-CHECKED: every
+    arithmetic step (quantization, sign bits, band keys, cosine) is
+    exact integer math reproduced verbatim in the SQL oracle, so the
+    driver hash-compares the whole pipeline instead of rows-only.
+
+    Algorithm: embeddings quantized to micro-units; 64 deterministic
+    integer hyperplanes give 64 sign bits; packed into 4 bands of
+    ``ANN_LSH_BAND_BITS`` bits; candidate pairs collide on ≥1 band
+    (claimed at their FIRST matching band — the same trick
+    dedup_simhash uses, replacing a candidate distinct() shuffle
+    with a narrow filter); candidates re-ranked by exact cosine.
+
+    Scale shape: shuffle is one self-equi-join on (band, key) —
+    ∝ corpus, never corpus². 16-bit bands are tuned for the
+    high-similarity regime LSH is used for (cos ≥ 0.9 near-dup:
+    per-band collision p^16 with p = 1 - θ/π); the fixture's weak
+    cosines (≤ ~0.46) exercise the machinery, not the recall.
+
+    Output: vec_a, vec_b, cosine (all candidate pairs, re-ranked).
+    """
+    weights = _ann_lsh_weights()
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        # cast float32 → double BEFORE the multiply: float×int stays
+        # float32 in Spark but DuckDB computes wider — promoting first
+        # makes the product exact (24-bit mantissa × 1e6 ≤ 44 bits) and
+        # thus bit-identical in both engines
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * ANN_LSH_QUANT).cast("long")
+        ).alias("qe"),
+    )
+    # 64 sign bits via one Arrow-batched int64 GEMM per partition
+    # (W is a constant 64×64 matrix, closure-captured — same shape as
+    # the IVF assignment GEMM). Expressing the 4096 multiply-adds as
+    # column expressions blows Janino's 64 KB method limit into an
+    # interpreted fallback; NumPy int64 matmul is exact (|terms| <
+    # 2^40) and vectorized, and stays O(batch) memory.
+    import numpy as np
+
+    n_bands = ANN_LSH_PLANES // ANN_LSH_BAND_BITS
+    w_mat = np.array(weights, dtype=np.int64)  # planes × dims
+    pow2 = np.int64(1) << np.arange(ANN_LSH_BAND_BITS, dtype=np.int64)
+
+    def add_band_keys(batches):
+        for pdf in batches:
+            if len(pdf):
+                q_mat = np.array(pdf["qe"].tolist(), dtype=np.int64)
+                bits = (q_mat @ w_mat.T >= 0).astype(np.int64)
+                for band in range(n_bands):
+                    seg = bits[:, band * ANN_LSH_BAND_BITS : (band + 1) * ANN_LSH_BAND_BITS]
+                    pdf[f"band{band}"] = seg @ pow2
+            else:
+                for band in range(n_bands):
+                    pdf[f"band{band}"] = []
+            yield pdf
+
+    band_fields = ", ".join(f"band{i} long" for i in range(n_bands))
+    keyed = q.mapInPandas(
+        add_band_keys, schema=f"vec_id long, qe array<long>, {band_fields}"
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    exploded_a = a.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("a.qe").alias("qa"),
+        *[F.col(f"a.band{i}").alias(f"a_band{i}") for i in range(n_bands)],
+    ).select(
+        "vec_a",
+        "qa",
+        F.array(*[F.col(f"a_band{i}") for i in range(n_bands)]).alias("a_bands"),
+        F.posexplode(
+            F.array(*[F.col(f"a_band{i}") for i in range(n_bands)])
+        ).alias("band_id", "band_key"),
+    )
+    exploded_b = b.select(
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("b.qe").alias("qb"),
+        F.array(*[F.col(f"b.band{i}") for i in range(n_bands)]).alias("b_bands"),
+        F.posexplode(
+            F.array(*[F.col(f"b.band{i}") for i in range(n_bands)])
+        ).alias("band_id", "band_key"),
+    )
+    cand = (
+        exploded_a.join(exploded_b, ["band_id", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        # first-matching-band claim: drop the pair unless no earlier
+        # band also collides (narrow filter, replaces distinct())
+        .filter(
+            ~F.exists(
+                F.sequence(F.lit(0), F.col("band_id") - 1),
+                lambda i: F.get("a_bands", i) == F.get("b_bands", i),
+            )
+            | (F.col("band_id") == 0)
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(
+        F.transform("qa", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nb = F.aggregate(
+        F.transform("qb", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias("cosine"),
+    )
+
+
+_DECON_SHINGLE_EXPR = " || chr(31) || ".join(
+    f"ts[i+{j}]" for j in range(DECON_K)
+)
+
+_DECON = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - {DECON_K - 1}, 0)),
+           i -> {_DECON_SHINGLE_EXPR})) AS sh
+  FROM arr
+), sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+train AS (SELECT * FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams FROM train GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hit_ngrams
+  FROM train WHERE sh IN (SELECT sh FROM ev) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(t.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(h.n_hit_ngrams, 0)::BIGINT AS n_hit_ngrams,
+       coalesce(h.n_hit_ngrams, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+"""
+
+_CHUNKS = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), st AS (
+  SELECT doc_id, ts,
+         unnest(list_filter(
+           generate_series(0, greatest(len(ts) - 1, 0), {CHUNK_STRIDE}),
+           s -> s < len(ts))) AS strt,
+         generate_subscripts(list_filter(
+           generate_series(0, greatest(len(ts) - 1, 0), {CHUNK_STRIDE}),
+           s -> s < len(ts)), 1) AS idx
+  FROM arr
+)
+SELECT doc_id,
+       (idx - 1)::BIGINT AS chunk_idx,
+       len(ts[strt + 1 : least(strt + {CHUNK_SIZE}, len(ts))])::BIGINT AS n_tokens,
+       array_to_string(ts[strt + 1 : least(strt + {CHUNK_SIZE}, len(ts))], ' ') AS chunk_text
+FROM st
+"""
+
+_PII = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id::VARCHAR || '@ex'
+              || (doc_id % 7)::VARCHAR || '.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      ELSE '' END AS text2
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text2, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(text2, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+FROM planted
+"""
+
+# The LSH oracle recomputes the hyperplane weights ARITHMETICALLY
+# (same integer formula as _ann_lsh_weights) — no literal tables, so
+# the SQL provably runs the identical algorithm.
+_ANN_LSH = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {ANN_LSH_QUANT}) AS BIGINT)) AS qe
+  FROM embeddings
+), bits AS (
+  SELECT vec_id, p,
+         CASE WHEN CAST(list_sum(list_transform(
+                generate_series(1, 64),
+                d -> qe[d] * ((((p * 64 + (d - 1)) * 2654435761) % 2147483648) % 2001 - 1000)
+              )) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM q CROSS JOIN generate_series(0, {ANN_LSH_PLANES - 1}) t(p)
+), bands AS (
+  SELECT vec_id, p // {ANN_LSH_BAND_BITS} AS band_id,
+         CAST(sum(bit * (1::BIGINT << (p % {ANN_LSH_BAND_BITS}))) AS BIGINT) AS band_key
+  FROM bits GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b USING (band_id, band_key)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(CAST(list_sum(list_transform(generate_series(1, 64),
+                                          d -> qa.qe[d] * qb.qe[d])) AS BIGINT)
+             / (sqrt(CAST(list_sum(list_transform(qa.qe, x -> x * x)) AS BIGINT))
+                * sqrt(CAST(list_sum(list_transform(qb.qe, x -> x * x)) AS BIGINT))),
+             6) AS cosine
+FROM cand c
+JOIN q qa ON qa.vec_id = c.vec_a
+JOIN q qb ON qb.vec_id = c.vec_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "curate_corpus": curate_corpus,
@@ -1327,6 +1725,10 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "mix_corpora": mix_corpora,
     "pack_sequences": pack_sequences,
+    "decontaminate_ngram": decontaminate_ngram,
+    "chunk_documents": chunk_documents,
+    "pii_scrub": pii_scrub,
+    "ann_lsh_pairs": ann_lsh_pairs,
 }
 
 ORACLES = {
@@ -1375,4 +1777,8 @@ FROM g
     "sample_stratified": _SAMPLE_STRAT,
     "mix_corpora": _MIX,
     "pack_sequences": _PACK_SEQ,
+    "decontaminate_ngram": _DECON,
+    "chunk_documents": _CHUNKS,
+    "pii_scrub": _PII,
+    "ann_lsh_pairs": _ANN_LSH,
 }

@@ -164,3 +164,96 @@ def test_kmeans_partitions_corpus_and_improves_over_init(spark):
     clusters = {r.cluster for r in rows}
     assert clusters <= set(range(KMEANS_K)) and len(clusters) > 1
     assert all(r.dist >= 0 for r in rows)
+
+
+def test_decontaminate_excludes_eval_and_flags_eval_copies(spark):
+    """Eval-set docs never appear in the output; a doc sharing its
+    full text with an eval doc (exact-dup collisions exist in the
+    fixture by construction) must be flagged contaminated."""
+    out = llm.decontaminate_ngram(spark, SF)
+    rows = out.collect()
+    assert all(r.doc_id % llm.DECON_EVAL_MOD != 0 for r in rows)
+    assert all(0 <= r.n_hit_ngrams <= r.n_ngrams for r in rows)
+    assert all(r.contaminated == (r.n_hit_ngrams > 0) for r in rows)
+    # any train doc whose normalized text equals an eval doc's text
+    # shares every n-gram → must be contaminated
+    docs = {r.doc_id: r.text for r in table(spark, SF, "documents").collect()}
+    eval_texts = {
+        t for d, t in docs.items() if d % llm.DECON_EVAL_MOD == 0
+    }
+    flagged = {r.doc_id for r in rows if r.contaminated}
+    for d, t in docs.items():
+        if d % llm.DECON_EVAL_MOD != 0 and t in eval_texts and len(t.split()) >= llm.DECON_K:
+            assert d in flagged, f"doc {d} duplicates an eval doc but is not flagged"
+
+
+def test_chunk_documents_covers_tokens(spark):
+    """Chunks tile each doc: chunk 0 starts at token 0, strides are
+    CHUNK_STRIDE, sizes ≤ CHUNK_SIZE, and reassembling stride-prefix
+    tokens reproduces the document's token stream."""
+    docs = {r.doc_id: r.text.split() for r in table(spark, SF, "documents").collect()}
+    out = llm.chunk_documents(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, toks in docs.items():
+        toks = [t for t in toks if t]
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_idx)
+        if not toks:
+            assert not chunks
+            continue
+        assert [r.chunk_idx for r in chunks] == list(range(len(chunks)))
+        rebuilt: list[str] = []
+        for i, r in enumerate(chunks):
+            got = r.chunk_text.split()
+            start = i * llm.CHUNK_STRIDE
+            assert got == toks[start : start + llm.CHUNK_SIZE]
+            assert r.n_tokens == len(got) <= llm.CHUNK_SIZE
+            rebuilt.extend(got[: llm.CHUNK_STRIDE] if i < len(chunks) - 1 else got)
+        # overlap-aware reassembly must reproduce the token stream
+        assert rebuilt[: len(toks)] == toks
+
+
+def test_pii_scrub_redacts_planted_markers(spark):
+    out = {r.doc_id: r for r in llm.pii_scrub(spark, SF).collect()}
+    docs = table(spark, SF, "documents").count()
+    assert len(out) == docs
+    for doc_id, r in out.items():
+        assert r.n_emails >= 1  # the planted address, at minimum
+        if doc_id % 3 == 0:
+            assert r.n_phones >= 1
+        assert len(r.clean_hash) == 32
+
+
+def test_ann_lsh_pairs_candidates_share_a_band_and_cosines_exact(spark):
+    """Every emitted pair really collides on ≥1 LSH band, its cosine
+    matches a NumPy recomputation, and pairs are canonical (a < b,
+    no duplicates)."""
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in table(spark, SF, "embeddings").collect()
+    }
+    q = {v: np.round(e * llm.ANN_LSH_QUANT).astype(np.int64) for v, e in emb.items()}
+    w = np.array(llm._ann_lsh_weights(), dtype=np.int64)
+    pow2 = np.int64(1) << np.arange(llm.ANN_LSH_BAND_BITS, dtype=np.int64)
+
+    def band_keys(qv):
+        bits = (w @ qv >= 0).astype(np.int64)
+        return [
+            bits[b * llm.ANN_LSH_BAND_BITS : (b + 1) * llm.ANN_LSH_BAND_BITS] @ pow2
+            for b in range(llm.ANN_LSH_PLANES // llm.ANN_LSH_BAND_BITS)
+        ]
+
+    rows = llm.ann_lsh_pairs(spark, SF).collect()
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert (r.vec_a, r.vec_b) not in seen
+        seen.add((r.vec_a, r.vec_b))
+        ka, kb = band_keys(q[r.vec_a]), band_keys(q[r.vec_b])
+        assert any(x == y for x, y in zip(ka, kb))
+        qa, qb = q[r.vec_a], q[r.vec_b]
+        want = (qa @ qb) / (np.sqrt(qa @ qa) * np.sqrt(qb @ qb))
+        assert abs(r.cosine - round(want, 6)) <= 1e-6
