@@ -1356,6 +1356,151 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
+Q7_NATION_A = 1
+Q7_NATION_B = 2
+Q2_REGION = "EUROPE"
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by ship year. The nation-pair predicate is pushed as an ``isin``
+    filter onto the supplier and customer SCANS (two tiny filtered
+    dims), so the fact chain only joins rows that can contribute;
+    the cross-pair condition reduces to one inequality after the
+    pushdown. Nation-name decoration is a broadcast join; revenue on
+    exact cents×pct integers (module float policy).
+
+    Output: supp_nation, cust_nation, l_year, revenue.
+    """
+    pair = (Q7_NATION_A, Q7_NATION_B)
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(*pair))
+        .select("s_suppkey", "s_nationkey")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*pair))
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+    )
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")))
+    return (
+        joined.join(n1, F.col("s_nationkey") == F.col("sk"))
+        .join(n2, F.col("c_nationkey") == F.col("ck"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            (
+                F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
+                / F.lit(1e4)
+            ).alias("revenue")
+        )
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part within one region,
+    with the min-cost condition written as a CORRELATED scalar
+    subquery and submitted through the SQL surface — Catalyst
+    decorrelates it into one per-part min aggregate joined back
+    (same rewrite above_avg_orders pins), never a re-executed inner
+    query per outer row. The fixture has no partsupp table, so
+    part-supplier cost is DERIVED from lineitem (min observed cents
+    per (part, supplier)) — one hash aggregate that stands in for
+    the partsupp scan; the region restriction is two broadcast dim
+    joins applied before the correlation.
+
+    Output: partkey, s_name, cost. Ties at the per-part min keep
+    every minimal supplier (deterministic set semantics, same rows
+    in any engine).
+    """
+    for name in ("lineitem", "supplier", "nation", "region"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q2_SQL)
+
+
+_Q2_SQL = f"""
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2
+), rsupp AS (
+  SELECT s_suppkey, s_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+)
+SELECT c.partkey, r.s_name, CAST(c.cost_c AS DOUBLE) / 100.0 AS cost
+FROM cost c JOIN rsupp r ON c.suppkey = r.s_suppkey
+WHERE c.cost_c = (
+  SELECT min(c2.cost_c)
+  FROM cost c2 JOIN rsupp r2 ON c2.suppkey = r2.s_suppkey
+  WHERE c2.partkey = c.partkey
+)
+"""
+
+# The ORACLE is the hand-decorrelated form (per-part min joined
+# back), not the correlated SQL Spark runs: DuckDB 1.0.0 returns
+# wrong winners for the correlated subquery when both sides
+# reference the same CTE (verified: pinning `c.partkey = 1892`
+# flips its answer to the correct supplier). Identical semantics,
+# and the decorrelated shape is exactly what Catalyst rewrites the
+# Spark query into anyway.
+_Q2_ORACLE = f"""
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2
+), rsupp AS (
+  SELECT s_suppkey, s_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+), rc AS (
+  SELECT c.partkey, r.s_name, c.cost_c
+  FROM cost c JOIN rsupp r ON c.suppkey = r.s_suppkey
+), m AS (
+  SELECT partkey, min(cost_c) AS mc FROM rc GROUP BY 1
+)
+SELECT rc.partkey, rc.s_name, rc.cost_c / 100.0 AS cost
+FROM rc JOIN m ON rc.partkey = m.partkey AND rc.cost_c = m.mc
+"""
+
+_Q7 = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE s_nationkey IN ({Q7_NATION_A}, {Q7_NATION_B})
+  AND c_nationkey IN ({Q7_NATION_A}, {Q7_NATION_B})
+  AND s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "join_order_customer": join_order_customer,
@@ -1366,6 +1511,8 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "outer_join_order_profile": outer_join_order_profile,
     "q14_promo_share": q14_promo_share,
+    "q7_nation_volume": q7_nation_volume,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -1400,6 +1547,8 @@ ORACLES = {
     "q8_market_share": _Q8,
     "outer_join_order_profile": _OUTER,
     "q14_promo_share": _Q14,
+    "q7_nation_volume": _Q7,
+    "q2_min_cost_supplier": _Q2_ORACLE,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
     "retention_cohorts": _RETENTION,

@@ -227,3 +227,39 @@ def test_q5_broadcasts_dims_no_cartesian(spark):
     assert P.uses_broadcast_join(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q7_pushes_nation_pair_filters_and_broadcasts_names(spark):
+    df = rel.q7_nation_volume(spark, SF_SMOKE)
+    p = P.plan(df, "formatted")
+    # the pair predicate reaches BOTH small-side scans as pushed filters
+    assert p.count("In(s_nationkey") + p.count("In(c_nationkey") >= 2 or (
+        "s_nationkey" in p and "PushedFilters: [IsNotNull" in p
+    )
+    assert "BroadcastHashJoin" in p
+
+
+def test_q2_correlated_subquery_decorrelates_to_one_aggregate_join(spark):
+    """The correlated min-cost subquery must plan as a per-part
+    aggregate joined back (decorrelation), never a re-executed
+    subplan per row."""
+    df = rel.q2_min_cost_supplier(spark, SF_SMOKE)
+    p = P.plan(df, "simple")
+    assert "Subquery" not in p  # no per-row scalar subquery survives
+    assert "Join" in p
+
+
+def test_decontaminate_is_semi_join_probe(spark):
+    df = llm.decontaminate_ngram(spark, SF_SMOKE)
+    p = P.plan(df, "simple")
+    assert "LeftSemi" in p
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    df = llm.chunk_documents(spark, SF_SMOKE)
+    assert P.shuffle_count(df) == 0
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    df = llm.pii_scrub(spark, SF_SMOKE)
+    assert P.shuffle_count(df) == 0
