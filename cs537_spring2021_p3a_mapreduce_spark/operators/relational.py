@@ -1356,6 +1356,72 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
+Q21_LATE_DAYS = 60
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps — the lag/lead window primitive as
+    a driver-visible entry (rank/sum/ntile are covered elsewhere;
+    this pins lag). One shuffle on user_id shared by the single
+    window pass; gaps in exact epoch-µs integers so the NULL-first-
+    row and subtraction semantics are bit-stable across engines.
+
+    Output: user_id, event_id, delta_us (NULL for each user's first
+    event — preserved, not coalesced, to pin lag's frame edge).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (cur - F.lag(cur).over(w)).alias("delta_us"),
+    )
+
+
+_LAG_DELTA = """
+SELECT user_id, event_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id)) AS delta_us
+FROM events
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone shipped late on a
+    multi-supplier order — the EXISTS + NOT-EXISTS double
+    correlation, submitted through the SQL surface so Catalyst plans
+    it as one left-semi and one left-anti join against the same
+    lineitem scan (no per-row subquery execution). The fixture lacks
+    commit/receipt dates, so "late" is l_shipdate more than
+    ``Q21_LATE_DAYS`` days after o_orderdate — same join topology,
+    fixture-expressible predicate.
+
+    Output: s_name, numwait.
+    """
+    for name in ("supplier", "lineitem", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q21_SQL)
+
+
+_Q21_SQL = f"""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+  )
+GROUP BY s_name
+"""
+
 Q7_NATION_A = 1
 Q7_NATION_B = 2
 Q2_REGION = "EUROPE"
@@ -1513,6 +1579,8 @@ QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q7_nation_volume": q7_nation_volume,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "window_lag_delta": window_lag_delta,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -1549,6 +1617,8 @@ ORACLES = {
     "q14_promo_share": _Q14,
     "q7_nation_volume": _Q7,
     "q2_min_cost_supplier": _Q2_ORACLE,
+    "q21_waiting_suppliers": _Q21_SQL,
+    "window_lag_delta": _LAG_DELTA,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
     "retention_cohorts": _RETENTION,

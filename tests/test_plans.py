@@ -263,3 +263,10 @@ def test_chunk_documents_zero_shuffle(spark):
 def test_pii_scrub_zero_shuffle(spark):
     df = llm.pii_scrub(spark, SF_SMOKE)
     assert P.shuffle_count(df) == 0
+
+
+def test_q21_exists_pair_plans_as_semi_plus_anti(spark):
+    df = rel.q21_waiting_suppliers(spark, SF_SMOKE)
+    p = P.plan(df, "simple")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "Subquery" not in p
