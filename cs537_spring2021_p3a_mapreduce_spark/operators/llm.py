@@ -1375,7 +1375,9 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
             F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
-            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+            # int flag, not boolean: the driver's value-hash has
+            # never seen a boolean column — don't be the first
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).cast("long").alias("contaminated"),
         )
     )
 
@@ -1620,7 +1622,7 @@ hits AS (
 SELECT d.doc_id,
        coalesce(t.n_ngrams, 0)::BIGINT AS n_ngrams,
        coalesce(h.n_hit_ngrams, 0)::BIGINT AS n_hit_ngrams,
-       coalesce(h.n_hit_ngrams, 0) > 0 AS contaminated
+       (coalesce(h.n_hit_ngrams, 0) > 0)::BIGINT AS contaminated
 FROM documents d
 LEFT JOIN totals t USING (doc_id)
 LEFT JOIN hits h USING (doc_id)
