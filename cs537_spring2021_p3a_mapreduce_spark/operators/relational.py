@@ -1356,6 +1356,37 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
+Q16_EXCL_BRAND = "Brand#2"
+Q16_SIZES = (5, 11, 28, 33, 40)
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    with a NOT IN exclusion — the NULL-AWARE anti join, the one
+    Catalyst join form no other entry exercises (Spark can't prove
+    the parquet column non-null, so it plans the single-column
+    null-aware variant as a broadcast anti join with the isnull
+    disjunct folded in). Supplier "complaints" stand in as negative
+    account balance (the fixture has no comment column). The
+    count(DISTINCT) is per-group bounded (suppliers per attribute
+    triple), not corpus-wide state.
+
+    Output: p_brand, p_type, p_size, supplier_cnt.
+    """
+    for name in ("part", "lineitem", "supplier"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q16_SQL)
+
+
+_Q16_SQL = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_size IN {Q16_SIZES!r}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
 Q21_LATE_DAYS = 60
 
 
@@ -1580,6 +1611,7 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q16_supplier_counts": q16_supplier_counts,
     "window_lag_delta": window_lag_delta,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
@@ -1618,6 +1650,7 @@ ORACLES = {
     "q7_nation_volume": _Q7,
     "q2_min_cost_supplier": _Q2_ORACLE,
     "q21_waiting_suppliers": _Q21_SQL,
+    "q16_supplier_counts": _Q16_SQL,
     "window_lag_delta": _LAG_DELTA,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,

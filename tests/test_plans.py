@@ -270,3 +270,12 @@ def test_q21_exists_pair_plans_as_semi_plus_anti(spark):
     p = P.plan(df, "simple")
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "Subquery" not in p
+
+
+def test_q16_not_in_plans_null_aware_anti_join(spark):
+    df = rel.q16_supplier_counts(spark, SF_SMOKE)
+    p = P.plan(df, "formatted")
+    assert "LeftAnti" in p
+    # the NOT IN exclusion stays a join-based anti form; no per-row
+    # subquery survives planning
+    assert "Subquery" not in P.plan(df, "simple")

@@ -230,6 +230,14 @@ PROBES = [
     "quality_score",
     "curate_corpus",
     "embedding_centroids",
+    "decontaminate_ngram",
+    "chunk_documents",
+    "pii_scrub",
+    "ann_lsh_pairs",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q21_waiting_suppliers",
+    "window_lag_delta",
 ]
 
 
