@@ -111,3 +111,24 @@ def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
     back = src.read_orc(spark, out).filter(F.col("k") == "a")
     assert {(r.k, r.v) for r in back.collect()} == {("a", 1), ("a", 2)}
     assert (tmp_path / "orc" / "k=a").is_dir()
+
+
+def test_events_queries_run_under_vanilla_session(spark):
+    """Round-1 regression class: the driver builds its OWN
+    SparkSession without the repo's conf defaults; every source must
+    set what it needs at read time (catalog.table sets nanosAsLong).
+    newSession() shares the context but NOT runtime SQL confs — a
+    faithful stand-in for an externally built session."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import relational as rel
+    from cs537_spring2021_p3a_mapreduce_spark import catalog
+
+    vanilla = spark.newSession()
+    # newSession inherits builder-time defaults — drop the conf the
+    # repo session sets so this really is the driver's situation
+    vanilla.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    catalog._RELATION_CACHE.clear()  # don't reuse DataFrames built on the main session
+    try:
+        for q in (rel.window_running_sum, rel.time_bucket_events, rel.asof_purchase_attribution):
+            assert q(vanilla, "/root/testdata/sf0.001").count() > 0
+    finally:
+        catalog._RELATION_CACHE.clear()
