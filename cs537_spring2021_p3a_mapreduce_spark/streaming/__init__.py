@@ -390,7 +390,39 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select("user_id", "n_events")
 
 
+def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry: the reference's flagship pipeline
+    (wordcount, main.c:50-74) run INCREMENTALLY by the streaming
+    engine — readStream over the staged documents parquet →
+    ``streaming_wordcount``'s running token counts → availableNow
+    drain into a memory sink. Hash-checked against the identical
+    batch SQL the ``wordcount`` entry uses: batch/stream parity on
+    the reference's own semantics. Complete mode: the token-count
+    state is vocabulary-sized (bounded), so emitting the full result
+    per trigger is the honest finite-drain choice."""
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_wc_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src, "part-0.parquet"),
+    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    lines = spark.readStream.schema(schema).parquet(src)
+    counts = streaming_wordcount(lines, "text")
+    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        counts, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8
+    )
+    return spark.table(name)
+
+
 QUERIES = {
+    "stream_wordcount": stream_wordcount,
     "stream_time_bucket": stream_time_bucket,
     "stream_dedup_events": stream_dedup_events,
     "stream_upsert_totals": stream_upsert_totals,
@@ -399,6 +431,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_wordcount": (
+        "WITH toks AS (SELECT unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token "
+        "FROM documents) "
+        "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token"
+    ),
     "stream_time_bucket": (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
         "event_type, count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
