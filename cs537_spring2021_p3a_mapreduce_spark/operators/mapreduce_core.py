@@ -192,6 +192,73 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth (A1/A2's file-source contract across
+    formats) driven end-to-end under the driver: orders written to
+    CSV (header), re-read with an EXPLICIT schema (never inference —
+    an inference pass is a full extra read at 100 TB), aggregated.
+    The oracle aggregates the original parquet table, so the entry
+    value-checks that the CSV writer/reader round-trip preserves
+    longs and doubles exactly (Spark emits round-trippable shortest
+    representations), not merely that the files exist.
+
+    Output: o_orderstatus, n_orders, sum_total.
+    """
+    import tempfile
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "orders_csv")
+    orders.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string"
+        )
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)
+        ).alias("sum_total"),
+    )
+
+
+PRUNED_EVENT_TYPE = "purchase"
+
+
+def partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink + partition-PRUNED re-scan end-to-end:
+    events written ``partitionBy(event_type)``, read back filtered
+    to one type — the filter prunes to a single partition directory
+    (PartitionFilters on the scan, plan-asserted in
+    tests/test_plans.py), which at 100 TB is the difference between
+    reading one enum's worth of data and the whole table. The
+    aggregate is value-checked against the unpartitioned original.
+
+    Output: n_events, n_users, sum_value.
+    """
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="part_prune_"), "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type") == PRUNED_EVENT_TYPE
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)
+        ).alias("sum_value"),
+    )
+
+
 def custom_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows per partition under bit-exact djb2 with n=10 (A5,
     MR_DefaultHashPartition mapreduce.c:88-94; pluggable-partitioner
@@ -240,6 +307,8 @@ _DJB2 = (
 QUERIES = {
     "wordcount": wordcount,
     "wordcount_lookup": wordcount_lookup,
+    "csv_roundtrip": csv_roundtrip,
+    "partitioned_pruned_scan": partitioned_pruned_scan,
     "grep_filter": grep_filter,
     "distinct_keys": distinct_keys,
     "partitioned_sort": partitioned_sort,
@@ -252,6 +321,17 @@ QUERIES = {
 ORACLES = {
     "wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
+    "csv_roundtrip": (
+        "SELECT o_orderstatus, count(*)::BIGINT AS n_orders, "
+        "sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS sum_total "
+        "FROM orders GROUP BY 1"
+    ),
+    "partitioned_pruned_scan": (
+        "SELECT count(*)::BIGINT AS n_events, "
+        "count(DISTINCT user_id)::BIGINT AS n_users, "
+        "sum(round(value * 100)::BIGINT) / 100.0 AS sum_value "
+        "FROM events WHERE event_type = 'purchase'"
+    ),
     "wordcount_lookup": _TOKENS_CTE
     + f"SELECT token, count(*)::BIGINT AS cnt FROM toks WHERE token = '{LOOKUP_TERM}' GROUP BY token",
     "grep_filter": _TOKENS_CTE

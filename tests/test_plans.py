@@ -279,3 +279,13 @@ def test_q16_not_in_plans_null_aware_anti_join(spark):
     # the NOT IN exclusion stays a join-based anti form; no per-row
     # subquery survives planning
     assert "Subquery" not in P.plan(df, "simple")
+
+
+def test_partitioned_pruned_scan_prunes_partitions(spark):
+    df = mc.partitioned_pruned_scan(spark, SF_SMOKE)
+    p = P.plan(df, "formatted")
+    # the event_type predicate must appear as a partition filter on
+    # the re-read scan, not a post-scan row filter
+    assert "PartitionFilters: [isnotnull(event_type" in p.replace("#", "").replace(
+        "]", ""
+    ) or "PartitionFilters: [" in p and "event_type" in p.split("PartitionFilters")[1][:120]
