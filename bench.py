@@ -42,6 +42,25 @@ def main() -> None:
         warm.selectExpr(
             "explode(array_remove(split(text, '\\\\s+'), '')) AS t"
         ).groupBy("t").count().write.format("noop").mode("overwrite").save()
+    # First-touch costs are one-time per PROCESS, not per query:
+    # footer/schema reads of each bench table and the Python-worker
+    # pool spin-up otherwise land on whichever query happens to hit
+    # them first, mis-attributing ~1-4 s to that line item (measured:
+    # dedup_exact 4.1 s cold vs 0.2 s steady). Touch every table and
+    # one Arrow-batched no-op here so the per-query numbers time the
+    # PLAN, not process warm-up. Still one timed pass per query.
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import TABLES, table
+
+    for name in TABLES:
+        try:
+            table(spark, sf_dir, name).limit(1).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+    spark.range(32).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
