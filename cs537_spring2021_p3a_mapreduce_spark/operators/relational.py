@@ -1356,6 +1356,123 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
+HIST_BINS = 20
+HIST_MAX = 300_000.0  # o_totalprice upper bound for equal-width bins
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width binned histogram of order totals — the profiling
+    primitive behind data-quality dashboards and range-partition
+    planning. ``width_bucket`` is a pure expression, so the whole
+    histogram is one scan + one tiny (≤ HIST_BINS+2 keys) hash
+    aggregate with map-side combine; no sort, no window — the shape
+    that profiles a 100 TB column at scan speed.
+
+    Output: bucket, n_orders, min_price, max_price.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(
+                "o_totalprice", F.lit(0.0), F.lit(HIST_MAX), F.lit(HIST_BINS)
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min(_cents("o_totalprice")) / F.lit(100.0)).alias("min_price"),
+            (F.max(_cents("o_totalprice")) / F.lit(100.0)).alias("max_price"),
+        )
+    )
+
+
+# DuckDB 1.0 has no width_bucket; the oracle mirrors its documented
+# semantics (below-range → 0, above-range → bins+1, else
+# floor(v/width)+1 with width = max/bins exactly representable here).
+_HIST = f"""
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= {HIST_MAX} THEN {HIST_BINS + 1}
+            ELSE floor(o_totalprice / {HIST_MAX / HIST_BINS})::BIGINT + 1
+       END AS bucket,
+       count(*)::BIGINT AS n_orders,
+       min(round(o_totalprice * 100)::BIGINT) / 100.0 AS min_price,
+       max(round(o_totalprice * 100)::BIGINT) / 100.0 AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean / stddev / Pearson correlation of
+    quantity vs line price per return flag) with DETERMINISTIC
+    results: the built-in ``corr``/``stddev`` accumulate doubles, so
+    their output depends on partition combine order — useless for a
+    hash-compared gate and subtly irreproducible in production. Here
+    every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact integer sum of
+    cents/unit longs — combine-order-free — and the textbook
+    formulas run ONCE on those integers in the final projection.
+    Same one-aggregate shape and shuffle as the built-ins.
+
+    Output: l_returnflag, n, avg_qty, avg_price, stddev_qty, corr_qp.
+    """
+    # moments in decimal(38,0): Σy² alone reaches ~2^61 per 10⁵ rows
+    # of cent-priced lines and the n·Σy² term of the variance formula
+    # overflows int64 LONG before sf1 — ANSI mode would throw. 128-bit
+    # exact integers on both sides (Spark decimal ↔ DuckDB HUGEINT)
+    # keep every moment combine-order-free at any corpus size.
+    dec = "decimal(38,0)"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").cast(dec).alias("x"),  # integral by fixture
+        _cents("l_extendedprice").cast(dec).alias("y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast(dec)
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(sx.cast("double") / nd, 6).alias("avg_qty"),
+        F.round(sy.cast("double") / nd / F.lit(100.0), 6).alias("avg_price"),
+        F.round(F.sqrt(vx) / nd, 6).alias("stddev_qty"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_qp"),
+    )
+
+
+_STATS_CORR = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS n,
+         sum(l_quantity::BIGINT)::HUGEINT AS sx,
+         sum(round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sy,
+         sum(l_quantity::HUGEINT * l_quantity::HUGEINT)::HUGEINT AS sxx,
+         sum(round(l_extendedprice * 100)::HUGEINT
+             * round(l_extendedprice * 100)::HUGEINT)::HUGEINT AS syy,
+         sum(l_quantity::HUGEINT * round(l_extendedprice * 100)::HUGEINT)::HUGEINT AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round(CAST(sx AS DOUBLE) / n, 6) AS avg_qty,
+       round(CAST(sy AS DOUBLE) / n / 100.0, 6) AS avg_price,
+       round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 6) AS stddev_qty,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qp
+FROM m
+"""
+
 Q16_EXCL_BRAND = "Brand#2"
 Q16_SIZES = (5, 11, 28, 33, 40)
 
@@ -1612,6 +1729,8 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q16_supplier_counts": q16_supplier_counts,
+    "order_price_histogram": order_price_histogram,
+    "stats_correlation": stats_correlation,
     "window_lag_delta": window_lag_delta,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
@@ -1651,6 +1770,8 @@ ORACLES = {
     "q2_min_cost_supplier": _Q2_ORACLE,
     "q21_waiting_suppliers": _Q21_SQL,
     "q16_supplier_counts": _Q16_SQL,
+    "order_price_histogram": _HIST,
+    "stats_correlation": _STATS_CORR,
     "window_lag_delta": _LAG_DELTA,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
