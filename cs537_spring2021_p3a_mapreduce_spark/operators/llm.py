@@ -272,15 +272,26 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: query_id, neighbor_id, cos_sim (round 6).
     """
-    import numpy as np
-    import pandas as pd
-
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent_block = (
         emb.orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(IVF_K)
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("cs"))
     )
+    return _ivf_pipeline(spark, sf_dir, cent_block, IVF_NPROBE)
+
+
+def _ivf_pipeline(
+    spark: SparkSession, sf_dir: str, cent_block: DataFrame, nprobe: int
+) -> DataFrame:
+    """Steps 2-4 of the IVF dataflow (assignment GEMM → inverted
+    lists → probe → exact re-rank), shared by the hash-sample and
+    k-means-trained coarse quantizers. ``cent_block`` is one row
+    holding the centroid structs; any (id, vector) set works."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     # nearest-centroid ranking via blocked GEMM (corpus blocks ×
     # one centroid block — same tile pattern as dedup_embedding;
@@ -308,8 +319,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 order = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)
                 out_ids, out_cells, out_ranks = [], [], []
                 for i, vid in enumerate(vids):
-                    nprobe = IVF_NPROBE if vid < SIM_N_QUERIES else 1
-                    for r in range(min(nprobe, len(cids))):
+                    n_cells = nprobe if vid < SIM_N_QUERIES else 1
+                    for r in range(min(n_cells, len(cids))):
                         out_ids.append(vid)
                         out_cells.append(cids[order[i, r]])
                         out_ranks.append(r + 1)
@@ -455,14 +466,64 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: vec_id, cluster, dist (squared L2 in micro² units).
     """
+    vecs = _kmeans_vecs(spark, sf_dir)
+    return _kmeans_assign(vecs, _kmeans_cents(spark, sf_dir)).select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    )
+
+
+def _kmeans_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q): embeddings quantized to exact micro-unit longs."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    vecs = emb.select(
+    return emb.select(
         "vec_id",
         F.transform(
             "embedding", lambda x: F.round(x.cast("double") * KM_SCALE).cast("long")
         ).alias("q"),
     )
 
+
+def _kmeans_assign(vecs: DataFrame, cents_df: DataFrame) -> DataFrame:
+    # All K centroids fold into ONE row (collect_list over K
+    # rows), 1-row-broadcast-crossJoined to the corpus; each
+    # vector then picks argmin_(dist, cid) via array_min over
+    # per-centroid (dist, cid) structs — struct comparison IS
+    # the tie-break rule, and collect_list's nondeterministic
+    # order is irrelevant to a min. Assignment is thereby fully
+    # NARROW: zero shuffle of the n×K product (the previous
+    # form shuffled it through a per-vec_id row_number window
+    # every iteration — 4 avoidable n×K exchanges).
+    carr = cents_df.agg(F.collect_list(F.struct("cid", "cq")).alias("cents"))
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with("q", c["cq"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        vecs.crossJoin(F.broadcast(carr))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "q",
+            F.col("best.cid").alias("cid"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+
+
+def _kmeans_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-trained centroids (cid, cq micro-unit longs) after
+    KMEANS_ITERS rounds from the md5 hash-sample init — the shared
+    coarse quantizer for embedding_kmeans and the trained IVF."""
+    vecs = _kmeans_vecs(spark, sf_dir)
     init_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
     w_init = Window.orderBy(*init_order)
     cents = (
@@ -473,44 +534,8 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").alias("cq"),
         )
     )
-
-    def assign(cents_df: DataFrame) -> DataFrame:
-        # All K centroids fold into ONE row (collect_list over K
-        # rows), 1-row-broadcast-crossJoined to the corpus; each
-        # vector then picks argmin_(dist, cid) via array_min over
-        # per-centroid (dist, cid) structs — struct comparison IS
-        # the tie-break rule, and collect_list's nondeterministic
-        # order is irrelevant to a min. Assignment is thereby fully
-        # NARROW: zero shuffle of the n×K product (the previous
-        # form shuffled it through a per-vec_id row_number window
-        # every iteration — 4 avoidable n×K exchanges).
-        carr = cents_df.agg(F.collect_list(F.struct("cid", "cq")).alias("cents"))
-        best = F.array_min(
-            F.transform(
-                "cents",
-                lambda c: F.struct(
-                    F.aggregate(
-                        F.zip_with("q", c["cq"], lambda a, b: (a - b) * (a - b)),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
-        return (
-            vecs.crossJoin(F.broadcast(carr))
-            .withColumn("best", best)
-            .select(
-                "vec_id",
-                "q",
-                F.col("best.cid").alias("cid"),
-                F.col("best.dist").alias("dist"),
-            )
-        )
-
     for _ in range(KMEANS_ITERS):
-        assigned = assign(cents)
+        assigned = _kmeans_assign(vecs, cents)
         # centroid update via narrow unpivot: posexplode the array
         # and aggregate (cid, dim) — K·64 output groups, map-side
         # combine collapses the ×64 row fan-out immediately. The
@@ -527,9 +552,34 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cid", F.transform("s", lambda x: x["c"]).alias("cq"))
         )
 
-    return assign(cents).select(
-        "vec_id", F.col("cid").alias("cluster"), "dist"
-    )
+    return cents
+
+
+def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer — the k-means seam
+    both ``similarity_ann_ivf`` and ``embedding_kmeans`` document,
+    closed: Lloyd-trained centroids (``_kmeans_cents``, KMEANS_K
+    cells after KMEANS_ITERS exact-integer rounds) replace the
+    hash-sampled vectors, and the identical partition/probe/re-rank
+    dataflow (``_ivf_pipeline``) runs on top. Trained cells track
+    the corpus density, so the same probe budget buys higher recall
+    — asserted against the hash-sample variant in tests. nprobe is
+    lower (cells are fewer and fatter: K=KMEANS_K vs IVF_K).
+
+    Rows-only driver check, like the other ANN entries; recall
+    lives in tests/test_llm.py.
+
+    Output: query_id, neighbor_id, cos_sim (round 6).
+    """
+    cents = _kmeans_cents(spark, sf_dir)
+    cent_block = cents.select(
+        F.col("cid").alias("vec_id"),
+        F.transform("cq", lambda x: x.cast("double") / KM_SCALE).alias("embedding"),
+    ).agg(F.collect_list(F.struct("vec_id", "embedding")).alias("cs"))
+    return _ivf_pipeline(spark, sf_dir, cent_block, IVF_TRAINED_NPROBE)
+
+
+IVF_TRAINED_NPROBE = 3  # of KMEANS_K=8 trained cells
 
 
 def _kmeans_oracle_sql() -> str:
@@ -1715,6 +1765,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "similarity_topk": similarity_topk,
     "similarity_ann_ivf": similarity_ann_ivf,
+    "similarity_ann_ivf_trained": similarity_ann_ivf_trained,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
     "text_stats": text_stats,

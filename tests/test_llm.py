@@ -257,3 +257,25 @@ def test_ann_lsh_pairs_candidates_share_a_band_and_cosines_exact(spark):
         qa, qb = q[r.vec_a], q[r.vec_b]
         want = (qa @ qb) / (np.sqrt(qa @ qa) * np.sqrt(qb @ qb))
         assert abs(r.cosine - round(want, 6)) <= 1e-6
+
+
+def test_trained_ivf_recall_beats_probe_budget(spark):
+    """The k-means-trained quantizer must reach ≥ the recall bound
+    while probing a SMALLER index fraction than the hash-sample
+    variant (3 of 8 cells vs 8 of 16)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        similarity_ann_ivf_trained,
+        similarity_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.query_id, r.neighbor_id) for r in similarity_topk(spark, sf).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ann_ivf_trained(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"trained IVF recall too low: {recall}"
+    assert all(q != n for q, n in approx)
