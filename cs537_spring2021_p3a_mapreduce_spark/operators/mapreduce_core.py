@@ -226,6 +226,36 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round-trip, schema'd re-read (same
+    no-inference discipline as csv_roundtrip), INCLUDING a timestamp
+    column through the wire: o_orderdate is ms-precision, and
+    Spark's JSON writer/reader round-trips ISO-8601 at that
+    precision exactly, which the year() grouping then witnesses
+    against the parquet-side oracle.
+
+    Output: o_orderstatus, o_year, n_orders, sum_total.
+    """
+    import tempfile
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="json_rt_"), "orders_json")
+    orders.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_totalprice double, o_orderstatus string, o_orderdate timestamp"
+    ).json(path)
+    return back.groupBy(
+        "o_orderstatus", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)
+        ).alias("sum_total"),
+    )
+
+
 PRUNED_EVENT_TYPE = "purchase"
 
 
@@ -308,6 +338,7 @@ QUERIES = {
     "wordcount": wordcount,
     "wordcount_lookup": wordcount_lookup,
     "csv_roundtrip": csv_roundtrip,
+    "json_roundtrip": json_roundtrip,
     "partitioned_pruned_scan": partitioned_pruned_scan,
     "grep_filter": grep_filter,
     "distinct_keys": distinct_keys,
@@ -325,6 +356,12 @@ ORACLES = {
         "SELECT o_orderstatus, count(*)::BIGINT AS n_orders, "
         "sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS sum_total "
         "FROM orders GROUP BY 1"
+    ),
+    "json_roundtrip": (
+        "SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year, "
+        "count(*)::BIGINT AS n_orders, "
+        "sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS sum_total "
+        "FROM orders GROUP BY 1, 2"
     ),
     "partitioned_pruned_scan": (
         "SELECT count(*)::BIGINT AS n_events, "
