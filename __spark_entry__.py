@@ -23,9 +23,19 @@ from cs537_spring2021_p3a_mapreduce_spark.operators import (
     mapreduce_core,
     multimodal,
     relational,
+    tpch2,
 )
 
-_MODULES = [mapreduce_core, relational, llm, dedup, graph, multimodal, streaming]
+_MODULES = [
+    mapreduce_core,
+    relational,
+    tpch2,
+    llm,
+    dedup,
+    graph,
+    multimodal,
+    streaming,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
