@@ -238,6 +238,16 @@ PROBES = [
     "q7_nation_volume",
     "q21_waiting_suppliers",
     "window_lag_delta",
+    # round-2 TPC-H completion: the structurally distinct heavy shapes
+    # (q6/q12/q15/q20/q22 share the cost profile of probes above;
+    # q22's name-derived code needs the fixtures' zero-padded names)
+    "q4_order_priority",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
 ]
 
 
