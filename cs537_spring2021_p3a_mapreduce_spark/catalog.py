@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -46,10 +46,18 @@ _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy scan, no action).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet; with
-    ``nanosAsLong`` (session.py) it scans as epoch-nanos LongType
-    and is converted here to a µs timestamp by integer division —
-    bit-identical to DuckDB's ns→µs truncation.
+    ``events.ts`` is normalized to one type — a µs TIMESTAMP whose
+    instant equals the file's wall-clock value read as UTC — no
+    matter how the file encodes it:
+
+    - TIMESTAMP(NANOS) parquet (round-1 testdata): scanned as
+      epoch-nanos LongType under ``nanosAsLong`` and divided down to
+      µs — bit-identical to DuckDB's ns→µs truncation.
+    - timestamp[us] isAdjustedToUTC=false (round-2 testdata): scans
+      as TIMESTAMP_NTZ; ``to_utc_timestamp(ts, 'UTC')`` pins the
+      naive wall time to the UTC instant *independent of the
+      caller's session timezone* (a bare ``cast('timestamp')`` would
+      shift under a non-UTC session).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -64,8 +72,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable, so set it here rather than in session.py only.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     _RELATION_CACHE[key] = df
     return df
 

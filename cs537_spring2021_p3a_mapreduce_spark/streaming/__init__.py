@@ -26,31 +26,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.parquet physical schema (TESTDATA.md): ts is TIMESTAMP(NANOS)
-# which Spark reads as long under nanosAsLong (session.py); the
-# streaming reader needs the schema up front (no inference on streams).
-EVENTS_FILE_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def stream_events(spark: SparkSession, sf_dir_or_glob: str) -> DataFrame:
     """events as an unbounded source: file-stream over the same
     parquet layout the batch catalog reads, ts normalized to a µs
-    timestamp exactly like catalog.table (ns → µs integer division).
-    On a deployment this reader is swapped for Kafka/Kinesis; every
-    operator below only sees (columns, event-time), not the source.
+    TIMESTAMP exactly like catalog.table. On a deployment this reader
+    is swapped for Kafka/Kinesis; every operator below only sees
+    (columns, event-time), not the source.
     """
-    # Caller-independent source contract: the explicit bigint ts schema
-    # only scans if TIMESTAMP(NANOS) is read as long — set the conf at
-    # runtime so an externally built session works too.
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    # Streams can't infer schemas — take it from one batch footer read
+    # of the same path, so the reader tracks whatever encoding the
+    # files use (epoch-nanos bigint in round-1 data, timestamp[us]
+    # NTZ in round-2 data). Caller-independent source contract: set
+    # the nanos conf at runtime so an externally built session works.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(sf_dir_or_glob)
-    # EVENTS_FILE_SCHEMA pins ts as epoch-nanos bigint, so the
-    # conversion is unconditional; a timestamp-typed source (Kafka)
-    # would swap the reader AND skip this line
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    file_schema = spark.read.parquet(sf_dir_or_glob).schema
+    raw = spark.readStream.schema(file_schema).parquet(sf_dir_or_glob)
+    ts_type = file_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # naive wall time pinned to the UTC instant, independent of
+        # the caller's session timezone (see catalog.table)
+        return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return raw
 
 
 def windowed_event_counts(
