@@ -157,6 +157,68 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Misra-Gries sketch width for heavy_hitters. Guarantee: after the
+# subtract-and-drop merge, any token with partition count >
+# n_p/(MG_COUNTERS+1) survives the partition's sketch; a GLOBAL heavy
+# hitter (count > N/HH_K) must by pigeonhole exceed n_p/HH_K in at
+# least one partition, and n_p/HH_K >> n_p/(MG_COUNTERS+1), so the
+# candidate union is a provable superset — which makes the exact
+# second-pass filter deterministic (oracle-checkable) regardless of
+# partitioning.
+MG_COUNTERS = 128
+HH_K = 31  # heavy hitter = frequency strictly above the uniform 1/31 share
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent elements in two passes: per-partition Misra-Gries
+    candidate sketches, then an exact recount restricted to the
+    candidate set (reference A8/A9 family — a frequency query the
+    689-LoC engine answers by full reduce; here the classic
+    bounded-memory form).
+
+    Scale shape — the point of the sketch pass: a plain
+    ``groupBy(key).count()`` over a massive-cardinality key (user
+    ids, URLs) shuffles one record per distinct key and holds the
+    full key space in aggregation state. Pass 1 is NARROW (zero
+    shuffle): mapInPandas holds ≤ MG_COUNTERS counters per
+    partition and emits ≤ MG_COUNTERS candidate rows per partition
+    — a few KB regardless of input size. Pass 2 semi-joins the
+    tiny broadcast candidate set BEFORE the aggregation, so the
+    exact count shuffles only candidate-key rows and its state is
+    O(candidates), not O(distinct keys). The superset guarantee
+    (see MG_COUNTERS) means the final ``cnt·HH_K > N`` filter
+    returns exactly the true heavy hitters.
+
+    Output: token, cnt for every token with cnt·HH_K > N."""
+    toks = _token_df(spark, sf_dir).select("token")
+
+    def mg_sketch(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > MG_COUNTERS:
+                # batched MG reduction: subtract the (MG_COUNTERS+1)-th
+                # largest count from every counter, drop the non-positive
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[MG_COUNTERS]
+                counters = {t: c - m for t, c in counters.items() if c > m}
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg_sketch, "token string").distinct()
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * HH_K > F.col("n_total"))
+        .select("token", "cnt")
+    )
+
+
 def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference A10 (hashmap sink last-write-wins MapPut,
     hashmap.c:40-46) exercised end-to-end through the keyed parquet
@@ -347,6 +409,7 @@ QUERIES = {
     "custom_partition_hist": custom_partition_hist,
     "mr_wordcount": mr_wordcount,
     "upsert_roundtrip": upsert_roundtrip,
+    "heavy_hitters": heavy_hitters,
 }
 
 ORACLES = {
@@ -385,6 +448,11 @@ ORACLES = {
     + f"SELECT ({_DJB2})::BIGINT AS pid, count(*)::BIGINT AS cnt FROM toks GROUP BY 1",
     "mr_wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
+    "heavy_hitters": _TOKENS_CTE
+    + (
+        f"SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token "
+        f"HAVING count(*) * {HH_K} > (SELECT count(*) FROM toks)"
+    ),
     "upsert_roundtrip": (
         "SELECT cust_key, order_key, total_price FROM ("
         "  SELECT o_custkey AS cust_key, o_orderkey AS order_key,"

@@ -90,6 +90,80 @@ def session_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: each event lands in
+    window/slide overlapping buckets (4 here), all epoch-aligned.
+    Spark expands the assignment inside the aggregate — state is
+    (windows × types) live within the watermark horizon, not a per-
+    event blow-up. Output: window_start, event_type, cnt."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def interval_join_clicks_to_purchases(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "4 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: every (purchase, click)
+    pair for the same user where the click happened in
+    [purchase.ts − lookback, purchase.ts). The canonical streaming
+    attribution shape.
+
+    State bound — the reason this runs forever on an unbounded
+    stream: BOTH sides carry an event-time watermark and the join
+    condition bounds each side's time against the other, so the
+    engine derives per-side state-eviction horizons (a click older
+    than watermark+lookback can never match a future purchase and
+    its state row is dropped). An un-watermarked stream-stream join
+    would buffer both streams in full. Inner-join rows emit as soon
+    as both sides arrive; no watermark wait (that's only for outer
+    sides).
+
+    Output: purchase_id, click_id, user_id, gap_s."""
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        ).withWatermark("p_ts", watermark)
+    )
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        ).withWatermark("c_ts", watermark)
+    )
+    return (
+        p.join(
+            c,
+            (p["user_id"] == c["c_user_id"])
+            & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {lookback}"))
+            & (c["c_ts"] < p["p_ts"]),
+            "inner",
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000").alias(
+                "gap_s"
+            ),
+        )
+    )
+
+
 def streaming_wordcount(lines: DataFrame, text_col: str = "value") -> DataFrame:
     """The reference flagship as an incremental query: unbounded
     lines → running token counts (update mode). State = one long per
@@ -390,6 +464,52 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select("user_id", "n_events")
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for HOPPING WINDOWS: 1-hour windows
+    sliding every 15 minutes, computed by the streaming engine and
+    value-checked against a batch oracle that reproduces the
+    window-assignment rule arithmetically (each event belongs to the
+    4 epoch-aligned 15-minute starts covering it — the k∈[0,4)
+    expansion in the SQL). Complete mode for the finite-drain reason
+    documented at stream_time_bucket."""
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_sl_")
+    counts = sliding_event_counts(_staged_events_stream(spark, sf_dir, work))
+    out = counts.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        F.col("cnt").alias("n_events"),
+    )
+    name = f"stream_sl_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8)
+    return spark.table(name)
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the STREAM-STREAM INTERVAL JOIN:
+    purchases and clicks arrive as two independent file-streams over
+    the same staged events directory, and every click within 4 hours
+    before a same-user purchase must pair up — value-checked against
+    the plain inequality-join SQL. Append mode: inner-join matches
+    are final the moment they emit."""
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_ij_")
+    ev_p = _staged_events_stream(spark, sf_dir, work)
+    # second independent reader over the already-staged directory
+    ev_c = stream_events(spark, os.path.join(work, "in"))
+    joined = interval_join_clicks_to_purchases(
+        ev_p.where(F.col("event_type") == "purchase"),
+        ev_c.where(F.col("event_type") == "click"),
+    )
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8)
+    return spark.table(name)
+
+
 def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry: the reference's flagship pipeline
     (wordcount, main.c:50-74) run INCREMENTALLY by the streaming
@@ -428,6 +548,8 @@ QUERIES = {
     "stream_upsert_totals": stream_upsert_totals,
     "stream_session_windows": stream_session_windows,
     "stream_running_counts": stream_running_counts,
+    "stream_sliding_counts": stream_sliding_counts,
+    "stream_interval_join": stream_interval_join,
 }
 
 ORACLES = {
@@ -454,6 +576,24 @@ ORACLES = {
     "stream_dedup_events": (
         "SELECT event_id, user_id, event_type, 1::BIGINT AS n "
         "FROM events"
+    ),
+    # Each event belongs to the 4 epoch-aligned 15-min window starts
+    # covering it: start = 15min-bucket(ts) - k*15min for k in 0..3
+    # (900000000 µs = 15 min) — the same assignment rule
+    # F.window('1 hour','15 minutes') applies internally.
+    "stream_sliding_counts": (
+        "SELECT strftime(make_timestamp(((epoch_us(ts) // 900000000) - k) "
+        "* 900000000), '%Y-%m-%d %H:%M:%S') AS bucket, "
+        "event_type, count(*)::BIGINT AS n_events "
+        "FROM events CROSS JOIN range(4) AS t(k) GROUP BY 1, 2"
+    ),
+    "stream_interval_join": (
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+        "p.user_id AS user_id, "
+        "(epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s "
+        "FROM events p JOIN events c ON p.user_id = c.user_id "
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+        "AND c.ts >= p.ts - INTERVAL 4 HOUR AND c.ts < p.ts"
     ),
     # Merge-rule-exact sessionization: new session when gap >= 30 min
     # (session_window's overlap rule), session_end = last event + gap.

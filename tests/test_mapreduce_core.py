@@ -82,3 +82,40 @@ def test_inverted_index_sorted_doc_ids(spark):
     ids = [int(x) for x in row.doc_ids.split(",")]
     assert ids == sorted(ids)
     assert row.n_docs == len(ids)
+
+
+def test_heavy_hitters_exact_and_bounded(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        HH_K,
+        heavy_hitters,
+        _token_df,
+    )
+
+    got = {(r.token, r.cnt) for r in heavy_hitters(spark, SF_SMOKE).collect()}
+    toks = _token_df(spark, SF_SMOKE)
+    n = toks.count()
+    want = {
+        (r.token, r.cnt)
+        for r in toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") * HH_K > F.lit(n))
+        .collect()
+    }
+    # exact despite the sketch pass: candidates are a provable superset
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """MG candidates depend on partitioning; the final answer must not."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import mapreduce_core as mc
+
+    base = {(r.token, r.cnt) for r in mc.heavy_hitters(spark, SF_SMOKE).collect()}
+    # re-run the public operator after forcing a different source
+    # partitioning via a session-conf change to file split size
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        again = {(r.token, r.cnt) for r in mc.heavy_hitters(spark, SF_SMOKE).collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert again == base

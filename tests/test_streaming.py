@@ -185,3 +185,74 @@ def test_dedup_stream_drops_duplicates_within_horizon(spark, tmp_path):
     assert {r.text.strip().lower() for r in got} == {"hello world", "something else"}
     # schema passes through minus the internal dedup key
     assert set(got[0].asDict()) == {"doc_id", "text", "ts"}
+
+
+def test_sliding_counts_match_batch(spark, tmp_path, events_stream_dir):
+    stream = st.sliding_event_counts(st.stream_events(spark, events_stream_dir))
+    st.run_to_memory(stream, "slide_counts", str(tmp_path / "ckpt"), "complete")
+    got = {
+        (r.window_start, r.event_type, r.cnt)
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.cnt)
+        for r in (
+            table(spark, SF_SMOKE, "events")
+            .groupBy(
+                F.window("ts", "1 hour", "15 minutes").start.alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+    # every event lands in exactly 4 overlapping windows
+    n_events = table(spark, SF_SMOKE, "events").count()
+    assert sum(c for (_, _, c) in got) == 4 * n_events
+
+
+def test_interval_join_matches_batch(spark, tmp_path, events_stream_dir):
+    joined = st.interval_join_clicks_to_purchases(
+        st.stream_events(spark, events_stream_dir).where(
+            F.col("event_type") == "purchase"
+        ),
+        st.stream_events(spark, events_stream_dir).where(
+            F.col("event_type") == "click"
+        ),
+    )
+    st.run_to_memory(joined, "ij_out", str(tmp_path / "ckpt"), "append")
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.gap_s)
+        for r in spark.sql("SELECT * FROM ij_out").collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id, r.user_id, r.gap_s)
+        for r in (
+            p.join(
+                c,
+                (p["user_id"] == c["c_user_id"])
+                & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 4 hours"))
+                & (c["c_ts"] < p["p_ts"]),
+            )
+            .select(
+                "purchase_id",
+                "click_id",
+                "user_id",
+                F.expr(
+                    "(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000"
+                ).alias("gap_s"),
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
