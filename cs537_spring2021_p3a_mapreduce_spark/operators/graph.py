@@ -94,14 +94,136 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITER = 4
+PR_SCALE = 10**12  # integer rank mass: 1.0 == 10^12 units
+PR_TELEPORT_NUM = 15 * PR_SCALE  # 0.15 · SCALE, divided by 100·n per vertex
+
+
+def pagerank(
+    edges: DataFrame, src: str, dst: str, n_iter: int = PR_ITER
+) -> DataFrame:
+    """Fixed-iteration PageRank (damping 0.85) in EXACT integer
+    arithmetic — every division is an integer DIV, so the result is
+    bit-identical across engines, partitionings, and combine orders
+    (float PageRank is none of those; the deterministic-moments
+    discipline of ``stats_correlation`` / ``embedding_kmeans``
+    applied to an iterative graph kernel).
+
+    rank_{t+1}(v) = (15·SCALE) DIV (100·n)
+                  + (85 · Σ_{u→v} rank_t(u) DIV outdeg(u)) DIV 100
+
+    Truncation deliberately loses a few units of mass per round —
+    the price of cross-engine exactness, documented rather than
+    hidden.
+
+    Scale shape: each iteration is one equi-join (ranks ⋈ edges on
+    the source vertex, both shuffle-partitioned on the same key) +
+    one sum-aggregate on the destination — identical cost profile to
+    any keyed join at 100 TB; n_iter is fixed, so the whole plan is
+    a static n_iter-deep DAG Catalyst sees at once (no driver-side
+    convergence actions; the lazy-DAG choice ``embedding_kmeans``
+    documents). Vertex count enters via a 1-row broadcast, never a
+    driver scalar.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    deg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
+    nv = deg.agg(F.count("*").alias("nv"))
+    ranks = (
+        deg.select(F.col("s").alias("v"), "outdeg")
+        .crossJoin(F.broadcast(nv))
+        .withColumn("rank", F.expr(f"{PR_SCALE} DIV nv"))
+    )
+    for _ in range(n_iter):
+        inc = (
+            e.join(ranks, e["s"] == ranks["v"])
+            .select(F.col("d").alias("iv"), F.expr("rank DIV outdeg").alias("c"))
+            .groupBy("iv")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            ranks.join(inc, ranks["v"] == inc["iv"], "left")
+            .select(
+                "v",
+                "outdeg",
+                "nv",
+                F.expr(
+                    f"{PR_TELEPORT_NUM} DIV (100 * nv)"
+                    " + (85 * coalesce(inc, 0)) DIV 100"
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("v", "rank")
+
+
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible PageRank entry: the undirected bipartite
+    part↔supplier graph induced by lineitem (distinct
+    (l_partkey, l_suppkey) pairs, both directions), ranked for
+    ``PR_ITER`` rounds. Vertex ids are disjoint by parity:
+    part → 2·key, supplier → 2·key+1. Hash-checked against the same
+    integer recurrence unrolled as one CTE per iteration in SQL.
+
+    Output: vertex, rank (integer rank units)."""
+    from ..catalog import table
+
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    return pagerank(edges, "s", "d").select(
+        F.col("v").alias("vertex"), F.col("rank").alias("rank")
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "pagerank_part_supplier": pagerank_part_supplier,
 }
+
+def _pagerank_oracle(n_iter: int = PR_ITER) -> str:
+    """The integer PageRank recurrence unrolled: one CTE per
+    iteration, same DIV-truncation order as the Spark plan, so the
+    comparison is hash-exact."""
+    ctes = [
+        "WITH pairs AS (\n"
+        "  SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS d FROM lineitem\n"
+        "), edges AS (\n"
+        "  SELECT s, d FROM pairs UNION ALL SELECT d AS s, s AS d FROM pairs\n"
+        "), deg AS (\n"
+        "  SELECT s AS v, count(*) AS outdeg FROM edges GROUP BY 1\n"
+        "), n AS (SELECT count(*) AS nv FROM deg),\n"
+        f"r0 AS (SELECT v, outdeg, {PR_SCALE} // (SELECT nv FROM n) AS pr FROM deg)"
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f", r{i} AS (\n"
+            f"  SELECT d.v, d.outdeg,\n"
+            f"         ({PR_TELEPORT_NUM} // (100 * (SELECT nv FROM n))\n"
+            f"          + (85 * coalesce(inc.c, 0)) // 100)::BIGINT AS pr\n"
+            f"  FROM deg d LEFT JOIN (\n"
+            f"    SELECT e.d AS v, sum(r.pr // r.outdeg) AS c\n"
+            f"    FROM edges e JOIN r{i - 1} r ON e.s = r.v GROUP BY 1\n"
+            f"  ) inc ON d.v = inc.v\n"
+            f")"
+        )
+    return (
+        "".join(ctes)
+        + f'\nSELECT v AS vertex, pr::BIGINT AS "rank" FROM r{n_iter}'
+    )
+
 
 # The pair-generation CTEs mirror dedup_minhash_verify's oracle; the
 # recursive part computes min-reachable per vertex (UNION dedups, so
 # the recursion terminates on cyclic components).
 ORACLES = {
+    "pagerank_part_supplier": _pagerank_oracle(),
     "dedup_clusters": """
 WITH RECURSIVE toks AS (
   SELECT doc_id,

@@ -96,3 +96,41 @@ def test_components_match_union_find_on_random_graphs(spark):
         got = _components(spark, edges)
         want = set(union_find(edges).items())
         assert got == want, f"mismatch on {edges}"
+
+
+def test_pagerank_mass_and_determinism(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 2), (4, 1), (1, 4)],
+        "s bigint, d bigint",
+    )
+    ranks = {r.v: r["rank"] for r in pagerank(edges, "s", "d").collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    total = sum(ranks.values())
+    # integer truncation only ever loses mass, and at most a few
+    # units per vertex per round
+    assert PR_SCALE * 0.99 < total <= PR_SCALE
+    # vertex 1 has the most inlinks (from 2, 3, 4) => highest rank
+    assert ranks[1] == max(ranks.values())
+    # bit-exact determinism under a different partitioning
+    again = {
+        r.v: r["rank"]
+        for r in pagerank(edges.repartition(7), "s", "d").collect()
+    }
+    assert again == ranks
+
+
+def test_pagerank_sf_smoke_bipartite(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+        pagerank_part_supplier,
+    )
+
+    out = pagerank_part_supplier(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    # disjoint-parity vertex namespaces: both sides present
+    assert {r.vertex % 2 for r in rows} == {0, 1}
