@@ -336,10 +336,78 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash(spark, sf_dir)
 
 
+def fuzzy_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 self-join over customer names via DELETION
+    NEIGHBORHOODS (SymSpell / FastSS): each name emits itself plus
+    every one-character-deletion variant; any two strings within
+    Levenshtein distance 1 share at least one variant (substitution
+    at position i ⇒ both deletions at i coincide; insert/delete ⇒
+    the shorter string is itself a variant of the longer), so an
+    equi-join on the variant finds every candidate. Exact
+    ``levenshtein`` then verifies — making the result exact, with
+    candidate generation doing equi-join work only.
+
+    Scale shape — the reason this isn't a crossJoin: candidates per
+    variant bucket are bounded by alphabet size × name length, not
+    corpus size, so shuffle volume is O(corpus × name_length) and
+    the verify runs on candidate pairs only. The quadratic
+    all-pairs form exists solely as the DuckDB oracle (sf0.01).
+    The same neighborhood trick extends to distance k by deleting
+    up to k characters (variant count ∝ len^k — the known FastSS
+    trade).
+
+    Output: a_key, b_key, dist (1 for every surviving pair —
+    distance-0 would mean duplicate names; asserting none exist is
+    part of the check)."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    # variants: the name itself (deletion at "no position") + one
+    # deletion per position, as (variant, key) rows
+    variants = cust.select(
+        "key",
+        F.explode(
+            F.concat(
+                F.array(F.col("name")),
+                F.expr(
+                    "transform(sequence(1, length(name)),"
+                    " i -> concat(substring(name, 1, i - 1),"
+                    "             substring(name, i + 1, length(name))))"
+                ),
+            )
+        ).alias("variant"),
+    ).distinct()
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.variant") == F.col("b.variant")) & (F.col("a.key") < F.col("b.key")))
+        .select(F.col("a.key").alias("a_key"), F.col("b.key").alias("b_key"))
+        .distinct()
+    )
+    names_a = cust.select(F.col("key").alias("a_key"), F.col("name").alias("a_name"))
+    names_b = cust.select(F.col("key").alias("b_key"), F.col("name").alias("b_name"))
+    return (
+        cand.join(names_a, "a_key")
+        .join(names_b, "b_key")
+        .withColumn("dist", F.levenshtein("a_name", "b_name").cast("long"))
+        .where(F.col("dist") <= 1)
+        .select("a_key", "b_key", "dist")
+    )
+
+
+_FUZZY = """
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_verify": dedup_minhash_verify,
     "dedup_simhash": dedup_simhash,
+    "fuzzy_join_customers": fuzzy_join_customers,
 }
 
 # dedup_minhash / dedup_simhash are rows-only for the driver: LSH
@@ -351,6 +419,7 @@ QUERIES = {
 # whenever LSH recall is 1 (it is, deterministically, on the
 # fixtures — see the docstring).
 ORACLES: dict[str, str] = {
+    "fuzzy_join_customers": _FUZZY,
     "dedup_minhash_verify": """
 WITH toks AS (
   SELECT doc_id,

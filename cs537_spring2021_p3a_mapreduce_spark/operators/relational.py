@@ -1535,6 +1535,126 @@ FROM events
 """
 
 
+def window_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user value sum at every event — the
+    RANGE-frame window (frame bounded by the ORDER-BY *value*
+    distance, not a row count), the one frame type the window family
+    didn't yet pin. Spark needs a numeric ordering column for
+    rangeBetween, so the frame runs over epoch-µs longs; value is
+    summed in exact cents so ties and combine order can't drift the
+    hash. Same single user_id shuffle + one window pass as every
+    window entry: a range frame costs a per-partition sliding
+    accumulator, not a second shuffle — unchanged at 100 TB.
+
+    Output: event_id, user_id, trail_cents (sum over
+    [ts − 1 h, ts], inclusive both ends — both engines include all
+    ORDER-BY ties at the frame edges)."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("trail_cents"),
+    )
+
+
+_TRAILING = """
+SELECT event_id, user_id,
+       sum(round(value * 100)::BIGINT) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       )::BIGINT AS trail_cents
+FROM events
+"""
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: for each user, every 1-hour bucket from
+    the user's first to last event hour — buckets with no events
+    materialized with n_events = 0 and the value metric carried
+    forward from the last observed bucket (LOCF), NULL before the
+    first observation. The hypertable-rollup / dashboard shape
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``) from built-in
+    ops only.
+
+    Scale shape: the dense bucket grid is generated per key with
+    ``sequence`` + ``explode`` — grid size ∝ per-user time span /
+    bucket, never corpus²; one user_id shuffle shared by the agg,
+    the grid join, and the LOCF window (all co-partitioned).
+
+    Output: user_id, bucket, n_events, value_cents (LOCF)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("bucket_ts")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "value_cents"
+            ),
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(
+            F.min("bucket_ts").alias("t0"),
+            F.max("bucket_ts").alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket_ts"], "left")
+        .select(
+            "user_id",
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("value_cents", ignorenulls=True)
+            .over(w)
+            .alias("value_cents"),
+        )
+    )
+
+
+_GAPFILL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         count(*)::BIGINT AS n_events,
+         sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                         INTERVAL 1 HOUR)) AS bucket_ts
+  FROM hourly GROUP BY user_id
+)
+SELECT g.user_id,
+       strftime(g.bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+       coalesce(h.n_events, 0)::BIGINT AS n_events,
+       last_value(h.value_cents IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS value_cents
+FROM grid g LEFT JOIN hourly h
+  ON g.user_id = h.user_id AND g.bucket_ts = h.bucket_ts
+"""
+
+
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone shipped late on a
     multi-supplier order — the EXISTS + NOT-EXISTS double
@@ -1732,6 +1852,8 @@ QUERIES = {
     "order_price_histogram": order_price_histogram,
     "stats_correlation": stats_correlation,
     "window_lag_delta": window_lag_delta,
+    "window_trailing_sum": window_trailing_sum,
+    "gapfill_locf": gapfill_locf,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -1773,6 +1895,8 @@ ORACLES = {
     "order_price_histogram": _HIST,
     "stats_correlation": _STATS_CORR,
     "window_lag_delta": _LAG_DELTA,
+    "window_trailing_sum": _TRAILING,
+    "gapfill_locf": _GAPFILL,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
     "retention_cohorts": _RETENTION,

@@ -99,3 +99,52 @@ def test_minhash_agrees_with_ngram_baseline(spark):
     if ng:
         recall = len(mh & ng) / len(ng)
         assert recall >= 0.8, (recall, len(ng), len(mh))
+
+
+def test_deletion_neighborhood_finds_all_distance1_pairs(spark):
+    """Property: candidates from the deletion-neighborhood equi-join
+    are complete for Levenshtein <= 1 — checked against brute force
+    on adversarial strings (equal length, off-by-one length, repeats)."""
+    import itertools
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup as dd
+
+    names = [
+        "abcde", "abxde", "abde", "abcdef", "aabcde", "xbcde",
+        "abcdx", "aaaaa", "aaaa", "aaaab", "vwxyz",
+    ]
+    cust = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "c_custkey long, c_name string"
+    )
+    cust.createOrReplaceTempView("_fuzzy_fixture")
+
+    # run the operator's core on the fixture by monkeypatching table()
+    import cs537_spring2021_p3a_mapreduce_spark.operators.dedup as dmod
+
+    orig = dmod.table
+    dmod.table = lambda s, sf, name: cust
+    try:
+        got = {
+            (r.a_key, r.b_key)
+            for r in dd.fuzzy_join_customers(spark, "ignored").collect()
+        }
+    finally:
+        dmod.table = orig
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want and len(want) > 0

@@ -105,3 +105,68 @@ def test_semi_anti_partition_customers(spark):
     from cs537_spring2021_p3a_mapreduce_spark.catalog import table
 
     assert len(semi | anti) == table(spark, SF, "customer").count()
+
+
+def test_trailing_sum_matches_brute_force(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        window_trailing_sum,
+    )
+
+    got = {
+        r.event_id: r.trail_cents
+        for r in window_trailing_sum(spark, SF).collect()
+    }
+    ev = table(spark, SF, "events").select("event_id", "user_id", "ts", "value")
+    a, b = ev.alias("a"), ev.alias("b")
+    want = {
+        r.event_id: r.trail_cents
+        for r in (
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 1 HOUR"))
+                & (F.col("b.ts") <= F.col("a.ts")),
+            )
+            .groupBy(F.col("a.event_id").alias("event_id"))
+            .agg(
+                F.sum(F.expr("CAST(round(b.value * 100) AS BIGINT)")).alias(
+                    "trail_cents"
+                )
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+
+
+def test_gapfill_grid_is_dense_and_locf(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        gapfill_locf,
+    )
+
+    rows = gapfill_locf(spark, SF).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    import datetime
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.bucket)
+        ts = [datetime.datetime.strptime(r.bucket, fmt) for r in rs]
+        # dense hourly grid: consecutive buckets exactly 1 h apart
+        assert all(
+            (b - a) == datetime.timedelta(hours=1) for a, b in zip(ts, ts[1:])
+        ), f"gap in grid for user {user}"
+        # endpoints have events by construction
+        assert rs[0].n_events > 0 and rs[-1].n_events > 0
+        # LOCF: value_cents never NULL after the first observed bucket
+        assert all(r.value_cents is not None for r in rs)
+        # zero-event buckets carry the previous bucket's value forward
+        for prev, cur in zip(rs, rs[1:]):
+            if cur.n_events == 0:
+                assert cur.value_cents == prev.value_cents
+    # at least one gap actually exists in the fixture (else the test
+    # proves nothing about fill behavior)
+    assert any(r.n_events == 0 for r in rows)
