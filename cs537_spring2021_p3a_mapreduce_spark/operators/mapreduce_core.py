@@ -157,6 +157,54 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution at the source: two parquet batches
+    of the same logical table where the second batch carries a NEW
+    column (``o_orderpriority``), read back as ONE relation with
+    ``mergeSchema`` — rows from the old batch surface NULL for the
+    new column, exactly the union-by-name semantics a long-lived
+    100 TB table accretes (columns are added; history isn't
+    rewritten). The aggregate proves both the merge (counts split by
+    the evolved column's presence) and value integrity (exact-cents
+    sums per group).
+
+    Scale note: ``mergeSchema`` reconciles footers at planning time
+    — per-file schemas, no data rewrite; the scan stays one pass and
+    column pruning still reaches each footer.
+
+    Output: priority (NULL→'<absent>'), n_orders, sum_cents."""
+    import tempfile
+
+    orders = table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="schema_evo_")
+    old = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("append").parquet(path)
+    new.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<absent>")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+_SCHEMA_EVO = """
+SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+                '<absent>') AS priority,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders GROUP BY 1
+"""
+
+
 # Misra-Gries sketch width for heavy_hitters. Guarantee: after the
 # subtract-and-drop merge, any token with partition count >
 # n_p/(MG_COUNTERS+1) survives the partition's sketch; a GLOBAL heavy
@@ -410,6 +458,7 @@ QUERIES = {
     "mr_wordcount": mr_wordcount,
     "upsert_roundtrip": upsert_roundtrip,
     "heavy_hitters": heavy_hitters,
+    "schema_evolution_scan": schema_evolution_scan,
 }
 
 ORACLES = {
@@ -453,6 +502,7 @@ ORACLES = {
         f"SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token "
         f"HAVING count(*) * {HH_K} > (SELECT count(*) FROM toks)"
     ),
+    "schema_evolution_scan": _SCHEMA_EVO,
     "upsert_roundtrip": (
         "SELECT cust_key, order_key, total_price FROM ("
         "  SELECT o_custkey AS cust_key, o_orderkey AS order_key,"

@@ -1655,6 +1655,50 @@ FROM grid g LEFT JOIN hourly h
 """
 
 
+# Retention bound for the GK quantile sketch: exact below this n,
+# ε = 1/APPROX_Q_ACCURACY relative-rank error above it.
+APPROX_Q_ACCURACY = 1_000_000
+
+
+def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles via the MERGEABLE Greenwald-Khanna sketch
+    (``percentile_approx``) — the sketch family's missing member
+    next to HLL (approx_distinct) and Misra-Gries (heavy_hitters).
+    The exact ``grouped_quantiles`` entry interpolates; this one is
+    the sketch path a 100 TB profile job actually runs: map-side
+    partial sketches merge associatively, so no per-group value list
+    ever materializes — state per group is O(accuracy), error is a
+    rank (not value) bound ε = 1/accuracy.
+
+    Honest-oracle note: at gate scale n < accuracy, where GK retains
+    every value and is EXACTLY the discrete quantile — so the DuckDB
+    ``quantile_disc`` compare is hash-exact while still driving the
+    sketch code path; at 100 TB the same plan degrades gracefully to
+    ε-rank error instead of OOM (values summed as exact cents to
+    keep the compare type-stable).
+
+    Output: event_type, q50, q90, q99 (cents)."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    q = F.percentile_approx(
+        cents, [0.5, 0.9, 0.99], APPROX_Q_ACCURACY
+    )
+    return ev.groupBy("event_type").agg(
+        q.getItem(0).alias("q50"),
+        q.getItem(1).alias("q90"),
+        q.getItem(2).alias("q99"),
+    )
+
+
+_APPROX_Q = """
+SELECT event_type,
+       quantile_disc(round(value * 100)::BIGINT, 0.5) AS q50,
+       quantile_disc(round(value * 100)::BIGINT, 0.9) AS q90,
+       quantile_disc(round(value * 100)::BIGINT, 0.99) AS q99
+FROM events GROUP BY 1
+"""
+
+
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone shipped late on a
     multi-supplier order — the EXISTS + NOT-EXISTS double
@@ -1854,6 +1898,7 @@ QUERIES = {
     "window_lag_delta": window_lag_delta,
     "window_trailing_sum": window_trailing_sum,
     "gapfill_locf": gapfill_locf,
+    "approx_quantiles_sketch": approx_quantiles_sketch,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -1897,6 +1942,7 @@ ORACLES = {
     "window_lag_delta": _LAG_DELTA,
     "window_trailing_sum": _TRAILING,
     "gapfill_locf": _GAPFILL,
+    "approx_quantiles_sketch": _APPROX_Q,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
     "retention_cohorts": _RETENTION,

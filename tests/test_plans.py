@@ -289,3 +289,55 @@ def test_partitioned_pruned_scan_prunes_partitions(spark):
     assert "PartitionFilters: [isnotnull(event_type" in p.replace("#", "").replace(
         "]", ""
     ) or "PartitionFilters: [" in p and "event_type" in p.split("PartitionFilters")[1][:120]
+
+
+def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
+    df = mc.heavy_hitters(spark, SF_SMOKE)
+    p = P.plan(df)
+    # the candidate filter must reach the recount as a broadcast
+    # (LEFT SEMI) join — shuffling the corpus against a KB-sized
+    # candidate set would be the wrong plan at any scale
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_fuzzy_join_is_equi_join_no_cartesian(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup as dd
+
+    df = dd.fuzzy_join_customers(spark, SF_SMOKE)
+    p = P.plan(df)
+    # deletion-neighborhood candidates come from an EQUI join on the
+    # variant — a cartesian/BNLJ product over names would be the
+    # quadratic plan this operator exists to avoid
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_trailing_sum_single_shuffle_running_window(spark):
+    df = rel.window_trailing_sum(spark, SF_SMOKE)
+    assert P.shuffle_count(df) == 1
+    assert "RunningWindowFunction" in P.plan(df) or "Window" in P.plan(df)
+
+
+def test_gapfill_shares_one_user_partitioning(spark):
+    df = rel.gapfill_locf(spark, SF_SMOKE)
+    # agg → grid join → LOCF window: the hourly agg shuffles on
+    # (user, bucket); grid + window reuse user-keyed exchanges. The
+    # load-bearing bound: exchanges stay O(1), they don't stack per
+    # stage (4 = hourly agg, min/max agg, grid join side, window).
+    assert P.shuffle_count(df) <= 4
+    assert "CartesianProduct" not in P.plan(df)
+
+
+def test_pagerank_iterations_are_keyed_joins(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+        pagerank_part_supplier,
+    )
+
+    df = pagerank_part_supplier(spark, SF_SMOKE)
+    p = P.plan(df)
+    # the 1-row vertex-count side must broadcast; the per-iteration
+    # rank⋈edges joins must be equi-joins (never nested-loop over
+    # the edge set)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p

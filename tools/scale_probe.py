@@ -248,7 +248,19 @@ PROBES = [
     "q13_order_distribution",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
+    # round-2 additions: sketch pass, iterative graph kernel, range
+    # frame, dense-grid gapfill, deletion-neighborhood fuzzy join,
+    # two-pass heavy hitters
+    "heavy_hitters",
+    "pagerank_part_supplier",
+    "window_trailing_sum",
+    "gapfill_locf",
+    "fuzzy_join_customers",
 ]
+
+# Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
+if os.environ.get("SCALE_PROBE_ONLY"):
+    PROBES = [q.strip() for q in os.environ["SCALE_PROBE_ONLY"].split(",") if q.strip()]
 
 
 def main() -> int:
