@@ -510,6 +510,50 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the STREAM-STATIC join: the purchase
+    stream enriched against the static ``customer`` dimension
+    (user_id → c_custkey) and aggregated per market segment —
+    the canonical streaming-enrichment shape. Stream-static joins
+    are STATELESS on the stream side: each micro-batch broadcast-
+    joins the dim snapshot, nothing is buffered across batches (the
+    dim is re-resolvable per batch, which is how slowly-changing
+    dims refresh mid-stream on a real deployment). Complete mode
+    for the finite-drain reason documented at stream_time_bucket.
+
+    Unmatched purchases (user ids beyond the customer table) are
+    kept with segment '<unknown>' — enrichment must not drop facts.
+
+    Output: segment, n_purchases, sum_cents."""
+    import tempfile
+    import uuid
+
+    from ..catalog import table as _table
+
+    work = tempfile.mkdtemp(prefix="stream_en_")
+    purchases = _staged_events_stream(spark, sf_dir, work).where(
+        F.col("event_type") == "purchase"
+    )
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        purchases.join(F.broadcast(cust), "user_id", "left")
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("<unknown>")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+    name = f"stream_en_{uuid.uuid4().hex[:8]}"
+    run_to_memory(enriched, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8)
+    return spark.table(name)
+
+
 def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry: the reference's flagship pipeline
     (wordcount, main.c:50-74) run INCREMENTALLY by the streaming
@@ -550,6 +594,7 @@ QUERIES = {
     "stream_running_counts": stream_running_counts,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_interval_join": stream_interval_join,
+    "stream_enrich_purchases": stream_enrich_purchases,
 }
 
 ORACLES = {
@@ -586,6 +631,13 @@ ORACLES = {
         "* 900000000), '%Y-%m-%d %H:%M:%S') AS bucket, "
         "event_type, count(*)::BIGINT AS n_events "
         "FROM events CROSS JOIN range(4) AS t(k) GROUP BY 1, 2"
+    ),
+    "stream_enrich_purchases": (
+        "SELECT coalesce(c.c_mktsegment, '<unknown>') AS segment, "
+        "count(*)::BIGINT AS n_purchases, "
+        "sum(round(e.value * 100)::BIGINT)::BIGINT AS sum_cents "
+        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey "
+        "WHERE e.event_type = 'purchase' GROUP BY 1"
     ),
     "stream_interval_join": (
         "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
