@@ -54,10 +54,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       epoch-nanos LongType under ``nanosAsLong`` and divided down to
       µs — bit-identical to DuckDB's ns→µs truncation.
     - timestamp[us] isAdjustedToUTC=false (round-2 testdata): scans
-      as TIMESTAMP_NTZ; ``to_utc_timestamp(ts, 'UTC')`` pins the
-      naive wall time to the UTC instant *independent of the
-      caller's session timezone* (a bare ``cast('timestamp')`` would
-      shift under a non-UTC session).
+      as TIMESTAMP_NTZ; epoch-µs is computed by pure wall-clock
+      arithmetic (``timestampdiff`` from the NTZ epoch) so the
+      instant is *independent of the caller's session timezone*.
+      Neither a bare ``cast('timestamp')`` nor
+      ``to_utc_timestamp(ts, 'UTC')`` has that property — both go
+      through an implicit NTZ→LTZ cast that interprets the wall
+      time in the SESSION zone (verified: a New-York session shifts
+      the instant 5 h; ``tests/test_catalog_tz.py`` pins this).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -77,7 +81,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif isinstance(ts_type, TimestampNTZType):
-            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                ),
+            )
     _RELATION_CACHE[key] = df
     return df
 

@@ -47,9 +47,16 @@ def stream_events(spark: SparkSession, sf_dir_or_glob: str) -> DataFrame:
     if isinstance(ts_type, LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if isinstance(ts_type, TimestampNTZType):
-        # naive wall time pinned to the UTC instant, independent of
-        # the caller's session timezone (see catalog.table)
-        return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+        # naive wall time pinned to the UTC instant by wall-clock
+        # arithmetic, independent of the caller's session timezone
+        # (see catalog.table — to_utc_timestamp would NOT be)
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        )
     return raw
 
 
