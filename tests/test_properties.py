@@ -103,3 +103,62 @@ def test_mix_corpora_budgets_are_floors(spark):
         # the budget is a floor unless the language ran out of docs
         last = max(rows, key=lambda r: r["cum_before"])
         assert total >= budget or last["cum_before"] + last["n_tokens"] == total
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "hot"]),
+        min_size=1,
+        max_size=200,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_heavy_hitters_core_exact_on_random_streams(spark, toks, parts):
+    """The two-pass Misra-Gries + recount pipeline must equal the
+    exact HAVING answer on ANY input and partitioning — the superset
+    guarantee, exercised where sketch evictions actually happen
+    (MG width 2 << 8 distinct tokens)."""
+    import pandas as pd
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import (
+        mapreduce_core as mc,
+    )
+
+    k = 4  # heavy = strictly above a 1/4 share
+    width = 2  # deliberately tiny sketch: force evictions
+
+    df = spark.createDataFrame(
+        [(t,) for t in toks], "token string"
+    ).repartition(parts)
+
+    def mg_sketch(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > width:
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[width]
+                counters = {t: c - m for t, c in counters.items() if c > m}
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = df.mapInPandas(mg_sketch, "token string").distinct()
+    total = df.agg(F.count("*").alias("n_total"))
+    got = {
+        (r.token, r.cnt)
+        for r in (
+            df.join(F.broadcast(candidates), "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("cnt") * k > F.col("n_total"))
+            .select("token", "cnt")
+            .collect()
+        )
+    }
+    from collections import Counter
+
+    cnt = Counter(toks)
+    want = {(t, c) for t, c in cnt.items() if c * k > len(toks)}
+    assert got == want
