@@ -121,6 +121,8 @@ def interval_join_clicks_to_purchases(
     clicks: DataFrame,
     lookback: str = "4 hours",
     watermark: str = "1 hour",
+    how: str = "inner",
+    keep_event_time: bool = False,
 ) -> DataFrame:
     """Stream-stream INNER interval join: every (purchase, click)
     pair for the same user where the click happened in
@@ -134,10 +136,15 @@ def interval_join_clicks_to_purchases(
     than watermark+lookback can never match a future purchase and
     its state row is dropped). An un-watermarked stream-stream join
     would buffer both streams in full. Inner-join rows emit as soon
-    as both sides arrive; no watermark wait (that's only for outer
-    sides).
+    as both sides arrive; no watermark wait. With ``how='leftOuter'``
+    an unmatched purchase emits null-extended ONLY once the
+    watermark passes its timestamp (no future click can match) — so
+    outer results are delayed one trigger and a finite drain must
+    either see a watermark advance mid-stream or accept withheld
+    trailing rows (see ``stream_interval_join_outer``).
 
-    Output: purchase_id, click_id, user_id, gap_s."""
+    Output: purchase_id, click_id, user_id, gap_s (click_id/gap_s
+    null for unmatched purchases under leftOuter)."""
     p = (
         purchases.select(
             F.col("event_id").alias("purchase_id"),
@@ -158,7 +165,7 @@ def interval_join_clicks_to_purchases(
             (p["user_id"] == c["c_user_id"])
             & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {lookback}"))
             & (c["c_ts"] < p["p_ts"]),
-            "inner",
+            how,
         )
         .select(
             "purchase_id",
@@ -167,6 +174,7 @@ def interval_join_clicks_to_purchases(
             F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000").alias(
                 "gap_s"
             ),
+            *(["p_ts"] if keep_event_time else []),
         )
     )
 
@@ -517,6 +525,103 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Fixed wall-clock split for the outer-join drain: events span
+# 2024-01-01..01-30 at every sf, so both halves are non-empty.
+_OUTER_SPLIT = "2024-01-16 00:00:00"
+
+
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the LEFT-OUTER stream-stream interval
+    join — the shape where watermark semantics actually bite: an
+    unmatched purchase may only emit null-extended once the
+    watermark proves no future click can match it, and outer results
+    are delayed until the trigger AFTER that watermark advance. A
+    single-batch drain therefore withholds every outer row; this
+    entry stages events as TWO time-split files consumed one per
+    micro-batch (``maxFilesPerTrigger=1``, mtime-ordered), so batch
+    2 runs under the watermark derived from batch 1 (max first-half
+    ts − delay) and flushes the outer state behind it.
+
+    The result is then restricted — identically on both engines —
+    to purchases below that provable-emission cutoff: rows above it
+    are *correctly* withheld by streaming semantics (their no-match
+    proof never arrives on a finite input), so the comparison pins
+    exactly the rows the engine guarantees. Late clicks behind the
+    batch-1 watermark are impossible by construction (the split is
+    on event time), so no match is lost to lateness.
+
+    Output: purchase_id, click_id (null if no prior click), user_id,
+    gap_s (null if unmatched)."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_oj_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    halves = [
+        ev.where(F.col("ts") < _OUTER_SPLIT),
+        ev.where(F.col("ts") >= _OUTER_SPLIT),
+    ]
+    for i, half in enumerate(halves):
+        d = os.path.join(work, f"half{i}")
+        half.coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        # file-stream batches follow modification time: half0 first
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    file_schema = spark.read.parquet(src).schema
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    def reader() -> DataFrame:
+        raw = (
+            spark.readStream.schema(file_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        ts_type = file_schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        if isinstance(ts_type, TimestampNTZType):
+            return raw.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                ),
+            )
+        return raw
+
+    joined = interval_join_clicks_to_purchases(
+        reader().where(F.col("event_type") == "purchase"),
+        reader().where(F.col("event_type") == "click"),
+        how="leftOuter",
+        keep_event_time=True,
+    )
+    name = f"stream_oj_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8)
+    # provable-emission cutoff = batch-1 watermark, via 1-row broadcast
+    from ..catalog import table as _table
+
+    cutoff = (
+        _table(spark, sf_dir, "events")
+        .where(F.col("ts") < _OUTER_SPLIT)
+        .agg(F.expr("max(ts) - INTERVAL 1 HOUR").alias("cutoff"))
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("p_ts") < F.col("cutoff"))
+        .select("purchase_id", "click_id", "user_id", "gap_s")
+    )
+
+
 def stream_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry for the STREAM-STATIC join: the purchase
     stream enriched against the static ``customer`` dimension
@@ -601,6 +706,7 @@ QUERIES = {
     "stream_running_counts": stream_running_counts,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_interval_join": stream_interval_join,
+    "stream_interval_join_outer": stream_interval_join_outer,
     "stream_enrich_purchases": stream_enrich_purchases,
 }
 
@@ -638,6 +744,21 @@ ORACLES = {
         "* 900000000), '%Y-%m-%d %H:%M:%S') AS bucket, "
         "event_type, count(*)::BIGINT AS n_events "
         "FROM events CROSS JOIN range(4) AS t(k) GROUP BY 1, 2"
+    ),
+    # Only purchases below the provable-emission cutoff (batch-1
+    # watermark = max first-half ts − 1 h): rows above it are
+    # correctly withheld by streaming outer-join semantics.
+    "stream_interval_join_outer": (
+        f"WITH cut AS (SELECT max(ts) - INTERVAL 1 HOUR AS cutoff "
+        f"FROM events WHERE ts < TIMESTAMP '{_OUTER_SPLIT}') "
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+        "p.user_id AS user_id, "
+        "(epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase' "
+        "      AND ts < (SELECT cutoff FROM cut)) p "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id "
+        "AND c.ts >= p.ts - INTERVAL 4 HOUR AND c.ts < p.ts"
     ),
     "stream_enrich_purchases": (
         "SELECT coalesce(c.c_mktsegment, '<unknown>') AS segment, "

@@ -304,3 +304,57 @@ def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
     upsert_keyed_parquet(spark, batch, path, key_cols=["k"], version_col="ver")
     twice = {(r.k, r.ver, r.payload) for r in spark.read.parquet(path).collect()}
     assert once == twice == {(1, 30, "c"), (2, 20, "b")}
+
+
+def test_outer_interval_join_matches_batch_below_cutoff(spark, tmp_path):
+    """Left-outer stream-stream join: everything the engine GUARANTEES
+    to emit (purchases behind the batch-1 watermark) must equal the
+    batch left-join on exactly that subset — matched and unmatched."""
+    from cs537_spring2021_p3a_mapreduce_spark.streaming import (
+        _OUTER_SPLIT,
+        stream_interval_join_outer,
+    )
+
+    got = {
+        tuple(r)
+        for r in stream_interval_join_outer(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    cutoff = (
+        ev.where(F.col("ts") < _OUTER_SPLIT)
+        .agg(F.expr("max(ts) - INTERVAL 1 HOUR").alias("c"))
+        .collect()[0]
+        .c
+    )
+    p = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("ts") < F.lit(cutoff))
+    ).select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        tuple(r)
+        for r in (
+            p.join(
+                c,
+                (p["user_id"] == c["c_user_id"])
+                & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 4 hours"))
+                & (c["c_ts"] < p["p_ts"]),
+                "leftOuter",
+            )
+            .select(
+                "purchase_id",
+                "click_id",
+                "user_id",
+                F.expr(
+                    "(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000"
+                ).alias("gap_s"),
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+    # the outer rows are actually present (not just the inner matches)
+    assert any(r[1] is None for r in got)
