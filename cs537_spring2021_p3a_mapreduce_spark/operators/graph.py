@@ -124,15 +124,23 @@ def pagerank(
     convergence actions; the lazy-DAG choice ``embedding_kmeans``
     documents). Vertex count enters via a 1-row broadcast, never a
     driver scalar.
+
+    Plan-growth discipline: rank_{t+1} is rebuilt from the CONSTANT
+    (vertex, outdeg, n) base joined to inc_t — never from rank_t
+    directly — so rank_t appears exactly once (inside inc_t) in the
+    next plan and the lazy DAG grows LINEARLY in n_iter. The naive
+    ``ranks.join(inc)`` form references rank_t twice and doubles the
+    plan per iteration (2^n_iter subtrees — Catalyst does not
+    common-subexpression-eliminate DataFrame subplans).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     deg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
     nv = deg.agg(F.count("*").alias("nv"))
-    ranks = (
+    base = (
         deg.select(F.col("s").alias("v"), "outdeg")
         .crossJoin(F.broadcast(nv))
-        .withColumn("rank", F.expr(f"{PR_SCALE} DIV nv"))
     )
+    ranks = base.withColumn("rank", F.expr(f"{PR_SCALE} DIV nv"))
     for _ in range(n_iter):
         inc = (
             e.join(ranks, e["s"] == ranks["v"])
@@ -141,7 +149,7 @@ def pagerank(
             .agg(F.sum("c").alias("inc"))
         )
         ranks = (
-            ranks.join(inc, ranks["v"] == inc["iv"], "left")
+            base.join(inc, base["v"] == inc["iv"], "left")
             .select(
                 "v",
                 "outdeg",

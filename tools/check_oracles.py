@@ -96,10 +96,16 @@ def main() -> int:
     # driver's t2 harness builds its own SparkSession without any of
     # our confs, so queries must not depend on session-build-time
     # settings (the round-1 nanosAsLong bug was exactly this).
+    # SPARK_GRAFT_SHUFFLE overrides the partition count so the whole
+    # gate can be replayed under a deliberately weird partitioning —
+    # partition-count invariance, proven at gate scope not per-test.
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("check-oracles")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        )
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
