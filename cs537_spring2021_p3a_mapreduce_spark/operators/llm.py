@@ -1758,6 +1758,45 @@ JOIN q qb ON qb.vec_id = c.vec_b
 """
 
 
+SAMPLE_EXACT_K = 50
+
+
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K-per-group sampling — eval/calibration-set
+    construction, where a rate-based sample (``sample_stratified``)
+    can't hit the size contract. Selection order is md5 of the doc
+    id (engine-portable, partitioning-independent), doc_id tiebreak,
+    so the K winners are a deterministic function of the corpus —
+    stable across reruns, engines, and cluster sizes.
+
+    Scale shape: one lang-keyed window shuffle; rank state per
+    partition is a counter, and rows past K short-circuit. For
+    billion-doc groups the same contract runs as a per-group top-K
+    heap (``TakeOrderedAndProject``-style) on (md5, doc_id) — the
+    window form is the clearer plan and identical output.
+
+    Output: doc_id, lang."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SAMPLE_EXACT_K)
+        .select("doc_id", "lang")
+    )
+
+
+_SAMPLE_EXACT_K_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents) WHERE rn <= {SAMPLE_EXACT_K}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "curate_corpus": curate_corpus,
@@ -1778,6 +1817,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "multimodal_meta": multimodal_meta,
     "sample_stratified": sample_stratified,
+    "sample_exact_k": sample_exact_k,
     "mix_corpora": mix_corpora,
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
@@ -1830,6 +1870,7 @@ FROM g
     "token_count_bpe": _BPE,
     "multimodal_meta": _MULTIMODAL,
     "sample_stratified": _SAMPLE_STRAT,
+    "sample_exact_k": _SAMPLE_EXACT_K_SQL,
     "mix_corpora": _MIX,
     "pack_sequences": _PACK_SEQ,
     "decontaminate_ngram": _DECON,

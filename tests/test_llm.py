@@ -279,3 +279,33 @@ def test_trained_ivf_recall_beats_probe_budget(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"trained IVF recall too low: {recall}"
     assert all(q != n for q, n in approx)
+
+
+def test_sample_exact_k_hits_size_contract_and_is_stable(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        SAMPLE_EXACT_K,
+        sample_exact_k,
+    )
+
+    rows = sample_exact_k(spark, SF).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    n_docs_per_lang = {
+        r.lang: r.n
+        for r in table(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, ids in by_lang.items():
+        # exact K, or the whole group when it's smaller than K
+        assert len(ids) == min(SAMPLE_EXACT_K, n_docs_per_lang[lang])
+    # deterministic under a different partitioning
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = {(r.doc_id, r.lang) for r in sample_exact_k(spark, SF).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert again == {(r.doc_id, r.lang) for r in rows}
