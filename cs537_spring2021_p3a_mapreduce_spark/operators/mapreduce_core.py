@@ -157,6 +157,49 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def linescan_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordcount through the CUSTOM PYTHON DATA SOURCE
+    (``sources/linescan.py``) — the reference's A1 file-list deal +
+    A2 line scan as a pluggable ``format("mr_linescan")``: the corpus
+    is exported to text shards, each shard becomes one source
+    partition (the engine's scheduler plays the reference's thread
+    pool), and the same hash-aggregate wordcount runs on top. Same
+    oracle as ``wordcount`` — the source swap must be semantically
+    invisible.
+
+    Scale note: the Python source pays one Python process hop per
+    partition batch; ``spark.read.text`` is the production path.
+    This entry exists to prove the extensibility seam (a bespoke
+    format plugs in with partition planning + scan logic in plain
+    Python), not to replace the built-in."""
+    import tempfile
+
+    from ..sources.linescan import LineScanDataSource
+
+    # idempotent per-session registration
+    try:
+        spark.dataSource.register(LineScanDataSource)
+    except Exception:
+        pass
+
+    work = tempfile.mkdtemp(prefix="linescan_")
+    shards = os.path.join(work, "shards")
+    (
+        table(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(8)
+        .write.text(shards)
+    )
+    lines = (
+        spark.read.format("mr_linescan").option("path", shards).load()
+    )
+    return (
+        lines.select(F.explode(tokens("line")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution at the source: two parquet batches
     of the same logical table where the second batch carries a NEW
@@ -459,6 +502,7 @@ QUERIES = {
     "upsert_roundtrip": upsert_roundtrip,
     "heavy_hitters": heavy_hitters,
     "schema_evolution_scan": schema_evolution_scan,
+    "linescan_wordcount": linescan_wordcount,
 }
 
 ORACLES = {
@@ -503,6 +547,8 @@ ORACLES = {
         f"HAVING count(*) * {HH_K} > (SELECT count(*) FROM toks)"
     ),
     "schema_evolution_scan": _SCHEMA_EVO,
+    "linescan_wordcount": _TOKENS_CTE
+    + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
     "upsert_roundtrip": (
         "SELECT cust_key, order_key, total_price FROM ("
         "  SELECT o_custkey AS cust_key, o_orderkey AS order_key,"

@@ -1,0 +1,63 @@
+"""The reference's A1/A2 source — a FILE LIST dealt to mappers, each
+scanned line-by-line (mapreduce.c:163-189: files handed round-robin
+to mapper threads; main.c:11-31: one fopen/getline loop per file) —
+as a first-class pluggable Spark source via the Python DataSource
+API (Spark 4): one input partition per file, so the engine's task
+scheduler takes the role of the reference's thread pool, and the
+file-to-task assignment is observable in the output (``path``).
+
+This is the *extensibility* proof for A1: the built-in
+``spark.read.text`` covers the semantics (and is the production
+path — JVM-side, vectorized); a bespoke format (proprietary log
+layout, a legacy record container) plugs in exactly here with
+partition planning and per-partition scan logic in plain Python.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class LineScanDataSource(DataSource):
+    """``spark.read.format("mr_linescan").option("path", dir)`` —
+    every ``*.txt`` file under ``dir`` becomes one partition of
+    (path, line) rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mr_linescan"
+
+    def schema(self) -> str:
+        return "path string, line string"
+
+    def reader(self, schema) -> "LineScanReader":
+        return LineScanReader(self.options)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class LineScanReader(DataSourceReader):
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("mr_linescan requires option('path', <dir>)")
+
+    def partitions(self):
+        # A1: the file list IS the partitioning — one task per file,
+        # sorted so the plan is deterministic (the reference deals
+        # files in argv order, mapreduce.c:163).
+        files = sorted(glob.glob(os.path.join(self.dir, "*.txt")))
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition):
+        # A2: one sequential line scan per file, no read-ahead state
+        # shared across partitions (main.c:15-29's getline loop).
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                yield (partition.path, line.rstrip("\n"))

@@ -132,3 +132,34 @@ def test_events_queries_run_under_vanilla_session(spark):
             assert q(vanilla, "/root/testdata/sf0.001").count() > 0
     finally:
         catalog._RELATION_CACHE.clear()
+
+
+def test_linescan_source_one_partition_per_file(spark, tmp_path):
+    """A1 contract: the file list IS the partitioning — each shard
+    scans as exactly one task, and (path, line) surfaces the
+    file-to-task assignment."""
+    from cs537_spring2021_p3a_mapreduce_spark.sources.linescan import (
+        LineScanDataSource,
+    )
+
+    try:
+        spark.dataSource.register(LineScanDataSource)
+    except Exception:
+        pass
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.txt").write_text(f"alpha beta\ngamma f{i}\n")
+    df = spark.read.format("mr_linescan").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 6
+    # every row carries its source file; each file contributed 2 lines
+    from collections import Counter
+
+    per_file = Counter(r.path for r in rows)
+    assert sorted(per_file.values()) == [2, 2, 2]
+    assert {r.line for r in rows if r.path.endswith("f1.txt")} == {
+        "alpha beta",
+        "gamma f1",
+    }
