@@ -622,6 +622,87 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_custom_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the CUSTOM PYTHON STREAMING SOURCE
+    (``sources/eventlog_stream.py``): events replayed through
+    ``format("mr_eventlog")`` in 5 offset-tracked micro-batches
+    (batch_rows sized to the sf0.01 gate), per-type counts
+    aggregated by the streaming engine, value-checked against batch
+    SQL. What this proves beyond the file-stream entries: the SOURCE
+    owns the offset axis (initialOffset → read → commit across
+    real multi-batch progression), i.e. the Kafka-connector seam
+    works end-to-end.
+
+    Output: event_type, n_events."""
+    import tempfile
+    import uuid
+
+    from ..sources.eventlog_stream import EventLogStreamSource
+
+    try:
+        spark.dataSource.register(EventLogStreamSource)
+    except Exception:
+        pass
+
+    work = tempfile.mkdtemp(prefix="stream_cs_")
+    raw = (
+        spark.readStream.format("mr_eventlog")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batch_rows", "2000")
+        .load()
+    )
+    counts = raw.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    name = f"stream_cs_{uuid.uuid4().hex[:8]}"
+    # availableNow snapshots only the simple reader's prefetched
+    # batch, so drain with a continuous trigger and stop once the
+    # source's committed offset reaches the file's row count — the
+    # offset axis IS the progress signal, which is the point of this
+    # entry.
+    import time
+
+    n_rows = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                end = p["sources"][0].get("endOffset")
+                if isinstance(end, str):
+                    # dict in some pyspark paths, JSON or repr string
+                    # in others — accept all three
+                    import ast
+                    import json
+
+                    try:
+                        end = json.loads(end)
+                    except ValueError:
+                        end = ast.literal_eval(end)
+                if end and end.get("rank", 0) >= n_rows:
+                    # one more cycle so the final batch's output commits
+                    q.processAllAvailable()
+                    break
+            time.sleep(0.2)
+        else:
+            q.stop()
+            raise TimeoutError("mr_eventlog drain did not reach EOF offset")
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def stream_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry for the STREAM-STATIC join: the purchase
     stream enriched against the static ``customer`` dimension
@@ -708,6 +789,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
     "stream_interval_join_outer": stream_interval_join_outer,
     "stream_enrich_purchases": stream_enrich_purchases,
+    "stream_custom_source_counts": stream_custom_source_counts,
 }
 
 ORACLES = {
@@ -759,6 +841,10 @@ ORACLES = {
         "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
         "ON p.user_id = c.user_id "
         "AND c.ts >= p.ts - INTERVAL 4 HOUR AND c.ts < p.ts"
+    ),
+    "stream_custom_source_counts": (
+        "SELECT event_type, count(*)::BIGINT AS n_events "
+        "FROM events GROUP BY 1"
     ),
     "stream_enrich_purchases": (
         "SELECT coalesce(c.c_mktsegment, '<unknown>') AS segment, "

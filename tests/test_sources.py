@@ -163,3 +163,36 @@ def test_linescan_source_one_partition_per_file(spark, tmp_path):
         "alpha beta",
         "gamma f1",
     }
+
+
+def test_eventlog_stream_reader_offset_contract(spark):
+    """The custom streaming source's offset axis: deterministic batch
+    boundaries, readBetweenOffsets replay parity (exactly-once
+    recovery), empty EOF batch with a non-advancing offset."""
+    from cs537_spring2021_p3a_mapreduce_spark.sources.eventlog_stream import (
+        EventLogStreamReader,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    n_total = spark.read.parquet(path).count()
+    r = EventLogStreamReader({"path": path, "batch_rows": "100"})
+
+    off = r.initialOffset()
+    assert off == {"rank": 0}
+    seen = 0
+    batches = 0
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows:
+            assert nxt == off  # EOF: offset must not advance
+            break
+        # recovery path must replay the identical range
+        replay = list(r.readBetweenOffsets(off, nxt))
+        assert replay == rows
+        seen += len(rows)
+        batches += 1
+        r.commit(nxt)
+        off = nxt
+    assert seen == n_total
+    assert batches == -(-n_total // 100)  # ceil: all batches full but the last
