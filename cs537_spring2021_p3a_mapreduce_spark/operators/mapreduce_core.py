@@ -248,6 +248,57 @@ FROM orders GROUP BY 1
 """
 
 
+def custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the CUSTOM COMMIT-PROTOCOL SINK
+    (``sources/manifest_sink.py``): orders written via
+    ``format("mr_manifest")`` — executor part files + driver-side
+    atomic manifest commit — then read back trusting ONLY the
+    manifest, with a planted stray file (a simulated failed task
+    attempt) in the directory that must stay invisible. The
+    aggregate value-checks the whole protocol: any duplicate,
+    dropped, or stray row shifts the exact-cents sums.
+
+    Output: o_orderstatus, n_orders, sum_cents."""
+    import tempfile
+
+    from ..sources.manifest_sink import ManifestParquetSink, read_manifest_table
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(tempfile.mkdtemp(prefix="manifest_rt_"), "t")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    # stray uncommitted part file — a failed attempt's leftover; the
+    # manifest-trusting reader must not see these 3 rows
+    import pandas as pd
+
+    pd.DataFrame(
+        {"o_orderkey": [-1, -2, -3], "o_orderstatus": ["X"] * 3,
+         "o_totalprice": [1.0, 2.0, 3.0]}
+    ).to_parquet(os.path.join(path, "part-stray-attempt.parquet"), index=False)
+    back = read_manifest_table(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+_SINK_RT = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders GROUP BY 1
+"""
+
+
 # Misra-Gries sketch width for heavy_hitters. Guarantee: after the
 # subtract-and-drop merge, any token with partition count >
 # n_p/(MG_COUNTERS+1) survives the partition's sketch; a GLOBAL heavy
@@ -503,6 +554,7 @@ QUERIES = {
     "heavy_hitters": heavy_hitters,
     "schema_evolution_scan": schema_evolution_scan,
     "linescan_wordcount": linescan_wordcount,
+    "custom_sink_roundtrip": custom_sink_roundtrip,
 }
 
 ORACLES = {
@@ -547,6 +599,7 @@ ORACLES = {
         f"HAVING count(*) * {HH_K} > (SELECT count(*) FROM toks)"
     ),
     "schema_evolution_scan": _SCHEMA_EVO,
+    "custom_sink_roundtrip": _SINK_RT,
     "linescan_wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
     "upsert_roundtrip": (

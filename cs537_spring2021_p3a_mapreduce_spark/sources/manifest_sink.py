@@ -1,0 +1,100 @@
+"""Custom BATCH SINK via the Python DataSource writer API, with a
+real two-phase commit: executors write uniquely-named parquet part
+files and return commit messages; the driver's ``commit()`` makes
+exactly the acknowledged files visible by writing a ``_MANIFEST``
+json in one atomic rename. Readers that trust only the manifest see
+each row exactly once no matter how many task attempts wrote stray
+files — the visibility protocol every table format (Delta, Iceberg,
+Hive-style _SUCCESS) builds on, here in its minimal honest form.
+
+Completes the connector-seam story: custom batch source
+(``linescan``), custom streaming source (``eventlog_stream``),
+custom sink (this) — the reference's A10 sink contract
+(hashmap.c:21-56) generalized to a commit-protocol sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_MANIFEST"
+
+
+class PartFileCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class ManifestParquetSink(DataSource):
+    """``df.write.format("mr_manifest").option("path", dir).save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mr_manifest"
+
+    def writer(self, schema, overwrite: bool) -> "ManifestParquetWriter":
+        return ManifestParquetWriter(self.options, schema)
+
+
+class ManifestParquetWriter(DataSourceWriter):
+    def __init__(self, options, schema):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("mr_manifest requires option('path', <dir>)")
+        self.schema = schema
+
+    def write(self, iterator) -> PartFileCommit:
+        # Executor side. A unique name per task ATTEMPT: a retried or
+        # speculative attempt leaves an orphan file that commit()
+        # never acknowledges — readers trusting the manifest are
+        # unaffected, which is the whole point.
+        import pandas as pd
+
+        os.makedirs(self.dir, exist_ok=True)
+        rows = [r.asDict() for r in iterator]
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        pdf = pd.DataFrame(rows, columns=[f.name for f in self.schema.fields])
+        pdf.to_parquet(os.path.join(self.dir, fname), index=False)
+        return PartFileCommit(fname, len(rows))
+
+    def commit(self, messages) -> None:
+        # Driver side, runs once after every task succeeded: the
+        # manifest names exactly the acknowledged files. Single
+        # atomic rename = no torn visibility.
+        files = [
+            {"file": m.filename, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        tmp = os.path.join(self.dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"files": files}, fh)
+        os.replace(tmp, os.path.join(self.dir, MANIFEST))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.dir, m.filename))
+                except OSError:
+                    pass
+
+
+def read_manifest_table(spark, path: str):
+    """Read back ONLY the committed files (manifest-trusting reader).
+    Stray part files from failed attempts are invisible."""
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f["file"]) for f in manifest["files"]]
+    if not files:
+        raise ValueError(f"empty manifest at {path}")
+    return spark.read.parquet(*files)

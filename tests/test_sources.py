@@ -196,3 +196,33 @@ def test_eventlog_stream_reader_offset_contract(spark):
         off = nxt
     assert seen == n_total
     assert batches == -(-n_total // 100)  # ceil: all batches full but the last
+
+
+def test_manifest_sink_stray_files_invisible(spark, tmp_path):
+    """Commit protocol: only files acknowledged in the manifest are
+    visible; stray part files (failed/speculative attempts) are not."""
+    import pandas as pd
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    df.repartition(2).write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    pd.DataFrame({"k": [99], "v": ["stray"]}).to_parquet(
+        f"{path}/part-deadbeef-stray.parquet", index=False
+    )
+    back = {(r.k, r.v) for r in read_manifest_table(spark, path).collect()}
+    assert back == {(1, "a"), (2, "b"), (3, "c")}
+    # the stray file IS on disk — invisibility comes from the manifest
+    import glob
+
+    assert any("stray" in f for f in glob.glob(f"{path}/part-*.parquet"))
