@@ -645,10 +645,16 @@ def stream_custom_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
 
     work = tempfile.mkdtemp(prefix="stream_cs_")
+    n_rows = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).count()
+    # ~5 micro-batches at any sf: enough to prove multi-batch offset
+    # progression without paying a per-trigger cost ∝ input size
+    batch_rows = max(2000, -(-n_rows // 5))
     raw = (
         spark.readStream.format("mr_eventlog")
         .option("path", os.path.join(sf_dir, "events.parquet"))
-        .option("batch_rows", "2000")
+        .option("batch_rows", str(batch_rows))
         .load()
     )
     counts = raw.groupBy("event_type").agg(F.count("*").alias("n_events"))
@@ -659,10 +665,6 @@ def stream_custom_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # offset axis IS the progress signal, which is the point of this
     # entry.
     import time
-
-    n_rows = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).count()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
