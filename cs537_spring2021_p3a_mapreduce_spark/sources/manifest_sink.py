@@ -21,7 +21,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
-    DataSourceWriter,
+    DataSourceArrowWriter,
     WriterCommitMessage,
 )
 
@@ -45,7 +45,11 @@ class ManifestParquetSink(DataSource):
         return ManifestParquetWriter(self.options, schema)
 
 
-class ManifestParquetWriter(DataSourceWriter):
+class ManifestParquetWriter(DataSourceArrowWriter):
+    """Arrow-vectorized: rows arrive as RecordBatches (no per-row
+    Python objects), streamed straight into a parquet writer — the
+    same zero-copy shape a production connector uses."""
+
     def __init__(self, options, schema):
         self.dir = options.get("path")
         if not self.dir:
@@ -57,14 +61,27 @@ class ManifestParquetWriter(DataSourceWriter):
         # speculative attempt leaves an orphan file that commit()
         # never acknowledges — readers trusting the manifest are
         # unaffected, which is the whole point.
-        import pandas as pd
+        import pyarrow.parquet as pq
 
         os.makedirs(self.dir, exist_ok=True)
-        rows = [r.asDict() for r in iterator]
         fname = f"part-{uuid.uuid4().hex}.parquet"
-        pdf = pd.DataFrame(rows, columns=[f.name for f in self.schema.fields])
-        pdf.to_parquet(os.path.join(self.dir, fname), index=False)
-        return PartFileCommit(fname, len(rows))
+        writer = None
+        n = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self.dir, fname), batch.schema
+                    )
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            # empty partition: no file, commit message carries 0 rows
+            return PartFileCommit("", 0)
+        return PartFileCommit(fname, n)
 
     def commit(self, messages) -> None:
         # Driver side, runs once after every task succeeded: the
@@ -73,7 +90,7 @@ class ManifestParquetWriter(DataSourceWriter):
         files = [
             {"file": m.filename, "n_rows": m.n_rows}
             for m in messages
-            if m is not None
+            if m is not None and m.filename
         ]
         tmp = os.path.join(self.dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -82,7 +99,7 @@ class ManifestParquetWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None:
+            if m is not None and m.filename:
                 try:
                     os.remove(os.path.join(self.dir, m.filename))
                 except OSError:
