@@ -58,6 +58,14 @@ class LineScanReader(DataSourceReader):
     def read(self, partition: _FilePartition):
         # A2: one sequential line scan per file, no read-ahead state
         # shared across partitions (main.c:15-29's getline loop).
+        # Emitted as one Arrow RecordBatch per file — the vectorized
+        # hand-off the Python source API supports; per-row tuple
+        # yields cost one Python object per line.
+        import pyarrow as pa
+
         with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                yield (partition.path, line.rstrip("\n"))
+            lines = [line.rstrip("\n") for line in fh]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([partition.path] * len(lines)), pa.array(lines)],
+            names=["path", "line"],
+        )
