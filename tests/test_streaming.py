@@ -358,3 +358,77 @@ def test_outer_interval_join_matches_batch_below_cutoff(spark, tmp_path):
     assert got == want and len(got) > 0
     # the outer rows are actually present (not just the inner matches)
     assert any(r[1] is None for r in got)
+
+
+def test_interval_join_state_is_watermark_bounded(spark, tmp_path):
+    """The stream-stream join's state metrics must show eviction:
+    staged as 4 time-split batches, the state store holds roughly one
+    watermark-horizon of rows — never the whole stream — and rows are
+    removed on every watermark advance. This is the measured form of
+    the 'runs forever on an unbounded stream' claim."""
+    import glob
+    import os
+    import shutil
+
+    src = tmp_path / "in"
+    src.mkdir()
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    bounds = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    prev = None
+    for i, hi in enumerate(bounds + [None]):
+        col = F.col("ts")
+        if prev is None:
+            cond = col < hi
+        elif hi is not None:
+            cond = (col >= prev) & (col < hi)
+        else:
+            cond = col >= prev
+        d = tmp_path / f"half{i}"
+        raw.where(cond).coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        dst = str(src / f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+        prev = hi
+
+    sch = spark.read.parquet(str(src)).schema
+
+    def reader():
+        r = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return r.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        )
+
+    j = st.interval_join_clicks_to_purchases(
+        reader().where(F.col("event_type") == "purchase"),
+        reader().where(F.col("event_type") == "click"),
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("state_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    states = [
+        (p["stateOperators"][0]["numRowsTotal"], p["stateOperators"][0]["numRowsRemoved"])
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    n_events = raw.count()
+    assert len(states) >= 4
+    # bounded: never anywhere near the full stream
+    assert max(t for t, _ in states) < n_events / 3
+    # eviction actually happens once the watermark moves
+    assert sum(r for _, r in states) > 0
+    assert any(r > 0 for _, r in states[1:])
