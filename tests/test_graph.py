@@ -134,3 +134,56 @@ def test_pagerank_sf_smoke_bipartite(spark):
     assert len(rows) > 0
     # disjoint-parity vertex namespaces: both sides present
     assert {r.vertex % 2 for r in rows} == {0, 1}
+
+
+def _components_star(spark, edges):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "s bigint, d bigint")
+    return {(r.v, r.lbl) for r in connected_components_star(df, "s", "d").collect()}
+
+
+def test_star_contraction_matches_union_find_random(spark):
+    import random
+
+    rng = random.Random(7)
+
+    def union_find(edges):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    for _ in range(5):
+        n_verts = rng.randint(2, 30)
+        edges = [
+            (rng.randint(0, n_verts), rng.randint(0, n_verts))
+            for _ in range(rng.randint(1, 40))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        got = _components_star(spark, edges)
+        want = set(union_find(edges).items())
+        assert got == want, f"mismatch on {edges}"
+
+
+def test_star_contraction_deep_path_converges_fast(spark):
+    """A 120-hop path: label propagation needs ~120 rounds; star
+    contraction must finish inside its O(log^2 n) budget and still
+    produce one component labeled by the minimum."""
+    edges = [(i, i + 1) for i in range(120)]
+    got = _components_star(spark, edges)
+    assert got == {(v, 0) for v in range(121)}
