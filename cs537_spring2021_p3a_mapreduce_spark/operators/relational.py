@@ -1699,6 +1699,68 @@ FROM events GROUP BY 1
 """
 
 
+def sql_udf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (``CREATE FUNCTION … RETURN expr``, the SQL
+    front-end's user-function surface) driving a per-language doc
+    metric rollup. The load-bearing property — asserted in
+    ``tests/test_plans.py`` — is that these UDFs INLINE: the
+    physical plan contains the substituted CASE/arithmetic
+    expression inside WholeStageCodegen, not a function call, so a
+    SQL-defined library of metrics costs exactly what hand-written
+    expressions cost at 100 TB (unlike Python UDFs, which pay a
+    serialization boundary per batch).
+
+    Output: lang, n_docs, sum_score, max_score (score = chars per
+    100 tokens, integer DIV)."""
+    from ..catalog import table as _table
+
+    _table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_sql_udf_docs"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION chars_per_100_tokens("
+        "n_chars BIGINT, n_tokens BIGINT) RETURNS BIGINT RETURN "
+        "CASE WHEN n_tokens = 0 THEN 0 "
+        "ELSE (n_chars * 100) DIV n_tokens END"
+    )
+    return spark.sql(
+        """
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(score) AS sum_score,
+               max(score) AS max_score
+        FROM (
+          SELECT lang,
+                 chars_per_100_tokens(
+                   length(text),
+                   size(filter(split(text, '\\\\s+'), t -> t != ''))
+                 ) AS score
+          FROM _sql_udf_docs
+        )
+        GROUP BY lang
+        """
+    )
+
+
+_SQL_UDF = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(score)::BIGINT AS sum_score,
+       max(score)::BIGINT AS max_score
+FROM (
+  SELECT lang,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE (length(text) * 100) // n_tokens END AS score
+  FROM (
+    SELECT lang, text,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> t <> '')) AS n_tokens
+    FROM documents
+  )
+)
+GROUP BY lang
+"""
+
+
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone shipped late on a
     multi-supplier order — the EXISTS + NOT-EXISTS double
@@ -1899,6 +1961,7 @@ QUERIES = {
     "window_trailing_sum": window_trailing_sum,
     "gapfill_locf": gapfill_locf,
     "approx_quantiles_sketch": approx_quantiles_sketch,
+    "sql_udf_doc_scores": sql_udf_doc_scores,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -1943,6 +2006,7 @@ ORACLES = {
     "window_trailing_sum": _TRAILING,
     "gapfill_locf": _GAPFILL,
     "approx_quantiles_sketch": _APPROX_Q,
+    "sql_udf_doc_scores": _SQL_UDF,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
     "retention_cohorts": _RETENTION,

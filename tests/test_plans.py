@@ -341,3 +341,14 @@ def test_pagerank_iterations_are_keyed_joins(spark):
     # the edge set)
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """The SQL UDF must disappear into the plan as its substituted
+    expression — a function-call boundary would make SQL-defined
+    metric libraries pay per-row overhead at scale."""
+    df = rel.sql_udf_doc_scores(spark, SF_SMOKE)
+    p = P.plan(df)
+    # no python-udf eval node anywhere, and codegen spans exist
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert len(P.codegen_ids(df)) > 0
