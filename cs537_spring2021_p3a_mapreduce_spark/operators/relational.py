@@ -1699,6 +1699,39 @@ FROM events GROUP BY 1
 """
 
 
+def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    ``parse_json(props)`` once into variant, typed ``variant_get``
+    paths on top. Differs from ``json_extract_events``
+    (get_json_object = per-access string path-eval): VARIANT parses
+    once into a shredded binary encoding, so N field accesses cost
+    one parse + N binary probes instead of N string scans — the
+    right layout when a 100 TB event table is queried on several
+    props fields per row. Oracle is engine-portable because the
+    extracted VALUES are engine-independent even though the encoding
+    isn't.
+
+    Output: k_bucket, n_events, sum_k."""
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+_VARIANT = """
+SELECT (json_extract(props, '$.k')::BIGINT) % 10 AS k_bucket,
+       count(*)::BIGINT AS n_events,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
+FROM events GROUP BY 1
+"""
+
+
 def sql_udf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scalar UDFs (``CREATE FUNCTION … RETURN expr``, the SQL
     front-end's user-function surface) driving a per-language doc
@@ -1962,6 +1995,7 @@ QUERIES = {
     "gapfill_locf": gapfill_locf,
     "approx_quantiles_sketch": approx_quantiles_sketch,
     "sql_udf_doc_scores": sql_udf_doc_scores,
+    "variant_extract_events": variant_extract_events,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -2007,6 +2041,7 @@ ORACLES = {
     "gapfill_locf": _GAPFILL,
     "approx_quantiles_sketch": _APPROX_Q,
     "sql_udf_doc_scores": _SQL_UDF,
+    "variant_extract_events": _VARIANT,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
     "retention_cohorts": _RETENTION,
