@@ -1732,6 +1732,63 @@ FROM events GROUP BY 1
 """
 
 
+def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 SQL front-end) driving a hierarchy
+    walk: customers form an implicit org tree by heap numbering
+    (parent(c) = (c−1) DIV 2), and the recursion follows each
+    customer's ancestor chain to the root — unbounded-depth
+    iteration expressed declaratively, where a join can only express
+    a FIXED number of levels. Per customer: tree depth and the
+    exact-cents balance sum along the ancestor path.
+
+    Engine notes that make this hash-exact and scale-safe:
+    - UNION ALL recursion only (Spark doesn't support UNION-distinct
+      recursion yet) — fine here because ancestor paths are acyclic
+      and duplicate-free by construction;
+    - the parent expression only ever divides non-negatives, so
+      Spark's truncating DIV and DuckDB's flooring // agree;
+    - each recursion level is one narrow projection + filter over
+      the frontier (rows strictly shrink as chains hit the root).
+
+    Output: c_custkey, depth, path_cents."""
+    from ..catalog import table as _table
+
+    _table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_rec_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey, c_custkey AS node, 0 AS depth
+          FROM _rec_customer
+          UNION ALL
+          SELECT c_custkey, (node - 1) DIV 2 AS node, depth + 1
+          FROM anc WHERE node > 0
+        )
+        SELECT a.c_custkey,
+               max(a.depth) AS depth,
+               sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS path_cents
+        FROM anc a JOIN _rec_customer c ON a.node = c.c_custkey
+        GROUP BY a.c_custkey
+        """
+    )
+
+
+_RECURSIVE_ORG = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey, c_custkey AS node, 0 AS depth FROM customer
+  UNION ALL
+  SELECT c_custkey, (node - 1) // 2 AS node, depth + 1
+  FROM anc WHERE node > 0
+)
+SELECT a.c_custkey,
+       max(a.depth)::BIGINT AS depth,
+       sum(round(c.c_acctbal * 100)::BIGINT)::BIGINT AS path_cents
+FROM anc a JOIN customer c ON a.node = c.c_custkey
+GROUP BY a.c_custkey
+"""
+
+
 def sql_udf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scalar UDFs (``CREATE FUNCTION … RETURN expr``, the SQL
     front-end's user-function surface) driving a per-language doc
@@ -1996,6 +2053,7 @@ QUERIES = {
     "approx_quantiles_sketch": approx_quantiles_sketch,
     "sql_udf_doc_scores": sql_udf_doc_scores,
     "variant_extract_events": variant_extract_events,
+    "recursive_org_rollup": recursive_org_rollup,
     "bucketed_join_revenue": bucketed_join_revenue,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -2042,6 +2100,7 @@ ORACLES = {
     "approx_quantiles_sketch": _APPROX_Q,
     "sql_udf_doc_scores": _SQL_UDF,
     "variant_extract_events": _VARIANT,
+    "recursive_org_rollup": _RECURSIVE_ORG,
     "bucketed_join_revenue": _BUCKETED,
     "funnel_conversion": _FUNNEL,
     "retention_cohorts": _RETENTION,
