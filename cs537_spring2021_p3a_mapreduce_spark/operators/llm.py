@@ -1758,6 +1758,48 @@ JOIN q qb ON qb.vec_id = c.vec_b
 """
 
 
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``chunk_documents`` re-expressed as a PYTHON UDTF (table
+    function, Spark 4): one input row → many output rows from
+    arbitrary Python, invoked through SQL's LATERAL syntax. Same
+    output contract and the SAME oracle as the expression form —
+    proving the two paths coincide row-for-row.
+
+    When to use which: the expression form (sequence/slice/
+    posexplode) is the production path — pure codegen, scan-bound;
+    the UDTF is the seam for row-generators that genuinely need
+    Python (a real tokenizer, a document parser emitting sections),
+    paying one Arrow batch hop. This entry keeps the seam tested so
+    swapping a real tokenizer in later is a one-class change.
+
+    Output: doc_id, chunk_idx, n_tokens, chunk_text."""
+    from pyspark.sql.functions import udtf
+
+    class _ChunkUDTF:
+        def eval(self, doc_id, text):
+            toks = text.split()
+            n = len(toks)
+            idx = 0
+            for s in range(0, n, CHUNK_STRIDE):
+                chunk = toks[s : s + CHUNK_SIZE]
+                yield doc_id, idx, len(chunk), " ".join(chunk)
+                idx += 1
+
+    fn = udtf(
+        _ChunkUDTF,
+        returnType=(
+            "doc_id bigint, chunk_idx bigint, n_tokens bigint,"
+            " chunk_text string"
+        ),
+    )
+    spark.udtf.register("chunk_docs_udtf", fn)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT c.* FROM _udtf_docs d,"
+        " LATERAL chunk_docs_udtf(d.doc_id, d.text) c"
+    )
+
+
 SAMPLE_EXACT_K = 50
 
 
@@ -1818,6 +1860,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "sample_stratified": sample_stratified,
     "sample_exact_k": sample_exact_k,
+    "udtf_chunk_documents": udtf_chunk_documents,
     "mix_corpora": mix_corpora,
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
@@ -1871,6 +1914,9 @@ FROM g
     "multimodal_meta": _MULTIMODAL,
     "sample_stratified": _SAMPLE_STRAT,
     "sample_exact_k": _SAMPLE_EXACT_K_SQL,
+    # same oracle as the expression form — the two paths must
+    # coincide row-for-row
+    "udtf_chunk_documents": _CHUNKS,
     "mix_corpora": _MIX,
     "pack_sequences": _PACK_SEQ,
     "decontaminate_ngram": _DECON,
