@@ -1800,6 +1800,51 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def observed_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality counters via the ``Observation`` API: audit
+    metrics (row count, total chars, short-doc count) ride the SAME
+    scan as the production action — at 100 TB the difference between
+    `observe` and a separate audit query is a second full pass over
+    the corpus. The observe node sits above the scan, so its
+    aggregates see every row while the driving action computes the
+    kept subset; Spark delivers the metrics to the driver as
+    accumulator-style results when the action completes (a 1-row
+    driver materialization is the API's designed output shape, not a
+    collect() of data).
+
+    Output: n_docs, total_chars, n_short, n_kept — all four proven
+    against one batch SQL oracle, which is the point: the
+    side-channel must agree with what a dedicated query would say.
+    """
+    from pyspark.sql import Observation
+
+    docs = table(spark, sf_dir, "documents")
+    obs = Observation("quality_audit")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.count(F.when(F.length("text") < 40, 1)).alias("n_short"),
+    )
+    # the production action: count the docs that survive the length
+    # floor — one scan serves both it and the audit
+    n_kept = observed.where(F.length("text") >= 40).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_docs"], m["total_chars"], m["n_short"], n_kept)],
+        "n_docs bigint, total_chars bigint, n_short bigint, n_kept bigint",
+    )
+
+
+_OBSERVED_AUDIT = """
+SELECT count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       count(CASE WHEN length(text) < 40 THEN 1 END)::BIGINT AS n_short,
+       count(CASE WHEN length(text) >= 40 THEN 1 END)::BIGINT AS n_kept
+FROM documents
+"""
+
+
 SAMPLE_EXACT_K = 50
 
 
@@ -1861,6 +1906,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_exact_k": sample_exact_k,
     "udtf_chunk_documents": udtf_chunk_documents,
+    "observed_quality_audit": observed_quality_audit,
     "mix_corpora": mix_corpora,
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
@@ -1917,6 +1963,7 @@ FROM g
     # same oracle as the expression form — the two paths must
     # coincide row-for-row
     "udtf_chunk_documents": _CHUNKS,
+    "observed_quality_audit": _OBSERVED_AUDIT,
     "mix_corpora": _MIX,
     "pack_sequences": _PACK_SEQ,
     "decontaminate_ngram": _DECON,
