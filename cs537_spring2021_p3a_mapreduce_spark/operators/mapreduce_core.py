@@ -299,6 +299,50 @@ FROM orders GROUP BY 1
 """
 
 
+def corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-path resilience: a table directory where one part file
+    is garbage bytes (a torn upload, a truncated object-store PUT —
+    routine at 100 TB) read with ``ignoreCorruptFiles``, which skips
+    the unreadable file and returns every row of the healthy ones.
+    The split is deterministic (orders by even/odd key, corrupt file
+    replaces the odd half), so the oracle is the even-key aggregate
+    — any accidental inclusion or loss shifts the exact-cents sums.
+
+    Default-off by design: without the option the same read throws,
+    which the paired test asserts — silent tolerance everywhere
+    would hide real data loss; it's a per-read decision.
+
+    Output: o_orderstatus, n_orders, sum_cents."""
+    import tempfile
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="corrupt_scan_")
+    orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    # the odd half never lands: its file is garbage from byte 0
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"\x00torn-upload-not-a-parquet-file\x00" * 64)
+    healthy = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+    )
+    return healthy.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+_CORRUPT_SCAN = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+"""
+
+
 # Misra-Gries sketch width for heavy_hitters. Guarantee: after the
 # subtract-and-drop merge, any token with partition count >
 # n_p/(MG_COUNTERS+1) survives the partition's sketch; a GLOBAL heavy
@@ -555,6 +599,7 @@ QUERIES = {
     "schema_evolution_scan": schema_evolution_scan,
     "linescan_wordcount": linescan_wordcount,
     "custom_sink_roundtrip": custom_sink_roundtrip,
+    "corrupt_tolerant_scan": corrupt_tolerant_scan,
 }
 
 ORACLES = {
@@ -600,6 +645,7 @@ ORACLES = {
     ),
     "schema_evolution_scan": _SCHEMA_EVO,
     "custom_sink_roundtrip": _SINK_RT,
+    "corrupt_tolerant_scan": _CORRUPT_SCAN,
     "linescan_wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
     "upsert_roundtrip": (

@@ -226,3 +226,22 @@ def test_manifest_sink_stray_files_invisible(spark, tmp_path):
     import glob
 
     assert any("stray" in f for f in glob.glob(f"{path}/part-*.parquet"))
+
+
+def test_corrupt_file_fails_loudly_by_default(spark, tmp_path):
+    """ignoreCorruptFiles is a per-read decision: the default read of
+    a directory containing garbage bytes must THROW, not silently
+    drop data — silent tolerance everywhere would hide real loss."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(path)
+    with open(f"{path}/part-corrupt.parquet", "wb") as fh:
+        fh.write(b"\x00garbage\x00" * 32)
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()
+    # and the tolerant read sees exactly the healthy rows
+    got = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(path).collect()
+    )
+    assert [(r.k, r.v) for r in got] == [(1, "a")]
