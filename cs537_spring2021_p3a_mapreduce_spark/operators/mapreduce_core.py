@@ -347,12 +347,16 @@ FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
 # subtract-and-drop merge, any token with partition count >
 # n_p/(MG_COUNTERS+1) survives the partition's sketch; a GLOBAL heavy
 # hitter (count > N/HH_K) must by pigeonhole exceed n_p/HH_K in at
-# least one partition, and n_p/HH_K >> n_p/(MG_COUNTERS+1), so the
-# candidate union is a provable superset — which makes the exact
+# least one partition, and n_p/HH_K >= n_p/(MG_COUNTERS+1) there, so
+# the candidate union is a provable superset — which makes the exact
 # second-pass filter deterministic (oracle-checkable) regardless of
-# partitioning.
+# partitioning. SOUNDNESS PRECONDITION: HH_K <= MG_COUNTERS + 1
+# (31 <= 129 here, asserted below) — with a sketch narrower than
+# that, low-count heavy hitters can evict and the superset claim
+# fails (hypothesis-demonstrated in tests/test_properties.py).
 MG_COUNTERS = 128
 HH_K = 31  # heavy hitter = frequency strictly above the uniform 1/31 share
+assert HH_K <= MG_COUNTERS + 1
 
 
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -126,7 +126,12 @@ def test_heavy_hitters_core_exact_on_random_streams(spark, toks, parts):
     )
 
     k = 4  # heavy = strictly above a 1/4 share
-    width = 2  # deliberately tiny sketch: force evictions
+    # Tiny sketch to force evictions — but the superset guarantee is
+    # only sound when k <= width + 1 (retention bound n/(width+1)
+    # must sit at or below the n/k heavy threshold). width = k - 1
+    # is the exact soundness edge; hypothesis found the violation at
+    # width = 2 < k - 1 (an all-count-1 stream evicts everything).
+    width = k - 1
 
     df = spark.createDataFrame(
         [(t,) for t in toks], "token string"
