@@ -1753,6 +1753,19 @@ def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: c_custkey, depth, path_cents."""
     from ..catalog import table as _table
 
+    # Total recursion output is rows × depth ≈ n·log₂(n); Spark's
+    # default safety valve (spark.sql.cteRecursionRowLimit = 10⁶)
+    # trips at ~65k customers — a LIMIT, not a resource bound (each
+    # level is still a bounded narrow frontier). Runtime-settable,
+    # so size it to the input here; the 100-level depth limit is
+    # never near (depth = log₂ n).
+    n_cust = _table(spark, sf_dir, "customer").count()
+    import math
+
+    need = n_cust * (int(math.log2(max(n_cust, 2))) + 2)
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, need * 2))
+    )
     _table(spark, sf_dir, "customer").createOrReplaceTempView(
         "_rec_customer"
     )

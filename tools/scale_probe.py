@@ -256,6 +256,11 @@ PROBES = [
     "window_trailing_sum",
     "gapfill_locf",
     "fuzzy_join_customers",
+    # SQL-front-end and source-path families: recursion depth grows
+    # log(n); variant parse is scan-bound; exact-k is one window
+    "recursive_org_rollup",
+    "variant_extract_events",
+    "sample_exact_k",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
