@@ -261,6 +261,13 @@ PROBES = [
     "recursive_org_rollup",
     "variant_extract_events",
     "sample_exact_k",
+    # connector / source-path entries (flat-to-sublinear at ×10;
+    # x1 numbers are warmup-dominated)
+    "linescan_wordcount",
+    "custom_sink_roundtrip",
+    "schema_evolution_scan",
+    "observed_quality_audit",
+    "corrupt_tolerant_scan",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
