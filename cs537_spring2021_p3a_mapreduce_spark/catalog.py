@@ -43,6 +43,26 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """THE one place the events timestamp encoding is normalized —
+    every reader (batch catalog, streaming sources, staged drains)
+    must call this rather than re-implementing the branches, so a
+    new encoding or a tz fix lands once. See ``table``'s docstring
+    for the per-encoding semantics and the session-timezone trap."""
+    ts_type = df.schema[col].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn(
+            col,
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}))"
+            ),
+        )
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy scan, no action).
 
@@ -77,17 +97,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif isinstance(ts_type, TimestampNTZType):
-            df = df.withColumn(
-                "ts",
-                F.expr(
-                    "timestamp_micros(timestampdiff(MICROSECOND,"
-                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
-                ),
-            )
+        df = normalize_event_ts(df)
     _RELATION_CACHE[key] = df
     return df
 

@@ -206,7 +206,11 @@ def pagerank(
 
     Truncation deliberately loses a few units of mass per round —
     the price of cross-engine exactness, documented rather than
-    hidden.
+    hidden. Dangling vertices (outdeg 0) keep their rank row and
+    teleport share but contribute nothing onward (their mass leaks,
+    the standard simplification); the unrolled SQL oracle mirrors a
+    source-derived vertex set, which coincides with sources ∪
+    destinations on the registered both-directions graph.
 
     Scale shape: each iteration is one equi-join (ranks ⋈ edges on
     the source vertex, both shuffle-partitioned on the same key) +
@@ -227,9 +231,21 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     deg = e.groupBy("s").agg(F.count("*").alias("outdeg"))
-    nv = deg.agg(F.count("*").alias("nv"))
+    # the vertex set is sources ∪ destinations: a sink vertex (no
+    # outgoing edges) still receives rank and a teleport share —
+    # deriving vertices from sources alone would drop it and leak
+    # its incoming mass every round (its outgoing contribution is
+    # legitimately zero: outdeg 0 ⇒ no contrib row, the standard
+    # dangling-mass-leaks-to-teleport simplification, documented)
+    verts = (
+        e.select(F.col("s").alias("v"))
+        .unionByName(e.select(F.col("d").alias("v")))
+        .distinct()
+    )
+    nv = verts.agg(F.count("*").alias("nv"))
     base = (
-        deg.select(F.col("s").alias("v"), "outdeg")
+        verts.join(deg, verts["v"] == deg["s"], "left")
+        .select("v", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
         .crossJoin(F.broadcast(nv))
     )
     ranks = base.withColumn("rank", F.expr(f"{PR_SCALE} DIV nv"))

@@ -1775,9 +1775,17 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: doc_id, chunk_idx, n_tokens, chunk_text."""
     from pyspark.sql.functions import udtf
 
+    import re
+
+    # ASCII-only \s to match the JVM tokenizer (Java's \s is ASCII;
+    # Python's str.split() and default re \s also split on Unicode
+    # whitespace like NBSP, which would silently diverge from the
+    # expression path on non-ASCII corpora)
+    ws = re.compile(r"\s+", re.ASCII)
+
     class _ChunkUDTF:
         def eval(self, doc_id, text):
-            toks = text.split()
+            toks = [t for t in ws.split(text) if t]
             n = len(toks)
             idx = 0
             for s in range(0, n, CHUNK_STRIDE):

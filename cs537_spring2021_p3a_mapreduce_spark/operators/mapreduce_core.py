@@ -370,9 +370,11 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``groupBy(key).count()`` over a massive-cardinality key (user
     ids, URLs) shuffles one record per distinct key and holds the
     full key space in aggregation state. Pass 1 is NARROW (zero
-    shuffle): mapInPandas holds ≤ MG_COUNTERS counters per
-    partition and emits ≤ MG_COUNTERS candidate rows per partition
-    — a few KB regardless of input size. Pass 2 semi-joins the
+    shuffle): mapInPandas holds O(MG_COUNTERS + reduction-chunk)
+    counters per partition (the sketch reduces back to ≤ MG_COUNTERS
+    after every 4096-row chunk) and emits ≤ MG_COUNTERS candidate
+    rows per partition — KBs regardless of input size or key
+    cardinality. Pass 2 semi-joins the
     tiny broadcast candidate set BEFORE the aggregation, so the
     exact count shuffles only candidate-key rows and its state is
     O(candidates), not O(distinct keys). The superset guarantee
@@ -385,16 +387,29 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mg_sketch(batches):
         import pandas as pd
 
+        # Memory bound: the dict is reduced back to <= MG_COUNTERS
+        # after every CHUNK of rows, so peak state is
+        # O(MG_COUNTERS + chunk) regardless of batch size or key
+        # cardinality — accumulating a whole Arrow batch's
+        # value_counts first would hold one counter per distinct key
+        # in the batch, exactly the blow-up the sketch exists to
+        # avoid on high-cardinality keys.
+        chunk = 4096
         counters: dict[str, int] = {}
         for pdf in batches:
-            for tok, c in pdf["token"].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(c)
-            if len(counters) > MG_COUNTERS:
-                # batched MG reduction: subtract the (MG_COUNTERS+1)-th
-                # largest count from every counter, drop the non-positive
-                vals = sorted(counters.values(), reverse=True)
-                m = vals[MG_COUNTERS]
-                counters = {t: c - m for t, c in counters.items() if c > m}
+            col = pdf["token"]
+            for lo in range(0, len(col), chunk):
+                for tok, c in col.iloc[lo : lo + chunk].value_counts().items():
+                    counters[tok] = counters.get(tok, 0) + int(c)
+                if len(counters) > MG_COUNTERS:
+                    # batched MG reduction: subtract the
+                    # (MG_COUNTERS+1)-th largest count from every
+                    # counter, drop the non-positive
+                    vals = sorted(counters.values(), reverse=True)
+                    m = vals[MG_COUNTERS]
+                    counters = {
+                        t: c - m for t, c in counters.items() if c > m
+                    }
         yield pd.DataFrame({"token": list(counters.keys())})
 
     candidates = toks.mapInPandas(mg_sketch, "token string").distinct()

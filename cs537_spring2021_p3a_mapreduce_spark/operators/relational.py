@@ -1763,28 +1763,37 @@ def recursive_org_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     need = n_cust * (int(math.log2(max(n_cust, 2))) + 2)
-    spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, need * 2))
-    )
     _table(spark, sf_dir, "customer").createOrReplaceTempView(
         "_rec_customer"
     )
-    return spark.sql(
-        """
-        WITH RECURSIVE anc AS (
-          SELECT c_custkey, c_custkey AS node, 0 AS depth
-          FROM _rec_customer
-          UNION ALL
-          SELECT c_custkey, (node - 1) DIV 2 AS node, depth + 1
-          FROM anc WHERE node > 0
-        )
-        SELECT a.c_custkey,
-               max(a.depth) AS depth,
-               sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS path_cents
-        FROM anc a JOIN _rec_customer c ON a.node = c.c_custkey
-        GROUP BY a.c_custkey
-        """
+    prev_limit = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, need * 2))
     )
+    try:
+        # the limit is read at EXECUTION time (verified: a lazy
+        # return + restore trips the 10^6 default at x100), so the
+        # recursion must materialize inside the raised-limit scope;
+        # localCheckpoint runs it eagerly and truncates lineage,
+        # after which the safety valve is re-armed for the session
+        return spark.sql(
+            """
+            WITH RECURSIVE anc AS (
+              SELECT c_custkey, c_custkey AS node, 0 AS depth
+              FROM _rec_customer
+              UNION ALL
+              SELECT c_custkey, (node - 1) DIV 2 AS node, depth + 1
+              FROM anc WHERE node > 0
+            )
+            SELECT a.c_custkey,
+                   max(a.depth) AS depth,
+                   sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS path_cents
+            FROM anc a JOIN _rec_customer c ON a.node = c.c_custkey
+            GROUP BY a.c_custkey
+            """
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev_limit)
 
 
 _RECURSIVE_ORG = """

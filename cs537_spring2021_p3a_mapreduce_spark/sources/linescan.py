@@ -65,7 +65,12 @@ class LineScanReader(DataSourceReader):
 
         with open(partition.path, encoding="utf-8") as fh:
             lines = [line.rstrip("\n") for line in fh]
+        # explicit string types: an EMPTY file would otherwise infer
+        # null-typed arrays and break the declared-schema hand-off
         yield pa.RecordBatch.from_arrays(
-            [pa.array([partition.path] * len(lines)), pa.array(lines)],
+            [
+                pa.array([partition.path] * len(lines), type=pa.string()),
+                pa.array(lines, type=pa.string()),
+            ],
             names=["path", "line"],
         )

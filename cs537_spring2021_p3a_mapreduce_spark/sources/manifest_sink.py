@@ -42,7 +42,7 @@ class ManifestParquetSink(DataSource):
         return "mr_manifest"
 
     def writer(self, schema, overwrite: bool) -> "ManifestParquetWriter":
-        return ManifestParquetWriter(self.options, schema)
+        return ManifestParquetWriter(self.options, schema, overwrite)
 
 
 class ManifestParquetWriter(DataSourceArrowWriter):
@@ -50,11 +50,12 @@ class ManifestParquetWriter(DataSourceArrowWriter):
     Python objects), streamed straight into a parquet writer — the
     same zero-copy shape a production connector uses."""
 
-    def __init__(self, options, schema):
+    def __init__(self, options, schema, overwrite: bool = False):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("mr_manifest requires option('path', <dir>)")
         self.schema = schema
+        self.overwrite = overwrite
 
     def write(self, iterator) -> PartFileCommit:
         # Executor side. A unique name per task ATTEMPT: a retried or
@@ -86,16 +87,26 @@ class ManifestParquetWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         # Driver side, runs once after every task succeeded: the
         # manifest names exactly the acknowledged files. Single
-        # atomic rename = no torn visibility.
+        # atomic rename = no torn visibility. APPEND must carry the
+        # previous manifest's files forward — replacing it would
+        # orphan every previously committed row (their part files
+        # stay on disk but turn invisible); OVERWRITE replaces the
+        # listing, which retires the old files from view without a
+        # physical delete (the table-format convention: vacuuming is
+        # a separate concern).
         files = [
             {"file": m.filename, "n_rows": m.n_rows}
             for m in messages
             if m is not None and m.filename
         ]
+        manifest_path = os.path.join(self.dir, MANIFEST)
+        if not self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as fh:
+                files = json.load(fh)["files"] + files
         tmp = os.path.join(self.dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"files": files}, fh)
-        os.replace(tmp, os.path.join(self.dir, MANIFEST))
+        os.replace(tmp, manifest_path)
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -33,31 +33,19 @@ def stream_events(spark: SparkSession, sf_dir_or_glob: str) -> DataFrame:
     is swapped for Kafka/Kinesis; every operator below only sees
     (columns, event-time), not the source.
     """
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from ..catalog import normalize_event_ts
 
     # Streams can't infer schemas — take it from one batch footer read
     # of the same path, so the reader tracks whatever encoding the
     # files use (epoch-nanos bigint in round-1 data, timestamp[us]
     # NTZ in round-2 data). Caller-independent source contract: set
     # the nanos conf at runtime so an externally built session works.
+    # Normalization itself lives in catalog.normalize_event_ts — ONE
+    # implementation for every reader.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     file_schema = spark.read.parquet(sf_dir_or_glob).schema
     raw = spark.readStream.schema(file_schema).parquet(sf_dir_or_glob)
-    ts_type = file_schema["ts"].dataType
-    if isinstance(ts_type, LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    if isinstance(ts_type, TimestampNTZType):
-        # naive wall time pinned to the UTC instant by wall-clock
-        # arithmetic, independent of the caller's session timezone
-        # (see catalog.table — to_utc_timestamp would NOT be)
-        return raw.withColumn(
-            "ts",
-            F.expr(
-                "timestamp_micros(timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
-            ),
-        )
-    return raw
+    return normalize_event_ts(raw)
 
 
 def windowed_event_counts(
@@ -527,7 +515,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Fixed wall-clock split for the outer-join drain: events span
 # 2024-01-01..01-30 at every sf, so both halves are non-empty.
+# Carried as an epoch-µs integer (2024-01-16T00:00:00Z) so every
+# comparison is session-timezone-independent.
 _OUTER_SPLIT = "2024-01-16 00:00:00"
+_OUTER_SPLIT_EPOCH_US = 1_705_363_200_000_000
 
 
 def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,10 +551,19 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_oj_")
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from ..catalog import table as _table
+
+    # Stage the CATALOG-NORMALIZED frame (any source encoding →
+    # µs TIMESTAMP instant), and compare instants as epoch-µs
+    # integers against a fixed UTC literal — every step is
+    # session-timezone-independent and works for the epoch-nanos
+    # bigint encoding too (a raw `ts < '<string>'` split would be
+    # NULL for bigint ts and tz-shifted for NTZ ts).
+    ev = _table(spark, sf_dir, "events")
+    split_us = _OUTER_SPLIT_EPOCH_US
     halves = [
-        ev.where(F.col("ts") < _OUTER_SPLIT),
-        ev.where(F.col("ts") >= _OUTER_SPLIT),
+        ev.where(F.unix_micros("ts") < split_us),
+        ev.where(F.unix_micros("ts") >= split_us),
     ]
     for i, half in enumerate(halves):
         d = os.path.join(work, f"half{i}")
@@ -575,28 +575,18 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
 
     file_schema = spark.read.parquet(src).schema
-    from pyspark.sql.types import LongType, TimestampNTZType
 
     def reader() -> DataFrame:
-        raw = (
+        # staged files already carry the normalized µs TIMESTAMP, so
+        # normalize_event_ts is a pass-through here; keeping the call
+        # means a future staging change cannot silently skip it
+        from ..catalog import normalize_event_ts
+
+        return normalize_event_ts(
             spark.readStream.schema(file_schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        ts_type = file_schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            return raw.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-        if isinstance(ts_type, TimestampNTZType):
-            return raw.withColumn(
-                "ts",
-                F.expr(
-                    "timestamp_micros(timestampdiff(MICROSECOND,"
-                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
-                ),
-            )
-        return raw
 
     joined = interval_join_clicks_to_purchases(
         reader().where(F.col("event_type") == "purchase"),
@@ -606,18 +596,18 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_oj_{uuid.uuid4().hex[:8]}"
     run_to_memory(joined, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8)
-    # provable-emission cutoff = batch-1 watermark, via 1-row broadcast
-    from ..catalog import table as _table
-
+    # provable-emission cutoff = batch-1 watermark, via 1-row
+    # broadcast, in epoch-µs integers end to end
     cutoff = (
-        _table(spark, sf_dir, "events")
-        .where(F.col("ts") < _OUTER_SPLIT)
-        .agg(F.expr("max(ts) - INTERVAL 1 HOUR").alias("cutoff"))
+        ev.where(F.unix_micros("ts") < split_us)
+        .agg(
+            (F.max(F.unix_micros("ts")) - 3_600_000_000).alias("cutoff_us")
+        )
     )
     return (
         spark.table(name)
         .crossJoin(F.broadcast(cutoff))
-        .where(F.col("p_ts") < F.col("cutoff"))
+        .where(F.unix_micros("p_ts") < F.col("cutoff_us"))
         .select("purchase_id", "click_id", "user_id", "gap_s")
     )
 

@@ -187,3 +187,17 @@ def test_star_contraction_deep_path_converges_fast(spark):
     edges = [(i, i + 1) for i in range(120)]
     got = _components_star(spark, edges)
     assert got == {(v, 0) for v in range(121)}
+
+
+def test_pagerank_keeps_sink_vertices(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    # 1 -> 2, 3 -> 2: vertex 2 is a pure sink, must keep its rank
+    # row and accumulate incoming mass
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "s bigint, d bigint")
+    ranks = {r.v: r["rank"] for r in pagerank(edges, "s", "d").collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[2] > ranks[1] == ranks[3] > 0

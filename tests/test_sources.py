@@ -245,3 +245,50 @@ def test_corrupt_file_fails_loudly_by_default(spark, tmp_path):
         spark.read.option("ignoreCorruptFiles", "true").parquet(path).collect()
     )
     assert [(r.k, r.v) for r in got] == [(1, "a")]
+
+
+def test_manifest_sink_append_preserves_prior_commits(spark, tmp_path):
+    """append must carry prior committed files forward; overwrite
+    must retire them from view (files stay on disk, manifest-gated)."""
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.format(
+        "mr_manifest"
+    ).option("path", path).mode("append").save()
+    spark.createDataFrame([(2, "b")], "k long, v string").write.format(
+        "mr_manifest"
+    ).option("path", path).mode("append").save()
+    got = {(r.k, r.v) for r in read_manifest_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    spark.createDataFrame([(3, "c")], "k long, v string").write.format(
+        "mr_manifest"
+    ).option("path", path).mode("overwrite").save()
+    got = {(r.k, r.v) for r in read_manifest_table(spark, path).collect()}
+    assert got == {(3, "c")}
+
+
+def test_linescan_source_tolerates_empty_file(spark, tmp_path):
+    from cs537_spring2021_p3a_mapreduce_spark.sources.linescan import (
+        LineScanDataSource,
+    )
+
+    try:
+        spark.dataSource.register(LineScanDataSource)
+    except Exception:
+        pass
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "full.txt").write_text("alpha beta\n")
+    (d / "empty.txt").write_text("")
+    rows = (
+        spark.read.format("mr_linescan").option("path", str(d)).load().collect()
+    )
+    assert {r.line for r in rows} == {"alpha beta"}
