@@ -23,6 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # Guarantee stdout carries EXACTLY one line — the JSON. The JVM
+    # child and any library chatter inherit fd 1, so merely using
+    # `print` at the end is not enough: if anything else lands on
+    # stdout, a driver that keeps a bounded capture can truncate the
+    # JSON (BENCH_r02.json recorded `parsed: null` this way). Save the
+    # real stdout fd, point fd 1 at stderr for the whole run, and
+    # write the JSON to the saved fd at the very end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     import __spark_entry__ as entrymod
     from cs537_spring2021_p3a_mapreduce_spark.session import get_spark
 
@@ -73,17 +83,17 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wallclock_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_wallclock_all_queries",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    os.write(real_stdout, (line + "\n").encode())
+    print(line, file=sys.stderr)  # human-visible copy alongside the logs
 
 
 if __name__ == "__main__":
