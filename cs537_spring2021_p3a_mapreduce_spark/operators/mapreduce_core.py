@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.text import djb2_partition, tokens
+from .relational import _dsum
 
 # How many partitions the reference's main client uses for the djb2
 # histogram query (10 reducers → n_partitions=10, main.c:64,
@@ -488,7 +489,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         (
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)
+            _dsum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)
         ).alias("sum_total"),
     )
 
@@ -518,7 +519,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         (
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)
+            _dsum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)
         ).alias("sum_total"),
     )
 
@@ -551,7 +552,7 @@ def partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
         (
-            F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)
+            _dsum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)
         ).alias("sum_value"),
     )
 

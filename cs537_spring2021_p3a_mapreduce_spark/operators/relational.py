@@ -15,9 +15,20 @@ integers (cents / percent / basis points, via round+cast) and only
 converts to double at the end — both engines then divide identical
 integers by identical literals, producing bit-identical doubles, so
 the driver's value-hash comparison is stable with no tolerance
-needed. At sf≫1000 the widest product (sum of cents·pct·pct) nears
-int64 range; the documented upgrade is DECIMAL(38,4) columns, same
-plan shape.
+needed.
+
+Overflow policy: the PER-ROW products stay int64 (bounded by value
+magnitude, not row count — cents·pct·pct ≤ ~4e12 for any fixture-
+shaped row), but the SUM grows with row count, so every monetary
+sum accumulates in DECIMAL via ``_dsum``: the row value is cast to
+DECIMAL(28,4), which makes Spark's sum type DECIMAL(38,4) — exact
+to 1e34, where an int64 accumulator hits 9.2e18 (reached by
+sum(cents·pct·pct) near sf≈2000, i.e. inside the 100 TB design
+point). DuckDB needs no mirror: its SUM(BIGINT) already
+accumulates in 128-bit HUGEINT. Both engines then convert the same
+exact integer to double and divide by the same literal, keeping
+results bit-identical (IEEE nearest-double of equal integers is
+equal).
 """
 
 from __future__ import annotations
@@ -45,6 +56,26 @@ def _pct(col: Column | str) -> Column:
     return F.round(c * 100).cast("long")
 
 
+# Per-row cast target for monetary sums: DECIMAL(28,4) holds any
+# per-row unit product (≤ ~4e12) and widens Spark's sum result type
+# to DECIMAL(38,4) (sum adds 10 digits of precision) — the
+# overflow-proof accumulator named by the module docstring.
+_MONEY_ROW_DEC = "decimal(28,4)"
+
+
+def _dsum(units: Column) -> Column:
+    """Overflow-proof SUM for exact integer money units.
+
+    Returns an unresolved aggregate Column (usable in ``agg`` and as
+    ``.over(window)``) whose type is DECIMAL(38,4): exact far beyond
+    int64, so the module's exactness contract survives sf≫1000.
+    Dividing the result by a double literal casts it to double first
+    — identical to the previous long-sum semantics at any magnitude
+    both representations hold exactly, and exact where int64 would
+    have overflowed (ANSI mode would have raised)."""
+    return F.sum(units.cast(_MONEY_ROW_DEC))
+
+
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: multi-aggregate groupBy on
     lineitem with a sargable shipdate filter (pushed to the scan).
@@ -62,14 +93,14 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).alias("sum_qty"),
-            (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum(price_c * (100 - disc_p)) / F.lit(1e4)).alias("sum_disc_price"),
-            (F.sum(price_c * (100 - disc_p) * (100 + tax_p)) / F.lit(1e6)).alias(
+            (_dsum(price_c) / F.lit(100.0)).alias("sum_base_price"),
+            (_dsum(price_c * (100 - disc_p)) / F.lit(1e4)).alias("sum_disc_price"),
+            (_dsum(price_c * (100 - disc_p) * (100 + tax_p)) / F.lit(1e6)).alias(
                 "sum_charge"
             ),
             (F.sum(qty) / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(price_c) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(disc_p) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_disc"),
+            (_dsum(price_c) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_price"),
+            (_dsum(disc_p) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -87,7 +118,7 @@ def join_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.sum(_cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+            (_dsum(_cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
         )
     )
 
@@ -105,7 +136,7 @@ def join_multiway_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            (F.sum(_cents("c_acctbal")) / F.lit(100.0)).alias("sum_acctbal"),
+            (_dsum(_cents("c_acctbal")) / F.lit(100.0)).alias("sum_acctbal"),
         )
     )
 
@@ -135,7 +166,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    rev = (F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))) / F.lit(
+    rev = (_dsum(_cents("l_extendedprice") * (100 - _pct("l_discount"))) / F.lit(
         1e4
     )).alias("revenue")
     return (
@@ -177,7 +208,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_regionkey"
         )
     )
-    rev = (F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))) / F.lit(
+    rev = (_dsum(_cents("l_extendedprice") * (100 - _pct("l_discount"))) / F.lit(
         1e4
     )).alias("revenue")
     return (
@@ -219,7 +250,7 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-        (F.sum(_cents("l_extendedprice")) / F.lit(100.0)).alias("sum_price"),
+        (_dsum(_cents("l_extendedprice")) / F.lit(100.0)).alias("sum_price"),
     )
 
 
@@ -248,7 +279,7 @@ def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
-    rev_units = F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
+    rev_units = _dsum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
     per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
@@ -298,7 +329,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-        (F.sum(_cents("value")).over(w) / F.lit(100.0)).alias("running_value"),
+        (_dsum(_cents("value")).over(w) / F.lit(100.0)).alias("running_value"),
     )
 
 
@@ -320,7 +351,7 @@ def window_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     spend = orders.groupBy("o_custkey").agg(
-        F.sum(_cents("o_totalprice")).alias("spend_c")
+        _dsum(_cents("o_totalprice")).alias("spend_c")
     )
     w = Window.orderBy(F.desc("spend_c"), F.asc("o_custkey"))
     return spend.select(
@@ -356,7 +387,7 @@ def cube_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.sum(_cents("o_totalprice")) / F.lit(100.0)).alias("sum_total"),
+            (_dsum(_cents("o_totalprice")) / F.lit(100.0)).alias("sum_total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -386,7 +417,7 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
                  AS gid,
                count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+               sum(CAST(round(o_totalprice * 100) AS DECIMAL(28, 4))) / 100.0
                  AS sum_total
         FROM orders
         GROUP BY GROUPING SETS (
@@ -415,7 +446,8 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders o
         WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 1.0 > (
-          SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+          SELECT CAST(sum(CAST(round(o2.o_totalprice * 100)
+                               AS DECIMAL(28, 4))) AS DOUBLE)
                  / count(*)
           FROM orders o2
           WHERE o2.o_custkey = o.o_custkey
@@ -449,7 +481,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            (F.sum("value_c") / F.lit(100.0)).alias("sum_value"),
+            (_dsum(F.col("value_c")) / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -468,7 +500,7 @@ def time_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(_cents("value")) / F.lit(100.0)).alias("sum_value"),
+            (_dsum(_cents("value")) / F.lit(100.0)).alias("sum_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
     )
@@ -778,21 +810,24 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             (
-                F.sum(
+                _dsum(
                     F.when(F.col("supp_nation") == Q8_NATION, rev_units).otherwise(
                         F.lit(0)
                     )
                 )
                 / F.lit(1e4)
             ).alias("nation_rev"),
-            (F.sum(rev_units) / F.lit(1e4)).alias("total_rev"),
+            (_dsum(rev_units) / F.lit(1e4)).alias("total_rev"),
+            # the ratio divides the two exact decimals AS DOUBLES —
+            # decimal/decimal would be Spark decimal division (scale
+            # rules), which DuckDB's hugeint/hugeint→double does not do
             F.round(
-                F.sum(
+                _dsum(
                     F.when(F.col("supp_nation") == Q8_NATION, rev_units).otherwise(
                         F.lit(0)
                     )
-                )
-                / F.sum(rev_units),
+                ).cast("double")
+                / _dsum(rev_units),
                 6,
             ).alias("mkt_share"),
         )
@@ -816,7 +851,7 @@ def outer_join_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_custkey").alias("n_orders"),
             (
-                F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)) / F.lit(100.0)
+                F.coalesce(_dsum(_cents("o_totalprice")), F.lit(0)) / F.lit(100.0)
             ).alias("revenue"),
         )
     )
@@ -860,7 +895,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             (
-                F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
+                _dsum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
                 / F.lit(1e4)
             ).alias("revenue"),
         )
@@ -893,7 +928,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias(
+            _dsum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias(
                 "rev_units"
             ),
         )
@@ -903,7 +938,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type",
         "n_items",
         (F.col("rev_units") / F.lit(1e4)).alias("revenue"),
-        F.round(F.col("rev_units") / F.col("tot_units"), 6).alias("revenue_share"),
+        F.round(F.col("rev_units").cast("double") / F.col("tot_units"), 6).alias(
+            "revenue_share"
+        ),
     )
 
 
@@ -1958,7 +1995,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
+                _dsum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
                 / F.lit(1e4)
             ).alias("revenue")
         )

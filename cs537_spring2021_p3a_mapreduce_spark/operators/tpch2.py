@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from .relational import _cents, _pct
+from .relational import _cents, _dsum, _pct
 
 # ---------------------------------------------------------------------------
 # Q4 — order-priority checking: EXISTS semi-join + per-priority count.
@@ -115,7 +115,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < Q6_QTY_LT)
     )
     return li.agg(
-        (F.sum(_cents("l_extendedprice") * disc_p) / F.lit(1e4)).alias("revenue"),
+        (_dsum(_cents("l_extendedprice") * disc_p) / F.lit(1e4)).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -177,7 +177,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg((F.sum(profit_units) / F.lit(1e4)).alias("profit"))
+        .agg((_dsum(profit_units) / F.lit(1e4)).alias("profit"))
     )
 
 
@@ -227,7 +227,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = F.broadcast(
         table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     )
-    rev_units = F.sum(
+    rev_units = _dsum(
         _cents("l_extendedprice") * (100 - _pct("l_discount"))
     )
     return (
@@ -293,7 +293,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     per_part = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
-        F.sum(_cents("l_extendedprice")).alias("value_c")
+        _dsum(_cents("l_extendedprice")).alias("value_c")
     )
     total = per_part.agg(
         F.sum("value_c").alias("total_c"),
@@ -443,7 +443,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias(
+        _dsum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias(
             "rev_units"
         )
     )
@@ -511,7 +511,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty")
     )
     return small.agg(
-        (F.sum(_cents("l_extendedprice")) / F.lit(700.0)).alias("avg_yearly")
+        (_dsum(_cents("l_extendedprice")) / F.lit(700.0)).alias("avg_yearly")
     )
 
 
@@ -568,7 +568,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(part, (F.col("l_partkey") == F.col("p_partkey")) & branch)
     return joined.agg(
         (
-            F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
+            _dsum(_cents("l_extendedprice") * (100 - _pct("l_discount")))
             / F.lit(1e4)
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
@@ -714,7 +714,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            (F.sum("bal_c") / F.lit(100.0)).alias("totacctbal"),
+            (_dsum(F.col("bal_c")) / F.lit(100.0)).alias("totacctbal"),
         )
     )
 
