@@ -1370,8 +1370,33 @@ PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+1-555-[0-9]{4}"
 
 ANN_LSH_PLANES = 64  # hyperplanes = total sign bits
-ANN_LSH_BAND_BITS = 16  # 4 bands × 16 bits
+ANN_LSH_BAND_BITS = 16  # MINIMUM bits per band (floor: 4 bands × 16 bits)
+ANN_LSH_MAX_BAND_BITS = 32  # ceiling: 2 bands × 32 bits
 ANN_LSH_QUANT = 1_000_000  # embedding micro-unit quantization
+
+
+def _ann_band_bits(n: int) -> int:
+    """Bits per LSH band, SIZED TO THE CORPUS: ceil(log2(n)) + 2,
+    clamped to [16, 32]. With b bits per band, expected colliding
+    pairs per band for hash-uniform keys is ~n²/2^(b+1); b =
+    log2(n)+2 pins that at ~n/8 — candidates grow LINEARLY in corpus
+    size instead of quadratically past the width a fixed constant
+    was tuned for (the r2 weak-list item). The floor keeps fixture
+    runs at the original 4×16 layout (identical pairs); the ceiling
+    keeps ≥2 bands for recall. The SQL oracle derives the same value
+    from count(*) with the same integer formula, so both engines
+    band identically at any sf. ceil(log2(·)) is IEEE-double-stable
+    across engines: exact powers of two are exact in log2, and
+    non-powers sit ≥1e-9 away from integers while a double ulp near
+    2^63's log is ~3.5e-15."""
+    import math
+
+    if n < 2:
+        return ANN_LSH_BAND_BITS
+    return max(
+        ANN_LSH_BAND_BITS,
+        min(ANN_LSH_MAX_BAND_BITS, math.ceil(math.log2(n)) + 2),
+    )
 
 
 def _doc_shingle_arr(k: int) -> Column:
@@ -1544,7 +1569,12 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a narrow filter); candidates re-ranked by exact cosine.
 
     Scale shape: shuffle is one self-equi-join on (band, key) —
-    ∝ corpus, never corpus². 16-bit bands are tuned for the
+    ∝ corpus, never corpus². Band width is DERIVED from the corpus
+    count (``_ann_band_bits``: ceil(log2(n))+2, clamped [16, 32]),
+    so random-collision candidates stay ~n/8 per band at any scale
+    instead of exploding ~n²/2^b past a hand-set width; the count
+    itself is a parquet-metadata job, negligible next to the GEMM
+    pass. 16-bit bands (the fixture floor) target the
     high-similarity regime LSH is used for (cos ≥ 0.9 near-dup:
     per-band collision p^16 with p = 1 - θ/π); the fixture's weak
     cosines (≤ ~0.46) exercise the machinery, not the recall.
@@ -1553,6 +1583,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     weights = _ann_lsh_weights()
     emb = table(spark, sf_dir, "embeddings")
+    band_bits = _ann_band_bits(emb.count())
     q = emb.select(
         "vec_id",
         # cast float32 → double BEFORE the multiply: float×int stays
@@ -1571,9 +1602,9 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2^40) and vectorized, and stays O(batch) memory.
     import numpy as np
 
-    n_bands = ANN_LSH_PLANES // ANN_LSH_BAND_BITS
+    n_bands = ANN_LSH_PLANES // band_bits
     w_mat = np.array(weights, dtype=np.int64)  # planes × dims
-    pow2 = np.int64(1) << np.arange(ANN_LSH_BAND_BITS, dtype=np.int64)
+    pow2 = np.int64(1) << np.arange(band_bits, dtype=np.int64)
 
     def add_band_keys(batches):
         for pdf in batches:
@@ -1581,7 +1612,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q_mat = np.array(pdf["qe"].tolist(), dtype=np.int64)
                 bits = (q_mat @ w_mat.T >= 0).astype(np.int64)
                 for band in range(n_bands):
-                    seg = bits[:, band * ANN_LSH_BAND_BITS : (band + 1) * ANN_LSH_BAND_BITS]
+                    seg = bits[:, band * band_bits : (band + 1) * band_bits]
                     pdf[f"band{band}"] = seg @ pow2
             else:
                 for band in range(n_bands):
@@ -1723,9 +1754,17 @@ FROM planted
 
 # The LSH oracle recomputes the hyperplane weights ARITHMETICALLY
 # (same integer formula as _ann_lsh_weights) — no literal tables, so
-# the SQL provably runs the identical algorithm.
+# the SQL provably runs the identical algorithm. The band width is
+# likewise DERIVED inside the SQL (nn CTE) with the same
+# ceil(log2(count))+2 clamp as _ann_band_bits, so both engines band
+# identically at any corpus size.
 _ANN_LSH = f"""
-WITH q AS (
+WITH nn AS (
+  SELECT greatest({ANN_LSH_BAND_BITS},
+                  least({ANN_LSH_MAX_BAND_BITS},
+                        CAST(ceil(log2(count(*))) AS BIGINT) + 2)) AS bb
+  FROM embeddings
+), q AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * {ANN_LSH_QUANT}) AS BIGINT)) AS qe
@@ -1738,9 +1777,11 @@ WITH q AS (
               )) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
   FROM q CROSS JOIN generate_series(0, {ANN_LSH_PLANES - 1}) t(p)
 ), bands AS (
-  SELECT vec_id, p // {ANN_LSH_BAND_BITS} AS band_id,
-         CAST(sum(bit * (1::BIGINT << (p % {ANN_LSH_BAND_BITS}))) AS BIGINT) AS band_key
-  FROM bits GROUP BY 1, 2
+  SELECT vec_id, p // bb AS band_id,
+         CAST(sum(bit * (1::BIGINT << (p % bb))) AS BIGINT) AS band_key
+  FROM bits CROSS JOIN nn
+  WHERE p < bb * ({ANN_LSH_PLANES} // bb)
+  GROUP BY 1, 2
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a JOIN bands b USING (band_id, band_key)

@@ -309,3 +309,26 @@ def test_sample_exact_k_hits_size_contract_and_is_stable(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert again == {(r.doc_id, r.lang) for r in rows}
+
+
+def test_ann_band_bits_derivation():
+    """Corpus-sized band width (r2 VERDICT #2): floor 16 at fixture
+    scale (identical pairs to the fixed layout), ceil(log2 n)+2 in
+    the growth regime, capped at 32 so >=2 bands survive for recall.
+    The measured x1000 evidence lives in tools/lsh_width_probe.py:
+    fixed 16-bit grows n^2 (2.21 -> 2289 cand/vec over 2k -> 2M),
+    derived stays sub-quadratic (183 cand/vec at 2M, 12.5x fewer)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        _ann_band_bits,
+    )
+
+    assert _ann_band_bits(0) == 16
+    assert _ann_band_bits(2_000) == 16  # fixture scale: clamped floor
+    assert _ann_band_bits(2**14) == 16
+    assert _ann_band_bits(2**15) == 17
+    assert _ann_band_bits(200_000) == 20
+    assert _ann_band_bits(2_000_000) == 23
+    assert _ann_band_bits(2**40) == 32  # ceiling: 2 bands minimum
+    # monotone non-decreasing across the whole range
+    widths = [_ann_band_bits(n) for n in (2, 10, 10**3, 10**6, 10**9, 10**12)]
+    assert widths == sorted(widths)
