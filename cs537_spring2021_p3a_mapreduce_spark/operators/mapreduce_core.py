@@ -441,7 +441,7 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     seam documented on the sink."""
     import tempfile
 
-    from ..sources import upsert_keyed_parquet
+    from ..sources import read_keyed_table, upsert_keyed_parquet
 
     orders = table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("cust_key"),
@@ -457,7 +457,7 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_cols=["cust_key"],
             version_col="order_key",
         )
-    return spark.read.parquet(path)
+    return read_keyed_table(spark, path)
 
 
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

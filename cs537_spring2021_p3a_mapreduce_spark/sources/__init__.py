@@ -17,8 +17,6 @@ give shuffle-free joins on the bucket key.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,6 +127,45 @@ def write_bucketed_table(
     writer.saveAsTable(table_name, format="parquet")
 
 
+def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
+    """Committed view of an ``upsert_keyed_parquet`` table: trust the
+    ``_MANIFEST`` when present (every generation the manifest sink
+    committed), falling back to a plain directory scan for tables
+    written before the manifest protocol. THE read path for upsert
+    tables — a raw ``spark.read.parquet(dir)`` would also see
+    uncommitted part files left by a writer that crashed mid-merge."""
+    from .manifest_sink import MANIFEST, read_manifest_table
+
+    if os.path.exists(os.path.join(path, MANIFEST)):
+        return read_manifest_table(spark, path)
+    return spark.read.parquet(path)
+
+
+def _vacuum_unreferenced(path: str) -> None:
+    """Best-effort, post-commit: delete part files the live manifest
+    no longer references (previous generations, crashed-attempt
+    strays). Crash-safe — the manifest never points at these, so
+    stopping half-way changes nothing a reader sees. Immediate
+    vacuum is the right default at this repo's scale; a production
+    deployment defers it past a retention horizon so in-flight
+    readers of the previous generation finish first."""
+    import json
+
+    from .manifest_sink import MANIFEST
+
+    try:
+        with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+            live = {f["file"] for f in json.load(fh)["files"]}
+    except OSError:
+        return
+    for name in os.listdir(path):
+        if name.endswith(".parquet") and name not in live:
+            try:
+                os.remove(os.path.join(path, name))
+            except OSError:
+                pass
+
+
 def upsert_keyed_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -139,19 +176,23 @@ def upsert_keyed_parquet(
     """Reference A10: the hashmap sink's last-write-wins MapPut
     (hashmap.c:40-46) as a keyed parquet merge.
 
-    Reads the existing table (if any), unions the updates, keeps one
+    Reads the committed table (if any), unions the updates, keeps one
     row per key — the newest by ``version_col`` if given, else
-    preferring updates over existing rows — and swaps the directory
-    via two renames with rollback on failure. NOT atomic: a crash
-    between the renames leaves the table absent (recoverable from
-    the ``__old_*`` directory). On a real deployment this op is a
-    transactional-table MERGE (Delta/Iceberg), which this function's
-    contract mirrors on purpose — the transaction log is exactly
-    what removes this window.
+    preferring updates over existing rows — and commits the new
+    generation through the manifest sink's TWO-PHASE protocol
+    (``manifest_sink.py``): executors write uniquely-named part files
+    next to the live generation, then one atomic ``os.replace`` of
+    ``_MANIFEST`` flips visibility. A crash at ANY point leaves the
+    previous generation fully readable via ``read_keyed_table`` —
+    the rename-swap window the pre-r3 implementation documented is
+    gone. Old-generation files are vacuumed after the commit
+    (best-effort; unreferenced files are invisible either way).
+    On a real deployment this op is a transactional-table MERGE
+    (Delta/Iceberg) — same contract, industrial log.
     """
-    # The os.rename swap below is local-filesystem only; on object
-    # stores / HDFS this op is a transactional MERGE (see docstring),
-    # so fail loudly instead of silently renaming nothing.
+    # Local-filesystem only (manifest replace + vacuum are os-level);
+    # on object stores / HDFS this op is a transactional MERGE (see
+    # docstring), so fail loudly instead of corrupting silently.
     if "://" in path and not path.startswith("file:"):
         raise ValueError(
             f"upsert_keyed_parquet only supports local paths, got {path!r}; "
@@ -161,7 +202,7 @@ def upsert_keyed_parquet(
 
     is_update = F.lit(1)
     if os.path.isdir(path):
-        existing = spark.read.parquet(path).withColumn("__gen", F.lit(0))
+        existing = read_keyed_table(spark, path).withColumn("__gen", F.lit(0))
         merged = existing.unionByName(updates.withColumn("__gen", is_update))
     else:
         merged = updates.withColumn("__gen", is_update)
@@ -187,19 +228,22 @@ def upsert_keyed_parquet(
         .drop("__rn", "__gen")
     )
 
-    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
-    result.write.mode("overwrite").parquet(staging)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.isdir(path):
-        os.rename(path, old)
-    try:
-        os.rename(staging, path)
-    except OSError:
-        if os.path.isdir(old):  # roll the previous table back in
-            os.rename(old, path)
-        raise
-    if os.path.isdir(old):
-        shutil.rmtree(old)
+    from .manifest_sink import ManifestParquetSink
+
+    # Phase 1: part files land under unique names beside the live
+    # generation (readers keep seeing the old manifest). Phase 2:
+    # commit() atomically replaces _MANIFEST with exactly the new
+    # generation's files (overwrite mode). The merge plan reads the
+    # old generation's files lazily WHILE the new one is written —
+    # safe, because nothing is deleted until after the commit.
+    spark.dataSource.register(ManifestParquetSink)
+    (
+        result.write.format("mr_manifest")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    _vacuum_unreferenced(path)
 
 
 def point_lookup(df: DataFrame, key_col: str, key: str) -> DataFrame:

@@ -15,6 +15,7 @@ custom sink (this) — the reference's A10 sink contract
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -26,6 +27,46 @@ from pyspark.sql.datasource import (
 )
 
 MANIFEST = "_MANIFEST"
+
+# Commit-lock tuning: acquisition retries for up to ~10 s (commit
+# crit-section is a tiny json merge + rename, so contention clears in
+# ms), and a lock file older than 60 s is presumed orphaned by a
+# crashed driver and broken.
+_LOCK_TIMEOUT_S = 10.0
+_LOCK_STALE_S = 60.0
+
+
+@contextlib.contextmanager
+def _commit_lock(dir_path: str):
+    import time
+
+    lock = os.path.join(dir_path, f".{MANIFEST}.lock")
+    deadline = time.monotonic() + _LOCK_TIMEOUT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
+                    os.remove(lock)  # orphaned by a crashed committer
+                    continue
+            except OSError:
+                continue  # raced: owner released or broke it first
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"manifest commit lock busy for {_LOCK_TIMEOUT_S}s: {lock}"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 class PartFileCommit(WriterCommitMessage):
@@ -94,19 +135,30 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         # listing, which retires the old files from view without a
         # physical delete (the table-format convention: vacuuming is
         # a separate concern).
-        files = [
-            {"file": m.filename, "n_rows": m.n_rows}
-            for m in messages
-            if m is not None and m.filename
-        ]
-        manifest_path = os.path.join(self.dir, MANIFEST)
-        if not self.overwrite and os.path.exists(manifest_path):
-            with open(manifest_path, encoding="utf-8") as fh:
-                files = json.load(fh)["files"] + files
-        tmp = os.path.join(self.dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"files": files}, fh)
-        os.replace(tmp, manifest_path)
+        #
+        # The append path is a read-modify-write of _MANIFEST, so two
+        # concurrent append commits could both read the same prior
+        # listing and the later os.replace would silently drop the
+        # earlier job's files from view. A short exclusive lock
+        # (O_CREAT|O_EXCL — atomic on every local fs) serializes just
+        # this merge+replace window; overwrite commits take it too so
+        # an overwrite can't interleave with an append's read.
+        # Production table formats solve the same race with
+        # log-version CAS (Delta) or catalog swap (Iceberg).
+        with _commit_lock(self.dir):
+            files = [
+                {"file": m.filename, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None and m.filename
+            ]
+            manifest_path = os.path.join(self.dir, MANIFEST)
+            if not self.overwrite and os.path.exists(manifest_path):
+                with open(manifest_path, encoding="utf-8") as fh:
+                    files = json.load(fh)["files"] + files
+            tmp = os.path.join(self.dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump({"files": files}, fh)
+            os.replace(tmp, manifest_path)
 
     def abort(self, messages) -> None:
         for m in messages:

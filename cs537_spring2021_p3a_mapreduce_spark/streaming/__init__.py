@@ -464,7 +464,9 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(path).select("user_id", "n_events")
+    from ..sources import read_keyed_table
+
+    return read_keyed_table(spark, path).select("user_id", "n_events")
 
 
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

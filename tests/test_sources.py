@@ -292,3 +292,103 @@ def test_linescan_source_tolerates_empty_file(spark, tmp_path):
         spark.read.format("mr_linescan").option("path", str(d)).load().collect()
     )
     assert {r.line for r in rows} == {"alpha beta"}
+
+
+def test_upsert_crash_between_write_and_commit_keeps_old_generation(
+    spark, tmp_path
+):
+    """Two-phase-commit upsert (VERDICT r2 #3): a writer dying AFTER
+    the new generation's part files land but BEFORE the manifest
+    replace must leave the table readable at the OLD generation, and
+    the next successful upsert must heal (merge on top of the old
+    generation, strays vacuumed).
+
+    The crash is injected as the exact on-disk state a dead driver
+    leaves — stray uniquely-named part files plus an orphaned
+    .tmp manifest, live _MANIFEST untouched (commit's os.replace
+    is the atomicity point; nothing before it mutates shared state,
+    so state-level injection covers every pre-replace crash
+    instant). In-process monkeypatching can't reach commit(): Spark 4
+    runs Python DataSource driver hooks in a separate worker."""
+    import json
+    import os
+    import uuid
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources import (
+        manifest_sink,
+        read_keyed_table,
+    )
+
+    path = str(tmp_path / "kv")
+    v1 = spark.createDataFrame(
+        [("k1", "old"), ("k2", "keep")], "key string, value string"
+    )
+    src.upsert_keyed_parquet(spark, v1, path, ["key"])
+    before = {(r.key, r.value) for r in read_keyed_table(spark, path).collect()}
+    assert before == {("k1", "old"), ("k2", "keep")}
+
+    # inject the post-crash layout: the would-be new generation's part
+    # files (written, never acknowledged by a manifest) + a torn tmp
+    v2 = spark.createDataFrame([("k1", "new")], "key string, value string")
+    stray = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+    v2.toPandas().to_parquet(stray, index=False)
+    with open(
+        os.path.join(path, f".{manifest_sink.MANIFEST}.{uuid.uuid4().hex}.tmp"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        fh.write('{"files": [')  # torn mid-write
+
+    # old generation intact; the crashed generation's files invisible
+    after_crash = {(r.key, r.value) for r in read_keyed_table(spark, path).collect()}
+    assert after_crash == before
+
+    # healing: the next upsert merges onto the committed state and
+    # vacuums every unreferenced stray
+    src.upsert_keyed_parquet(spark, v2, path, ["key"])
+    healed = {(r.key, r.value) for r in read_keyed_table(spark, path).collect()}
+    assert healed == {("k1", "new"), ("k2", "keep")}
+    import json
+    import os
+
+    with open(os.path.join(path, manifest_sink.MANIFEST), encoding="utf-8") as fh:
+        live = {f["file"] for f in json.load(fh)["files"]}
+    on_disk = {n for n in os.listdir(path) if n.endswith(".parquet")}
+    assert on_disk == live
+    # plain directory scans agree after vacuum (back-compat read path)
+    assert {
+        (r.key, r.value) for r in spark.read.parquet(path).collect()
+    } == healed
+
+
+def test_manifest_commit_lock_serializes_and_breaks_stale(tmp_path, monkeypatch):
+    """commit()'s append path is a manifest read-modify-write; the
+    exclusive lock makes it safe under a concurrent committer. A held
+    lock times out a second committer; an orphaned lock (crashed
+    driver, mtime past the stale horizon) is broken and acquired."""
+    import os
+    import time
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources import manifest_sink
+
+    d = str(tmp_path)
+    lock = os.path.join(d, f".{manifest_sink.MANIFEST}.lock")
+
+    with manifest_sink._commit_lock(d):
+        assert os.path.exists(lock)
+        monkeypatch.setattr(manifest_sink, "_LOCK_TIMEOUT_S", 0.2)
+        with pytest.raises(TimeoutError, match="commit lock busy"):
+            with manifest_sink._commit_lock(d):
+                pass
+    assert not os.path.exists(lock)
+
+    # orphaned lock: old mtime → broken and re-acquired immediately
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write("dead-pid")
+    old = time.time() - manifest_sink._LOCK_STALE_S - 5
+    os.utime(lock, (old, old))
+    with manifest_sink._commit_lock(d):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
