@@ -640,9 +640,12 @@ def stream_custom_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")
     ).count()
-    # ~5 micro-batches at any sf: enough to prove multi-batch offset
-    # progression without paying a per-trigger cost ∝ input size
-    batch_rows = max(2000, -(-n_rows // 5))
+    # ~3 micro-batches at any sf: enough to prove multi-batch offset
+    # progression; each extra batch costs ~0.5 s of fixed micro-batch
+    # machinery (offset WAL + state commit + one Python-source task
+    # round trip), measured — the data volume is irrelevant since the
+    # source reads are worker-cached zero-copy slices
+    batch_rows = max(2000, -(-n_rows // 3))
     raw = (
         spark.readStream.format("mr_eventlog")
         .option("path", os.path.join(sf_dir, "events.parquet"))
@@ -658,7 +661,10 @@ def stream_custom_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry.
     import time
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 2 state partitions: the aggregate has a handful of groups, and
+    # per-batch cost here is state-store commits x partitions, not
+    # data (measured: 8 partitions ~0.6 s/batch, 2 ~0.35 s/batch)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             counts.writeStream.format("memory")
@@ -670,6 +676,12 @@ def stream_custom_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         deadline = time.time() + 120
         while time.time() < deadline:
+            # surface a failed query NOW — polling lastProgress on a
+            # dead query would otherwise burn the whole timeout and
+            # raise a misleading TimeoutError instead of the cause
+            exc = q.exception()
+            if exc is not None:
+                raise exc
             p = q.lastProgress
             if p and p["sources"]:
                 end = p["sources"][0].get("endOffset")
@@ -687,7 +699,7 @@ def stream_custom_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # one more cycle so the final batch's output commits
                     q.processAllAvailable()
                     break
-            time.sleep(0.2)
+            time.sleep(0.05)
         else:
             q.stop()
             raise TimeoutError("mr_eventlog drain did not reach EOF offset")

@@ -166,9 +166,13 @@ def test_linescan_source_one_partition_per_file(spark, tmp_path):
 
 
 def test_eventlog_stream_reader_offset_contract(spark):
-    """The custom streaming source's offset axis: deterministic batch
-    boundaries, readBetweenOffsets replay parity (exactly-once
-    recovery), empty EOF batch with a non-advancing offset."""
+    """The custom streaming source's offset axis (full
+    DataSourceStreamReader): paced deterministic batch boundaries,
+    partitions(start, end) replay parity (exactly-once recovery),
+    Arrow RecordBatch output (no per-row tuples), EOF offset pinned
+    at the row count."""
+    import pyarrow as pa
+
     from cs537_spring2021_p3a_mapreduce_spark.sources.eventlog_stream import (
         EventLogStreamReader,
     )
@@ -177,25 +181,39 @@ def test_eventlog_stream_reader_offset_contract(spark):
     n_total = spark.read.parquet(path).count()
     r = EventLogStreamReader({"path": path, "batch_rows": "100"})
 
+    def drain_range(start, end):
+        ids = []
+        n = 0
+        for part in r.partitions(start, end):
+            for batch in r.read(part) or ():
+                assert isinstance(batch, pa.RecordBatch)
+                ids.extend(batch.column("event_id").to_pylist())
+                n += batch.num_rows
+        return ids, n
+
     off = r.initialOffset()
     assert off == {"rank": 0}
     seen = 0
     batches = 0
+    all_ids = []
     while True:
-        rows, nxt = r.read(off)
-        rows = list(rows)
-        if not rows:
-            assert nxt == off  # EOF: offset must not advance
+        nxt = r.latestOffset()
+        if nxt == off:  # EOF: offset must stop advancing
             break
+        assert nxt["rank"] - off["rank"] <= 100  # paced micro-batches
+        ids, n = drain_range(off, nxt)
         # recovery path must replay the identical range
-        replay = list(r.readBetweenOffsets(off, nxt))
-        assert replay == rows
-        seen += len(rows)
+        replay_ids, replay_n = drain_range(off, nxt)
+        assert replay_ids == ids and replay_n == n
+        all_ids.extend(ids)
+        seen += n
         batches += 1
         r.commit(nxt)
         off = nxt
-    assert seen == n_total
+    assert seen == n_total == off["rank"]
     assert batches == -(-n_total // 100)  # ceil: all batches full but the last
+    # the offset axis is the event_id order — global, no overlap
+    assert all_ids == sorted(all_ids) and len(set(all_ids)) == len(all_ids)
 
 
 def test_manifest_sink_stray_files_invisible(spark, tmp_path):
