@@ -7,13 +7,16 @@ SURVEY §1.1); this tier comes from the north-star mandate: a 100 TB
 training-data pipeline carries media as bytes next to metadata and
 runs per-record Python (decoders, models) over Arrow batches.
 
-Decode is STUBBED: the real codec libraries (PIL/libav/...) are not
-in this container, so ``decode=\"fake\"`` derives deterministic
-pseudo-features from the payload bytes (stable across runs and
-partitionings), and ``decode=\"real\"`` raises NotImplementedError at
-the exact seam where a codec drops in. Everything AROUND the stub —
-schemas, binary packing, batch iteration, output shapes, partition
-behavior — is real and tested.
+Decode has TWO tiers. ``decode="real"`` is a true bytes→stats path
+for the pure-Python-decodable formats: uncompressed 24-bit BMP and
+PCM16 WAV are parsed header-first from the payload bytes (stdlib
+struct + NumPy — no codec libraries), so dimensions/rates/stats come
+from the BYTES, not from metadata. Compressed formats (png/mp4/...)
+still raise NotImplementedError at the exact seam where PIL/libav
+drops in — that seam is now an honest *narrowing*, not the whole
+tier. ``decode="fake"`` derives deterministic pseudo-features from
+the payload bytes (stable across runs and partitionings) for
+pipeline plumbing at any format.
 
 Scale notes: every operator here is a narrow ``mapInPandas`` pass —
 no shuffle, no driver traffic; payload bytes stream executor-side
@@ -87,6 +90,193 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_gen, schema=MEDIA_META_SCHEMA)
 
 
+# --- real codecs (pure stdlib/NumPy): uncompressed BMP + PCM16 WAV ---
+
+# deterministic, SQL-recomputable content functions (the oracle for
+# the real-decode query derives the same sums arithmetically):
+#   BMP pixel (x, y), all 3 channels:  (x + y + media_id) % 256
+#   WAV sample i (int16):  ((media_id * 7 + i * 13) % 65536) - 32768
+ENC_SAMPLE_RATE = 8000
+
+
+def _encode_bmp(width: int, height: int, media_id: int) -> bytes:
+    """A real, spec-compliant uncompressed 24-bit BMP (BITMAPFILEHEADER
+    + BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    row_bytes = (3 * width + 3) // 4 * 4
+    pix = np.add.outer(
+        np.arange(height, dtype=np.int64), np.arange(width, dtype=np.int64)
+    )  # y + x
+    vals = ((pix + media_id) % 256).astype(np.uint8)
+    rows = np.zeros((height, row_bytes), dtype=np.uint8)
+    rows[:, : 3 * width] = np.repeat(vals, 3, axis=1)  # B=G=R
+    data = rows[::-1].tobytes()  # bottom-up storage
+    file_size = 54 + len(data)
+    header = _struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54) + _struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the actual bytes: header-validated (width, height,
+    n_values, sum_values) over every channel byte (padding excluded)."""
+    magic, _file_size, _r1, _r2, offset = _struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (hdr_size, width, height, _planes, bpp, compression) = _struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(f"unsupported BMP variant (bpp={bpp})")
+    row_bytes = (3 * width + 3) // 4 * 4
+    arr = np.frombuffer(payload, dtype=np.uint8, count=height * row_bytes, offset=offset)
+    pixels = arr.reshape(height, row_bytes)[:, : 3 * width]
+    return width, height, pixels.size, int(pixels.astype(np.int64).sum())
+
+
+def _encode_wav(n_samples: int, media_id: int, rate: int = ENC_SAMPLE_RATE) -> bytes:
+    """A real PCM16 mono WAV (RIFF/WAVE, 44-byte canonical header)."""
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = (((media_id * 7 + i * 13) % 65536) - 32768).astype("<i2")
+    data = samples.tobytes()
+    header = (
+        _struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + _struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+        + _struct.pack("<4sI", b"data", len(data))
+    )
+    return header + data
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """Parse the actual bytes: (sample_rate, n_samples, sum_samples)."""
+    riff, _sz, wave = _struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt_tag, fmt_len, audio_fmt, channels, rate = _struct.unpack_from(
+        "<4sIHHI", payload, 12
+    )
+    if fmt_tag != b"fmt " or audio_fmt != 1 or channels != 1:
+        raise NotImplementedError("unsupported WAV variant (non-PCM16-mono)")
+    data_off = 12 + 8 + fmt_len
+    tag, data_len = _struct.unpack_from("<4sI", payload, data_off)
+    if tag != b"data":
+        raise ValueError("missing WAV data chunk")
+    samples = np.frombuffer(
+        payload, dtype="<i2", count=data_len // 2, offset=data_off + 8
+    )
+    return rate, samples.size, int(samples.astype(np.int64).sum())
+
+
+def synth_media_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic media with REAL encoded payloads: images are honest
+    uncompressed BMPs, audio honest PCM16 WAVs (both byte-for-byte
+    decodable by any standard tool); video stays an opaque payload
+    ("mp4" — no pure-Python decode exists, that seam remains). Same
+    kind assignment as ``synth_media`` (doc_id % 3)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                kind = MEDIA_KINDS[doc_id % len(MEDIA_KINDS)]
+                w = h = sr = dur = None
+                if kind == "image":
+                    w, h = 16 + doc_id % 31, 12 + doc_id % 17
+                    fmt, payload = "bmp", _encode_bmp(w, h, doc_id)
+                elif kind == "audio":
+                    n = 400 + (doc_id % 13) * 64
+                    sr, dur = ENC_SAMPLE_RATE, n * 1000 // ENC_SAMPLE_RATE
+                    fmt, payload = "wav", _encode_wav(n, doc_id)
+                else:
+                    digest = hashlib.sha256(str(doc_id).encode()).digest()
+                    fmt, payload = "mp4", (digest * 8)[: 64 + (doc_id % 7) * 32]
+                    w, h, dur = 64, 48, 2000 + (doc_id % 5) * 1000
+                rows.append(
+                    (doc_id, kind, fmt, bytearray(payload), w, h, sr, dur)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "fmt", "payload",
+                    "width", "height", "sample_rate", "duration_ms",
+                ],
+            )
+
+    return docs.mapInPandas(_gen, schema=MEDIA_META_SCHEMA)
+
+
+def decode_media_real(df: DataFrame) -> DataFrame:
+    """TRUE bytes→stats decode for the formats with a pure-Python
+    codec (bmp, wav): every output value is parsed from the payload
+    bytes — dimensions come from the file header, stats from the
+    pixel/sample array; the meta columns are never consulted.
+    Unsupported formats raise NotImplementedError (the honest codec
+    seam, now scoped to compressed formats only).
+
+    Output: media_id, kind, fmt, width, height, sample_rate,
+    n_units (channel bytes / samples), sum_units, mean_unit."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, fmt, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["fmt"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                if fmt == "bmp":
+                    w, h, n, s = _decode_bmp(payload)
+                    sr = None
+                elif fmt == "wav":
+                    sr, n, s = _decode_wav(payload)
+                    w = h = None
+                else:
+                    raise NotImplementedError(
+                        f"no pure-Python decoder for fmt={fmt!r}; plug "
+                        "PIL/libav in here for compressed formats"
+                    )
+                rows.append(
+                    (int(media_id), kind, fmt, w, h, sr, n, s, round(s / n, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "fmt", "width", "height",
+                    "sample_rate", "n_units", "sum_units", "mean_unit",
+                ],
+            )
+
+    return df.mapInPandas(
+        _decode,
+        schema="media_id bigint, kind string, fmt string, width int, "
+        "height int, sample_rate int, n_units bigint, sum_units bigint, "
+        "mean_unit double",
+    )
+
+
+def media_decode_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query for the REAL decode path: encode honest
+    BMP/WAV payloads, decode them back from bytes, aggregate per
+    kind. The oracle recomputes every decoded value ARITHMETICALLY
+    from the generator formulas (closed-form pixel/sample sums per
+    doc) — so a decoder that misparsed a header, miscounted padding,
+    or misread sample width would hash-mismatch.
+
+    Output: kind, n_media, n_units, sum_units, mean_unit."""
+    decoded = decode_media_real(
+        synth_media_encoded(spark, sf_dir).filter(F.col("fmt").isin("bmp", "wav"))
+    )
+    return decoded.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_units").alias("n_units"),
+        F.sum("sum_units").alias("sum_units"),
+        F.round(F.sum("sum_units").cast("double") / F.sum("n_units"), 6).alias(
+            "mean_unit"
+        ),
+    )
+
+
 def _fake_decode_stats(payload: bytes) -> tuple[int, float]:
     """Deterministic stand-in for a codec: (n_bytes, mean byte value).
     Stable under re-partitioning and re-runs by construction."""
@@ -97,18 +287,17 @@ def _fake_decode_stats(payload: bytes) -> tuple[int, float]:
 def decode_media(df: DataFrame, decode: str = "fake") -> DataFrame:
     """Decode step: payload bytes → per-record decoded stats.
 
-    ``decode="real"`` is the seam where PIL/libav plugs in — it
-    raises NotImplementedError here (codecs not in this container).
-    ``decode="fake"`` emits deterministic byte-level stats so the
-    full pipeline (schema, batching, downstream queries) runs today.
+    ``decode="real"`` routes to ``decode_media_real`` — a true
+    bytes→stats parse for bmp/wav payloads (different, richer output
+    schema; compressed formats raise NotImplementedError at the
+    PIL/libav seam). ``decode="fake"`` emits deterministic byte-level
+    stats so the full pipeline (schema, batching, downstream queries)
+    runs on any format today.
 
-    Output: media_id, kind, fmt, n_bytes, mean_byte (round 6).
+    Output (fake): media_id, kind, fmt, n_bytes, mean_byte (round 6).
     """
     if decode == "real":
-        raise NotImplementedError(
-            "real media decode requires codec libraries not present in "
-            "this environment; plug PIL/libav into _decode_batches"
-        )
+        return decode_media_real(df)
     if decode != "fake":
         raise ValueError(f"decode must be 'real' or 'fake', got {decode!r}")
 
@@ -244,6 +433,7 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-level oracle is in tests (deterministic synth + decode)
 QUERIES = {
     "multimodal_pipeline": media_feature_stats,
+    "multimodal_decode_real": media_decode_real_stats,
 }
 
 # n_bytes = 64 + (doc_id % 7) * 32 by construction (synth_media), so
@@ -260,5 +450,42 @@ SELECT kind, count(*)::BIGINT AS n_media,
        sum(n_bytes)::BIGINT AS total_bytes,
        round(avg(n_bytes), 6) AS avg_bytes
 FROM media GROUP BY kind
+""",
+    # The real-decode oracle never touches bytes: it recomputes the
+    # decoded pixel/sample sums ARITHMETICALLY from the generator
+    # formulas (pixel(x,y) = (x+y+id)%256 over 3 channels, sample(i)
+    # = ((id*7+i*13)%65536)-32768). The Spark side gets the same
+    # numbers by PARSING the BMP/WAV payloads — a header misparse,
+    # padding miscount, or sample-width error breaks the hash.
+    "multimodal_decode_real": """
+WITH img AS (
+  SELECT doc_id, 16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), img_stats AS (
+  SELECT 'image' AS kind,
+         3 * w * h AS n_units,
+         3 * list_sum(flatten(list_transform(
+               generate_series(0, h - 1),
+               y -> list_transform(generate_series(0, w - 1),
+                                   x -> (x + y + doc_id) % 256)))) AS sum_units
+  FROM img
+), aud AS (
+  SELECT doc_id, 400 + (doc_id % 13) * 64 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), aud_stats AS (
+  SELECT 'audio' AS kind,
+         n AS n_units,
+         list_sum(list_transform(
+           generate_series(0, n - 1),
+           i -> ((doc_id * 7 + i * 13) % 65536) - 32768)) AS sum_units
+  FROM aud
+), u AS (
+  SELECT * FROM img_stats UNION ALL SELECT * FROM aud_stats
+)
+SELECT kind, count(*)::BIGINT AS n_media,
+       sum(n_units)::BIGINT AS n_units,
+       sum(sum_units)::BIGINT AS sum_units,
+       round(sum(sum_units)::DOUBLE / sum(n_units), 6) AS mean_unit
+FROM u GROUP BY kind
 """,
 }

@@ -35,12 +35,64 @@ def test_decode_fake_is_deterministic_across_partitionings(spark):
     assert once == again and len(once) > 0
 
 
-def test_decode_real_raises_at_the_seam(spark):
-    media = mm.synth_media(spark, SF_SMOKE)
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(media, decode="real")
+def test_decode_real_raises_at_the_seam_for_compressed_formats(spark):
+    # synth_media's payloads are opaque digest bytes labeled png/mp4 —
+    # the real decoder must refuse them (execution-time, inside the
+    # Arrow batch loop), not silently emit stats
+    media = mm.synth_media(spark, SF_SMOKE).filter("fmt = 'png'")
+    with pytest.raises(Exception, match="no pure-Python decoder"):
+        mm.decode_media(media, decode="real").collect()
     with pytest.raises(ValueError):
         mm.decode_media(media, decode="nope")
+
+
+def test_bmp_wav_codecs_roundtrip_exact():
+    """The real codecs: encode → decode returns exactly the generated
+    geometry and the closed-form content sums."""
+    for media_id, w, h in ((0, 16, 12), (7, 23, 19), (99, 46, 28)):
+        payload = mm._encode_bmp(w, h, media_id)
+        dw, dh, n, s = mm._decode_bmp(payload)
+        assert (dw, dh, n) == (w, h, 3 * w * h)
+        want = 3 * sum(
+            (x + y + media_id) % 256 for x in range(w) for y in range(h)
+        )
+        assert s == want
+    for media_id, n in ((1, 400), (13, 1168)):
+        payload = mm._encode_wav(n, media_id)
+        rate, dn, s = mm._decode_wav(payload)
+        assert (rate, dn) == (mm.ENC_SAMPLE_RATE, n)
+        want = sum(((media_id * 7 + i * 13) % 65536) - 32768 for i in range(n))
+        assert s == want
+    # corrupted magic must be rejected, not misparsed
+    bad = bytearray(mm._encode_bmp(8, 8, 1))
+    bad[0:2] = b"XX"
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm._decode_bmp(bytes(bad))
+
+
+def test_decode_real_parses_dims_from_bytes_not_meta(spark):
+    """End-to-end over the encoded fixture: every decoded dimension/
+    rate equals the generator's meta — but obtained by PARSING the
+    payload (the decoder never reads the meta columns)."""
+    enc = mm.synth_media_encoded(spark, SF_SMOKE).filter(
+        F.col("fmt").isin("bmp", "wav")
+    )
+    decoded = mm.decode_media(enc, decode="real").withColumnRenamed(
+        "width", "dw"
+    ).withColumnRenamed("height", "dh").withColumnRenamed(
+        "sample_rate", "dsr"
+    )
+    joined = decoded.join(
+        enc.select("media_id", "width", "height", "sample_rate"), "media_id"
+    )
+    bad = joined.filter(
+        ~(
+            F.col("dw").eqNullSafe(F.col("width"))
+            & F.col("dh").eqNullSafe(F.col("height"))
+            & F.col("dsr").eqNullSafe(F.col("sample_rate"))
+        )
+    )
+    assert joined.count() > 0 and bad.count() == 0
 
 
 def test_extract_features_shape_and_determinism(spark):
