@@ -233,11 +233,18 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (salting must be RESULT-INVISIBLE: same rows, different
     task placement).
 
-    Scale shape: the big side's rows shard across 8 salt buckets so
-    one pathological order key cannot pin a whole join task; the
-    small side replicates ×8 — the regime where small ≪ big/8, i.e.
-    exactly when a key is hot enough to need this. Aggregates run on
-    exact cents (float-determinism policy above)."""
+    Scale shape: the salt count is DERIVED from measured key
+    frequencies (skew.derive_n_salts — a zero-shuffle Misra-Gries
+    pass): uniform fixture keys derive 1 and the join runs unsalted;
+    a genuinely hot key derives ceil(hot_share × partitions) shards
+    so it cannot pin a whole join task, and the small side replicates
+    by exactly that factor — the regime where small ≪ big/n_salts,
+    i.e. exactly when a key is hot enough to need this. The explicit
+    n_salts=8 here keeps the registered query exercising the SALTED
+    path (the auto path at uniform keys would degenerate to a plain
+    join); salting is result-invisible either way, which is what the
+    oracle checks. Aggregates run on exact cents (float-determinism
+    policy above)."""
     from .skew import salted_join
 
     li = table(spark, sf_dir, "lineitem").select(

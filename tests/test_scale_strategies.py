@@ -95,3 +95,42 @@ def test_salted_join_shards_hot_key(spark):
         .count()
     )
     assert salts >= 4  # hot key really does shard across buckets
+
+
+def test_derive_n_salts_sizes_to_hot_share(spark):
+    """Adaptive salting (r2 VERDICT #8): the derived count tracks the
+    measured hot-key share (ceil(hot*P/n), P = shuffle partitions),
+    and uniform keys derive 1 — meaning salted_join runs UNSALTED
+    with zero small-side replication."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.skew import (
+        derive_n_salts,
+        salted_join,
+    )
+
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # ~50% of rows on key 0 → expect about P/2 salts (MG residual is a
+    # lower bound, so allow a tolerant band below the ideal)
+    hot = spark.range(40_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    s_hot = derive_n_salts(hot, "k")
+    assert P // 4 <= s_hot <= P
+
+    uniform = spark.range(40_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    assert derive_n_salts(uniform, "k") == 1
+
+    # auto mode: result-invisible on both shapes
+    dim = spark.range(1000).select(F.col("id").alias("k2"), (F.col("id") % 7).alias("w"))
+    for big in (hot, uniform):
+        auto = salted_join(big, dim, "k", "k2")
+        plain = big.join(dim, F.col("k") == F.col("k2"))
+        assert auto.count() == plain.count()
+        a = auto.agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
+        p = plain.agg(F.sum(F.col("v") * F.col("w"))).collect()[0][0]
+        assert a == p

@@ -18,7 +18,12 @@ skew, not broadcast avoidance of it.
 
 Prints one JSON line; evidence for SCALE.md's skew section.
 
-Usage: python tools/skew_probe.py [rows_m] [hot_share] [n_salts]
+Usage: python tools/skew_probe.py [rows_m] [hot_share] [n_salts|auto]
+
+n_salts defaults to "auto": derive_n_salts sizes the count from the
+measured hot-key share (the r3 adaptive path) — the JSON reports what
+was derived. At hot_share=0 the derivation should return 1 (unsalted
+join, no replication tax at uniform keys).
 """
 
 from __future__ import annotations
@@ -32,7 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from cs537_spring2021_p3a_mapreduce_spark.operators.skew import salted_join
+from cs537_spring2021_p3a_mapreduce_spark.operators.skew import (
+    derive_n_salts,
+    salted_join,
+)
 from cs537_spring2021_p3a_mapreduce_spark.session import get_spark
 
 N_KEYS = 10_000
@@ -41,7 +49,8 @@ N_KEYS = 10_000
 def main() -> int:
     rows = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 20_000_000
     hot_share = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
-    n_salts = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    arg3 = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    n_salts = arg3 if arg3 == "auto" else int(arg3)
 
     spark = get_spark("skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,6 +75,13 @@ def main() -> int:
     small.write.mode("overwrite").parquet("/tmp/skew_probe_small")
     big = spark.read.parquet("/tmp/skew_probe_big")
     small = spark.read.parquet("/tmp/skew_probe_small")
+
+    if n_salts == "auto":
+        t0 = time.perf_counter()
+        n_salts = derive_n_salts(big, "k")
+        t_derive = round(time.perf_counter() - t0, 2)
+    else:
+        t_derive = None
 
     def agg_of(joined):
         return joined.select(F.sum(F.col("v") * F.col("w")).alias("s"))
@@ -93,6 +109,7 @@ def main() -> int:
                 "rows": rows,
                 "hot_share": hot_share,
                 "n_salts": n_salts,
+                "derive_s": t_derive,
                 "naive_no_aqe_s": t_naive,
                 "aqe_skew_join_s": t_aqe,
                 "salted_join_s": t_salt,
