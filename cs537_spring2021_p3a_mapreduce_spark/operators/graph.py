@@ -19,8 +19,10 @@ Beyond", SoCC'14) converges in O(log² n) rounds with the same
 join-agg per round — implemented here as
 ``connected_components_star`` and property-tested against
 union-find, including a 120-hop path where plain propagation would
-need ~120 shuffles. ``dedup_clusters`` keeps the simple form (its
-clusters are shallow); deep-graph callers switch by function name.
+need ~120 shuffles. ``connected_components`` AUTO-ESCALATES to star
+contraction when its propagation budget is exhausted, so
+``dedup_clusters`` pays the cheap loop on its (shallow) near-dup
+clusters yet still terminates on adversarially deep pair graphs.
 """
 
 from __future__ import annotations
@@ -43,6 +45,12 @@ def connected_components(
     every vertex takes min(own label, neighbors' labels); fixpoint
     when no label changes (one tiny count action per round — the
     driver only ever sees a scalar, never the data).
+
+    If the component diameter exceeds ``max_iter`` (propagation
+    needs O(diameter) rounds), the loop AUTO-ESCALATES to
+    large-star/small-star contraction (O(log² n) rounds regardless
+    of diameter) instead of raising — shallow near-dup graphs pay
+    only the cheap loop, adversarially deep ones still terminate.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     e = (
@@ -72,11 +80,24 @@ def connected_components(
         if stepped.filter(F.col("lbl") != F.col("old_lbl")).count() == 0:
             return stepped.select("v", "lbl")
         labels = stepped.select("v", "lbl")
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations; "
-        "component diameter exceeds the bound — raise max_iter or switch "
-        "the loop body to large-star/small-star"
+    # diameter > max_iter: escalate to star contraction. Star runs on
+    # the ORIGINAL edges unioned with the v→lbl shortcut edges the
+    # loop already earned — the shortcuts alone can split a component
+    # (two adjacent vertices may have propagated disjoint minima), so
+    # the originals guarantee correctness and the shortcuts only
+    # accelerate contraction.
+    shortcuts = labels.where(F.col("v") != F.col("lbl")).select(
+        F.col("v").alias("s"), F.col("lbl").alias("d")
     )
+    comp = connected_components_star(e.unionByName(shortcuts), "s", "d")
+    # star drops self-loop-only vertices (no distinct neighbor ⇒ own
+    # component); re-attach them so the vertex set matches the loop's
+    singletons = (
+        labels.select("v")
+        .exceptAll(comp.select("v"))
+        .withColumn("lbl", F.col("v"))
+    )
+    return comp.unionByName(singletons)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

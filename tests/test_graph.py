@@ -36,10 +36,38 @@ def test_edge_direction_is_irrelevant(spark):
     assert _components(spark, [(5, 1), (5, 9)]) == {(1, 1), (5, 1), (9, 1)}
 
 
-def test_nonconvergence_raises(spark):
-    df = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "a bigint, b bigint")
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, "a", "b", max_iter=1)
+def test_nonconvergence_escalates_to_star(spark):
+    # diameter 5 > max_iter=1: the loop must auto-escalate to star
+    # contraction and still produce the exact component labeling
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "a bigint, b bigint"
+    )
+    got = {
+        (r.v, r.lbl)
+        for r in connected_components(df, "a", "b", max_iter=1).collect()
+    }
+    assert got == {(v, 1) for v in range(1, 7)}
+
+
+def test_escalation_does_not_split_components(spark):
+    # adversarial ids: after 1 round the v→lbl shortcut edges alone
+    # form TWO label components ({5,1,6} and {7,2}) of ONE original
+    # path 5-1-6-2-7 — the escalation must union the original edges
+    got = _components_iter(spark, [(5, 1), (1, 6), (6, 2), (2, 7)], 1)
+    assert got == {(v, 1) for v in (1, 2, 5, 6, 7)}
+
+
+def test_deep_chain_through_default_budget(spark):
+    # 120-hop chain: propagation would need 120 rounds; the default
+    # CC_MAX_ITER budget escalates and finishes in O(log²) rounds
+    got = _components(spark, [(i, i + 1) for i in range(120)])
+    assert got == {(v, 0) for v in range(121)}
+
+
+def _components_iter(spark, edges, max_iter):
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    out = connected_components(df, "a", "b", max_iter=max_iter)
+    return {(r.v, r.lbl) for r in out.collect()}
 
 
 def test_dedup_clusters_keeper_is_cluster_min(spark):
