@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..scratch import scratch_dir
 
 from ..catalog import table
 from ..functions.text import djb2_partition, tokens
@@ -173,7 +174,6 @@ def linescan_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     This entry exists to prove the extensibility seam (a bespoke
     format plugs in with partition planning + scan logic in plain
     Python), not to replace the built-in."""
-    import tempfile
 
     from ..sources.linescan import LineScanDataSource
 
@@ -183,7 +183,7 @@ def linescan_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
 
-    work = tempfile.mkdtemp(prefix="linescan_")
+    work = scratch_dir("linescan_")
     shards = os.path.join(work, "shards")
     (
         table(spark, sf_dir, "documents")
@@ -217,10 +217,9 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     column pruning still reaches each footer.
 
     Output: priority (NULL→'<absent>'), n_orders, sum_cents."""
-    import tempfile
 
     orders = table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="schema_evo_")
+    path = scratch_dir("schema_evo_")
     old = orders.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
     )
@@ -260,7 +259,6 @@ def custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped, or stray row shifts the exact-cents sums.
 
     Output: o_orderstatus, n_orders, sum_cents."""
-    import tempfile
 
     from ..sources.manifest_sink import ManifestParquetSink, read_manifest_table
 
@@ -269,7 +267,7 @@ def custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
 
-    path = os.path.join(tempfile.mkdtemp(prefix="manifest_rt_"), "t")
+    path = os.path.join(scratch_dir("manifest_rt_"), "t")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -314,12 +312,11 @@ def corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hide real data loss; it's a per-read decision.
 
     Output: o_orderstatus, n_orders, sum_cents."""
-    import tempfile
 
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="corrupt_scan_")
+    path = scratch_dir("corrupt_scan_")
     orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
         "append"
     ).parquet(path)
@@ -439,7 +436,6 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the merge is one window over (key) — a single hash
     shuffle on the key column; the swap is the Delta/Iceberg MERGE
     seam documented on the sink."""
-    import tempfile
 
     from ..sources import read_keyed_table, upsert_keyed_parquet
 
@@ -448,7 +444,7 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_key"),
         F.col("o_totalprice").alias("total_price"),
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="upsert_rt_"), "state")
+    path = os.path.join(scratch_dir("upsert_rt_"), "state")
     for parity in (0, 1):
         upsert_keyed_parquet(
             spark,
@@ -472,12 +468,11 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: o_orderstatus, n_orders, sum_total.
     """
-    import tempfile
 
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "orders_csv")
+    path = os.path.join(scratch_dir("csv_rt_"), "orders_csv")
     orders.write.mode("overwrite").option("header", True).csv(path)
     back = (
         spark.read.schema(
@@ -504,12 +499,11 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: o_orderstatus, o_year, n_orders, sum_total.
     """
-    import tempfile
 
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="json_rt_"), "orders_json")
+    path = os.path.join(scratch_dir("json_rt_"), "orders_json")
     orders.write.mode("overwrite").json(path)
     back = spark.read.schema(
         "o_orderkey long, o_totalprice double, o_orderstatus string, o_orderdate timestamp"
@@ -538,12 +532,11 @@ def partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: n_events, n_users, sum_value.
     """
-    import tempfile
 
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="part_prune_"), "events_by_type")
+    path = os.path.join(scratch_dir("part_prune_"), "events_by_type")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path).filter(
         F.col("event_type") == PRUNED_EVENT_TYPE

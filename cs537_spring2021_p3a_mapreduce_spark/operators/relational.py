@@ -33,6 +33,8 @@ equal).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -895,6 +897,17 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_t, o_t = f"graft_bucketed_lineitem_{tag}", f"graft_bucketed_orders_{tag}"
     write_bucketed_table(li, li_t, ["l_orderkey"], BUCKETS, ["l_orderkey"])
     write_bucketed_table(orders, o_t, ["o_orderkey"], BUCKETS, ["o_orderkey"])
+    # The catalog entries die with the session's in-memory catalog;
+    # the warehouse directories would not — without this the local
+    # warehouse grows by two app-tagged tables per bench session.
+    # Exit-time (not inline): the returned DataFrame scans lazily.
+    from ..scratch import cleanup_at_exit
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in (li_t, o_t):
+        cleanup_at_exit(
+            os.path.join(warehouse.removeprefix("file:"), t.lower())
+        )
     return (
         spark.table(li_t)
         .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))

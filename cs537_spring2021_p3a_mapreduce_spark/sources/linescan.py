@@ -55,22 +55,40 @@ class LineScanReader(DataSourceReader):
         files = sorted(glob.glob(os.path.join(self.dir, "*.txt")))
         return [_FilePartition(f) for f in files]
 
+    # Batch bound: per-task memory is O(BATCH_LINES), never O(file) —
+    # a 100 GB shard streams through in fixed-size Arrow batches.
+    BATCH_LINES = 65536
+
     def read(self, partition: _FilePartition):
         # A2: one sequential line scan per file, no read-ahead state
         # shared across partitions (main.c:15-29's getline loop).
-        # Emitted as one Arrow RecordBatch per file — the vectorized
-        # hand-off the Python source API supports; per-row tuple
-        # yields cost one Python object per line.
+        # Emitted as BOUNDED Arrow RecordBatches (BATCH_LINES each) —
+        # the vectorized hand-off the Python source API supports;
+        # per-row tuple yields cost one Python object per line, and a
+        # single whole-file batch would pin the entire shard in task
+        # memory.
         import pyarrow as pa
 
+        def batch(lines: list[str]) -> pa.RecordBatch:
+            # explicit string types: an EMPTY file would otherwise
+            # infer null-typed arrays and break the declared-schema
+            # hand-off
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([partition.path] * len(lines), type=pa.string()),
+                    pa.array(lines, type=pa.string()),
+                ],
+                names=["path", "line"],
+            )
+
+        buf: list[str] = []
+        emitted = False
         with open(partition.path, encoding="utf-8") as fh:
-            lines = [line.rstrip("\n") for line in fh]
-        # explicit string types: an EMPTY file would otherwise infer
-        # null-typed arrays and break the declared-schema hand-off
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([partition.path] * len(lines), type=pa.string()),
-                pa.array(lines, type=pa.string()),
-            ],
-            names=["path", "line"],
-        )
+            for line in fh:
+                buf.append(line.rstrip("\n"))
+                if len(buf) >= self.BATCH_LINES:
+                    yield batch(buf)
+                    emitted = True
+                    buf = []
+        if buf or not emitted:  # empty file still declares its schema
+            yield batch(buf)

@@ -24,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..scratch import scratch_dir
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def stream_events(spark: SparkSession, sf_dir_or_glob: str) -> DataFrame:
@@ -314,10 +315,9 @@ def stream_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete emits the full (small: one row per window×type) result
     each trigger. Bucket emitted as a formatted string for
     type-stable oracle comparison."""
-    import tempfile
     import uuid
 
-    work = tempfile.mkdtemp(prefix="stream_tb_")
+    work = scratch_dir("stream_tb_")
     counts = windowed_event_counts(_staged_events_stream(spark, sf_dir, work))
     out = counts.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
@@ -339,10 +339,9 @@ def stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only rows-only checkable\" hole: the state machine's final
     answer is exact and SQL-expressible even though its increments
     aren't."""
-    import tempfile
     import uuid
 
-    work = tempfile.mkdtemp(prefix="stream_rc_")
+    work = scratch_dir("stream_rc_")
     counts = running_user_counts(_staged_events_stream(spark, sf_dir, work))
     name = f"stream_rc_{uuid.uuid4().hex[:8]}"
     run_to_memory(counts, name, os.path.join(work, "ckpt"), "update", shuffle_partitions=8)
@@ -368,10 +367,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete output mode for the finite-drain reason documented at
     stream_time_bucket. State per key is one open session interval,
     watermark-evicted — the 100 TB shape."""
-    import tempfile
     import uuid
 
-    work = tempfile.mkdtemp(prefix="stream_sw_")
+    work = scratch_dir("stream_sw_")
     sessions = session_event_counts(_staged_events_stream(spark, sf_dir, work))
     out = sessions.select(
         "user_id",
@@ -405,10 +403,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate would double without the dedup, which is what makes
     this value-check the dedup and not just the plumbing)."""
     import shutil
-    import tempfile
     import uuid
 
-    work = tempfile.mkdtemp(prefix="stream_dd_")
+    work = scratch_dir("stream_dd_")
     src_dir = os.path.join(work, "in")
     os.makedirs(src_dir, exist_ok=True)
     for copy in (0, 1):
@@ -447,10 +444,9 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: user_id, n_events.
     """
-    import tempfile
     import uuid as _uuid
 
-    work = tempfile.mkdtemp(prefix="stream_up_")
+    work = scratch_dir("stream_up_")
     counts = running_user_counts(_staged_events_stream(spark, sf_dir, work))
     path = os.path.join(work, "totals")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -477,10 +473,9 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 epoch-aligned 15-minute starts covering it — the k∈[0,4)
     expansion in the SQL). Complete mode for the finite-drain reason
     documented at stream_time_bucket."""
-    import tempfile
     import uuid
 
-    work = tempfile.mkdtemp(prefix="stream_sl_")
+    work = scratch_dir("stream_sl_")
     counts = sliding_event_counts(_staged_events_stream(spark, sf_dir, work))
     out = counts.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
@@ -499,10 +494,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a same-user purchase must pair up — value-checked against
     the plain inequality-join SQL. Append mode: inner-join matches
     are final the moment they emit."""
-    import tempfile
     import uuid
 
-    work = tempfile.mkdtemp(prefix="stream_ij_")
+    work = scratch_dir("stream_ij_")
     ev_p = _staged_events_stream(spark, sf_dir, work)
     # second independent reader over the already-staged directory
     ev_c = stream_events(spark, os.path.join(work, "in"))
@@ -547,10 +541,9 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_s (null if unmatched)."""
     import glob
     import shutil
-    import tempfile
     import uuid
 
-    work = tempfile.mkdtemp(prefix="stream_oj_")
+    work = scratch_dir("stream_oj_")
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
     from ..catalog import table as _table
@@ -626,7 +619,6 @@ def stream_custom_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     works end-to-end.
 
     Output: event_type, n_events."""
-    import tempfile
     import uuid
 
     from ..sources.eventlog_stream import EventLogStreamSource
@@ -636,7 +628,7 @@ def stream_custom_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
 
-    work = tempfile.mkdtemp(prefix="stream_cs_")
+    work = scratch_dir("stream_cs_")
     n_rows = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")
     ).count()
@@ -724,12 +716,11 @@ def stream_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept with segment '<unknown>' — enrichment must not drop facts.
 
     Output: segment, n_purchases, sum_cents."""
-    import tempfile
     import uuid
 
     from ..catalog import table as _table
 
-    work = tempfile.mkdtemp(prefix="stream_en_")
+    work = scratch_dir("stream_en_")
     purchases = _staged_events_stream(spark, sf_dir, work).where(
         F.col("event_type") == "purchase"
     )
@@ -764,10 +755,9 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is vocabulary-sized (bounded), so emitting the full result
     per trigger is the honest finite-drain choice."""
     import shutil
-    import tempfile
     import uuid
 
-    work = tempfile.mkdtemp(prefix="stream_wc_")
+    work = scratch_dir("stream_wc_")
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
     shutil.copy(

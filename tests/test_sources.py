@@ -165,6 +165,50 @@ def test_linescan_source_one_partition_per_file(spark, tmp_path):
     }
 
 
+def test_linescan_source_bounded_batches(spark, tmp_path, monkeypatch):
+    """A file larger than the batch bound streams through as multiple
+    RecordBatches (per-task memory O(BATCH_LINES), not O(file)) with
+    no rows lost or duplicated at batch boundaries."""
+    from cs537_spring2021_p3a_mapreduce_spark.sources.linescan import (
+        LineScanDataSource,
+        LineScanReader,
+        _FilePartition,
+    )
+
+    monkeypatch.setattr(LineScanReader, "BATCH_LINES", 8)
+    d = tmp_path / "big"
+    d.mkdir()
+    f = d / "big.txt"
+    f.write_text("".join(f"line {i}\n" for i in range(21)))
+    reader = LineScanReader({"path": str(d)})
+    batches = list(reader.read(_FilePartition(str(f))))
+    assert [b.num_rows for b in batches] == [8, 8, 5]
+    # end-to-end through Spark: exact rows back, in order per file
+    try:
+        spark.dataSource.register(LineScanDataSource)
+    except Exception:
+        pass
+    rows = (
+        spark.read.format("mr_linescan").option("path", str(d)).load().collect()
+    )
+    assert sorted(r.line for r in rows) == sorted(f"line {i}" for i in range(21))
+
+
+def test_scratch_dir_cleans_up_registered_paths(tmp_path):
+    from cs537_spring2021_p3a_mapreduce_spark import scratch
+
+    d = scratch.scratch_dir("graft_test_")
+    extra = tmp_path / "warehouse_table"
+    extra.mkdir()
+    scratch.cleanup_at_exit(str(extra))
+    import os
+
+    assert os.path.isdir(d)
+    scratch._cleanup()  # what atexit will run
+    assert not os.path.exists(d) and not os.path.exists(extra)
+    scratch._cleanup()  # idempotent: list drained, nothing re-removed
+
+
 def test_eventlog_stream_reader_offset_contract(spark):
     """The custom streaming source's offset axis (full
     DataSourceStreamReader): paced deterministic batch boundaries,
