@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cs537_spring2021_p3a_mapreduce_spark import streaming
 from cs537_spring2021_p3a_mapreduce_spark.operators import (
+    bloom,
     dedup,
     graph,
     llm,
@@ -28,6 +29,7 @@ from cs537_spring2021_p3a_mapreduce_spark.operators import (
 
 _MODULES = [
     mapreduce_core,
+    bloom,
     relational,
     tpch2,
     llm,

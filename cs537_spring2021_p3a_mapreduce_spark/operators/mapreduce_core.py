@@ -518,6 +518,41 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip — the third columnar wire format
+    next to parquet (scans) and CSV/JSON (text), completing the
+    format breadth of A1/A2's file-source contract. ORC matters at
+    lake scale because whole warehouses are already stored in it;
+    an engine that can't read/write it can't coexist. Explicit
+    schema on re-read (same no-inference discipline as
+    csv_roundtrip) including a timestamp column: ORC stores µs
+    timestamps natively, and the year() grouping witnesses exact
+    round-trip against the parquet-side oracle.
+
+    Output: o_orderstatus, o_year, n_orders, sum_total.
+    """
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    )
+    path = os.path.join(scratch_dir("orc_rt_"), "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    # NTZ on both sides: the catalog serves naive timestamps (DuckDB
+    # parity), ORC preserves the NTZ logical type, and the reader
+    # refuses an NTZ→LTZ cast (ORC_TYPE_CAST) — so declare NTZ.
+    back = spark.read.schema(
+        "o_orderkey long, o_totalprice double, o_orderstatus string, o_orderdate timestamp_ntz"
+    ).orc(path)
+    return back.groupBy(
+        "o_orderstatus", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            _dsum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)
+        ).alias("sum_total"),
+    )
+
+
 PRUNED_EVENT_TYPE = "purchase"
 
 
@@ -600,6 +635,7 @@ QUERIES = {
     "wordcount_lookup": wordcount_lookup,
     "csv_roundtrip": csv_roundtrip,
     "json_roundtrip": json_roundtrip,
+    "orc_roundtrip": orc_roundtrip,
     "partitioned_pruned_scan": partitioned_pruned_scan,
     "grep_filter": grep_filter,
     "distinct_keys": distinct_keys,
@@ -624,6 +660,12 @@ ORACLES = {
         "FROM orders GROUP BY 1"
     ),
     "json_roundtrip": (
+        "SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year, "
+        "count(*)::BIGINT AS n_orders, "
+        "sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS sum_total "
+        "FROM orders GROUP BY 1, 2"
+    ),
+    "orc_roundtrip": (
         "SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year, "
         "count(*)::BIGINT AS n_orders, "
         "sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS sum_total "
