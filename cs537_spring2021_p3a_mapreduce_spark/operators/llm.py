@@ -1933,7 +1933,109 @@ SELECT doc_id, lang FROM (
 """
 
 
+SPAN_N = 5
+
+
+def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication metric — the curation
+    signal behind RefinedWeb/Gopher-style boilerplate removal: for
+    each document, the fraction of its tokens covered by a
+    ``SPAN_N``-gram that also appears verbatim in ANOTHER document.
+    Unlike dedup_exact (whole doc) and dedup_minhash (whole-doc
+    similarity), this localizes duplication to spans, so a document
+    that embeds a widely-copied passage scores high even when the
+    rest is unique.
+
+    Scale shape: spans are built narrowly per row (array slide — no
+    window shuffle), the cross-doc test is ONE aggregate on the span
+    key, coverage explodes only the duplicated spans (×SPAN_N on the
+    dup subset, not the corpus), and the final distinct+count
+    shuffles (doc_id, pos) pairs of covered tokens only. No
+    all-pairs join anywhere.
+
+    Output: doc_id, n_tokens, n_dup_tokens, dup_frac.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    arr = F.col("toks")
+    starts = F.when(
+        F.size(arr) >= SPAN_N, F.sequence(F.lit(0), F.size(arr) - SPAN_N)
+    ).otherwise(F.array().cast("array<int>"))
+    span_arr = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, SPAN_N))
+    )
+    spans = docs.select(
+        "doc_id", F.posexplode(span_arr).alias("pos", "span")
+    )
+    dup_spans = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("span")
+    )
+    covered = (
+        spans.join(dup_spans, "span", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+            ).alias("covered"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    per_doc = docs.select("doc_id", F.size(arr).cast("long").alias("n_tokens"))
+    return per_doc.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("n_dup", F.lit(0)) / F.col("n_tokens"), 6
+            )
+        )
+        .alias("dup_frac"),
+    )
+
+
+_DUP_SPAN = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), spans0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - {SPAN_N - 1}, 0)),
+           i -> {{'pos': i - 1,
+                 'span': ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         || ' ' || ts[i+3] || ' ' || ts[i+4]}})) AS sp
+  FROM toks
+), spans AS (
+  SELECT doc_id, sp.pos AS pos, sp.span AS span FROM spans0
+), dup AS (
+  SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, covered FROM (
+    SELECT s.doc_id, unnest(generate_series(s.pos, s.pos + {SPAN_N - 1})) AS covered
+    FROM spans s JOIN dup USING (span)
+  )
+), cnt AS (
+  SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY 1
+)
+SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_tokens,
+       CASE WHEN len(ts) = 0 THEN 0.0
+            ELSE round(coalesce(n_dup, 0) / len(ts), 6) END AS dup_frac
+FROM toks t LEFT JOIN cnt USING (doc_id)
+"""
+
+
 QUERIES = {
+    "duplicate_span_fraction": duplicate_span_fraction,
     "dedup_exact": dedup_exact,
     "curate_corpus": curate_corpus,
     "dedup_ngram": dedup_ngram,
@@ -1965,6 +2067,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "duplicate_span_fraction": _DUP_SPAN,
     "dedup_exact": _DEDUP_EXACT,
     "curate_corpus": _CURATE,
     "dedup_ngram": _DEDUP_NGRAM,
