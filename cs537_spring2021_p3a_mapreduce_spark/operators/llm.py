@@ -582,6 +582,164 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_TRAINED_NPROBE = 3  # of KMEANS_K=8 trained cells
 
 
+# --- product quantization --------------------------------------------------
+
+PQ_M = 8  # subspaces: 64 dims → 8 sub-vectors of 8 dims
+PQ_K = 16  # codes per subspace → 8×4 bits = 4 bytes per vector
+# ADC candidates re-ranked exactly per query. Generous (10·k) because
+# the synthetic embeddings are near-uniform — the no-structure worst
+# case for quantization; real embedding corpora cluster, and the
+# standard practice is candidates ≈ 2-10× k.
+PQ_CAND = 10 * SIM_K
+
+
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI'11) — the third ANN family
+    next to IVF (cell pruning) and LSH (hash banding), and the one
+    that attacks MEMORY: each corpus vector compresses to PQ_M
+    codes (4 bytes here vs 256 bytes of f32), so a 100 TB corpus'
+    index fits in RAM and the scan is a table lookup, not a GEMM.
+
+    Dataflow, all deterministic:
+    1. codebook: PQ_K hash-sampled vectors (smallest
+       ``xxhash64(vec_id)``; the Lloyd seam of
+       ``similarity_ann_ivf_trained`` plugs in identically), their
+       m-th sub-vectors forming subspace m's centroids; vectors are
+       L2-normalized first so inner product == cosine;
+    2. encode: per corpus block (the ``EMB_BLOCK`` tiling of
+       ``dedup_embedding``), each vector's sub-vector m maps to its
+       nearest centroid (L2, ties → lowest code) — one narrow
+       mapInPandas pass, no shuffle;
+    3. ADC scoring: per query, an M×K lookup table of
+       query-subvector · centroid inner products; a vector's
+       approximate cosine is the sum of M table lookups over its
+       codes. Per-block partial top-PQ_CAND per query bounds the
+       shuffle to blocks × queries × PQ_CAND rows (a global top-k
+       element is top-k within its own block, so per-block top-k
+       loses nothing);
+    4. exact re-rank: the global top-PQ_CAND candidates per query
+       re-score with true cosine; top-SIM_K wins.
+
+    Rows-only driver check like the other ANN entries; recall@k vs
+    the brute-force baseline is asserted in tests.
+
+    Output: query_id, neighbor_id, cos_sim (round 6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = (
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(PQ_K)
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("cb"))
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < SIM_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .agg(F.collect_list(F.struct("query_id", "qe")).alias("qs"))
+    )
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") / EMB_BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vs"))
+    )
+    tiles = blocks.crossJoin(F.broadcast(codebook)).crossJoin(
+        F.broadcast(queries)
+    )
+
+    def _norm_rows(mat: "np.ndarray") -> "np.ndarray":
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return mat / n
+
+    def _adc(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.fromiter(
+                    (r["vec_id"] for r in row["vs"]), dtype=np.int64
+                )
+                mat = _norm_rows(
+                    np.array([r["embedding"] for r in row["vs"]], np.float64)
+                )
+                cb = _norm_rows(
+                    np.array([r["embedding"] for r in row["cb"]], np.float64)
+                )
+                qids = np.fromiter(
+                    (r["query_id"] for r in row["qs"]), dtype=np.int64
+                )
+                qm = _norm_rows(
+                    np.array([r["qe"] for r in row["qs"]], np.float64)
+                )
+                d = mat.shape[1] // PQ_M
+                # encode: codes[b, m] = nearest centroid of subvec m
+                codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+                for m in range(PQ_M):
+                    sub = mat[:, m * d : (m + 1) * d]
+                    csub = cb[:, m * d : (m + 1) * d]
+                    d2 = (
+                        (sub * sub).sum(1)[:, None]
+                        - 2.0 * (sub @ csub.T)
+                        + (csub * csub).sum(1)[None, :]
+                    )
+                    codes[:, m] = np.argmin(d2, axis=1)  # ties → low code
+                # ADC: lut[q, m, k] = q_subvec · centroid_subvec
+                for qi, qid in enumerate(qids):
+                    approx = np.zeros(len(ids))
+                    for m in range(PQ_M):
+                        lut = (
+                            cb[:, m * d : (m + 1) * d]
+                            @ qm[qi, m * d : (m + 1) * d]
+                        )
+                        approx += lut[codes[:, m]]
+                    keep = ids != qid
+                    kids, kapprox = ids[keep], approx[keep]
+                    # block-local partial top: (-approx, vec_id) asc
+                    order = np.lexsort((kids, -kapprox))[:PQ_CAND]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": kids[order],
+                            "approx_sim": kapprox[order],
+                        }
+                    )
+
+    scored = tiles.mapInPandas(
+        _adc, schema="query_id long, neighbor_id long, approx_sim double"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < SIM_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    exact = (
+        cands.join(emb, cands["neighbor_id"] == emb["vec_id"])
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("qe", "embedding"), 6).alias("cos_sim"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= SIM_K)
+        .drop("rn")
+    )
+
+
 def _kmeans_oracle_sql() -> str:
     """Unrolled Lloyd's iterations as chained CTEs — exact mirror of
     ``embedding_kmeans`` (same integer arithmetic, same md5 init,
@@ -2043,6 +2201,7 @@ QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_ivf_trained": similarity_ann_ivf_trained,
+    "similarity_pq": similarity_pq,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
     "text_stats": text_stats,

@@ -76,6 +76,35 @@ def test_bpe_counts_at_least_ws(spark):
     assert out.filter(F.col("n_bpe_tokens") < F.col("n_ws_tokens")).count() == 0
 
 
+def test_pq_ann_recall_vs_bruteforce(spark):
+    """ADC over 4-byte PQ codes + exact re-rank must recover most of
+    the exact top-k (rows-only driver check, so recall lives here);
+    re-ranked similarities must be the TRUE cosines (subset of the
+    brute-force scoring, not ADC approximations)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        SIM_K,
+        similarity_pq,
+        similarity_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact_rows = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity_topk(spark, sf).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity_pq(spark, sf).collect()
+    }
+    assert len(exact_rows) > 0
+    hits = set(exact_rows) & set(approx)
+    recall = len(hits) / len(exact_rows)
+    assert recall >= 0.5, f"PQ recall@{SIM_K} too low: {recall}"
+    for pair in hits:  # exact re-rank ⇒ identical rounded cosine
+        assert approx[pair] == exact_rows[pair]
+    assert all(q != n for q, n in approx)
+
+
 def test_ivf_ann_recall_vs_bruteforce(spark):
     """IVF with nprobe cells must recover most of the exact top-k
     (rows-only driver check, so recall lives here)."""
