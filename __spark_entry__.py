@@ -20,6 +20,7 @@ from cs537_spring2021_p3a_mapreduce_spark.operators import (
     bloom,
     dedup,
     graph,
+    layout,
     llm,
     mapreduce_core,
     multimodal,
@@ -30,11 +31,13 @@ from cs537_spring2021_p3a_mapreduce_spark.operators import (
 _MODULES = [
     mapreduce_core,
     bloom,
+    layout,
     relational,
     tpch2,
     llm,
     dedup,
     graph,
+    layout,
     multimodal,
     streaming,
 ]

@@ -298,6 +298,60 @@ FROM orders GROUP BY 1
 """
 
 
+def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the commit-protocol sink: two committed
+    generations (even orders, then append odd orders), read back
+    AS OF each generation via its manifest snapshot — generation 1
+    must show only the first batch even though the directory now
+    holds both batches' part files. This is the version-travel
+    contract every table format (Delta AS OF, Iceberg snapshots)
+    builds on the same never-delete-on-commit property the sink
+    already had; the snapshot manifests just make old views
+    addressable.
+
+    Output: gen, n_orders, sum_cents."""
+
+    from ..sources.manifest_sink import ManifestParquetSink, read_manifest_table
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_tt_"), "t")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.where(F.col("o_orderkey") % 2 == 0).write.format(
+        "mr_manifest"
+    ).option("path", path).mode("append").save()
+    orders.where(F.col("o_orderkey") % 2 == 1).write.format(
+        "mr_manifest"
+    ).option("path", path).mode("append").save()
+
+    def view(gen: int) -> DataFrame:
+        return read_manifest_table(spark, path, as_of=gen).agg(
+            F.lit(gen).cast("long").alias("gen"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "sum_cents"
+            ),
+        )
+
+    return view(1).unionByName(view(2))
+
+
+_MANIFEST_TT = """
+SELECT 1::BIGINT AS gen, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 2::BIGINT AS gen, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+"""
+
+
 def corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-path resilience: a table directory where one part file
     is garbage bytes (a torn upload, a truncated object-store PUT —
@@ -648,6 +702,7 @@ QUERIES = {
     "schema_evolution_scan": schema_evolution_scan,
     "linescan_wordcount": linescan_wordcount,
     "custom_sink_roundtrip": custom_sink_roundtrip,
+    "manifest_time_travel": manifest_time_travel,
     "corrupt_tolerant_scan": corrupt_tolerant_scan,
 }
 

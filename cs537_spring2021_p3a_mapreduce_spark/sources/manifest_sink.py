@@ -152,12 +152,28 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                 if m is not None and m.filename
             ]
             manifest_path = os.path.join(self.dir, MANIFEST)
-            if not self.overwrite and os.path.exists(manifest_path):
+            generation = 1
+            if os.path.exists(manifest_path):
                 with open(manifest_path, encoding="utf-8") as fh:
-                    files = json.load(fh)["files"] + files
+                    prev = json.load(fh)
+                generation = prev.get("generation", 0) + 1
+                if not self.overwrite:
+                    files = prev["files"] + files
+            doc = {"generation": generation, "files": files}
+            # every commit also snapshots itself as _MANIFEST.g<N>:
+            # TIME TRAVEL in its minimal honest form — old generations
+            # stay readable because commits never delete part files
+            # (overwrite retires them from the LATEST view only; the
+            # snapshot still names them), which is exactly how Delta's
+            # log versions / Iceberg's snapshots make AS OF work.
             tmp = os.path.join(self.dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
             with open(tmp, "w", encoding="utf-8") as fh:
-                json.dump({"files": files}, fh)
+                json.dump(doc, fh)
+            snap = os.path.join(self.dir, f"{MANIFEST}.g{generation}")
+            tmp_snap = f"{snap}.{uuid.uuid4().hex}.tmp"
+            with open(tmp_snap, "w", encoding="utf-8") as fh:
+                json.dump(doc, fh)
+            os.replace(tmp_snap, snap)
             os.replace(tmp, manifest_path)
 
     def abort(self, messages) -> None:
@@ -169,10 +185,17 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                     pass
 
 
-def read_manifest_table(spark, path: str):
+def read_manifest_table(spark, path: str, as_of: int | None = None):
     """Read back ONLY the committed files (manifest-trusting reader).
-    Stray part files from failed attempts are invisible."""
-    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+    Stray part files from failed attempts are invisible.
+
+    ``as_of`` selects a historical generation's snapshot
+    (``_MANIFEST.g<N>``) instead of the latest view — time travel:
+    commits never delete part files, so every generation the sink
+    ever committed stays reconstructible until a vacuum (a separate
+    concern, as in every table format)."""
+    name = MANIFEST if as_of is None else f"{MANIFEST}.g{as_of}"
+    with open(os.path.join(path, name), encoding="utf-8") as fh:
         manifest = json.load(fh)
     files = [os.path.join(path, f["file"]) for f in manifest["files"]]
     if not files:

@@ -1,0 +1,94 @@
+"""Z-order layout: bit-exact Morton values and the measured
+data-skipping locality claim (per-file 2-D extents must cover far
+less area than a single-dimension clustering of the same rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark.operators.layout import (
+    Z_BITS,
+    Z_FILES,
+    _morton_expr,
+    write_zordered_events,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _morton_py(a: int, b: int) -> int:
+    z = 0
+    for i in range(Z_BITS):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_expr_bit_exact(spark):
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321)],
+        "a bigint, b bigint",
+    ).select("a", "b", _morton_expr("a", "b").alias("z"))
+    for r in rows.collect():
+        assert r.z == _morton_py(r.a, r.b), (r.a, r.b)
+
+
+def _extents(df):
+    return (
+        df.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.min("user_id").alias("ul"),
+            F.max("user_id").alias("uh"),
+            F.min("hour_id").alias("hl"),
+            F.max("hour_id").alias("hh"),
+        )
+        .collect()
+    )
+
+
+def _files_overlapping(exts, ulo, uhi, hlo, hhi):
+    """How many files a min-max-pruning reader must open for the
+    given 2-D range predicate."""
+    return sum(
+        1
+        for r in exts
+        if not (r.uh < ulo or r.ul > uhi or r.hh < hlo or r.hl > hhi)
+    )
+
+
+BIG = 10**9
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """The z-order promise is BALANCE: a 1-D clustering prunes
+    perfectly on its own dimension and not at all on the other (a
+    user-range predicate must open ALL hour-clustered files); the
+    z layout bounds the files opened for a range predicate on
+    EITHER dimension. (Summed extent area is NOT the right metric —
+    any perfect partition of the rectangle sums to the same total.)
+    Measured at sf0.01: z opens 9/16 (user slice) and 8/16 (hour
+    slice); the hour layout opens 16/16 for the user slice."""
+    zpath = str(tmp_path / "events_z")
+    write_zordered_events(spark, SF, zpath)
+    zdf = spark.read.parquet(zpath)
+    ez = _extents(zdf)
+
+    tpath = str(tmp_path / "events_t")
+    (
+        zdf.drop("zval")
+        .repartitionByRange(Z_FILES, "hour_id")
+        .sortWithinPartitions("hour_id")
+        .write.mode("overwrite")
+        .parquet(tpath)
+    )
+    et = _extents(spark.read.parquet(tpath))
+    assert len(ez) == len(et) == Z_FILES
+
+    # 1-D layout: blind on the non-clustered dimension
+    assert _files_overlapping(et, 10, 40, -BIG, BIG) == Z_FILES
+    # z layout: bounded on BOTH single-dimension predicates
+    assert _files_overlapping(ez, 10, 40, -BIG, BIG) <= 12
+    assert _files_overlapping(ez, -BIG, BIG, 100, 300) <= 12
+    # and the clustered copy preserved every row
+    assert zdf.count() == spark.read.parquet(tpath).count()
