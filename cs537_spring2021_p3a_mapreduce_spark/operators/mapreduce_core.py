@@ -755,6 +755,7 @@ ORACLES = {
     ),
     "schema_evolution_scan": _SCHEMA_EVO,
     "custom_sink_roundtrip": _SINK_RT,
+    "manifest_time_travel": _MANIFEST_TT,
     "corrupt_tolerant_scan": _CORRUPT_SCAN,
     "linescan_wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
