@@ -587,13 +587,19 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        # NTZ on the wire regardless of the input's flavor: the
+        # catalog serves naive timestamps (DuckDB parity) but other
+        # table providers may serve LTZ; ORC preserves the logical
+        # type exactly and its reader refuses cross-flavor casts
+        # (ORC_TYPE_CAST), so pin NTZ before the write (UTC session
+        # → deterministic).
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
     )
     path = os.path.join(scratch_dir("orc_rt_"), "orders_orc")
     orders.write.mode("overwrite").orc(path)
-    # NTZ on both sides: the catalog serves naive timestamps (DuckDB
-    # parity), ORC preserves the NTZ logical type, and the reader
-    # refuses an NTZ→LTZ cast (ORC_TYPE_CAST) — so declare NTZ.
     back = spark.read.schema(
         "o_orderkey long, o_totalprice double, o_orderstatus string, o_orderdate timestamp_ntz"
     ).orc(path)

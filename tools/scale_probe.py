@@ -268,6 +268,16 @@ PROBES = [
     "schema_evolution_scan",
     "observed_quality_audit",
     "corrupt_tolerant_scan",
+    # round-3 additions: membership-sketch prefilter, incremental
+    # dimension merge, span-level dedup metric, PQ ANN, z-order
+    # rewrite, format/time-travel round-trips
+    "bloom_prefilter_join",
+    "merge_scd2",
+    "duplicate_span_fraction",
+    "similarity_pq",
+    "zorder_range_scan",
+    "orc_roundtrip",
+    "manifest_time_travel",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
