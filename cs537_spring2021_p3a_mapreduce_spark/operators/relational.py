@@ -2111,6 +2111,133 @@ GROUP BY 1, 2, 3
 """
 
 
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row
+CMS_PROBE_KEYS = 10  # user ids 0..9 exist at every fixture sf
+
+
+def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH point-frequency estimates — the mergeable
+    frequency sketch that completes the sketch family (HLL distinct
+    counts, GK quantiles, Misra-Gries heavy hitters, Bloom
+    membership): a DEPTH×WIDTH counter grid replaces a
+    full-cardinality count table, est(k) = min over rows of the
+    counter k hashes into, always ≥ the true count (collisions only
+    ever inflate). The sketch is a pure aggregate — per-partition
+    grids merge by cell-wise addition, which is what makes it a
+    sketch and not a sample.
+
+    Hashing is the repo's bit-exact djb2 (reference A5,
+    mapreduce.c:88-94) over "seed:user_id", so the DuckDB oracle
+    reproduces the whole grid NUMERICALLY — estimates and all —
+    rather than settling for a rows-only check like the builtin
+    (opaque-binary) ``count_min_sketch`` would force.
+
+    Output (per probed user): user_id, true_n, est_n (est_n ≥
+    true_n, equality iff no collisions on that key's min row).
+    """
+    from ..functions.text import djb2_partition
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    seeds = [F.lit(s) for s in range(CMS_DEPTH)]
+
+    def bucket(seed_col, key_col):
+        return djb2_partition(
+            F.concat_ws(":", seed_col, key_col.cast("string")), CMS_WIDTH
+        )
+
+    # (seed, bucket) per event per hash row, unpivoted via stack —
+    # map-side partial aggregation collapses each task to ≤ D×W cells
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        s.alias("seed"),
+                        bucket(s, F.col("user_id")).alias("bucket"),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("c")
+    ).select("c.seed", "c.bucket")
+    sketch = cells.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    probes = spark.range(CMS_PROBE_KEYS).select(F.col("id").alias("user_id"))
+    probe_cells = probes.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        s.alias("seed"),
+                        bucket(s, F.col("user_id")).alias("bucket"),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "c.seed", "c.bucket")
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
+    )
+    true_n = (
+        ev.join(F.broadcast(probes), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return (
+        probes.join(true_n, "user_id", "left")
+        .join(est, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("true_n", F.lit(0)).alias("true_n"),
+            F.coalesce("est_n", F.lit(0)).alias("est_n"),
+        )
+    )
+
+
+_CMS_DJB2 = (
+    "list_reduce("
+    "list_prepend(5381::HUGEINT, "
+    "list_transform(string_split(k, ''), c -> ord(c)::HUGEINT)), "
+    "(acc, c) -> (acc * 33 + c) % 18446744073709551616::HUGEINT"
+    f") % {CMS_WIDTH}"
+)
+
+_CMS = f"""
+WITH probes AS (
+  SELECT unnest(generate_series(0, {CMS_PROBE_KEYS - 1}))::BIGINT AS user_id
+), cells AS (
+  SELECT seed,
+         (SELECT ({_CMS_DJB2})::BIGINT
+          FROM (SELECT seed::VARCHAR || ':' || user_id::VARCHAR AS k)) AS bucket
+  FROM events, unnest(generate_series(0, {CMS_DEPTH - 1})) AS s(seed)
+), sketch AS (
+  SELECT seed, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+), probe_cells AS (
+  SELECT user_id, seed,
+         (SELECT ({_CMS_DJB2})::BIGINT
+          FROM (SELECT seed::VARCHAR || ':' || user_id::VARCHAR AS k)) AS bucket
+  FROM probes, unnest(generate_series(0, {CMS_DEPTH - 1})) AS s(seed)
+), est AS (
+  SELECT user_id, min(coalesce(cnt, 0))::BIGINT AS est_n
+  FROM probe_cells LEFT JOIN sketch USING (seed, bucket)
+  GROUP BY 1
+), tru AS (
+  SELECT user_id, count(*)::BIGINT AS true_n FROM events
+  WHERE user_id BETWEEN 0 AND {CMS_PROBE_KEYS - 1} GROUP BY 1
+)
+SELECT p.user_id, coalesce(true_n, 0)::BIGINT AS true_n,
+       coalesce(est_n, 0)::BIGINT AS est_n
+FROM probes p LEFT JOIN tru USING (user_id) LEFT JOIN est USING (user_id)
+"""
+
+
 SCD2_CUTOFF = "1999-01-01 00:00:00"
 
 
@@ -2212,6 +2339,7 @@ FROM v
 
 QUERIES = {
     "merge_scd2": merge_scd2,
+    "cms_user_frequencies": cms_user_frequencies,
     "agg_pricing_summary": agg_pricing_summary,
     "join_order_customer": join_order_customer,
     "join_multiway_region": join_multiway_region,
@@ -2260,6 +2388,7 @@ QUERIES = {
 
 ORACLES = {
     "merge_scd2": _SCD2,
+    "cms_user_frequencies": _CMS,
     "agg_pricing_summary": _Q1,
     "join_order_customer": _JOC,
     "join_multiway_region": _JMR,

@@ -170,3 +170,20 @@ def test_gapfill_grid_is_dense_and_locf(spark):
     # at least one gap actually exists in the fixture (else the test
     # proves nothing about fill behavior)
     assert any(r.n_events == 0 for r in rows)
+
+
+def test_cms_estimate_dominates_true_count(spark):
+    """CMS soundness: collisions only inflate — est_n >= true_n for
+    every probed key, and the grid is a fixed DEPTH*WIDTH size
+    regardless of key cardinality."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_user_frequencies,
+    )
+
+    rows = cms_user_frequencies(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 10
+    assert all(r.est_n >= r.true_n for r in rows)
+    assert any(r.true_n > 0 for r in rows)
+    assert CMS_DEPTH * CMS_WIDTH == 1024  # grid cells, not key space

@@ -278,6 +278,7 @@ PROBES = [
     "zorder_range_scan",
     "orc_roundtrip",
     "manifest_time_travel",
+    "cms_user_frequencies",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
