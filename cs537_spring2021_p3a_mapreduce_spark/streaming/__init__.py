@@ -774,8 +774,96 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RECOVERY with an exactly-once file sink — the
+    reliability contract a 100 TB deployment actually depends on:
+    a streaming query is KILLED mid-drain (after its first committed
+    micro-batch, possibly mid-flight in its second), then a brand-new
+    query object resumes from the same checkpoint and finishes. The
+    parquet sink's commit log (``_spark_metadata``) plus the source's
+    offset WAL give end-to-end exactly-once: uncommitted part files
+    from the interrupted attempt stay invisible to the
+    metadata-trusting reader, and replayed batches commit once. Any
+    lost or doubled batch shifts the per-type counts, which the
+    batch-SQL oracle hash-checks exactly.
+
+    Output: event_type, n_events, n_users."""
+    import glob
+    import shutil
+    import time
+
+    from ..catalog import table as _table
+
+    work = scratch_dir("stream_rr_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    ev = _table(spark, sf_dir, "events")
+    # two staged files consumed one per micro-batch (mtime order)
+    for i, half in enumerate(
+        [ev.where(F.col("event_id") % 2 == 0), ev.where(F.col("event_id") % 2 == 1)]
+    ):
+        d = os.path.join(work, f"half{i}")
+        half.coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    file_schema = spark.read.parquet(src).schema
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+
+    def start(**trigger):
+        raw = (
+            spark.readStream.schema(file_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        proj = raw.select("event_id", "event_type", "user_id")
+        return (
+            proj.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger)
+            .start()
+        )
+
+    # phase 1: run until the FIRST batch has committed, then kill —
+    # lastProgress only appears after a commit, so ≥1 batch is in the
+    # sink log; the stop may interrupt batch 2 mid-write, which is
+    # the interesting case (its orphan parts must stay invisible)
+    q = start(processingTime="0 seconds")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+        p = q.lastProgress
+        if p and p.get("numInputRows", 0) > 0:
+            break
+        time.sleep(0.05)
+    else:
+        q.stop()
+        raise TimeoutError("restart-recovery phase 1 never committed a batch")
+    q.stop()
+
+    # phase 2: NEW query, SAME checkpoint — finish the drain
+    q2 = start(availableNow=True)
+    q2.awaitTermination(120)
+    exc = q2.exception()
+    if exc is not None:
+        raise exc
+
+    back = spark.read.parquet(out)  # honors the _spark_metadata log
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 QUERIES = {
     "stream_wordcount": stream_wordcount,
+    "stream_restart_recovery": stream_restart_recovery,
     "stream_time_bucket": stream_time_bucket,
     "stream_dedup_events": stream_dedup_events,
     "stream_upsert_totals": stream_upsert_totals,
@@ -789,6 +877,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_restart_recovery": (
+        "SELECT event_type, count(*)::BIGINT AS n_events, "
+        "count(DISTINCT user_id)::BIGINT AS n_users "
+        "FROM events GROUP BY 1"
+    ),
     "stream_wordcount": (
         "WITH toks AS (SELECT unnest(list_filter("
         "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token "
