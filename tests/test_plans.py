@@ -352,3 +352,57 @@ def test_sql_udf_inlines_into_codegen(spark):
     # no python-udf eval node anywhere, and codegen spans exist
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert len(P.codegen_ids(df)) > 0
+
+
+def test_bloom_prefilter_is_broadcast_probes_then_semi_join(spark):
+    """The Bloom stage must cost three BROADCAST probes of the tiny
+    bitmap (never a shuffle of the fact side per probe), and the
+    exactness re-check must remain a real semi-join."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.bloom import (
+        bloom_prefilter_join,
+    )
+
+    df = bloom_prefilter_join(spark, SF_SMOKE)
+    p = P.plan(df, "simple")
+    assert P.count_nodes(p, "BroadcastHashJoin") >= 3
+    assert "LeftSemi" in p
+    # fact side shuffles at most once (the final 1-row aggregate);
+    # the three bitmap probes add none
+    assert P.shuffle_count(df) <= 4
+
+
+def test_zorder_rescan_pushes_both_range_predicates(spark, tmp_path):
+    """Both halves of the 2-D predicate must reach the parquet scan
+    as pushed filters — that is what turns the z-layout's tight
+    min-max stats into skipped row groups."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.layout import (
+        Z_HOUR_HI,
+        Z_HOUR_LO,
+        Z_USER_HI,
+        Z_USER_LO,
+        write_zordered_events,
+    )
+
+    path = os.path.join(str(tmp_path), "events_z")
+    write_zordered_events(spark, SF_SMOKE, path)
+    back = spark.read.parquet(path).where(
+        F.col("user_id").between(Z_USER_LO, Z_USER_HI)
+        & F.col("hour_id").between(Z_HOUR_LO, Z_HOUR_HI)
+    )
+    pushed = " ".join(P.pushed_filters(back))
+    assert "user_id" in pushed and "hour_id" in pushed
+
+
+def test_cms_sketch_join_is_broadcast(spark):
+    """The probe side joins the DEPTH×WIDTH sketch by broadcast —
+    the sketch is O(grid), never a fact-sized shuffle."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        cms_user_frequencies,
+    )
+
+    df = cms_user_frequencies(spark, SF_SMOKE)
+    assert P.uses_broadcast_join(df)

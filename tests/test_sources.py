@@ -454,3 +454,55 @@ def test_manifest_commit_lock_serializes_and_breaks_stale(tmp_path, monkeypatch)
     with manifest_sink._commit_lock(d):
         assert os.path.exists(lock)
     assert not os.path.exists(lock)
+
+
+def test_manifest_sink_concurrent_appends_both_visible(spark, tmp_path):
+    """The commit lock must serialize the append path's manifest
+    read-merge-replace: two appends racing from separate threads may
+    interleave their writes, but BOTH jobs' rows end up visible (a
+    lost-update would drop one batch's files from the manifest).
+
+    Each thread must restore the JVM-side ACTIVE session first:
+    Python data-source lookup reads the JVM's thread-local active
+    session, and a Python thread maps to a fresh JVM thread that
+    has none — every save fails DATA_SOURCE_NOT_FOUND otherwise
+    (InheritableThread does not propagate it either; measured)."""
+    import threading
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    errs = []
+
+    def writer(lo: int):
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            (
+                spark.range(lo, lo + 500)
+                .selectExpr("id AS k")
+                .write.format("mr_manifest")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        except Exception as e:  # surfaced after join
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i * 1000,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = sorted(r.k for r in read_manifest_table(spark, path).collect())
+    want = sorted(k for i in range(4) for k in range(i * 1000, i * 1000 + 500))
+    assert got == want
