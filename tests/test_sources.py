@@ -506,3 +506,20 @@ def test_manifest_sink_concurrent_appends_both_visible(spark, tmp_path):
     got = sorted(r.k for r in read_manifest_table(spark, path).collect())
     want = sorted(k for i in range(4) for k in range(i * 1000, i * 1000 + 500))
     assert got == want
+
+
+def test_cli_wordcount_matches_reference_client(tmp_path):
+    """python -m <pkg> wordcount f1 f2 — the reference's shell
+    surface (main.c argv files), global token order (A14)."""
+    import subprocess
+    import sys
+
+    a = tmp_path / "a.txt"
+    a.write_text("one\ntwo two\nthree three three\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "cs537_spring2021_p3a_mapreduce_spark",
+         "wordcount", str(a)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.splitlines() == ["one\t1", "three\t3", "two\t2"]
