@@ -126,11 +126,65 @@ def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEGRADED_FILES = 64  # simulated streaming-ingest fragmentation
+COMPACT_TARGET_BYTES = 32 << 20  # post-compaction file-size target
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, dst: str, target_bytes: int = COMPACT_TARGET_BYTES
+) -> int:
+    """OPTIMIZE-style compaction: rewrite a fragmented parquet dir
+    into ⌈total_bytes / target_bytes⌉ right-sized files. File count
+    derives from the MEASURED on-disk size (footer-level metadata,
+    no data scan), so the same call works on a 1 MB fixture and a
+    10 TB table partition. Returns the target file count."""
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_bytes))
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return n_files
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SMALL-FILES problem and its fix, end to end: events land
+    as DEGRADED_FILES tiny parquet files (what per-trigger streaming
+    ingest or over-parallel writers produce — at lake scale the
+    metadata and open() overhead of millions of small files dominates
+    scan cost), then compaction rewrites them into size-targeted
+    files. Compaction must be RESULT-INVISIBLE — the aggregate over
+    the compacted copy hash-matches the plain-table oracle — and the
+    file-count reduction is asserted in tests/test_layout.py.
+
+    Output: event_type, n_events, sum_cents.
+    """
+    work = scratch_dir("compact_")
+    frag, tidy = os.path.join(work, "frag"), os.path.join(work, "tidy")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(DEGRADED_FILES).write.mode("overwrite").parquet(frag)
+    compact_parquet_dir(spark, frag, tidy)
+    back = spark.read.parquet(tidy)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
 QUERIES = {
     "zorder_range_scan": zorder_range_scan,
+    "compact_small_files": compact_small_files,
 }
 
 ORACLES = {
+    "compact_small_files": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY 1
+""",
     "zorder_range_scan": f"""
 SELECT count(*)::BIGINT AS n_events,
        count(DISTINCT user_id)::BIGINT AS n_users,

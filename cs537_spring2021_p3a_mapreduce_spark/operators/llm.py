@@ -2192,8 +2192,64 @@ FROM toks t LEFT JOIN cnt USING (doc_id)
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: adjacent symbol-pair frequencies
+    across the corpus (the statistic each merge iteration of
+    byte-pair encoding maximizes; ``token_count_bpe`` APPLIES a
+    fixed tokenizer, this is the op that TRAINS one).
+
+    Scale shape — count on the VOCABULARY, not the corpus: words
+    first collapse to (word, n_occurrences) — one hash aggregate,
+    vocabulary ≪ corpus — then each distinct word explodes into its
+    ≤len-1 character pairs weighted by its count. A 100 TB corpus
+    with a 10M-word vocabulary does the pair explosion on 10M rows,
+    which is why real BPE trainers (sentencepiece et al.) keep a
+    word-count dict. Pair set is bounded by charset² regardless of
+    corpus size, so the output aggregate is tiny.
+
+    Output: pair, cnt (every adjacent pair, exact).
+    """
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    pair_arr = F.when(
+        F.size(chars) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(chars) - 2),
+            lambda i: F.concat(F.get(chars, i), F.get(chars, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select("n", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+_BPE_PAIRS = """
+WITH words AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+), pairs AS (
+  SELECT n, unnest(list_transform(
+           generate_series(1, greatest(len(word) - 1, 0)),
+           i -> word[i] || word[i+1])) AS pair
+  FROM words
+)
+SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
+"""
+
+
 QUERIES = {
     "duplicate_span_fraction": duplicate_span_fraction,
+    "bpe_pair_counts": bpe_pair_counts,
     "dedup_exact": dedup_exact,
     "curate_corpus": curate_corpus,
     "dedup_ngram": dedup_ngram,
@@ -2227,6 +2283,7 @@ QUERIES = {
 
 ORACLES = {
     "duplicate_span_fraction": _DUP_SPAN,
+    "bpe_pair_counts": _BPE_PAIRS,
     "dedup_exact": _DEDUP_EXACT,
     "curate_corpus": _CURATE,
     "dedup_ngram": _DEDUP_NGRAM,

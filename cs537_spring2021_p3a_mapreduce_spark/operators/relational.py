@@ -2238,6 +2238,65 @@ FROM probes p LEFT JOIN tru USING (user_id) LEFT JOIN est USING (user_id)
 """
 
 
+ROLLUP_SPLIT = "2024-01-16 00:00:00"
+
+
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (the hypertable-rollup
+    pattern): an hourly (event_type × hour) rollup is built from the
+    first half-month of events, persisted, then a late batch merges
+    in by AGGREGATING ONLY THE DELTA and summing it into the stored
+    groups — count and sum are mergeable, so refresh cost is
+    ∝ delta rows + touched groups, never a rescan of history. The
+    correctness contract (== a from-scratch rollup over everything)
+    is exactly what the oracle computes.
+
+    Output: bucket, event_type, n_events, sum_cents.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket"
+        ),
+        F.unix_micros("ts").alias("us"),
+    )
+    split_us = 1705363200 * 1_000_000  # 2024-01-16 00:00 UTC
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("bucket", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+
+    path = os.path.join(scratch_dir("rollup_"), "hourly")
+    agg(ev.where(F.col("us") < split_us)).write.mode("overwrite").parquet(path)
+
+    delta = agg(ev.where(F.col("us") >= split_us))
+    stored = spark.read.parquet(path)
+    refreshed = (
+        stored.unionByName(delta)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    refreshed.write.mode("overwrite").parquet(path + "_v2")
+    return spark.read.parquet(path + "_v2")
+
+
+_INC_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 SCD2_CUTOFF = "1999-01-01 00:00:00"
 
 
@@ -2340,6 +2399,7 @@ FROM v
 QUERIES = {
     "merge_scd2": merge_scd2,
     "cms_user_frequencies": cms_user_frequencies,
+    "incremental_rollup": incremental_rollup,
     "agg_pricing_summary": agg_pricing_summary,
     "join_order_customer": join_order_customer,
     "join_multiway_region": join_multiway_region,
@@ -2389,6 +2449,7 @@ QUERIES = {
 ORACLES = {
     "merge_scd2": _SCD2,
     "cms_user_frequencies": _CMS,
+    "incremental_rollup": _INC_ROLLUP,
     "agg_pricing_summary": _Q1,
     "join_order_customer": _JOC,
     "join_multiway_region": _JMR,

@@ -92,3 +92,20 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     assert _files_overlapping(ez, -BIG, BIG, 100, 300) <= 12
     # and the clustered copy preserved every row
     assert zdf.count() == spark.read.parquet(tpath).count()
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark, tmp_path):
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.layout import (
+        compact_parquet_dir,
+    )
+
+    frag = str(tmp_path / "frag")
+    tidy = str(tmp_path / "tidy")
+    spark.range(100_000).repartition(64).write.parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    compact_parquet_dir(spark, frag, tidy)
+    n_tidy = len([f for f in os.listdir(tidy) if f.endswith(".parquet")])
+    assert n_frag == 64 and n_tidy < 8  # ~800 KB of data → 1 target file
+    assert spark.read.parquet(tidy).count() == 100_000
