@@ -298,6 +298,66 @@ FROM orders GROUP BY 1
 """
 
 
+IDX_LOOKUP_SHARDS = 16
+
+
+def _py_djb2_mod(key: str, n: int) -> int:
+    """Driver-side twin of ``djb2_partition`` (bit-exact for the
+    same signed-char byte semantics) — computes which index shard a
+    literal lookup key lives in without touching data."""
+    h = 5381
+    for b in key.encode("utf-8"):
+        c = b - 256 if b >= 128 else b
+        h = (h * 33 + c) % (1 << 64)
+    return h % n
+
+
+def indexed_token_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECONDARY-INDEX point lookup — A11 (MapGet) rebuilt as a lake
+    access path: a postings index (token, doc_id, n_occ) is written
+    partitioned by djb2(token) shard, and a lookup computes the
+    literal's shard DRIVER-SIDE (``_py_djb2_mod``, no data touched)
+    so the scan opens exactly ONE partition directory of the index —
+    at 100 TB that is the difference between a point lookup and a
+    full-index scan. Matching doc ids then join back to ``documents``
+    for attributes. The full-scan twin is ``wordcount_lookup`` (same
+    answer via the aggregate); the oracle recomputes from raw text.
+
+    Output: doc_id, lang, n_occ (docs containing LOOKUP_TERM).
+    """
+    idx_path = os.path.join(scratch_dir("tokidx_"), "postings")
+    postings = (
+        _token_df(spark, sf_dir)
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .withColumn("shard", djb2_partition("token", IDX_LOOKUP_SHARDS))
+    )
+    postings.write.mode("overwrite").partitionBy("shard").parquet(idx_path)
+
+    shard = _py_djb2_mod(LOOKUP_TERM, IDX_LOOKUP_SHARDS)
+    hits = (
+        spark.read.parquet(idx_path)
+        .where((F.col("shard") == shard) & (F.col("token") == LOOKUP_TERM))
+        .select("doc_id", "n_occ")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hits.join(docs, "doc_id").select("doc_id", "lang", "n_occ")
+
+
+_IDX_LOOKUP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+)
+SELECT t.doc_id, d.lang, count(*)::BIGINT AS n_occ
+FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+WHERE token = '{LOOKUP_TERM}'
+GROUP BY 1, 2
+"""
+
+
 def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL on the commit-protocol sink: two committed
     generations (even orders, then append odd orders), read back
@@ -709,6 +769,7 @@ QUERIES = {
     "linescan_wordcount": linescan_wordcount,
     "custom_sink_roundtrip": custom_sink_roundtrip,
     "manifest_time_travel": manifest_time_travel,
+    "indexed_token_lookup": indexed_token_lookup,
     "corrupt_tolerant_scan": corrupt_tolerant_scan,
 }
 
@@ -762,6 +823,7 @@ ORACLES = {
     "schema_evolution_scan": _SCHEMA_EVO,
     "custom_sink_roundtrip": _SINK_RT,
     "manifest_time_travel": _MANIFEST_TT,
+    "indexed_token_lookup": _IDX_LOOKUP,
     "corrupt_tolerant_scan": _CORRUPT_SCAN,
     "linescan_wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",

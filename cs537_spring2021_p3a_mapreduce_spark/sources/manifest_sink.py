@@ -185,6 +185,45 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                     pass
 
 
+def vacuum_manifest_table(path: str, keep_generations: int = 1) -> list[str]:
+    """Physically delete part files no retained generation references
+    — the vacuum every table format separates from commit (commits
+    only flip visibility; disk is reclaimed here, explicitly). Keeps
+    the newest ``keep_generations`` snapshots' files (plus whatever
+    the live ``_MANIFEST`` names) and drops older snapshot manifests,
+    which bounds time travel to the retention window — exactly
+    Delta's VACUUM / Iceberg's expire_snapshots contract. Runs under
+    the commit lock so a concurrent commit can't publish a file this
+    pass is deleting. Returns the deleted file names."""
+    if keep_generations < 1:
+        raise ValueError("keep_generations must be >= 1")
+    with _commit_lock(path):
+        snaps = sorted(
+            (
+                f
+                for f in os.listdir(path)
+                if f.startswith(f"{MANIFEST}.g") and not f.endswith(".tmp")
+            ),
+            key=lambda f: int(f.rsplit("g", 1)[1]),
+        )
+        keep_snaps = set(snaps[-keep_generations:])
+        referenced: set[str] = set()
+        for name in keep_snaps | {MANIFEST}:
+            try:
+                with open(os.path.join(path, name), encoding="utf-8") as fh:
+                    referenced |= {f["file"] for f in json.load(fh)["files"]}
+            except FileNotFoundError:
+                continue
+        deleted = []
+        for f in os.listdir(path):
+            if f.endswith(".parquet") and f not in referenced:
+                os.remove(os.path.join(path, f))
+                deleted.append(f)
+            elif f.startswith(f"{MANIFEST}.g") and f not in keep_snaps:
+                os.remove(os.path.join(path, f))
+        return deleted
+
+
 def read_manifest_table(spark, path: str, as_of: int | None = None):
     """Read back ONLY the committed files (manifest-trusting reader).
     Stray part files from failed attempts are invisible.

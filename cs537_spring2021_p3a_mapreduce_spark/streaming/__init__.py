@@ -861,9 +861,88 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CONTINUOUS AGGREGATE: the hourly rollup of
+    ``incremental_rollup`` maintained BY THE STREAMING ENGINE —
+    each micro-batch aggregates only its own rows (count/sum are
+    mergeable) and ``foreachBatch`` group-sums the delta into the
+    stored rollup table, producing a new generation per batch. This
+    is the hypertable/materialized-view refresh loop as a stream:
+    refresh cost per trigger ∝ batch rows + touched groups, history
+    is never rescanned. The final generation must equal a
+    from-scratch rollup over everything — the oracle computes
+    exactly that, so a dropped or double-merged batch fails the
+    hash.
+
+    Output: bucket, event_type, n_events, sum_cents."""
+    import glob
+    import shutil
+
+    from ..catalog import table as _table
+
+    work = scratch_dir("stream_ir_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    ev = _table(spark, sf_dir, "events")
+    for i, half in enumerate(
+        [ev.where(F.col("event_id") % 2 == 0), ev.where(F.col("event_id") % 2 == 1)]
+    ):
+        d = os.path.join(work, f"half{i}")
+        half.coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    file_schema = spark.read.parquet(src).schema
+    raw = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state: dict[str, str] = {}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        if "path" in state:
+            delta = (
+                batch_df.sparkSession.read.parquet(state["path"])
+                .unionByName(delta)
+                .groupBy("bucket", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                )
+            )
+        new = os.path.join(work, f"rollup_g{batch_id}")
+        delta.write.mode("overwrite").parquet(new)
+        state["path"] = new
+
+    q = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    exc = q.exception()
+    if exc is not None:
+        raise exc
+    return spark.read.parquet(state["path"])
+
+
 QUERIES = {
     "stream_wordcount": stream_wordcount,
     "stream_restart_recovery": stream_restart_recovery,
+    "stream_incremental_rollup": stream_incremental_rollup,
     "stream_time_bucket": stream_time_bucket,
     "stream_dedup_events": stream_dedup_events,
     "stream_upsert_totals": stream_upsert_totals,
@@ -877,6 +956,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_incremental_rollup": (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+        "event_type, count(*)::BIGINT AS n_events, "
+        "sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents "
+        "FROM events GROUP BY 1, 2"
+    ),
     "stream_restart_recovery": (
         "SELECT event_type, count(*)::BIGINT AS n_events, "
         "count(DISTINCT user_id)::BIGINT AS n_users "

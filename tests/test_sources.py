@@ -523,3 +523,48 @@ def test_cli_wordcount_matches_reference_client(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-500:]
     assert out.stdout.splitlines() == ["one\t1", "three\t3", "two\t2"]
+
+
+def test_vacuum_reclaims_unreferenced_generations(spark, tmp_path):
+    """Vacuum completes the time-travel lifecycle: retained
+    generations stay readable, older snapshots and their orphaned
+    files are physically gone, the live view is untouched, and a
+    stray uncommitted part file is reclaimed too."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+        read_manifest_table,
+        vacuum_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    for gen in range(3):  # 3 overwrite generations: only g3 is live
+        (
+            spark.range(gen * 10, gen * 10 + 10)
+            .selectExpr("id AS k")
+            .write.format("mr_manifest")
+            .option("path", path)
+            .mode("overwrite")
+            .save()
+        )
+    (tmp_path / "t" / "part-stray.parquet").write_bytes(b"junk")
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    deleted = vacuum_manifest_table(path, keep_generations=1)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert deleted and n_after < n_before
+    # live view intact; retained snapshot readable; old gen gone
+    assert {r.k for r in read_manifest_table(spark, path).collect()} == set(
+        range(20, 30)
+    )
+    assert {r.k for r in read_manifest_table(spark, path, as_of=3).collect()} == set(
+        range(20, 30)
+    )
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_manifest_table(spark, path, as_of=1)
