@@ -2238,6 +2238,58 @@ FROM probes p LEFT JOIN tru USING (user_id) LEFT JOIN est USING (user_id)
 """
 
 
+def map_functions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed columns end to end — the one container type the
+    rest of the suite didn't exercise (struct: multimodal_meta,
+    array: everywhere, variant/json: variant_extract_events): each
+    user's activity becomes a ``map<event_type, count>`` via
+    ``map_from_entries``, higher-order map functions transform it
+    JVM-side (``transform_values`` to scale counts,
+    ``map_filter`` to drop rare types, ``map_keys``/``size`` for
+    profile stats), and ``explode`` turns the map back into rows so
+    the oracle comparison stays type-stable (map key order is
+    engine-unspecified; rows are not).
+
+    Output: user_id, n_types, event_type, scaled (2·count, only
+    types with count ≥ 2).
+    """
+    per = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mapped = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    profiled = mapped.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("long").alias("n_types"),
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda _k, v: v * 2),
+            lambda _k, v: v >= 4,
+        ).alias("m2"),
+    )
+    return profiled.select(
+        "user_id", "n_types", F.explode("m2").alias("event_type", "scaled")
+    )
+
+
+_MAP_PROFILE = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), types AS (
+  SELECT user_id, count(*) AS n_types FROM per GROUP BY 1
+)
+SELECT p.user_id, t.n_types::BIGINT AS n_types,
+       p.event_type, (p.cnt * 2)::BIGINT AS scaled
+FROM per p JOIN types t ON p.user_id = t.user_id
+WHERE p.cnt * 2 >= 4
+"""
+
+
 ROLLUP_SPLIT = "2024-01-16 00:00:00"
 
 
@@ -2400,6 +2452,7 @@ QUERIES = {
     "merge_scd2": merge_scd2,
     "cms_user_frequencies": cms_user_frequencies,
     "incremental_rollup": incremental_rollup,
+    "map_functions_profile": map_functions_profile,
     "agg_pricing_summary": agg_pricing_summary,
     "join_order_customer": join_order_customer,
     "join_multiway_region": join_multiway_region,
@@ -2450,6 +2503,7 @@ ORACLES = {
     "merge_scd2": _SCD2,
     "cms_user_frequencies": _CMS,
     "incremental_rollup": _INC_ROLLUP,
+    "map_functions_profile": _MAP_PROFILE,
     "agg_pricing_summary": _Q1,
     "join_order_customer": _JOC,
     "join_multiway_region": _JMR,
