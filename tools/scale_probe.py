@@ -279,6 +279,11 @@ PROBES = [
     "orc_roundtrip",
     "manifest_time_travel",
     "cms_user_frequencies",
+    "bpe_pair_counts",
+    "incremental_rollup",
+    "compact_small_files",
+    "indexed_token_lookup",
+    "map_functions_profile",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
