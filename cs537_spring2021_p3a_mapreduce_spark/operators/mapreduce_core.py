@@ -412,6 +412,56 @@ FROM orders
 """
 
 
+def manifest_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the manifest table with FILE-SCOPED
+    copy-on-write (``sources/manifest_sink.delete_where``): orders
+    land clustered by priority (one file per priority shard), so
+    deleting the URGENT rows rewrites ONLY the file(s) containing
+    them — the other shards carry into the new generation by
+    reference, zero bytes moved. Completes the table's CRUD
+    lifecycle (append/overwrite/upsert/time-travel/vacuum/DELETE);
+    the prior generation still shows the deleted rows until vacuum.
+
+    Output: o_orderpriority, n_orders, sum_cents (urgent gone).
+    """
+
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_del_"), "t")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition("o_orderpriority")  # priority-clustered files
+    )
+    orders.write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    delete_where(spark, path, "o_orderpriority = '1-URGENT'")
+    back = read_manifest_table(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+_MANIFEST_DEL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+"""
+
+
 def corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-path resilience: a table directory where one part file
     is garbage bytes (a torn upload, a truncated object-store PUT —
@@ -770,6 +820,7 @@ QUERIES = {
     "custom_sink_roundtrip": custom_sink_roundtrip,
     "manifest_time_travel": manifest_time_travel,
     "indexed_token_lookup": indexed_token_lookup,
+    "manifest_delete_rows": manifest_delete_rows,
     "corrupt_tolerant_scan": corrupt_tolerant_scan,
 }
 
@@ -824,6 +875,7 @@ ORACLES = {
     "custom_sink_roundtrip": _SINK_RT,
     "manifest_time_travel": _MANIFEST_TT,
     "indexed_token_lookup": _IDX_LOOKUP,
+    "manifest_delete_rows": _MANIFEST_DEL,
     "corrupt_tolerant_scan": _CORRUPT_SCAN,
     "linescan_wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",

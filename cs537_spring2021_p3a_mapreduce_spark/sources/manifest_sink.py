@@ -185,6 +185,75 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                     pass
 
 
+def delete_where(spark, path: str, condition: str) -> int:
+    """Row-level DELETE with FILE-SCOPED rewrite — the table-format
+    delete contract (Delta/Iceberg copy-on-write): only files that
+    actually CONTAIN matching rows are rewritten (without their
+    matches); untouched files carry into the new manifest generation
+    by reference, zero bytes moved. At lake scale a predicate that
+    hits 3 of 10 000 files costs 3 file rewrites, not a table scan
+    rewrite. Old generations still see the deleted rows (time
+    travel) until vacuum. Returns the number of files rewritten."""
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    files = [f["file"] for f in manifest["files"]]
+    full = [os.path.join(path, f) for f in files]
+    # which files contain matches — one filtered scan, file-grouped;
+    # parquet min-max pruning applies to the scan itself
+    hit_rows = (
+        spark.read.parquet(*full)
+        .where(condition)
+        .select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hit_files = {os.path.basename(r.f.removeprefix("file:")) for r in hit_rows}
+    new_files = []
+    for f in files:
+        if f not in hit_files:
+            keep = next(e for e in manifest["files"] if e["file"] == f)
+            new_files.append(keep)
+            continue
+        survivors = spark.read.parquet(os.path.join(path, f)).where(
+            f"NOT ({condition})"
+        )
+        n = survivors.count()
+        if n == 0:
+            continue  # whole file deleted: drop from the manifest
+        # executor-side rewrite (no driver materialization): write
+        # the survivor set as one file to scratch, adopt it into the
+        # table directory under a unique name
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        tmpdir = _tempfile.mkdtemp(prefix="mdel_")
+        survivors.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+        written = _glob.glob(os.path.join(tmpdir, "part-*.parquet"))[0]
+        newname = f"part-{uuid.uuid4().hex}.parquet"
+        _shutil.move(written, os.path.join(path, newname))
+        _shutil.rmtree(tmpdir, ignore_errors=True)
+        new_files.append({"file": newname, "n_rows": n})
+    with _commit_lock(path):
+        with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+            cur = json.load(fh)
+        generation = cur.get("generation", 0) + 1
+        doc = {"generation": generation, "files": new_files}
+        tmp = os.path.join(path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        snap = os.path.join(path, f"{MANIFEST}.g{generation}")
+        tmp_snap = f"{snap}.{uuid.uuid4().hex}.tmp"
+        with open(tmp_snap, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp_snap, snap)
+        os.replace(tmp, os.path.join(path, MANIFEST))
+    return len(hit_files)
+
+
 def vacuum_manifest_table(path: str, keep_generations: int = 1) -> list[str]:
     """Physically delete part files no retained generation references
     — the vacuum every table format separates from commit (commits

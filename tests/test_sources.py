@@ -568,3 +568,45 @@ def test_vacuum_reclaims_unreferenced_generations(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_manifest_table(spark, path, as_of=1)
+
+
+def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    """Copy-on-write DELETE: files without matches carry into the
+    new generation BY NAME (zero bytes moved); only hit files are
+    rewritten, and the prior generation still shows deleted rows."""
+    import json
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        MANIFEST,
+        ManifestParquetSink,
+        delete_where,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 100 else "cold") for i in range(1000)], "k long, tag string"
+    ).repartitionByRange(4, "k")  # k-clustered: 'hot' (k<100) isolated
+
+    df.write.format("mr_manifest").option("path", path).mode("append").save()
+
+    def files():
+        with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+            return {e["file"] for e in json.load(fh)["files"]}
+
+    before = files()
+    n_rewritten = delete_where(spark, path, "tag = 'hot'")
+    after = files()
+    # the cold files survive by reference; at least one file rewrote
+    assert before & after, "untouched files must carry over by name"
+    assert n_rewritten >= 1 and before != after
+    got = {r.k for r in read_manifest_table(spark, path).collect()}
+    assert got == set(range(100, 1000))
+    # time travel: generation 1 still has everything
+    g1 = {r.k for r in read_manifest_table(spark, path, as_of=1).collect()}
+    assert g1 == set(range(1000))
