@@ -429,11 +429,87 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VID_FRAMES = 8  # frames per synthetic video
+VID_SHARED = 6  # leading frames shared within a content group
+VID_GROUPS = 10  # content groups (same group ⇒ same shared frames)
+VID_W, VID_H = 16, 12
+VID_SIM_THRESHOLD = 0.7
+
+
+def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP VIDEO detection by frame-content hashing — the
+    multimodal analog of MinHash doc dedup: every video decomposes
+    into frames (honest BMP payloads, DECODED from bytes before
+    hashing — a re-encoded copy with identical pixels still
+    matches), frames bucket by content hash, and two videos are
+    near-dups when their shared-frame fraction clears the
+    threshold. Same scale shape as dedup_minhash: candidates come
+    from ONE equi-join on the frame-hash key (videos sharing any
+    frame), never an all-pairs comparison.
+
+    Synthetic construction: video v's first VID_SHARED frames are a
+    function of its content group (v % VID_GROUPS, frame_idx); the
+    tail frames are unique to v — so same-group videos share exactly
+    VID_SHARED/VID_FRAMES = 0.75 of their frames, and the oracle
+    reproduces the pair set arithmetically while the Spark side must
+    earn it through encode → validate-decode → hash → join. Frame
+    DIMENSIONS derive from the seed too (BMP pixel values live mod
+    256, so seeds 256 apart paint identical fixed-size canvases —
+    dimension variation keeps distinct seeds byte-distinct far
+    beyond any fixture scale).
+
+    Output: a_id, b_id, shared_frames, sim (round 6).
+    """
+    import hashlib as _hashlib
+
+    videos = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 2)
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                vid = int(doc_id)
+                for f in range(VID_FRAMES):
+                    seed = (
+                        (vid % VID_GROUPS) * 1000 + f
+                        if f < VID_SHARED
+                        else vid * 1000 + f
+                    )
+                    w, h = VID_W + seed % 97, VID_H + seed % 89
+                    payload = _encode_bmp(w, h, seed)
+                    _decode_bmp(payload)  # header-validate every frame
+                    fhash = _hashlib.md5(payload).hexdigest()
+                    out.append((vid, f, fhash))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "fhash"])
+
+    frames = videos.mapInPandas(
+        _frames, schema="media_id long, frame_idx int, fhash string"
+    )
+    a = frames.select(F.col("media_id").alias("a_id"), "fhash")
+    b = frames.select(F.col("media_id").alias("b_id"), "fhash")
+    pairs = (
+        a.join(b, "fhash")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .withColumn(
+            "sim", F.round(F.col("shared_frames") / F.lit(VID_FRAMES), 6)
+        )
+        .where(F.col("sim") >= VID_SIM_THRESHOLD)
+    )
+    return pairs
+
+
 # the driver's rows-only check covers the pipeline end-to-end; the
 # byte-level oracle is in tests (deterministic synth + decode)
 QUERIES = {
     "multimodal_pipeline": media_feature_stats,
     "multimodal_decode_real": media_decode_real_stats,
+    "video_frame_dedup": video_frame_dedup,
 }
 
 # n_bytes = 64 + (doc_id % 7) * 32 by construction (synth_media), so
@@ -457,6 +533,20 @@ FROM media GROUP BY kind
     # = ((id*7+i*13)%65536)-32768). The Spark side gets the same
     # numbers by PARSING the BMP/WAV payloads — a header misparse,
     # padding miscount, or sample-width error breaks the hash.
+    # Frame construction is deterministic: same content group (v %
+    # VID_GROUPS) ⇒ identical leading VID_SHARED frames, tails
+    # unique (seed-derived dims keep distinct seeds byte-distinct at
+    # fixture scales) — so the exact near-dup pair set is
+    # arithmetically re-derivable.
+    "video_frame_dedup": f"""
+WITH vids AS (
+  SELECT doc_id AS v FROM documents WHERE doc_id % 3 = 2
+)
+SELECT a.v AS a_id, b.v AS b_id,
+       {VID_SHARED}::BIGINT AS shared_frames,
+       round({VID_SHARED} / {VID_FRAMES}, 6) AS sim
+FROM vids a JOIN vids b ON a.v < b.v AND a.v % {VID_GROUPS} = b.v % {VID_GROUPS}
+""",
     "multimodal_decode_real": """
 WITH img AS (
   SELECT doc_id, 16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h
