@@ -319,9 +319,75 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_MAX_HOPS = 12
+BFS_SOURCE = 0  # part vertex 2·0 in the parity-encoded bipartite graph
+
+
+def bfs_hops(edges: DataFrame, src: str, dst: str, source_vertex: int,
+             max_hops: int = BFS_MAX_HOPS) -> DataFrame:
+    """Exact hop distance from one source over undirected edges —
+    frontier-expansion BFS as a DataFrame loop (the third graph
+    kernel next to connected components and PageRank). Each round
+    expands ONLY the current frontier (newly labeled vertices) via
+    one keyed join + anti-join against the visited set, so total
+    work is O(edges touched), not O(rounds × edges); localCheckpoint
+    cuts lineage per round like the CC loop. Stops when the frontier
+    empties or max_hops is reached (unreached vertices are simply
+    absent — infinite distance).
+
+    Output: v, hops."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        e.sparkSession.createDataFrame([(source_vertex, 0)], "v long, hops int")
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["s"] == frontier["v"])
+            .select(F.col("d").alias("v"))
+            .distinct()
+            .join(visited, "v", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        ).localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select("v", F.col("hops").cast("long").alias("hops"))
+
+
+def bfs_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible BFS entry: hop distances from part vertex 0
+    over the same parity-encoded part↔supplier bipartite graph as
+    ``pagerank_part_supplier`` (part → 2·key, supplier → 2·key+1).
+    Hash-checked against a recursive-CTE shortest-hop oracle.
+
+    Output: vertex, hops."""
+    from ..catalog import table
+
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .distinct()
+    )
+    return bfs_hops(pairs, "s", "d", 2 * BFS_SOURCE).select(
+        F.col("v").alias("vertex"), "hops"
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "pagerank_part_supplier": pagerank_part_supplier,
+    "bfs_part_supplier": bfs_part_supplier,
 }
 
 def _pagerank_oracle(n_iter: int = PR_ITER) -> str:
@@ -360,6 +426,23 @@ def _pagerank_oracle(n_iter: int = PR_ITER) -> str:
 # recursive part computes min-reachable per vertex (UNION dedups, so
 # the recursion terminates on cyclic components).
 ORACLES = {
+    # min-hops via a bounded recursive walk: UNION dedups (v, hops)
+    # pairs, the hops bound terminates cycles, min() recovers the
+    # BFS distance; vertices beyond the bound are absent either way
+    "bfs_part_supplier": f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS d FROM lineitem
+), edges AS (
+  SELECT s, d FROM pairs UNION ALL SELECT d AS s, s AS d FROM pairs
+), walk AS (
+  SELECT {2 * BFS_SOURCE}::BIGINT AS v, 0 AS hops
+  UNION
+  SELECT e.d AS v, walk.hops + 1 AS hops
+  FROM edges e JOIN walk ON e.s = walk.v
+  WHERE walk.hops < {BFS_MAX_HOPS}
+)
+SELECT v AS vertex, min(hops)::BIGINT AS hops FROM walk GROUP BY v
+""",
     "pagerank_part_supplier": _pagerank_oracle(),
     "dedup_clusters": """
 WITH RECURSIVE toks AS (
