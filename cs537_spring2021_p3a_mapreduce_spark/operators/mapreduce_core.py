@@ -332,7 +332,13 @@ def indexed_token_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .withColumn("shard", djb2_partition("token", IDX_LOOKUP_SHARDS))
     )
-    postings.write.mode("overwrite").partitionBy("shard").parquet(idx_path)
+    # co-locate each shard before the partitioned write: without the
+    # repartition every one of the N upstream tasks opens a writer in
+    # every shard directory (N×SHARDS small files; measured 41 s at
+    # ×100) — with it each task owns whole shards (SHARDS files)
+    postings.repartition(IDX_LOOKUP_SHARDS, "shard").write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(idx_path)
 
     shard = _py_djb2_mod(LOOKUP_TERM, IDX_LOOKUP_SHARDS)
     hits = (
@@ -407,6 +413,58 @@ SELECT 1::BIGINT AS gen, count(*)::BIGINT AS n_orders,
 FROM orders WHERE o_orderkey % 2 = 0
 UNION ALL
 SELECT 2::BIGINT AS gen, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+"""
+
+
+N_BAD_JSON = 7  # deterministically planted malformed lines
+
+
+def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE semi-structured ingestion — the JSON twin of
+    ``corrupt_tolerant_scan``: a JSON-lines export with
+    ``N_BAD_JSON`` malformed lines planted among real rows, read
+    back in PERMISSIVE mode where bad lines land in the declared
+    ``_corrupt_record`` column instead of failing the job (at lake
+    scale a feed with a few torn lines must not kill the pipeline,
+    and silently DROPPING them is worse — the corrupt count is a
+    data-quality metric). The aggregate proves both: every good row
+    parsed exactly (sum matches the oracle over orders) and every
+    bad line was captured, not lost.
+
+    Output: n_good, n_bad, sum_cents.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = os.path.join(scratch_dir("json_bad_"), "feed")
+    orders.coalesce(1).write.mode("overwrite").json(path)
+    # plant malformed lines (torn writes) in a second file of the feed
+    bad = "\n".join('{"o_orderkey": 1, "o_totalpri' + str(i) for i in range(N_BAD_JSON))
+    with open(os.path.join(path, "part-bad.json"), "w", encoding="utf-8") as fh:
+        fh.write(bad + "\n")
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_totalprice double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt_record").alias("n_bad"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            )
+        ).alias("sum_cents"),
+    )
+
+
+_JSON_CORRUPT = f"""
+SELECT count(*)::BIGINT AS n_good,
+       {N_BAD_JSON}::BIGINT AS n_bad,
        sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
 FROM orders
 """
@@ -821,6 +879,7 @@ QUERIES = {
     "manifest_time_travel": manifest_time_travel,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
+    "json_corrupt_records": json_corrupt_records,
     "corrupt_tolerant_scan": corrupt_tolerant_scan,
 }
 
@@ -876,6 +935,7 @@ ORACLES = {
     "manifest_time_travel": _MANIFEST_TT,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,
+    "json_corrupt_records": _JSON_CORRUPT,
     "corrupt_tolerant_scan": _CORRUPT_SCAN,
     "linescan_wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
