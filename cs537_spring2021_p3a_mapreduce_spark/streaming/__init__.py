@@ -216,6 +216,60 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def session_close_on_timeout(events: DataFrame, gap_ms: int = 30 * 60 * 1000,
+                             watermark: str = "1 hour") -> DataFrame:
+    """Timeout-driven session closer — the state-LIFECYCLE shape
+    ``running_user_counts`` doesn't exercise: per-user state carries
+    the running count and an EVENT-TIME TIMEOUT at last_seen + gap;
+    when the watermark passes that timestamp the engine invokes the
+    function with ``state.hasTimedOut`` and the session emits its
+    final row exactly once, state removed. This is how bespoke
+    stateful operators bound their memory on an unbounded stream —
+    eviction is driven by the engine's watermark clock, not by data
+    arrival (an idle key would otherwise pin state forever).
+
+    Output (only CLOSED sessions): user_id, n_events."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user_id], "n_events": [n]})
+            return
+        n = state.get[0] if state.exists else 0
+        last_ms = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            # datetime64[ns] → epoch MILLISECONDS (the unit
+            # setTimeoutTimestamp expects; µs here silently parks the
+            # timeout ~1000× in the future and nothing ever evicts)
+            last_ms = max(
+                last_ms, int(pdf["ts"].astype("int64").max()) // 1_000_000
+            )
+        state.update((n,))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame({"user_id": [], "n_events": []}).astype(
+            {"user_id": "int64", "n_events": "int64"}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def content_key(text_col: str = "text") -> F.Column:
     """The batch ``dedup_exact`` identity (normalize → sha2-256),
     exposed so stream and batch dedup agree on what "same document"

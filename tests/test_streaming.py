@@ -432,3 +432,84 @@ def test_interval_join_state_is_watermark_bounded(spark, tmp_path):
     # eviction actually happens once the watermark moves
     assert sum(r for _, r in states) > 0
     assert any(r > 0 for _, r in states[1:])
+
+
+def test_event_time_timeout_closes_idle_sessions(spark, tmp_path):
+    """State LIFECYCLE via EventTimeTimeout: sessions close exactly
+    when the engine's watermark clock passes last_seen + gap — not
+    on data arrival. Invariants (a user can close MORE than once: a
+    post-timeout event reopens state, and availableNow's final
+    cleanup batch closes whatever is idle under the terminal
+    watermark): idle-at-end users close ALL their events across
+    their session rows; nobody closes more than they have; users
+    still active at the terminal watermark keep their open state."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    from collections import Counter
+
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table as _table
+    from cs537_spring2021_p3a_mapreduce_spark.streaming import (
+        session_close_on_timeout,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    raw = _table(spark, SF_SMOKE, "events")  # normalized µs TIMESTAMP ts
+    split = "2024-01-16"
+    for i, cond in enumerate([F.col("ts") < split, F.col("ts") >= split]):
+        d = tmp_path / f"half{i}"
+        raw.where(cond).coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        dst = str(src / f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    closed = session_close_on_timeout(stream, gap_ms=30 * 60 * 1000)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            closed.writeStream.format("memory")
+            .queryName("timeout_close")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = [
+        (r.user_id, r.n_events)
+        for r in spark.table("timeout_close").collect()
+    ]
+    rows = raw.collect()
+    total = Counter(r.user_id for r in rows)
+    last_seen: dict[int, object] = {}
+    for r in rows:
+        last_seen[r.user_id] = max(last_seen.get(r.user_id, r.ts), r.ts)
+    final_wm = max(r.ts for r in rows) - datetime.timedelta(hours=1)
+    gap = datetime.timedelta(minutes=30)
+
+    closed_sum: Counter = Counter()
+    for u, n in got:
+        closed_sum[u] += n
+    idle = {u for u, ts in last_seen.items() if ts + gap <= final_wm}
+    assert idle, "fixture must contain idle users for the test to bite"
+    for u in idle:
+        assert closed_sum[u] == total[u], (u, closed_sum[u], total[u])
+    for u, n in closed_sum.items():
+        assert n <= total[u]
+    active = {u for u, ts in last_seen.items() if ts > final_wm}
+    for u in active:
+        assert closed_sum[u] < total[u]
