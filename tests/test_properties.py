@@ -167,3 +167,74 @@ def test_heavy_hitters_core_exact_on_random_streams(spark, toks, parts):
     cnt = Counter(toks)
     want = {(t, c) for t, c in cnt.items() if c * k > len(toks)}
     assert got == want
+
+
+@given(
+    members=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    probes=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+)
+@_SETTINGS
+def test_bloom_prefilter_never_drops_members(spark, members, probes):
+    """Bloom soundness over arbitrary long keys (negatives included):
+    a member may never fail the prefilter, whatever the bitmap
+    sizing lands on."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.bloom import (
+        MIN_BITS,
+        _next_pow2,
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+
+    build = spark.createDataFrame([(m,) for m in members], "k bigint")
+    probe = spark.createDataFrame(
+        [(p,) for p in set(members) | set(probes)], "k bigint"
+    )
+    n_bits = max(MIN_BITS, _next_pow2(10 * len(members)))
+    kept = {
+        r.k
+        for r in bloom_prefilter(
+            probe, "k", bloom_bitmap(build, "k", n_bits), n_bits
+        ).collect()
+    }
+    assert set(members) <= kept
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_morton_interleave_matches_python_model(spark, pairs):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.layout import (
+        Z_BITS,
+        _morton_expr,
+    )
+
+    def model(a, b):
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a bigint, b bigint").select(
+        "a", "b", _morton_expr("a", "b").alias("z")
+    )
+    for r in df.collect():
+        assert r.z == model(r.a, r.b), (r.a, r.b)
