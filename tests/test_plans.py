@@ -406,3 +406,39 @@ def test_cms_sketch_join_is_broadcast(spark):
 
     df = cms_user_frequencies(spark, SF_SMOKE)
     assert P.uses_broadcast_join(df)
+
+
+def test_scd2_rebuild_is_single_window_shuffle(spark):
+    """The SCD2 version chain costs one window shuffle on the
+    dimension key — no joins, no extra exchanges."""
+    from pyspark.sql import functions as F
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        _scd2_versions,
+    )
+
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+    changes = table(spark, SF_SMOKE, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("change_id"),
+        F.lit(1).cast("long").alias("value_cents"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    df = _scd2_versions(changes)
+    assert P.shuffle_count(df) == 1
+
+
+def test_duplicate_span_fraction_has_no_cartesian(spark):
+    """Span dedup must stay equi-join shaped: no cartesian or
+    broadcast-nested-loop anywhere in the plan."""
+    df = llm.duplicate_span_fraction(spark, SF_SMOKE)
+    p = P.plan(df, "simple")
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_bpe_pair_counts_aggregates_have_partials(spark):
+    """Both aggregates (word counts, pair counts) carry map-side
+    partial aggregation."""
+    df = llm.bpe_pair_counts(spark, SF_SMOKE)
+    assert P.count_nodes(P.plan(df, "simple"), "HashAggregate") >= 4

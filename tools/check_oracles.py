@@ -30,8 +30,13 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files (the
+            # scale-probe's synthetic datasets) — glob inside it
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
