@@ -47,15 +47,33 @@ ARROW_CHUNK_ROWS = 8192
 _SORTED_CACHE: dict = {}
 
 
+def _part_files(path: str) -> list[str]:
+    """The table's parquet file(s): a bare file, or every part file
+    of a Spark-written ``<name>.parquet/`` DIRECTORY (sorted — the
+    rank axis must be deterministic either way)."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return [path]
+
+
 def _sorted_table(path: str):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    st = os.stat(path)
-    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    files = _part_files(path)
+    key = tuple(
+        (os.path.abspath(f), os.stat(f).st_size, os.stat(f).st_mtime_ns)
+        for f in files
+    )
     tbl = _SORTED_CACHE.get(key)
     if tbl is None:
-        raw = pq.read_table(path)
+        import pyarrow as pa
+
+        raw = pa.concat_tables([pq.read_table(f) for f in files])
         idx = pc.sort_indices(raw, sort_keys=[("event_id", "ascending")])
         tbl = raw.take(idx)
         _SORTED_CACHE.clear()
@@ -89,7 +107,7 @@ class EventLogStreamSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("mr_eventlog requires option('path', <file>)")
-        sch = pq.read_schema(path)
+        sch = pq.read_schema(_part_files(path)[0])
         cols = []
         for field in sch:
             ddl = _ARROW_TO_DDL.get(str(field.type))
@@ -135,7 +153,10 @@ class EventLogStreamReader(DataSourceStreamReader):
         self.batch_rows = int(options.get("batch_rows", DEFAULT_BATCH_ROWS))
         import pyarrow.parquet as pq
 
-        self._total = pq.ParquetFile(self.path).metadata.num_rows
+        self._total = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _part_files(self.path)
+        )
         self._cur = 0
 
     def initialOffset(self) -> dict:

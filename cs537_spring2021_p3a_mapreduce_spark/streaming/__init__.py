@@ -342,18 +342,33 @@ def run_to_keyed_parquet(
     q.awaitTermination()
 
 
-def _staged_events_stream(spark: SparkSession, sf_dir: str, work: str) -> DataFrame:
-    """Copy events.parquet into a fresh directory (the file-stream
-    source requires a directory basePath, not a bare file) and open
-    it as the standard events stream."""
+def _copy_table_files(
+    sf_dir: str, name: str, dst_dir: str, tag: str = ""
+) -> None:
+    """Stage a table's parquet file(s) into ``dst_dir`` — handles
+    BOTH layouts: the fixtures' single ``<name>.parquet`` file and a
+    Spark-written ``<name>.parquet/`` DIRECTORY of part files (what
+    any engine-generated dataset looks like)."""
+    import glob
     import shutil
 
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(src, "*.parquet")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    for i, f in enumerate(files):
+        shutil.copy(f, os.path.join(dst_dir, f"part-{tag}{i}.parquet"))
+
+
+def _staged_events_stream(spark: SparkSession, sf_dir: str, work: str) -> DataFrame:
+    """Copy the events table into a fresh directory (the file-stream
+    source requires a directory basePath, not a bare file) and open
+    it as the standard events stream."""
     src_dir = os.path.join(work, "in")
     os.makedirs(src_dir, exist_ok=True)
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src_dir, "part-0.parquet"),
-    )
+    _copy_table_files(sf_dir, "events", src_dir)
     return stream_events(spark, src_dir)
 
 
@@ -463,10 +478,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "in")
     os.makedirs(src_dir, exist_ok=True)
     for copy in (0, 1):
-        shutil.copy(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(src_dir, f"part-{copy}.parquet"),
-        )
+        _copy_table_files(sf_dir, "events", src_dir, tag=f"{copy}_")
     deduped = dedup_stream(
         stream_events(spark, src_dir), key="event_id", watermark="1 hour"
     )
@@ -814,10 +826,7 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir("stream_wc_")
     src = os.path.join(work, "in")
     os.makedirs(src, exist_ok=True)
-    shutil.copy(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(src, "part-0.parquet"),
-    )
+    _copy_table_files(sf_dir, "documents", src)
     schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
     lines = spark.readStream.schema(schema).parquet(src)
     counts = streaming_wordcount(lines, "text")
