@@ -965,20 +965,32 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nullif guard: empty/whitespace-only docs (n_tokens=0) yield
     # NULL metrics instead of an ANSI divide-by-zero job failure —
     # dirty corpora must degrade, not crash.
-    safe_n = F.nullif(n_tok, F.lit(0))
-    avg_len = tok_chars / safe_n
-    stop_ratio = n_stop / safe_n
-    quality = (
-        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(20.0))
-        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
-        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
-    )
-    return docs.select(
+    base = docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(avg_len, 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(quality, 6).alias("quality"),
+        tok_chars.alias("_chars"),
+        n_stop.alias("_stop"),
+    )
+    safe_n = F.nullif(F.col("n_tokens"), F.lit(0))
+    # The blended score is computed in EXACT integer micro-units and
+    # rounded half-up with integer arithmetic — a float blend
+    # (0.4·a + 0.3·b + 0.3·c, round 6) differs between engines by
+    # one ulp on ~1-in-25k inputs and flips the 6th decimal
+    # (measured on the ×10 synthetic corpus). The single-division
+    # metrics below are IEEE-exact as floats and safe to round.
+    #   q_e6 = 20000·min(20,n)
+    #        + round_half_up((300000·(n−s) + 37500·min(8n, chars)) / n)
+    q_e6 = F.expr(
+        "20000 * least(20L, n_tokens) + "
+        "(2 * (300000 * (n_tokens - _stop) + 37500 * least(8 * n_tokens, _chars))"
+        " + n_tokens) DIV (2 * nullif(n_tokens, 0))"
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_chars") / safe_n, 6).alias("avg_token_len"),
+        F.round(F.col("_stop") / safe_n, 6).alias("stop_ratio"),
+        (q_e6 / F.lit(1e6)).alias("quality"),
     )
 
 
@@ -1363,9 +1375,10 @@ _QUALITY = _TOKS + f"""
 SELECT doc_id, n_tokens,
        round(token_chars * 1.0 / nullif(n_tokens, 0), 6) AS avg_token_len,
        round(n_stop * 1.0 / nullif(n_tokens, 0), 6) AS stop_ratio,
-       round(0.4 * least(1.0, n_tokens / 20.0)
-             + 0.3 * (1.0 - n_stop * 1.0 / nullif(n_tokens, 0))
-             + 0.3 * least(1.0, (token_chars * 1.0 / nullif(n_tokens, 0)) / 8.0), 6) AS quality
+       (20000 * least(20, n_tokens)
+        + (2 * (300000 * (n_tokens - n_stop)
+                + 37500 * least(8 * n_tokens, token_chars))
+           + n_tokens) // (2 * nullif(n_tokens, 0))) / 1000000.0 AS quality
 FROM per_doc
 """
 
@@ -1401,9 +1414,10 @@ _CURATE = _TOKS + f"""
   FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY 1
 ), metrics AS (
   SELECT doc_id, n_tokens,
-         round(0.4 * least(1.0, n_tokens / 20.0)
-               + 0.3 * (1.0 - n_stop * 1.0 / nullif(n_tokens, 0))
-               + 0.3 * least(1.0, (token_chars * 1.0 / nullif(n_tokens, 0)) / 8.0), 6)
+         (20000 * least(20, n_tokens)
+          + (2 * (300000 * (n_tokens - n_stop)
+                  + 37500 * least(8 * n_tokens, token_chars))
+             + n_tokens) // (2 * nullif(n_tokens, 0))) / 1000000.0
            AS quality
   FROM per_doc
 ), keepers AS (

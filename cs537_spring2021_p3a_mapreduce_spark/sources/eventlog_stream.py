@@ -74,6 +74,20 @@ def _sorted_table(path: str):
         import pyarrow as pa
 
         raw = pa.concat_tables([pq.read_table(f) for f in files])
+        # normalize ns-precision timestamps (what Spark 4 writes for
+        # NTZ columns) down to µs: the Python-source Arrow hand-off
+        # rejects NANOSECOND batches, and µs truncation is exactly
+        # the catalog's normalize_event_ts semantics
+        fields = []
+        changed = False
+        for fld in raw.schema:
+            if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
+                fields.append(fld.with_type(pa.timestamp("us", fld.type.tz)))
+                changed = True
+            else:
+                fields.append(fld)
+        if changed:
+            raw = raw.cast(pa.schema(fields))
         idx = pc.sort_indices(raw, sort_keys=[("event_id", "ascending")])
         tbl = raw.take(idx)
         _SORTED_CACHE.clear()
