@@ -71,6 +71,34 @@ def main() -> None:
     spark.range(32).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # Streaming-engine warm-up: the first streaming query in a
+    # process pays ~5 s of one-time init (micro-batch machinery,
+    # state-store backend, checkpoint WAL classes — measured 6.1 s
+    # cold vs 1.5 s warm on the same entry); drain one 32-row
+    # stream so that cost doesn't mis-attribute to whichever
+    # streaming entry happens to run first.
+    try:
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="bench_warm_")
+        spark.range(32).write.mode("overwrite").parquet(f"{wdir}/in")
+        sq = (
+            spark.readStream.schema("id long")
+            .parquet(f"{wdir}/in")
+            .groupBy()
+            .count()
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{wdir}/ckpt")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(60)
+        import shutil
+
+        shutil.rmtree(wdir, ignore_errors=True)
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
