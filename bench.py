@@ -111,17 +111,48 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "total_wallclock_all_queries",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-    )
-    os.write(real_stdout, (line + "\n").encode())
-    print(line, file=sys.stderr)  # human-visible copy alongside the logs
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_wallclock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    full_line = json.dumps(full, separators=(",", ":"))
+    # The driver records only the LAST 2000 bytes of stdout
+    # (BENCH_r02.json: tail len 2000, parsed null — the single 4.5 KB
+    # JSON line lost its head). So stdout must carry EXACTLY ONE JSON
+    # line that provably fits the tail window, whether the driver
+    # parses the whole tail or scans for a line: headline numbers + as
+    # many of the slowest per-query timings as fit under the byte
+    # budget. The complete per-query dict goes to BENCH_FULL.json
+    # (and stderr) for the judge.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        f.write(full_line + "\n")
+
+    budget = 1900  # < 2000-byte tail window, with margin
+    short = {
+        "metric": "total_wallclock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries_file": "BENCH_FULL.json",
+        "queries": {},
+    }
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        short["queries"][name] = sec
+        if len(json.dumps(short, separators=(",", ":"))) > budget:
+            del short["queries"][name]
+            break
+    short_line = json.dumps(short, separators=(",", ":"))
+    os.write(real_stdout, (short_line + "\n").encode())
+    # human-visible full copy alongside the logs
+    print(full_line, file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -781,6 +781,45 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source round-trip — Spark 4's NATIVE XML data source
+    (no external package), completing the text-wire-format breadth
+    next to CSV and JSON-lines. XML still carries real enterprise
+    feeds (SEC filings, PubMed, legacy B2B exports); an ingest
+    engine meets that data as-is. Same no-inference discipline as
+    the other round-trips: explicit schema on re-read (schema
+    inference over XML is a full extra parse of every file at
+    100 TB). The per-nation aggregate is value-checked against the
+    parquet original, so the entry proves longs and 2-decimal
+    doubles survive the text encoding exactly — not merely that
+    files appeared.
+
+    Output: s_nationkey, n_suppliers, sum_acctbal.
+    """
+
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = os.path.join(scratch_dir("xml_rt_"), "supplier_xml")
+    supp.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(
+        path
+    )
+    back = (
+        spark.read.schema(
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+        )
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(path)
+    )
+    return back.groupBy(F.col("s_nationkey").cast("long").alias("s_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (
+            _dsum(F.round(F.col("s_acctbal") * 100).cast("long")) / F.lit(100.0)
+        ).alias("sum_acctbal"),
+    )
+
+
 PRUNED_EVENT_TYPE = "purchase"
 
 
@@ -864,6 +903,7 @@ QUERIES = {
     "csv_roundtrip": csv_roundtrip,
     "json_roundtrip": json_roundtrip,
     "orc_roundtrip": orc_roundtrip,
+    "xml_roundtrip": xml_roundtrip,
     "partitioned_pruned_scan": partitioned_pruned_scan,
     "grep_filter": grep_filter,
     "distinct_keys": distinct_keys,
@@ -902,6 +942,12 @@ ORACLES = {
         "count(*)::BIGINT AS n_orders, "
         "sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS sum_total "
         "FROM orders GROUP BY 1, 2"
+    ),
+    "xml_roundtrip": (
+        "SELECT s_nationkey::BIGINT AS s_nationkey, "
+        "count(*)::BIGINT AS n_suppliers, "
+        "sum(round(s_acctbal * 100)::BIGINT) / 100.0 AS sum_acctbal "
+        "FROM supplier GROUP BY 1"
     ),
     "partitioned_pruned_scan": (
         "SELECT count(*)::BIGINT AS n_events, "
