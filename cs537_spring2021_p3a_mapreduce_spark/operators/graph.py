@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import table
 from .dedup import dedup_minhash
 
 CC_MAX_ITER = 25
@@ -387,10 +388,111 @@ def bfs_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (the clustering-coefficient
+    numerator — the fourth graph kernel next to CC, PageRank, BFS)
+    over the nation-scoped co-supplier graph: suppliers are adjacent
+    iff they supply a common part AND sit in the same nation (the
+    nation scope keeps the projection's density structural — an
+    unscoped shared-part graph over a random supplier assignment is
+    near-complete at every scale, which benchmarks the combinatorial
+    blow-up, not the algorithm).
+
+    Scale shape: degree-ordered edge orientation (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11) — every edge is directed from its
+    lower-(degree, id) endpoint to the higher, making wedge
+    generation per vertex O(out-degree²) where out-degree is
+    bounded by √(2·edges) REGARDLESS of how skewed the raw degree
+    distribution is; a hub vertex's million neighbors produce
+    wedges at its low-degree neighbors, not at the hub. Each
+    triangle then has exactly one vertex with both in-triangle
+    edges outgoing (its order-minimum), so one wedge⋈edge equi-join
+    counts every triangle exactly once — no all-pairs, no double
+    counting, three shuffles total (degree, wedge, close).
+
+    Output: s_suppkey, n_triangles (suppliers in ≥1 triangle).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
+    )
+    ps = li.join(supp, "sk").select("pk", "sk", "nk").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.pk") == F.col("b.pk"))
+        & (F.col("a.nk") == F.col("b.nk"))
+        & (F.col("a.sk") < F.col("b.sk")),
+    ).select(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+    return triangle_counts(edges).withColumnRenamed("vertex", "s_suppkey")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an undirected graph given as
+    (u, v) pairs (orientation/duplicates of the input don't matter —
+    normalized here). Degree-ordered orientation, one wedge⋈edge
+    semi-join; see ``triangle_count_suppliers`` for the scale
+    argument. Output: vertex, n_triangles (vertices in ≥1 triangle).
+    """
+    e = edges.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        e.join(deg.select(F.col("u").alias("uu"), F.col("d").alias("du")),
+               F.col("u") == F.col("uu"))
+        .join(deg.select(F.col("u").alias("vv"), F.col("d").alias("dv")),
+              F.col("v") == F.col("vv"))
+        .select("u", "v", "du", "dv")
+    )
+    # orient low (deg, id) → high (deg, id); (du, u) == (dv, v) is
+    # impossible (u < v), so the order is total
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # unordered out-neighbor pairs, once each: (deg, id) order again
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(
+            (F.col("o1.ddst") < F.col("o2.ddst"))
+            | (
+                (F.col("o1.ddst") == F.col("o2.ddst"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        )
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    triangles = wedges.join(closing, ["b", "c"], "left_semi")
+    verts = triangles.select(
+        F.explode(F.array("a", "b", "c")).alias("vertex")
+    )
+    return verts.groupBy("vertex").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "pagerank_part_supplier": pagerank_part_supplier,
     "bfs_part_supplier": bfs_part_supplier,
+    "triangle_count_suppliers": triangle_count_suppliers,
 }
 
 def _pagerank_oracle(n_iter: int = PR_ITER) -> str:
@@ -447,6 +549,28 @@ WITH RECURSIVE pairs AS (
 SELECT v AS vertex, min(hops)::BIGINT AS hops FROM walk GROUP BY v
 """,
     "pagerank_part_supplier": _pagerank_oracle(),
+    # u<v<w triple-join enumeration — each triangle appears exactly
+    # once, so the per-vertex counts equal the oriented-wedge count
+    # the Spark plan produces
+    "triangle_count_suppliers": """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk, s_nationkey AS nk
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+), e AS (
+  SELECT DISTINCT a.sk AS u, b.sk AS v
+  FROM ps a JOIN ps b ON a.pk = b.pk AND a.nk = b.nk AND a.sk < b.sk
+), t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), x AS (
+  SELECT a AS v FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+SELECT v AS s_suppkey, count(*)::BIGINT AS n_triangles FROM x GROUP BY v
+""",
     "dedup_clusters": """
 WITH RECURSIVE toks AS (
   SELECT doc_id,

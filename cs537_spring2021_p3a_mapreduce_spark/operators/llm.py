@@ -2244,6 +2244,141 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TRAIN_MERGES = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING, iterated: the first ``BPE_TRAIN_MERGES`` merge
+    rules learned from the corpus — each round counts adjacent
+    symbol-pair frequencies over the vocabulary, adopts the argmax
+    pair (count DESC, pair ASC tiebreak — deterministic across
+    engines and partitionings), and rewrites every word's symbol
+    sequence with the merged token before the next round. This is
+    the loop sentencepiece/HuggingFace trainers run;
+    ``bpe_pair_counts`` is its first half-iteration.
+
+    Symbol sequences ride in ONE string column with each symbol
+    wrapped in '|' markers ('hello' → '|h||e||l||l||o|'), so a merge
+    is a plain ``replace(enc, '|a||b|', '|ab|')`` — non-overlapping
+    left-to-right in both engines, and the double-marker boundary
+    makes a cross-symbol false match impossible ('|a||b|' can't
+    match inside '|ab|' or across '|xa||b|'). Words containing the
+    marker are excluded identically on both sides.
+
+    Scale shape: all counting happens on the VOCABULARY (one hash
+    agg collapses the corpus first), the argmax is a 1-row
+    broadcast — never a driver collect — and the rewrite is a
+    narrow per-row expression. Per round: one pair-count shuffle
+    (output bounded by symbol-set², not corpus) + one broadcast.
+    The 3-deep lazy plan stays analyzable; a 30k-merge production
+    run would localCheckpoint the vocabulary every few rounds the
+    way embedding_kmeans does.
+
+    Output: step, left_sym, right_sym, pair_count.
+    """
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("word"))
+        .filter(~F.col("word").contains("|"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = words.select(
+        "n", F.regexp_replace("word", "(.)", r"|$1|").alias("enc")
+    )
+    best_steps = []
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        syms = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 2),
+                lambda i: F.struct(
+                    F.get(syms, i).alias("a"), F.get(syms, i + 1).alias("b")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            vocab.select("n", F.explode(prs).alias("pr"))
+            .select("n", "pr.a", "pr.b")
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("pc"))
+            .orderBy(F.desc("pc"), "a", "b")
+            .limit(1)
+            .localCheckpoint()  # reused by the result AND the next
+            # round's rewrite — materialize the 1-row argmax once
+        )
+        best_steps.append(
+            best.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("pc").alias("pair_count"),
+            )
+        )
+        if step < BPE_TRAIN_MERGES:
+            vocab = (
+                vocab.crossJoin(F.broadcast(best.select("a", "b")))
+                .withColumn(
+                    "enc",
+                    F.expr(
+                        "replace(enc, '|' || a || '||' || b || '|',"
+                        " '|' || a || b || '|')"
+                    ),
+                )
+                .select("n", "enc")
+            )
+    out = best_steps[0]
+    for df in best_steps[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """The merge loop unrolled: one (symbols → pairs → argmax →
+    rewrite) CTE block per round, same tiebreak, same replace()
+    semantics."""
+    ctes = [
+        "WITH words AS (\n"
+        "  SELECT word, count(*)::BIGINT AS n FROM (\n"
+        "    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),\n"
+        "                              t -> t <> '')) AS word\n"
+        "    FROM documents\n"
+        "  ) WHERE word NOT LIKE '%|%' GROUP BY word\n"
+        "), v0 AS (\n"
+        "  SELECT n, regexp_replace(word, '(.)', '|\\1|', 'g') AS enc FROM words\n"
+        ")"
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f", s{i} AS (\n"
+            f"  SELECT n, string_split(trim(enc, '|'), '||') AS syms FROM v{i - 1}\n"
+            f"), p{i} AS (\n"
+            f"  SELECT n, unnest(list_transform(\n"
+            f"    generate_series(1, greatest(len(syms) - 1, 0)),\n"
+            f"    j -> struct_pack(a := syms[j], b := syms[j+1]))) AS pr\n"
+            f"  FROM s{i}\n"
+            f"), b{i} AS (\n"
+            f"  SELECT pr.a AS a, pr.b AS b, sum(n)::BIGINT AS pc\n"
+            f"  FROM p{i} GROUP BY 1, 2 ORDER BY pc DESC, a, b LIMIT 1\n"
+            f")"
+        )
+        if i < n_merges:
+            ctes.append(
+                f", v{i} AS (\n"
+                f"  SELECT n, replace(enc, '|' || b{i}.a || '||' || b{i}.b || '|',\n"
+                f"                    '|' || b{i}.a || b{i}.b || '|') AS enc\n"
+                f"  FROM v{i - 1}, b{i}\n"
+                f")"
+            )
+    selects = [
+        f"SELECT {i}::BIGINT AS step, a AS left_sym, b AS right_sym,"
+        f" pc AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return "".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 _BPE_PAIRS = """
 WITH words AS (
   SELECT word, count(*) AS n FROM (
@@ -2264,6 +2399,7 @@ SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
 QUERIES = {
     "duplicate_span_fraction": duplicate_span_fraction,
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_train_merges": bpe_train_merges,
     "dedup_exact": dedup_exact,
     "curate_corpus": curate_corpus,
     "dedup_ngram": dedup_ngram,
@@ -2298,6 +2434,7 @@ QUERIES = {
 ORACLES = {
     "duplicate_span_fraction": _DUP_SPAN,
     "bpe_pair_counts": _BPE_PAIRS,
+    "bpe_train_merges": _bpe_train_oracle(),
     "dedup_exact": _DEDUP_EXACT,
     "curate_corpus": _CURATE,
     "dedup_ngram": _DEDUP_NGRAM,

@@ -2526,7 +2526,110 @@ FROM v
 """
 
 
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over part: the parts for which
+    no other part is both cheaper-or-equal (p_retailprice) and
+    bigger-or-equal (p_size) with at least one strict — the
+    multi-objective "best tradeoffs" query (Börzsönyi et al., "The
+    Skyline Operator", ICDE'01) that SQL engines answer with an
+    O(n²) NOT-EXISTS self-join (exactly what the oracle runs).
+
+    Scale shape: NOT all-pairs. Dominance in 2-D factors through
+    price levels — (1) one hash aggregate collapses the table to
+    max(size) per distinct price (shuffle O(levels), and the level
+    count is domain-bounded for 2-decimal prices no matter how many
+    rows); (2) a running-max window over the LEVELS finds, for each
+    price, the best size among strictly cheaper levels (RANGE frame
+    to 1 preceding keeps equal prices out of their own comparison);
+    (3) one semi-join back tags each part: on the skyline iff its
+    size equals its level's max and strictly-cheaper levels never
+    reach that size. The only ordered pass runs over price levels,
+    not rows — the window input at 100 TB is KBs.
+
+    Output: p_partkey, p_retailprice, p_size.
+    """
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
+    price_c = _cents("p_retailprice").alias("price_c")
+    levels = part.select(price_c, "p_size").groupBy("price_c").agg(
+        F.max("p_size").alias("lvl_max")
+    )
+    w_cheaper = (
+        Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        levels.withColumn("cheaper_max", F.max("lvl_max").over(w_cheaper))
+        .filter(
+            F.col("cheaper_max").isNull()
+            | (F.col("cheaper_max") < F.col("lvl_max"))
+        )
+        .select("price_c", "lvl_max")
+    )
+    return part.join(
+        F.broadcast(frontier),
+        (_cents("p_retailprice") == F.col("price_c"))
+        & (F.col("p_size") == F.col("lvl_max")),
+        "left_semi",
+    )
+
+
+_SKYLINE = """
+SELECT p_partkey, p_retailprice, p_size::BIGINT AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+LATERAL_TOPK = 3
+
+
+def lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL front-end: for
+    each nation, the top-3 suppliers by account balance — the
+    for-each-row-run-a-subquery shape (ANSI LATERAL, DuckDB and
+    Postgres spell it identically, which is exactly what the oracle
+    runs). Catalyst plans the correlated ORDER BY … LIMIT as a
+    per-key ranked join rather than one subquery execution per
+    outer row — at 100 TB the difference between one shuffle and a
+    nation-count of table scans. Deterministic tiebreak on
+    (s_acctbal DESC, s_name).
+
+    Output: n_name, s_name, s_acctbal.
+    """
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        f"""
+        SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM nation n, LATERAL (
+          SELECT s_name, s_acctbal FROM supplier s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name LIMIT {LATERAL_TOPK}
+        ) t
+        """
+    )
+
+
+_LATERAL_TOPK_SQL = f"""
+SELECT n.n_name, t.s_name, t.s_acctbal
+FROM nation n, LATERAL (
+  SELECT s_name, s_acctbal FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name LIMIT {LATERAL_TOPK}
+) t
+"""
+
+
 QUERIES = {
+    "skyline_parts": skyline_parts,
+    "lateral_topk_suppliers": lateral_topk_suppliers,
     "merge_scd2": merge_scd2,
     "cms_user_frequencies": cms_user_frequencies,
     "incremental_rollup": incremental_rollup,
@@ -2579,6 +2682,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "skyline_parts": _SKYLINE,
+    "lateral_topk_suppliers": _LATERAL_TOPK_SQL,
     "merge_scd2": _SCD2,
     "cms_user_frequencies": _CMS,
     "incremental_rollup": _INC_ROLLUP,

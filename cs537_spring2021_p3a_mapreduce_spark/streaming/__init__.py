@@ -1002,6 +1002,88 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state["path"])
 
 
+def stream_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for TIMEOUT-DRIVEN STATE EVICTION
+    (``session_close_on_timeout``): per-user session state carries
+    an event-time timer at last_seen + gap, and the ENGINE's
+    watermark clock — not data arrival — fires the close, emits the
+    session exactly once, and removes the state. This is the state
+    LIFECYCLE half of ``applyInPandasWithState`` that
+    ``stream_running_counts`` (update-only, never evicts) doesn't
+    exercise, and it is how bespoke stateful operators bound their
+    memory on unbounded streams.
+
+    Determinism: which sessions close can depend on where micro-batch
+    boundaries fall, so the entry reduces the close log to a
+    batch-split-INVARIANT fact — for every provably-idle user (last
+    event + gap ≤ final watermark = max ts − delay), ALL sessions
+    have closed by end-of-stream, so the per-user sum of closed
+    n_events equals the user's total event count. The result is
+    restricted to exactly those users, identically in the oracle;
+    partially-idle users (some session closed, later events still in
+    live state) are excluded on both sides. Events are staged as two
+    time-split files (one per micro-batch) so the watermark advances
+    mid-stream and timers actually fire; the final no-data batch
+    (noDataMicroBatches) fires timers behind the end watermark.
+
+    Output: user_id, n_events — idle users' closed-session totals.
+    """
+    import glob
+    import shutil
+    import uuid
+
+    from ..catalog import table as _table
+
+    gap_us = 30 * 60 * 1_000_000
+    delay_us = 3_600 * 1_000_000
+
+    work = scratch_dir("stream_sct_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    ev = _table(spark, sf_dir, "events")
+    split_us = _OUTER_SPLIT_EPOCH_US
+    halves = [
+        ev.where(F.unix_micros("ts") < split_us),
+        ev.where(F.unix_micros("ts") >= split_us),
+    ]
+    for i, half in enumerate(halves):
+        d = os.path.join(work, f"half{i}")
+        half.coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    file_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    closed = session_close_on_timeout(
+        stream, gap_ms=gap_us // 1000, watermark="1 hour"
+    )
+    name = f"stream_sct_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        closed, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8
+    )
+    # batch-side idle-user set: last event + gap ≤ final watermark
+    wm = ev.agg((F.max(F.unix_micros("ts")) - delay_us).alias("wm_us"))
+    idle = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.unix_micros("ts")).alias("last_us"))
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("last_us") + gap_us <= F.col("wm_us"))
+        .select("user_id")
+    )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").alias("n_events"))
+        .join(idle, "user_id", "left_semi")
+    )
+
+
 QUERIES = {
     "stream_wordcount": stream_wordcount,
     "stream_restart_recovery": stream_restart_recovery,
@@ -1016,9 +1098,20 @@ QUERIES = {
     "stream_interval_join_outer": stream_interval_join_outer,
     "stream_enrich_purchases": stream_enrich_purchases,
     "stream_custom_source_counts": stream_custom_source_counts,
+    "stream_session_close_timeout": stream_session_close_timeout,
 }
 
 ORACLES = {
+    # idle users (last event + 30 min ≤ max ts − 1 h) must have ALL
+    # their sessions closed by the end watermark, so their closed
+    # totals equal their plain event counts — batch-split-invariant.
+    "stream_session_close_timeout": (
+        "WITH wm AS (SELECT max(epoch_us(ts)) - 3600000000 AS w FROM events), "
+        "u AS (SELECT user_id, max(epoch_us(ts)) AS last_us, "
+        "count(*)::BIGINT AS cnt FROM events GROUP BY 1) "
+        "SELECT user_id, cnt AS n_events FROM u, wm "
+        "WHERE last_us + 1800000000 <= w"
+    ),
     "stream_incremental_rollup": (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
         "event_type, count(*)::BIGINT AS n_events, "

@@ -229,3 +229,37 @@ def test_pagerank_keeps_sink_vertices(spark):
     ranks = {r.v: r["rank"] for r in pagerank(edges, "s", "d").collect()}
     assert set(ranks) == {1, 2, 3}
     assert ranks[2] > ranks[1] == ranks[3] > 0
+
+
+def _tri(spark, edges):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    return {(r.vertex, r.n_triangles) for r in triangle_counts(df).collect()}
+
+
+def test_triangle_counts_k4(spark):
+    # K4: 4 triangles total, every vertex is in C(3,2) = 3 of them
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, edges) == {(v, 3) for v in range(4)}
+
+
+def test_triangle_counts_star_has_none(spark):
+    # star graphs are triangle-free → empty output
+    assert _tri(spark, [(0, i) for i in range(1, 6)]) == set()
+
+
+def test_triangle_counts_hub_fan(spark):
+    # hub 0 connected to 1..5, plus one fan edge (1,2): exactly one
+    # triangle (0,1,2) — the skewed-degree shape the degree-ordered
+    # orientation exists for
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    assert _tri(spark, edges) == {(0, 1), (1, 1), (2, 1)}
+
+
+def test_triangle_counts_input_normalization(spark):
+    # duplicate edges, reversed orientation, self-loops: all ignored
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 1), (2, 2)]
+    assert _tri(spark, edges) == {(0, 1), (1, 1), (2, 1)}

@@ -361,3 +361,36 @@ def test_ann_band_bits_derivation():
     # monotone non-decreasing across the whole range
     widths = [_ann_band_bits(n) for n in (2, 10, 10**3, 10**6, 10**9, 10**12)]
     assert widths == sorted(widths)
+
+
+def test_bpe_train_merges_greedy_left_to_right(spark, tmp_path):
+    """Pins the merge-application rule on constructed words:
+    greedy non-overlapping left-to-right ('aaa' merges once, not
+    twice), all-occurrence rewrite ('abab' -> [ab, ab]), and the
+    (count DESC, pair ASC) tiebreak."""
+    docs = spark.createDataFrame(
+        [(1, "aaa abab abab", "en", "src0", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in llm.bpe_train_merges(spark, str(tmp_path))
+        .orderBy("step")
+        .collect()
+    ]
+    # step1: (a,b) appears 2x in each of the two 'abab' -> 4
+    # step2: 'aaa' gives (a,a) 2; 'abab'->|ab||ab| gives (ab,ab) 2;
+    #        tie broken to the lexicographically smaller pair (a,a)
+    # step3: 'aaa'->|aa||a| gives (aa,a) 1; (ab,ab) still 2
+    assert got == [(1, "a", "b", 4), (2, "a", "a", 2), (3, "ab", "ab", 2)]
+
+
+def test_bpe_train_merges_max_pair_count_non_increasing(spark):
+    rows = (
+        llm.bpe_train_merges(spark, SF).orderBy("step").collect()
+    )
+    assert len(rows) == llm.BPE_TRAIN_MERGES
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c > 0 for c in counts)

@@ -187,3 +187,28 @@ def test_cms_estimate_dominates_true_count(spark):
     assert all(r.est_n >= r.true_n for r in rows)
     assert any(r.true_n > 0 for r in rows)
     assert CMS_DEPTH * CMS_WIDTH == 1024  # grid cells, not key space
+
+
+def test_skyline_parts_dominance_edge_cases(spark, tmp_path):
+    """Ties and duplicates: equal-(price,size) twins are BOTH on the
+    skyline (neither strictly dominates), same-price smaller-size is
+    off, equal-size more-expensive is off."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        skyline_parts,
+    )
+
+    rows = [
+        (1, "pa", "B", "T", 10, 5.00),   # skyline
+        (2, "pb", "B", "T", 10, 5.00),   # duplicate of 1: also skyline
+        (3, "pc", "B", "T", 9, 5.00),    # same price, smaller: dominated
+        (4, "pd", "B", "T", 8, 4.00),    # cheaper, smaller: skyline
+        (5, "pe", "B", "T", 10, 6.00),   # same size, pricier: dominated
+        (6, "pf", "B", "T", 1, 3.00),    # cheapest: skyline
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    got = {r.p_partkey for r in skyline_parts(spark, str(tmp_path)).collect()}
+    assert got == {1, 2, 4, 6}
