@@ -454,11 +454,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # consumed THREE times below (both wedge sides + the closing
+    # probe) — persist so the edge/degree subtree runs once, not 3×
+    # (the unpersisted plan re-derives 500+ nodes; bench clears cache
+    # between queries)
     oriented = ed.select(
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    )
+    ).persist()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # unordered out-neighbor pairs, once each: (deg, id) order again
     wedges = (

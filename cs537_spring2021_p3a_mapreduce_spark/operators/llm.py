@@ -1074,6 +1074,68 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def arrow_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the LAST Python-execution seam the suite
+    hadn't isolated (scalar pandas_udf, grouped-agg UDAF, UDTF,
+    applyInPandas(WithState), mapInPandas are all exercised
+    elsewhere): the UDF receives raw ``pyarrow.RecordBatch``es and
+    answers with Arrow kernels only — no pandas materialization, no
+    per-row Python, which for string-heavy batches skips the
+    Arrow→pandas object-array copy mapInPandas pays (every string
+    becomes a Python object there; here they stay in Arrow buffers).
+
+    Per-doc token count (non-overlapping ``\\S+`` matches — C++
+    regex kernel) and char length, then a plain JVM hash aggregate
+    per language. The Python stage is narrow (batch in, batch out,
+    no state), so at 100 TB it pipelines with the scan exactly like
+    any projection.
+
+    Output: lang, n_docs, sum_tokens, sum_chars.
+    """
+
+    def profile(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("lang")),
+                    pc.cast(
+                        pc.count_substring_regex(
+                            b.column(b.schema.get_field_index("text")), r"\S+"
+                        ),
+                        pa.int64(),
+                    ),
+                    pc.cast(
+                        pc.utf8_length(
+                            b.column(b.schema.get_field_index("text"))
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["lang", "n_tokens", "n_chars"],
+            )
+
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    prof = docs.mapInArrow(
+        profile, "lang string, n_tokens long, n_chars long"
+    )
+    return prof.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_ARROW_PROFILE = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS sum_tokens,
+       sum(length(text))::BIGINT AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed struct/array metadata projection: build a struct column
     and array ops over tokens, emitted flat for comparison. The
@@ -2400,6 +2462,7 @@ QUERIES = {
     "duplicate_span_fraction": duplicate_span_fraction,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train_merges": bpe_train_merges,
+    "arrow_doc_profile": arrow_doc_profile,
     "dedup_exact": dedup_exact,
     "curate_corpus": curate_corpus,
     "dedup_ngram": dedup_ngram,
@@ -2435,6 +2498,7 @@ ORACLES = {
     "duplicate_span_fraction": _DUP_SPAN,
     "bpe_pair_counts": _BPE_PAIRS,
     "bpe_train_merges": _bpe_train_oracle(),
+    "arrow_doc_profile": _ARROW_PROFILE,
     "dedup_exact": _DEDUP_EXACT,
     "curate_corpus": _CURATE,
     "dedup_ngram": _DEDUP_NGRAM,

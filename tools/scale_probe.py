@@ -284,6 +284,13 @@ PROBES = [
     "compact_small_files",
     "indexed_token_lookup",
     "map_functions_profile",
+    # round-3 widening: oriented-wedge triangles (edge set saturates
+    # once lineitem covers supplier-pairs-per-nation; wedge work is
+    # the probe target), iterative BPE training (vocabulary-bounded
+    # pair counting; corpus growth only feeds the first hash agg).
+    # skyline/lateral/xml run on size-fixed dims — nothing to probe.
+    "triangle_count_suppliers",
+    "bpe_train_merges",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
