@@ -1002,6 +1002,127 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state["path"])
 
 
+def tws_available() -> bool:
+    """``transformWithStateInPandas``'s state protocol speaks
+    protobuf between the Python worker and the JVM state server; the
+    ``protobuf`` package is not part of this container, so the entry
+    registers only where the import succeeds (any real Spark 4
+    deployment ships it — it is a pyspark ``connect`` extra)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, spend-cents) via ``transformWithState``
+    — Spark 4's REPLACEMENT for applyInPandasWithState: an object
+    with an explicit lifecycle (init/handleInputRows/close) holding
+    NAMED, individually-evolvable state variables (ValueState /
+    ListState / MapState with optional TTL) instead of one opaque
+    tuple. Requires the RocksDB state-store provider (state lives
+    off-heap, snapshot+changelog checkpointed — the provider that
+    holds 100 TB-scale key cardinalities) and the protobuf package
+    (``tws_available``).
+
+    Output (update log): user_id, n_events, sum_cents.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                self.totals.get() if self.totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # exact integer cents, same round(value*100) the
+                # batch oracles use
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+            self.totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Totals(),
+            outputStructType="user_id BIGINT, n_events BIGINT, sum_cents BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for ``transformWithState`` (see
+    ``tws_running_user_totals``): drain the events stream in update
+    mode under the RocksDB provider, then reduce the update log to
+    its final row per user — running totals are strictly monotone in
+    n_events, so max(struct(n_events, sum_cents)) is the last update
+    whatever the micro-batch split was, and must equal the batch
+    count/sum — exact and SQL-expressible.
+
+    Output: user_id, n_events, sum_cents.
+    """
+    import uuid
+
+    work = scratch_dir("stream_tws_")
+    counts = tws_running_user_totals(
+        _staged_events_stream(spark, sf_dir, work)
+    )
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(
+            counts, name, os.path.join(work, "ckpt"), "update",
+            shuffle_partitions=8,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    final = F.max(F.struct("n_events", "sum_cents")).alias("f")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("f.n_events").alias("n_events"),
+            F.col("f.sum_cents").alias("sum_cents"),
+        )
+    )
+
+
 def stream_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry for TIMEOUT-DRIVEN STATE EVICTION
     (``session_close_on_timeout``): per-user session state carries
@@ -1100,6 +1221,9 @@ QUERIES = {
     "stream_custom_source_counts": stream_custom_source_counts,
     "stream_session_close_timeout": stream_session_close_timeout,
 }
+
+if tws_available():  # pragma: no cover — container lacks protobuf
+    QUERIES["stream_tws_user_totals"] = stream_tws_user_totals
 
 ORACLES = {
     # idle users (last event + 30 min ≤ max ts − 1 h) must have ALL
@@ -1216,6 +1340,14 @@ FROM sessions
 GROUP BY user_id, session_id
 """,
 }
+
+if tws_available():  # pragma: no cover — container lacks protobuf
+    # final update per user == batch totals, whatever the batch split
+    ORACLES["stream_tws_user_totals"] = (
+        "SELECT user_id, count(*)::BIGINT AS n_events, "
+        "sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents "
+        "FROM events GROUP BY 1"
+    )
 
 
 def run_to_memory(

@@ -513,3 +513,39 @@ def test_event_time_timeout_closes_idle_sessions(spark, tmp_path):
     active = {u for u, ts in last_seen.items() if ts > final_wm}
     for u in active:
         assert closed_sum[u] < total[u]
+
+
+def test_tws_entry_gated_on_protobuf(spark):
+    """transformWithStateInPandas needs the protobuf package for its
+    state protocol; the entry must register exactly when it's
+    importable (real Spark 4 deployments ship it; this container
+    doesn't — the gate keeps the driver contract runnable in both)."""
+    from cs537_spring2021_p3a_mapreduce_spark import streaming as st
+
+    assert ("stream_tws_user_totals" in st.QUERIES) == st.tws_available()
+    assert ("stream_tws_user_totals" in st.ORACLES) == st.tws_available()
+
+
+def test_tws_running_totals_match_batch(spark, tmp_path):
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark import streaming as st
+
+    if not st.tws_available():
+        pytest.skip("protobuf not installed: transformWithState "
+                    "state protocol unavailable in this container")
+    out = st.stream_tws_user_totals(spark, SF_SMOKE)
+    got = {(r.user_id, r.n_events, r.sum_cents) for r in out.collect()}
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table as _table
+
+    want = {
+        (r.user_id, r.n, r.c)
+        for r in _table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
