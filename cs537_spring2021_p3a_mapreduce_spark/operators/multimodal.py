@@ -277,6 +277,99 @@ def media_decode_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` SOURCE end-to-end — how raw media actually
+    arrives at a lake (directories of image/audio files, not
+    parquet): honest BMP files are staged to disk by a DISTRIBUTED
+    mapInPandas writer (one file per image, atomic tmp+rename, no
+    payload ever on the driver), then re-read through
+    ``spark.read.format("binaryFile")`` with a ``pathGlobFilter``
+    and decoded from the ``content`` bytes. The aggregate carries
+    the decoded pixel stats AND the source's ``length`` column, so
+    the oracle — which recomputes everything arithmetically from
+    the generator formulas including the exact BMP file size
+    (54-byte headers + 4-byte-padded rows) — pins header parse,
+    padding, and the source's file-length metadata at once.
+
+    Scale: binaryFile is a normal FileScan (one task per file group,
+    `maxPartitionBytes` governs batching); decode stays a narrow
+    Arrow pass. Output: n_files, n_units, sum_units, sum_bytes.
+    """
+    import os
+
+    from ..scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("binfile_"), "media")
+    os.makedirs(out, exist_ok=True)
+    imgs = (
+        synth_media_encoded(spark, sf_dir)
+        .filter(F.col("fmt") == "bmp")
+        .select("media_id", "payload")
+    )
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = os.path.join(out, f"img-{int(mid)}.bmp")
+                tmp = f"{p}.tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(payload))
+                os.replace(tmp, p)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    # one scalar action forces the distributed write (staging step,
+    # driver sees a single long)
+    imgs.mapInPandas(_write, "n long").agg(F.sum("n")).collect()
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(out)
+        .select("length", "content")
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for length, content in zip(pdf["length"], pdf["content"]):
+                _w, _h, n, s = _decode_bmp(bytes(content))
+                rows.append((int(length), n, s))
+            yield pd.DataFrame(
+                rows, columns=["n_bytes", "n_units", "sum_units"]
+            )
+
+    decoded = back.mapInPandas(
+        _stats, "n_bytes bigint, n_units bigint, sum_units bigint"
+    )
+    return decoded.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_units").alias("n_units"),
+        F.sum("sum_units").alias("sum_units"),
+        F.sum("n_bytes").alias("sum_bytes"),
+    )
+
+
+_BINARY_FILE = """
+WITH img AS (
+  SELECT doc_id, 16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), st AS (
+  SELECT 3 * w * h AS n_units,
+         3 * list_sum(flatten(list_transform(
+               generate_series(0, h - 1),
+               y -> list_transform(generate_series(0, w - 1),
+                                   x -> (x + y + doc_id) % 256)))) AS sum_units,
+         54 + h * ((3 * w + 3) // 4 * 4) AS n_bytes
+  FROM img
+)
+SELECT count(*)::BIGINT AS n_files,
+       sum(n_units)::BIGINT AS n_units,
+       sum(sum_units)::BIGINT AS sum_units,
+       sum(n_bytes)::BIGINT AS sum_bytes
+FROM st
+"""
+
+
 def _fake_decode_stats(payload: bytes) -> tuple[int, float]:
     """Deterministic stand-in for a codec: (n_bytes, mean byte value).
     Stable under re-partitioning and re-runs by construction."""
@@ -510,6 +603,7 @@ QUERIES = {
     "multimodal_pipeline": media_feature_stats,
     "multimodal_decode_real": media_decode_real_stats,
     "video_frame_dedup": video_frame_dedup,
+    "binary_file_ingest": binary_file_ingest,
 }
 
 # n_bytes = 64 + (doc_id % 7) * 32 by construction (synth_media), so
@@ -547,6 +641,7 @@ SELECT a.v AS a_id, b.v AS b_id,
        round({VID_SHARED} / {VID_FRAMES}, 6) AS sim
 FROM vids a JOIN vids b ON a.v < b.v AND a.v % {VID_GROUPS} = b.v % {VID_GROUPS}
 """,
+    "binary_file_ingest": _BINARY_FILE,
     "multimodal_decode_real": """
 WITH img AS (
   SELECT doc_id, 16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h
