@@ -2627,8 +2627,38 @@ FROM nation n, LATERAL (
 """
 
 
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unpivot``/melt — the inverse of ``pivot_event_counts``:
+    wide per-part metric columns rotate into (part, metric, value)
+    rows, the long form every metrics store and plotting layer
+    ingests. Catalyst plans it as an Expand node — each input row
+    emits one row per metric in the SAME scan pass, no join, no
+    shuffle; at 100 TB the cost is the scan plus output volume,
+    nothing else.
+
+    Output: p_partkey, metric, value.
+    """
+    return (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+    )
+
+
+_UNPIVOT = """
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
+"""
+
+
 QUERIES = {
     "skyline_parts": skyline_parts,
+    "unpivot_part_metrics": unpivot_part_metrics,
     "lateral_topk_suppliers": lateral_topk_suppliers,
     "merge_scd2": merge_scd2,
     "cms_user_frequencies": cms_user_frequencies,
@@ -2683,6 +2713,7 @@ QUERIES = {
 
 ORACLES = {
     "skyline_parts": _SKYLINE,
+    "unpivot_part_metrics": _UNPIVOT,
     "lateral_topk_suppliers": _LATERAL_TOPK_SQL,
     "merge_scd2": _SCD2,
     "cms_user_frequencies": _CMS,
