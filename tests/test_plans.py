@@ -442,3 +442,44 @@ def test_bpe_pair_counts_aggregates_have_partials(spark):
     partial aggregation."""
     df = llm.bpe_pair_counts(spark, SF_SMOKE)
     assert P.count_nodes(P.plan(df, "simple"), "HashAggregate") >= 4
+
+
+def test_unpivot_is_expand_zero_shuffle(spark):
+    df = rel.unpivot_part_metrics(spark, SF_SMOKE)
+    assert "Expand" in P.plan(df, "simple")
+    assert P.shuffle_count(df) == 0
+
+
+def test_lateral_topk_plans_ranked_join_not_per_row_subquery(spark):
+    df = rel.lateral_topk_suppliers(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    # Catalyst decorrelates the LATERAL ORDER BY ... LIMIT into one
+    # broadcast join over a rank window with group-limit pushdown —
+    # one pass, not a subquery execution per outer row
+    assert P.uses_broadcast_join(df)
+    assert "WindowGroupLimit" in plan
+    assert "Subquery" not in plan
+
+
+def test_skyline_single_window_over_levels_broadcast_semi(spark):
+    df = rel.skyline_parts(spark, SF_SMOKE)
+    # one window (over price LEVELS, domain-bounded), broadcast
+    # semi-join back to rows, level agg + window sort = 2 exchanges
+    assert P.plan(df, "simple").count("Window") == 1
+    assert P.uses_broadcast_join(df)
+    assert P.shuffle_count(df) == 2
+
+
+def test_triangle_count_no_cartesian(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import graph
+
+    plan = P.plan(graph.triangle_count_suppliers(spark, SF_SMOKE), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_arrow_profile_is_map_in_arrow_not_pandas(spark):
+    df = llm.arrow_doc_profile(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "MapInArrow" in plan
+    assert "MapInPandas" not in plan
