@@ -16,6 +16,8 @@ Scale notes per operator are in docstrings; the common rules:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -23,6 +25,7 @@ from pyspark.sql.window import Window
 from ..catalog import table
 from ..functions.text import tokens
 from ..functions.vectors import cosine_similarity
+from ..scratch import scratch_dir
 
 TFIDF_K = 5
 SIM_K = 5
@@ -1552,6 +1555,108 @@ SELECT doc_id, n_tok,
 FROM b
 """
 
+EXPORT_MIN_TOK = 5
+EXPORT_SHARDS = 8
+
+
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE pipeline — the artifact a training-data run actually
+    ships: dedup → length filter → sequence packing → SHARDED
+    PHYSICAL EXPORT through the two-phase-commit manifest sink, then
+    a read-back aggregate so the round-trip (not just the plan) is
+    value-checked. Composes this module's own verified pieces:
+    ``dedup_exact``'s keeper rule, ``pack_sequences``'s banded
+    greedy packing, and the sink from ``custom_sink_roundtrip``.
+
+    Scale shape: dedup is one digest shuffle; packing windows are
+    band-bounded; the export is ``repartition(shard_id)`` — each
+    shard file is written by exactly one task, files land under
+    unique names and one atomic manifest commit flips visibility
+    (a torn export is invisible, the training job never reads a
+    half-written shard list). The read-back proves the manifest
+    names exactly the committed rows.
+
+    Output: lang, n_docs, n_packs, sum_tokens.
+    """
+    from ..sources.manifest_sink import ManifestParquetSink, read_manifest_table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    keepers = (
+        docs.select(
+            "doc_id", F.sha2(F.lower(F.trim("text")), 256).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sized = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .select(
+            "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tok")
+        )
+        .filter(F.col("n_tok") >= EXPORT_MIN_TOK)
+        .withColumn("band", F.expr(f"n_tok DIV {PACK_BAND}"))
+    )
+    w = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        (
+            F.col("band") * 1_000_000
+            + F.expr(f"(greatest(cum, 1) - 1) DIV {PACK_BUDGET}")
+        ).alias("pack_id"),
+    )
+    out = packed.withColumn(
+        "shard_id", F.pmod("pack_id", F.lit(EXPORT_SHARDS)).cast("long")
+    )
+    path = os.path.join(scratch_dir("export_shards_"), "shards")
+    spark.dataSource.register(ManifestParquetSink)
+    (
+        out.repartition(EXPORT_SHARDS, F.col("shard_id"))
+        .write.format("mr_manifest")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    back = read_manifest_table(spark, path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("pack_id").alias("n_packs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
+
+
+_EXPORT_SHARDS_SQL = f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY sha256(lower(trim(text)))
+), t AS (
+  SELECT d.doc_id, d.lang,
+         len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tok
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+), f AS (
+  SELECT * FROM t WHERE n_tok >= {EXPORT_MIN_TOK}
+), p AS (
+  SELECT doc_id, lang, n_tok,
+         (n_tok // {PACK_BAND}) * 1000000
+         + (greatest(sum(n_tok) OVER (
+              PARTITION BY n_tok // {PACK_BAND} ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING), 1) - 1) // {PACK_BUDGET} AS pack_id
+  FROM f
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       count(DISTINCT pack_id)::BIGINT AS n_packs,
+       sum(n_tok)::BIGINT AS sum_tokens
+FROM p GROUP BY 1
+"""
+
+
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pass — the pipeline a training-data run
     actually executes, composed from this module's own operators:
@@ -2463,6 +2568,7 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train_merges": bpe_train_merges,
     "arrow_doc_profile": arrow_doc_profile,
+    "export_training_shards": export_training_shards,
     "dedup_exact": dedup_exact,
     "curate_corpus": curate_corpus,
     "dedup_ngram": dedup_ngram,
@@ -2499,6 +2605,7 @@ ORACLES = {
     "bpe_pair_counts": _BPE_PAIRS,
     "bpe_train_merges": _bpe_train_oracle(),
     "arrow_doc_profile": _ARROW_PROFILE,
+    "export_training_shards": _EXPORT_SHARDS_SQL,
     "dedup_exact": _DEDUP_EXACT,
     "curate_corpus": _CURATE,
     "dedup_ngram": _DEDUP_NGRAM,

@@ -394,3 +394,39 @@ def test_bpe_train_merges_max_pair_count_non_increasing(spark):
     counts = [r.pair_count for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(c > 0 for c in counts)
+
+
+def test_export_training_shards_file_layout(spark, tmp_path, monkeypatch):
+    """The export must land as at most EXPORT_SHARDS committed files
+    (one writer task per shard), and the manifest row count must
+    equal the aggregate's doc total — the torn-export-invisible
+    contract, checked at the file level."""
+    import glob
+    import json
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark import scratch
+
+    captured = {}
+    orig = scratch.scratch_dir
+
+    def capture(prefix):
+        d = orig(prefix)
+        if prefix.startswith("export_shards_"):
+            captured["dir"] = d
+        return d
+
+    monkeypatch.setattr(llm, "scratch_dir", capture)
+    out = llm.export_training_shards(spark, SF)
+    n_docs = out.agg(F.sum("n_docs")).first()[0]
+    mpath = os.path.join(captured["dir"], "shards", "_MANIFEST")
+    with open(mpath, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    files = manifest["files"]
+    assert 0 < len(files) <= llm.EXPORT_SHARDS
+    assert sum(f["n_rows"] for f in files) == n_docs
+    # every committed file actually exists
+    for f in files:
+        assert os.path.exists(
+            os.path.join(captured["dir"], "shards", f["file"])
+        )
