@@ -238,3 +238,133 @@ def test_morton_interleave_matches_python_model(spark, pairs):
     )
     for r in df.collect():
         assert r.z == model(r.a, r.b), (r.a, r.b)
+
+
+# --- round-3 widening ops: Spark plans vs brute-force Python models
+
+
+def _skyline_model(points):
+    """O(n²) dominance check — the definition, not the algorithm."""
+    out = set()
+    for i, (pi, si) in enumerate(points):
+        dominated = any(
+            (pq <= pi and sq >= si and (pq < pi or sq > si))
+            for j, (pq, sq) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.add((pi, si))
+    return out
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # price in cents
+            st.integers(min_value=0, max_value=10),  # size
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_skyline_matches_quadratic_model(spark, pts):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        skyline_parts,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            (i, "n", "b", "t", s, c / 100.0) for i, (c, s) in enumerate(pts)
+        ]
+        spark.createDataFrame(
+            rows,
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        ).write.parquet(f"{d}/part.parquet")
+        got = {
+            (round(r.p_retailprice * 100), r.p_size)
+            for r in skyline_parts(spark, d).collect()
+        }
+    assert got == _skyline_model(pts)
+
+
+def _triangle_model(edges):
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    from collections import Counter
+
+    counts: Counter = Counter()
+    verts = sorted(adj)
+    for a in verts:
+        for b in (x for x in adj[a] if x > a):
+            for c in (x for x in (adj[a] & adj[b]) if x > b):
+                counts[a] += 1
+                counts[b] += 1
+                counts[c] += 1
+    return dict(counts)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    clean = [(u, v) for u, v in edges if u != v]
+    if not clean:
+        return
+    df = spark.createDataFrame(clean, "u bigint, v bigint")
+    got = {r.vertex: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _triangle_model(clean)
+
+
+def _bpe_merge_model(word, a, b):
+    """Greedy non-overlapping left-to-right merge of (a, b) over a
+    symbol list — the textbook BPE apply step."""
+    out, i = [], 0
+    while i < len(word):
+        if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return out
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+                  min_size=1, max_size=10),
+    pair=st.tuples(st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+                   st.sampled_from(["a", "b", "ab", "ba", "aa"])),
+)
+@_SETTINGS
+def test_bpe_marker_replace_matches_greedy_model(spark, syms, pair):
+    """The marker-wrapped string replace() used by bpe_train_merges
+    must implement exactly the greedy left-to-right non-overlapping
+    merge — including multi-char symbols where a naive space-joined
+    encoding would false-match across boundaries."""
+    a, b = pair
+    enc = "".join(f"|{s}|" for s in syms)
+    row = spark.sql(
+        "SELECT split(trim(BOTH '|' FROM replace("
+        f"'{enc}', '|{a}||{b}|', '|{a}{b}|')), "
+        r"'\\|\\|') AS out"
+    ).first()
+    assert list(row.out) == _bpe_merge_model(syms, a, b)
