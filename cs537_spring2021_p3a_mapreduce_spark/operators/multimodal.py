@@ -8,10 +8,13 @@ training-data pipeline carries media as bytes next to metadata and
 runs per-record Python (decoders, models) over Arrow batches.
 
 Decode has TWO tiers. ``decode="real"`` is a true bytes→stats path
-for the pure-Python-decodable formats: uncompressed 24-bit BMP and
-PCM16 WAV are parsed header-first from the payload bytes (stdlib
-struct + NumPy — no codec libraries), so dimensions/rates/stats come
-from the BYTES, not from metadata. Compressed formats (png/mp4/...)
+for the stdlib-decodable formats: uncompressed 24-bit BMP and PCM16
+WAV are parsed header-first from the payload bytes (stdlib struct +
+NumPy — no codec libraries), and PNG — a genuinely COMPRESSED
+format — is decoded via stdlib zlib plus full scanline-filter
+reconstruction (None/Sub/Up/Average/Paeth, CRC-checked chunks), so
+dimensions/rates/stats come from the BYTES, not from metadata.
+Formats whose codecs truly aren't in the stdlib (jpeg/mp4/...)
 still raise NotImplementedError at the exact seam where PIL/libav
 drops in — that seam is now an honest *narrowing*, not the whole
 tier. ``decode="fake"`` derives deterministic pseudo-features from
@@ -134,6 +137,120 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, pixels.size, int(pixels.astype(np.int64).sum())
 
 
+def _encode_png(width: int, height: int, media_id: int) -> bytes:
+    """A real, spec-compliant 8-bit RGB PNG built with stdlib zlib:
+    IHDR/IDAT/IEND with CRCs, DEFLATE-compressed scanlines. Rows
+    alternate filter 0 (None) and filter 2 (Up) so a decoder must
+    actually RECONSTRUCT, not just decompress. Same pixel formula as
+    the BMP encoder: value (x+y+id)%256 replicated across RGB."""
+    import zlib
+
+    pix = np.add.outer(
+        np.arange(height, dtype=np.int64), np.arange(width, dtype=np.int64)
+    )
+    vals = ((pix + media_id) % 256).astype(np.uint8)
+    rgb = np.repeat(vals, 3, axis=1)  # (h, 3w) R=G=B
+    raw = bytearray()
+    prev = np.zeros(3 * width, dtype=np.uint8)
+    for y in range(height):
+        row = rgb[y]
+        if y % 2 == 0:
+            raw.append(0)  # None
+            raw += row.tobytes()
+        else:
+            raw.append(2)  # Up: emit row - prev (mod 256)
+            raw += ((row.astype(np.int16) - prev) % 256).astype(
+                np.uint8
+            ).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + tag
+            + data
+            + _struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the actual bytes with stdlib only: signature + chunk
+    walk (CRC-checked), zlib-inflate, and FULL scanline-filter
+    reconstruction (None/Sub/Up/Average/Paeth) — the part of PNG
+    decoding that is not just decompression. 8-bit RGB,
+    non-interlaced. Returns (width, height, n_values, sum_values)."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = _struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = _struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = _struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * width
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = 3  # bytes per pixel (8-bit RGB)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return width, height, out.size, int(out.astype(np.int64).sum())
+
+
 def _encode_wav(n_samples: int, media_id: int, rate: int = ENC_SAMPLE_RATE) -> bytes:
     """A real PCM16 mono WAV (RIFF/WAVE, 44-byte canonical header)."""
     i = np.arange(n_samples, dtype=np.int64)
@@ -228,6 +345,9 @@ def decode_media_real(df: DataFrame) -> DataFrame:
                 if fmt == "bmp":
                     w, h, n, s = _decode_bmp(payload)
                     sr = None
+                elif fmt == "png":
+                    w, h, n, s = _decode_png(payload)
+                    sr = None
                 elif fmt == "wav":
                     sr, n, s = _decode_wav(payload)
                     w = h = None
@@ -275,6 +395,64 @@ def media_decode_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_unit"
         ),
     )
+
+
+def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a COMPRESSED format with the standard library
+    only: PNG is DEFLATE (stdlib zlib) + scanline filter
+    reconstruction, so the 'compressed formats need PIL/libav' seam
+    narrows to formats whose codecs genuinely aren't in the stdlib
+    (JPEG/H.264/...). Payloads are spec-compliant PNGs whose rows
+    alternate None/Up filters — the decoder must reconstruct
+    scanlines (and verify chunk CRCs), not just inflate. The oracle
+    recomputes every decoded pixel sum arithmetically from the
+    generator formula, so a filter-reconstruction bug, CRC skip, or
+    channel miscount breaks the hash.
+
+    Output: n_images, n_units, sum_units.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 16 + doc_id % 31, 12 + doc_id % 17
+                payload = _encode_png(w, h, doc_id)
+                dw, dh, n, s = _decode_png(payload)
+                if (dw, dh) != (w, h):
+                    raise ValueError("PNG round-trip dimension mismatch")
+                rows.append((n, s))
+            yield pd.DataFrame(rows, columns=["n_units", "sum_units"])
+
+    decoded = docs.mapInPandas(_roundtrip, "n_units bigint, sum_units bigint")
+    return decoded.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_units").alias("n_units"),
+        F.sum("sum_units").alias("sum_units"),
+    )
+
+
+_PNG_REAL = """
+WITH img AS (
+  SELECT doc_id, 16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), st AS (
+  SELECT 3 * w * h AS n_units,
+         3 * list_sum(flatten(list_transform(
+               generate_series(0, h - 1),
+               y -> list_transform(generate_series(0, w - 1),
+                                   x -> (x + y + doc_id) % 256)))) AS sum_units
+  FROM img
+)
+SELECT count(*)::BIGINT AS n_images,
+       sum(n_units)::BIGINT AS n_units,
+       sum(sum_units)::BIGINT AS sum_units
+FROM st
+"""
 
 
 def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,6 +782,7 @@ QUERIES = {
     "multimodal_decode_real": media_decode_real_stats,
     "video_frame_dedup": video_frame_dedup,
     "binary_file_ingest": binary_file_ingest,
+    "png_decode_real": png_decode_real,
 }
 
 # n_bytes = 64 + (doc_id % 7) * 32 by construction (synth_media), so
@@ -642,6 +821,7 @@ SELECT a.v AS a_id, b.v AS b_id,
 FROM vids a JOIN vids b ON a.v < b.v AND a.v % {VID_GROUPS} = b.v % {VID_GROUPS}
 """,
     "binary_file_ingest": _BINARY_FILE,
+    "png_decode_real": _PNG_REAL,
     "multimodal_decode_real": """
 WITH img AS (
   SELECT doc_id, 16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h

@@ -38,10 +38,15 @@ def test_decode_fake_is_deterministic_across_partitionings(spark):
 def test_decode_real_raises_at_the_seam_for_compressed_formats(spark):
     # synth_media's payloads are opaque digest bytes labeled png/mp4 —
     # the real decoder must refuse them (execution-time, inside the
-    # Arrow batch loop), not silently emit stats
+    # Arrow batch loop), not silently emit stats. png now routes to
+    # the REAL stdlib decoder, which rejects the garbage bytes at the
+    # signature check; mp4 still hits the honest no-codec seam.
     media = mm.synth_media(spark, SF_SMOKE).filter("fmt = 'png'")
-    with pytest.raises(Exception, match="no pure-Python decoder"):
+    with pytest.raises(Exception, match="not a PNG payload"):
         mm.decode_media(media, decode="real").collect()
+    video = mm.synth_media(spark, SF_SMOKE).filter("fmt = 'mp4'")
+    with pytest.raises(Exception, match="no pure-Python decoder"):
+        mm.decode_media(video, decode="real").collect()
     with pytest.raises(ValueError):
         mm.decode_media(media, decode="nope")
 
@@ -143,3 +148,84 @@ def test_pipeline_query_matches_constructed_sizes(spark):
     }
     docs_n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert sum(v[0] for v in stats.values()) == docs_n
+
+
+def test_png_decoder_reconstructs_all_five_filters():
+    """Assemble a PNG whose scanlines cycle through every spec
+    filter (None/Sub/Up/Average/Paeth), using an independent
+    implementation of the FORWARD filter from the spec; _decode_png
+    must reconstruct the exact pixel array (the entry's encoder only
+    emits filters 0/2, so this covers the sequential branch)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    w, h, bpp = 7, 10, 3
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(h, 3 * w), dtype=np.int64)
+
+    def forward_filter(ftype, row, prev):
+        out = bytearray()
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((int(row[i]) - pred) % 256)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = np.zeros(3 * w, dtype=np.int64)
+    for y in range(h):
+        ftype = y % 5
+        raw.append(ftype)
+        raw += forward_filter(ftype, img[y], prev)
+        prev = img[y]
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, n, s = _decode_png(payload)
+    assert (dw, dh) == (w, h)
+    assert n == img.size
+    assert s == int(img.sum())
+
+
+def test_png_decoder_rejects_corrupt_crc():
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    payload = bytearray(_encode_png(5, 4, 7))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(payload))
