@@ -2656,9 +2656,66 @@ SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
 """
 
 
+RECON_BAL_CENTS = 500_000  # 5000.00 — high-balance threshold
+
+
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type the suite hadn't
+    surfaced (inner/left/semi/anti/left-outer all have entries):
+    reconcile two asymmetric per-customer facts — finished-order
+    counts vs high-balance membership — keeping rows present on
+    EITHER side, the two-systems-disagree audit query. Null
+    extension is normalized identically on both engines (counts
+    coalesce to 0, booleans to false).
+
+    Scale shape: both sides pre-aggregate/filter BEFORE the join
+    (the outer join sees one row per customer per side, not raw
+    facts), then one shuffle on the join key; at 100 TB the
+    pre-aggregation is what keeps the full-outer state bounded.
+
+    Output: cust_key, n_orders, is_highbal.
+    """
+    ordered = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    highbal = (
+        table(spark, sf_dir, "customer")
+        .filter(_cents("c_acctbal") >= RECON_BAL_CENTS)
+        .select(F.col("c_custkey").alias("cust_key"))
+        .withColumn("is_highbal", F.lit(True))
+    )
+    return (
+        ordered.join(highbal, "cust_key", "full_outer")
+        .select(
+            "cust_key",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("is_highbal", F.lit(False)).alias("is_highbal"),
+        )
+    )
+
+
+_FULL_OUTER = f"""
+WITH o AS (
+  SELECT o_custkey AS cust_key, count(*)::BIGINT AS n_orders
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+), h AS (
+  SELECT c_custkey AS cust_key, TRUE AS is_highbal
+  FROM customer WHERE round(c_acctbal * 100)::BIGINT >= {RECON_BAL_CENTS}
+)
+SELECT coalesce(o.cust_key, h.cust_key) AS cust_key,
+       coalesce(o.n_orders, 0)::BIGINT AS n_orders,
+       coalesce(h.is_highbal, FALSE) AS is_highbal
+FROM o FULL OUTER JOIN h ON o.cust_key = h.cust_key
+"""
+
+
 QUERIES = {
     "skyline_parts": skyline_parts,
     "unpivot_part_metrics": unpivot_part_metrics,
+    "full_outer_reconciliation": full_outer_reconciliation,
     "lateral_topk_suppliers": lateral_topk_suppliers,
     "merge_scd2": merge_scd2,
     "cms_user_frequencies": cms_user_frequencies,
@@ -2714,6 +2771,7 @@ QUERIES = {
 ORACLES = {
     "skyline_parts": _SKYLINE,
     "unpivot_part_metrics": _UNPIVOT,
+    "full_outer_reconciliation": _FULL_OUTER,
     "lateral_topk_suppliers": _LATERAL_TOPK_SQL,
     "merge_scd2": _SCD2,
     "cms_user_frequencies": _CMS,
