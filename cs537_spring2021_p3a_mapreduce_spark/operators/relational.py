@@ -2712,10 +2712,104 @@ FROM o FULL OUTER JOIN h ON o.cust_key = h.cust_key
 """
 
 
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join over the SCD2 version chain — the
+    feature-store temporal-correctness query (`merge_scd2` builds
+    the versioned dimension; this is how facts CONSUME it without
+    leakage): every lineitem is attributed to the customer-version
+    valid at its ship date, i.e. the latest change at-or-before the
+    fact time, never a future version.
+
+    Scale shape: the naive form is an inequality range join
+    (fact.ts BETWEEN valid_from AND valid_to) — a shuffle-exploding
+    theta join. Instead the union-tag trick from
+    ``asof_purchase_attribution``: version rows and fact rows union
+    into ONE stream, a single per-customer window ordered by
+    (ts, row-kind, change_id) carries the last version forward
+    (versions sort before facts at equal ts, so a same-instant fact
+    sees its version), and facts read it with last(ignorenulls) —
+    one shuffle on the customer key, no range explosion, any number
+    of versions per key.
+
+    Output: cust_key, pit_version, n_items (facts per attributed
+    version; -1 = fact precedes every version)."""
+    orders = table(spark, sf_dir, "orders")
+    wv = Window.partitionBy("cust_key").orderBy("ts", "change_id")
+    versions = orders.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("change_id"),
+    ).withColumn("version", F.row_number().over(wv).cast("long"))
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    facts = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    u = versions.select(
+        "cust_key", "ts", "change_id", "version", F.lit(0).alias("is_fact")
+    ).unionByName(
+        facts.select(
+            "cust_key",
+            "ts",
+            F.lit(0).alias("change_id"),
+            F.lit(None).cast("long").alias("version"),
+            F.lit(1).alias("is_fact"),
+        )
+    )
+    wp = (
+        Window.partitionBy("cust_key")
+        .orderBy("ts", "is_fact", "change_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = u.withColumn(
+        "pit_version", F.last("version", ignorenulls=True).over(wp)
+    )
+    return (
+        attributed.filter(F.col("is_fact") == 1)
+        .groupBy(
+            "cust_key",
+            F.coalesce("pit_version", F.lit(-1)).alias("pit_version"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_SCD2_PIT = """
+WITH versions AS (
+  SELECT o_custkey AS cust_key, o_orderdate AS ts, o_orderkey AS change_id,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         )::BIGINT AS version
+  FROM orders
+), facts AS (
+  SELECT o.o_custkey AS cust_key, l.l_shipdate AS ts
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), u AS (
+  SELECT cust_key, ts, change_id, version, 0 AS is_fact FROM versions
+  UNION ALL
+  SELECT cust_key, ts, 0, NULL, 1 FROM facts
+), w AS (
+  SELECT cust_key, is_fact,
+         last_value(version IGNORE NULLS) OVER (
+           PARTITION BY cust_key ORDER BY ts, is_fact, change_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS pit_version
+  FROM u
+)
+SELECT cust_key, coalesce(pit_version, -1)::BIGINT AS pit_version,
+       count(*)::BIGINT AS n_items
+FROM w WHERE is_fact = 1 GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "skyline_parts": skyline_parts,
     "unpivot_part_metrics": unpivot_part_metrics,
     "full_outer_reconciliation": full_outer_reconciliation,
+    "scd2_point_in_time_join": scd2_point_in_time_join,
     "lateral_topk_suppliers": lateral_topk_suppliers,
     "merge_scd2": merge_scd2,
     "cms_user_frequencies": cms_user_frequencies,
@@ -2772,6 +2866,7 @@ ORACLES = {
     "skyline_parts": _SKYLINE,
     "unpivot_part_metrics": _UNPIVOT,
     "full_outer_reconciliation": _FULL_OUTER,
+    "scd2_point_in_time_join": _SCD2_PIT,
     "lateral_topk_suppliers": _LATERAL_TOPK_SQL,
     "merge_scd2": _SCD2,
     "cms_user_frequencies": _CMS,
