@@ -291,6 +291,9 @@ PROBES = [
     # skyline/lateral/xml run on size-fixed dims — nothing to probe.
     "triangle_count_suppliers",
     "bpe_train_merges",
+    "export_training_shards",
+    "scd2_point_in_time_join",
+    "full_outer_reconciliation",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
