@@ -368,3 +368,79 @@ def test_bpe_marker_replace_matches_greedy_model(spark, syms, pair):
         r"'\\|\\|') AS out"
     ).first()
     assert list(row.out) == _bpe_merge_model(syms, a, b)
+
+
+@given(
+    versions=st.lists(  # (cust, day, change_id)
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    facts=st.lists(  # (order_idx, day)
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@_SETTINGS
+def test_scd2_pit_join_matches_bruteforce_temporal_model(
+    spark, versions, facts
+):
+    """The union-tag + window PIT form must equal the definitional
+    'latest version at-or-before fact time' — including same-instant
+    facts, multiple versions per instant, and facts before any
+    version."""
+    import datetime
+    import tempfile
+    from collections import Counter
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        scd2_point_in_time_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    orders = [
+        (cust, ok, base + datetime.timedelta(days=day))
+        for ok, (cust, day) in enumerate(versions)
+    ]
+    lines = [
+        (orders[oi % len(orders)][1], base + datetime.timedelta(days=day))
+        for oi, day in facts
+    ]
+    # model: rank versions per cust by (ts, orderkey); fact joins the
+    # order to find cust, then takes the latest version <= fact ts
+    by_cust: dict[int, list] = {}
+    for cust, ok, ts in orders:
+        by_cust.setdefault(cust, []).append((ts, ok))
+    rank = {}
+    for cust, vs in by_cust.items():
+        for i, (ts, ok) in enumerate(sorted(vs), start=1):
+            rank[(cust, ok)] = (ts, i)
+    cust_of = {ok: cust for cust, ok, _ in orders}
+    model: Counter = Counter()
+    for lok, lts in lines:
+        cust = cust_of[lok]
+        eligible = [
+            (ts, ok) for (ts, ok) in sorted(by_cust[cust]) if ts <= lts
+        ]
+        ver = rank[(cust, eligible[-1][1])][1] if eligible else -1
+        model[(cust, ver)] += 1
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders, "o_custkey long, o_orderkey long, o_orderdate timestamp"
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            lines, "l_orderkey long, l_shipdate timestamp"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            (r.cust_key, r.pit_version): r.n_items
+            for r in scd2_point_in_time_join(spark, d).collect()
+        }
+    assert got == dict(model)
