@@ -58,6 +58,33 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wordcount_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive wordcount via COLLATION (Spark 4): the
+    grouping key is ``collate(token, 'UTF8_LCASE')``, so equality,
+    hashing, and the shuffle all use collation-aware semantics — no
+    lower() rewrite of the data, which is the point: collation
+    pushes the comparison rule into the TYPE, so every downstream
+    operator (joins, sorts, distinct) inherits it without per-call
+    normalization. Case variety is synthesized deterministically
+    (even doc_ids upper-case their tokens) since the fixture corpus
+    is lower-case. The group representative under a collation is
+    engine-chosen, so the output carries min(token) — deterministic
+    in both engines — never the collated key itself.
+
+    Output: repr_token, cnt.
+    """
+    toks = _token_df(spark, sf_dir).select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("token"))
+        .otherwise(F.col("token"))
+        .alias("w")
+    )
+    return (
+        toks.groupBy(F.collate("w", "UTF8_LCASE").alias("k"))
+        .agg(F.min("w").alias("repr_token"), F.count(F.lit(1)).alias("cnt"))
+        .select("repr_token", "cnt")
+    )
+
+
 def wordcount_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wordcount then point-lookup one term (A11: MapGet after
     MR_Run, main.c:66-71). The filter sits below the aggregate after
@@ -899,6 +926,7 @@ _DJB2 = (
 
 QUERIES = {
     "wordcount": wordcount,
+    "wordcount_ci": wordcount_ci,
     "wordcount_lookup": wordcount_lookup,
     "csv_roundtrip": csv_roundtrip,
     "json_roundtrip": json_roundtrip,
@@ -926,6 +954,14 @@ QUERIES = {
 ORACLES = {
     "wordcount": _TOKENS_CTE
     + "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token",
+    # lower() grouping == UTF8_LCASE equivalence on the ASCII corpus
+    "wordcount_ci": _TOKENS_CTE
+    + (
+        ", v AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(token) "
+        "ELSE token END AS w FROM toks) "
+        "SELECT min(w) AS repr_token, count(*)::BIGINT AS cnt "
+        "FROM v GROUP BY lower(w)"
+    ),
     "csv_roundtrip": (
         "SELECT o_orderstatus, count(*)::BIGINT AS n_orders, "
         "sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS sum_total "
