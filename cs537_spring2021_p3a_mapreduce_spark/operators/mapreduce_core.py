@@ -71,6 +71,13 @@ def wordcount_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-chosen, so the output carries min(token) — deterministic
     in both engines — never the collated key itself.
 
+    Honest cost note (measured): grouping on a collated key plans as
+    SortAggregate, not HashAggregate — non-binary collations aren't
+    hash-aggregable in Spark 4.1 — still one shuffle, but the 100 TB
+    call is collation-in-the-type (rule enforced everywhere,
+    sort-agg cost) vs lower()-normalizing hot aggregation paths
+    (hash-agg, rule re-stated per call). This entry is the former.
+
     Output: repr_token, cnt.
     """
     toks = _token_df(spark, sf_dir).select(
