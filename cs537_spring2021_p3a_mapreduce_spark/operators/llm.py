@@ -2272,6 +2272,55 @@ SELECT doc_id, lang FROM (
 """
 
 
+SAMPLE_WEIGHTED_K = 100
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED priority sampling — longer documents proportionally
+    more likely to be drawn (token-budget-aware corpus sampling,
+    where uniform doc sampling under-weights long documents). Each
+    doc gets a deterministic pseudo-uniform draw ``u`` (60 bits of
+    md5, engine-portable) and priority ``u DIV weight``; the K
+    smallest priorities win — the A-ES bottom-k scheme with the
+    float ``ln(u)/w`` key replaced by an EXACT integer division, so
+    selection is bit-deterministic across engines, reruns, and
+    partitionings (no IEEE-log drift can flip a near-tie).
+
+    Scale shape: zero-shuffle priority computation + one global
+    bottom-K (``TakeOrderedAndProject`` — per-partition heaps, K
+    rows to the driver-side merge, never a full sort).
+
+    Output: doc_id, lang, weight, priority."""
+    docs = table(spark, sf_dir, "documents")
+    # DIV, not "/": Spark's / on longs is a double divide, and 60-bit
+    # draws don't fit a 53-bit mantissa — the priority must stay an
+    # exact integer quotient in both engines.
+    prio = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) DIV n_chars"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight"),
+            prio.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(SAMPLE_WEIGHTED_K)
+    )
+
+
+_SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, n_chars AS weight,
+       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         // n_chars AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {SAMPLE_WEIGHTED_K}
+"""
+
+
 SPAN_N = 5
 
 
@@ -2590,6 +2639,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "sample_stratified": sample_stratified,
     "sample_exact_k": sample_exact_k,
+    "sample_weighted": sample_weighted,
     "udtf_chunk_documents": udtf_chunk_documents,
     "observed_quality_audit": observed_quality_audit,
     "mix_corpora": mix_corpora,
@@ -2650,6 +2700,7 @@ FROM g
     "multimodal_meta": _MULTIMODAL,
     "sample_stratified": _SAMPLE_STRAT,
     "sample_exact_k": _SAMPLE_EXACT_K_SQL,
+    "sample_weighted": _SAMPLE_WEIGHTED_SQL,
     # same oracle as the expression form — the two paths must
     # coincide row-for-row
     "udtf_chunk_documents": _CHUNKS,

@@ -554,6 +554,154 @@ FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
 """
 
 
+def manifest_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the manifest table: reconstruct the
+    row-level changes between two committed generations purely from
+    their snapshots (``_MANIFEST.g1`` vs ``_MANIFEST.g2``) — the
+    Delta CDF / Iceberg changelog contract, derived rather than
+    logged. gen1 = even orders; gen2 = same table after a batch of
+    inserts (odd keys), updates (+111 cents on keys %10==0) and
+    deletes (%14==0 non-updated evens). The feed is
+    ``cur EXCEPT ALL prev`` (additions) / ``prev EXCEPT ALL cur``
+    (removals), with keys present on both sides reclassified as
+    update pre/post images via a semi-join.
+
+    Scale shape: the diff is one hash-partitioned EXCEPT per
+    direction (shuffle on the full row) — no sort, no collect; a
+    production table would scope it to changed files via manifest
+    stats, the same file-pruning ``delete_where`` already does on
+    the write side.
+
+    Output: change_type, n_rows, sum_cents.
+    """
+    from ..sources.manifest_sink import ManifestParquetSink, read_manifest_table
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_cdc_"), "t")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    k = F.col("k")
+    base = o.where(k % 2 == 0)
+    base.write.format("mr_manifest").option("path", path).mode(
+        "overwrite"
+    ).save()
+    gen2 = (
+        base.where((k % 10 != 0) & (k % 14 != 0))  # survivors unchanged
+        .unionByName(
+            base.where(k % 10 == 0).withColumn("cents", F.col("cents") + 111)
+        )
+        .unionByName(o.where(k % 2 == 1))
+    )
+    gen2.write.format("mr_manifest").option("path", path).mode(
+        "overwrite"
+    ).save()
+
+    prev = read_manifest_table(spark, path, as_of=1)
+    cur = read_manifest_table(spark, path, as_of=2)
+    added = cur.exceptAll(prev)
+    removed = prev.exceptAll(cur)
+    upd_keys = added.select("k").intersect(removed.select("k"))
+
+    def tag(df: DataFrame, both: str, only: str) -> DataFrame:
+        hit = df.join(upd_keys, "k", "left_semi").withColumn(
+            "change_type", F.lit(both)
+        )
+        miss = df.join(upd_keys, "k", "left_anti").withColumn(
+            "change_type", F.lit(only)
+        )
+        return hit.unionByName(miss)
+
+    feed = tag(added, "update_postimage", "insert").unionByName(
+        tag(removed, "update_preimage", "delete")
+    )
+    return feed.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+_MANIFEST_CDC = """
+WITH o AS (
+  SELECT o_orderkey AS k, round(o_totalprice * 100)::BIGINT AS c
+  FROM orders
+)
+SELECT 'insert' AS change_type, count(*)::BIGINT AS n_rows,
+       sum(c)::BIGINT AS sum_cents FROM o WHERE k % 2 = 1
+UNION ALL
+SELECT 'delete', count(*)::BIGINT, sum(c)::BIGINT
+FROM o WHERE k % 2 = 0 AND k % 10 <> 0 AND k % 14 = 0
+UNION ALL
+SELECT 'update_preimage', count(*)::BIGINT, sum(c)::BIGINT
+FROM o WHERE k % 2 = 0 AND k % 10 = 0
+UNION ALL
+SELECT 'update_postimage', count(*)::BIGINT, sum(c + 111)::BIGINT
+FROM o WHERE k % 2 = 0 AND k % 10 = 0
+"""
+
+
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill write
+    pattern: rewriting one partition's data replaces ONLY the
+    partitions the new write touches, leaving every other partition
+    byte-untouched (STATIC mode would wipe the whole table first; at
+    100 TB that difference is the whole job). Events land partitioned
+    by event_type; the 'error' partition is then re-written keeping
+    only errors with value above the partition median — the read-back
+    must show the other four partitions exactly as first written.
+    The conf is set per-write via ``.option("partitionOverwriteMode",
+    "dynamic")``, not session-wide, so concurrent entries are
+    unaffected.
+
+    Output: event_type, n_rows, sum_value_milli.
+    """
+    path = os.path.join(scratch_dir("dyn_overwrite_"), "t")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+
+    errs = ev.where(F.col("event_type") == "error")
+    med = errs.agg(
+        F.expr("percentile(v_milli, 0.5)").alias("med")
+    )  # exact median, 1 row
+    keep = errs.join(F.broadcast(med)).where(F.col("v_milli") > F.col("med"))
+    (
+        keep.drop("med")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v_milli").alias("sum_value_milli"),
+    )
+
+
+_DYN_OVERWRITE = """
+WITH ev AS (
+  SELECT event_type, round(value * 1000)::BIGINT AS v
+  FROM events
+), med AS (
+  SELECT median(v) AS m FROM ev WHERE event_type = 'error'
+)
+SELECT event_type, count(*)::BIGINT AS n_rows,
+       sum(v)::BIGINT AS sum_value_milli
+FROM ev, med
+WHERE event_type <> 'error' OR v > m
+GROUP BY 1
+"""
+
+
 def corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-path resilience: a table directory where one part file
     is garbage bytes (a torn upload, a truncated object-store PUT —
@@ -954,6 +1102,8 @@ QUERIES = {
     "manifest_time_travel": manifest_time_travel,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
+    "manifest_changes_cdc": manifest_changes_cdc,
+    "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "json_corrupt_records": json_corrupt_records,
     "corrupt_tolerant_scan": corrupt_tolerant_scan,
 }
@@ -1024,6 +1174,8 @@ ORACLES = {
     "manifest_time_travel": _MANIFEST_TT,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,
+    "manifest_changes_cdc": _MANIFEST_CDC,
+    "dynamic_partition_overwrite": _DYN_OVERWRITE,
     "json_corrupt_records": _JSON_CORRUPT,
     "corrupt_tolerant_scan": _CORRUPT_SCAN,
     "linescan_wordcount": _TOKENS_CTE

@@ -2805,7 +2805,347 @@ FROM w WHERE is_fact = 1 GROUP BY 1, 2
 """
 
 
+def cogroup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().cogroup().applyInPandas`` — the one Python
+    execution seam the suite hadn't isolated: BOTH relations are
+    hash-partitioned on the key and each key's two Arrow-batched
+    frames arrive in ONE Python call (a distributed sort-merge
+    cogroup, the relational form of MapReduce's secondary input).
+    Demonstrated as invoice reconciliation: each order's header
+    total vs the sum of its line items, orders with no items
+    surviving (empty right frame, not a dropped key).
+
+    Production note: THIS aggregate decomposes into a join+groupBy
+    (which is what the oracle runs, and what `.explain` would favor
+    — no Python in the loop); the cogroup seam is for per-key logic
+    that genuinely needs both frames materialized together
+    (positional diffs, per-key model scoring, sequence alignment).
+    Swap the body, keep the dataflow.
+
+    Output: o_orderstatus, n_orders, n_mismatched, n_items,
+    sum_abs_diff_cents.
+    """
+    import pandas as pd
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("oc")
+    )
+    items = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _cents("l_extendedprice").alias("ic")
+    )
+
+    def reconcile(key, odf, ldf):
+        if odf.empty:  # item rows with no header: not reconcilable here
+            return pd.DataFrame(
+                columns=["o_orderkey", "o_orderstatus", "n_items", "oc", "ic"]
+            )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "o_orderstatus": [odf["o_orderstatus"].iloc[0]],
+                "n_items": [len(ldf)],
+                "oc": [int(odf["oc"].iloc[0])],
+                "ic": [int(ldf["ic"].sum())],  # exact int64, empty → 0
+            }
+        )
+
+    per_order = (
+        orders.groupBy("o_orderkey")
+        .cogroup(items.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, o_orderstatus string, n_items long,"
+            " oc long, ic long",
+        )
+    )
+    return per_order.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("oc") != F.col("ic"), 1)).alias("n_mismatched"),
+        F.sum("n_items").alias("n_items"),
+        F.sum(F.abs(F.col("oc") - F.col("ic")).cast(_MONEY_ROW_DEC))
+        .cast("long")
+        .alias("sum_abs_diff_cents"),
+    )
+
+
+_COGROUP = """
+WITH li AS (
+  SELECT l_orderkey AS k, count(*)::BIGINT AS n,
+         sum(round(l_extendedprice * 100)::BIGINT) AS c
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       count(CASE WHEN round(o_totalprice * 100)::BIGINT
+                       <> coalesce(li.c, 0) THEN 1 END)::BIGINT
+         AS n_mismatched,
+       sum(coalesce(li.n, 0))::BIGINT AS n_items,
+       sum(abs(round(o_totalprice * 100)::BIGINT - coalesce(li.c, 0)))::BIGINT
+         AS sum_abs_diff_cents
+FROM orders LEFT JOIN li ON o_orderkey = li.k
+GROUP BY 1
+"""
+
+
+PCT_RANK_CUT = 0.995  # top 0.5% of each priority class
+
+
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window primitives — ``percent_rank`` and
+    ``cume_dist`` — as a driver-visible entry (rank/lag/ntile/sum
+    frames are pinned elsewhere; this closes the window-function
+    taxonomy). Selects each priority class's top 0.5% orders by
+    price. One shuffle on the partition key shared by both window
+    expressions; output is ~0.5% of input rows regardless of scale.
+
+    Determinism: the ORDER BY key (price_cents, o_orderkey) is
+    unique, and percent_rank = (rank-1)/(n-1) / cume_dist = rank/n
+    divide identical exact integers in both engines, so the doubles
+    (and the >= cut comparison) are bit-identical.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "price_cents", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            _cents("o_totalprice").alias("price_cents"),
+        )
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .where(F.col("pr") >= F.lit(PCT_RANK_CUT))
+    )
+
+
+_PCT_RANK = f"""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey,
+         round(o_totalprice * 100)::BIGINT AS price_cents,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY round(o_totalprice * 100)::BIGINT, o_orderkey)
+) WHERE pr >= {PCT_RANK_CUT}
+"""
+
+
+def calendar_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date-dimension join — the warehouse calendar-table
+    pattern without a stored calendar: derive the span from the fact
+    table in-plan (1-row min/max agg), ``sequence``+``explode`` it
+    into one row per calendar day, and LEFT-join daily order
+    aggregates onto it so days with zero orders are represented
+    (idle-day counting is the part a plain GROUP BY o_orderdate
+    cannot do). Facts aggregate BEFORE the join, so the join is
+    days×days (~2.4k rows here, 36.5k at a century), broadcast-able
+    forever; day-of-week is exact integer epoch-day arithmetic, not
+    locale-dependent formatting.
+
+    Output: dow (0 = Thursday, epoch day 0), n_days, n_idle_days,
+    n_orders, sum_cents.
+    """
+    od = table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    per_day = od.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    cal = (
+        od.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("d"))
+        .withColumn(
+            "dow",
+            F.pmod(
+                F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")),
+                F.lit(7),
+            ).cast("long"),
+        )
+    )
+    return (
+        cal.join(per_day, "d", "left")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count(F.when(F.col("n").isNull(), 1)).alias("n_idle_days"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_orders"),
+            F.sum(F.coalesce(F.col("s"), F.lit(0)).cast(_MONEY_ROW_DEC))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+
+
+_CALENDAR = """
+WITH od AS (
+  SELECT o_orderdate::DATE AS d,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+), per_day AS (
+  SELECT d, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+  FROM od GROUP BY 1
+), span AS (SELECT min(d) AS mn, max(d) AS mx FROM od),
+cal AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d
+  FROM span
+)
+SELECT date_diff('day', DATE '1970-01-01', cal.d) % 7 AS dow,
+       count(*)::BIGINT AS n_days,
+       count(CASE WHEN per_day.n IS NULL THEN 1 END)::BIGINT AS n_idle_days,
+       sum(coalesce(per_day.n, 0))::BIGINT AS n_orders,
+       sum(coalesce(per_day.s, 0))::BIGINT AS sum_cents
+FROM cal LEFT JOIN per_day USING (d)
+GROUP BY 1
+"""
+
+
+def outlier_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group anomaly detection: orders more than 2 population
+    standard deviations from their priority class's mean price.
+    The z-test is algebraically cleared of division and sqrt —
+    ``(n·x − S)² > 4·(n·Q − S²)`` over exact integer moments in
+    DECIMAL(38,0) (DuckDB mirrors in HUGEINT) — so the outlier set
+    is bit-deterministic; built-in stddev would make the boundary
+    float-order-dependent. Two scans: a 5-row moment aggregate
+    (broadcast back) + one filtered re-scan; exact through
+    sf≈3000 ((n·x−S)² < 1e38), same bound class as the module's
+    decimal accumulators.
+
+    Output: o_orderpriority, n_orders, n_outliers, outlier_cents.
+    """
+    dec = "decimal(38,0)"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents("o_totalprice").alias("x")
+    )
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("q"),
+    )
+    j = o.join(F.broadcast(m), "o_orderpriority")
+    dev = F.col("n") * F.col("x").cast(dec) - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    is_out = (dev * dev) > (F.lit(4).cast(dec) * var_n2)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        F.sum(F.when(is_out, F.col("x")).otherwise(F.lit(0))).alias(
+            "outlier_cents"
+        ),
+    )
+
+
+_ZSCORE = """
+WITH o AS (
+  SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS x
+  FROM orders
+), m AS (
+  SELECT o_orderpriority, count(*)::HUGEINT AS n,
+         sum(x::HUGEINT) AS s, sum((x * x)::HUGEINT) AS q
+  FROM o GROUP BY 1
+)
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders,
+       count(CASE WHEN (n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+             THEN 1 END)::BIGINT AS n_outliers,
+       sum(CASE WHEN (n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+           THEN x ELSE 0 END)::BIGINT AS outlier_cents
+FROM o JOIN m USING (o_orderpriority)
+GROUP BY 1
+"""
+
+
+INCIDENT_US = 600 * 1_000_000  # each error opens a 10-min window
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join — distinct from the as-of join (point →
+    latest-before) and the banded range join (|t1−t2| ≤ band):
+    variable-length interval × interval, `s1 < e2 AND s2 ≤ e1`.
+    Incidents = 10-min windows opened by error events; activity
+    spans = per user-hour [min ts, max ts] of non-error events; the
+    question is which users were active during which incidents.
+
+    Scale shape: both sides explode into the 10-min grid cells they
+    cover (incidents exactly 2 cells, spans ≤ 7 — bounded, not
+    data-dependent), equi-join on the cell, de-dup the pair, then
+    verify the exact predicate. Candidate volume is pairs sharing a
+    cell — time-local, never the all-pairs product an inequality
+    join degenerates to (the oracle IS that inequality join, safe
+    only at fixture scale).
+
+    Output: user_id, n_incidents (distinct incidents overlapping
+    the user's activity), n_pairs (span-level overlap count).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    cell = lambda c: (c / F.lit(INCIDENT_US)).cast("long")  # noqa: E731
+    inc = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("inc_id"),
+            F.col("us").alias("inc_s"),
+            (F.col("us") + F.lit(INCIDENT_US)).alias("inc_e"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(F.sequence(cell(F.col("inc_s")), cell(F.col("inc_e")))),
+        )
+    )
+    spans = (
+        ev.where(F.col("event_type") != "error")
+        .groupBy(
+            "user_id", (F.col("us") - F.pmod(F.col("us"), F.lit(3_600_000_000))).alias("hour_us")
+        )
+        .agg(F.min("us").alias("sp_s"), F.max("us").alias("sp_e"))
+        .withColumn(
+            "cell",
+            F.explode(F.sequence(cell(F.col("sp_s")), cell(F.col("sp_e")))),
+        )
+    )
+    pairs = (
+        inc.join(spans, "cell")
+        .where((F.col("sp_s") < F.col("inc_e")) & (F.col("inc_s") <= F.col("sp_e")))
+        .select("inc_id", "user_id", "hour_us")
+        .distinct()
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count_distinct("inc_id").alias("n_incidents"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+_IOVERLAP = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+  FROM events
+), inc AS (
+  SELECT event_id AS inc_id, us AS inc_s, us + {INCIDENT_US} AS inc_e
+  FROM ev WHERE event_type = 'error'
+), spans AS (
+  SELECT user_id, us - us % 3600000000 AS hour_us,
+         min(us) AS sp_s, max(us) AS sp_e
+  FROM ev WHERE event_type <> 'error' GROUP BY 1, 2
+)
+SELECT user_id, count(DISTINCT inc_id)::BIGINT AS n_incidents,
+       count(*)::BIGINT AS n_pairs
+FROM inc JOIN spans ON sp_s < inc_e AND inc_s <= sp_e
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "cogroup_reconciliation": cogroup_reconciliation,
+    "window_percent_rank": window_percent_rank,
+    "calendar_dim_join": calendar_dim_join,
+    "outlier_zscore_orders": outlier_zscore_orders,
+    "interval_overlap_join": interval_overlap_join,
     "skyline_parts": skyline_parts,
     "unpivot_part_metrics": unpivot_part_metrics,
     "full_outer_reconciliation": full_outer_reconciliation,
@@ -2863,6 +3203,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cogroup_reconciliation": _COGROUP,
+    "window_percent_rank": _PCT_RANK,
+    "calendar_dim_join": _CALENDAR,
+    "outlier_zscore_orders": _ZSCORE,
+    "interval_overlap_join": _IOVERLAP,
     "skyline_parts": _SKYLINE,
     "unpivot_part_metrics": _UNPIVOT,
     "full_outer_reconciliation": _FULL_OUTER,

@@ -430,3 +430,17 @@ def test_export_training_shards_file_layout(spark, tmp_path, monkeypatch):
         assert os.path.exists(
             os.path.join(captured["dir"], "shards", f["file"])
         )
+
+
+def test_sample_weighted_is_biased_and_deterministic(spark):
+    out1 = llm.sample_weighted(spark, SF).collect()
+    out2 = llm.sample_weighted(spark, SF).collect()
+    assert [r.doc_id for r in out1] == [r.doc_id for r in out2]
+    assert len(out1) == llm.SAMPLE_WEIGHTED_K
+    # weighted draw must favor heavy (long) documents: the sample's
+    # mean weight exceeds the corpus mean weight
+    corpus_mean = (
+        table(spark, SF, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    sample_mean = sum(r.weight for r in out1) / len(out1)
+    assert sample_mean > corpus_mean

@@ -119,3 +119,28 @@ def test_heavy_hitters_partitioning_invariant(spark):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     assert again == base
+
+
+def test_manifest_cdc_reconstructs_changes(spark):
+    """The snapshot-diff change feed must agree with the change rules
+    that produced generation 2 — counted directly from the input."""
+    rows = {r.change_type: r for r in mc.manifest_changes_cdc(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"insert", "delete", "update_preimage", "update_postimage"}
+    od = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    n_odd = od.where(F.col("k") % 2 == 1).count()
+    n_upd = od.where((F.col("k") % 2 == 0) & (F.col("k") % 10 == 0)).count()
+    n_del = od.where(
+        (F.col("k") % 2 == 0) & (F.col("k") % 10 != 0) & (F.col("k") % 14 == 0)
+    ).count()
+    assert rows["insert"].n_rows == n_odd
+    assert rows["delete"].n_rows == n_del
+    assert rows["update_preimage"].n_rows == n_upd
+    assert rows["update_postimage"].n_rows == n_upd
+    # post-image sum is pre-image sum shifted by exactly +111 per row
+    assert (
+        rows["update_postimage"].sum_cents - rows["update_preimage"].sum_cents
+        == 111 * n_upd
+    )

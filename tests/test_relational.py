@@ -212,3 +212,102 @@ def test_skyline_parts_dominance_edge_cases(spark, tmp_path):
     ).write.parquet(str(tmp_path / "part.parquet"))
     got = {r.p_partkey for r in skyline_parts(spark, str(tmp_path)).collect()}
     assert got == {1, 2, 4, 6}
+
+
+def test_percent_rank_semantics(spark):
+    rows = rel.window_percent_rank(spark, SF).collect()
+    assert rows
+    # the cut keeps only the top slice, and the top row of every
+    # priority class (pr == 1.0 exactly) always survives
+    assert all(r.pr >= rel.PCT_RANK_CUT and r.cd <= 1.0 for r in rows)
+    prios = {r.o_orderpriority for r in rows}
+    tops = [r for r in rows if r.pr == 1.0]
+    assert len(tops) == len(prios)
+    # single window shuffle: both window exprs share one Exchange
+    plan = _plan(rel.window_percent_rank(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_calendar_dim_join_covers_span(spark):
+    rows = rel.calendar_dim_join(spark, SF).collect()
+    assert len(rows) == 7  # every day-of-week occurs in a 6.5-year span
+    import datetime
+
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    mn, mx, n, cents = od.select(
+        F.min(F.to_date("o_orderdate")),
+        F.max(F.to_date("o_orderdate")),
+        F.count(F.lit(1)),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+    ).first()
+    assert sum(r.n_days for r in rows) == (mx - mn).days + 1
+    assert sum(r.n_orders for r in rows) == n
+    assert sum(r.sum_cents for r in rows) == cents
+    # idle days only make sense as a subset of calendar days
+    assert all(0 <= r.n_idle_days <= r.n_days for r in rows)
+
+
+def test_outlier_zscore_matches_float_model(spark):
+    """The integer-moment z² test must agree with the obvious float
+    z-score model wherever the float model is unambiguous."""
+    import statistics
+
+    od = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
+    )
+    by_prio: dict[str, list[int]] = {}
+    for r in od.collect():
+        by_prio.setdefault(r.o_orderpriority, []).append(r.x)
+    got = {r.o_orderpriority: r for r in rel.outlier_zscore_orders(spark, SF).collect()}
+    for prio, xs in by_prio.items():
+        mu = statistics.fmean(xs)
+        sd = statistics.pstdev(xs)
+        expect = [x for x in xs if abs(x - mu) > 2 * sd + 1e-6] 
+        r = got[prio]
+        assert r.n_orders == len(xs)
+        assert r.n_outliers == len(expect), prio
+        assert r.outlier_cents == sum(expect), prio
+
+
+def test_interval_overlap_never_cartesian(spark):
+    df = rel.interval_overlap_join(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    n_err = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("event_type") == "error")
+        .count()
+    )
+    assert rows and all(0 < r.n_incidents <= n_err for r in rows)
+    assert all(r.n_pairs >= r.n_incidents for r in rows)
+
+
+def test_cogroup_keeps_itemless_orders(spark, tmp_path):
+    """An order with no line items must survive cogroup with an
+    empty right frame (ic = 0), not vanish."""
+    import datetime
+
+    d = datetime.datetime(2020, 1, 1)
+    spark.createDataFrame(
+        [(1, 10, "O", 100.00, d, "1-URGENT"), (2, 20, "F", 55.00, d, "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 2.0, 60.00, 0.0, 0.0, "N", "O", d),
+         (1, 2, 1, 2, 1.0, 40.00, 0.0, 0.0, "N", "O", d)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {r.o_orderstatus: r for r in
+            rel.cogroup_reconciliation(spark, str(tmp_path)).collect()}
+    assert rows["O"].n_orders == 1 and rows["O"].n_mismatched == 0
+    assert rows["O"].n_items == 2 and rows["O"].sum_abs_diff_cents == 0
+    # itemless order: present, fully mismatched by its own total
+    assert rows["F"].n_orders == 1 and rows["F"].n_items == 0
+    assert rows["F"].n_mismatched == 1 and rows["F"].sum_abs_diff_cents == 5500

@@ -610,3 +610,28 @@ def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
     # time travel: generation 1 still has everything
     g1 = {r.k for r in read_manifest_table(spark, path, as_of=1).collect()}
     assert g1 == set(range(1000))
+
+
+def test_dynamic_overwrite_touches_only_written_partitions(spark):
+    """The non-error partitions must come back byte-identical after
+    the dynamic-mode rewrite of the error partition."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        dynamic_partition_overwrite,
+    )
+    from pyspark.sql import functions as F
+
+    out = {r.event_type: r for r in
+           dynamic_partition_overwrite(spark, "/root/testdata/sf0.001").collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base = {
+        r.event_type: (r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 1000).cast("long")).alias("s"))
+        .collect()
+    }
+    for et, (n, s) in base.items():
+        if et == "error":
+            assert out[et].n_rows < n  # median cut strictly shrinks it
+        else:
+            assert (out[et].n_rows, out[et].sum_value_milli) == (n, s)
