@@ -604,8 +604,11 @@ def manifest_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev = read_manifest_table(spark, path, as_of=1)
     cur = read_manifest_table(spark, path, as_of=2)
-    added = cur.exceptAll(prev)
-    removed = prev.exceptAll(cur)
+    # Each diff feeds three consumers (update-key intersect + the
+    # semi/anti tagging); localCheckpoint materializes it once
+    # instead of re-running the EXCEPT per consumer.
+    added = cur.exceptAll(prev).localCheckpoint()
+    removed = prev.exceptAll(cur).localCheckpoint()
     upd_keys = added.select("k").intersect(removed.select("k"))
 
     def tag(df: DataFrame, both: str, only: str) -> DataFrame:

@@ -2805,6 +2805,10 @@ FROM w WHERE is_fact = 1 GROUP BY 1, 2
 """
 
 
+RECON_START = "1995-03-01"  # the reconciled order month (see
+RECON_END = "1995-03-31"  # cogroup_reconciliation's scale note)
+
+
 def cogroup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``groupBy().cogroup().applyInPandas`` — the one Python
     execution seam the suite hadn't isolated: BOTH relations are
@@ -2822,16 +2826,35 @@ def cogroup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (positional diffs, per-key model scoring, sequence alignment).
     Swap the body, keep the dataflow.
 
+    Scale discipline: cogroup costs ONE Python call per key, so the
+    entry reconciles a scoped slice — one order month, the filter
+    pushed into the orders scan and semi-joined onto lineitem (keys
+    outside the slice must not reach Python from EITHER side; a
+    measured x10 probe of the unscoped form spent ~1 ms/key purely
+    on per-key crossings). That is the honest contract for this
+    seam at 100 TB: per-key Python on a pruned slice, built-in
+    aggregates for full-corpus math.
+
     Output: o_orderstatus, n_orders, n_mismatched, n_items,
     sum_abs_diff_cents.
     """
     import pandas as pd
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("oc")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate").between(RECON_START, RECON_END)
+        )
+        .select("o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("oc"))
     )
-    items = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", _cents("l_extendedprice").alias("ic")
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .select("l_orderkey", _cents("l_extendedprice").alias("ic"))
     )
 
     def reconcile(key, odf, ldf):
@@ -2868,8 +2891,11 @@ def cogroup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COGROUP = """
-WITH li AS (
+_COGROUP = f"""
+WITH o AS (
+  SELECT * FROM orders
+  WHERE o_orderdate BETWEEN '{RECON_START}' AND '{RECON_END}'
+), li AS (
   SELECT l_orderkey AS k, count(*)::BIGINT AS n,
          sum(round(l_extendedprice * 100)::BIGINT) AS c
   FROM lineitem GROUP BY 1
@@ -2881,7 +2907,7 @@ SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
        sum(coalesce(li.n, 0))::BIGINT AS n_items,
        sum(abs(round(o_totalprice * 100)::BIGINT - coalesce(li.c, 0)))::BIGINT
          AS sum_abs_diff_cents
-FROM orders LEFT JOIN li ON o_orderkey = li.k
+FROM o LEFT JOIN li ON o_orderkey = li.k
 GROUP BY 1
 """
 

@@ -444,3 +444,66 @@ def test_scd2_pit_join_matches_bruteforce_temporal_model(
             for r in scd2_point_in_time_join(spark, d).collect()
         }
     assert got == dict(model)
+
+
+@given(
+    evs=st.lists(  # (user, minute offset, is_error)
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=300),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@_SETTINGS
+def test_interval_overlap_matches_bruteforce(spark, evs):
+    """The grid-cell candidate join must find EXACTLY the pairs the
+    definitional inequality join finds — the cell cover may never
+    miss an overlapping (incident, span) pair, and the verify filter
+    must discard every same-cell non-overlap."""
+    import datetime
+    import tempfile
+    from collections import defaultdict
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        INCIDENT_US,
+        interval_overlap_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=m), u,
+         "error" if err else "view", 1.0, "{}")
+        for i, (u, m, err) in enumerate(evs)
+    ]
+    us_of = {r[0]: int(r[1].timestamp() * 1_000_000) for r in rows}
+    incidents = [(r[0], us_of[r[0]], us_of[r[0]] + INCIDENT_US)
+                 for r in rows if r[3] == "error"]
+    spans_map: dict[tuple, list] = {}
+    for r in rows:
+        if r[3] != "error":
+            us = us_of[r[0]]
+            key = (r[2], us - us % 3_600_000_000)
+            spans_map.setdefault(key, []).append(us)
+    model = defaultdict(lambda: [set(), 0])
+    for (user, _hour), uss in spans_map.items():
+        sp_s, sp_e = min(uss), max(uss)
+        for inc_id, inc_s, inc_e in incidents:
+            if sp_s < inc_e and inc_s <= sp_e:
+                model[user][0].add(inc_id)
+                model[user][1] += 1
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.user_id: (r.n_incidents, r.n_pairs)
+            for r in interval_overlap_join(spark, d).collect()
+        }
+    want = {u: (len(ids), n) for u, (ids, n) in model.items()}
+    assert got == want

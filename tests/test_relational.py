@@ -290,7 +290,7 @@ def test_cogroup_keeps_itemless_orders(spark, tmp_path):
     empty right frame (ic = 0), not vanish."""
     import datetime
 
-    d = datetime.datetime(2020, 1, 1)
+    d = datetime.datetime(1995, 3, 15)  # inside the reconciled month
     spark.createDataFrame(
         [(1, 10, "O", 100.00, d, "1-URGENT"), (2, 20, "F", 55.00, d, "2-HIGH")],
         "o_orderkey long, o_custkey long, o_orderstatus string,"

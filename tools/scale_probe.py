@@ -294,6 +294,18 @@ PROBES = [
     "export_training_shards",
     "scd2_point_in_time_join",
     "full_outer_reconciliation",
+    # late round-3 batch: window-taxonomy close-out, generated
+    # calendar dim, integer z-test, grid-cell interval overlap,
+    # snapshot-diff CDC, weighted bottom-k, cogroup seam, dynamic
+    # partition overwrite
+    "window_percent_rank",
+    "calendar_dim_join",
+    "outlier_zscore_orders",
+    "interval_overlap_join",
+    "manifest_changes_cdc",
+    "sample_weighted",
+    "cogroup_reconciliation",
+    "dynamic_partition_overwrite",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
