@@ -2805,76 +2805,76 @@ FROM w WHERE is_fact = 1 GROUP BY 1, 2
 """
 
 
-RECON_START = "1995-03-01"  # the reconciled order month (see
-RECON_END = "1995-03-31"  # cogroup_reconciliation's scale note)
+COGROUP_BUCKETS = 256  # Python calls per cogroup pass (see below)
 
 
 def cogroup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``groupBy().cogroup().applyInPandas`` — the one Python
     execution seam the suite hadn't isolated: BOTH relations are
-    hash-partitioned on the key and each key's two Arrow-batched
-    frames arrive in ONE Python call (a distributed sort-merge
-    cogroup, the relational form of MapReduce's secondary input).
-    Demonstrated as invoice reconciliation: each order's header
-    total vs the sum of its line items, orders with no items
-    surviving (empty right frame, not a dropped key).
+    hash-partitioned on the same key and each key's two
+    Arrow-batched frames arrive in ONE Python call (a distributed
+    sort-merge cogroup, the relational form of MapReduce's
+    secondary input). Demonstrated as invoice reconciliation: each
+    order's header total vs the sum of its line items, orders with
+    no items surviving (absent right rows, not dropped keys).
+
+    Scale discipline — cogroup on the NATURAL key costs one Python
+    call per key (measured ~2.6 ms/key of pure crossing overhead:
+    150k keys ≈ 160 s), so the cogroup key is a BUCKET of keys
+    (``pmod(orderkey, 256)``): both sides co-partition by bucket,
+    each of the 256 calls gets its bucket's orders and items frames
+    and reconciles them with vectorized pandas (groupby + merge)
+    inside. Python calls are O(buckets), per-call work is
+    rows/buckets — the batched-cogroup pattern any per-key-Python
+    operator needs at 100 TB (bucket count scales with cluster
+    cores, not row count).
 
     Production note: THIS aggregate decomposes into a join+groupBy
-    (which is what the oracle runs, and what `.explain` would favor
-    — no Python in the loop); the cogroup seam is for per-key logic
-    that genuinely needs both frames materialized together
-    (positional diffs, per-key model scoring, sequence alignment).
-    Swap the body, keep the dataflow.
-
-    Scale discipline: cogroup costs ONE Python call per key, so the
-    entry reconciles a scoped slice — one order month, the filter
-    pushed into the orders scan and semi-joined onto lineitem (keys
-    outside the slice must not reach Python from EITHER side; a
-    measured x10 probe of the unscoped form spent ~1 ms/key purely
-    on per-key crossings). That is the honest contract for this
-    seam at 100 TB: per-key Python on a pruned slice, built-in
-    aggregates for full-corpus math.
+    (which is what the oracle runs — no Python in the loop); the
+    cogroup seam is for per-key logic that genuinely needs both
+    frames materialized together (positional diffs, per-key model
+    scoring, sequence alignment). Swap the pandas body, keep the
+    dataflow.
 
     Output: o_orderstatus, n_orders, n_mismatched, n_items,
     sum_abs_diff_cents.
     """
     import pandas as pd
 
-    orders = (
-        table(spark, sf_dir, "orders")
-        .where(
-            F.col("o_orderdate").between(RECON_START, RECON_END)
-        )
-        .select("o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("oc"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("oc"),
+        F.pmod("o_orderkey", F.lit(COGROUP_BUCKETS)).alias("bucket"),
     )
-    items = (
-        table(spark, sf_dir, "lineitem")
-        .join(
-            orders.select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            "left_semi",
-        )
-        .select("l_orderkey", _cents("l_extendedprice").alias("ic"))
+    items = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        _cents("l_extendedprice").alias("ic"),
+        F.pmod("l_orderkey", F.lit(COGROUP_BUCKETS)).alias("bucket"),
     )
 
-    def reconcile(key, odf, ldf):
+    def reconcile(odf, ldf):
         if odf.empty:  # item rows with no header: not reconcilable here
             return pd.DataFrame(
                 columns=["o_orderkey", "o_orderstatus", "n_items", "oc", "ic"]
             )
+        li = ldf.groupby("l_orderkey")["ic"].agg(["size", "sum"])
+        m = odf.merge(
+            li, left_on="o_orderkey", right_index=True, how="left"
+        )
         return pd.DataFrame(
             {
-                "o_orderkey": [key[0]],
-                "o_orderstatus": [odf["o_orderstatus"].iloc[0]],
-                "n_items": [len(ldf)],
-                "oc": [int(odf["oc"].iloc[0])],
-                "ic": [int(ldf["ic"].sum())],  # exact int64, empty → 0
+                "o_orderkey": m["o_orderkey"],
+                "o_orderstatus": m["o_orderstatus"],
+                "n_items": m["size"].fillna(0).astype("int64"),
+                "oc": m["oc"],
+                "ic": m["sum"].fillna(0).astype("int64"),
             }
         )
 
     per_order = (
-        orders.groupBy("o_orderkey")
-        .cogroup(items.groupBy("l_orderkey"))
+        orders.groupBy("bucket")
+        .cogroup(items.groupBy("bucket"))
         .applyInPandas(
             reconcile,
             "o_orderkey long, o_orderstatus string, n_items long,"
@@ -2891,11 +2891,8 @@ def cogroup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COGROUP = f"""
-WITH o AS (
-  SELECT * FROM orders
-  WHERE o_orderdate BETWEEN '{RECON_START}' AND '{RECON_END}'
-), li AS (
+_COGROUP = """
+WITH li AS (
   SELECT l_orderkey AS k, count(*)::BIGINT AS n,
          sum(round(l_extendedprice * 100)::BIGINT) AS c
   FROM lineitem GROUP BY 1
@@ -2907,7 +2904,7 @@ SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
        sum(coalesce(li.n, 0))::BIGINT AS n_items,
        sum(abs(round(o_totalprice * 100)::BIGINT - coalesce(li.c, 0)))::BIGINT
          AS sum_abs_diff_cents
-FROM o LEFT JOIN li ON o_orderkey = li.k
+FROM orders LEFT JOIN li ON o_orderkey = li.k
 GROUP BY 1
 """
 
