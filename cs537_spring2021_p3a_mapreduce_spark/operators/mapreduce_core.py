@@ -648,6 +648,44 @@ FROM o WHERE k % 2 = 0 AND k % 10 = 0
 """
 
 
+META_N_FILES = 4  # staged layout the _metadata scan must recover
+
+
+def file_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns — per-row provenance the
+    file scan exposes for free (file name/size/mod-time), the audit
+    primitive behind "which file did this bad row come from" at
+    lake scale: no join against a file inventory, every row carries
+    its source. The entry stages documents as a known 4-file layout,
+    reads it back, and recovers that physical layout purely from
+    ``_metadata``: distinct file count, per-file row balance, and
+    total rows — while ``sum(_metadata.file_size)`` equaling the
+    directory's on-disk bytes is pinned in tests (not the oracle:
+    byte sizes are layout-, codec- and engine-version-dependent).
+
+    Output: n_files, n_rows, every_file_nonempty.
+    """
+    path = os.path.join(scratch_dir("file_meta_"), "docs")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs.repartition(META_N_FILES).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).select(
+        F.col("_metadata.file_name").alias("fname")
+    )
+    per_file = back.groupBy("fname").agg(F.count(F.lit(1)).alias("n"))
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n").alias("n_rows"),
+        (F.min("n") > F.lit(0)).alias("every_file_nonempty"),
+    )
+
+
+_FILE_META = f"""
+SELECT {META_N_FILES}::BIGINT AS n_files, count(*)::BIGINT AS n_rows,
+       true AS every_file_nonempty
+FROM documents
+"""
+
+
 def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite — the idempotent-backfill write
     pattern: rewriting one partition's data replaces ONLY the
@@ -1107,6 +1145,7 @@ QUERIES = {
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_changes_cdc": manifest_changes_cdc,
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
+    "file_metadata_scan": file_metadata_scan,
     "json_corrupt_records": json_corrupt_records,
     "corrupt_tolerant_scan": corrupt_tolerant_scan,
 }
@@ -1179,6 +1218,7 @@ ORACLES = {
     "manifest_delete_rows": _MANIFEST_DEL,
     "manifest_changes_cdc": _MANIFEST_CDC,
     "dynamic_partition_overwrite": _DYN_OVERWRITE,
+    "file_metadata_scan": _FILE_META,
     "json_corrupt_records": _JSON_CORRUPT,
     "corrupt_tolerant_scan": _CORRUPT_SCAN,
     "linescan_wordcount": _TOKENS_CTE

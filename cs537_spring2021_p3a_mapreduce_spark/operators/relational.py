@@ -2805,6 +2805,62 @@ FROM w WHERE is_fact = 1 GROUP BY 1, 2
 """
 
 
+def array_functions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order ARRAY functions as one profiled pass — the
+    lambda-expression family (`transform`/`filter`/`exists`/
+    `forall`/`aggregate`) plus the ordered-array kit (`array_sort`,
+    `array_distinct`, `slice`, `array_max`) over each document's
+    token array. All of it is JVM expression work inside one
+    codegen'd projection: zero shuffles, zero Python — the point of
+    higher-order functions is exactly that per-element logic stays
+    OUT of UDFs. Arrays fold to scalars (plus one sorted preview
+    string) so the oracle compare is type- and order-stable.
+
+    Output: doc_id, n_tokens, n_distinct, n_long, has_rare,
+    all_nonempty, sum_len, max_len, first3.
+    """
+    from ..functions.text import tokens
+
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    lens = F.transform(F.col("t"), lambda x: F.length(x))
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.size(F.filter(F.col("t"), lambda x: F.length(x) > 4))
+        .cast("long")
+        .alias("n_long"),
+        F.exists(F.col("t"), lambda x: F.length(x) > 8).alias("has_rare"),
+        F.forall(F.col("t"), lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_len"),
+        F.array_max(lens).cast("long").alias("max_len"),
+        F.concat_ws("|", F.slice(F.array_sort("t"), 1, 3)).alias("first3"),
+    )
+
+
+_ARRAY_PROFILE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS n_distinct,
+       len(list_filter(t, x -> length(x) > 4))::BIGINT AS n_long,
+       len(list_filter(t, x -> length(x) > 8)) > 0 AS has_rare,
+       len(list_filter(t, x -> length(x) = 0)) = 0 AS all_nonempty,
+       list_sum(list_transform(t, x -> length(x)))::BIGINT AS sum_len,
+       list_max(list_transform(t, x -> length(x)))::BIGINT AS max_len,
+       array_to_string(list_sort(t)[1:3], '|') AS first3
+FROM toks
+"""
+
+
 COGROUP_BUCKETS = 256  # Python calls per cogroup pass (see below)
 
 
@@ -3165,6 +3221,7 @@ GROUP BY 1
 
 QUERIES = {
     "cogroup_reconciliation": cogroup_reconciliation,
+    "array_functions_profile": array_functions_profile,
     "window_percent_rank": window_percent_rank,
     "calendar_dim_join": calendar_dim_join,
     "outlier_zscore_orders": outlier_zscore_orders,
@@ -3227,6 +3284,7 @@ QUERIES = {
 
 ORACLES = {
     "cogroup_reconciliation": _COGROUP,
+    "array_functions_profile": _ARRAY_PROFILE,
     "window_percent_rank": _PCT_RANK,
     "calendar_dim_join": _CALENDAR,
     "outlier_zscore_orders": _ZSCORE,

@@ -837,6 +837,44 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+STREAM_TOPK = 10
+
+
+def stream_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKED continuous query — the one streaming output shape the
+    suite hadn't exercised: sorting + LIMIT over a streaming
+    aggregate, legal exactly in complete output mode (the engine
+    re-emits the full ranked result per trigger; in append/update
+    modes a rank is unstable and Spark rejects the plan). The
+    leaderboard every monitoring dashboard wants: top-K tokens by
+    running count, ties broken by token so the K-th place is
+    deterministic in both engines.
+
+    Scale: state is the groupBy token counts (vocabulary-bounded,
+    same as stream_wordcount); the sort+limit runs per trigger over
+    the AGGREGATED state (|vocab| rows), not over the stream — a
+    TakeOrdered on thousands of rows per micro-batch, never a
+    full-data sort."""
+    import uuid
+
+    work = scratch_dir("stream_topk_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    lines = spark.readStream.schema(schema).parquet(src)
+    ranked = (
+        streaming_wordcount(lines, "text")
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(STREAM_TOPK)
+    )
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        ranked, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8
+    )
+    return spark.table(name)
+
+
 def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKPOINT RECOVERY with an exactly-once file sink — the
     reliability contract a 100 TB deployment actually depends on:
@@ -1207,6 +1245,7 @@ def stream_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_wordcount": stream_wordcount,
+    "stream_topk_words": stream_topk_words,
     "stream_restart_recovery": stream_restart_recovery,
     "stream_incremental_rollup": stream_incremental_rollup,
     "stream_time_bucket": stream_time_bucket,
@@ -1252,6 +1291,13 @@ ORACLES = {
         "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token "
         "FROM documents) "
         "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token"
+    ),
+    "stream_topk_words": (
+        "WITH toks AS (SELECT unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token "
+        "FROM documents) "
+        "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token "
+        f"ORDER BY cnt DESC, token LIMIT {STREAM_TOPK}"
     ),
     "stream_time_bucket": (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "

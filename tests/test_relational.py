@@ -311,3 +311,22 @@ def test_cogroup_keeps_itemless_orders(spark, tmp_path):
     # itemless order: present, fully mismatched by its own total
     assert rows["F"].n_orders == 1 and rows["F"].n_items == 0
     assert rows["F"].n_mismatched == 1 and rows["F"].sum_abs_diff_cents == 5500
+
+
+def test_array_profile_matches_python_model(spark):
+    import re
+
+    got = {r.doc_id: r for r in rel.array_functions_profile(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for d in docs[:50]:
+        t = [x for x in re.split(r"\s+", d.text) if x]
+        r = got[d.doc_id]
+        lens = [len(x) for x in t]
+        assert r.n_tokens == len(t)
+        assert r.n_distinct == len(set(t))
+        assert r.n_long == sum(1 for x in t if len(x) > 4)
+        assert r.has_rare == any(len(x) > 8 for x in t)
+        assert r.all_nonempty is True
+        assert r.sum_len == sum(lens) and r.max_len == max(lens)
+        assert r.first3 == "|".join(sorted(t)[:3])

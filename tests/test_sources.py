@@ -635,3 +635,41 @@ def test_dynamic_overwrite_touches_only_written_partitions(spark):
             assert out[et].n_rows < n  # median cut strictly shrinks it
         else:
             assert (out[et].n_rows, out[et].sum_value_milli) == (n, s)
+
+
+def test_file_metadata_sizes_match_disk(spark, tmp_path):
+    """_metadata.file_size must be the actual on-disk bytes of each
+    part file (per-row provenance is only useful if it's true)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    spark.range(1000).repartition(3).write.parquet(path)
+    per_file = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_name").alias("name"),
+            F.col("_metadata.file_size").alias("size"),
+        )
+        .distinct()
+        .collect()
+    )
+    disk = {
+        f: os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert {r.name: r.size for r in per_file} == disk
+    assert len(disk) == 3
+
+
+def test_file_metadata_scan_layout(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        META_N_FILES,
+        file_metadata_scan,
+    )
+
+    row = file_metadata_scan(spark, "/root/testdata/sf0.001").first()
+    assert row.n_files == META_N_FILES
+    assert row.n_rows == 500 and row.every_file_nonempty

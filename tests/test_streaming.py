@@ -549,3 +549,19 @@ def test_tws_running_totals_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_topk_matches_batch_topk(spark):
+    from cs537_spring2021_p3a_mapreduce_spark import streaming as strm
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        wordcount,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = strm.stream_topk_words(spark, sf).collect()
+    assert len(got) == strm.STREAM_TOPK
+    counts = [r.cnt for r in got]
+    assert counts == sorted(counts, reverse=True)
+    batch = wordcount(spark, sf).collect()
+    want = sorted(batch, key=lambda r: (-r.cnt, r.token))[: strm.STREAM_TOPK]
+    assert {(r.token, r.cnt) for r in got} == {(r.token, r.cnt) for r in want}

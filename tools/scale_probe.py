@@ -306,6 +306,8 @@ PROBES = [
     "sample_weighted",
     "cogroup_reconciliation",
     "dynamic_partition_overwrite",
+    "array_functions_profile",
+    "file_metadata_scan",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
