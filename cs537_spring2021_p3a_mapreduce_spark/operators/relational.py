@@ -438,6 +438,85 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4, SQL:2023-era `|>` chaining) — the
+    third front-end the engine accepts after the DataFrame API and
+    ANSI SQL: each `|>` stage names one relational op in dataflow
+    order (FROM → WHERE → AGGREGATE ... GROUP BY), and the parser
+    lowers it to the IDENTICAL Catalyst plan the other two produce
+    (shipdate still reaches the parquet footer as a pushed filter —
+    same plan, different notation). Here: the Q1 pricing summary's
+    core re-declared pipe-first.
+
+    Output: l_returnflag, l_linestatus, n_rows, sum_qty, sum_cents.
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |> AGGREGATE count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(28, 4)))
+                  AS BIGINT) AS sum_cents
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_PIPE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+PARAM_TOPN = 7
+PARAM_SEGMENT = "BUILDING"
+
+
+def parameterized_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — ``spark.sql(query, args={...})`` binds
+    named ``:params`` as literal AST nodes BEFORE analysis: the
+    injection-proof templating surface (string-formatted SQL is the
+    anti-pattern this replaces), and the bound literal constant-folds
+    into the plan exactly like a hand-written one (the segment
+    predicate still pushes into the customer scan). Top-N spenders
+    of one market segment, N and segment both parameters.
+
+    Output: c_custkey, c_name, order_cents.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS DECIMAL(28, 4)))
+                    AS BIGINT) AS order_cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = :segment
+        GROUP BY 1, 2
+        ORDER BY order_cents DESC, c_custkey
+        LIMIT :n
+        """,
+        args={"segment": PARAM_SEGMENT, "n": PARAM_TOPN},
+    )
+
+
+_PARAM_SQL = f"""
+SELECT c_custkey, c_name,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS order_cents
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c_mktsegment = '{PARAM_SEGMENT}'
+GROUP BY 1, 2
+ORDER BY order_cents DESC, c_custkey
+LIMIT {PARAM_TOPN}
+"""
+
+
 def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery — orders priced above their own
     customer's average — submitted through the SQL surface so
@@ -3270,6 +3349,8 @@ QUERIES = {
     "set_ops_segments": set_ops_segments,
     "cube_rollup_sales": cube_rollup_sales,
     "grouping_sets_mix": grouping_sets_mix,
+    "pipe_syntax_pricing": pipe_syntax_pricing,
+    "parameterized_sql_topn": parameterized_sql_topn,
     "above_avg_orders": above_avg_orders,
     "approx_distinct_users": approx_distinct_users,
     "json_extract_events": json_extract_events,
@@ -3333,6 +3414,8 @@ ORACLES = {
     "set_ops_segments": _SETOPS,
     "cube_rollup_sales": _ROLLUP,
     "grouping_sets_mix": _GSETS,
+    "pipe_syntax_pricing": _PIPE_SQL,
+    "parameterized_sql_topn": _PARAM_SQL,
     "above_avg_orders": _ABOVE_AVG,
     # approx_distinct_users: intentionally no oracle (sketch estimate).
     "json_extract_events": _JSON,

@@ -41,3 +41,38 @@ def test_sql_matches_dataframe_plan(spark):
         for r in via_sql.collect()
     }
     assert got == want
+
+
+def test_pipe_syntax_same_plan_discipline(spark):
+    """The |> front-end must lower to the same physical shape as the
+    ANSI form: filter pushed to the scan, one hash aggregate."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        pipe_syntax_pricing,
+    )
+
+    df = pipe_syntax_pricing(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    assert "HashAggregate" in plan
+
+
+def test_parameterized_sql_binds_literals(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators.relational import (
+        PARAM_SEGMENT,
+        PARAM_TOPN,
+        parameterized_sql_topn,
+    )
+
+    df = parameterized_sql_topn(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the bound :segment parameter reaches the scan as a pushed literal
+    assert PARAM_SEGMENT in plan.split("PushedFilters")[1][:300]
+    rows = df.collect()
+    assert len(rows) == PARAM_TOPN
+    cents = [r.order_cents for r in rows]
+    assert cents == sorted(cents, reverse=True)
