@@ -875,6 +875,43 @@ def stream_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def state_store_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE as a queryable table (Spark 4 `statestore` data
+    source) — the ops-debugging surface for stateful streams: after
+    draining the incremental wordcount, its checkpoint's state store
+    is read back as a DataFrame and must equal the batch wordcount
+    EXACTLY (state for a streaming aggregate IS the running answer).
+    This is how a production incident ("why is this key's count
+    wrong?") is debugged without replaying the stream — query the
+    state like any table, partition-pruned by the store's own
+    partition_id.
+
+    Output: token, cnt — hash-checked against the batch SQL.
+    """
+    work = scratch_dir("state_inspect_")
+    src = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    lines = spark.readStream.schema(schema).parquet(src)
+    counts = streaming_wordcount(lines, "text")
+    import uuid
+
+    name = f"state_ins_{uuid.uuid4().hex[:8]}"
+    run_to_memory(counts, name, ckpt, "complete", shuffle_partitions=8)
+    state = spark.read.format("statestore").load(ckpt)
+    # the state schema is (key: struct, value: struct, partition_id);
+    # the value struct carries the aggregation BUFFER's field name
+    # (`count`, not the query alias), so address fields by position
+    key_f = state.schema["key"].dataType.names[0]
+    val_f = state.schema["value"].dataType.names[0]
+    return state.select(
+        F.col(f"key.{key_f}").alias("token"),
+        F.col(f"value.{val_f}").alias("cnt"),
+    )
+
+
 def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKPOINT RECOVERY with an exactly-once file sink — the
     reliability contract a 100 TB deployment actually depends on:
@@ -1246,6 +1283,7 @@ def stream_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
+    "state_store_inspection": state_store_inspection,
     "stream_restart_recovery": stream_restart_recovery,
     "stream_incremental_rollup": stream_incremental_rollup,
     "stream_time_bucket": stream_time_bucket,
@@ -1298,6 +1336,13 @@ ORACLES = {
         "FROM documents) "
         "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token "
         f"ORDER BY cnt DESC, token LIMIT {STREAM_TOPK}"
+    ),
+    # the state store of a streaming aggregate IS the running answer
+    "state_store_inspection": (
+        "WITH toks AS (SELECT unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token "
+        "FROM documents) "
+        "SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token"
     ),
     "stream_time_bucket": (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
