@@ -2272,6 +2272,77 @@ SELECT doc_id, lang FROM (
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 embedding quantization — the storage lever that turns a
+    100 TB float32 embedding table into 25 TB (+1 scale per vector):
+    per-vector max-abs scaling to [-127, 127], the scheme faiss/
+    vector-DB scalar quantization uses. All math is exact integers —
+    floats enter once through ``floor(x·1e6)`` (identical IEEE
+    double→floor in both engines) and every subsequent step is
+    int64 multiply/DIV/% (identical truncation semantics verified
+    cross-engine) — so quantized codes AND reconstruction-error
+    sums are bit-deterministic, not float-drift-prone. Zero-shuffle:
+    one narrow projection pass over the vectors.
+
+    Output: vec_id, scale_micro, sum_q (signed code checksum),
+    max_abs_q (≤127 by construction), err_sum (Σ|v·127 mod scale|,
+    the exact total reconstruction residue in micro·127 units).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+            ).alias("m"),
+        )
+        .withColumn(
+            "scale_micro",
+            F.expr(
+                "greatest(array_max(transform(m, v -> abs(v))), CAST(1 AS BIGINT))"
+            ),
+        )
+        .select(
+            "vec_id",
+            "scale_micro",
+            F.expr(
+                "aggregate(m, CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + (v * 127) DIV scale_micro)"
+            ).alias("sum_q"),
+            F.expr(
+                "array_max(transform(m, v -> abs((v * 127) DIV scale_micro)))"
+            ).alias("max_abs_q"),
+            F.expr(
+                "aggregate(m, CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + abs((v * 127) % scale_micro))"
+            ).alias("err_sum"),
+        )
+    )
+
+
+_QUANT_SQL = """
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000)::BIGINT) AS mm
+  FROM embeddings
+), s AS (
+  SELECT vec_id, mm,
+         greatest(list_max(list_transform(mm, v -> abs(v))), 1) AS scale_micro
+  FROM m
+)
+SELECT vec_id, scale_micro,
+       list_sum(list_transform(mm, v -> (v * 127) // scale_micro))::BIGINT
+         AS sum_q,
+       list_max(list_transform(mm, v -> abs((v * 127) // scale_micro)))::BIGINT
+         AS max_abs_q,
+       list_sum(list_transform(mm, v -> abs((v * 127) % scale_micro)))::BIGINT
+         AS err_sum
+FROM s
+"""
+
+
 SAMPLE_WEIGHTED_K = 100
 
 
@@ -2640,6 +2711,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_exact_k": sample_exact_k,
     "sample_weighted": sample_weighted,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "udtf_chunk_documents": udtf_chunk_documents,
     "observed_quality_audit": observed_quality_audit,
     "mix_corpora": mix_corpora,
@@ -2701,6 +2773,7 @@ FROM g
     "sample_stratified": _SAMPLE_STRAT,
     "sample_exact_k": _SAMPLE_EXACT_K_SQL,
     "sample_weighted": _SAMPLE_WEIGHTED_SQL,
+    "embedding_quantize_int8": _QUANT_SQL,
     # same oracle as the expression form — the two paths must
     # coincide row-for-row
     "udtf_chunk_documents": _CHUNKS,

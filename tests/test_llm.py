@@ -444,3 +444,31 @@ def test_sample_weighted_is_biased_and_deterministic(spark):
     )
     sample_mean = sum(r.weight for r in out1) / len(out1)
     assert sample_mean > corpus_mean
+
+
+def test_quantize_int8_codes_bounded_and_reconstructible(spark):
+    """Codes must fit int8 and the per-vector residue is < 64·scale
+    (each element's mod is < scale); a Python model re-derives one
+    vector end to end."""
+    rows = llm.embedding_quantize_int8(spark, SF).collect()
+    assert rows and all(0 < r.max_abs_q <= 127 for r in rows)
+    assert all(0 <= r.err_sum < 64 * r.scale_micro for r in rows)
+    import math
+
+    vec = (
+        table(spark, SF, "embeddings")
+        .where(F.col("vec_id") == rows[0].vec_id)
+        .first()
+        .embedding
+    )
+    m = [math.floor(float(x) * 1_000_000.0) for x in vec]
+    scale = max(max(abs(v) for v in m), 1)
+    got = rows[0]
+    assert got.scale_micro == scale
+    # Python // floors; rebuild with truncation toward zero to match DIV
+    tq = [
+        (v * 127) // scale if v >= 0 else -((-v * 127) // scale)
+        for v in m
+    ]
+    assert got.sum_q == sum(tq)
+    assert got.err_sum == sum(abs(v * 127) % scale for v in m)

@@ -308,6 +308,7 @@ PROBES = [
     "dynamic_partition_overwrite",
     "array_functions_profile",
     "file_metadata_scan",
+    "embedding_quantize_int8",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
