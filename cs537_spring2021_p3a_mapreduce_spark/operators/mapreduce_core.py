@@ -216,6 +216,10 @@ def linescan_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(LineScanDataSource)
     except Exception:
         pass
+    # the reader implements pushFilters(); Spark refuses to plan it
+    # unless the python filter-pushdown capability is on (set at
+    # runtime so driver-owned vanilla sessions work too)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
     work = scratch_dir("linescan_")
     shards = os.path.join(work, "shards")
@@ -551,6 +555,65 @@ _MANIFEST_DEL = """
 SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
        sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
 FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+"""
+
+
+GREP_NEEDLE = "stream"  # a mid-frequency vocabulary word
+
+
+def linescan_pushdown_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER PUSHDOWN through the custom Python data source
+    (``linescan.pushFilters``): the `line CONTAINS needle` predicate
+    is absorbed by the reader, which greps while streaming the file
+    — non-matching lines never become Arrow rows and never cross the
+    Python→JVM boundary. The plan's scan node records the pushdown
+    (``PushedFilters: [StringContains(line,...)]``, plan-asserted);
+    Spark still re-checks the predicate post-scan (its conservative
+    default for Python sources — correct under a buggy reader, and
+    nearly free on the already-filtered trickle). This is the
+    grep_filter query (hashmap_test.c:35-37's client-side token
+    predicate) executed AT THE SOURCE — the I/O-level difference
+    between scanning 100 TB and scanning the matching fraction.
+
+    Output: n_lines, n_tokens (over matching lines only).
+    """
+    from ..functions.text import tokens as _tokens
+    from ..sources.linescan import LineScanDataSource
+
+    try:
+        spark.dataSource.register(LineScanDataSource)
+    except Exception:
+        pass
+    # the reader implements pushFilters(); Spark refuses to plan it
+    # unless the python filter-pushdown capability is on (set at
+    # runtime so driver-owned vanilla sessions work too)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    work = scratch_dir("linescan_grep_")
+    shards = os.path.join(work, "shards")
+    (
+        table(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(4)
+        .write.text(shards)
+    )
+    lines = (
+        spark.read.format("mr_linescan")
+        .option("path", shards)
+        .load()
+        .where(F.col("line").contains(GREP_NEEDLE))
+    )
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.size(_tokens("line"))).alias("n_tokens"),
+    )
+
+
+_LINESCAN_GREP = f"""
+SELECT count(*)::BIGINT AS n_lines,
+       sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> t <> '')))::BIGINT AS n_tokens
+FROM documents WHERE text LIKE '%{GREP_NEEDLE}%'
 """
 
 
@@ -1146,6 +1209,7 @@ QUERIES = {
     "manifest_changes_cdc": manifest_changes_cdc,
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "file_metadata_scan": file_metadata_scan,
+    "linescan_pushdown_grep": linescan_pushdown_grep,
     "json_corrupt_records": json_corrupt_records,
     "corrupt_tolerant_scan": corrupt_tolerant_scan,
 }
@@ -1219,6 +1283,7 @@ ORACLES = {
     "manifest_changes_cdc": _MANIFEST_CDC,
     "dynamic_partition_overwrite": _DYN_OVERWRITE,
     "file_metadata_scan": _FILE_META,
+    "linescan_pushdown_grep": _LINESCAN_GREP,
     "json_corrupt_records": _JSON_CORRUPT,
     "corrupt_tolerant_scan": _CORRUPT_SCAN,
     "linescan_wordcount": _TOKENS_CTE

@@ -47,6 +47,27 @@ class LineScanReader(DataSourceReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("mr_linescan requires option('path', <dir>)")
+        self.needles: list[str] = []
+
+    def pushFilters(self, filters):
+        """DSv2 FILTER PUSHDOWN through the Python source API: a
+        `line CONTAINS x` predicate is absorbed into the scan (the
+        reader greps while streaming the file, so non-matching lines
+        never become Arrow rows, never cross to the JVM, never hit
+        the downstream plan — at 100 TB the pushdown IS the I/O
+        saving). Every other filter is returned to Spark, which
+        keeps evaluating it post-scan; absorbing a filter we cannot
+        honor exactly would silently corrupt results, so the
+        accepted set is deliberately narrow."""
+        from pyspark.sql.datasource import StringContains
+
+        remaining = []
+        for f in filters:
+            if isinstance(f, StringContains) and tuple(f.attribute) == ("line",):
+                self.needles.append(f.value)
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
         # A1: the file list IS the partitioning — one task per file,
@@ -85,7 +106,12 @@ class LineScanReader(DataSourceReader):
         emitted = False
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
-                buf.append(line.rstrip("\n"))
+                line = line.rstrip("\n")
+                # pushed `contains` predicates: grep at the source —
+                # dropped lines never materialize as rows
+                if any(n not in line for n in self.needles):
+                    continue
+                buf.append(line)
                 if len(buf) >= self.BATCH_LINES:
                     yield batch(buf)
                     emitted = True

@@ -673,3 +673,43 @@ def test_file_metadata_scan_layout(spark):
     row = file_metadata_scan(spark, "/root/testdata/sf0.001").first()
     assert row.n_files == META_N_FILES
     assert row.n_rows == 500 and row.every_file_nonempty
+
+
+def test_linescan_pushfilters_absorbs_only_contains(tmp_path):
+    from pyspark.sql.datasource import EqualTo, StringContains
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.linescan import (
+        LineScanReader,
+    )
+
+    r = LineScanReader({"path": str(tmp_path)})
+    keep = r.pushFilters(
+        [StringContains(("line",), "xyz"), EqualTo(("path",), "p")]
+    )
+    # contains-on-line absorbed; anything else returned to Spark
+    assert [type(f).__name__ for f in keep] == ["EqualTo"]
+    assert r.needles == ["xyz"]
+
+
+def test_linescan_pushdown_reaches_scan(spark):
+    """The contains predicate must reach the source scan as a pushed
+    filter (Spark still re-checks it post-scan — its conservative
+    default for Python sources — but the source-side grep is what
+    cuts the Arrow/IPC volume), and results must equal the unpushed
+    path."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        GREP_NEEDLE,
+        linescan_pushdown_grep,
+    )
+
+    df = linescan_pushdown_grep(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert f"StringContains(line,{GREP_NEEDLE})" in plan  # in PushedFilters
+    row = df.first()
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = docs.where(F.col("text").contains(GREP_NEEDLE)).count()
+    assert row.n_lines == want > 0
