@@ -2138,6 +2138,69 @@ JOIN q qb ON qb.vec_id = c.vec_b
 """
 
 
+UNPACK_N = 3
+
+
+def udtf_polymorphic_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the output schema is computed at
+    ANALYSIS time by the UDTF's static ``analyze()`` from a constant
+    argument (Spark 4): ``unpack(doc_id, text, 3)`` analyzes to
+    columns ``tok_1..tok_3``, ``unpack(..., 5)`` to five — one
+    class serves every width, the way built-in generators adapt
+    their schema to their arguments. This is the schema-flexibility
+    half of the UDTF contract (`udtf_chunk_documents` pins the
+    static-returnType half); real uses: a parser whose field list
+    comes from a format-descriptor argument, a feature extractor
+    whose column set follows the requested feature pack.
+
+    Output: doc_id, tok_1..tok_{UNPACK_N} (NULL-padded when a doc
+    has fewer tokens — the contract an analyzer must state, not
+    improvise).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    class _UnpackUDTF:
+        @staticmethod
+        def analyze(doc_id, text, n):
+            # n must be foldable — its VALUE shapes the schema
+            width = int(n.value)
+            st = StructType().add("doc_id", LongType())
+            for i in range(1, width + 1):
+                st = st.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, doc_id, text, n):
+            toks = [t for t in ws.split(text) if t]
+            yield tuple(
+                [doc_id] + [toks[i] if i < len(toks) else None for i in range(n)]
+            )
+
+    spark.udtf.register("unpack_udtf", udtf(_UnpackUDTF))
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_unpack_docs")
+    return spark.sql(
+        "SELECT u.* FROM _unpack_docs d,"
+        f" LATERAL unpack_udtf(d.doc_id, d.text, {UNPACK_N}) u"
+    )
+
+
+_UNPACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       {", ".join(f"tk[{i}] AS tok_{i}" for i in range(1, UNPACK_N + 1))}
+FROM t
+"""
+
+
 def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``chunk_documents`` re-expressed as a PYTHON UDTF (table
     function, Spark 4): one input row → many output rows from
@@ -2713,6 +2776,7 @@ QUERIES = {
     "sample_weighted": sample_weighted,
     "embedding_quantize_int8": embedding_quantize_int8,
     "udtf_chunk_documents": udtf_chunk_documents,
+    "udtf_polymorphic_unpack": udtf_polymorphic_unpack,
     "observed_quality_audit": observed_quality_audit,
     "mix_corpora": mix_corpora,
     "pack_sequences": pack_sequences,
@@ -2777,6 +2841,7 @@ FROM g
     # same oracle as the expression form — the two paths must
     # coincide row-for-row
     "udtf_chunk_documents": _CHUNKS,
+    "udtf_polymorphic_unpack": _UNPACK_SQL,
     "observed_quality_audit": _OBSERVED_AUDIT,
     "mix_corpora": _MIX,
     "pack_sequences": _PACK_SEQ,

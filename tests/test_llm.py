@@ -472,3 +472,25 @@ def test_quantize_int8_codes_bounded_and_reconstructible(spark):
     ]
     assert got.sum_q == sum(tq)
     assert got.err_sum == sum(abs(v * 127) % scale for v in m)
+
+
+def test_polymorphic_udtf_schema_follows_argument(spark):
+    """analyze() must shape the output schema from the constant
+    width argument — different widths, different column sets."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        UNPACK_N,
+        udtf_polymorphic_unpack,
+    )
+
+    df = udtf_polymorphic_unpack(spark, SF)
+    assert df.columns == ["doc_id"] + [f"tok_{i}" for i in range(1, UNPACK_N + 1)]
+    # a second width through the registered function: 5 columns
+    wide = spark.sql(
+        "SELECT u.* FROM _unpack_docs d, LATERAL unpack_udtf(d.doc_id, d.text, 5) u"
+    )
+    assert wide.columns == ["doc_id"] + [f"tok_{i}" for i in range(1, 6)]
+    row = df.where(F.col("doc_id") == 0).first()
+    text = table(spark, SF, "documents").where(F.col("doc_id") == 0).first().text
+    toks = text.split()
+    for i in range(UNPACK_N):
+        assert row[f"tok_{i+1}"] == (toks[i] if i < len(toks) else None)
