@@ -507,3 +507,62 @@ def test_interval_overlap_matches_bruteforce(spark, evs):
         }
     want = {u: (len(ids), n) for u, (ids, n) in model.items()}
     assert got == want
+
+
+@given(
+    ks=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=60),
+            st.integers(min_value=100, max_value=99999),
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_manifest_cdc_matches_rule_model(spark, ks):
+    """The snapshot-diff change feed must equal the generative rules
+    (insert = odd keys, delete = %14 non-updated evens, update =
+    %10 evens) on ARBITRARY key/price sets — including sets with no
+    updates, no deletes, or colliding prices across keys."""
+    import datetime
+    import tempfile
+    from collections import defaultdict
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        manifest_changes_cdc,
+    )
+
+    # guarantee a non-empty gen1 (even key) and a non-empty insert set
+    ks = list(ks) + [(2, 5000), (3, 7000)]
+    ks = list({k: c for k, c in ks}.items())
+    d = datetime.datetime(1997, 6, 1)
+    rows = [
+        (k, 1, "O", c / 100.0, d, "3-MEDIUM") for k, c in ks
+    ]
+    model = defaultdict(lambda: [0, 0])
+    for k, c in ks:
+        if k % 2 == 1:
+            t = [("insert", c)]
+        elif k % 10 == 0:
+            t = [("update_preimage", c), ("update_postimage", c + 111)]
+        elif k % 14 == 0:
+            t = [("delete", c)]
+        else:
+            t = []
+        for name, cents in t:
+            model[name][0] += 1
+            model[name][1] += cents
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{td}/orders.parquet")
+        got = {
+            r.change_type: (r.n_rows, r.sum_cents)
+            for r in manifest_changes_cdc(spark, td).collect()
+        }
+    assert got == {k: tuple(v) for k, v in model.items()}
