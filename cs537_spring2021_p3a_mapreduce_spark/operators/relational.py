@@ -2940,6 +2940,115 @@ FROM toks
 """
 
 
+def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX set intersection — the Roaring-bitmap technique
+    OLAP engines use for audience overlap: each event type's user
+    set becomes 64-bit words keyed by ``user_id DIV 64`` (one long
+    encodes 64 membership bits via ``bit_or(shiftleft)``), and
+    pairwise overlap is ``bit_count(a & b)`` summed over shared
+    words. The shuffle carries |users|/64 longs per segment instead
+    of |users| rows, and the pair join is word-aligned — at 1B users
+    that is 16M words vs 1B rows per segment, the whole point of
+    bitmap indexes. The oracle computes the same overlap the plain
+    way (distinct-join-count), proving the bitmap path value-exact.
+
+    Output: type_a, type_b, n_common_users (pairs with ≥1 common
+    user; a bitmap row whose AND is empty is filtered, matching the
+    join form's absence).
+    """
+    du = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    words = du.groupBy(
+        "event_type", F.expr("user_id DIV 64").alias("w")
+    ).agg(
+        # shiftleft's Python wrapper takes only a literal shift —
+        # the per-row bit position needs the SQL form
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))")
+        ).alias("bits")
+    )
+    a, b = words.alias("a"), words.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits")))).alias(
+                "n_common_users"
+            )
+        )
+        .where(F.col("n_common_users") > 0)
+    )
+
+
+_BITMAP_OVERLAP = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_common_users
+FROM du a JOIN du b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+NULLDOC_MOD = 7  # every 7th doc loses its text (NULL) for the outer test
+
+
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator NULL semantics — ``explode_outer`` vs ``explode``:
+    plain explode DROPS rows whose array is empty or NULL (a
+    silent-data-loss class when tokenizing a corpus with empty
+    docs); the OUTER form preserves them with a NULL element. Empty
+    docs are synthesized deterministically (every ``NULLDOC_MOD``-th
+    doc's text nulled) since the fixture corpus has none; the
+    aggregate proves both behaviors from one pass: total rows keep
+    every doc, and null-token rows = exactly the nulled docs.
+
+    Output: n_docs_out, n_null_tokens, n_real_tokens.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % NULLDOC_MOD == 0, F.lit(None)).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    from ..functions.text import tokens as _tokens
+
+    ex = docs.select(
+        "doc_id", F.explode_outer(_tokens("text")).alias("token")
+    )
+    return ex.agg(
+        F.count_distinct("doc_id").alias("n_docs_out"),
+        F.count(F.when(F.col("token").isNull(), 1)).alias("n_null_tokens"),
+        F.count("token").alias("n_real_tokens"),
+    )
+
+
+_EXPLODE_OUTER = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {NULLDOC_MOD} = 0 THEN NULL
+              ELSE list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> '') END AS t
+  FROM documents
+)
+SELECT count(DISTINCT doc_id)::BIGINT AS n_docs_out,
+       count(CASE WHEN t IS NULL THEN 1 END)::BIGINT AS n_null_tokens,
+       sum(CASE WHEN t IS NULL THEN 0 ELSE len(t) END)::BIGINT
+         AS n_real_tokens
+FROM toks
+"""
+
+
 COGROUP_BUCKETS = 256  # Python calls per cogroup pass (see below)
 
 
@@ -3300,6 +3409,8 @@ GROUP BY 1
 
 QUERIES = {
     "cogroup_reconciliation": cogroup_reconciliation,
+    "bitmap_segment_overlap": bitmap_segment_overlap,
+    "explode_outer_tokens": explode_outer_tokens,
     "array_functions_profile": array_functions_profile,
     "window_percent_rank": window_percent_rank,
     "calendar_dim_join": calendar_dim_join,
@@ -3365,6 +3476,8 @@ QUERIES = {
 
 ORACLES = {
     "cogroup_reconciliation": _COGROUP,
+    "bitmap_segment_overlap": _BITMAP_OVERLAP,
+    "explode_outer_tokens": _EXPLODE_OUTER,
     "array_functions_profile": _ARRAY_PROFILE,
     "window_percent_rank": _PCT_RANK,
     "calendar_dim_join": _CALENDAR,

@@ -330,3 +330,38 @@ def test_array_profile_matches_python_model(spark):
         assert r.all_nonempty is True
         assert r.sum_len == sum(lens) and r.max_len == max(lens)
         assert r.first3 == "|".join(sorted(t)[:3])
+
+
+def test_bitmap_overlap_matches_join_model(spark):
+    got = {
+        (r.type_a, r.type_b): r.n_common_users
+        for r in rel.bitmap_segment_overlap(spark, SF).collect()
+    }
+    du = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    by_type: dict[str, set] = {}
+    for r in du:
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    want = {}
+    types = sorted(by_type)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            n = len(by_type[ta] & by_type[tb])
+            if n:
+                want[(ta, tb)] = n
+    assert got == want and len(got) > 0
+
+
+def test_explode_outer_keeps_empty_docs(spark):
+    row = rel.explode_outer_tokens(spark, SF).first()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    n_nulled = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.expr(f"doc_id % {rel.NULLDOC_MOD} = 0")
+    ).count()
+    assert row.n_docs_out == n_docs          # no silent doc loss
+    assert row.n_null_tokens == n_nulled     # one NULL row per empty doc
+    assert row.n_real_tokens > 0
