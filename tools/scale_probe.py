@@ -309,6 +309,8 @@ PROBES = [
     "array_functions_profile",
     "file_metadata_scan",
     "embedding_quantize_int8",
+    "bitmap_segment_overlap",
+    "explode_outer_tokens",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
