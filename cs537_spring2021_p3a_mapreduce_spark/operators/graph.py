@@ -366,6 +366,57 @@ def bfs_hops(edges: DataFrame, src: str, dst: str, source_vertex: int,
     return visited.select("v", F.col("hops").cast("long").alias("hops"))
 
 
+SSSP_HOPS = 4  # bounded Bellman-Ford rounds (bipartite diameter-ish)
+
+
+def sssp_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths (fifth graph kernel —
+    BFS gives hops, this gives min COST): bounded Bellman-Ford over
+    the parity-encoded part↔supplier graph with edge weight =
+    min line-quantity between the pair (exact integers). Each round
+    relaxes every edge once — one keyed join + one min-aggregate —
+    and after K rounds dist(v) is EXACTLY the min-cost path using
+    ≤K edges (the bounded-hop contract makes the answer closed-form
+    and SQL-expressible: the oracle unrolls the same K relaxations
+    as CTEs). localCheckpoint cuts lineage per round like BFS/CC.
+
+    At scale: per-round work is one shuffle of |edges| + |dist|
+    rows; K is a constant (graph diameter class), so total work is
+    O(K·E) — the textbook distributed Bellman-Ford (Pregel's hello
+    world), no priority queue needed or wanted on a cluster.
+
+    Output: vertex, min_cost (vertices within SSSP_HOPS edges).
+    """
+    from ..catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.groupBy(
+            (F.col("l_partkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    e = e0.unionByName(
+        e0.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
+    ).localCheckpoint()
+    dist = spark.createDataFrame(
+        [(2 * BFS_SOURCE, 0)], "v long, c long"
+    ).localCheckpoint()
+    for _ in range(SSSP_HOPS):
+        relaxed = (
+            e.join(dist, e["s"] == dist["v"])
+            .select(F.col("d").alias("v"), (F.col("c") + F.col("w")).alias("c"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("c").alias("c"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("v").alias("vertex"), F.col("c").alias("min_cost"))
+
+
 def bfs_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible BFS entry: hop distances from part vertex 0
     over the same parity-encoded part↔supplier bipartite graph as
@@ -496,8 +547,36 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "pagerank_part_supplier": pagerank_part_supplier,
     "bfs_part_supplier": bfs_part_supplier,
+    "sssp_part_supplier": sssp_part_supplier,
     "triangle_count_suppliers": triangle_count_suppliers,
 }
+
+
+def _sssp_oracle(hops: int = SSSP_HOPS) -> str:
+    """Bounded Bellman-Ford unrolled: one relaxation CTE per round,
+    identical min/+ integer arithmetic — hash-exact by construction."""
+    parts = [
+        "WITH e0 AS (\n"
+        "  SELECT l_partkey*2 AS s, l_suppkey*2+1 AS d,\n"
+        "         min(l_quantity::BIGINT) AS w\n"
+        "  FROM lineitem GROUP BY 1, 2\n"
+        "), e AS (\n"
+        "  SELECT s, d, w FROM e0 UNION ALL SELECT d, s, w FROM e0\n"
+        f"), d0 AS (SELECT {2 * BFS_SOURCE}::BIGINT AS v, 0::BIGINT AS c)"
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f", d{k} AS (\n"
+            f"  SELECT v, min(c)::BIGINT AS c FROM (\n"
+            f"    SELECT v, c FROM d{k - 1}\n"
+            f"    UNION ALL\n"
+            f"    SELECT e.d AS v, d{k - 1}.c + e.w AS c\n"
+            f"    FROM d{k - 1} JOIN e ON e.s = d{k - 1}.v\n"
+            f"  ) GROUP BY 1\n"
+            f")"
+        )
+    parts.append(f"\nSELECT v AS vertex, c AS min_cost FROM d{hops}")
+    return "".join(parts)
 
 def _pagerank_oracle(n_iter: int = PR_ITER) -> str:
     """The integer PageRank recurrence unrolled: one CTE per
@@ -538,6 +617,7 @@ ORACLES = {
     # min-hops via a bounded recursive walk: UNION dedups (v, hops)
     # pairs, the hops bound terminates cycles, min() recovers the
     # BFS distance; vertices beyond the bound are absent either way
+    "sssp_part_supplier": _sssp_oracle(),
     "bfs_part_supplier": f"""
 WITH RECURSIVE pairs AS (
   SELECT DISTINCT l_partkey*2 AS s, l_suppkey*2+1 AS d FROM lineitem

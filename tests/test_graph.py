@@ -263,3 +263,57 @@ def test_triangle_counts_input_normalization(spark):
     # duplicate edges, reversed orientation, self-loops: all ignored
     edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 1), (2, 2)]
     assert _tri(spark, edges) == {(0, 1), (1, 1), (2, 1)}
+
+
+def test_sssp_matches_bounded_bellman_ford_model(spark, tmp_path):
+    """dist_K(v) must equal the min-cost path using <= K edges —
+    checked against a brute-force relaxation model on a small graph
+    where the cheap route needs MORE hops than the direct edge (cost
+    must win over hop count within the bound)."""
+    import datetime
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.graph import (
+        SSSP_HOPS,
+        sssp_part_supplier,
+    )
+
+    d = datetime.datetime(1995, 1, 1)
+    # bipartite edges (part p -> 2p, supplier s -> 2s+1): direct edge
+    # part0-supp1 costs 50; the detour part0-supp0(1) -supp... via
+    # part1 costs 1+1+1+1 < 50 but needs 4 hops.
+    rows = [
+        # (orderkey, partkey, suppkey, linenumber, quantity)
+        (1, 0, 0, 1, 1.0),   # part0 - supp0  w=1
+        (2, 1, 0, 1, 1.0),   # part1 - supp0  w=1
+        (3, 1, 1, 1, 1.0),   # part1 - supp1  w=1
+        (4, 0, 1, 1, 50.0),  # part0 - supp1  w=50 (direct, costly)
+        (5, 0, 0, 2, 9.0),   # duplicate pair: min(1, 9) must win
+    ]
+    spark.createDataFrame(
+        [
+            (ok, pk, sk, ln, q, 1.0, 0.0, 0.0, "N", "O", d)
+            for ok, pk, sk, ln, q in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {r.vertex: r.min_cost for r in sssp_part_supplier(spark, str(tmp_path)).collect()}
+
+    # brute-force bounded relaxation over the same weighted edges
+    edges = {}
+    for _, pk, sk, _, q in rows:
+        k = (2 * pk, 2 * sk + 1)
+        edges[k] = min(edges.get(k, 10**9), int(q))
+    und = list(edges.items()) + [((b, a), w) for (a, b), w in edges.items()]
+    dist = {0: 0}
+    for _ in range(SSSP_HOPS):
+        nxt = dict(dist)
+        for (a, b), w in und:
+            if a in dist and dist[a] + w < nxt.get(b, 10**18):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == dist
+    assert got[3] == 3  # supp1 via the 3-hop detour, not the 50 direct
