@@ -24,6 +24,7 @@ from cs537_spring2021_p3a_mapreduce_spark.operators import (
     llm,
     mapreduce_core,
     multimodal,
+    profiling,
     relational,
     tpch2,
 )
@@ -33,6 +34,7 @@ _MODULES = [
     bloom,
     layout,
     relational,
+    profiling,
     tpch2,
     llm,
     dedup,

