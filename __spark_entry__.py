@@ -26,6 +26,7 @@ from cs537_spring2021_p3a_mapreduce_spark.operators import (
     multimodal,
     profiling,
     relational,
+    temporal,
     tpch2,
 )
 
@@ -35,6 +36,7 @@ _MODULES = [
     layout,
     relational,
     profiling,
+    temporal,
     tpch2,
     llm,
     dedup,

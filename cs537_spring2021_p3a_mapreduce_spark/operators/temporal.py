@@ -1,0 +1,253 @@
+"""Temporal analytics: complex-event-processing pattern matching
+over ordered per-user event sequences, distinct-count over sliding
+time windows (an operator Spark lacks natively, built as a bounded
+fan-out composition), and ISO-calendar rollups.
+
+Reference trace: the reference engine is a batch wordcount library
+(mapreduce.c) with no time dimension; this module extends the same
+shuffle shapes (key → ordered values → aggregate, A7/A8's sorted
+grouped-reduce contract) to event time.
+
+100 TB notes per operator are in the docstrings; none of these
+collects to the driver, and the only per-user state is the user's
+own event-type sequence (bounded by events-per-user, the same bound
+any sessionizer carries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+# ---------------------------------------------------------------------------
+# event_pattern_match — CEP via regex over the per-user event-type string
+# ---------------------------------------------------------------------------
+
+# event_type -> one char, so a user's ordered history is a compact
+# string and a behavior pattern is a regex over it. Simple regexes
+# only (no backrefs/lookaround): Java regex (Spark) and RE2 (DuckDB)
+# agree on leftmost non-overlapping matching for this class.
+EVENT_CHARS = {
+    "click": "c",
+    "error": "e",
+    "purchase": "p",
+    "signup": "s",
+    "view": "v",
+}
+
+# (pattern name, regex over the char alphabet)
+CEP_PATTERNS = [
+    ("browse_to_buy", "v[cv]*p"),  # view, optional clicks/views, purchase
+    ("error_burst", "ee+"),  # 2+ consecutive errors
+    ("signup_to_buy", "s[^p]*p"),  # signup eventually followed by purchase
+]
+
+
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex event processing without the
+    clause: each user's event history becomes one compact string
+    (one char per event, ordered by time), and each behavior pattern
+    is a regex counted with ``regexp_extract_all`` — non-overlapping
+    leftmost matches, identical semantics in both engines.
+
+    Plan: ONE shuffle (groupBy user) building the sequence string via
+    ``array_sort(collect_list(struct(ts, event_id, chr)))`` — the
+    struct sort makes the order total and engine-independent (ties on
+    ts broken by unique event_id) — then a narrow regex count per
+    pattern and one tiny final aggregate. The per-user string is the
+    only state (events-per-user chars), the same bound a sessionizer
+    carries; a 100 TB run shuffles each event exactly once as a
+    1-byte payload plus key/ts.
+
+    Output per pattern: users_matched, total_matches.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _event_char("event_type").alias("chr")
+    )
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "chr"))
+                    ),
+                    lambda s: s["chr"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    per_pattern = []
+    for name, pat in CEP_PATTERNS:
+        matches = F.size(F.regexp_extract_all("seq", F.lit(pat), F.lit(0)))
+        per_pattern.append(
+            seq.select(matches.alias("m")).agg(
+                F.lit(name).alias("pattern"),
+                F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("users_matched"),
+                F.sum("m").alias("total_matches"),
+            )
+        )
+    out = per_pattern[0]
+    for p in per_pattern[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("pattern")
+
+
+def _event_char(col: str) -> F.Column:
+    expr = F.lit(None).cast("string")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in EVENT_CHARS.items() for x in kv]
+    )
+    expr = mapping[F.col(col)]
+    # unknown event types map to 'x' so they can't accidentally
+    # complete a pattern
+    return F.coalesce(expr, F.lit("x"))
+
+
+def _cep_sql() -> str:
+    case = " ".join(
+        f"WHEN event_type = '{k}' THEN '{v}'" for k, v in EVENT_CHARS.items()
+    )
+    parts = []
+    for name, pat in CEP_PATTERNS:
+        parts.append(
+            f"""
+    SELECT '{name}' AS pattern,
+           sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS users_matched,
+           sum(m)::BIGINT AS total_matches
+    FROM (
+      SELECT len(regexp_extract_all(seq, '{pat}')) AS m FROM seqs
+    )"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE {case} ELSE 'x' END, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+{union}
+ORDER BY pattern
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding_distinct_users — COUNT(DISTINCT) over a sliding time window
+# ---------------------------------------------------------------------------
+
+SLIDING_DAYS = 7
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU
+    query. Spark's window functions reject DISTINCT aggregates, so
+    the operator is rebuilt as a composition with a BOUNDED fan-out:
+
+    1. dedupe to (user, day)            — 1 shuffle, the real volume cut
+    2. each (user, day) contributes to anchors [day, day+6] — narrow
+       ``explode(sequence(...))``, fan-out ≤ 7 (the window length)
+    3. exact count_distinct(user) per anchor — 1 aggregate
+
+    versus the naive day×events range join (window-length × full
+    scan). At 100 TB the dedup output is what ships: |users×days|
+    rows ×7, each a (date, long) pair. The fan-out factor is the
+    window length — constant, chosen, and visible.
+
+    Output: day (yyyy-MM-dd), n_users.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    ud = ev.distinct()
+    mx = ud.agg(F.max("day").alias("maxd"))
+    fan = ud.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.date_add("day", SLIDING_DAYS - 1), F.col("maxd")),
+            )
+        ).alias("anchor"),
+    )
+    return (
+        fan.groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+_SLIDING_DISTINCT_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+), mx AS (SELECT max(day) AS maxd FROM ud),
+fan AS (
+  SELECT user_id,
+         unnest(generate_series(day::TIMESTAMP,
+                                least(day + INTERVAL {SLIDING_DAYS - 1} DAY,
+                                      maxd)::TIMESTAMP,
+                                INTERVAL 1 DAY))::DATE AS anchor
+  FROM ud, mx
+)
+SELECT strftime(anchor, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM fan GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# iso_week_rollup — ISO-8601 calendar intelligence
+# ---------------------------------------------------------------------------
+
+
+def iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume and revenue by ISO-8601 week — the calendar the
+    business reports on, where the year boundary follows the week
+    (Jan 1 can belong to week 52/53 of the PREVIOUS iso year; both
+    engines implement the standard, the oracle proves they agree).
+    One hash aggregate; revenue sums exactly in DECIMAL cents.
+
+    Output: iso_year, iso_week, n_orders, revenue.
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.groupBy(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").alias("iso_year"),
+            F.weekofyear("o_orderdate").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents.cast("decimal(28,4)")) / F.lit(100.0))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+_ISO_WEEK_SQL = """
+SELECT isoyear(o_orderdate)::INT AS iso_year,
+       weekofyear(o_orderdate)::INT AS iso_week,
+       count(*)::BIGINT AS n_orders,
+       (sum(round(o_totalprice * 100)::BIGINT::DECIMAL(28,4)) / 100.0)::DOUBLE
+         AS revenue
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "event_pattern_match": event_pattern_match,
+    "sliding_distinct_users": sliding_distinct_users,
+    "iso_week_rollup": iso_week_rollup,
+}
+
+ORACLES = {
+    "event_pattern_match": _cep_sql(),
+    "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
+    "iso_week_rollup": _ISO_WEEK_SQL,
+}
