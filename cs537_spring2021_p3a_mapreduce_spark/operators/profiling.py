@@ -600,6 +600,88 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# winsorize_amounts
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+# clamped values are fractional cents (interpolated fences); quantize
+# to 1e-6-cent longs before summing so the sum is exact.
+_WINSOR_SCALE = 1_000_000
+
+
+def winsorize_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the training-data cleaning step that caps a
+    heavy tail instead of dropping it: order totals clamp to the
+    per-priority [P1, P99] fences. Reports what the cap did (clamp
+    counts, mean before/after) rather than emitting the clamped rows,
+    so the output stays group-sized.
+
+    Two aggregate passes: exact interpolated percentile fences per
+    group (``percentile`` ↔ ``quantile_cont`` parity, proven by
+    ``grouped_quantiles``), broadcast back, clamp + aggregate.
+    Fences are computed from exact cent longs with IEEE-identical
+    interpolation arithmetic; clamped values quantize to 1e-6-cent
+    longs before summing (exact, combine-order-free). The 100 TB
+    swap, as with grouped_quantiles, is ``approx_percentile`` fences
+    at identical call shape.
+
+    Output: o_orderpriority, n, n_lo, n_hi, mean_cents_before,
+    mean_cents_after (round 6).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents("o_totalprice").alias("cents")
+    )
+    fences = o.groupBy("o_orderpriority").agg(
+        F.expr(f"percentile(cents, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(cents, {WINSOR_HI})").alias("hi"),
+    )
+    j = o.join(F.broadcast(fences), "o_orderpriority")
+    c = F.col("cents").cast("double")
+    clamped = F.least(F.greatest(c, F.col("lo")), F.col("hi"))
+    qmicro = F.round(clamped * F.lit(float(_WINSOR_SCALE))).cast("long")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(c < F.col("lo"), 1).otherwise(0)).alias("n_lo"),
+            F.sum(F.when(c > F.col("hi"), 1).otherwise(0)).alias("n_hi"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mean_cents_before"),
+            F.round(
+                F.sum(qmicro).cast("double")
+                / F.lit(float(_WINSOR_SCALE))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_cents_after"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_WINSORIZE_SQL = f"""
+WITH c AS (
+  SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents FROM orders
+), f AS (
+  SELECT o_orderpriority,
+         quantile_cont(cents, {WINSOR_LO}) AS lo,
+         quantile_cont(cents, {WINSOR_HI}) AS hi
+  FROM c GROUP BY 1
+)
+SELECT c.o_orderpriority,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN c.cents::DOUBLE < f.lo THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+       sum(CASE WHEN c.cents::DOUBLE > f.hi THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+       round(sum(c.cents)::DOUBLE / count(*)::DOUBLE, 6) AS mean_cents_before,
+       round(sum(round(least(greatest(c.cents::DOUBLE, f.lo), f.hi)
+                       * {_WINSOR_SCALE}.0)::BIGINT)::DOUBLE
+             / {_WINSOR_SCALE}.0 / count(*)::DOUBLE, 6) AS mean_cents_after
+FROM c JOIN f USING (o_orderpriority)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "table_profile": table_profile,
@@ -608,9 +690,11 @@ QUERIES = {
     "benford_digit_audit": benford_digit_audit,
     "corpus_divergence": corpus_divergence,
     "equidepth_histogram": equidepth_histogram,
+    "winsorize_amounts": winsorize_amounts,
 }
 
 ORACLES = {
+    "winsorize_amounts": _WINSORIZE_SQL,
     "fk_integrity_audit": _FK_AUDIT_SQL,
     "table_profile": _TABLE_PROFILE_SQL,
     "regression_ols": _REGRESSION_OLS_SQL,

@@ -166,3 +166,20 @@ def test_fk_audit_broadcasts_parents(spark):
     # every anti-join is a broadcast (key-only parent builds)
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_winsorize_clamps_extremes(spark):
+    """Semantic check: clamp counts are ~1% each side (interpolated
+    P1/P99 fences), and the winsorized mean moves toward the median
+    (or stays) — never past the raw mean's own side."""
+    rows = prof.winsorize_amounts(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # ~1% clamps each side (integer rounding at group sizes)
+        assert r.n_lo <= r.n * 0.02 + 1
+        assert r.n_hi <= r.n * 0.02 + 1
+        assert r.n_lo + r.n_hi > 0  # fences at P1/P99 must clamp something
+        # winsorizing a heavy-right-tail can only lower (or keep) the mean
+        assert r.mean_cents_after <= r.mean_cents_before + max(
+            1.0, 0.02 * r.mean_cents_before
+        )
