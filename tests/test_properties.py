@@ -566,3 +566,114 @@ def test_manifest_cdc_matches_rule_model(spark, ks):
             for r in manifest_changes_cdc(spark, td).collect()
         }
     assert got == {k: tuple(v) for k, v in model.items()}
+
+
+# --- CEP pattern matching vs Python re model -------------------------------
+
+_EVT = st.sampled_from(["click", "error", "purchase", "signup", "view"])
+
+
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(1, 4), _EVT), min_size=1, max_size=40
+    )
+)
+@_SETTINGS
+def test_cep_counts_match_re_model(spark, evs):
+    """Random multi-user histories: the Spark sequence build + regex
+    count must equal Python re.findall on the per-user strings built
+    by an independent model (sorted by (ts, event_id))."""
+    import re
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as tmp
+
+    rows = [
+        (u, float(i), i, et) for i, (u, et) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, _s double, event_id long, event_type string"
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.col("_s")).alias("ts"),
+        "event_id",
+        tmp._event_char("event_type").alias("chr"),
+    )
+    seq = df.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "chr"))),
+                lambda s: s["chr"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    got_seqs = {r.user_id: r.seq for r in seq.collect()}
+    model: dict[int, str] = {}
+    for u, s, i, et in sorted(rows, key=lambda r: (r[1], r[2])):
+        model[u] = model.get(u, "") + tmp.EVENT_CHARS[et]
+    assert got_seqs == model
+    for name, pat in tmp.CEP_PATTERNS:
+        want = sum(len(re.findall(pat, s)) for s in model.values())
+        got = (
+            seq.select(
+                F.size(F.regexp_extract_all("seq", F.lit(pat), F.lit(0))).alias("m")
+            )
+            .agg(F.sum("m"))
+            .collect()[0][0]
+        )
+        assert got == want, name
+
+
+# --- sliding distinct users vs brute-force model ---------------------------
+
+
+@given(
+    uds=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 20)),  # (user, day offset)
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_sliding_distinct_matches_bruteforce(spark, uds):
+    """Random (user, day) activity: the fan-out composition's trailing
+    W-day distinct counts must equal the brute-force window model for
+    every anchor day it emits, and its anchor set must be exactly the
+    days reachable from an active day within the window (capped at
+    max observed day)."""
+    import datetime as dt
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as tmp
+
+    base = dt.date(2024, 3, 1)
+    rows = [(u, base + dt.timedelta(days=d)) for u, d in uds]
+    df = spark.createDataFrame(rows, "user_id long, day date")
+    mx = df.agg(F.max("day").alias("maxd"))
+    fan = df.distinct().crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.date_add("day", tmp.SLIDING_DAYS - 1), F.col("maxd")),
+            )
+        ).alias("anchor"),
+    )
+    got = {
+        r.anchor: r.n
+        for r in fan.groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    days = {d for _, d in rows}
+    maxd = max(days)
+    anchors = {
+        d + dt.timedelta(days=k)
+        for d in days
+        for k in range(tmp.SLIDING_DAYS)
+        if d + dt.timedelta(days=k) <= maxd
+    }
+    assert set(got) == anchors
+    for a in anchors:
+        lo = a - dt.timedelta(days=tmp.SLIDING_DAYS - 1)
+        want = len({u for u, d in rows if lo <= d <= a})
+        assert got[a] == want, a
