@@ -1280,7 +1280,112 @@ def stream_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pattern_match_updates(events: DataFrame) -> DataFrame:
+    """Stateful streaming CEP: per-user event-sequence state with the
+    same regex-pattern semantics as the batch
+    ``temporal.event_pattern_match``. Each update appends the batch's
+    (ts, event_id, chr) records to the user's state log, re-sorts by
+    event time, and re-counts every pattern on the full history — so
+    the FINAL update per user equals the batch answer regardless of
+    micro-batch split or cross-batch arrival order (streams deliver
+    files, not timelines; sorting in-state is what makes the result
+    batch-split-invariant, the property the oracle hash-checks).
+
+    State is the user's full compact history (one char per event +
+    timestamps) — the same per-user bound the batch collect_list
+    carries. The documented production variant for unbounded
+    retention windows keeps only the suffix a bounded-span pattern
+    can still extend and evicts via event-time timeout (the
+    ``session_close_on_timeout`` lifecycle); the full-history form is
+    the exactness reference it would be validated against."""
+    import re
+
+    from ..operators.temporal import CEP_PATTERNS
+
+    pats = [(name, re.compile(pat)) for name, pat in CEP_PATTERNS]
+    out_cols = ", ".join(f"m_{name} bigint" for name, _ in CEP_PATTERNS)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        log, upd = state.get if state.exists else ("", 0)
+        recs = []
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("int64") // 1_000  # ns → µs
+            recs.extend(
+                f"{t}:{e}:{c}"
+                for t, e, c in zip(ts_us, pdf["event_id"], pdf["chr"])
+            )
+        if recs:
+            log = (log + "," if log else "") + ",".join(recs)
+        upd += 1
+        state.update((log, upd))
+        parsed = sorted(
+            (int(t), int(e), c)
+            for t, e, c in (r.split(":") for r in log.split(",") if r)
+        )
+        seq = "".join(c for _, _, c in parsed)
+        row: dict[str, list] = {"user_id": [user_id], "upd": [upd]}
+        for name, rx in pats:
+            row[f"m_{name}"] = [len(rx.findall(seq))]
+        yield pd.DataFrame(row)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=f"user_id bigint, upd bigint, {out_cols}",
+        stateStructType="log string, upd bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for STREAMING CEP: drain the events
+    stream through the per-user pattern-match state machine, take
+    each user's LAST update (``max_by(counts, upd)`` — upd strictly
+    increments per user), aggregate to the same 3-row
+    (pattern, users_matched, total_matches) shape as the batch
+    ``event_pattern_match``, and hash-check against the identical
+    SQL oracle — the strongest batch/stream parity claim available
+    for a custom stateful operator."""
+    import uuid
+
+    from ..operators.temporal import CEP_PATTERNS, _event_char
+
+    work = scratch_dir("stream_pm_")
+    ev = _staged_events_stream(spark, sf_dir, work).select(
+        "user_id", "ts", "event_id", _event_char("event_type").alias("chr")
+    )
+    updates = pattern_match_updates(ev)
+    name = f"stream_pm_{uuid.uuid4().hex[:8]}"
+    run_to_memory(updates, name, os.path.join(work, "ckpt"), "update", shuffle_partitions=8)
+    last = spark.table(name).groupBy("user_id").agg(
+        *[
+            F.expr(f"max_by(m_{pname}, upd)").alias(f"m_{pname}")
+            for pname, _ in CEP_PATTERNS
+        ]
+    )
+    per_pattern = []
+    for pname, _ in CEP_PATTERNS:
+        m = F.col(f"m_{pname}")
+        per_pattern.append(
+            last.agg(
+                F.lit(pname).alias("pattern"),
+                F.sum(F.when(m > 0, 1).otherwise(0)).alias("users_matched"),
+                F.sum(m).alias("total_matches"),
+            )
+        )
+    out = per_pattern[0]
+    for p in per_pattern[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("pattern")
+
+
 QUERIES = {
+    "stream_pattern_match": stream_pattern_match,
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
     "state_store_inspection": state_store_inspection,
@@ -1302,7 +1407,12 @@ QUERIES = {
 if tws_available():  # pragma: no cover — container lacks protobuf
     QUERIES["stream_tws_user_totals"] = stream_tws_user_totals
 
+from ..operators.temporal import ORACLES as _TEMPORAL_ORACLES  # noqa: E402
+
 ORACLES = {
+    # streaming CEP must reproduce the batch CEP's exact totals —
+    # same oracle SQL as event_pattern_match
+    "stream_pattern_match": _TEMPORAL_ORACLES["event_pattern_match"],
     # idle users (last event + 30 min ≤ max ts − 1 h) must have ALL
     # their sessions closed by the end watermark, so their closed
     # totals equal their plain event counts — batch-split-invariant.

@@ -565,3 +565,90 @@ def test_stream_topk_matches_batch_topk(spark):
     batch = wordcount(spark, sf).collect()
     want = sorted(batch, key=lambda r: (-r.cnt, r.token))[: strm.STREAM_TOPK]
     assert {(r.token, r.cnt) for r in got} == {(r.token, r.cnt) for r in want}
+
+
+def test_pattern_match_batch_split_invariant(spark, tmp_path):
+    """Streaming CEP's defining claim: the final per-user counts are
+    INVARIANT to micro-batch split and cross-batch arrival order.
+    Stage the events as 3 files in REVERSE time order, drain with
+    maxFilesPerTrigger=1 (3 micro-batches, newest first), and the
+    last update per user must still equal the batch
+    event_pattern_match sequence counts (state re-sorts by event
+    time)."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from cs537_spring2021_p3a_mapreduce_spark import streaming as stm
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as tmp_ops
+
+    src = tmp_path / "in"
+    src.mkdir()
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    bounds = ["2024-01-11", "2024-01-21"]
+    conds = [
+        F.col("ts") < bounds[0],
+        (F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1]),
+        F.col("ts") >= bounds[1],
+    ]
+    # write NEWEST slice with the OLDEST mtime so it arrives first
+    for i, cond in enumerate(reversed(conds)):
+        d = tmp_path / f"slice{i}"
+        raw.where(cond).coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        dst = str(src / f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+
+    ev = stm.stream_events(spark, str(src)).select(
+        "user_id", "ts", "event_id", tmp_ops._event_char("event_type").alias("chr")
+    )
+    # re-read as maxFilesPerTrigger=1 needs its own reader options:
+    # rebuild the stream with the option set
+    file_schema = spark.read.parquet(str(src)).schema
+    raw_stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import normalize_event_ts
+
+    ev = normalize_event_ts(raw_stream).select(
+        "user_id", "ts", "event_id", tmp_ops._event_char("event_type").alias("chr")
+    )
+    updates = stm.pattern_match_updates(ev)
+    name = f"pm_split_{uuid.uuid4().hex[:8]}"
+    stm.run_to_memory(
+        updates, name, str(tmp_path / "ckpt"), "update", shuffle_partitions=4
+    )
+    got_tbl = spark.table(name)
+    # at least 2 updates for some user proves a real multi-batch run
+    assert got_tbl.agg(F.max("upd")).collect()[0][0] >= 2
+    last = {
+        r.user_id: r
+        for r in got_tbl.groupBy("user_id")
+        .agg(
+            *[
+                F.expr(f"max_by(m_{n}, upd)").alias(f"m_{n}")
+                for n, _ in tmp_ops.CEP_PATTERNS
+            ]
+        )
+        .collect()
+    }
+    # batch model: build per-user sequence and count with Python re
+    ev_b = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs: dict[int, str] = {}
+    for r in sorted(ev_b, key=lambda r: (r.ts, r.event_id)):
+        seqs[r.user_id] = seqs.get(r.user_id, "") + tmp_ops.EVENT_CHARS.get(
+            r.event_type, "x"
+        )
+    for n, pat in tmp_ops.CEP_PATTERNS:
+        for uid, s in seqs.items():
+            assert getattr(last[uid], f"m_{n}") == len(re.findall(pat, s)), (n, uid)
