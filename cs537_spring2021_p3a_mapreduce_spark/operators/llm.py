@@ -1255,6 +1255,99 @@ def mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TEMP_TOTAL = 6_000  # total token budget distributed by temperature
+
+
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-based corpus mixing (T=2, i.e. weights ∝ n^(1/2)) —
+    the multilingual-pretraining reweighting that upsamples small
+    languages relative to proportional mixing without ignoring size
+    entirely. Where ``mix_corpora`` takes externally-given budgets,
+    this derives them from the corpus itself:
+
+        budget_lang = TOTAL · √n_lang / Σ √n_j     (floored)
+
+    Determinism across engines: α=0.5 on purpose — √ is an IEEE
+    exact-rounded op (unlike pow's libm), so both engines compute
+    bit-identical doubles from the exact token-count longs; the
+    square roots then quantize to 1e-6-unit longs and every further
+    step (Σ, ·, floor-divide) is integer arithmetic (Spark ``DIV`` ≡
+    DuckDB ``//``, verified truncation parity). Selection reuses the
+    md5-prefix rule of ``mix_corpora``. Two tiny shuffles (lang
+    totals, per-lang window) — the same 100 TB shape.
+
+    Output per language: budget, n_docs_kept, tokens_kept.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    totals = per_doc.groupBy("lang").agg(F.sum("n_tokens").alias("n_lang"))
+    sq = totals.select(
+        "lang",
+        "n_lang",
+        F.round(F.sqrt(F.col("n_lang").cast("double")) * 1e6).cast("long").alias("sq"),
+    )
+    denom = sq.agg(F.sum("sq").alias("denom"))
+    budgets = sq.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        F.expr(f"CAST({MIX_TEMP_TOTAL} AS BIGINT) * sq DIV denom").alias("budget"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        per_doc.join(F.broadcast(budgets), "lang")
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("cum_before") < F.col("budget"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.first("budget").alias("budget"),
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIX_TEMP = f"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT
+           AS n_tokens,
+         md5(doc_id::VARCHAR) AS h
+  FROM documents
+), totals AS (
+  SELECT lang, sum(n_tokens)::BIGINT AS n_lang FROM per_doc GROUP BY 1
+), sq AS (
+  SELECT lang, round(sqrt(n_lang::DOUBLE) * 1e6)::BIGINT AS sq FROM totals
+), denom AS (SELECT sum(sq)::BIGINT AS denom FROM sq),
+budgets AS (
+  SELECT lang, ({MIX_TEMP_TOTAL}::BIGINT * sq) // denom AS budget
+  FROM sq, denom
+), cum AS (
+  SELECT p.doc_id, p.lang, p.n_tokens, b.budget,
+         coalesce(sum(p.n_tokens) OVER (
+           PARTITION BY p.lang ORDER BY p.h, p.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM per_doc p JOIN budgets b USING (lang)
+)
+SELECT lang, any_value(budget) AS budget,
+       count(*)::BIGINT AS n_docs_kept,
+       sum(n_tokens)::BIGINT AS tokens_kept
+FROM cum WHERE cum_before < budget
+GROUP BY lang ORDER BY lang
+"""
+
+
 PACK_BUDGET = 512  # tokens per pack
 PACK_BAND = 16  # length-band width (tokens)
 
@@ -2779,6 +2872,7 @@ QUERIES = {
     "udtf_polymorphic_unpack": udtf_polymorphic_unpack,
     "observed_quality_audit": observed_quality_audit,
     "mix_corpora": mix_corpora,
+    "mix_temperature": mix_temperature,
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
     "chunk_documents": chunk_documents,
@@ -2844,6 +2938,7 @@ FROM g
     "udtf_polymorphic_unpack": _UNPACK_SQL,
     "observed_quality_audit": _OBSERVED_AUDIT,
     "mix_corpora": _MIX,
+    "mix_temperature": _MIX_TEMP,
     "pack_sequences": _PACK_SEQ,
     "decontaminate_ngram": _DECON,
     "chunk_documents": _CHUNKS,

@@ -494,3 +494,39 @@ def test_polymorphic_udtf_schema_follows_argument(spark):
     toks = text.split()
     for i in range(UNPACK_N):
         assert row[f"tok_{i+1}"] == (toks[i] if i < len(toks) else None)
+
+
+def test_mix_temperature_upsamples_small_languages(spark):
+    """The temperature property: budgets ∝ √tokens, so the SMALLEST
+    language's budget share must exceed its token share, and the
+    largest's must shrink (that is what T=2 reweighting is for).
+    Budgets sum to ≤ the total (floor division)."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.functions.text import tokens as toks
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.001"
+    rows = llm.mix_temperature(spark, sf).collect()
+    assert rows
+    assert sum(r.budget for r in rows) <= llm.MIX_TEMP_TOTAL
+    totals = {
+        r.lang: r.n
+        for r in table(spark, sf, "documents")
+        .select("lang", F.size(toks("text")).cast("long").alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("n"))
+        .collect()
+    }
+    grand = sum(totals.values())
+    bsum = sum(r.budget for r in rows)
+    shares = {r.lang: (r.budget / bsum, totals[r.lang] / grand) for r in rows}
+    small = min(shares, key=lambda k: shares[k][1])
+    big = max(shares, key=lambda k: shares[k][1])
+    if shares[small][1] < shares[big][1]:  # non-degenerate corpus
+        assert shares[small][0] > shares[small][1]  # upsampled
+        assert shares[big][0] < shares[big][1]  # downsampled
+    # kept tokens respect the budget-floor rule: tokens_kept - last
+    # doc may overshoot, but cum_before < budget means kept docs - 1
+    # fit strictly under budget
+    for r in rows:
+        assert r.n_docs_kept >= 1
