@@ -403,7 +403,232 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# PPJoin-style exact set-similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+# threshold as an exact rational (numerator/denominator) so the
+# prefix length ceil(t·n) is integer arithmetic in both engines;
+# 0.7 matches the MinHash tier's near-dup threshold.
+PPJOIN_T_NUM, PPJOIN_T_DEN = 7, 10
+PPJOIN_THRESHOLD = PPJOIN_T_NUM / PPJOIN_T_DEN
+
+
+def _string_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-shingles carried as the
+    joined STRING (token0␟token1␟token2) — the oracle-parity twin of
+    ``_shingles``' 8-byte xxhash64 identities (DuckDB can rebuild the
+    string, not the hash). Same narrow sliding-window construction."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    arr = F.col("toks")
+    n_windows = F.size(arr) - (SHINGLE_K - 1)
+    sliding = F.when(n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle_arr = F.transform(
+        sliding,
+        lambda i: F.concat_ws(
+            "\x1f", *[F.get(arr, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+    return toks.select("doc_id", F.explode(shingle_arr).alias("sh")).distinct()
+
+
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the
+    PPJoin/AllPairs family) — the third blocking strategy in the
+    dedup tier, and unlike MinHash-LSH it is LOSSLESS: every pair
+    with Jaccard ≥ t is guaranteed a candidate, so the output equals
+    the exact all-pairs join without ever forming all pairs.
+
+    The theorem: order every doc's feature set by one GLOBAL order
+    (ascending corpus frequency — rarest first) and keep only the
+    first ``n − ceil(t·n) + 1`` features (the prefix). Two sets with
+    J ≥ t overlap in ≥ ceil(t·n) features, so by pigeonhole their
+    prefixes must share at least one — candidates come from an
+    equi-join on PREFIX features only.
+
+    The features are 3-token SHINGLES, not tokens, and that choice is
+    the scale property: prefix filtering's candidate volume is
+    Σ_f C(df_prefix(f), 2), so it lives and dies on feature rarity.
+    Probed with single-token features on the fixed-vocabulary
+    synthetic corpus, candidates grew 144× for 10× docs (~n²/|V| —
+    every "rare" token still lands in dozens of prefixes); shingle
+    features put |V|³ behind the df's and the same probe is
+    corpus-linear. Prefixes hold each doc's rarest shingles, so the
+    join is also anti-skewed by construction. Same Jaccard space as
+    ``dedup_minhash_verify`` (threshold 0.7) — this is its LOSSLESS
+    exact twin, LSH being the probabilistic-recall fast path.
+
+    Verification joins full shingle sets for candidate pairs only:
+    |∩| per pair, J = |∩|/(|a|+|b|−|∩|), single IEEE division,
+    round 6. Output: a_id, b_id, jaccard for J ≥ t.
+    """
+    posting = _string_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        posting.join(freq, "sh")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix_len = n - ceil(t·n) + 1, with ceil(p·n/q) = (p·n + q - 1) DIV q
+    # — exact integer arithmetic for the rational threshold
+    p, q = PPJOIN_T_NUM, PPJOIN_T_DEN
+    prefix = ranked.where(
+        F.col("rk") <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + F.lit(1)
+    ).select("doc_id", "sh")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    pa = posting.select(F.col("doc_id").alias("a_id"), "sh")
+    pb = posting.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (
+        cands.join(pa, "a_id")
+        .join(pb, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= PPJOIN_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# The oracle is the exact shared-shingle join (prefix filtering is
+# lossless, so the outputs are identical); shingle rarity keeps the
+# shared-feature join sparse on both engines.
+_PPJOIN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), posting AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - 2, 0)),
+           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]
+         )) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM posting GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS i
+  FROM posting a JOIN posting b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       round(i.i::DOUBLE / (sa.n + sb.n - i.i)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE round(i.i::DOUBLE / (sa.n + sb.n - i.i)::DOUBLE, 6) >= {PPJOIN_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (record-linkage classic)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 4  # each record pairs with the next w-1 in block order
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking — the record-linkage classic and
+    the fourth dedup blocking strategy (exact hash / LSH bucket /
+    prefix filter / sorted neighborhood): sort records by a blocking
+    key that places likely duplicates adjacently, then emit only
+    pairs within a fixed window w of the sort order — O(n·w)
+    candidates by construction, no similarity math at all.
+
+    Scale shape: the sort is per BLOCK (first 2 chars of the
+    normalized text), so every window is bounded by its block
+    partition — no global sort; pairs come from ``lead(k)`` columns
+    unpivoted (narrow after the one window pass), not a self-join.
+    Determinism: rank ties broken by doc_id, so the candidate set is
+    a pure function of the data in both engines.
+
+    Output: block, a_id, b_id, dist (1 ≤ dist < w).
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim("text")).alias("key")
+    )
+    blocked = docs.select(
+        "doc_id", "key", F.substring("key", 1, 2).alias("block")
+    )
+    w = Window.partitionBy("block").orderBy("key", "doc_id")
+    leads = blocked.select(
+        "block",
+        F.col("doc_id").alias("a_id"),
+        *[
+            F.lead("doc_id", k).over(w).alias(f"b_{k}")
+            for k in range(1, SNM_WINDOW)
+        ],
+    )
+    pairs = leads.select(
+        "block",
+        "a_id",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.col(f"b_{k}") for k in range(1, SNM_WINDOW)]),
+                F.array(*[F.lit(k) for k in range(1, SNM_WINDOW)]),
+            )
+        ).alias("z"),
+    ).select(
+        "block",
+        "a_id",
+        F.col("z")["0"].alias("b_id"),
+        F.col("z")["1"].alias("dist"),
+    )
+    return pairs.where(F.col("b_id").isNotNull()).orderBy("block", "a_id", "dist")
+
+
+_SNM_SQL = f"""
+WITH blocked AS (
+  SELECT doc_id, lower(trim(text)) AS key,
+         substr(lower(trim(text)), 1, 2) AS block
+  FROM documents
+), ranked AS (
+  SELECT block, doc_id, row_number() OVER (
+    PARTITION BY block ORDER BY key, doc_id) AS rk
+  FROM blocked
+)
+SELECT a.block, a.doc_id AS a_id, b.doc_id AS b_id,
+       (b.rk - a.rk)::INT AS dist
+FROM ranked a JOIN ranked b
+  ON a.block = b.block AND b.rk > a.rk AND b.rk - a.rk < {SNM_WINDOW}
+ORDER BY a.block, a_id, dist
+"""
+
+
 QUERIES = {
+    "dedup_ppjoin": dedup_ppjoin,
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_verify": dedup_minhash_verify,
     "dedup_simhash": dedup_simhash,
@@ -419,6 +644,8 @@ QUERIES = {
 # whenever LSH recall is 1 (it is, deterministically, on the
 # fixtures — see the docstring).
 ORACLES: dict[str, str] = {
+    "dedup_ppjoin": _PPJOIN_SQL,
+    "sorted_neighborhood_pairs": _SNM_SQL,
     "fuzzy_join_customers": _FUZZY,
     "dedup_minhash_verify": """
 WITH toks AS (

@@ -148,3 +148,112 @@ def test_deletion_neighborhood_finds_all_distance1_pairs(spark):
         if lev(a, b) <= 1
     }
     assert got == want and len(want) > 0
+
+
+def test_ppjoin_lossless_vs_bruteforce(spark):
+    """The prefix-filtering theorem, tested: on a controlled corpus
+    with planted near-dups and unrelated docs, dedup_ppjoin must
+    produce EXACTLY the pairs a brute-force all-pairs SHINGLE-Jaccard
+    >= t finds — no misses (lossless), no extras (exact verify)."""
+    import itertools
+
+    corpus = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota lambda",  # near-dup of 1
+        3: "one two three four five six seven eight nine ten",
+        4: "one two three four five six seven eight nine eleven",  # near-dup of 3
+        5: "completely different words entirely unlike any other doc",
+        6: "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # exact dup of 1
+    }
+
+    def shingles(text):
+        ts = text.split()
+        return {"\x1f".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    sets = {k: shingles(v) for k, v in corpus.items()}
+    t = dedup.PPJOIN_THRESHOLD
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if round(j, 6) >= t:
+            want.add((a, b))
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ppjoin_t_")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {(r.a_id, r.b_id) for r in dedup.dedup_ppjoin(spark, d).collect()}
+    assert got == want and len(want) >= 3
+
+
+def test_ppjoin_prefix_excludes_hot_shingles(spark):
+    """The anti-skew property: the prefix keeps each doc's RAREST
+    shingles, so a shingle present in every doc must appear in no
+    doc's prefix when the doc has enough rarer shingles."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    corpus = [
+        (i, "the quick brown " + " ".join(f"rare{i}_{j}" for j in range(7)))
+        for i in range(10)
+    ]
+    d = tempfile.mkdtemp(prefix="ppjoin_hot_")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    posting = dedup._string_shingles(spark, d)
+    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        posting.join(freq, "sh")
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
+        )
+        .join(sizes, "doc_id")
+    )
+    p, q = dedup.PPJOIN_T_NUM, dedup.PPJOIN_T_DEN
+    prefix = ranked.where(
+        F.col("rk") <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + F.lit(1)
+    )
+    hot = "the\x1fquick\x1fbrown"
+    assert posting.where(F.col("sh") == hot).count() == 10  # present everywhere
+    assert prefix.where(F.col("sh") == hot).count() == 0  # never in a prefix
+
+
+def test_sorted_neighborhood_pairs_window_bound(spark):
+    """Each record emits at most SNM_WINDOW-1 pairs, dist in
+    [1, w-1], and pairs stay inside their block."""
+    out = dedup.sorted_neighborhood_pairs(spark, SF).collect()
+    assert out
+    from collections import Counter
+
+    per_a = Counter((r.block, r.a_id) for r in out)
+    assert max(per_a.values()) <= dedup.SNM_WINDOW - 1
+    assert all(1 <= r.dist < dedup.SNM_WINDOW for r in out)
+
+
+def test_sorted_neighborhood_adjacent_dups_pair(spark):
+    """Planted exact duplicates sort adjacently, so SNM must emit
+    their pair at dist 1."""
+    import os
+    import tempfile
+
+    corpus = [
+        (1, "zebra yak xylophone"),
+        (2, "zebra yak xylophone"),  # dup of 1, same block 'ze'
+        (3, "apple banana cherry"),
+    ]
+    d = tempfile.mkdtemp(prefix="snm_t_")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {(r.a_id, r.b_id, r.dist) for r in dedup.sorted_neighborhood_pairs(spark, d).collect()}
+    assert (1, 2, 1) in got
