@@ -240,13 +240,123 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# sliding_distinct_hll — the mergeable-sketch form of the sliding window
+# ---------------------------------------------------------------------------
+
+
+def sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``sliding_distinct_users``: ONE HLL sketch
+    per day (Apache DataSketches, mergeable), then each trailing
+    window is a UNION OF ≤7 SKETCHES — the raw (user, day) rows are
+    touched exactly once ever, and every window rollup thereafter
+    merges |window| kilobyte-sized sketches instead of re-scanning
+    the fan-out of raw rows. This is how daily partitions at 100 TB
+    serve arbitrary trailing windows (7/28/90-day) from tiny state;
+    the exact twin keeps it honest (test pins the estimate within
+    HLL error of the exact counts).
+
+    Plan: per-day sketch aggregate (1 shuffle over events), ≤7×
+    fan-out of the ~|days| SKETCH rows (not the raw rows — the whole
+    point), per-anchor ``hll_union_agg``. Estimates are
+    sketch-dependent → rows-only driver check by design.
+
+    Output: day (yyyy-MM-dd), est_users.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    mx = daily.agg(F.max("day").alias("maxd"))
+    fan = daily.crossJoin(F.broadcast(mx)).select(
+        "sk",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.date_add("day", SLIDING_DAYS - 1), F.col("maxd")),
+            )
+        ).alias("anchor"),
+    )
+    return (
+        fan.groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transitions
+# ---------------------------------------------------------------------------
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every consecutive (prev → next) event-type pair
+    within a user's timeline, the count and the row-normalized
+    transition probability — the path-analysis complement to the CEP
+    regexes (CEP asks "does this pattern occur", this asks "where do
+    users go next from each state").
+
+    One shuffle: the per-user (ts, event_id)-ordered ``lag`` window;
+    then a 25-cell aggregate and a broadcast row-total join. The
+    probability is one IEEE division of exact counts, round 6.
+
+    Output: prev_type, next_type, n, p (row-normalized).
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n").cast("double"), 6).alias(
+                "p"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, count(*)::BIGINT AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT prev_type, sum(n)::BIGINT AS row_n FROM counts GROUP BY 1
+)
+SELECT c.prev_type, c.next_type, c.n,
+       round(c.n::DOUBLE / t.row_n::DOUBLE, 6) AS p
+FROM counts c JOIN totals t USING (prev_type)
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
+    "sliding_distinct_hll": sliding_distinct_hll,
     "event_pattern_match": event_pattern_match,
     "sliding_distinct_users": sliding_distinct_users,
     "iso_week_rollup": iso_week_rollup,
 }
 
 ORACLES = {
+    "event_transition_matrix": _TRANSITION_SQL,
     "event_pattern_match": _cep_sql(),
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "iso_week_rollup": _ISO_WEEK_SQL,

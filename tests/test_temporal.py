@@ -159,3 +159,36 @@ def test_iso_week_rollup_totals(spark):
         )
     ).collect()[0][0]
     assert abs(float(total) - float(want)) < 0.01
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """Each prev_type's probabilities sum to 1 (±rounding), counts
+    are positive, and total transitions = total events − users with
+    ≥1 event (each user contributes n_events − 1 pairs)."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+    out = tmp.event_transition_matrix(spark, SF).collect()
+    assert out
+    from collections import defaultdict
+
+    rows = defaultdict(float)
+    for r in out:
+        rows[r.prev_type] += r.p
+        assert r.n > 0
+    for t, s in rows.items():
+        assert abs(s - 1.0) < 1e-4, t
+    ev = table(spark, SF, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in out) == n_events - n_users
+
+
+def test_sliding_distinct_hll_tracks_exact(spark):
+    """The sketch rollup must track the exact sliding distinct count
+    within HLL error (~2% at default lgK, generous 6% fence) on every
+    anchor day — the mergeability contract made quantitative."""
+    exact = {r.day: r.n_users for r in tmp.sliding_distinct_users(spark, SF).collect()}
+    est = {r.day: r.est_users for r in tmp.sliding_distinct_hll(spark, SF).collect()}
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(2.0, 0.06 * n), (day, est[day], n)
