@@ -69,27 +69,39 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema: child row count, orphan count (child keys with no parent),
     and null-key count per edge.
 
-    Plan per edge: one left-anti join child→parent on the key plus a
-    plain count — the parent side is a key-only projection, so at
-    100 TB every parent fits a broadcast (even lineitem→orders is a
-    bigint-only build side; if it ever didn't, AQE falls back to a
-    shuffled anti-join with no code change). Null FK values are
-    counted separately (SQL anti-join semantics would silently drop
-    them from both counts).
+    Plan per edge: ONE scan of the child — a broadcast LEFT join to
+    the key-only deduped parent (marker column), then a single
+    conditional aggregate classifies every child row as matched /
+    orphan / null-key. (The anti-join + separate-count form scans
+    the child twice; at 100 TB the child is the fact table, and the
+    second scan is the audit's whole cost.) Parents are bigint-only
+    builds, so every edge broadcasts; if one ever didn't, AQE falls
+    back to a shuffled join with no code change.
 
     Output: edge, child_rows, orphan_rows, null_keys.
     """
     parts = []
     for edge, child, ckey, parent, pkey in _FK_EDGES:
         c = table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        p = table(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
-        orphans = c.where(F.col("k").isNotNull()).join(p, "k", "left_anti")
+        p = (
+            table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .where(F.col("k").isNotNull())
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        joined = c.join(F.broadcast(p), "k", "left")
         parts.append(
-            c.agg(
+            joined.agg(
                 F.lit(edge).alias("edge"),
                 F.count(F.lit(1)).alias("child_rows"),
+                F.sum(
+                    F.when(
+                        F.col("k").isNotNull() & F.col("hit").isNull(), 1
+                    ).otherwise(0)
+                ).alias("orphan_rows"),
                 F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("null_keys"),
-            ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("orphan_rows")))
+            )
         )
     out = parts[0]
     for p in parts[1:]:
@@ -484,11 +496,20 @@ def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: source, n_tokens, n_terms, chi2 (divergence, round 6).
     """
+    from pyspark.storagelevel import StorageLevel
+
     toks = (
         table(spark, sf_dir, "documents")
         .select("source", F.explode(tokens(F.lower("text"))).alias("tok"))
     )
-    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # the (source, token) counts feed three consumers (the join, the
+    # per-source totals, the corpus totals): persist the diamond so
+    # the tokenize+count pass runs once, not three times
+    per_src = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("t"))
     corpus = per_src.groupBy("tok").agg(F.sum("c").alias("cc"))
     corpus_tot = corpus.agg(F.sum("cc").alias("tt"))

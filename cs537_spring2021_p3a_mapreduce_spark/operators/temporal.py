@@ -80,20 +80,29 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq")
         )
     )
-    per_pattern = []
-    for name, pat in CEP_PATTERNS:
-        matches = F.size(F.regexp_extract_all("seq", F.lit(pat), F.lit(0)))
-        per_pattern.append(
-            seq.select(matches.alias("m")).agg(
-                F.lit(name).alias("pattern"),
-                F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("users_matched"),
-                F.sum("m").alias("total_matches"),
+    # ALL patterns count in ONE aggregate pass over the sequence
+    # table (a per-pattern union of aggregates would recompute the
+    # groupBy shuffle once per pattern); stack rotates the one wide
+    # row to the per-pattern long form.
+    aggs = []
+    for i, (name, pat) in enumerate(CEP_PATTERNS):
+        m = F.size(F.regexp_extract_all("seq", F.lit(pat), F.lit(0)))
+        aggs += [
+            F.sum(F.when(m > 0, 1).otherwise(0)).alias(f"u_{i}"),
+            F.sum(m).alias(f"t_{i}"),
+        ]
+    wide = seq.agg(*aggs)
+    stack_args: list = []
+    for i, (name, _) in enumerate(CEP_PATTERNS):
+        stack_args += [F.lit(name), F.col(f"u_{i}"), F.col(f"t_{i}")]
+    return (
+        wide.select(
+            F.stack(F.lit(len(CEP_PATTERNS)), *stack_args).alias(
+                "pattern", "users_matched", "total_matches"
             )
         )
-    out = per_pattern[0]
-    for p in per_pattern[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("pattern")
+        .orderBy("pattern")
+    )
 
 
 def _event_char(col: str) -> F.Column:

@@ -161,11 +161,15 @@ def test_equidepth_buckets_balanced(spark):
         assert a.max_cents <= b.min_cents
 
 
-def test_fk_audit_broadcasts_parents(spark):
+def test_fk_audit_broadcasts_parents_single_scan_per_edge(spark):
     plan = _plan(prof.fk_integrity_audit(spark, SF))
-    # every anti-join is a broadcast (key-only parent builds)
-    assert "BroadcastHashJoin LeftAnti" in plan
-    assert "SortMergeJoin LeftAnti" not in plan
+    # every edge classifies via ONE broadcast LEFT join (key-only
+    # parent builds) — no SMJ, and no second child scan per edge:
+    # 7 edges over 6 distinct tables -> exactly 14 scan nodes total
+    # (1 child + 1 parent per edge), not 21
+    assert "BroadcastHashJoin LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2 * len(prof._FK_EDGES)
 
 
 def test_winsorize_clamps_extremes(spark):
