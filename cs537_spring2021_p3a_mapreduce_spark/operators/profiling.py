@@ -703,7 +703,101 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# data_expectations_audit
+# ---------------------------------------------------------------------------
+
+
+def data_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract runner (the dbt-test /
+    Great-Expectations shape): a fixed expectation suite over
+    ``orders`` evaluates in ONE scan — every expectation is a
+    conditional aggregate over the same pass, so adding a check costs
+    an expression, not a scan. Each row reports the observed metric
+    and whether the contract holds; a pipeline gates deploys on
+    ``bool_and(passed)``.
+
+    Suite: not_null(o_custkey), unique(o_orderkey),
+    accepted_values(o_orderstatus ⊆ {O,F,P}),
+    range(o_totalprice > 0), row_count ≥ 1, and
+    freshness(max(o_orderdate) ≥ 1995-01-01).
+
+    Output: expectation, observed, passed (observed is a count of
+    VIOLATIONS for the violation-style checks, so passed ⇔
+    observed = 0 there — uniform and engine-exact).
+    """
+    o = table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "v_custkey_null"
+        ),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v_orderkey_dupes"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("v_status_domain"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "v_price_range"
+        ),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("max_date"),
+    )
+    checks = wide.select(
+        F.stack(
+            F.lit(6),
+            F.lit("not_null:o_custkey"),
+            F.col("v_custkey_null").cast("string"),
+            (F.col("v_custkey_null") == 0),
+            F.lit("unique:o_orderkey"),
+            F.col("v_orderkey_dupes").cast("string"),
+            (F.col("v_orderkey_dupes") == 0),
+            F.lit("accepted_values:o_orderstatus"),
+            F.col("v_status_domain").cast("string"),
+            (F.col("v_status_domain") == 0),
+            F.lit("range:o_totalprice>0"),
+            F.col("v_price_range").cast("string"),
+            (F.col("v_price_range") == 0),
+            F.lit("row_count>=1"),
+            F.col("n_rows").cast("string"),
+            (F.col("n_rows") >= 1),
+            F.lit("freshness:o_orderdate>=1995-01-01"),
+            F.col("max_date"),
+            (F.col("max_date") >= F.lit("1995-01-01")),
+        ).alias("expectation", "observed", "passed")
+    )
+    return checks.orderBy("expectation")
+
+
+_EXPECTATIONS_SQL = """
+WITH wide AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_custkey_null,
+         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v_orderkey_dupes,
+         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)::BIGINT
+           AS v_status_domain,
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS v_price_range,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+  FROM orders
+)
+SELECT 'not_null:o_custkey' AS expectation, v_custkey_null::VARCHAR AS observed,
+       v_custkey_null = 0 AS passed FROM wide
+UNION ALL
+SELECT 'unique:o_orderkey', v_orderkey_dupes::VARCHAR, v_orderkey_dupes = 0 FROM wide
+UNION ALL
+SELECT 'accepted_values:o_orderstatus', v_status_domain::VARCHAR,
+       v_status_domain = 0 FROM wide
+UNION ALL
+SELECT 'range:o_totalprice>0', v_price_range::VARCHAR, v_price_range = 0 FROM wide
+UNION ALL
+SELECT 'row_count>=1', n_rows::VARCHAR, n_rows >= 1 FROM wide
+UNION ALL
+SELECT 'freshness:o_orderdate>=1995-01-01', max_date, max_date >= '1995-01-01'
+FROM wide
+ORDER BY expectation
+"""
+
+
 QUERIES = {
+    "data_expectations_audit": data_expectations_audit,
     "fk_integrity_audit": fk_integrity_audit,
     "table_profile": table_profile,
     "regression_ols": regression_ols,
@@ -715,6 +809,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "data_expectations_audit": _EXPECTATIONS_SQL,
     "winsorize_amounts": _WINSORIZE_SQL,
     "fk_integrity_audit": _FK_AUDIT_SQL,
     "table_profile": _TABLE_PROFILE_SQL,

@@ -250,6 +250,106 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# revenue_anomaly_days — rolling-statistics breach detection
+# ---------------------------------------------------------------------------
+
+ANOM_WINDOW = 14  # trailing days in the baseline (current day excluded)
+ANOM_MIN_PRIOR = 7  # need at least this many prior days to judge
+ANOM_K = 3.0  # breach fence: > mean + 3σ
+
+
+def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-statistics anomaly detection on the daily revenue
+    series: a day breaches when its revenue exceeds the trailing
+    14-day mean + 3σ (current day EXCLUDED from its own baseline —
+    the classic self-masking bug). The monitoring query every revenue
+    pipeline runs.
+
+    Scale shape: the raw fact table aggregates to DAY GRAIN first
+    (that shuffle is the whole data-touching cost); the rolling
+    window then runs over one-row-per-day — thousands of rows for
+    decades of history — so the unpartitioned window is a
+    non-problem by construction. Exactness: Σx and Σx² over the
+    frame are decimal(38,0) integer moments (day-cents square past
+    int64 — the ``stats_correlation`` lesson), mean/σ derive once in
+    IEEE doubles, and the breach comparison is deterministic on both
+    engines.
+
+    Output (days with ≥7 prior days): day, revenue_cents, base_mean,
+    base_sd, is_anomaly.
+    """
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(_day_cents().alias("cents"))
+    w = Window.orderBy("day").rowsBetween(-ANOM_WINDOW, -1)
+    dec = "decimal(38,0)"
+    sx = F.sum(F.col("cents").cast(dec)).over(w)
+    sxx = F.sum((F.col("cents").cast(dec) * F.col("cents").cast(dec))).over(w)
+    n = F.count(F.lit(1)).over(w)
+    nd = n.cast("double")
+    mean = sx.cast("double") / nd
+    var = (n.cast(dec) * sxx - sx * sx).cast("double") / (nd * nd)
+    sd = F.sqrt(var)
+    out = daily.select(
+        "day",
+        "cents",
+        n.alias("n_prior"),
+        mean.alias("mean_d"),
+        sd.alias("sd_d"),
+    ).where(F.col("n_prior") >= ANOM_MIN_PRIOR)
+    # mean/sd ship as FLOOR-quantized micro-cent longs: the doubles
+    # are bit-identical across engines (IEEE-only derivation), and
+    # floor never has the round()-half-tie divergence (Spark rounds
+    # the shortest decimal repr, DuckDB the binary double — a
+    # measured 1e-6 flip on this very column)
+    return out.select(
+        "day",
+        F.col("cents").alias("revenue_cents"),
+        F.floor(F.col("mean_d") * 1e6).cast("long").alias("base_mean_micro"),
+        F.floor(F.col("sd_d") * 1e6).cast("long").alias("base_sd_micro"),
+        (
+            F.col("cents").cast("double")
+            > F.col("mean_d") + F.lit(ANOM_K) * F.col("sd_d")
+        ).alias("is_anomaly"),
+    ).orderBy("day")
+
+
+def _day_cents() -> Column:
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+
+
+_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT strftime(o_orderdate::DATE, '%Y-%m-%d') AS day,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1
+), rolled AS (
+  SELECT day, cents,
+         count(*) OVER w AS n_prior,
+         sum(cents::HUGEINT) OVER w AS sx,
+         sum(cents::HUGEINT * cents::HUGEINT) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT day, cents AS revenue_cents,
+       floor((sx::DOUBLE / n_prior::DOUBLE) * 1e6)::BIGINT AS base_mean_micro,
+       floor(sqrt((n_prior::HUGEINT * sxx - sx * sx)::DOUBLE
+                  / (n_prior::DOUBLE * n_prior::DOUBLE)) * 1e6)::BIGINT
+         AS base_sd_micro,
+       cents::DOUBLE > (sx::DOUBLE / n_prior::DOUBLE)
+         + {ANOM_K} * sqrt((n_prior::HUGEINT * sxx - sx * sx)::DOUBLE
+                           / (n_prior::DOUBLE * n_prior::DOUBLE)) AS is_anomaly
+FROM rolled WHERE n_prior >= {ANOM_MIN_PRIOR}
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # sliding_distinct_hll — the mergeable-sketch form of the sliding window
 # ---------------------------------------------------------------------------
 
@@ -358,6 +458,7 @@ ORDER BY 1, 2
 
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
+    "revenue_anomaly_days": revenue_anomaly_days,
     "sliding_distinct_hll": sliding_distinct_hll,
     "event_pattern_match": event_pattern_match,
     "sliding_distinct_users": sliding_distinct_users,
@@ -366,6 +467,7 @@ QUERIES = {
 
 ORACLES = {
     "event_transition_matrix": _TRANSITION_SQL,
+    "revenue_anomaly_days": _ANOMALY_SQL,
     "event_pattern_match": _cep_sql(),
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "iso_week_rollup": _ISO_WEEK_SQL,

@@ -187,3 +187,35 @@ def test_winsorize_clamps_extremes(spark):
         assert r.mean_cents_after <= r.mean_cents_before + max(
             1.0, 0.02 * r.mean_cents_before
         )
+
+
+def test_expectations_all_pass_on_fixture(spark):
+    """The fixture data honors the contract: every expectation
+    passes, and the observed violation counts are zero."""
+    rows = {r.expectation: r for r in prof.data_expectations_audit(spark, SF).collect()}
+    assert len(rows) == 6
+    assert all(r.passed for r in rows.values())
+    for name in ("not_null:o_custkey", "unique:o_orderkey",
+                 "accepted_values:o_orderstatus", "range:o_totalprice>0"):
+        assert rows[name].observed == "0"
+
+
+def test_expectations_detect_violations(spark):
+    """The same conditional-aggregate expressions must count planted
+    violations exactly (the audit can't pass vacuously)."""
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame(
+        [
+            (1, None, "O", 10.0),
+            (1, 2, "X", -5.0),  # dup key, bad status, bad price
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    got = bad.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nn"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("du"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).alias("av"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("rg"),
+    ).collect()[0]
+    assert (got.nn, got.du, got.av, got.rg) == (1, 1, 1, 1)

