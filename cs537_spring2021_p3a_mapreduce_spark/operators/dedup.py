@@ -470,6 +470,13 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window
 
+    # rank-by-rarity via a row_number window ON PURPOSE: the
+    # collect_list(struct)+array_sort+slice formulation avoids the
+    # posting-level sort but holds every doc's full (df, sh) array in
+    # the aggregation map — measured OOM at 5M docs / ~250M postings,
+    # where the Tungsten window sort SPILLS and completes. Robustness
+    # beats the saved sort pass; the window is partitioned by doc, so
+    # a cluster parallelizes it by doc hash.
     ranked = (
         posting.join(freq, "sh")
         .withColumn(
