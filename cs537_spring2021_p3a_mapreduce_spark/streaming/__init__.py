@@ -1384,8 +1384,58 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("pattern")
 
 
+def stream_custom_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for the CUSTOM PYTHON STREAMING SINK
+    (DataSource ``streamWriter`` with per-epoch idempotent commits):
+    the events stream writes through the sink's task-spill +
+    epoch-manifest protocol, then the entry reads back ONLY
+    manifest-listed files and aggregates — hash-checked against the
+    batch SQL over the same table, so a lost, duplicated, or
+    re-committed epoch would show up as a count mismatch. The
+    exactly-once retry path is pinned separately in
+    ``tests/test_sources.py`` (same batchId re-commit publishes
+    nothing)."""
+    import uuid
+
+    from ..catalog import table as _table
+    from ..sources.stream_sink import EpochFileStreamSink, committed_files
+
+    spark.dataSource.register(EpochFileStreamSink)
+    work = scratch_dir("stream_sink_")
+    out_dir = os.path.join(work, "out")
+    ev = _staged_events_stream(spark, sf_dir, work).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = (
+        ev.writeStream.format("eventlog_stream_sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    exc = q.exception()
+    if exc:
+        raise exc
+    files = committed_files(out_dir)
+    rows = spark.read.json(files) if files else None
+    if rows is None:
+        raise RuntimeError("custom streaming sink published no epochs")
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "stream_pattern_match": stream_pattern_match,
+    "stream_custom_sink_totals": stream_custom_sink_totals,
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
     "state_store_inspection": state_store_inspection,
@@ -1413,6 +1463,13 @@ ORACLES = {
     # streaming CEP must reproduce the batch CEP's exact totals —
     # same oracle SQL as event_pattern_match
     "stream_pattern_match": _TEMPORAL_ORACLES["event_pattern_match"],
+    # every event must arrive exactly once through the epoch-manifest
+    # sink — a lost/duplicated epoch breaks the counts
+    "stream_custom_sink_totals": (
+        "SELECT event_type, count(*)::BIGINT AS n_events, "
+        "sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
     # idle users (last event + 30 min ≤ max ts − 1 h) must have ALL
     # their sessions closed by the end watermark, so their closed
     # totals equal their plain event counts — batch-split-invariant.

@@ -713,3 +713,51 @@ def test_linescan_pushdown_reaches_scan(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     want = docs.where(F.col("text").contains(GREP_NEEDLE)).count()
     assert row.n_lines == want > 0
+
+
+def test_stream_sink_epoch_commit_is_idempotent(tmp_path):
+    """The exactly-once contract: a RETRIED micro-batch (same
+    batchId, new attempt files) publishes nothing — the retry's
+    files are discarded and readers see the first attempt's rows
+    only. Abort removes spill files entirely."""
+    import json
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.stream_sink import (
+        EpochFileStreamWriter,
+        _FileMessage,
+        committed_files,
+    )
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    w = EpochFileStreamWriter({"path": d}, ["a"])
+
+    def spill(val):
+        name = f"part-{val}.jsonl"
+        with open(os.path.join(d, name), "w") as fh:
+            fh.write(json.dumps({"a": val}) + "\n")
+        return _FileMessage(name, 1)
+
+    # first attempt of batch 0 publishes
+    m1 = spill("first")
+    w.commit([m1], 0)
+    assert [os.path.basename(p) for p in committed_files(d)] == ["part-first.jsonl"]
+    # RETRY of batch 0 with a new file: nothing new published, the
+    # retry file is deleted from disk
+    m2 = spill("retry")
+    w.commit([m2], 0)
+    assert [os.path.basename(p) for p in committed_files(d)] == ["part-first.jsonl"]
+    assert not os.path.exists(os.path.join(d, "part-retry.jsonl"))
+    # a NEW batchId publishes normally
+    m3 = spill("second")
+    w.commit([m3], 1)
+    assert sorted(os.path.basename(p) for p in committed_files(d)) == [
+        "part-first.jsonl",
+        "part-second.jsonl",
+    ]
+    # abort removes its attempt's spill files
+    m4 = spill("aborted")
+    w.abort([m4], 2)
+    assert not os.path.exists(os.path.join(d, "part-aborted.jsonl"))
+    assert len(committed_files(d)) == 2
