@@ -1255,6 +1255,88 @@ def mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_EPOCHS = (0, 1)  # epochs demonstrated side by side
+SHUFFLE_SHARDS = 8
+
+
+def shuffle_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-SEEDED deterministic training shuffle — the data-order
+    step between curation and the dataloader: each epoch needs a
+    DIFFERENT, REPRODUCIBLE global permutation (same seed ⇒ same
+    order on any cluster size/partitioning, different seeds ⇒
+    independent orders, so no example ordering repeats across
+    epochs). Rank = md5(epoch ‖ doc_id) — the engine-portable
+    deterministic-shuffle idiom this repo already uses for
+    mix_corpora's prefix order; the shard is the rank's leading byte
+    mod SHUFFLE_SHARDS, so shard assignment needs NO sort at all
+    (narrow expression), and within-shard order is (rank, doc_id) —
+    at 100 TB the dataloader reads shards in parallel and each shard
+    is internally ordered by one bounded sort.
+
+    Output proves the two epoch properties the dataloader relies on:
+    per (epoch, shard): n_docs, first_doc (the permutation head —
+    differs across epochs), and a shard-content checksum
+    (sum of doc_id·(position+1) within the shard's order — any
+    reordering or membership change moves it).
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = []
+    for epoch in SHUFFLE_EPOCHS:
+        rank = F.md5(F.concat(F.lit(f"epoch{epoch}:"), F.col("doc_id").cast("string")))
+        # total-order sort key: rank ‖ zero-padded doc_id (md5 makes
+        # collisions a non-event; the pad keeps the key total anyway)
+        skey = F.concat(rank, F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+        # shard from the rank's first two hex chars via ascii() —
+        # engine-portable integer derivation (no hex-cast dialects)
+        shard = F.pmod(
+            F.ascii(F.substring(rank, 1, 1)) * 16 + F.ascii(F.substring(rank, 2, 1)),
+            F.lit(SHUFFLE_SHARDS),
+        ).cast("int")
+        w = Window.partitionBy("shard").orderBy("skey")
+        epochs.append(
+            docs.select(
+                F.lit(epoch).alias("epoch"),
+                "doc_id",
+                skey.alias("skey"),
+                shard.alias("shard"),
+            )
+            .withColumn("pos", F.row_number().over(w))
+            .groupBy("epoch", "shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min_by("doc_id", "skey").alias("first_doc"),
+                F.sum(F.col("doc_id") * F.col("pos")).alias("order_checksum"),
+            )
+        )
+    out = epochs[0]
+    for e in epochs[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("epoch", "shard")
+
+
+def _shuffle_sql() -> str:
+    parts = []
+    for epoch in SHUFFLE_EPOCHS:
+        parts.append(f"""
+    SELECT {epoch} AS epoch, shard, count(*)::BIGINT AS n_docs,
+           min_by(doc_id, skey) AS first_doc,
+           sum(doc_id * pos)::BIGINT AS order_checksum
+    FROM (
+      SELECT doc_id, skey, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY skey) AS pos
+      FROM (
+        SELECT doc_id,
+               md5('epoch{epoch}:' || doc_id::VARCHAR)
+                 || lpad(doc_id::VARCHAR, 12, '0') AS skey,
+               (ascii(substr(md5('epoch{epoch}:' || doc_id::VARCHAR), 1, 1)) * 16
+                + ascii(substr(md5('epoch{epoch}:' || doc_id::VARCHAR), 2, 1)))
+                 % {SHUFFLE_SHARDS} AS shard
+        FROM documents
+      )
+    ) GROUP BY 1, 2""")
+    return " UNION ALL ".join(parts) + " ORDER BY epoch, shard"
+
+
 MIX_TEMP_TOTAL = 6_000  # total token budget distributed by temperature
 
 
@@ -2873,6 +2955,7 @@ QUERIES = {
     "observed_quality_audit": observed_quality_audit,
     "mix_corpora": mix_corpora,
     "mix_temperature": mix_temperature,
+    "shuffle_for_training": shuffle_for_training,
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
     "chunk_documents": chunk_documents,
@@ -2939,6 +3022,7 @@ FROM g
     "observed_quality_audit": _OBSERVED_AUDIT,
     "mix_corpora": _MIX,
     "mix_temperature": _MIX_TEMP,
+    "shuffle_for_training": _shuffle_sql(),
     "pack_sequences": _PACK_SEQ,
     "decontaminate_ngram": _DECON,
     "chunk_documents": _CHUNKS,

@@ -530,3 +530,27 @@ def test_mix_temperature_upsamples_small_languages(spark):
     # fit strictly under budget
     for r in rows:
         assert r.n_docs_kept >= 1
+
+
+def test_training_shuffle_epoch_properties(spark):
+    """The dataloader contract: (1) every epoch is a full partition
+    of the corpus (shard counts sum to n_docs), (2) different epochs
+    produce DIFFERENT orders (permutation heads / checksums differ
+    somewhere), (3) re-running the same epoch is bit-identical
+    (reproducibility)."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.001"
+    rows1 = llm.shuffle_for_training(spark, sf).collect()
+    n_docs = table(spark, sf, "documents").count()
+    by_epoch = {}
+    for r in rows1:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    for epoch, shards in by_epoch.items():
+        assert sum(s.n_docs for s in shards) == n_docs, epoch
+    e0 = {r.shard: (r.first_doc, r.order_checksum) for r in by_epoch[0]}
+    e1 = {r.shard: (r.first_doc, r.order_checksum) for r in by_epoch[1]}
+    assert e0 != e1  # different epochs -> different permutation
+    rows2 = llm.shuffle_for_training(spark, sf).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))  # reproducible
