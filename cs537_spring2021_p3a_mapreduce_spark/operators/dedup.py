@@ -336,6 +336,128 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash(spark, sf_dir)
 
 
+INCR_BATCH_MOD = 10  # doc_id % 10 == 0 -> the "new batch" (10%)
+
+
+def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-probe dedup — the PRODUCTION shape of continuous corpus
+    ingestion: the standing corpus's LSH band signatures are a
+    STORED INDEX (materialized to parquet here, a table in a
+    deployment), and each incoming batch probes the index — work is
+    |batch| signatures + (batch × corpus) candidate pairs, never the
+    corpus×corpus recomputation a from-scratch dedup pays per
+    ingest. The split is deterministic (doc_id % 10 == 0 is the
+    batch), so the oracle can mirror it.
+
+    Pipeline: corpus minhash signatures → banded index write →
+    batch signatures → equi-join probe on (band, signature) → exact
+    shingle-Jaccard verify on candidates only (the
+    ``dedup_minhash`` discipline: precision 1.0 by construction,
+    divergence from the oracle ⇔ an LSH recall miss, which is what
+    the hash compare exists to expose).
+
+    Output: new_id, corpus_id, jaccard (≥ 0.7).
+    """
+    import os
+    import uuid
+
+    from ..scratch import scratch_dir
+
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    raw = _shingles_raw(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    n_bands = N_HASHES // BAND_ROWS
+
+    def bands_of(sigs: DataFrame) -> DataFrame:
+        band_sigs = F.array(
+            *[
+                F.xxhash64(
+                    *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sigs.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+
+    # the standing index: corpus band signatures, MATERIALIZED (the
+    # artifact an ingest pipeline keeps between batches)
+    index_dir = os.path.join(scratch_dir("incr_idx_"), f"idx_{uuid.uuid4().hex[:8]}")
+    bands_of(_minhash_signatures(raw.where(~is_batch))).write.parquet(index_dir)
+    index = spark.read.parquet(index_dir)
+
+    probe = bands_of(_minhash_signatures(raw.where(is_batch))).select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    )
+    cands = (
+        probe.join(
+            index.select(F.col("doc_id").alias("corpus_id"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # exact verify on candidate docs only (semi-join-scoped sets)
+    cand_docs = (
+        cands.select(F.col("new_id").alias("doc_id"))
+        .unionByName(cands.select(F.col("corpus_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = raw.join(cand_docs, "doc_id", "left_semi").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("new_id"), F.col("shingle").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("corpus_id"), F.col("shingle").alias("s"))
+    shared = (
+        cands.join(sa, "new_id")
+        .join(sb, ["corpus_id", "s"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    ).cast("double")
+    return (
+        shared.join(na, "new_id")
+        .join(nb, "corpus_id")
+        .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+        .orderBy("new_id", "corpus_id")
+    )
+
+
+# exact (batch × corpus) shingle-Jaccard — same recall-1-on-fixtures
+# argument as dedup_minhash_verify's oracle
+_INCR_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - 2, 0)),
+           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]
+         )) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % {INCR_BATCH_MOD} = 0 AND b.doc_id % {INCR_BATCH_MOD} <> 0
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id,
+       round(shared / (na.n + nb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes na ON pairs.new_id = na.doc_id
+JOIN sizes nb ON pairs.corpus_id = nb.doc_id
+WHERE round(shared / (na.n + nb.n - shared), 6) >= {MINHASH_JACCARD_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
 def fuzzy_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-≤1 self-join over customer names via DELETION
     NEIGHBORHOODS (SymSpell / FastSS): each name emits itself plus
@@ -635,6 +757,7 @@ ORDER BY a.block, a_id, dist
 
 QUERIES = {
     "dedup_ppjoin": dedup_ppjoin,
+    "incremental_dedup_index": incremental_dedup_index,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_verify": dedup_minhash_verify,
@@ -652,6 +775,7 @@ QUERIES = {
 # fixtures — see the docstring).
 ORACLES: dict[str, str] = {
     "dedup_ppjoin": _PPJOIN_SQL,
+    "incremental_dedup_index": _INCR_DEDUP_SQL,
     "sorted_neighborhood_pairs": _SNM_SQL,
     "fuzzy_join_customers": _FUZZY,
     "dedup_minhash_verify": """

@@ -257,3 +257,36 @@ def test_sorted_neighborhood_adjacent_dups_pair(spark):
     ).write.parquet(os.path.join(d, "documents.parquet"))
     got = {(r.a_id, r.b_id, r.dist) for r in dedup.sorted_neighborhood_pairs(spark, d).collect()}
     assert (1, 2, 1) in got
+
+
+def test_incremental_index_finds_planted_cross_batch_dup(spark):
+    """A near-dup planted ACROSS the batch/corpus split (batch doc_id
+    % 10 == 0, corpus otherwise) must surface through the index
+    probe; a corpus-internal duplicate pair must NOT (the probe never
+    compares corpus x corpus — that is the point)."""
+    import os
+    import tempfile
+
+    corpus = {
+        # corpus-internal exact dup pair (3, 7): must NOT be emitted
+        3: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        7: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        # batch doc 10 is a near-dup of corpus doc 3
+        10: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        # unrelated filler
+        1: "one two three four five six seven eight nine ten",
+        11: "completely different words entirely unlike any other doc",
+        2: "filler text goes here with several more words present",
+    }
+    d = tempfile.mkdtemp(prefix="incr_t_")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in dedup.incremental_dedup_index(spark, d).collect()
+    }
+    assert (10, 3) in got and (10, 7) in got  # cross-split dups found
+    assert all(k[0] % dedup.INCR_BATCH_MOD == 0 for k in got)  # new side only
+    assert all(k[1] % dedup.INCR_BATCH_MOD != 0 for k in got)  # corpus side only
