@@ -796,7 +796,94 @@ ORDER BY expectation
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_rate_confidence
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96  # 95% two-sided
+QUALITY_LEN_LO, QUALITY_LEN_HI = 100, 2_000  # chars — the pass predicate
+
+
+def quality_rate_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality pass rate WITH Wilson 95% confidence
+    bounds — the statistically honest readout a data-quality
+    dashboard should show instead of a bare percentage (a 3-doc
+    language at 100% is not "better" than a 10k-doc language at 98%,
+    and the interval says so).
+
+    Wilson (not normal-approx) on purpose: it stays inside [0, 1]
+    and behaves at p̂ ∈ {0, 1} and small n. Every term is IEEE-only
+    (+ − × ÷ √ with the constant z), so the doubles are bit-identical
+    across engines; bounds ship as FLOOR-quantized 1e-6 longs (the
+    ``revenue_anomaly_days`` lesson — floor has no round()-half-tie
+    divergence). One conditional aggregate per language.
+
+    Output: lang, n, passes, rate_micro, lo_micro, hi_micro.
+    """
+    d = table(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("n_chars").between(QUALITY_LEN_LO, QUALITY_LEN_HI), 1
+            ).otherwise(0)
+        ).alias("passes"),
+    )
+    z = F.lit(WILSON_Z)
+    n = F.col("n").cast("double")
+    p = F.col("passes").cast("double") / n
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    mic = F.lit(1e6)
+    return agg.select(
+        "lang",
+        "n",
+        "passes",
+        F.floor(p * mic).cast("long").alias("rate_micro"),
+        F.floor((center - half) * mic).cast("long").alias("lo_micro"),
+        F.floor((center + half) * mic).cast("long").alias("hi_micro"),
+    ).orderBy("lang")
+
+
+_QUALITY_CI_SQL = f"""
+WITH agg AS (
+  SELECT lang, count(*)::BIGINT AS n,
+         sum(CASE WHEN n_chars BETWEEN {QUALITY_LEN_LO} AND {QUALITY_LEN_HI}
+                  THEN 1 ELSE 0 END)::BIGINT AS passes
+  FROM documents GROUP BY 1
+)
+SELECT lang, n, passes,
+       floor((passes::DOUBLE / n::DOUBLE) * 1e6)::BIGINT AS rate_micro,
+       floor((((passes::DOUBLE / n::DOUBLE)
+               + {WILSON_Z} * {WILSON_Z} / (2.0 * n::DOUBLE))
+              / (1.0 + {WILSON_Z} * {WILSON_Z} / n::DOUBLE)
+              - {WILSON_Z} * sqrt((passes::DOUBLE / n::DOUBLE)
+                                  * (1.0 - passes::DOUBLE / n::DOUBLE) / n::DOUBLE
+                                  + {WILSON_Z} * {WILSON_Z}
+                                    / (4.0 * n::DOUBLE * n::DOUBLE))
+                / (1.0 + {WILSON_Z} * {WILSON_Z} / n::DOUBLE)) * 1e6)::BIGINT
+         AS lo_micro,
+       floor((((passes::DOUBLE / n::DOUBLE)
+               + {WILSON_Z} * {WILSON_Z} / (2.0 * n::DOUBLE))
+              / (1.0 + {WILSON_Z} * {WILSON_Z} / n::DOUBLE)
+              + {WILSON_Z} * sqrt((passes::DOUBLE / n::DOUBLE)
+                                  * (1.0 - passes::DOUBLE / n::DOUBLE) / n::DOUBLE
+                                  + {WILSON_Z} * {WILSON_Z}
+                                    / (4.0 * n::DOUBLE * n::DOUBLE))
+                / (1.0 + {WILSON_Z} * {WILSON_Z} / n::DOUBLE)) * 1e6)::BIGINT
+         AS hi_micro
+FROM agg ORDER BY lang
+"""
+
+
 QUERIES = {
+    "quality_rate_confidence": quality_rate_confidence,
     "data_expectations_audit": data_expectations_audit,
     "fk_integrity_audit": fk_integrity_audit,
     "table_profile": table_profile,
@@ -809,6 +896,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_rate_confidence": _QUALITY_CI_SQL,
     "data_expectations_audit": _EXPECTATIONS_SQL,
     "winsorize_amounts": _WINSORIZE_SQL,
     "fk_integrity_audit": _FK_AUDIT_SQL,

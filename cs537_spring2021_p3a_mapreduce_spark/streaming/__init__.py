@@ -510,8 +510,6 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: user_id, n_events.
     """
-    import uuid as _uuid
-
     work = scratch_dir("stream_up_")
     counts = running_user_counts(_staged_events_stream(spark, sf_dir, work))
     path = os.path.join(work, "totals")

