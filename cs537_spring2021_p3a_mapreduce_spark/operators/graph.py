@@ -119,6 +119,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP — the step after clustering
+    that ``dedup_clusters`` stops short of: within each near-dup
+    cluster, the survivor is picked by a DATA rule (longest text,
+    ties to the lowest doc_id), not by the id accident of
+    min-vertex labeling — "keep the best copy", which is what a
+    curation pipeline actually ships. Emits the full replacement
+    mapping (every clustered doc → its survivor), the join table a
+    downstream pass uses to rewrite references.
+
+    Plan: verified LSH pairs → connected components (both in-tree,
+    both verified) → one broadcast join to doc lengths → per-cluster
+    ``min_by`` on the (−n_chars, doc_id) rule. Oracle: the recursive
+    closure of the exact-Jaccard pair set + the same rule.
+
+    Output (clustered docs only): doc_id, cluster_id, survivor_id,
+    is_survivor.
+    """
+    from ..catalog import table
+    from ..operators.dedup import dedup_minhash
+
+    pairs = dedup_minhash(spark, sf_dir)
+    comp = connected_components(pairs, "a_id", "b_id").select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    lens = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(lens, "doc_id")
+    # the (longest, then lowest-id) rule as ONE bigint key both
+    # engines' max_by accept: n_chars·10¹² − doc_id (10¹² > any
+    # doc_id, so length dominates and the id breaks ties downward)
+    rule = F.col("n_chars") * F.lit(1_000_000_000_000) - F.col("doc_id")
+    survivors = j.groupBy("cluster_id").agg(
+        F.max_by("doc_id", rule).alias("survivor_id")
+    )
+    return (
+        j.join(F.broadcast(survivors), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 CC_STAR_MAX_ROUNDS = 40
 
 
@@ -545,6 +591,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_survivorship": dedup_survivorship,
     "pagerank_part_supplier": pagerank_part_supplier,
     "bfs_part_supplier": bfs_part_supplier,
     "sssp_part_supplier": sssp_part_supplier,
@@ -694,3 +741,25 @@ SELECT doc_id,
 FROM reach GROUP BY doc_id
 """,
 }
+
+_SURVIVOR_SQL = ORACLES["dedup_clusters"].replace(
+    """SELECT doc_id,
+       min(r) AS cluster_id,
+       doc_id = min(r) AS is_keeper
+FROM reach GROUP BY doc_id""",
+    """, clusters AS (
+  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+), ranked AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars FROM clusters c
+  JOIN documents d USING (doc_id)
+), survivors AS (
+  SELECT cluster_id,
+         max_by(doc_id, n_chars * 1000000000000 - doc_id) AS survivor_id
+  FROM ranked GROUP BY cluster_id
+)
+SELECT r.doc_id, r.cluster_id, s.survivor_id,
+       r.doc_id = s.survivor_id AS is_survivor
+FROM ranked r JOIN survivors s USING (cluster_id)
+ORDER BY r.doc_id""",
+)
+ORACLES["dedup_survivorship"] = _SURVIVOR_SQL

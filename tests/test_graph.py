@@ -317,3 +317,30 @@ def test_sssp_matches_bounded_bellman_ford_model(spark, tmp_path):
         dist = nxt
     assert got == dist
     assert got[3] == 3  # supp1 via the 3-hop detour, not the 50 direct
+
+
+def test_survivorship_rule_on_planted_cluster(spark):
+    """Planted 3-doc near-dup cluster with different lengths: the
+    LONGEST doc survives (not the lowest id — that is the rule's
+    whole point), and every cluster member maps to it."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import graph as g
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota "
+    corpus = [
+        (1, base + "kappa"),                      # short
+        (2, base + "kappa lambda mu nu xi"),      # LONGEST -> survivor
+        (3, base + "kappa lambda"),               # medium
+        (9, "totally unrelated words that share nothing with the others at all"),
+    ]
+    d = tempfile.mkdtemp(prefix="surv_t_")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in g.dedup_survivorship(spark, d).collect()}
+    assert set(rows) == {1, 2, 3}  # doc 9 is unclustered
+    assert all(r.survivor_id == 2 for r in rows.values())
+    assert rows[2].is_survivor and not rows[1].is_survivor

@@ -26,6 +26,7 @@ QUADRATIC_ORACLES = {
     "dedup_ngram",
     "dedup_minhash_verify",
     "dedup_clusters",
+    "dedup_survivorship",
     "fuzzy_join_customers",
     "ann_lsh_pairs",
     "video_frame_dedup",
