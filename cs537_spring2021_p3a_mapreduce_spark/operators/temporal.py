@@ -42,6 +42,11 @@ CEP_PATTERNS = [
     ("browse_to_buy", "v[cv]*p"),  # view, optional clicks/views, purchase
     ("error_burst", "ee+"),  # 2+ consecutive errors
     ("signup_to_buy", "s[^p]*p"),  # signup eventually followed by purchase
+    # NEGATIVE pattern (absence matching — the MATCH_RECOGNIZE class
+    # regexes get for free): a click never followed by any purchase,
+    # i.e. the user's history ENDS in an abandoned funnel. The $
+    # anchor is shared Java-regex/RE2 semantics.
+    ("abandoned_click", "c[^p]*$"),
 ]
 
 
