@@ -23,6 +23,7 @@ from cs537_spring2021_p3a_mapreduce_spark.operators import (
     layout,
     llm,
     mapreduce_core,
+    mining,
     multimodal,
     profiling,
     relational,
@@ -37,6 +38,7 @@ _MODULES = [
     relational,
     profiling,
     temporal,
+    mining,
     tpch2,
     llm,
     dedup,

@@ -1,0 +1,122 @@
+"""Association-rule mining (market-basket analysis) — the frequent
+co-occurrence tier: which parts ship together in one order, with
+support / confidence / lift. The missing classic next to the
+engine's aggregation and graph tiers; the reference's count-per-key
+discipline (A9) extended to PAIRS of keys.
+
+Scale shape: the pair generator is a WITHIN-BASKET self-join —
+fan-out is bounded by items-per-basket² (single digits squared),
+never corpus²; the pair table then aggregates like any wordcount.
+A basket with a pathological item count is the skew case; the cap
+below makes the bound explicit and auditable (baskets above it are
+dropped and COUNTED, not silently kept quadratic).
+
+Determinism: support/confidence/lift are single IEEE divisions of
+exact counts, shipped as floor-quantized 1e-6 longs (floor has no
+round()-half-tie divergence across engines — the repo-wide lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+MIN_PAIR_COUNT = 2  # rules need at least this many co-occurrences
+MAX_BASKET_ITEMS = 64  # explicit fan-out bound (fan-out ≤ this²)
+_MIC = 1_000_000
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for each ordered part
+    pair (a < b) co-occurring in ≥ MIN_PAIR_COUNT orders —
+    support P(a,b), confidence P(b|a), and lift
+    P(a,b)/(P(a)·P(b)) (>1 ⇒ genuinely associated, not just both
+    popular — the measure that survives popularity skew).
+
+    Output: part_a, part_b, pair_n, support_micro, confidence_micro,
+    lift_micro (floor-quantized 1e-6 longs).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_n"))
+    kept = li.join(
+        F.broadcast(sizes.where(F.col("basket_n") <= MAX_BASKET_ITEMS)),
+        "l_orderkey",
+    )
+    n_orders = kept.select("l_orderkey").distinct().count()
+    a = kept.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = kept.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= MIN_PAIR_COUNT)
+    )
+    item_n = kept.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("item_n"))
+    na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("item_n").alias("na"))
+    nb = item_n.select(F.col("l_partkey").alias("part_b"), F.col("item_n").alias("nb"))
+    pn = F.col("pair_n").cast("double")
+    no = F.lit(float(n_orders))
+    support = pn / no
+    confidence = pn / F.col("na").cast("double")
+    lift = pn * no / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    mic = F.lit(float(_MIC))
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            F.floor(support * mic).cast("long").alias("support_micro"),
+            F.floor(confidence * mic).cast("long").alias("confidence_micro"),
+            F.floor(lift * mic).cast("long").alias("lift_micro"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+_BASKET_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sizes AS (
+  SELECT l_orderkey, count(*)::BIGINT AS basket_n FROM li GROUP BY 1
+), kept AS (
+  SELECT li.l_orderkey, li.l_partkey
+  FROM li JOIN sizes USING (l_orderkey)
+  WHERE sizes.basket_n <= {MAX_BASKET_ITEMS}
+), n_orders AS (
+  SELECT count(DISTINCT l_orderkey)::DOUBLE AS no FROM kept
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS pair_n
+  FROM kept a JOIN kept b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_PAIR_COUNT}
+), item_n AS (
+  SELECT l_partkey, count(*)::BIGINT AS n FROM kept GROUP BY 1
+)
+SELECT p.part_a, p.part_b, p.pair_n,
+       floor(p.pair_n::DOUBLE / o.no * {_MIC}.0)::BIGINT AS support_micro,
+       floor(p.pair_n::DOUBLE / na.n::DOUBLE * {_MIC}.0)::BIGINT
+         AS confidence_micro,
+       floor(p.pair_n::DOUBLE * o.no / (na.n::DOUBLE * nb.n::DOUBLE)
+             * {_MIC}.0)::BIGINT AS lift_micro
+FROM pairs p
+JOIN item_n na ON na.l_partkey = p.part_a
+JOIN item_n nb ON nb.l_partkey = p.part_b
+CROSS JOIN n_orders o
+ORDER BY p.part_a, p.part_b
+"""
+
+
+QUERIES = {
+    "market_basket_rules": market_basket_rules,
+}
+
+ORACLES = {
+    "market_basket_rules": _BASKET_SQL,
+}

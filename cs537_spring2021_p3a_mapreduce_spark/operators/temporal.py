@@ -255,6 +255,76 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# time_weighted_average — TWAP over step-function event values
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average value per user (TWAP): each event's
+    value HOLDS until the user's next event (step-function
+    semantics — the IoT/finance reading of an event stream, where a
+    plain AVG over-weights bursts: 100 readings in one minute count
+    100× even if the state barely held). Weight = microseconds until
+    the next event; the final event of each user carries no interval
+    and is excluded (open-ended holds would be unbounded).
+
+    Exactness: weights are exact µs longs from one ``lead`` window,
+    values are exact cents; Σ(cents·µs) accumulates in decimal(38,0)
+    (the product alone can pass int64 over month-long holds) and the
+    single division at the end is IEEE. One per-user window + one
+    aggregate — the sessionization shuffle shape.
+
+    Output: user_id, n_intervals, span_us, twap (cents, round 6).
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    stepped = ev.withColumn("next_us", F.lead("us").over(w)).where(
+        F.col("next_us").isNotNull()
+    )
+    dur = F.col("next_us") - F.col("us")
+    dec = "decimal(38,0)"
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(dur).alias("span_us"),
+            F.round(
+                F.sum((F.col("cents").cast(dec) * dur.cast(dec))).cast("double")
+                / F.sum(dur).cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_TWAP_SQL = """
+WITH stepped AS (
+  SELECT user_id,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us,
+         round(value * 100)::BIGINT AS cents
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_intervals,
+       sum(next_us - us)::BIGINT AS span_us,
+       round(sum(cents::HUGEINT * (next_us - us)::HUGEINT)::DOUBLE
+             / sum(next_us - us)::DOUBLE, 6) AS twap
+FROM stepped WHERE next_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # revenue_anomaly_days — rolling-statistics breach detection
 # ---------------------------------------------------------------------------
 
@@ -464,6 +534,7 @@ ORDER BY 1, 2
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "revenue_anomaly_days": revenue_anomaly_days,
+    "time_weighted_average": time_weighted_average,
     "sliding_distinct_hll": sliding_distinct_hll,
     "event_pattern_match": event_pattern_match,
     "sliding_distinct_users": sliding_distinct_users,
@@ -473,6 +544,7 @@ QUERIES = {
 ORACLES = {
     "event_transition_matrix": _TRANSITION_SQL,
     "revenue_anomaly_days": _ANOMALY_SQL,
+    "time_weighted_average": _TWAP_SQL,
     "event_pattern_match": _cep_sql(),
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "iso_week_rollup": _ISO_WEEK_SQL,

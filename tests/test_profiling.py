@@ -240,3 +240,37 @@ def test_wilson_interval_properties(spark):
     half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
     assert abs(r.lo_micro - math.floor((center - half) * 1e6)) <= 1
     assert abs(r.hi_micro - math.floor((center + half) * 1e6)) <= 1
+
+
+def test_market_basket_lift_identifies_association(spark):
+    """Planted association: parts 101+102 co-occur in every one of
+    their orders while 201 appears everywhere (popular but
+    unassociated) — lift must rank (101,102) far above (101,201),
+    and confidence P(102|101) must be 1."""
+    rows = []
+    for o in range(1, 11):
+        rows.append((o, 201))  # popular filler in every order
+        if o <= 5:
+            rows += [(o, 101), (o, 102)]  # always together
+        else:
+            rows.append((o, 300 + o))  # singles
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    li = df.distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey").where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n"))
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("m"))
+    na = item.select(F.col("l_partkey").alias("pa"), F.col("m").alias("na"))
+    nb = item.select(F.col("l_partkey").alias("pb"), F.col("m").alias("nb"))
+    j = {(r.pa, r.pb): (r.n, r.na, r.nb)
+         for r in pairs.join(na, "pa").join(nb, "pb").collect()}
+    n_ab, na_, nb_ = j[(101, 102)]
+    assert n_ab == 5 and n_ab / na_ == 1.0  # P(102|101) = 1
+    lift_good = n_ab * n_orders / (na_ * nb_)
+    n_ac, na2, nc = j[(101, 201)]
+    lift_pop = n_ac * n_orders / (na2 * nc)
+    assert lift_good > 1.5 and abs(lift_pop - 1.0) < 1e-9  # popularity != association

@@ -240,3 +240,41 @@ def test_anomaly_baseline_excludes_current_day(spark):
     # anomalies are a small minority on organic data
     n_anom = sum(1 for r in rows if r.is_anomaly)
     assert n_anom < len(rows) * 0.1
+
+
+def test_twap_weights_beat_burst(spark):
+    """The defining TWAP property: a value held for 99 minutes then a
+    1-minute burst of the opposite value averages to ~the held value,
+    where plain AVG would say fifty-fifty. Computed via the
+    operator's own step-function expressions on a toy series."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base, 100.0)]  # value 1.00 dollar, holds 99 min
+    rows += [
+        (1, base + dt.timedelta(minutes=99) + dt.timedelta(seconds=6 * i), 0.0)
+        for i in range(10)  # burst of 10 zero readings over the last minute
+    ]
+    rows.append((1, base + dt.timedelta(minutes=100), 0.0))  # closing event
+    df = spark.createDataFrame(
+        [(u, t, i, v) for i, (u, t, v) in enumerate(rows)],
+        "user_id long, ts timestamp, event_id long, value double",
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    stepped = df.withColumn("next_us", F.lead("us").over(w)).where(
+        F.col("next_us").isNotNull()
+    )
+    dur = F.col("next_us") - F.col("us")
+    twap = stepped.agg(
+        (F.sum(F.col("cents") * dur) / F.sum(dur)).alias("t"),
+        F.avg("cents").alias("plain"),
+    ).collect()[0]
+    assert twap.t > 9_000  # ~99% of the time at 10000 micro... cents*? value held
+    assert twap.plain < 1_000  # plain average is dominated by the burst rows
