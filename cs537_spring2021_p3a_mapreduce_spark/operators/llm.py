@@ -1602,6 +1602,69 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 """
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVALUATION for the in-tree language-ID heuristic:
+    the confusion matrix of ``lang_id``'s predictions against the
+    table's gold ``lang`` labels — the metrics pass every model-based
+    curation step needs before its output is trusted (a quality
+    classifier you haven't confusion-matrixed is a rumor). Each cell
+    carries its recall contribution (share of the ACTUAL language's
+    docs landing in this cell, floor-quantized micro) so per-language
+    recall is the diagonal cell's share and error hot-spots read
+    directly off the off-diagonals.
+
+    One extra broadcast join + one aggregate over the zero-shuffle
+    ``lang_id`` pass. Output: actual_lang, pred_lang, n,
+    share_of_actual_micro.
+    """
+    preds = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    gold = table(spark, sf_dir, "documents").select("doc_id", F.col("lang").alias("actual_lang"))
+    cells = (
+        gold.join(preds, "doc_id")
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = cells.groupBy("actual_lang").agg(F.sum("n").alias("tot"))
+    return (
+        cells.join(F.broadcast(totals), "actual_lang")
+        .select(
+            "actual_lang",
+            "pred_lang",
+            "n",
+            F.floor(F.col("n").cast("double") / F.col("tot").cast("double") * 1e6)
+            .cast("long")
+            .alias("share_of_actual_micro"),
+        )
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+def _lang_confusion_sql() -> str:
+    # wrap the lang_id oracle's final SELECT into a CTE and evaluate
+    # the confusion cells on top — ONE source of truth for the
+    # heuristic's SQL mirror
+    final_select = """SELECT d.doc_id,
+       coalesce(b.pred_lang, 'und') AS pred_lang,
+       coalesce(b.n_hits, 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id"""
+    assert final_select in _LANG_ID
+    wrapped = _LANG_ID.replace(final_select, f", pred AS (\n{final_select}\n)")
+    return wrapped + """
+, cells AS (
+  SELECT d.lang AS actual_lang, p.pred_lang, count(*)::BIGINT AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+), totals AS (
+  SELECT actual_lang, sum(n)::BIGINT AS tot FROM cells GROUP BY 1
+)
+SELECT c.actual_lang, c.pred_lang, c.n,
+       floor(c.n::DOUBLE / t.tot::DOUBLE * 1e6)::BIGINT
+         AS share_of_actual_micro
+FROM cells c JOIN totals t USING (actual_lang)
+ORDER BY c.actual_lang, c.pred_lang
+"""
+
+
 _STOPLIST = "('the', 'of', 'and', 'a', 'in', 'to', 'is')"
 
 _QUALITY = _TOKS + f"""
@@ -2941,6 +3004,7 @@ QUERIES = {
     "ngram_counts": ngram_counts,
     "tfidf_terms": tfidf_terms,
     "lang_id": lang_id,
+    "lang_id_confusion": lang_id_confusion,
     "quality_score": quality_score,
     "repetition_score": repetition_score,
     "doc_fingerprint": doc_fingerprint,
@@ -2988,6 +3052,7 @@ GROUP BY 1, 2
     "ngram_counts": _NGRAM_COUNTS,
     "tfidf_terms": _TFIDF,
     "lang_id": _LANG_ID,
+    "lang_id_confusion": _lang_confusion_sql(),
     "quality_score": _QUALITY,
     "repetition_score": """
 WITH toks AS (

@@ -554,3 +554,40 @@ def test_training_shuffle_epoch_properties(spark):
     assert e0 != e1  # different epochs -> different permutation
     rows2 = llm.shuffle_for_training(spark, sf).collect()
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))  # reproducible
+
+
+def test_confusion_matrix_partitions_and_diagonal(spark):
+    """The matrix partitions the corpus (cell counts sum to n_docs),
+    per-actual shares sum to ~1e6 micro, and on a planted corpus of
+    marker-only docs the diagonal is perfect."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.001"
+    rows = llm.lang_id_confusion(spark, sf).collect()
+    n_docs = table(spark, sf, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    from collections import defaultdict
+
+    shares = defaultdict(int)
+    for r in rows:
+        shares[r.actual_lang] += r.share_of_actual_micro
+    for lang, s in shares.items():
+        assert 1_000_000 - len(rows) <= s <= 1_000_000, lang  # floor loss bounded
+    # planted: one doc per language made ONLY of that language's markers
+    lex = llm.LANG_LEXICON
+    corpus = [
+        (i, " ".join(sorted(toks)[:5]) + " " + " ".join(sorted(toks)[:5]), lang)
+        for i, (lang, toks) in enumerate(sorted(lex.items()))
+    ]
+    d = tempfile.mkdtemp(prefix="conf_t_")
+    spark.createDataFrame(
+        [(k, t, lang, "t", len(t)) for k, t, lang in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    planted = llm.lang_id_confusion(spark, d).collect()
+    assert all(r.actual_lang == r.pred_lang for r in planted)
+    assert all(r.share_of_actual_micro == 1_000_000 for r in planted)
