@@ -882,7 +882,113 @@ FROM agg ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# ab_test_conversion
+# ---------------------------------------------------------------------------
+
+
+AB_CONV_MIN = 14  # purchases for the high-intent conversion
+
+
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between user cohorts — the experiment
+    readout: cohort A/B by user-id parity (the deterministic stand-in
+    for an assignment column), conversion = the user has ≥1 purchase
+    event, pooled-variance z statistic and the 5% two-sided verdict.
+    The |z| > 1.96 test is the decision a Wilson interval
+    (``quality_rate_confidence``) informs but doesn't make.
+
+    One distinct-user aggregate (conversion is per USER, not per
+    event — the unit-of-analysis mistake this shape avoids), one
+    4-number reduction, IEEE-only math (√ + constants), z shipped as
+    a floor-quantized 1e-6 long.
+
+    Output (1 row): n_a, conv_a, n_b, conv_b, rate_a_micro,
+    rate_b_micro, z_micro, significant.
+    """
+    ev = table(spark, sf_dir, "events")
+    # conversion = HIGH-INTENT user (>= AB_CONV_MIN purchases): a
+    # >=1-purchase definition saturates on the fixture (every user
+    # converts, zero variance, no test to run)
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= AB_CONV_MIN,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    arms = per_user.groupBy(F.pmod("user_id", F.lit(2)).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    # degenerate arms (0% or 100% pooled conversion) have zero
+    # variance: no information, z defined as 0 on both sides
+    z = F.when(se > 0, (pa - pb) / se).otherwise(F.lit(0.0))
+    mic = F.lit(1e6)
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.floor(pa * mic).cast("long").alias("rate_a_micro"),
+        F.floor(pb * mic).cast("long").alias("rate_b_micro"),
+        F.floor(z * mic).cast("long").alias("z_micro"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+_AB_TEST_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {AB_CONV_MIN} THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1
+), arms AS (
+  SELECT user_id % 2 AS arm, count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+  FROM per_user GROUP BY 1
+), wide AS (
+  SELECT sum(CASE WHEN arm = 0 THEN n END)::BIGINT AS n_a,
+         sum(CASE WHEN arm = 0 THEN c END)::BIGINT AS conv_a,
+         sum(CASE WHEN arm = 1 THEN n END)::BIGINT AS n_b,
+         sum(CASE WHEN arm = 1 THEN c END)::BIGINT AS conv_b
+  FROM arms
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       floor(conv_a::DOUBLE / n_a::DOUBLE * 1e6)::BIGINT AS rate_a_micro,
+       floor(conv_b::DOUBLE / n_b::DOUBLE * 1e6)::BIGINT AS rate_b_micro,
+       floor((CASE WHEN se.se > 0
+                   THEN (conv_a::DOUBLE / n_a::DOUBLE
+                         - conv_b::DOUBLE / n_b::DOUBLE) / se.se
+                   ELSE 0.0 END) * 1e6)::BIGINT AS z_micro,
+       abs(CASE WHEN se.se > 0
+                THEN (conv_a::DOUBLE / n_a::DOUBLE
+                      - conv_b::DOUBLE / n_b::DOUBLE) / se.se
+                ELSE 0.0 END) > 1.96 AS significant
+FROM wide,
+LATERAL (SELECT sqrt((conv_a::DOUBLE + conv_b::DOUBLE)
+                     / (n_a::DOUBLE + n_b::DOUBLE)
+                     * (1.0 - (conv_a::DOUBLE + conv_b::DOUBLE)
+                              / (n_a::DOUBLE + n_b::DOUBLE))
+                     * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) AS se) se
+"""
+
+
 QUERIES = {
+    "ab_test_conversion": ab_test_conversion,
     "quality_rate_confidence": quality_rate_confidence,
     "data_expectations_audit": data_expectations_audit,
     "fk_integrity_audit": fk_integrity_audit,
@@ -896,6 +1002,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ab_test_conversion": _AB_TEST_SQL,
     "quality_rate_confidence": _QUALITY_CI_SQL,
     "data_expectations_audit": _EXPECTATIONS_SQL,
     "winsorize_amounts": _WINSORIZE_SQL,

@@ -274,3 +274,20 @@ def test_market_basket_lift_identifies_association(spark):
     n_ac, na2, nc = j[(101, 201)]
     lift_pop = n_ac * n_orders / (na2 * nc)
     assert lift_good > 1.5 and abs(lift_pop - 1.0) < 1e-9  # popularity != association
+
+
+def test_ab_test_z_matches_closed_form(spark):
+    """The z statistic must equal the textbook pooled two-proportion
+    formula on the operator's own counts, and parity arms (hash of
+    uniform user ids) must NOT be significant on organic data."""
+    import math
+
+    r = prof.ab_test_conversion(spark, SF).collect()[0]
+    n_a, c_a, n_b, c_b = r.n_a, r.conv_a, r.n_b, r.conv_b
+    pa, pb = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    se = math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    z = (pa - pb) / se if se > 0 else 0.0
+    assert abs(r.z_micro - math.floor(z * 1e6)) <= 1
+    # arm assignment is id parity over uniform ids: no real effect
+    assert not r.significant
