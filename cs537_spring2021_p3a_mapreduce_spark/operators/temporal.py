@@ -425,6 +425,166 @@ ORDER BY day
 
 
 # ---------------------------------------------------------------------------
+# weekday_seasonality — day-of-week seasonal index
+# ---------------------------------------------------------------------------
+
+
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of order revenue: each weekday's
+    average daily revenue relative to the overall daily average
+    (index 1.0 = no seasonality) — the decomposition input any
+    forecast or anomaly baseline should remove first (a Monday dip
+    is seasonality, not an incident; ``revenue_anomaly_days``'s
+    trailing window absorbs level shifts but not weekly shape).
+
+    Two-level exactness: revenue aggregates to exact day-cents
+    first (so weekdays with more calendar days don't bias the mean),
+    then per-weekday exact moments; the index is one IEEE division
+    chain shipped as floor-micro. ISO weekday numbering (1=Mon).
+
+    Output: iso_weekday, n_days, avg_day_cents_micro, index_micro.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    per_wd = daily.groupBy(
+        F.expr("extract(DAYOFWEEK_ISO FROM day)").cast("int").alias("iso_weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    overall = per_wd.agg(
+        F.sum("sum_cents").alias("tot_cents"), F.sum("n_days").alias("tot_days")
+    )
+    avg_wd = F.col("sum_cents").cast("double") / F.col("n_days").cast("double")
+    avg_all = F.col("tot_cents").cast("double") / F.col("tot_days").cast("double")
+    mic = F.lit(1e6)
+    return (
+        per_wd.crossJoin(F.broadcast(overall))
+        .select(
+            "iso_weekday",
+            "n_days",
+            F.floor(avg_wd * mic).cast("long").alias("avg_day_cents_micro"),
+            F.floor(avg_wd / avg_all * mic).cast("long").alias("index_micro"),
+        )
+        .orderBy("iso_weekday")
+    )
+
+
+_WEEKDAY_SQL = """
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1
+), per_wd AS (
+  SELECT isodow(day)::INT AS iso_weekday,
+         count(*)::BIGINT AS n_days,
+         sum(cents)::BIGINT AS sum_cents
+  FROM daily GROUP BY 1
+), overall AS (
+  SELECT sum(sum_cents)::BIGINT AS tot_cents, sum(n_days)::BIGINT AS tot_days
+  FROM per_wd
+)
+SELECT iso_weekday, n_days,
+       floor(sum_cents::DOUBLE / n_days::DOUBLE * 1e6)::BIGINT
+         AS avg_day_cents_micro,
+       floor(sum_cents::DOUBLE / n_days::DOUBLE
+             / (tot_cents::DOUBLE / tot_days::DOUBLE) * 1e6)::BIGINT
+         AS index_micro
+FROM per_wd CROSS JOIN overall
+ORDER BY iso_weekday
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel_time_to_convert — view→purchase latency distribution
+# ---------------------------------------------------------------------------
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency distribution of the conversion funnel: for every
+    purchase, the time since the same user's most recent prior view
+    (the as-of attribution this repo already verifies), summarized
+    as exact p25/p50/p75/p90 latency percentiles plus the
+    conversion-with-attribution count — "how long does intent take
+    to convert", the funnel metric after
+    ``funnel_conversion``'s "does it convert".
+
+    One union-tag shuffle (the ``asof_purchase_attribution``
+    single-pass trick: views carry their ts forward via
+    last(ignorenulls) over the per-user timeline), then one exact
+    percentile aggregate over the attributed µs gaps. Percentile
+    interpolation parity is the proven ``grouped_quantiles``
+    contract; outputs are exact-µs-derived, round 6 safe (single
+    IEEE ops on .5-exact interpolants — same class as
+    outlier_mad_robust).
+
+    Output (1 row): n_attributed, p25_s, p50_s, p75_s, p90_s.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "us",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.col("us")).alias("view_us"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    # views sort before purchases at identical ts (>= as-of semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", F.col("is_purchase").cast("int"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attributed = (
+        tagged.withColumn("last_view_us", F.last("view_us", ignorenulls=True).over(w))
+        .where(F.col("is_purchase") & F.col("last_view_us").isNotNull())
+        .select(((F.col("us") - F.col("last_view_us")) / F.lit(1e6)).alias("gap_s"))
+    )
+    pct = F.expr("percentile(gap_s, array(0.25, 0.5, 0.75, 0.9))")
+    return attributed.agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.round(pct[0], 6).alias("p25_s"),
+        F.round(pct[1], 6).alias("p50_s"),
+        F.round(pct[2], 6).alias("p75_s"),
+        F.round(pct[3], 6).alias("p90_s"),
+    )
+
+
+_TTC_SQL = """
+WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_us,
+         event_type = 'purchase' AS is_purchase
+  FROM events WHERE event_type IN ('view', 'purchase')
+), attributed AS (
+  SELECT (us - last_view_us) / 1e6 AS gap_s
+  FROM (
+    SELECT us, is_purchase,
+           last_value(view_us IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY us, is_purchase::INT, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+    FROM tagged
+  ) WHERE is_purchase AND last_view_us IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n_attributed,
+       round(quantile_cont(gap_s, 0.25), 6) AS p25_s,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(gap_s, 0.75), 6) AS p75_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_s
+FROM attributed
+"""
+
+
+# ---------------------------------------------------------------------------
 # sliding_distinct_hll — the mergeable-sketch form of the sliding window
 # ---------------------------------------------------------------------------
 
@@ -535,6 +695,8 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "revenue_anomaly_days": revenue_anomaly_days,
     "time_weighted_average": time_weighted_average,
+    "weekday_seasonality": weekday_seasonality,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "sliding_distinct_hll": sliding_distinct_hll,
     "event_pattern_match": event_pattern_match,
     "sliding_distinct_users": sliding_distinct_users,
@@ -545,6 +707,8 @@ ORACLES = {
     "event_transition_matrix": _TRANSITION_SQL,
     "revenue_anomaly_days": _ANOMALY_SQL,
     "time_weighted_average": _TWAP_SQL,
+    "weekday_seasonality": _WEEKDAY_SQL,
+    "funnel_time_to_convert": _TTC_SQL,
     "event_pattern_match": _cep_sql(),
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "iso_week_rollup": _ISO_WEEK_SQL,

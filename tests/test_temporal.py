@@ -278,3 +278,22 @@ def test_twap_weights_beat_burst(spark):
     ).collect()[0]
     assert twap.t > 9_000  # ~99% of the time at 10000 micro... cents*? value held
     assert twap.plain < 1_000  # plain average is dominated by the burst rows
+
+
+def test_weekday_index_averages_to_one(spark):
+    """Seasonal indices weighted by day counts must average to 1
+    (Σ index·n_days / Σ n_days ≈ 1e6 micro — the defining property
+    of a seasonal decomposition), and ISO weekday coverage is 1-7."""
+    rows = tmp.weekday_seasonality(spark, SF).collect()
+    assert {r.iso_weekday for r in rows} <= set(range(1, 8))
+    tot_days = sum(r.n_days for r in rows)
+    # weighted mean of avg_day_cents equals the overall mean -> the
+    # weighted mean of indices is 1 (floor loss < 1 micro per row)
+    weighted = sum(r.index_micro * r.n_days for r in rows) / tot_days
+    assert abs(weighted - 1_000_000) < 50
+
+
+def test_time_to_convert_gaps_nonnegative_ordered(spark):
+    r = tmp.funnel_time_to_convert(spark, SF).collect()[0]
+    assert r.n_attributed > 0
+    assert 0 <= r.p25_s <= r.p50_s <= r.p75_s <= r.p90_s
