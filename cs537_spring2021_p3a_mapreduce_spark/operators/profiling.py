@@ -987,7 +987,91 @@ LATERAL (SELECT sqrt((conv_a::DOUBLE + conv_b::DOUBLE)
 """
 
 
+# ---------------------------------------------------------------------------
+# largest_remainder_allocation
+# ---------------------------------------------------------------------------
+
+ALLOC_TOTAL = 1_000_000  # units to allocate
+
+
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional INTEGER allocation by the largest-remainder
+    (Hamilton) method: a fixed budget of units splits across nations
+    ∝ their customers' positive account balances, and the allocations
+    are integers that sum EXACTLY to the budget — the apportionment
+    problem every quota/budget/shard-count assignment hits, where
+    naive rounding leaves the total off by up to n/2 units.
+
+    Pure integer arithmetic end to end: base_i = ⌊T·w_i/W⌋ via DIV,
+    remainder r_i = (T·w_i) mod W, and the T − Σbase leftover units
+    go to the largest remainders (ties to the smaller nation key, so
+    the assignment is a total order). Spark ``DIV``/``%`` and DuckDB
+    ``//``/``%`` truncation parity is verified repo-wide; no floats
+    exist to disagree.
+
+    Output: n_nationkey, weight_cents, base, extra, alloc; Σalloc =
+    ALLOC_TOTAL exactly (pinned in test).
+    """
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.greatest(_cents("c_acctbal"), F.lit(0)).alias("w"),
+    )
+    weights = c.groupBy(F.col("c_nationkey").alias("n_nationkey")).agg(
+        F.sum("w").alias("weight_cents")
+    )
+    tot = weights.agg(F.sum("weight_cents").alias("W"))
+    j = weights.crossJoin(F.broadcast(tot))
+    T = F.lit(ALLOC_TOTAL)
+    base = F.expr(f"CAST({ALLOC_TOTAL} AS BIGINT) * weight_cents DIV W")
+    rem = F.expr(f"(CAST({ALLOC_TOTAL} AS BIGINT) * weight_cents) % W")
+    staged = j.select(
+        "n_nationkey", "weight_cents", base.alias("base"), rem.alias("rem")
+    )
+    leftover = staged.agg((T - F.sum("base")).alias("L"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("n_nationkey").asc())
+    return (
+        staged.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "n_nationkey",
+            "weight_cents",
+            "base",
+            F.when(F.col("rk") <= F.col("L"), 1).otherwise(0).alias("extra"),
+        )
+        .withColumn("alloc", F.col("base") + F.col("extra"))
+        .orderBy("n_nationkey")
+    )
+
+
+_ALLOC_SQL = f"""
+WITH w AS (
+  SELECT c_nationkey AS n_nationkey,
+         sum(greatest(round(c_acctbal * 100)::BIGINT, 0))::BIGINT AS weight_cents
+  FROM customer GROUP BY 1
+), tot AS (SELECT sum(weight_cents)::BIGINT AS W FROM w),
+staged AS (
+  SELECT n_nationkey, weight_cents,
+         ({ALLOC_TOTAL}::BIGINT * weight_cents) // W AS base,
+         ({ALLOC_TOTAL}::BIGINT * weight_cents) % W AS rem
+  FROM w, tot
+), leftover AS (
+  SELECT {ALLOC_TOTAL}::BIGINT - sum(base)::BIGINT AS L FROM staged
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, n_nationkey ASC) AS rk
+  FROM staged
+)
+SELECT n_nationkey, weight_cents, base,
+       CASE WHEN rk <= leftover.L THEN 1 ELSE 0 END AS extra,
+       base + CASE WHEN rk <= leftover.L THEN 1 ELSE 0 END AS alloc
+FROM ranked, leftover
+ORDER BY n_nationkey
+"""
+
+
 QUERIES = {
+    "largest_remainder_allocation": largest_remainder_allocation,
     "ab_test_conversion": ab_test_conversion,
     "quality_rate_confidence": quality_rate_confidence,
     "data_expectations_audit": data_expectations_audit,
@@ -1002,6 +1086,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "largest_remainder_allocation": _ALLOC_SQL,
     "ab_test_conversion": _AB_TEST_SQL,
     "quality_rate_confidence": _QUALITY_CI_SQL,
     "data_expectations_audit": _EXPECTATIONS_SQL,

@@ -425,6 +425,50 @@ ORDER BY day
 
 
 # ---------------------------------------------------------------------------
+# cumulative_new_users — the growth curve
+# ---------------------------------------------------------------------------
+
+
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth curve: per day, how many users were seen for the
+    FIRST time, and the cumulative distinct-user count to date —
+    computed from first-seen days (one aggregate per user), not by
+    re-counting distinct users per prefix (which is |days| scans or
+    an unbounded-state window). The cumulative sum then runs over
+    one-row-per-day — size-invariant, like the anomaly baseline.
+
+    Output: day, new_users, cum_users.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = first_seen.groupBy(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    ).orderBy("day")
+
+
+_CUM_USERS_SQL = """
+WITH first_seen AS (
+  SELECT user_id, min(ts::DATE) AS first_day FROM events GROUP BY 1
+), per_day AS (
+  SELECT strftime(first_day, '%Y-%m-%d') AS day, count(*)::BIGINT AS new_users
+  FROM first_seen GROUP BY 1
+)
+SELECT day, new_users,
+       sum(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users
+FROM per_day ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # weekday_seasonality — day-of-week seasonal index
 # ---------------------------------------------------------------------------
 
@@ -696,6 +740,7 @@ QUERIES = {
     "revenue_anomaly_days": revenue_anomaly_days,
     "time_weighted_average": time_weighted_average,
     "weekday_seasonality": weekday_seasonality,
+    "cumulative_new_users": cumulative_new_users,
     "funnel_time_to_convert": funnel_time_to_convert,
     "sliding_distinct_hll": sliding_distinct_hll,
     "event_pattern_match": event_pattern_match,
@@ -708,6 +753,7 @@ ORACLES = {
     "revenue_anomaly_days": _ANOMALY_SQL,
     "time_weighted_average": _TWAP_SQL,
     "weekday_seasonality": _WEEKDAY_SQL,
+    "cumulative_new_users": _CUM_USERS_SQL,
     "funnel_time_to_convert": _TTC_SQL,
     "event_pattern_match": _cep_sql(),
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,

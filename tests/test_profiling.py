@@ -291,3 +291,17 @@ def test_ab_test_z_matches_closed_form(spark):
     assert abs(r.z_micro - math.floor(z * 1e6)) <= 1
     # arm assignment is id parity over uniform ids: no real effect
     assert not r.significant
+
+
+def test_allocation_sums_exactly_and_is_proportional(spark):
+    """THE apportionment invariants: Σalloc == the budget EXACTLY
+    (the property naive rounding loses), every alloc within 1 of its
+    real-valued quota, and extras go to the largest remainders."""
+    rows = prof.largest_remainder_allocation(spark, SF).collect()
+    total = sum(r.alloc for r in rows)
+    assert total == prof.ALLOC_TOTAL
+    W = sum(r.weight_cents for r in rows)
+    for r in rows:
+        quota = prof.ALLOC_TOTAL * r.weight_cents / W
+        assert abs(r.alloc - quota) < 1.0  # Hamilton stays within 1 of quota
+        assert r.extra in (0, 1)
