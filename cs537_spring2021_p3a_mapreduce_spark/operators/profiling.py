@@ -1070,7 +1070,74 @@ ORDER BY n_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# null_safe_join_profile
+# ---------------------------------------------------------------------------
+
+NULLIFY_MOD = 7  # every 7th key becomes NULL on both sides
+
+
+def null_safe_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join semantics (`<=>` / IS NOT DISTINCT
+    FROM) against plain `=`, demonstrated on a derived pair of
+    tables with DETERMINISTICALLY planted null keys (every
+    NULLIFY_MOD-th customer key nulls on both sides): plain equality
+    silently drops every null-keyed row (NULL = NULL is NULL, not
+    TRUE — the silent-data-loss class in key-repair pipelines),
+    null-safe equality matches them. The row counts quantify exactly
+    what `=` loses.
+
+    Output (2 rows): semantics ('equal' | 'null_safe'), n_matches,
+    n_null_matches.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % NULLIFY_MOD == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k"),
+        "c_custkey",
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % NULLIFY_MOD == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_orderkey",
+    )
+    plain = o.join(c, o["k"] == c["k"]).agg(
+        F.lit("equal").alias("semantics"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum(F.when(o["k"].isNull(), 1).otherwise(0)).alias("n_null_matches"),
+    )
+    safe = o.join(c, o["k"].eqNullSafe(c["k"])).agg(
+        F.lit("null_safe").alias("semantics"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum(F.when(o["k"].isNull(), 1).otherwise(0)).alias("n_null_matches"),
+    )
+    return plain.unionByName(safe).orderBy("semantics")
+
+
+_NULL_SAFE_SQL = f"""
+WITH c AS (
+  SELECT CASE WHEN c_custkey % {NULLIFY_MOD} = 0 THEN NULL
+              ELSE c_custkey END AS k, c_custkey
+  FROM customer
+), o AS (
+  SELECT CASE WHEN o_custkey % {NULLIFY_MOD} = 0 THEN NULL
+              ELSE o_custkey END AS k, o_orderkey
+  FROM orders
+)
+SELECT 'equal' AS semantics, count(*)::BIGINT AS n_matches,
+       sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_matches
+FROM o JOIN c ON o.k = c.k
+UNION ALL
+SELECT 'null_safe', count(*)::BIGINT,
+       sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+ORDER BY semantics
+"""
+
+
 QUERIES = {
+    "null_safe_join_profile": null_safe_join_profile,
     "largest_remainder_allocation": largest_remainder_allocation,
     "ab_test_conversion": ab_test_conversion,
     "quality_rate_confidence": quality_rate_confidence,
@@ -1086,6 +1153,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "null_safe_join_profile": _NULL_SAFE_SQL,
     "largest_remainder_allocation": _ALLOC_SQL,
     "ab_test_conversion": _AB_TEST_SQL,
     "quality_rate_confidence": _QUALITY_CI_SQL,

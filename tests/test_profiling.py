@@ -305,3 +305,14 @@ def test_allocation_sums_exactly_and_is_proportional(spark):
         quota = prof.ALLOC_TOTAL * r.weight_cents / W
         assert abs(r.alloc - quota) < 1.0  # Hamilton stays within 1 of quota
         assert r.extra in (0, 1)
+
+
+def test_null_safe_join_counts_the_loss(spark):
+    """null_safe matches MORE rows than plain equality, and the
+    difference is exactly the null x null cross-match volume; plain
+    equality matches zero null keys (NULL = NULL is not TRUE)."""
+    rows = {r.semantics: r for r in prof.null_safe_join_profile(spark, SF).collect()}
+    eq, ns = rows["equal"], rows["null_safe"]
+    assert eq.n_null_matches == 0
+    assert ns.n_null_matches > 0
+    assert ns.n_matches == eq.n_matches + ns.n_null_matches
