@@ -1136,7 +1136,138 @@ ORDER BY semantics
 """
 
 
+# ---------------------------------------------------------------------------
+# vocabulary_growth — Heaps'-law curve via first occurrences
+# ---------------------------------------------------------------------------
+
+VOCAB_BUCKETS = 10  # doc-id deciles
+
+
+def vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law diagnostic an LLM
+    corpus is judged by — sublinear growth ⇒ natural text, linear ⇒
+    id-like noise leaking into the token stream): distinct vocabulary
+    size as the corpus grows, in doc-id-order deciles.
+
+    The naive form re-counts distinct tokens per prefix (10 full
+    scans, or an unbounded-state window). This is the
+    ``cumulative_new_users`` trick on tokens: ONE aggregate finds
+    each token's FIRST-occurrence doc (min doc_id per token), tokens
+    bucket by that doc's decile, and the cumulative vocabulary is a
+    cumsum over 10 rows.
+
+    Output: bucket, new_tokens, cum_vocab.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    bucket_w = max(1, -(-n_docs // VOCAB_BUCKETS))  # ceil
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower("text"))).alias("tok")
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = first.groupBy(
+        (F.col("first_doc") / F.lit(bucket_w)).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket", "new_tokens", F.sum("new_tokens").over(w).alias("cum_vocab")
+    ).orderBy("bucket")
+
+
+def _vocab_sql(n_docs_expr: str = "(SELECT count(*) FROM documents)") -> str:
+    return f"""
+WITH params AS (
+  SELECT greatest(1, ({n_docs_expr} + {VOCAB_BUCKETS} - 1) // {VOCAB_BUCKETS})
+    AS bw
+), toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+), first AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1
+), per_bucket AS (
+  SELECT (first_doc // params.bw)::BIGINT AS bucket,
+         count(*)::BIGINT AS new_tokens
+  FROM first, params GROUP BY 1
+)
+SELECT bucket, new_tokens,
+       sum(new_tokens) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_vocab
+FROM per_bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_to_ship_sla
+# ---------------------------------------------------------------------------
+
+SLA_DAYS = (30, 60, 90)
+
+
+def order_to_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA report: days from order date to each
+    line item's ship date — exact integer day gaps — with the
+    fraction shipped within 30/60/90 days and the exact median, the
+    fulfillment dashboard every operations team runs.
+
+    One orders⋈lineitem equi-join (the parent side is key+date only
+    — broadcastable far beyond gate scale; at true fact×fact scale
+    this is the bucketed-join case, proven by
+    ``bucketed_join_revenue``), one aggregate. Fractions are single
+    IEEE divisions floor-quantized.
+
+    Output (1 row): n_lines, median_days, within_30_micro,
+    within_60_micro, within_90_micro.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.to_date("l_shipdate").alias("sd")
+    )
+    gaps = li.join(F.broadcast(o), "o_orderkey").select(
+        F.datediff("sd", "od").alias("days")
+    )
+    n = F.count(F.lit(1))
+    mic = F.lit(1e6)
+    aggs = [
+        n.alias("n_lines"),
+        F.median("days").alias("median_days"),
+    ]
+    for d in SLA_DAYS:
+        aggs.append(
+            F.floor(
+                F.sum(F.when(F.col("days") <= d, 1).otherwise(0)).cast("double")
+                / n.cast("double")
+                * mic
+            )
+            .cast("long")
+            .alias(f"within_{d}_micro")
+        )
+    return gaps.agg(*aggs)
+
+
+_SLA_SQL = f"""
+WITH gaps AS (
+  SELECT date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT count(*)::BIGINT AS n_lines,
+       median(days) AS median_days,
+       {', '.join(
+           f"floor(sum(CASE WHEN days <= {d} THEN 1 ELSE 0 END)::DOUBLE "
+           f"/ count(*)::DOUBLE * 1e6)::BIGINT AS within_{d}_micro"
+           for d in SLA_DAYS
+       )}
+FROM gaps
+"""
+
+
 QUERIES = {
+    "vocabulary_growth": vocabulary_growth,
+    "order_to_ship_sla": order_to_ship_sla,
     "null_safe_join_profile": null_safe_join_profile,
     "largest_remainder_allocation": largest_remainder_allocation,
     "ab_test_conversion": ab_test_conversion,
@@ -1153,6 +1284,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vocabulary_growth": _vocab_sql(),
+    "order_to_ship_sla": _SLA_SQL,
     "null_safe_join_profile": _NULL_SAFE_SQL,
     "largest_remainder_allocation": _ALLOC_SQL,
     "ab_test_conversion": _AB_TEST_SQL,

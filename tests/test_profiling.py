@@ -316,3 +316,27 @@ def test_null_safe_join_counts_the_loss(spark):
     assert eq.n_null_matches == 0
     assert ns.n_null_matches > 0
     assert ns.n_matches == eq.n_matches + ns.n_null_matches
+
+
+def test_vocab_growth_cumulative_equals_total_vocab(spark):
+    """The last bucket's cum_vocab must equal the corpus's total
+    distinct-token count, and new_tokens are positive."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.functions.text import tokens as _t
+
+    rows = prof.vocabulary_growth(spark, SF).collect()
+    assert rows and all(r.new_tokens > 0 for r in rows)
+    total = (
+        table(spark, SF, "documents")
+        .select(F.explode(_t(F.lower("text"))).alias("tok"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_vocab == total
+
+
+def test_ship_sla_bounds(spark):
+    r = prof.order_to_ship_sla(spark, SF).collect()[0]
+    assert r.n_lines > 0
+    assert 0 <= r.within_30_micro <= r.within_60_micro <= r.within_90_micro <= 1_000_000
+    assert r.median_days >= 0
