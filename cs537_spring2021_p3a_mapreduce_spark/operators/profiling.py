@@ -1265,7 +1265,122 @@ FROM gaps
 """
 
 
+# ---------------------------------------------------------------------------
+# revenue_concentration — Gini + Pareto in one ranked pass
+# ---------------------------------------------------------------------------
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration audit of customer revenue — the
+    dependency-risk readout (a corpus, a revenue base, or a traffic
+    mix dominated by a few sources is fragile): the Gini coefficient,
+    the top-10% revenue share, and the minimum number of customers
+    covering 80% of revenue (the Pareto count), all from ONE ranked
+    pass over the per-customer aggregate.
+
+    Scale shape: facts aggregate to per-customer cents first (the
+    only data-sized shuffle); ranking then runs over one-row-per-
+    customer — the day-grain argument again. Exactness: Gini's
+    Σ rank·x accumulates in decimal(38,0) (rank×cents×customers
+    passes int64 fast), the closed form
+    G = 2·Σi·x_(i)/(n·Σx) − (n+1)/n runs once in IEEE doubles,
+    everything ships floor-micro.
+
+    Output (1 row): n_customers, gini_micro, top10_share_micro,
+    n_for_80pct.
+    """
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.sum("cents").alias("rev"))
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    wd = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "decimal(38,0)"
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev").over(wd).alias("cum_desc"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("o_custkey").desc()))
+        .alias("rk_desc"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("T"),
+        F.sum(F.col("rk").cast(dec) * F.col("rev").cast(dec)).alias("S"),
+    )
+    mic = F.lit(1e6)
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("S").cast("double") / (nd * F.col("T").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    top10_n = F.expr("greatest(1, n DIV 10)")
+    top10 = (
+        ranked.crossJoin(F.broadcast(tot.select("n", "T")))
+        .where(F.col("rk_desc") <= top10_n)
+        .agg(
+            F.floor(
+                F.max(F.col("cum_desc")).cast("double")
+                / F.first(F.col("T")).cast("double")
+                * mic
+            )
+            .cast("long")
+            .alias("top10_share_micro")
+        )
+    )
+    n80 = (
+        ranked.crossJoin(F.broadcast(tot.select("T")))
+        # smallest prefix whose cumulative revenue reaches 80% of T:
+        # integer-exact comparison 5·cum >= 4·T
+        .where(F.lit(5) * F.col("cum_desc") >= F.lit(4) * F.col("T"))
+        .agg(F.min("rk_desc").alias("n_for_80pct"))
+    )
+    return (
+        tot.select(
+            F.col("n").alias("n_customers"),
+            F.floor(gini * mic).cast("long").alias("gini_micro"),
+        )
+        .crossJoin(top10)
+        .crossJoin(n80)
+    )
+
+
+_CONCENTRATION_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS rk,
+         row_number() OVER (ORDER BY rev DESC, o_custkey DESC) AS rk_desc,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_desc
+  FROM per_cust
+), tot AS (
+  SELECT count(*)::BIGINT AS n, sum(rev)::BIGINT AS T,
+         sum(rk::HUGEINT * rev::HUGEINT)::HUGEINT AS S
+  FROM ranked
+)
+SELECT tot.n AS n_customers,
+       floor((2.0 * tot.S::DOUBLE / (tot.n::DOUBLE * tot.T::DOUBLE)
+              - (tot.n::DOUBLE + 1.0) / tot.n::DOUBLE) * 1e6)::BIGINT
+         AS gini_micro,
+       (SELECT floor(max(cum_desc)::DOUBLE / tot.T::DOUBLE * 1e6)::BIGINT
+        FROM ranked WHERE rk_desc <= greatest(1, tot.n // 10))
+         AS top10_share_micro,
+       (SELECT min(rk_desc) FROM ranked
+        WHERE 5 * cum_desc >= 4 * tot.T) AS n_for_80pct
+FROM tot
+"""
+
+
 QUERIES = {
+    "revenue_concentration": revenue_concentration,
     "vocabulary_growth": vocabulary_growth,
     "order_to_ship_sla": order_to_ship_sla,
     "null_safe_join_profile": null_safe_join_profile,
@@ -1284,6 +1399,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "revenue_concentration": _CONCENTRATION_SQL,
     "vocabulary_growth": _vocab_sql(),
     "order_to_ship_sla": _SLA_SQL,
     "null_safe_join_profile": _NULL_SAFE_SQL,

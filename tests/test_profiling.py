@@ -340,3 +340,34 @@ def test_ship_sla_bounds(spark):
     assert r.n_lines > 0
     assert 0 <= r.within_30_micro <= r.within_60_micro <= r.within_90_micro <= 1_000_000
     assert r.median_days >= 0
+
+
+def test_gini_extremes_on_planted_distributions(spark):
+    """Gini sanity via the operator's own closed form on controlled
+    data: perfectly equal revenues -> G ~ 0; one customer owning
+    everything -> G -> (n-1)/n."""
+    from pyspark.sql.window import Window
+
+    def gini_of(rows):
+        df = spark.createDataFrame(rows, "o_custkey long, rev long")
+        w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+        ranked = df.select("rev", F.row_number().over(w).alias("rk"))
+        t = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rev").alias("T"),
+            F.sum(F.col("rk").cast("decimal(38,0)") * F.col("rev").cast("decimal(38,0)")).alias("S"),
+        ).collect()[0]
+        n, T, S = t.n, int(t.T), int(t.S)
+        return 2 * S / (n * T) - (n + 1) / n
+
+    equal = gini_of([(i, 100) for i in range(1, 11)])
+    assert abs(equal) < 1e-9
+    concentrated = gini_of([(i, 1) for i in range(1, 10)] + [(10, 10_000)])
+    assert concentrated > 0.85  # ~ (n-1)/n at total concentration
+
+
+def test_concentration_identities(spark):
+    r = prof.revenue_concentration(spark, SF).collect()[0]
+    assert 0 <= r.gini_micro <= 1_000_000
+    assert r.top10_share_micro >= 100_000 - 100  # top decile >= uniform share
+    assert 1 <= r.n_for_80pct <= r.n_customers
