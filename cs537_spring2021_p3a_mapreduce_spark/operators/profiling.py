@@ -1379,7 +1379,76 @@ FROM tot
 """
 
 
+# ---------------------------------------------------------------------------
+# modal_priority_per_segment — deterministic MODE
+# ---------------------------------------------------------------------------
+
+
+def modal_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most common order priority
+    within each market segment, ties broken to the lexicographically
+    smallest value. Built from count + ``max_by`` on an explicit
+    (count, reverse-value) rule rather than the built-in ``mode()``,
+    whose tie behavior is engine-arbitrary — an aggregate whose
+    result can differ between runs is unusable in a hash-compared
+    pipeline, so the tiebreak IS the operator.
+
+    Two keyed aggregates (value counts, then per-group argmax) —
+    wordcount-shaped. Output: c_mktsegment, modal_priority, n.
+    """
+    j = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderpriority")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    counts = j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # deterministic argmax: max count, then SMALLEST priority string.
+    # struct comparison orders by (n, neg) where neg inverts the
+    # string order via a rank join-free trick: use max_by with the
+    # priority ranked DESCENDING through its negated dense rank —
+    # simpler and engine-portable: min_by over (-n, priority).
+    winner = counts.groupBy("c_mktsegment").agg(
+        F.min_by(
+            F.struct(
+                F.col("o_orderpriority").alias("p"), F.col("n").alias("cnt")
+            ),
+            F.struct((-F.col("n")).alias("a"), F.col("o_orderpriority").alias("b")),
+        ).alias("w")
+    )
+    return winner.select(
+        "c_mktsegment",
+        F.col("w")["p"].alias("modal_priority"),
+        F.col("w")["cnt"].alias("n"),
+    ).orderBy("c_mktsegment")
+
+
+# DuckDB min_by rejects row-typed ordering keys (measured:
+# dedup_survivorship), so the oracle takes the window form of the
+# same deterministic rule.
+_MODAL_SQL = """
+WITH counts AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, count(*)::BIGINT AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_mktsegment ORDER BY n DESC, o_orderpriority ASC) AS rk
+  FROM counts
+)
+SELECT c_mktsegment, o_orderpriority AS modal_priority, n
+FROM ranked WHERE rk = 1 ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "modal_priority_per_segment": modal_priority_per_segment,
     "revenue_concentration": revenue_concentration,
     "vocabulary_growth": vocabulary_growth,
     "order_to_ship_sla": order_to_ship_sla,
@@ -1399,6 +1468,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "modal_priority_per_segment": _MODAL_SQL,
     "revenue_concentration": _CONCENTRATION_SQL,
     "vocabulary_growth": _vocab_sql(),
     "order_to_ship_sla": _SLA_SQL,

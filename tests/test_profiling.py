@@ -371,3 +371,18 @@ def test_concentration_identities(spark):
     assert 0 <= r.gini_micro <= 1_000_000
     assert r.top10_share_micro >= 100_000 - 100  # top decile >= uniform share
     assert 1 <= r.n_for_80pct <= r.n_customers
+
+
+def test_modal_tiebreak_is_deterministic(spark):
+    """Planted exact tie: two priorities with equal counts -> the
+    lexicographically smaller one wins, every run."""
+    rows = [(1, "2-HIGH"), (2, "1-URGENT"), (3, "2-HIGH"), (4, "1-URGENT")]
+    df = spark.createDataFrame(rows, "k long, p string")
+    counts = df.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    got = counts.agg(
+        F.min_by(
+            F.struct(F.col("p").alias("p"), F.col("n").alias("cnt")),
+            F.struct((-F.col("n")).alias("a"), F.col("p").alias("b")),
+        ).alias("w")
+    ).collect()[0].w
+    assert got.p == "1-URGENT" and got.cnt == 2
