@@ -677,3 +677,48 @@ def test_sliding_distinct_matches_bruteforce(spark, uds):
         lo = a - dt.timedelta(days=tmp.SLIDING_DAYS - 1)
         want = len({u for u, d in rows if lo <= d <= a})
         assert got[a] == want, a
+
+
+# --- largest-remainder allocation vs invariants on random weights ---------
+
+
+@given(
+    weights=st.lists(st.integers(0, 10_000), min_size=1, max_size=15),
+    total=st.integers(1, 100_000),
+)
+@_SETTINGS
+def test_hamilton_allocation_invariants(spark, weights, total):
+    """Random weight vectors: Σalloc == total exactly, every alloc
+    within 1 of its real quota, extras ∈ {0,1} — the apportionment
+    guarantees, via the operator's own integer expressions."""
+    from hypothesis import assume
+
+    from pyspark.sql.window import Window
+
+    assume(sum(weights) > 0)
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "k long, w long"
+    )
+    W = sum(weights)
+    staged = df.select(
+        "k",
+        "w",
+        F.expr(f"CAST({total} AS BIGINT) * w DIV {W}").alias("base"),
+        F.expr(f"(CAST({total} AS BIGINT) * w) % {W}").alias("rem"),
+    )
+    base_sum = staged.agg(F.sum("base")).collect()[0][0]
+    L = total - base_sum
+    win = Window.orderBy(F.col("rem").desc(), F.col("k").asc())
+    out = (
+        staged.withColumn("rk", F.row_number().over(win))
+        .select(
+            "k",
+            "w",
+            (F.col("base") + F.when(F.col("rk") <= L, 1).otherwise(0)).alias("alloc"),
+        )
+        .collect()
+    )
+    assert sum(r.alloc for r in out) == total
+    for r in out:
+        quota = total * r.w / W
+        assert abs(r.alloc - quota) < 1.0 + 1e-9
