@@ -722,3 +722,93 @@ def test_hamilton_allocation_invariants(spark, weights, total):
     for r in out:
         quota = total * r.w / W
         assert abs(r.alloc - quota) < 1.0 + 1e-9
+
+
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 500), st.integers(0, 1000)),
+        min_size=2,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_twap_matches_step_function_model(spark, evs):
+    """Random (user, second-offset, cents) series: the operator's
+    Σ(cents·µs)/Σµs per user must equal a Python step-function model
+    exactly (all-integer arithmetic until one final division)."""
+    from hypothesis import assume
+
+    from pyspark.sql.window import Window
+
+    rows = [(u, s * 1_000_000, i, c) for i, (u, s, c) in enumerate(evs)]
+    # model: per user, sort by (us, event_id), weight value by gap
+    model: dict[int, list] = {}
+    for u, us, eid, c in rows:
+        model.setdefault(u, []).append((us, eid, c))
+    want = {}
+    for u, lst in model.items():
+        lst.sort()
+        num = den = 0
+        for (us, _, c), (nus, _, _) in zip(lst, lst[1:]):
+            num += c * (nus - us)
+            den += nus - us
+        if den > 0:
+            want[u] = round(num / den, 6)
+    assume(want)
+    df = spark.createDataFrame(rows, "user_id long, us long, event_id long, cents long")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    stepped = df.withColumn("next_us", F.lead("us").over(w)).where(
+        F.col("next_us").isNotNull()
+    )
+    dur = F.col("next_us") - F.col("us")
+    got_rows = (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents").cast("decimal(38,0)") * dur.cast("decimal(38,0)")).alias("num"),
+            F.sum(dur).alias("den"),
+        )
+        .where(F.col("den") > 0)
+        .select(
+            "user_id",
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6).alias("t"),
+        )
+        .collect()
+    )
+    got = {r.user_id: r.t for r in got_rows}
+    assert got == want
+
+
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(1, 8), min_size=1, max_size=5, unique=True),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_market_basket_counts_match_itertools(spark, baskets):
+    """Random baskets: the within-basket pair counts must equal the
+    itertools model (each unordered pair counted once per basket it
+    co-occurs in)."""
+    import itertools
+    from collections import Counter
+
+    rows = [(b, item) for b, items in enumerate(baskets) for item in items]
+    want = Counter()
+    for items in baskets:
+        for a, b in itertools.combinations(sorted(set(items)), 2):
+            want[(a, b)] += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long").distinct()
+    a = df.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = df.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    got = Counter(
+        {
+            (r.pa, r.pb): r.n
+            for r in a.join(b, "l_orderkey")
+            .where(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    )
+    assert got == want
