@@ -425,6 +425,55 @@ ORDER BY day
 
 
 # ---------------------------------------------------------------------------
+# error_rate_hourly — diurnal reliability profile
+# ---------------------------------------------------------------------------
+
+
+def error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal reliability profile: error fraction per hour-of-day —
+    the on-call chart that separates "errors spike at peak traffic"
+    (rate flat, volume up) from "errors spike at 03:00" (the cron
+    job). One conditional aggregate on a 24-value key; the rate is a
+    single IEEE division shipped floor-micro.
+
+    Output: hour, n_events, n_errors, error_rate_micro.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            "hour",
+            "n_events",
+            "n_errors",
+            F.floor(
+                F.col("n_errors").cast("double")
+                / F.col("n_events").cast("double")
+                * 1e6
+            )
+            .cast("long")
+            .alias("error_rate_micro"),
+        )
+        .orderBy("hour")
+    )
+
+
+_ERROR_RATE_SQL = """
+SELECT hour(ts)::INT AS hour,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+       floor(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE * 1e6)::BIGINT AS error_rate_micro
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # cumulative_new_users — the growth curve
 # ---------------------------------------------------------------------------
 
@@ -741,6 +790,7 @@ QUERIES = {
     "time_weighted_average": time_weighted_average,
     "weekday_seasonality": weekday_seasonality,
     "cumulative_new_users": cumulative_new_users,
+    "error_rate_hourly": error_rate_hourly,
     "funnel_time_to_convert": funnel_time_to_convert,
     "sliding_distinct_hll": sliding_distinct_hll,
     "event_pattern_match": event_pattern_match,
@@ -754,6 +804,7 @@ ORACLES = {
     "time_weighted_average": _TWAP_SQL,
     "weekday_seasonality": _WEEKDAY_SQL,
     "cumulative_new_users": _CUM_USERS_SQL,
+    "error_rate_hourly": _ERROR_RATE_SQL,
     "funnel_time_to_convert": _TTC_SQL,
     "event_pattern_match": _cep_sql(),
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
