@@ -527,6 +527,82 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).withColumnRenamed("vertex", "s_suppkey")
 
 
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 50
+
+
+def k_core(edges: DataFrame, src: str, dst: str, k: int = KCORE_K,
+           max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """The k-CORE of an undirected graph — the maximal subgraph where
+    every vertex keeps degree ≥ k — by iterative peeling: drop all
+    vertices with degree < k, recompute degrees on the surviving
+    subgraph, repeat to fixpoint. (One pass is NOT enough — removing
+    a low-degree vertex can strand its neighbors below k; the
+    fixpoint is the definition.)
+
+    Shape per round: one degree aggregate + one semi-join restrict —
+    the CC loop's cost profile, lineage cut per round with
+    localCheckpoint, convergence detected by a scalar count. Rounds
+    are bounded by the peeling depth (≤ |V| pathologically; tiny in
+    practice — each round must delete ≥1 vertex or stop).
+
+    Output: vertex, core_degree (its degree WITHIN the k-core).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        low = deg.where(F.col("deg") < k).select("s")
+        n_low = low.count()
+        if n_low == 0:
+            return deg.select(F.col("s").alias("vertex"), F.col("deg").alias("core_degree"))
+        keep = deg.where(F.col("deg") >= k).select("s")
+        e = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .localCheckpoint()
+        )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.select(F.col("s").alias("vertex"), F.col("deg").alias("core_degree"))
+
+
+def k_core_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry: the 3-core of the nation-scoped
+    co-supplier graph (the sixth graph kernel: CC, PageRank, BFS,
+    SSSP, triangles, and now coreness) — the dense backbone a
+    community or fraud analysis starts from after peeling hangers-on.
+    Rows-only driver check by nature (iterative fixpoint, no SQL
+    oracle); exactness pinned by a brute-force peeling model on
+    random graphs in tests.
+
+    Output: s_suppkey, core_degree.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
+    )
+    ps = li.join(supp, "sk").select("pk", "sk", "nk").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.pk") == F.col("b.pk"))
+        & (F.col("a.nk") == F.col("b.nk"))
+        & (F.col("a.sk") < F.col("b.sk")),
+    ).select(F.col("a.sk").alias("u"), F.col("b.sk").alias("v")).distinct()
+    return (
+        k_core(edges, "u", "v")
+        .withColumnRenamed("vertex", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts over an undirected graph given as
     (u, v) pairs (orientation/duplicates of the input don't matter —
@@ -592,6 +668,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_survivorship": dedup_survivorship,
+    "k_core_suppliers": k_core_suppliers,
     "pagerank_part_supplier": pagerank_part_supplier,
     "bfs_part_supplier": bfs_part_supplier,
     "sssp_part_supplier": sssp_part_supplier,

@@ -344,3 +344,40 @@ def test_survivorship_rule_on_planted_cluster(spark):
     assert set(rows) == {1, 2, 3}  # doc 9 is unclustered
     assert all(r.survivor_id == 2 for r in rows.values())
     assert rows[2].is_survivor and not rows[1].is_survivor
+
+
+def test_k_core_matches_bruteforce_peeling(spark):
+    """Random-ish planted graph: the distributed peeling loop must
+    produce exactly the brute-force k-core (vertices AND their
+    in-core degrees). Includes the case one pass gets wrong: a chain
+    hanging off a clique strands progressively."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import graph as g
+
+    # 4-clique (1,2,3,4) + chain 4-5-6 + triangle (7,8,9)
+    raw = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6),
+        (7, 8), (8, 9), (7, 9),
+    ]
+    # brute-force peeling model at k=3
+    def model(edges, k):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for n in adj[v]:
+                        adj[n].discard(v)
+                    del adj[v]
+                    changed = True
+        return {v: len(ns) for v, ns in adj.items()}
+
+    want = model(raw, g.KCORE_K)
+    assert want == {1: 3, 2: 3, 3: 3, 4: 3}  # chain and triangle peel away
+    df = spark.createDataFrame(raw, "u long, v long")
+    got = {r.vertex: r.core_degree for r in g.k_core(df, "u", "v").collect()}
+    assert got == want
