@@ -167,9 +167,19 @@ def main() -> None:
             del short["queries"][name]
             break
     short_line = json.dumps(short, separators=(",", ":"))
+    # human-visible full copy alongside the logs — emitted BEFORE the
+    # short stdout line: BENCH_r03.json proved the driver captures
+    # MERGED output (its 2000-byte tail ended with the full dict's key
+    # order), so anything printed after the short line pushes it out of
+    # the bounded tail window. Stop Spark first too, so JVM shutdown
+    # chatter can't land after the authoritative line. stderr first,
+    # stdout line last, flush both.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    print(full_line, file=sys.stderr, flush=True)
     os.write(real_stdout, (short_line + "\n").encode())
-    # human-visible full copy alongside the logs
-    print(full_line, file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -567,8 +567,14 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int = KCORE_K,
             .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
             .localCheckpoint()
         )
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    return deg.select(F.col("s").alias("vertex"), F.col("deg").alias("core_degree"))
+    # Round exhaustion means sub-k vertices may remain — returning the
+    # current degrees would hand the caller a non-core with no signal.
+    # Match connected_components_star: fail loudly. (Each round deletes
+    # ≥1 vertex, so depth ≤ |V|; chain-heavy graphs can genuinely
+    # exceed a small bound — raise, don't lie.)
+    raise RuntimeError(
+        f"k_core did not reach its peeling fixpoint in {max_rounds} rounds"
+    )
 
 
 def k_core_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,7 +18,7 @@ round()-half-tie divergence across engines — the repo-wide lesson).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -39,12 +39,23 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift_micro (floor-quantized 1e-6 longs).
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_n"))
-    kept = li.join(
-        F.broadcast(sizes.where(F.col("basket_n") <= MAX_BASKET_ITEMS)),
-        "l_orderkey",
+    # Basket-size bound as a WINDOW count over l_orderkey — not a join
+    # against a per-order sizes relation (the r3 verdict's scale-killer:
+    # broadcasting |orders| rows to every executor). The window's
+    # shuffle-by-l_orderkey also co-locates the pair self-join below.
+    kept = (
+        li.withColumn(
+            "basket_n", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .where(F.col("basket_n") <= MAX_BASKET_ITEMS)
+        .drop("basket_n")
+        .persist()  # diamond: feeds pair join (×2), item_n, n_orders
     )
-    n_orders = kept.select("l_orderkey").distinct().count()
+    # n_orders as a 1-ROW broadcast scalar carried in-plan (pagerank /
+    # revenue_concentration pattern) — nothing collects to the driver.
+    n_orders = kept.agg(
+        F.count_distinct(F.col("l_orderkey")).cast("double").alias("n_orders")
+    )
     a = kept.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = kept.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
@@ -58,7 +69,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("item_n").alias("na"))
     nb = item_n.select(F.col("l_partkey").alias("part_b"), F.col("item_n").alias("nb"))
     pn = F.col("pair_n").cast("double")
-    no = F.lit(float(n_orders))
+    no = F.col("n_orders")
     support = pn / no
     confidence = pn / F.col("na").cast("double")
     lift = pn * no / (F.col("na").cast("double") * F.col("nb").cast("double"))
@@ -66,6 +77,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(na, "part_a")
         .join(nb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",

@@ -483,3 +483,20 @@ def test_arrow_profile_is_map_in_arrow_not_pandas(spark):
     plan = P.plan(df, "simple")
     assert "MapInArrow" in plan
     assert "MapInPandas" not in plan
+
+
+def test_market_basket_window_bound_no_fact_broadcast_no_collect(spark):
+    import inspect
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import mining
+
+    df = mining.market_basket_rules(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    # the basket-size bound is a WINDOW over l_orderkey, never a join
+    # against a broadcast per-order sizes relation (r3 scale-killer)
+    assert "Window" in plan
+    # n_orders rides the plan as a 1-row broadcast scalar crossJoin
+    assert "BroadcastNestedLoopJoin" in plan
+    # and nothing collects to the driver (the old `.count()` literal)
+    src = inspect.getsource(mining.market_basket_rules)
+    assert ".count()" not in src and ".collect()" not in src
