@@ -582,8 +582,8 @@ def k_core_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-supplier graph (the sixth graph kernel: CC, PageRank, BFS,
     SSSP, triangles, and now coreness) — the dense backbone a
     community or fraud analysis starts from after peeling hangers-on.
-    Rows-only driver check by nature (iterative fixpoint, no SQL
-    oracle); exactness pinned by a brute-force peeling model on
+    Hash-exact vs a bounded unrolled peeling CTE (``_kcore_oracle``);
+    exactness additionally pinned by a brute-force peeling model on
     random graphs in tests.
 
     Output: s_suppkey, core_degree.
@@ -743,7 +743,55 @@ def _pagerank_oracle(n_iter: int = PR_ITER) -> str:
 # The pair-generation CTEs mirror dedup_minhash_verify's oracle; the
 # recursive part computes min-reachable per vertex (UNION dedups, so
 # the recursion terminates on cyclic components).
+KCORE_ORACLE_ROUNDS = 12
+
+
+def _kcore_oracle(rounds: int = KCORE_ORACLE_ROUNDS, k: int = KCORE_K) -> str:
+    """The peeling fixpoint unrolled as a bounded CTE chain (the
+    ``_sssp_oracle`` pattern): round i restricts round i-1's edge set
+    to endpoints whose degree within it is ≥ k. The restriction is
+    idempotent at the fixpoint, so any unroll ≥ the peeling depth
+    yields the exact k-core (depth at the fixtures: 1; synthetic-gate
+    graphs stay far under ``rounds``). If a dataset ever out-peels the
+    unroll, the oracle is NOT at fixpoint while the Spark side is —
+    the gate's hash compare fails loudly rather than silently agreeing.
+    """
+    parts = [
+        "WITH ps AS (\n"
+        "  SELECT DISTINCT l.l_partkey AS pk, l.l_suppkey AS sk,\n"
+        "         s.s_nationkey AS nk\n"
+        "  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey\n"
+        "), ed AS (\n"
+        "  SELECT DISTINCT a.sk AS u, b.sk AS v\n"
+        "  FROM ps a JOIN ps b\n"
+        "    ON a.pk = b.pk AND a.nk = b.nk AND a.sk < b.sk\n"
+        "), e0 AS MATERIALIZED (\n"
+        "  SELECT u AS s, v AS d FROM ed UNION ALL SELECT v, u FROM ed\n"
+        ")"
+    ]
+    # each round references the previous one three times — without
+    # MATERIALIZED, DuckDB inlines CTEs and the expansion is 3^rounds
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", keep{i} AS MATERIALIZED (\n"
+            f"  SELECT s FROM e{i - 1} GROUP BY s HAVING count(*) >= {k}\n"
+            f"), e{i} AS MATERIALIZED (\n"
+            f"  SELECT e.s, e.d FROM e{i - 1} e\n"
+            f"  WHERE e.s IN (SELECT s FROM keep{i})\n"
+            f"    AND e.d IN (SELECT s FROM keep{i})\n"
+            f")"
+        )
+    parts.append(
+        f"\nSELECT s AS s_suppkey, count(*)::BIGINT AS core_degree\n"
+        f"FROM e{rounds} GROUP BY 1 ORDER BY 1"
+    )
+    return "".join(parts)
+
+
 ORACLES = {
+    # peeling fixpoint as a bounded unrolled restriction chain —
+    # upgrades k_core_suppliers from rows-only to hash-exact
+    "k_core_suppliers": _kcore_oracle(),
     # min-hops via a bounded recursive walk: UNION dedups (v, hops)
     # pairs, the hops bound terminates cycles, min() recovers the
     # BFS distance; vertices beyond the bound are absent either way
