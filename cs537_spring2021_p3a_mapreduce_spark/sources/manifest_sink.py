@@ -30,14 +30,19 @@ MANIFEST = "_MANIFEST"
 
 # Commit-lock tuning: acquisition retries for up to ~10 s (commit
 # crit-section is a tiny json merge + rename, so contention clears in
-# ms), and a lock file older than 60 s is presumed orphaned by a
-# crashed driver and broken.
+# ms), and a lock file whose mtime is older than 60 s is presumed
+# orphaned by a crashed driver and broken. A LIVE committer slower
+# than the stale window is protected by the heartbeat below: the
+# holder refreshes the lock's mtime at _LOCK_STALE_S/4 cadence, so
+# only a committer whose PROCESS died (heartbeat stopped) ever looks
+# stale to a contender.
 _LOCK_TIMEOUT_S = 10.0
 _LOCK_STALE_S = 60.0
 
 
 @contextlib.contextmanager
 def _commit_lock(dir_path: str):
+    import threading
     import time
 
     lock = os.path.join(dir_path, f".{MANIFEST}.lock")
@@ -60,13 +65,50 @@ def _commit_lock(dir_path: str):
                     f"manifest commit lock busy for {_LOCK_TIMEOUT_S}s: {lock}"
                 )
             time.sleep(0.05)
+    # Heartbeat: keep the lock's mtime fresh while the critical
+    # section runs, so a commit that legitimately outlives
+    # _LOCK_STALE_S (huge manifest, slow disk) is not "broken" as
+    # orphaned by a contender. Daemon thread; stops on release.
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(_LOCK_STALE_S / 4):
+            try:
+                os.utime(lock)
+            except OSError:
+                return  # lock gone: released or stolen; nothing to keep alive
+
+    beater = threading.Thread(target=_beat, daemon=True)
+    beater.start()
     try:
         yield
     finally:
+        stop.set()
+        beater.join()
         try:
             os.remove(lock)
         except OSError:
             pass
+
+
+def _require_local(path: str, op: str) -> None:
+    """The whole commit protocol here (O_CREAT|O_EXCL lock files,
+    os.replace publish) is atomic ONLY on a local/POSIX filesystem.
+    On S3-class object stores neither primitive exists — the correct
+    seam is a CONDITIONAL PUT (S3 `If-None-Match: *` for the lock /
+    `If-Match: <etag>` for the manifest CAS, GCS
+    `x-goog-if-generation-match`, ADLS ETag preconditions), i.e. the
+    log-version CAS Delta/Iceberg run against a catalog. That client
+    isn't available in this environment, so remote URIs fail loudly
+    here (same contract as ``upsert_keyed_parquet``'s guard) instead
+    of racing silently at 100 TB."""
+    if "://" in path and not path.startswith("file:"):
+        raise NotImplementedError(
+            f"{op} commits via local-FS atomic rename; got remote URI "
+            f"{path!r}. Remote stores need the conditional-PUT commit "
+            "strategy (If-None-Match lock, If-Match manifest CAS) — "
+            "plug an object-store client into this seam."
+        )
 
 
 class PartFileCommit(WriterCommitMessage):
@@ -95,6 +137,7 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("mr_manifest requires option('path', <dir>)")
+        _require_local(self.dir, "mr_manifest sink")
         self.schema = schema
         self.overwrite = overwrite
 
@@ -194,6 +237,7 @@ def delete_where(spark, path: str, condition: str) -> int:
     hits 3 of 10 000 files costs 3 file rewrites, not a table scan
     rewrite. Old generations still see the deleted rows (time
     travel) until vacuum. Returns the number of files rewritten."""
+    _require_local(path, "delete_where")
     from pyspark.sql import functions as F
 
     with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
@@ -264,6 +308,7 @@ def vacuum_manifest_table(path: str, keep_generations: int = 1) -> list[str]:
     Delta's VACUUM / Iceberg's expire_snapshots contract. Runs under
     the commit lock so a concurrent commit can't publish a file this
     pass is deleting. Returns the deleted file names."""
+    _require_local(path, "vacuum_manifest_table")
     if keep_generations < 1:
         raise ValueError("keep_generations must be >= 1")
     with _commit_lock(path):

@@ -121,4 +121,16 @@ def committed_files(path: str) -> list[str]:
         with open(os.path.join(edir, name), encoding="utf-8") as fh:
             doc = json.load(fh)
         out.extend(os.path.join(path, f["file"]) for f in doc["files"])
-    return [p for p in out if os.path.exists(p)]
+    # A manifest-listed file that is MISSING on disk is corruption —
+    # a published epoch lost data. Silently skipping it would hand the
+    # reader a quietly incomplete table, gutting the exactly-once
+    # contract ("readers trust only manifest-listed files"), so fail
+    # loudly instead.
+    missing = [p for p in out if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"epoch manifests at {path} name {len(missing)} file(s) absent "
+            f"on disk (first: {missing[0]}); committed data is missing, "
+            "refusing to serve a partial table"
+        )
+    return out

@@ -761,3 +761,92 @@ def test_stream_sink_epoch_commit_is_idempotent(tmp_path):
     w.abort([m4], 2)
     assert not os.path.exists(os.path.join(d, "part-aborted.jsonl"))
     assert len(committed_files(d)) == 2
+
+
+def test_manifest_lock_heartbeat_protects_slow_committer(tmp_path, monkeypatch):
+    """A LIVE committer slower than the stale horizon must NOT have
+    its lock broken: the holder's heartbeat refreshes the lock mtime,
+    so a contender sees it as fresh and times out (or waits) instead
+    of stealing. With the horizon shrunk to 0.4 s and the holder
+    sleeping 1.2 s (3x), a steal would show as the contender
+    acquiring mid-hold."""
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources import manifest_sink
+
+    monkeypatch.setattr(manifest_sink, "_LOCK_STALE_S", 0.4)
+    monkeypatch.setattr(manifest_sink, "_LOCK_TIMEOUT_S", 1.0)
+    d = str(tmp_path)
+    lock = os.path.join(d, f".{manifest_sink.MANIFEST}.lock")
+    released = threading.Event()
+    holder_done: list[bool] = []
+
+    def hold():
+        with manifest_sink._commit_lock(d):
+            time.sleep(1.2)  # 3x the stale horizon, heartbeat running
+            holder_done.append(os.path.exists(lock))
+        released.set()
+
+    t = threading.Thread(target=hold)
+    t.start()
+    time.sleep(0.15)  # let the holder acquire
+    # the contender's 1.0 s timeout expires INSIDE the 1.2 s hold: it
+    # must time out rather than break the heartbeat-fresh lock
+    with pytest.raises(TimeoutError, match="commit lock busy"):
+        with manifest_sink._commit_lock(d):
+            pass
+    t.join()
+    # the holder kept its lock through the whole critical section
+    assert holder_done == [True]
+    assert released.is_set()
+    assert not os.path.exists(lock)
+
+
+def test_manifest_sink_remote_uri_guard(tmp_path):
+    """Local-FS atomics (O_EXCL lock, os.replace publish) don't exist
+    on object stores; the sink, delete, and vacuum entries must fail
+    loudly on a remote URI, naming the conditional-PUT seam."""
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources import manifest_sink
+
+    with pytest.raises(NotImplementedError, match="conditional-PUT"):
+        manifest_sink.ManifestParquetWriter({"path": "s3://bucket/tbl"}, None)
+    with pytest.raises(NotImplementedError, match="conditional-PUT"):
+        manifest_sink.delete_where(None, "s3://bucket/tbl", "1=1")
+    with pytest.raises(NotImplementedError, match="conditional-PUT"):
+        manifest_sink.vacuum_manifest_table("gs://bucket/tbl")
+    # file: and plain local paths still pass the guard
+    manifest_sink._require_local(str(tmp_path), "test")
+    manifest_sink._require_local(f"file:{tmp_path}", "test")
+
+
+def test_stream_sink_missing_committed_file_raises(tmp_path):
+    """A published epoch whose part file vanished is data loss, not an
+    orphan — committed_files must refuse to serve the partial table."""
+    import json
+    import os
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.stream_sink import (
+        EpochFileStreamWriter,
+        _FileMessage,
+        committed_files,
+    )
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    w = EpochFileStreamWriter({"path": d}, ["a"])
+    name = "part-x.jsonl"
+    with open(os.path.join(d, name), "w") as fh:
+        fh.write(json.dumps({"a": 1}) + "\n")
+    w.commit([_FileMessage(name, 1)], 0)
+    assert [os.path.basename(p) for p in committed_files(d)] == [name]
+    os.remove(os.path.join(d, name))  # simulate lost committed data
+    with pytest.raises(FileNotFoundError, match="committed data is missing"):
+        committed_files(d)
