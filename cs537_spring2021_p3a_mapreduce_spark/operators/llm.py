@@ -1286,10 +1286,19 @@ def shuffle_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         # total-order sort key: rank ‖ zero-padded doc_id (md5 makes
         # collisions a non-event; the pad keeps the key total anyway)
         skey = F.concat(rank, F.lpad(F.col("doc_id").cast("string"), 12, "0"))
-        # shard from the rank's first two hex chars via ascii() —
-        # engine-portable integer derivation (no hex-cast dialects)
+        # shard from the rank's leading BYTE decoded to its hex VALUE
+        # (0-255 uniform), engine-portable via ascii()+CASE (no
+        # hex-cast dialects). Raw ascii codes were skewed: with
+        # shards=8, ascii('0'..'9','a'..'f') % 8 lands residue 1 at
+        # 3/16 — the hex-value byte is uniform for any shard count
+        # dividing 256.
+        def _hexval(c):
+            a = F.ascii(c)
+            return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
         shard = F.pmod(
-            F.ascii(F.substring(rank, 1, 1)) * 16 + F.ascii(F.substring(rank, 2, 1)),
+            _hexval(F.substring(rank, 1, 1)) * 16
+            + _hexval(F.substring(rank, 2, 1)),
             F.lit(SHUFFLE_SHARDS),
         ).cast("int")
         w = Window.partitionBy("shard").orderBy("skey")
@@ -1325,13 +1334,18 @@ def _shuffle_sql() -> str:
       SELECT doc_id, skey, shard,
              row_number() OVER (PARTITION BY shard ORDER BY skey) AS pos
       FROM (
-        SELECT doc_id,
-               md5('epoch{epoch}:' || doc_id::VARCHAR)
-                 || lpad(doc_id::VARCHAR, 12, '0') AS skey,
-               (ascii(substr(md5('epoch{epoch}:' || doc_id::VARCHAR), 1, 1)) * 16
-                + ascii(substr(md5('epoch{epoch}:' || doc_id::VARCHAR), 2, 1)))
+        SELECT doc_id, skey,
+               ((a1 - CASE WHEN a1 >= 97 THEN 87 ELSE 48 END) * 16
+                + (a2 - CASE WHEN a2 >= 97 THEN 87 ELSE 48 END))
                  % {SHUFFLE_SHARDS} AS shard
-        FROM documents
+        FROM (
+          SELECT doc_id,
+                 md5('epoch{epoch}:' || doc_id::VARCHAR)
+                   || lpad(doc_id::VARCHAR, 12, '0') AS skey,
+                 ascii(substr(md5('epoch{epoch}:' || doc_id::VARCHAR), 1, 1)) AS a1,
+                 ascii(substr(md5('epoch{epoch}:' || doc_id::VARCHAR), 2, 1)) AS a2
+          FROM documents
+        )
       )
     ) GROUP BY 1, 2""")
     return " UNION ALL ".join(parts) + " ORDER BY epoch, shard"

@@ -469,10 +469,12 @@ ORDER BY digit
 # ---------------------------------------------------------------------------
 
 # contribution quantum: per-term chi-square contributions are
-# quantized to 1e-12 units (longs) before summing, so the sum is an
-# exact integer — combine-order-free on both engines. Contributions
-# are built from counts with + - * / only (IEEE-exact, identical
-# across engines), so the quantized longs match bit-for-bit.
+# floor-quantized to 1e-12 units (longs) before summing, so the sum
+# is an exact integer — combine-order-free on both engines.
+# Contributions are built from counts with + - * / only (IEEE-exact,
+# identical across engines), so the quantized longs match
+# bit-for-bit; floor (not round) because the engines' round()
+# disagrees on rare doubles (decimal-repr vs binary rounding).
 DIVERGENCE_SCALE = 1_000_000_000_000
 
 
@@ -521,7 +523,11 @@ def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c").cast("double") / F.col("t").cast("double")
     q = F.col("cc").cast("double") / F.col("tt").cast("double")
     term = (p - q) * (p - q) / q
-    quantized = F.round(term * F.lit(float(DIVERGENCE_SCALE))).cast("long")
+    # FLOOR quantization, not round(): Spark rounds the shortest
+    # decimal repr while DuckDB rounds the binary double (measured
+    # 1e-6 flip, the revenue_anomaly_days lesson) — floor of the
+    # bit-identical term is identical on both engines by construction
+    quantized = F.floor(term * F.lit(float(DIVERGENCE_SCALE))).cast("long")
     return (
         j.groupBy("source")
         .agg(
@@ -551,7 +557,7 @@ WITH toks AS (
 SELECT per_src.source,
        any_value(src_tot.t) AS n_tokens,
        count(*) AS n_terms,
-       round(sum(round(((per_src.c::DOUBLE / src_tot.t::DOUBLE
+       round(sum(floor(((per_src.c::DOUBLE / src_tot.t::DOUBLE
                          - corpus.cc::DOUBLE / corpus_tot.tt::DOUBLE)
                         * (per_src.c::DOUBLE / src_tot.t::DOUBLE
                            - corpus.cc::DOUBLE / corpus_tot.tt::DOUBLE)

@@ -554,6 +554,16 @@ def test_training_shuffle_epoch_properties(spark):
     assert e0 != e1  # different epochs -> different permutation
     rows2 = llm.shuffle_for_training(spark, sf).collect()
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))  # reproducible
+    # (4) shards are balanced: the hex-VALUE byte is uniform mod 8
+    # (the raw-ascii derivation skewed residue 1 to 3/16 — a ~50%
+    # oversized shard); with n/8 expected per shard, allow generous
+    # binomial slack but catch the structural 1.5x skew
+    for epoch, shards in by_epoch.items():
+        sizes = [s.n_docs for s in shards]
+        assert len(sizes) == llm.SHUFFLE_SHARDS, epoch
+        mean = sum(sizes) / len(sizes)
+        assert max(sizes) < 1.45 * mean, (epoch, sizes)
+        assert min(sizes) > 0.55 * mean, (epoch, sizes)
 
 
 def test_confusion_matrix_partitions_and_diagonal(spark):
