@@ -68,9 +68,22 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-    spark.range(32).mapInPandas(lambda it: it, "id long").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm the Python worker pool WITH the heavy imports: a bare
+    # pass-through leaves numpy/pandas unimported in each of the 32
+    # workers, and the first GEMM-style query (IVF/PQ/kmeans) then
+    # absorbs ~2-3 s of staggered import cost (measured: first IVF run
+    # 4.0 s vs 1.35 s steady after this warm-up). One partition per
+    # core so every worker pays it here.
+    def _warm_imports(it):
+        import numpy as _np
+        import pandas as _pd  # noqa: F401
+
+        _ = _np.ones((4, 4)) @ _np.ones((4, 4))
+        yield from it
+
+    spark.range(1024).repartition(64).mapInPandas(
+        _warm_imports, "id long"
+    ).write.format("noop").mode("overwrite").save()
     # Python-DataSource SINK spin-up is likewise once-per-process
     # (measured: first mr_manifest write 5.6 s, second 0.95 s at
     # sf0.1) — one 32-row write keeps it off whichever manifest

@@ -317,47 +317,50 @@ def _ivf_pipeline(
             for _, row in pdf.iterrows():
                 vids, vm = unpack(row["vs"])
                 cids, cm = unpack(row["cs"])
+                raw = [r["embedding"] for r in row["vs"]]  # pass-through
                 sims = vm @ cm.T
                 # stable (-sim, cent_id) order per vector
                 order = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)
-                out_ids, out_cells, out_ranks = [], [], []
+                out_ids, out_cells, out_ranks, out_embs = [], [], [], []
                 for i, vid in enumerate(vids):
                     n_cells = nprobe if vid < SIM_N_QUERIES else 1
                     for r in range(min(n_cells, len(cids))):
                         out_ids.append(vid)
                         out_cells.append(cids[order[i, r]])
                         out_ranks.append(r + 1)
+                        out_embs.append(raw[i])
                 yield pd.DataFrame(
-                    {"vec_id": out_ids, "cell": out_cells, "crank": out_ranks}
+                    {
+                        "vec_id": out_ids,
+                        "cell": out_cells,
+                        "crank": out_ranks,
+                        "embedding": out_embs,
+                    }
                 )
 
-    # ranked feeds both the index (crank==1) and the probe branch —
-    # persist the diamond so the GEMM assignment runs once, not twice
-    # (different downstream filters defeat exchange reuse); spillable
-    # level, same policy as dedup_minhash's shingles
+    # The assignment passes each vector's embedding THROUGH (untouched
+    # float32 values, so downstream cosine is bit-identical) instead
+    # of re-joining the corpus by vec_id on both branches — the r3
+    # shape cost two shuffle joins + two extra scans just to re-attach
+    # what the GEMM stage already held. ranked feeds both the index
+    # (crank==1) and the probe branch — persist the diamond so the
+    # GEMM runs once (different downstream filters defeat exchange
+    # reuse); spillable level, same policy as dedup_minhash's shingles
     from pyspark.storagelevel import StorageLevel
 
     ranked = tiles.mapInPandas(
-        _assign, schema="vec_id long, cell long, crank int"
+        _assign, schema="vec_id long, cell long, crank int, embedding array<float>"
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    index = (
-        ranked.filter(F.col("crank") == 1)
-        .join(emb, "vec_id")
-        .select(
-            "cell",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("ne"),
-        )
+    index = ranked.filter(F.col("crank") == 1).select(
+        "cell",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
     )
-    probes = (
-        ranked.filter(F.col("vec_id") < SIM_N_QUERIES)
-        .join(emb, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            "cell",
-        )
+    probes = ranked.filter(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "cell",
     )
 
     cands = probes.join(index, "cell").filter(
