@@ -612,13 +612,40 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     p, q = PPJOIN_T_NUM, PPJOIN_T_DEN
     prefix = ranked.where(
         F.col("rk") <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + F.lit(1)
-    ).select("doc_id", "sh")
+    ).select("doc_id", "sh", "rk", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # The candidate join carries PPJoin's two other LOSSLESS pruning
+    # bounds as plain join predicates (the equi-key stays `sh`, so
+    # these evaluate inside the hash join, pre-shuffle-output):
+    # - LENGTH filter: J ≥ t ⇒ min(n_a,n_b)/max(n_a,n_b) ≥ t, i.e.
+    #   q·min ≥ p·max in exact integers;
+    # - POSITIONAL filter: matching at prefix positions (rk_a, rk_b)
+    #   caps the achievable overlap at 1 + min(n_a−rk_a, n_b−rk_b),
+    #   which must reach minoverlap = ceil(t/(1+t)·(n_a+n_b)) =
+    #   (p·(n_a+n_b) + p+q−1) DIV (p+q).
+    # Measured at sf0.1: prefix-only candidates 202 477 for 256 final
+    # pairs (790× over-generation on this template-heavy corpus);
+    # with both bounds the candidate set collapses toward the answer
+    # and the verify join stops being the dominant stage.
+    minoverlap = F.expr(
+        f"({p} * (a.n + b.n) + {p + q - 1}) DIV {p + q}"
+    )
     cands = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * q
+                >= F.greatest(F.col("a.n"), F.col("b.n")) * p
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+                )
+                >= minoverlap
+            ),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
@@ -647,9 +674,10 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The oracle is the exact shared-shingle join (prefix filtering is
 # lossless, so the outputs are identical); shingle rarity keeps the
-# shared-feature join sparse on both engines.
-_PPJOIN_SQL = f"""
-WITH toks AS (
+# shared-feature join sparse on both engines. Split into reusable
+# fragments so the ``dedup_auto`` façade oracle shares them verbatim
+# (no drift between the standalone and façade forms).
+_PP_WITH = """toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
   FROM documents
@@ -667,13 +695,18 @@ WITH toks AS (
   FROM posting a JOIN posting b
     ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT i.a_id, i.b_id,
+)"""
+
+_PP_SELECT = f"""SELECT i.a_id, i.b_id,
        round(i.i::DOUBLE / (sa.n + sb.n - i.i)::DOUBLE, 6) AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a_id
 JOIN sizes sb ON sb.doc_id = i.b_id
-WHERE round(i.i::DOUBLE / (sa.n + sb.n - i.i)::DOUBLE, 6) >= {PPJOIN_THRESHOLD}
+WHERE round(i.i::DOUBLE / (sa.n + sb.n - i.i)::DOUBLE, 6) >= {PPJOIN_THRESHOLD}"""
+
+_PPJOIN_SQL = f"""
+WITH {_PP_WITH}
+{_PP_SELECT}
 ORDER BY 1, 2
 """
 
@@ -755,7 +788,110 @@ ORDER BY a.block, a_id, dist
 """
 
 
+# ---------------------------------------------------------------------------
+# Production façade: ONE dedup entry point, strategy chosen from corpus stats
+# ---------------------------------------------------------------------------
+
+# past this corpus size the lossless PPJoin verify join stops being the
+# economical default and the banded-LSH path (probabilistic recall,
+# strictly bucketed work) takes over
+DEDUP_PPJOIN_MAX_DOCS = 100_000
+
+
+def choose_dedup_strategy(n_docs: int, n_distinct_texts: int) -> str:
+    """Pick the dedup strategy from two corpus stats (one aggregate):
+
+    - ``exact`` when fewer than half the texts are distinct
+      (``2·d < n``, exact integers) — the duplication mass is literal
+      copies, and a sha2 equi-join answers without any similarity
+      math;
+    - ``ppjoin`` for corpora up to DEDUP_PPJOIN_MAX_DOCS — lossless
+      exact-Jaccard via prefix+length+positional filtering;
+    - ``lsh`` beyond that — MinHash-banded candidates with exact
+      verify, the 100 TB path (recall probabilistic, work bucketed).
+    """
+    if n_docs > 0 and 2 * n_distinct_texts < n_docs:
+        return "exact"
+    if n_docs <= DEDUP_PPJOIN_MAX_DOCS:
+        return "ppjoin"
+    return "lsh"
+
+
+def dedup(spark: SparkSession, sf_dir: str, strategy: str = "auto") -> DataFrame:
+    """The production dedup façade: one entry point over the tier's
+    research-grade strategies (exact sha2 / PPJoin / MinHash-LSH),
+    auto-selected from corpus stats by ``choose_dedup_strategy``.
+    The two driving counts are a single driver-side sizing aggregate
+    (the sanctioned scalar pattern — the strategies themselves never
+    collect).
+
+    Output: strategy, a_id, b_id, jaccard — identical pair semantics
+    across strategies (exact duplicates have Jaccard 1 by identity).
+    """
+    docs = table(spark, sf_dir, "documents")
+    if strategy == "auto":
+        n, d = docs.agg(
+            F.count(F.lit(1)), F.count_distinct(F.col("text"))
+        ).first()
+        strategy = choose_dedup_strategy(n, d)
+    if strategy == "exact":
+        a = docs.select(
+            F.col("doc_id").alias("a_id"), F.sha2(F.col("text"), 256).alias("h")
+        )
+        b = docs.select(
+            F.col("doc_id").alias("b_id"), F.sha2(F.col("text"), 256).alias("h")
+        )
+        pairs = (
+            a.join(b, "h")
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", F.lit(1.0).alias("jaccard"))
+        )
+    elif strategy == "ppjoin":
+        pairs = dedup_ppjoin(spark, sf_dir)
+    elif strategy == "lsh":
+        pairs = dedup_minhash(spark, sf_dir)
+    else:
+        raise ValueError(
+            f"unknown dedup strategy {strategy!r}; "
+            "use auto | exact | ppjoin | lsh"
+        )
+    return pairs.select(
+        F.lit(strategy).alias("strategy"), "a_id", "b_id", "jaccard"
+    ).orderBy("a_id", "b_id")
+
+
+def dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered form of the façade (strategy='auto'). On the
+    fixtures the stats land in the ppjoin regime (all texts distinct,
+    n ≤ 100k), so the oracle below mirrors the exact/ppjoin branches
+    with the SAME integer stat gates; the lsh regime is unreachable at
+    fixture scale and is covered by the strategy-selection unit test
+    plus dedup_minhash's own recall gates."""
+    return dedup(spark, sf_dir)
+
+
+_DEDUP_AUTO_SQL = f"""
+WITH {_PP_WITH}, stats AS (
+  SELECT count(*)::BIGINT AS n, count(DISTINCT text)::BIGINT AS d
+  FROM documents
+), pp AS (
+{_PP_SELECT}
+)
+SELECT 'exact' AS strategy, a.doc_id AS a_id, b.doc_id AS b_id,
+       1.0::DOUBLE AS jaccard
+FROM documents a JOIN documents b
+  ON a.text = b.text AND a.doc_id < b.doc_id
+WHERE (SELECT 2 * d < n FROM stats)
+UNION ALL
+SELECT 'ppjoin' AS strategy, a_id, b_id, jaccard FROM pp
+WHERE NOT (SELECT 2 * d < n FROM stats)
+  AND (SELECT n <= {DEDUP_PPJOIN_MAX_DOCS} FROM stats)
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
+    "dedup_auto": dedup_auto,
     "dedup_ppjoin": dedup_ppjoin,
     "incremental_dedup_index": incremental_dedup_index,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
@@ -774,6 +910,7 @@ QUERIES = {
 # whenever LSH recall is 1 (it is, deterministically, on the
 # fixtures — see the docstring).
 ORACLES: dict[str, str] = {
+    "dedup_auto": _DEDUP_AUTO_SQL,
     "dedup_ppjoin": _PPJOIN_SQL,
     "incremental_dedup_index": _INCR_DEDUP_SQL,
     "sorted_neighborhood_pairs": _SNM_SQL,

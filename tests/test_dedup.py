@@ -290,3 +290,59 @@ def test_incremental_index_finds_planted_cross_batch_dup(spark):
     assert (10, 3) in got and (10, 7) in got  # cross-split dups found
     assert all(k[0] % dedup.INCR_BATCH_MOD == 0 for k in got)  # new side only
     assert all(k[1] % dedup.INCR_BATCH_MOD != 0 for k in got)  # corpus side only
+
+
+def test_choose_dedup_strategy_regimes():
+    """The pure selection function: exact when <half the texts are
+    distinct, ppjoin up to the size bound, lsh beyond."""
+    assert dedup.choose_dedup_strategy(10, 4) == "exact"  # 2*4 < 10
+    assert dedup.choose_dedup_strategy(10, 5) == "ppjoin"  # boundary: not exact
+    assert dedup.choose_dedup_strategy(10, 10) == "ppjoin"
+    assert dedup.choose_dedup_strategy(dedup.DEDUP_PPJOIN_MAX_DOCS, 99_999) == "ppjoin"
+    assert dedup.choose_dedup_strategy(dedup.DEDUP_PPJOIN_MAX_DOCS + 1, 100_001) == "lsh"
+    assert dedup.choose_dedup_strategy(200_000, 190_000) == "lsh"
+
+
+def test_dedup_facade_exact_regime_end_to_end(spark):
+    """A copy-heavy corpus (7 of 10 docs identical) must route to the
+    exact strategy and emit every identical pair with jaccard 1."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="facade_exact_")
+    rows = [(i, "the same exact template text body", "en", "t", 33) for i in range(7)]
+    rows += [(i, f"unique document number {i} body text", "en", "t", 30) for i in (7, 8, 9)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = dedup.dedup(spark, d).collect()
+    assert {r.strategy for r in out} == {"exact"}
+    assert all(r.jaccard == 1.0 for r in out)
+    assert {(r.a_id, r.b_id) for r in out} == {
+        (a, b) for a in range(7) for b in range(7) if a < b
+    }
+
+
+def test_dedup_facade_ppjoin_regime_matches_standalone(spark):
+    """On the fixtures (all texts distinct, n under the size bound)
+    the façade must route to ppjoin and equal the standalone query."""
+    facade = dedup.dedup(spark, SF).collect()
+    assert {r.strategy for r in facade} == {"ppjoin"} or facade == []
+    standalone = dedup.dedup_ppjoin(spark, SF).collect()
+    assert {(r.a_id, r.b_id, r.jaccard) for r in facade} == {
+        (r.a_id, r.b_id, r.jaccard) for r in standalone
+    }
+
+
+def test_dedup_facade_forced_lsh_strategy(spark):
+    """strategy='lsh' must bypass the stats and run the MinHash path;
+    unknown strategies fail loudly."""
+    import pytest
+
+    out = dedup.dedup(spark, SF, strategy="lsh").collect()
+    got = {(r.a_id, r.b_id) for r in out}
+    want = {(r.a_id, r.b_id) for r in dedup.dedup_minhash(spark, SF).collect()}
+    assert got == want
+    assert {r.strategy for r in out} <= {"lsh"}
+    with pytest.raises(ValueError, match="unknown dedup strategy"):
+        dedup.dedup(spark, SF, strategy="bogus")
