@@ -473,7 +473,9 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: vec_id, cluster, dist (squared L2 in micro² units).
     """
     vecs = _kmeans_vecs(spark, sf_dir)
-    return _kmeans_assign(vecs, _kmeans_cents(spark, sf_dir)).select(
+    # pass vecs through so the training loop and this final assignment
+    # share one persisted corpus (identical plan -> one cache entry)
+    return _kmeans_assign(vecs, _kmeans_cents(spark, sf_dir, vecs)).select(
         "vec_id", F.col("cid").alias("cluster"), "dist"
     )
 
@@ -525,11 +527,24 @@ def _kmeans_assign(vecs: DataFrame, cents_df: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_cents(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> DataFrame:
     """Lloyd-trained centroids (cid, cq micro-unit longs) after
     KMEANS_ITERS rounds from the md5 hash-sample init — the shared
-    coarse quantizer for embedding_kmeans and the trained IVF."""
-    vecs = _kmeans_vecs(spark, sf_dir)
+    coarse quantizer for embedding_kmeans and the trained IVF.
+
+    Iteration discipline (the graph-kernel lesson): the corpus is
+    PERSISTED once (without it, the nested per-iteration plans rescan
+    the embeddings KMEANS_ITERS+1 times — three extra corpus scans at
+    100 TB), and each round's K-row centroid relation is
+    localCheckpoint-ed so plan depth stays constant instead of
+    nesting every prior iteration's aggregates."""
+    from pyspark.storagelevel import StorageLevel
+
+    if vecs is None:
+        vecs = _kmeans_vecs(spark, sf_dir)
+    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     init_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
     w_init = Window.orderBy(*init_order)
     cents = (
@@ -556,6 +571,7 @@ def _kmeans_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
             means.groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
             .select("cid", F.transform("s", lambda x: x["c"]).alias("cq"))
+            .localCheckpoint()  # K rows: constant plan depth per round
         )
 
     return cents
