@@ -671,7 +671,91 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+LPA_ROUNDS = 4  # fixed synchronous rounds: deterministic on both engines
+
+
+def label_propagation(edges: DataFrame, src: str, dst: str,
+                      rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation — the
+    seventh graph kernel (CC, PageRank, BFS, SSSP, triangles, k-core,
+    and now LPA): every vertex starts as its own label; each round,
+    every vertex simultaneously adopts the most frequent label among
+    its neighbors, ties broken by SMALLEST label. Classic async LPA is
+    run-order-dependent; the synchronous fixed-round form here is
+    fully deterministic, so an unrolled SQL oracle can mirror it
+    exactly (same argmax, same tie-break).
+
+    Shape per round: one keyed join (labels ⋈ edges) + one
+    (vertex, label) count aggregate + one per-vertex argmax — the
+    argmax is ``max(struct(cnt, -label))`` (maximize count, then
+    minimize label; struct comparison IS the tie-break), an aggregate
+    rather than a rank window, so each round costs two hash shuffles
+    and no sort. Labels localCheckpoint per round: constant plan
+    depth, the iteration discipline every kernel here follows.
+
+    Output: vertex, community (the surviving label after ``rounds``).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = e.select(F.col("s").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e["s"] == labels["v"])
+            .groupBy(F.col("d").alias("tv"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy(F.col("tv").alias("v"))
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt").alias("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select("v", (-F.col("m.nl")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("community"))
+
+
+def label_propagation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry: communities of the nation-scoped
+    co-supplier graph after LPA_ROUNDS synchronous rounds — the
+    cluster view next to k_core's dense backbone. Hash-exact vs the
+    unrolled oracle (same synchronous argmax, same min-label
+    tie-break).
+
+    Output: s_suppkey, community.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
+    )
+    ps = li.join(supp, "sk").select("pk", "sk", "nk").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.pk") == F.col("b.pk"))
+        & (F.col("a.nk") == F.col("b.nk"))
+        & (F.col("a.sk") < F.col("b.sk")),
+    ).select(F.col("a.sk").alias("u"), F.col("b.sk").alias("v")).distinct()
+    return (
+        label_propagation(edges, "u", "v")
+        .withColumnRenamed("vertex", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
+    "label_propagation_suppliers": label_propagation_suppliers,
     "dedup_clusters": dedup_clusters,
     "dedup_survivorship": dedup_survivorship,
     "k_core_suppliers": k_core_suppliers,
@@ -743,6 +827,45 @@ def _pagerank_oracle(n_iter: int = PR_ITER) -> str:
 # The pair-generation CTEs mirror dedup_minhash_verify's oracle; the
 # recursive part computes min-reachable per vertex (UNION dedups, so
 # the recursion terminates on cyclic components).
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    """The synchronous LPA recurrence unrolled (one MATERIALIZED CTE
+    per round — each round references the previous twice, so inlining
+    would blow up): identical vote count, identical (cnt DESC, lbl
+    ASC) argmax via row_number."""
+    parts = [
+        "WITH ps AS (\n"
+        "  SELECT DISTINCT l.l_partkey AS pk, l.l_suppkey AS sk,\n"
+        "         s.s_nationkey AS nk\n"
+        "  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey\n"
+        "), ed AS (\n"
+        "  SELECT DISTINCT a.sk AS u, b.sk AS v\n"
+        "  FROM ps a JOIN ps b\n"
+        "    ON a.pk = b.pk AND a.nk = b.nk AND a.sk < b.sk\n"
+        "), e AS MATERIALIZED (\n"
+        "  SELECT u AS s, v AS d FROM ed UNION ALL SELECT v, u FROM ed\n"
+        "), l0 AS MATERIALIZED (\n"
+        "  SELECT DISTINCT s AS v, s AS lbl FROM e\n"
+        ")"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", l{i} AS MATERIALIZED (\n"
+            f"  SELECT v, lbl FROM (\n"
+            f"    SELECT v, lbl, row_number() OVER (\n"
+            f"      PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn\n"
+            f"    FROM (\n"
+            f"      SELECT e.d AS v, l.lbl AS lbl, count(*)::BIGINT AS cnt\n"
+            f"      FROM e JOIN l{i - 1} l ON e.s = l.v GROUP BY 1, 2\n"
+            f"    )\n"
+            f"  ) WHERE rn = 1\n"
+            f")"
+        )
+    parts.append(
+        f"\nSELECT v AS s_suppkey, lbl AS community FROM l{rounds} ORDER BY 1"
+    )
+    return "".join(parts)
+
+
 KCORE_ORACLE_ROUNDS = 12
 
 
@@ -789,6 +912,9 @@ def _kcore_oracle(rounds: int = KCORE_ORACLE_ROUNDS, k: int = KCORE_K) -> str:
 
 
 ORACLES = {
+    # synchronous LPA unrolled round-by-round — deterministic argmax
+    # with min-label tie-break on both engines
+    "label_propagation_suppliers": _lpa_oracle(),
     # peeling fixpoint as a bounded unrolled restriction chain —
     # upgrades k_core_suppliers from rows-only to hash-exact
     "k_core_suppliers": _kcore_oracle(),

@@ -3000,6 +3000,85 @@ def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     return "".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
+OOV_VOCAB_K = 1000
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document source — the curation
+    metric that flags a source whose tokens a fixed-size vocabulary
+    (the tokenizer-training proxy) fails to cover: high OOV means a
+    scrape in another script/domain or template noise a downstream
+    tokenizer would shred into bytes.
+
+    Vocabulary = the OOV_VOCAB_K most frequent corpus tokens,
+    deterministic tie-break (count desc, token asc), selected via
+    ``orderBy().limit()`` — Catalyst plans TakeOrderedAndProject
+    (per-partition heaps + driver merge of K rows), NEVER a global
+    sort; the vocab then rides a broadcast join back onto the token
+    stream. Shape: wordcount aggregate + K-row broadcast + one
+    per-source aggregate — corpus-linear, two shuffles.
+
+    Determinism: the rate is one IEEE division of exact counts,
+    floor-quantized to 1e-6 (module policy).
+
+    Output: source, n_tokens, n_oov, oov_micro.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.lower("text"))).alias("tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds vocab + scoring
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+    rate = F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.floor(rate * F.lit(1_000_000.0)).cast("long").alias("oov_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+_OOV_SQL = f"""
+WITH toks AS (
+  SELECT source, lower(tok) AS tok
+  FROM documents,
+       unnest(string_split_regex(text, '\\s+')) AS u(tok)
+  WHERE tok <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY 1
+    ORDER BY c DESC, tok ASC LIMIT {OOV_VOCAB_K}
+  )
+)
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       floor(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE * 1000000.0)::BIGINT AS oov_micro
+FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+GROUP BY source
+ORDER BY source
+"""
+
+
 _BPE_PAIRS = """
 WITH words AS (
   SELECT word, count(*) AS n FROM (
@@ -3018,6 +3097,7 @@ SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
 
 
 QUERIES = {
+    "oov_rate": oov_rate,
     "duplicate_span_fraction": duplicate_span_fraction,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train_merges": bpe_train_merges,
@@ -3061,6 +3141,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "oov_rate": _OOV_SQL,
     "duplicate_span_fraction": _DUP_SPAN,
     "bpe_pair_counts": _BPE_PAIRS,
     "bpe_train_merges": _bpe_train_oracle(),

@@ -397,6 +397,104 @@ def media_decode_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio FEATURES parsed from real WAV bytes — the
+    feature-extraction step of an audio curation pipeline (energy →
+    silence/clipping filters, zero-crossing rate → crude
+    voiced/unvoiced signal), run on the honest PCM16 payloads:
+
+    - ``sum_abs``: Σ|s| (exact int64) — mean amplitude proxy;
+    - ``zero_crossings``: #{i : s_i·s_{i+1} < 0} (exact) — the ZCR
+      numerator;
+    - ``rms_micro``: floor(√(Σs²/n)·10⁶) — RMS energy; √ and / are
+      IEEE exact-rounded so the double is engine-identical, and the
+      floor-quantization (module policy) dodges round()'s
+      cross-engine half-tie divergence.
+
+    Every value derives from the DECODED sample stream; the oracle
+    recomputes the same features arithmetically from the generator's
+    closed-form sample formula (``_encode_wav``: s_i =
+    ((id·7 + i·13) mod 65536) − 32768), so a decoder that misread
+    sample width, offset, or byte order hash-mismatches.
+
+    Shape: mapInPandas generate → filter audio → mapInPandas feature
+    pass — fully NARROW (zero shuffles before the output sort);
+    features are O(samples) per clip and clips are independent, the
+    embarrassing-parallel profile a 100 TB audio corpus needs.
+
+    Output: media_id, n_samples, sum_abs, zero_crossings, rms_micro.
+    """
+    wavs = synth_media_encoded(spark, sf_dir).filter(F.col("fmt") == "wav")
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                _rate, n, _total = _decode_wav(payload)
+                riff_fmt_len = _struct.unpack_from("<4sIHHI", payload, 12)[1]
+                data_off = 12 + 8 + riff_fmt_len + 8
+                s = np.frombuffer(
+                    payload, dtype="<i2", count=n, offset=data_off
+                ).astype(np.int64)
+                ss = int((s * s).sum())
+                out.append(
+                    (
+                        int(row["media_id"]),
+                        n,
+                        int(np.abs(s).sum()),
+                        int(((s[:-1] * s[1:]) < 0).sum()),
+                        ss,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "sum_abs", "zero_crossings", "ss",
+                ],
+            )
+
+    feats = wavs.mapInPandas(
+        _feats,
+        schema="media_id long, n_samples long, sum_abs long, "
+        "zero_crossings long, ss long",
+    )
+    rms = F.sqrt(F.col("ss").cast("double") / F.col("n_samples").cast("double"))
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "sum_abs",
+        "zero_crossings",
+        F.floor(rms * F.lit(1_000_000.0)).cast("long").alias("rms_micro"),
+    ).orderBy("media_id")
+
+
+_AUDIO_FEATURES_SQL = """
+WITH audio AS (
+  SELECT doc_id AS media_id, 400 + (doc_id % 13) * 64 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), samples AS (
+  SELECT media_id, n, i,
+         ((media_id * 7 + i * 13) % 65536) - 32768 AS s
+  FROM audio, unnest(generate_series(0, n - 1)) AS t(i)
+), lagged AS (
+  SELECT media_id, n, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev_s
+  FROM samples
+)
+SELECT media_id,
+       any_value(n)::BIGINT AS n_samples,
+       sum(abs(s))::BIGINT AS sum_abs,
+       sum(CASE WHEN prev_s * s < 0 THEN 1 ELSE 0 END)::BIGINT
+         AS zero_crossings,
+       floor(sqrt(sum(s * s)::DOUBLE / any_value(n)::DOUBLE)
+             * 1000000.0)::BIGINT AS rms_micro
+FROM lagged
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
 def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode of a COMPRESSED format with the standard library
     only: PNG is DEFLATE (stdlib zlib) + scanline filter
@@ -778,6 +876,7 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver's rows-only check covers the pipeline end-to-end; the
 # byte-level oracle is in tests (deterministic synth + decode)
 QUERIES = {
+    "audio_features": audio_features,
     "multimodal_pipeline": media_feature_stats,
     "multimodal_decode_real": media_decode_real_stats,
     "video_frame_dedup": video_frame_dedup,
@@ -788,6 +887,7 @@ QUERIES = {
 # n_bytes = 64 + (doc_id % 7) * 32 by construction (synth_media), so
 # the whole fake pipeline is SQL-expressible — full value oracle.
 ORACLES = {
+    "audio_features": _AUDIO_FEATURES_SQL,
     "multimodal_pipeline": """
 WITH media AS (
   SELECT doc_id,

@@ -381,3 +381,50 @@ def test_k_core_matches_bruteforce_peeling(spark):
     df = spark.createDataFrame(raw, "u long, v long")
     got = {r.vertex: r.core_degree for r in g.k_core(df, "u", "v").collect()}
     assert got == want
+
+
+def test_label_propagation_matches_bruteforce_sync_model(spark):
+    """The distributed synchronous LPA must equal a brute-force
+    synchronous model (same round count, same most-frequent /
+    min-label tie-break) on a structured graph AND a seeded random
+    graph — every vertex, every label."""
+    import random
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import graph as g
+
+    def model(edges, rounds):
+        adj = {}
+        for u, v in edges:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        lbl = {v: v for v in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for v in adj:
+                votes = {}
+                for n in adj[v]:
+                    votes[lbl[n]] = votes.get(lbl[n], 0) + 1
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+            lbl = nxt
+        return lbl
+
+    # two cliques joined by one bridge edge + a pendant
+    structured = [
+        (1, 2), (1, 3), (2, 3),
+        (10, 11), (10, 12), (11, 12),
+        (3, 10), (12, 13),
+    ]
+    rng = random.Random(42)
+    rand = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+    for raw in (structured, rand):
+        raw = [(u, v) for u, v in raw if u != v]
+        want = model(raw, g.LPA_ROUNDS)
+        df = spark.createDataFrame(raw, "u long, v long")
+        got = {
+            r.vertex: r.community
+            for r in g.label_propagation(df, "u", "v").collect()
+        }
+        assert got == want
