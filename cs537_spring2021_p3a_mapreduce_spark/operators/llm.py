@@ -3000,6 +3000,120 @@ def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     return "".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # k-gram hashes per winnowing window
+_WINNOW_POS = 1 << 30  # (hash, pos) encoded as hash*2^30 + pos
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm) — LOCAL fingerprints next to
+    ``doc_fingerprint``'s whole-document hash: any shared token run
+    of ≥ WINNOW_W + WINNOW_K − 1 tokens between two documents is
+    GUARANTEED to share a selected fingerprint, which is what makes
+    partial-overlap detection (plagiarism, quote mining, span-level
+    dedup) a plain equi-join on the output.
+
+    Construction, fully expression-level and NARROW (zero shuffles
+    before the output sort): per-token char rolling hash (the
+    ``doc_fingerprint`` polynomial, mod 1e9+7) → k-gram hash over
+    WINNOW_K consecutive token hashes (unrolled polynomial) → each
+    sliding window of WINNOW_W k-gram hashes selects its minimum,
+    ties to the LEFTMOST position — implemented as ``array_min`` over
+    ``hash·2³⁰ + pos`` encodings, so the min is the (hash, pos)
+    lexicographic argmin in one codegen'd integer pass (positions
+    < 2³⁰; encodings < 1.16e18, no ANSI overflow). Distinct selected
+    pairs are the fingerprint set.
+
+    Output: doc_id, pos (0-based k-gram index), fp.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.lower("text")).alias("t"))
+    th = F.transform(
+        "t",
+        lambda tok: F.aggregate(
+            F.filter(F.split(tok, ""), lambda c: c != F.lit("")),
+            F.lit(0).cast("long"),
+            lambda acc, ch: F.pmod(
+                acc * F.lit(FP_BASE) + F.ascii(ch).cast("long"), F.lit(FP_MOD)
+            ),
+        ),
+    )
+    hashed = toks.select("doc_id", th.alias("th"))
+    arr = F.col("th")
+    n_g = F.size(arr) - (WINNOW_K - 1)
+
+    def kgram(i: F.Column) -> F.Column:
+        acc = F.get(arr, i)
+        for j in range(1, WINNOW_K):
+            acc = F.pmod(acc * F.lit(FP_BASE) + F.get(arr, i + j), F.lit(FP_MOD))
+        return acc
+
+    grams_seq = F.when(n_g >= 1, F.sequence(F.lit(0), n_g - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    enc = F.transform(
+        grams_seq, lambda i: kgram(i) * F.lit(_WINNOW_POS) + i.cast("long")
+    )
+    with_enc = hashed.select("doc_id", enc.alias("enc"))
+    e = F.col("enc")
+    n_w = F.size(e) - (WINNOW_W - 1)
+    wins_seq = F.when(n_w >= 1, F.sequence(F.lit(0), n_w - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    selected = F.array_distinct(
+        F.transform(wins_seq, lambda w: F.array_min(F.slice(e, w + 1, WINNOW_W)))
+    )
+    return (
+        with_enc.select("doc_id", F.explode(selected).alias("sel"))
+        .select(
+            "doc_id",
+            F.pmod(F.col("sel"), F.lit(_WINNOW_POS)).alias("pos"),
+            (F.col("sel") / F.lit(_WINNOW_POS)).cast("long").alias("fp"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+def _winnow_sql() -> str:
+    kg = "th[i]"
+    for j in range(1, WINNOW_K):
+        kg = f"(({kg}) * {FP_BASE} + th[i+{j}]) % {FP_MOD}"
+    return f"""
+WITH th_t AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> ''),
+           tok -> list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+             (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})
+         ) AS th
+  FROM documents
+), enc_t AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(th) - {WINNOW_K - 1}, 0)),
+           i -> ({kg}) * {_WINNOW_POS}::BIGINT + (i - 1)
+         ) AS enc
+  FROM th_t
+), sel AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(enc) - {WINNOW_W - 1}, 0)),
+           w -> list_min(enc[w:w+{WINNOW_W - 1}])
+         )) AS s
+  FROM enc_t
+)
+SELECT doc_id,
+       (s % {_WINNOW_POS})::BIGINT AS pos,
+       (s // {_WINNOW_POS})::BIGINT AS fp
+FROM sel
+ORDER BY doc_id, pos
+"""
+
+
 OOV_VOCAB_K = 1000
 
 
@@ -3097,6 +3211,7 @@ SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
 
 
 QUERIES = {
+    "winnow_fingerprints": winnow_fingerprints,
     "oov_rate": oov_rate,
     "duplicate_span_fraction": duplicate_span_fraction,
     "bpe_pair_counts": bpe_pair_counts,
@@ -3141,6 +3256,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winnow_fingerprints": _winnow_sql(),
     "oov_rate": _OOV_SQL,
     "duplicate_span_fraction": _DUP_SPAN,
     "bpe_pair_counts": _BPE_PAIRS,

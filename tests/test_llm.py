@@ -601,3 +601,39 @@ def test_confusion_matrix_partitions_and_diagonal(spark):
     planted = llm.lang_id_confusion(spark, d).collect()
     assert all(r.actual_lang == r.pred_lang for r in planted)
     assert all(r.share_of_actual_micro == 1_000_000 for r in planted)
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem: two documents sharing a token run of
+    length >= WINNOW_W + WINNOW_K - 1 must share at least one
+    selected fingerprint VALUE — that is what makes overlap
+    detection an equi-join on the output. Also: disjoint-vocabulary
+    docs share nothing."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    run = " ".join(f"shared{i}" for i in range(llm.WINNOW_W + llm.WINNOW_K - 1))
+    rows = [
+        (0, f"alpha beta {run} gamma delta", "en", "t", 0),
+        (1, f"completely different prefix words here {run}", "en", "t", 0),
+        (2, "nothing in common with anything at all zz yy xx ww vv uu tt", "en", "t", 0),
+    ]
+    d = tempfile.mkdtemp(prefix="winnow_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = llm.winnow_fingerprints(spark, d).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1], "shared run must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    # every window is covered: selected count >= ceil(n_windows / W)
+    # (each selection covers at most W windows)
+    for doc_id, text in ((0, rows[0][1]), (1, rows[1][1])):
+        n_toks = len(text.split())
+        n_g = n_toks - (llm.WINNOW_K - 1)
+        n_w = n_g - (llm.WINNOW_W - 1)
+        assert len([r for r in out if r.doc_id == doc_id]) >= -(-n_w // llm.WINNOW_W)

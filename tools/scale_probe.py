@@ -311,6 +311,18 @@ PROBES = [
     "embedding_quantize_int8",
     "bitmap_segment_overlap",
     "explode_outer_tokens",
+    # round-4 additions: windowed basket mining (broadcast fix),
+    # lossless ppjoin with length+positional bounds, the stat-driven
+    # dedup façade, vocabulary-coverage scoring, synchronous LPA,
+    # WAV feature extraction, peeling coreness, epoch-seeded shuffle
+    "market_basket_rules",
+    "dedup_ppjoin",
+    "dedup_auto",
+    "oov_rate",
+    "label_propagation_suppliers",
+    "audio_features",
+    "k_core_suppliers",
+    "shuffle_for_training",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
