@@ -3000,6 +3000,109 @@ def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     return "".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
+LM_SCALE = 1_000_000_000  # per-term 1e-9 quantum; final score in micro
+
+
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document — the
+    curation signal next to ``quality_score``'s surface heuristics: a
+    corpus-trained bigram model scores each doc by the mean
+    LEAVE-ONE-OUT conditional probability (c(w₁,w₂)−1)/c(w₁) of its
+    bigrams — the discount removes the doc's own support, so a
+    bigram seen nowhere else contributes ZERO (without it, a
+    self-trained unsmoothed model hands garbled singleton text a
+    perfect score: cb=cu=1 ⇒ P=1, measured). Common text scores
+    high, never-repeated/garbled text scores low; the tails of the
+    distribution are the review/filter queue. (Mean probability, not
+    perplexity, ON PURPOSE: no ln/pow — libm transcendentals are not
+    cross-engine deterministic; every term is one IEEE division of
+    exact counts.)
+
+    Determinism: each term floor-quantizes to 1e-9-unit longs before
+    summing (combine-order-free), and the final mean is pure integer
+    division — ``sum DIV (n·1000)`` — which Spark's DIV and DuckDB's
+    // truncate identically.
+
+    Shape: two wordcount aggregates (unigrams, bigrams) + two
+    corpus-linear equi-joins back onto the doc bigram stream + one
+    per-doc aggregate. The bigram stream persists (it feeds the
+    count and the scoring branches).
+
+    Output: doc_id, n_bigrams, lm_micro.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.lower("text")).alias("t"))
+    arr = F.col("t")
+    n_b = F.size(arr) - 1
+    bg_seq = F.when(n_b >= 1, F.sequence(F.lit(0), n_b - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    bg_seq,
+                    lambda i: F.struct(
+                        F.get(arr, i).alias("w1"), F.get(arr, i + 1).alias("w2")
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    term = F.floor(
+        (F.col("cb") - F.lit(1)).cast("double")
+        / F.col("cu").cast("double")
+        * F.lit(float(LM_SCALE))
+    ).cast("long")
+    return (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(term).alias("sq"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(f"sq DIV (n_bigrams * {LM_SCALE // 1_000_000})").alias(
+                "lm_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+), uni AS (
+  SELECT w1, count(*)::BIGINT AS cu FROM bigrams GROUP BY 1
+), bi AS (
+  SELECT w1, w2, count(*)::BIGINT AS cb FROM bigrams GROUP BY 1, 2
+)
+SELECT b.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       (sum(floor((bi.cb - 1)::DOUBLE / uni.cu::DOUBLE * {LM_SCALE}.0)::BIGINT)
+        // (count(*) * {LM_SCALE // 1_000_000}))::BIGINT AS lm_micro
+FROM bigrams b
+JOIN bi ON bi.w1 = b.w1 AND bi.w2 = b.w2
+JOIN uni ON uni.w1 = b.w1
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 WINNOW_K = 4  # tokens per k-gram
 WINNOW_W = 5  # k-gram hashes per winnowing window
 _WINNOW_POS = 1 << 30  # (hash, pos) encoded as hash*2^30 + pos
@@ -3211,6 +3314,7 @@ SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
 
 
 QUERIES = {
+    "ngram_lm_score": ngram_lm_score,
     "winnow_fingerprints": winnow_fingerprints,
     "oov_rate": oov_rate,
     "duplicate_span_fraction": duplicate_span_fraction,
@@ -3256,6 +3360,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ngram_lm_score": _LM_SQL,
     "winnow_fingerprints": _winnow_sql(),
     "oov_rate": _OOV_SQL,
     "duplicate_span_fraction": _DUP_SPAN,

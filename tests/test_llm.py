@@ -637,3 +637,28 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
         n_g = n_toks - (llm.WINNOW_K - 1)
         n_w = n_g - (llm.WINNOW_W - 1)
         assert len([r for r in out if r.doc_id == doc_id]) >= -(-n_w // llm.WINNOW_W)
+
+
+def test_ngram_lm_score_ranks_template_over_garbled(spark):
+    """The fluency contract: repeated-template docs (every bigram
+    seen many times) must outscore a doc of unique never-repeated
+    bigrams; scores are micro-probabilities in [0, 1e6]."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    template = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, template, "en", "t", 0) for i in range(8)]
+    rows.append((100, "zq xv jw ky lm pn rt su vy wz", "en", "t", 0))
+    d = tempfile.mkdtemp(prefix="lm_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r.lm_micro for r in llm.ngram_lm_score(spark, d).collect()}
+    assert all(0 <= v <= 1_000_000 for v in out.values())
+    assert out[0] > out[100], out
+    # leave-one-out: the garbled doc's singleton bigrams score ZERO
+    assert out[100] == 0
+    # template bigrams are corpus-dominant minus own support
+    assert out[0] > 400_000
