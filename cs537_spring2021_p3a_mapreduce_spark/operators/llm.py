@@ -3000,6 +3000,81 @@ def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     return "".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
+FEATURE_HASH_DIM = 16  # hashing-trick vector dimensionality
+
+
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectorizer (Weinberger et al.) — the
+    fixed-dimension sparse featurization a downstream linear model /
+    clustering / ANN index consumes without any vocabulary build:
+    each token hashes to a dimension (polynomial char hash mod
+    FEATURE_HASH_DIM) with a deterministic ±1 sign (parity of the
+    hash's next bit — the collision-debiasing trick from the paper),
+    and the doc's vector is the signed count sum per dimension.
+
+    No vocabulary, no fit step, no driver state — the property that
+    makes this THE featurizer for a 100 TB streaming-ingest corpus
+    (a CountVectorizer needs a fitted vocabulary broadcast; this
+    needs nothing). Polynomial hash, not xxhash, so the oracle can
+    rebuild the identical vectors in SQL.
+
+    Shape: explode + one (doc, dim) hash aggregate — wordcount with
+    a computed key. Output: doc_id, dim, weight (signed long).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower("text"))).alias("tok")
+    )
+    h = F.aggregate(
+        F.filter(F.split(F.col("tok"), ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * F.lit(FP_BASE) + F.ascii(ch).cast("long"), F.lit(FP_MOD)
+        ),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(FEATURE_HASH_DIM)).alias("dim"),
+        # sign bit from the next hash bit: (h DIV DIM) % 2
+        F.when(
+            F.pmod((h / F.lit(FEATURE_HASH_DIM)).cast("long"), F.lit(2)) == 1,
+            F.lit(-1),
+        )
+        .otherwise(F.lit(1))
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("weight"))
+        .orderBy("doc_id", "dim")
+    )
+
+
+_FEATURE_HASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS tok
+  FROM documents,
+       unnest(string_split_regex(text, '\\s+')) AS u(tok)
+  WHERE tok <> ''
+), hashed AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+           (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}
+         ) AS h
+  FROM toks
+)
+SELECT doc_id,
+       (h % {FEATURE_HASH_DIM})::BIGINT AS dim,
+       sum(CASE WHEN (h // {FEATURE_HASH_DIM}) % 2 = 1
+                THEN -1 ELSE 1 END)::BIGINT AS weight
+FROM hashed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 LM_SCALE = 1_000_000_000  # per-term 1e-9 quantum; final score in micro
 
 
@@ -3314,6 +3389,7 @@ SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
 
 
 QUERIES = {
+    "feature_hash_vectors": feature_hash_vectors,
     "ngram_lm_score": ngram_lm_score,
     "winnow_fingerprints": winnow_fingerprints,
     "oov_rate": oov_rate,
@@ -3360,6 +3436,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "feature_hash_vectors": _FEATURE_HASH_SQL,
     "ngram_lm_score": _LM_SQL,
     "winnow_fingerprints": _winnow_sql(),
     "oov_rate": _OOV_SQL,

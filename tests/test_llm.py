@@ -662,3 +662,42 @@ def test_ngram_lm_score_ranks_template_over_garbled(spark):
     assert out[100] == 0
     # template bigrams are corpus-dominant minus own support
     assert out[0] > 400_000
+
+
+def test_feature_hash_vectors_match_bruteforce_model(spark):
+    """The hashing-trick vectors must equal a brute-force Python
+    model (same polynomial hash, same dim/sign split) exactly —
+    every doc, every dimension."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [
+        (0, "alpha beta gamma alpha", "en", "t", 0),
+        (1, "Alpha ALPHA beta", "en", "t", 0),  # case-folds to alpha
+        (2, "solo", "en", "t", 0),
+    ]
+    d = tempfile.mkdtemp(prefix="fh_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    def phash(tok):
+        h = 0
+        for c in tok:
+            h = (h * llm.FP_BASE + ord(c)) % llm.FP_MOD
+        return h
+
+    want = {}
+    for doc_id, text, *_ in rows:
+        for tok in text.lower().split():
+            h = phash(tok)
+            dim = h % llm.FEATURE_HASH_DIM
+            sign = -1 if (h // llm.FEATURE_HASH_DIM) % 2 == 1 else 1
+            want[(doc_id, dim)] = want.get((doc_id, dim), 0) + sign
+    got = {
+        (r.doc_id, r.dim): r.weight
+        for r in llm.feature_hash_vectors(spark, d).collect()
+    }
+    assert got == want
