@@ -671,6 +671,86 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+AFFINITY_TOPK = 3  # strongest partners kept per supplier
+
+
+def supplier_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED co-supplier projection + per-supplier top-k: edge
+    weight = number of distinct parts two same-nation suppliers both
+    supply (the bipartite projection the unweighted kernels — LPA,
+    triangles, k-core — discard), then each supplier keeps its
+    AFFINITY_TOPK strongest partners (weight desc, partner asc
+    tie-break). The "who do I co-operate with most" view a
+    procurement or fraud analysis starts from.
+
+    Scale shape: the projection is the same (pk, nk)-blocked
+    self-join every co-supplier kernel uses (never all-pairs), the
+    weight is its group count, and the top-k is one rank window per
+    DIRECTED endpoint — partitioned by supplier, so the sort is
+    per-key, never global.
+
+    Output: s_suppkey, partner, n_shared_parts, rk.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
+    )
+    ps = li.join(supp, "sk").select("pk", "sk", "nk").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.nk") == F.col("b.nk"))
+            & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    )
+    return (
+        und.withColumn("rk", rk)
+        .where(F.col("rk") <= AFFINITY_TOPK)
+        .select(
+            F.col("u").alias("s_suppkey"),
+            F.col("v").alias("partner"),
+            F.col("w").alias("n_shared_parts"),
+            "rk",
+        )
+        .orderBy("s_suppkey", "rk")
+    )
+
+
+_AFFINITY_SQL = f"""
+WITH ps AS (
+  SELECT DISTINCT l.l_partkey AS pk, l.l_suppkey AS sk, s.s_nationkey AS nk
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), pairs AS (
+  SELECT a.sk AS u, b.sk AS v, count(*)::BIGINT AS w
+  FROM ps a JOIN ps b ON a.pk = b.pk AND a.nk = b.nk AND a.sk < b.sk
+  GROUP BY 1, 2
+), und AS (
+  SELECT u, v, w FROM pairs UNION ALL SELECT v, u, w FROM pairs
+), ranked AS (
+  SELECT u, v, w,
+         row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rk
+  FROM und
+)
+SELECT u AS s_suppkey, v AS partner, w AS n_shared_parts, rk::BIGINT AS rk
+FROM ranked WHERE rk <= {AFFINITY_TOPK}
+ORDER BY 1, 4
+"""
+
+
 LPA_ROUNDS = 4  # fixed synchronous rounds: deterministic on both engines
 
 
@@ -755,6 +835,7 @@ def label_propagation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "supplier_affinity_topk": supplier_affinity_topk,
     "label_propagation_suppliers": label_propagation_suppliers,
     "dedup_clusters": dedup_clusters,
     "dedup_survivorship": dedup_survivorship,
@@ -912,6 +993,7 @@ def _kcore_oracle(rounds: int = KCORE_ORACLE_ROUNDS, k: int = KCORE_K) -> str:
 
 
 ORACLES = {
+    "supplier_affinity_topk": _AFFINITY_SQL,
     # synchronous LPA unrolled round-by-round — deterministic argmax
     # with min-label tie-break on both engines
     "label_propagation_suppliers": _lpa_oracle(),

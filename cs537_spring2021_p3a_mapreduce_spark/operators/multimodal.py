@@ -495,6 +495,77 @@ ORDER BY media_id
 """
 
 
+IMG_HIST_BINS = 4  # 64-value-wide luminance bins
+
+
+def image_histogram_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image luminance HISTOGRAM parsed from real BMP bytes — the
+    image-statistics primitive behind exposure/contrast curation
+    filters (a washed-out or black scrape concentrates in one bin),
+    computed from the DECODED pixel stream, not metadata: 4 bins of
+    64 values over every channel byte (padding excluded).
+
+    Shape: narrow Arrow-batched decode, one row per (image, bin) —
+    no shuffle before the output sort. The oracle recomputes each
+    bin count arithmetically from the BMP generator's closed-form
+    pixel formula ((x+y+id) mod 256, all three channels equal), so a
+    decoder that misread the row padding, the bottom-up row order,
+    or the channel layout hash-mismatches.
+
+    Output: media_id, bin, n_values.
+    """
+    imgs = synth_media_encoded(spark, sf_dir).filter(F.col("fmt") == "bmp")
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                offset = _struct.unpack_from("<2sIHHI", payload, 0)[4]
+                _hs, width, height = _struct.unpack_from("<Iii", payload, 14)
+                row_bytes = (3 * width + 3) // 4 * 4
+                arr = np.frombuffer(
+                    payload, dtype=np.uint8, count=height * row_bytes,
+                    offset=offset,
+                ).reshape(height, row_bytes)[:, : 3 * width]
+                counts = np.bincount(
+                    arr.reshape(-1) >> 6, minlength=IMG_HIST_BINS
+                )
+                mid = int(row["media_id"])
+                out.extend(
+                    (mid, b, int(counts[b])) for b in range(IMG_HIST_BINS)
+                )
+            yield pd.DataFrame(out, columns=["media_id", "bin", "n_values"])
+
+    return (
+        imgs.mapInPandas(_hist, schema="media_id long, bin long, n_values long")
+        .orderBy("media_id", "bin")
+    )
+
+
+_IMG_HIST_SQL = """
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT media_id,
+         ((x + y + media_id) % 256) // 64 AS bin
+  FROM imgs,
+       unnest(generate_series(0, w - 1)) AS ux(x),
+       unnest(generate_series(0, h - 1)) AS uy(y)
+), cnt AS (
+  SELECT media_id, bin, count(*) * 3 AS n FROM px GROUP BY 1, 2
+)
+SELECT i.media_id, b.bin::BIGINT AS bin,
+       coalesce(cnt.n, 0)::BIGINT AS n_values
+FROM imgs i
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bin) b
+LEFT JOIN cnt ON cnt.media_id = i.media_id AND cnt.bin = b.bin
+ORDER BY 1, 2
+"""
+
+
 def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode of a COMPRESSED format with the standard library
     only: PNG is DEFLATE (stdlib zlib) + scanline filter
@@ -876,6 +947,7 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver's rows-only check covers the pipeline end-to-end; the
 # byte-level oracle is in tests (deterministic synth + decode)
 QUERIES = {
+    "image_histogram_real": image_histogram_real,
     "audio_features": audio_features,
     "multimodal_pipeline": media_feature_stats,
     "multimodal_decode_real": media_decode_real_stats,
@@ -887,6 +959,7 @@ QUERIES = {
 # n_bytes = 64 + (doc_id % 7) * 32 by construction (synth_media), so
 # the whole fake pipeline is SQL-expressible — full value oracle.
 ORACLES = {
+    "image_histogram_real": _IMG_HIST_SQL,
     "audio_features": _AUDIO_FEATURES_SQL,
     "multimodal_pipeline": """
 WITH media AS (

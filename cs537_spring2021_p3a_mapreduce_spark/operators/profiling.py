@@ -1453,7 +1453,82 @@ FROM ranked WHERE rk = 1 ORDER BY c_mktsegment
 """
 
 
+SKEW_TOPK = 10
+_SKEW_MIC = 1_000_000
+
+
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW profile for lineitem.l_partkey — the diagnostic
+    a 100 TB deployment runs BEFORE a big join ships: the heaviest
+    keys, each with its share of the table and its skew factor
+    (count ÷ mean count). A skew factor in the hundreds says the
+    shuffle's hottest reducer gets hundreds of partitions' worth of
+    one key — the signal to salt that key or let AQE split it. The
+    in-tree consumers of this diagnostic are ``skew_salted_join_agg``
+    (salting) and the AQE skew-join config in session.py.
+
+    Shape: one per-key count aggregate; the global stats fold to ONE
+    row and broadcast; the top-k heads through
+    ``orderBy().limit()`` = TakeOrderedAndProject (per-partition
+    heaps, no global sort). Shares/factors are floor-quantized micro
+    ints of exact counts.
+
+    Output: rk, l_partkey, n_rows, share_micro, skew_micro.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("l_partkey")).limit(SKEW_TOPK)
+    from pyspark.sql.window import Window as W
+
+    mic = F.lit(float(_SKEW_MIC))
+    share = F.col("n_rows").cast("double") / F.col("total").cast("double")
+    skew = (
+        F.col("n_rows").cast("double")
+        * F.col("n_keys").cast("double")
+        / F.col("total").cast("double")
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("n_rows"), F.asc("l_partkey"))),
+        )
+        .select(
+            "rk",
+            "l_partkey",
+            "n_rows",
+            F.floor(share * mic).cast("long").alias("share_micro"),
+            F.floor(skew * mic).cast("long").alias("skew_micro"),
+        )
+        .orderBy("rk")
+    )
+
+
+_KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_rows FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM counts
+), top AS (
+  SELECT l_partkey, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, l_partkey ASC) AS rk
+  FROM counts ORDER BY n_rows DESC, l_partkey ASC LIMIT {SKEW_TOPK}
+)
+SELECT rk::BIGINT AS rk, l_partkey, n_rows,
+       floor(n_rows::DOUBLE / total::DOUBLE * {_SKEW_MIC}.0)::BIGINT
+         AS share_micro,
+       floor(n_rows::DOUBLE * n_keys::DOUBLE / total::DOUBLE
+             * {_SKEW_MIC}.0)::BIGINT AS skew_micro
+FROM top CROSS JOIN stats
+ORDER BY rk
+"""
+
+
 QUERIES = {
+    "key_skew_audit": key_skew_audit,
     "modal_priority_per_segment": modal_priority_per_segment,
     "revenue_concentration": revenue_concentration,
     "vocabulary_growth": vocabulary_growth,
@@ -1474,6 +1549,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "key_skew_audit": _KEY_SKEW_SQL,
     "modal_priority_per_segment": _MODAL_SQL,
     "revenue_concentration": _CONCENTRATION_SQL,
     "vocabulary_growth": _vocab_sql(),
