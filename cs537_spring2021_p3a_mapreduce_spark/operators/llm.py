@@ -1718,6 +1718,22 @@ SELECT doc_id, n_tokens,
 FROM per_doc
 """
 
+_QNORM = (
+    "WITH qual AS (" + _QUALITY + ")"
+    + """
+, j AS (
+  SELECT q.doc_id, d.source, q.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality, q.doc_id) AS rk,
+         count(*) OVER (PARTITION BY d.source) AS n
+  FROM qual q JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, quality,
+       ((rk - 1) * 1000000 // greatest(n - 1, 1))::BIGINT AS pct_micro
+FROM j ORDER BY doc_id
+"""
+)
+
 CURATE_MIN_QUALITY = 0.85
 CURATE_MIN_TOKENS = 5
 
@@ -3000,6 +3016,45 @@ def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     return "".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of the quality score WITHIN
+    each document source — the step before cross-source mixing:
+    heterogeneous sources score on incomparable raw scales (a clean
+    encyclopedia source's worst doc can outscore a forum source's
+    best), so mixing on raw quality silently starves whole sources;
+    normalizing to within-source percentiles makes "keep the top
+    30 % of every source" a single threshold.
+
+    Shape: the quality expression is the in-tree ``quality_score``
+    (exact integer micro-units), and the percentile is a rank window
+    PARTITIONED BY SOURCE — per-key sort, NEVER a global sort (the
+    scale property; a global percent_rank would single-partition the
+    corpus). All-integer percentile: (rk−1)·10⁶ DIV (n−1), ties
+    broken by doc_id, n=1 sources pinned to 0.
+
+    Output: doc_id, source, quality, pct_micro.
+    """
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = q.join(src, "doc_id")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    rk = F.row_number().over(w)
+    ranked = j.select(
+        "doc_id",
+        "source",
+        "quality",
+        (rk - F.lit(1)).cast("long").alias("_rk0"),
+        F.greatest(n - F.lit(1), F.lit(1)).cast("long").alias("_den"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.expr("(_rk0 * 1000000) DIV _den").alias("pct_micro"),
+    ).orderBy("doc_id")
+
+
 FEATURE_HASH_DIM = 16  # hashing-trick vector dimensionality
 
 
@@ -3389,6 +3444,7 @@ SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
 
 
 QUERIES = {
+    "quantile_normalize_quality": quantile_normalize_quality,
     "feature_hash_vectors": feature_hash_vectors,
     "ngram_lm_score": ngram_lm_score,
     "winnow_fingerprints": winnow_fingerprints,
@@ -3436,6 +3492,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quantile_normalize_quality": _QNORM,
     "feature_hash_vectors": _FEATURE_HASH_SQL,
     "ngram_lm_score": _LM_SQL,
     "winnow_fingerprints": _winnow_sql(),

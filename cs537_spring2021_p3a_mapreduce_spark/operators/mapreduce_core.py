@@ -456,6 +456,47 @@ FROM orders
 """
 
 
+def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION through the commit-protocol sink —
+    the lakehouse contract ``schema_evolution_scan`` proves for raw
+    directory scans, now through the MANIFEST table: generation 1
+    commits (o_orderkey, o_totalprice), generation 2 appends rows
+    carrying a NEW column (o_orderpriority), and the
+    manifest-trusting reader reconciles the two generations' footers
+    with ``merge_schema`` — older rows NULL-fill the new column,
+    nothing is rewritten, and stray files stay invisible (both
+    properties at once: the commit protocol AND the evolution
+    contract). This is Delta's mergeSchema / Iceberg's schema-id
+    behavior in its minimal honest form.
+
+    Output: priority (NULL→'<absent>'), n_orders, sum_cents."""
+
+    from ..sources.manifest_sink import ManifestParquetSink, read_manifest_table
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_evo_"), "t")
+    orders = table(spark, sf_dir, "orders")
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.format("mr_manifest").option("path", path).mode("append").save()
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.format("mr_manifest").option("path", path).mode("append").save()
+    merged = read_manifest_table(spark, path, merge_schema=True)
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<absent>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+    )
+
+
 N_BAD_JSON = 7  # deterministically planted malformed lines
 
 
@@ -1201,6 +1242,7 @@ QUERIES = {
     "upsert_roundtrip": upsert_roundtrip,
     "heavy_hitters": heavy_hitters,
     "schema_evolution_scan": schema_evolution_scan,
+    "manifest_schema_evolution": manifest_schema_evolution,
     "linescan_wordcount": linescan_wordcount,
     "custom_sink_roundtrip": custom_sink_roundtrip,
     "manifest_time_travel": manifest_time_travel,
@@ -1276,6 +1318,7 @@ ORACLES = {
         f"HAVING count(*) * {HH_K} > (SELECT count(*) FROM toks)"
     ),
     "schema_evolution_scan": _SCHEMA_EVO,
+    "manifest_schema_evolution": _SCHEMA_EVO,
     "custom_sink_roundtrip": _SINK_RT,
     "manifest_time_travel": _MANIFEST_TT,
     "indexed_token_lookup": _IDX_LOOKUP,

@@ -338,7 +338,9 @@ def vacuum_manifest_table(path: str, keep_generations: int = 1) -> list[str]:
         return deleted
 
 
-def read_manifest_table(spark, path: str, as_of: int | None = None):
+def read_manifest_table(
+    spark, path: str, as_of: int | None = None, merge_schema: bool = False
+):
     """Read back ONLY the committed files (manifest-trusting reader).
     Stray part files from failed attempts are invisible.
 
@@ -346,11 +348,20 @@ def read_manifest_table(spark, path: str, as_of: int | None = None):
     (``_MANIFEST.g<N>``) instead of the latest view — time travel:
     commits never delete part files, so every generation the sink
     ever committed stays reconstructible until a vacuum (a separate
-    concern, as in every table format)."""
+    concern, as in every table format).
+
+    ``merge_schema`` reconciles per-file footers at planning time —
+    the ADDITIVE schema-evolution contract (Delta's mergeSchema /
+    Iceberg's schema id): generations committed with extra columns
+    read as one relation, older rows NULL-filled; history is never
+    rewritten."""
     name = MANIFEST if as_of is None else f"{MANIFEST}.g{as_of}"
     with open(os.path.join(path, name), encoding="utf-8") as fh:
         manifest = json.load(fh)
     files = [os.path.join(path, f["file"]) for f in manifest["files"]]
     if not files:
         raise ValueError(f"empty manifest at {path}")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
