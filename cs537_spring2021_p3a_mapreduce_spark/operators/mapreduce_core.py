@@ -497,6 +497,70 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING by manifest ZONE MAPS — the per-file min/max
+    stats the sink now commits next to each file, consulted at read
+    time so a range predicate opens only overlapping files (Delta
+    file stats / Iceberg column metrics / the zone-map idea writ
+    large). Four range-disjoint files are committed (orders split at
+    quarters of max key); the predicate covers the second quarter, so
+    the reader must open exactly ONE of four files — and that skip
+    ratio is part of the VALUE-CHECKED output, so a stats or pruning
+    regression fails the oracle, not just a test.
+
+    At 100 TB this is the difference between "read 3 of 10 000
+    files" and a table scan; pruning is conservative (files without
+    stats are included) so it can never cost correctness.
+
+    Output: n_files_total, n_files_opened, n_orders, sum_cents.
+    """
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        read_manifest_table_pruned,
+        zone_map_files,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_zm_"), "t")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    m = orders.agg(F.max("o_orderkey")).first()[0]
+    bounds = [0, m // 4, m // 2, 3 * m // 4, m]
+    for i in range(4):
+        orders.where(
+            (F.col("o_orderkey") > bounds[i])
+            & (F.col("o_orderkey") <= bounds[i + 1])
+        ).repartition(1).write.format("mr_manifest").option("path", path).mode(
+            "append"
+        ).save()
+    lo, hi = bounds[1] + 1, bounds[2]
+    kept, total = zone_map_files(path, "o_orderkey", lo, hi)
+    pruned = read_manifest_table_pruned(spark, path, "o_orderkey", lo, hi)
+    return pruned.where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    ).agg(
+        F.lit(total).cast("long").alias("n_files_total"),
+        F.lit(len(kept)).cast("long").alias("n_files_opened"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+_MANIFEST_ZM = """
+WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+SELECT 4::BIGINT AS n_files_total, 1::BIGINT AS n_files_opened,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders, m
+WHERE o_orderkey > mx // 4 AND o_orderkey <= mx // 2
+"""
+
+
 N_BAD_JSON = 7  # deterministically planted malformed lines
 
 
@@ -1243,6 +1307,7 @@ QUERIES = {
     "heavy_hitters": heavy_hitters,
     "schema_evolution_scan": schema_evolution_scan,
     "manifest_schema_evolution": manifest_schema_evolution,
+    "manifest_zone_map_scan": manifest_zone_map_scan,
     "linescan_wordcount": linescan_wordcount,
     "custom_sink_roundtrip": custom_sink_roundtrip,
     "manifest_time_travel": manifest_time_travel,
@@ -1319,6 +1384,7 @@ ORACLES = {
     ),
     "schema_evolution_scan": _SCHEMA_EVO,
     "manifest_schema_evolution": _SCHEMA_EVO,
+    "manifest_zone_map_scan": _MANIFEST_ZM,
     "custom_sink_roundtrip": _SINK_RT,
     "manifest_time_travel": _MANIFEST_TT,
     "indexed_token_lookup": _IDX_LOOKUP,

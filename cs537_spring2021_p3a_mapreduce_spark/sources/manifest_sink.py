@@ -112,9 +112,13 @@ def _require_local(path: str, op: str) -> None:
 
 
 class PartFileCommit(WriterCommitMessage):
-    def __init__(self, filename: str, n_rows: int):
+    def __init__(self, filename: str, n_rows: int, stats: dict | None = None):
         self.filename = filename
         self.n_rows = n_rows
+        # per-column {name: [min, max]} ZONE MAP for the file —
+        # JSON-safe scalars only (ints/floats/strings); commit()
+        # publishes them so readers can skip files by predicate
+        self.stats = stats or {}
 
 
 class ManifestParquetSink(DataSource):
@@ -146,12 +150,14 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         # speculative attempt leaves an orphan file that commit()
         # never acknowledges — readers trusting the manifest are
         # unaffected, which is the whole point.
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         os.makedirs(self.dir, exist_ok=True)
         fname = f"part-{uuid.uuid4().hex}.parquet"
         writer = None
         n = 0
+        stats: dict[str, list] = {}
         try:
             for batch in iterator:
                 if writer is None:
@@ -160,13 +166,36 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                     )
                 writer.write_batch(batch)
                 n += batch.num_rows
+                # streaming ZONE-MAP accumulation: per-column min/max
+                # over orderable scalar types (Arrow kernels, no rows
+                # materialized). JSON-safe values only.
+                for col in batch.schema.names:
+                    arr = batch.column(col)
+                    t = arr.type
+                    import pyarrow as pa
+
+                    if not (
+                        pa.types.is_integer(t)
+                        or pa.types.is_floating(t)
+                        or pa.types.is_string(t)
+                        or pa.types.is_large_string(t)
+                    ):
+                        continue
+                    mm = pc.min_max(arr)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is None:
+                        continue
+                    if col in stats:
+                        stats[col] = [min(stats[col][0], lo), max(stats[col][1], hi)]
+                    else:
+                        stats[col] = [lo, hi]
         finally:
             if writer is not None:
                 writer.close()
         if writer is None:
             # empty partition: no file, commit message carries 0 rows
             return PartFileCommit("", 0)
-        return PartFileCommit(fname, n)
+        return PartFileCommit(fname, n, stats)
 
     def commit(self, messages) -> None:
         # Driver side, runs once after every task succeeded: the
@@ -190,7 +219,11 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         # log-version CAS (Delta) or catalog swap (Iceberg).
         with _commit_lock(self.dir):
             files = [
-                {"file": m.filename, "n_rows": m.n_rows}
+                {
+                    "file": m.filename,
+                    "n_rows": m.n_rows,
+                    "stats": getattr(m, "stats", {}),
+                }
                 for m in messages
                 if m is not None and m.filename
             ]
@@ -365,3 +398,37 @@ def read_manifest_table(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*files)
+
+
+def zone_map_files(
+    path: str, column: str, lo, hi, as_of: int | None = None
+) -> tuple[list[str], int]:
+    """FILE SKIPPING by committed zone maps: the manifest-listed
+    files whose [min, max] for ``column`` overlaps [lo, hi], plus the
+    total listed count. Files with no committed stats for the column
+    are conservatively INCLUDED (pruning is an optimization, never a
+    correctness filter) — the zone-map contract every table format's
+    data-skipping index (Delta stats, Iceberg metrics, ORC/Parquet
+    footers writ large) follows. Returns (kept_files, n_total)."""
+    name = MANIFEST if as_of is None else f"{MANIFEST}.g{as_of}"
+    with open(os.path.join(path, name), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    entries = manifest["files"]
+    kept = []
+    for e in entries:
+        st = e.get("stats", {}).get(column)
+        if st is None or (st[0] <= hi and st[1] >= lo):
+            kept.append(os.path.join(path, e["file"]))
+    return kept, len(entries)
+
+
+def read_manifest_table_pruned(spark, path: str, column: str, lo, hi):
+    """Manifest read restricted to zone-map-overlapping files; the
+    predicate itself must still be applied by the caller (zone maps
+    bound files, not rows)."""
+    files, _total = zone_map_files(path, column, lo, hi)
+    if not files:
+        raise ValueError(
+            f"no committed file overlaps {column} in [{lo}, {hi}] at {path}"
+        )
+    return spark.read.parquet(*files)

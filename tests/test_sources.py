@@ -850,3 +850,39 @@ def test_stream_sink_missing_committed_file_raises(tmp_path):
     os.remove(os.path.join(d, name))  # simulate lost committed data
     with pytest.raises(FileNotFoundError, match="committed data is missing"):
         committed_files(d)
+
+
+def test_manifest_zone_maps_prune_and_stay_conservative(spark, tmp_path):
+    """Committed per-file min/max stats must (a) skip non-overlapping
+    files, (b) conservatively INCLUDE files lacking stats — pruning
+    is an optimization, never a correctness filter."""
+    import json
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        MANIFEST,
+        ManifestParquetSink,
+        zone_map_files,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    d = str(tmp_path / "zm")
+    spark.range(0, 100).repartition(1).write.format("mr_manifest").option(
+        "path", d
+    ).mode("append").save()
+    spark.range(100, 200).repartition(1).write.format("mr_manifest").option(
+        "path", d
+    ).mode("append").save()
+    kept, total = zone_map_files(d, "id", 150, 160)
+    assert total == 2 and len(kept) == 1
+    # strip one file's stats: it must be included for ANY range
+    with open(os.path.join(d, MANIFEST), encoding="utf-8") as fh:
+        doc = json.load(fh)
+    doc["files"][0]["stats"] = {}
+    with open(os.path.join(d, MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+    kept2, _ = zone_map_files(d, "id", 150, 160)
+    assert len(kept2) == 2
