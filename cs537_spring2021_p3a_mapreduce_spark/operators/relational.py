@@ -2506,6 +2506,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW maintenance for a JOIN — the delta algebra
+    behind every materialized join view (IVM; Blakeley et al.'s
+    counting method's insert-only case): with base relations O, C
+    and deltas ΔO, ΔC, the view delta is EXACTLY
+
+        Δ(O ⋈ C) = ΔO ⋈ C  ∪  O ⋈ ΔC  ∪  ΔO ⋈ ΔC
+
+    so refresh cost is ∝ |Δ| · join-selectivity, never a rescan of
+    the stored view. The base orders⋈customer view is materialized
+    to parquet; a batch of new orders (keys ≡ 0 mod 10) AND new
+    customers (keys ≡ 0 mod 97) arrives; the three delta terms merge
+    in; the output aggregates the MAINTAINED view — and the oracle
+    recomputes from scratch over everything, so any missed or
+    double-counted delta term hash-mismatches.
+
+    Output: c_mktsegment, n_orders, sum_cents.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    is_do = F.col("o_orderkey") % 10 == 0
+    is_dc = F.col("c_custkey") % 97 == 0
+    b_o, d_o = orders.where(~is_do), orders.where(is_do)
+    b_c, d_c = cust.where(~is_dc), cust.where(is_dc)
+
+    def j(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey", "c_mktsegment", "o_totalprice"
+        )
+
+    path = os.path.join(scratch_dir("ivm_join_"), "view")
+    j(b_o, b_c).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    delta = j(d_o, b_c).unionByName(j(b_o, d_c)).unionByName(j(d_o, d_c))
+    maintained = stored.unionByName(delta)
+    return (
+        maintained.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_IVM_JOIN = """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 SCD2_CUTOFF = "1999-01-01 00:00:00"
 
 
@@ -3424,6 +3482,7 @@ QUERIES = {
     "merge_scd2": merge_scd2,
     "cms_user_frequencies": cms_user_frequencies,
     "incremental_rollup": incremental_rollup,
+    "incremental_join_maintenance": incremental_join_maintenance,
     "map_functions_profile": map_functions_profile,
     "pandas_udaf_priority_stats": pandas_udaf_priority_stats,
     "agg_pricing_summary": agg_pricing_summary,
@@ -3491,6 +3550,7 @@ ORACLES = {
     "merge_scd2": _SCD2,
     "cms_user_frequencies": _CMS,
     "incremental_rollup": _INC_ROLLUP,
+    "incremental_join_maintenance": _IVM_JOIN,
     "map_functions_profile": _MAP_PROFILE,
     "pandas_udaf_priority_stats": _PANDAS_UDAF,
     "agg_pricing_summary": _Q1,
