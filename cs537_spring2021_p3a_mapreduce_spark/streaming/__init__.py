@@ -1431,7 +1431,132 @@ def stream_custom_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA ACCOUNTING, value-checked: rows arriving
+    behind the watermark are dropped, and the ENGINE'S OWN counter
+    (``numRowsDroppedByWatermark``) is part of the oracle-compared
+    output — a watermark regression fails the hash, not just a
+    metrics dashboard.
+
+    Staging: three mtime-ordered files — early events (before the
+    split epoch), the rest (advances the watermark), then LATE
+    re-deliveries (a user_id-mod subset of the early events,
+    identical timestamps), processed one file per trigger so the
+    late file arrives behind the watermark.
+
+    Two ENGINE semantics discovered empirically and pinned exactly
+    by the oracle (probed at sf0.01: 721 late input rows, counter
+    301, +4 rows in the final output):
+
+    1. the drop counter counts POST-PARTIAL-AGGREGATION rows — one
+       per late (window) group, not per late input row;
+    2. the late filter uses the PLANNING-TIME watermark (the one
+       derived from data through batch N−1 — for the late batch
+       that is max(EARLY ts) − delay, not the newer eviction
+       watermark), so late rows for windows still OPEN in state are
+       legitimately MERGED: re-deliveries landing in the early
+       half's trailing unfinalized windows surface in the final
+       counts. No data loss for open windows; hard drops only for
+       finalized ones — exactly the contract a production pipeline
+       relies on, now hash-checked.
+
+    Output: n_late_dropped, n_windows, total_events.
+    """
+    import glob
+    import shutil
+    import uuid
+
+    from ..catalog import table as _table
+
+    work = scratch_dir("stream_late_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    ev = _table(spark, sf_dir, "events")
+    split_us = _OUTER_SPLIT_EPOCH_US
+    early = ev.where(F.unix_micros("ts") < split_us)
+    stages = [
+        early,
+        ev.where(F.unix_micros("ts") >= split_us),
+        early.where(F.col("user_id") % 7 == 0),  # late re-deliveries
+    ]
+    for i, part_df in enumerate(stages):
+        d = os.path.join(work, f"stage{i}")
+        part_df.coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    from ..catalog import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    windows = (
+        normalize_event_ts(stream)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "cnt",
+        )
+    )
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        windows, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8
+    )
+    dropped = 0
+    for p in q.recentProgress:
+        for op in p.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    return spark.table(name).agg(
+        F.lit(dropped).cast("long").alias("n_late_dropped"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("cnt").alias("total_events"),
+    )
+
+
+_LATE_AUDIT_SQL = f"""
+WITH wm_plan AS (
+  -- planning-time watermark for the late batch: max EARLY ts - 1h
+  SELECT max(epoch_us(ts)) - 3600000000 AS w_us FROM events
+  WHERE epoch_us(ts) < {_OUTER_SPLIT_EPOCH_US}
+), wm_fin AS (
+  SELECT max(epoch_us(ts)) - 3600000000 AS w_us FROM events
+), late AS (
+  SELECT date_trunc('hour', ts) AS b
+  FROM events
+  WHERE epoch_us(ts) < {_OUTER_SPLIT_EPOCH_US} AND user_id % 7 = 0
+), fin AS (
+  SELECT date_trunc('hour', ts) AS b, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+), accepted AS (
+  -- late rows in windows still OPEN at the late batch's planning
+  -- watermark merge into those windows (engine semantics #2)
+  SELECT b, count(*)::BIGINT AS extra
+  FROM late, wm_plan
+  WHERE epoch_us(b + INTERVAL 1 HOUR) > wm_plan.w_us
+  GROUP BY 1
+), kept AS (
+  SELECT f.b, f.cnt + coalesce(a.extra, 0) AS cnt
+  FROM fin f LEFT JOIN accepted a ON a.b = f.b, wm_fin
+  WHERE epoch_us(f.b + INTERVAL 1 HOUR) <= wm_fin.w_us
+)
+SELECT (SELECT count(DISTINCT late.b) FROM late, wm_plan
+        WHERE epoch_us(late.b + INTERVAL 1 HOUR) <= wm_plan.w_us
+       )::BIGINT AS n_late_dropped,
+       count(*)::BIGINT AS n_windows,
+       sum(cnt)::BIGINT AS total_events
+FROM kept
+"""
+
+
 QUERIES = {
+    "stream_late_data_audit": stream_late_data_audit,
     "stream_pattern_match": stream_pattern_match,
     "stream_custom_sink_totals": stream_custom_sink_totals,
     "stream_wordcount": stream_wordcount,
@@ -1458,6 +1583,7 @@ if tws_available():  # pragma: no cover — container lacks protobuf
 from ..operators.temporal import ORACLES as _TEMPORAL_ORACLES  # noqa: E402
 
 ORACLES = {
+    "stream_late_data_audit": _LATE_AUDIT_SQL,
     # streaming CEP must reproduce the batch CEP's exact totals —
     # same oracle SQL as event_pattern_match
     "stream_pattern_match": _TEMPORAL_ORACLES["event_pattern_match"],
@@ -1612,7 +1738,7 @@ def run_to_memory(
     checkpoint_dir: str,
     output_mode: str = "append",
     shuffle_partitions: int | None = None,
-) -> None:
+):
     """Drain all currently-available input through the streaming
     plan into an in-memory table (test/debug sink): availableNow
     trigger, blocks until done. Production sinks are writeStream to
@@ -1638,6 +1764,7 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        return q  # terminated; recentProgress still readable (metrics)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
