@@ -3055,6 +3055,87 @@ def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space DRIFT per label between two corpus halves
+    (vec_id parity — a deterministic stand-in for time/batch splits):
+    L2 distance between the halves' per-label centroids — the
+    monitoring signal that catches a silently shifted encoder or a
+    contaminated ingest before a model trains on it.
+
+    Shape: the kmeans lesson applied — a NARROW posexplode to
+    (label, dim, micro-value) rows, ONE (label, dim) aggregate with
+    conditional sums per half (map-side combine collapses the ×64
+    fan-out), then per-label reduction. No wide 128-expression
+    aggregate, no Janino pressure.
+
+    Determinism: values quantize to exact micro longs; each dim's
+    centroid-difference is two exact-int divisions (IEEE exact) and
+    its square floor-quantizes to micro² longs before the order-free
+    integer sum; the final sqrt is exact-rounded. Output:
+    label, n_a, n_b, drift_micro.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    rows = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("a"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * CENTROID_SCALE).cast("long"),
+            )
+        ).alias("dim", "q"),
+    )
+    per = rows.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("a"), F.col("q")).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(~F.col("a"), F.col("q")).otherwise(F.lit(0))).alias("sb"),
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
+    )
+    term = F.col("sa").cast("double") / F.col("na").cast("double") - F.col(
+        "sb"
+    ).cast("double") / F.col("nb").cast("double")
+    qd = F.floor(term * term).cast("long")
+    return (
+        per.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select("label", "na", "nb", qd.alias("qd"))
+        .groupBy("label")
+        .agg(
+            F.min("na").alias("n_a"),
+            F.min("nb").alias("n_b"),
+            F.floor(F.sqrt(F.sum("qd").cast("double"))).cast("long").alias(
+                "drift_micro"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_EMB_DRIFT_SQL = f"""
+WITH rows_ AS (
+  SELECT label, vec_id % 2 = 0 AS a, i - 1 AS dim,
+         round(embedding[i] * {CENTROID_SCALE})::BIGINT AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+), per AS (
+  SELECT label, dim,
+         sum(CASE WHEN a THEN q ELSE 0 END)::BIGINT AS sa,
+         sum(CASE WHEN NOT a THEN q ELSE 0 END)::BIGINT AS sb,
+         sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM rows_ GROUP BY 1, 2
+)
+SELECT label, min(na)::BIGINT AS n_a, min(nb)::BIGINT AS n_b,
+       floor(sqrt(sum(floor((sa::DOUBLE / na::DOUBLE
+                             - sb::DOUBLE / nb::DOUBLE)
+                            * (sa::DOUBLE / na::DOUBLE
+                               - sb::DOUBLE / nb::DOUBLE))::BIGINT
+                     )::DOUBLE))::BIGINT AS drift_micro
+FROM per
+WHERE na > 0 AND nb > 0
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 FEATURE_HASH_DIM = 16  # hashing-trick vector dimensionality
 
 
@@ -3444,6 +3525,7 @@ SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
 
 
 QUERIES = {
+    "embedding_drift": embedding_drift,
     "quantile_normalize_quality": quantile_normalize_quality,
     "feature_hash_vectors": feature_hash_vectors,
     "ngram_lm_score": ngram_lm_score,
@@ -3492,6 +3574,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_drift": _EMB_DRIFT_SQL,
     "quantile_normalize_quality": _QNORM,
     "feature_hash_vectors": _FEATURE_HASH_SQL,
     "ngram_lm_score": _LM_SQL,

@@ -784,7 +784,151 @@ ORDER BY 1, 2
 """
 
 
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval CONCURRENCY by sweep-line — how many orders are OPEN
+    (placed, not yet fully shipped) on each day an order state
+    changes: the ops-dashboard backbone (backlog, WIP, concurrent
+    sessions, hotel occupancy — one pattern). The naive plan explodes
+    every interval into its days (rows × avg-duration blowup, ~30×
+    here, unbounded for long intervals); the sweep-line emits TWO
+    events per interval (+1 at open, −1 after close) and a running
+    sum over the ordered event stream — output and shuffle are
+    ∝ intervals, never ∝ interval-days.
+
+    Interval: o_orderdate .. max(l_shipdate) per order (orders
+    without lineitems never open). The running sum is one global-ish
+    window ordered by day — but over the DAY-DELTA aggregate (one
+    row per distinct day, two per order worst case), which is the
+    small relation by construction; the heavy per-order work stays
+    keyed. Output: day, n_open (orders open at end of that day).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("closed"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderdate").alias("opened"), "closed")
+    )
+    deltas = (
+        spans.select(F.col("opened").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            spans.select(
+                F.date_add(F.col("closed"), 1).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    from pyspark.sql.window import Window as W
+
+    running = F.sum("delta").over(
+        W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        deltas.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            running.cast("long").alias("n_open"),
+        )
+        .orderBy("day")
+    )
+
+
+_OPEN_ORDERS_SQL = """
+WITH spans AS (
+  SELECT o.o_orderdate AS opened, mx.closed
+  FROM orders o
+  JOIN (SELECT l_orderkey, max(l_shipdate) AS closed
+        FROM lineitem GROUP BY 1) mx
+    ON mx.l_orderkey = o.o_orderkey
+), deltas AS (
+  SELECT day, sum(d)::BIGINT AS delta FROM (
+    SELECT opened AS day, 1 AS d FROM spans
+    UNION ALL
+    SELECT closed + INTERVAL 1 DAY AS day, -1 AS d FROM spans
+  ) GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       sum(delta) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       )::BIGINT AS n_open
+FROM deltas
+ORDER BY day
+"""
+
+
+SEQ_TOPK = 20
+
+
+def frequent_event_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, the length-3 workhorse: the most
+    frequent ORDERED event-type triples across user histories —
+    one step past ``event_transition_matrix``'s bigrams and the
+    cheap end of PrefixSpan (whose full generality a pipeline rarely
+    needs for funnel diagnostics: "view>click>purchase vs
+    view>click>error" is this query).
+
+    Plan: ONE groupBy(user) shuffle builds each user's ordered
+    event-type array (array_sort over (ts, event_id, type) structs —
+    total order, engine-independent), 3-grams fan out NARROWLY from
+    the array (∝ events, not events³), one count aggregate, top-k
+    via orderBy().limit() = TakeOrderedAndProject (per-partition
+    heaps, no global sort). Per-user state = that user's own
+    sequence, the sessionizer bound.
+
+    Output: triple, n (top SEQ_TOPK, count desc / triple asc).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    arr = F.col("types")
+    n_t = F.size(arr) - 2
+    tri_seq = F.when(n_t >= 1, F.sequence(F.lit(0), n_t - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    triples = seqs.select(
+        F.explode(
+            F.transform(
+                tri_seq,
+                lambda i: F.concat_ws(
+                    ">", F.get(arr, i), F.get(arr, i + 1), F.get(arr, i + 2)
+                ),
+            )
+        ).alias("triple")
+    )
+    return (
+        triples.groupBy("triple")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("triple"))
+        .limit(SEQ_TOPK)
+    )
+
+
+_TRIPLES_SQL = f"""
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+  FROM events GROUP BY 1
+), tri AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(types) - 2, 0)),
+           i -> types[i] || '>' || types[i+1] || '>' || types[i+2]
+         )) AS triple
+  FROM seqs
+)
+SELECT triple, count(*)::BIGINT AS n
+FROM tri GROUP BY 1
+ORDER BY n DESC, triple ASC
+LIMIT {SEQ_TOPK}
+"""
+
+
 QUERIES = {
+    "frequent_event_triples": frequent_event_triples,
+    "open_orders_timeline": open_orders_timeline,
     "event_transition_matrix": event_transition_matrix,
     "revenue_anomaly_days": revenue_anomaly_days,
     "time_weighted_average": time_weighted_average,
@@ -799,6 +943,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "frequent_event_triples": _TRIPLES_SQL,
+    "open_orders_timeline": _OPEN_ORDERS_SQL,
     "event_transition_matrix": _TRANSITION_SQL,
     "revenue_anomaly_days": _ANOMALY_SQL,
     "time_weighted_average": _TWAP_SQL,
