@@ -500,3 +500,47 @@ def test_market_basket_window_bound_no_fact_broadcast_no_collect(spark):
     # and nothing collects to the driver (the old `.count()` literal)
     src = inspect.getsource(mining.market_basket_rules)
     assert ".count()" not in src and ".collect()" not in src
+
+
+def test_oov_and_skew_topk_plan_as_heaps_not_global_sort(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm, profiling
+
+    # the vocabulary / heavy-key selections must be per-partition
+    # heaps + driver merge of K rows, never a full orderBy sort
+    assert "TakeOrderedAndProject" in P.plan(llm.oov_rate(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in P.plan(
+        profiling.key_skew_audit(spark, SF_SMOKE)
+    )
+
+
+def test_winnow_and_feature_hash_are_narrow(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    # winnowing is one codegen'd array pass: the only exchanges are
+    # the output range sort (and nothing else)
+    assert P.shuffle_count(llm.winnow_fingerprints(spark, SF_SMOKE)) <= 1
+    # the hashing-trick vectorizer is wordcount-shaped: one hash
+    # aggregate + the output sort
+    assert P.shuffle_count(llm.feature_hash_vectors(spark, SF_SMOKE)) <= 2
+
+
+def test_open_orders_sweepline_no_interval_explode(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal
+
+    df = temporal.open_orders_timeline(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    # sweep-line: no per-day explode/sequence fan-out in the plan
+    assert "Explode" not in plan and "Generate" not in plan
+    # one running-sum window over the day-delta aggregate
+    assert plan.count("Window") == 1
+
+
+def test_embedding_drift_no_wide_aggregate(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.embedding_drift(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    # the narrow unpivot shape: posexplode generate + two hash
+    # aggregates, with map-side partials on the (label, dim) agg
+    assert "Generate" in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 4
