@@ -106,8 +106,10 @@ def _require_local(path: str, op: str) -> None:
         raise NotImplementedError(
             f"{op} commits via local-FS atomic rename; got remote URI "
             f"{path!r}. Remote stores need the conditional-PUT commit "
-            "strategy (If-None-Match lock, If-Match manifest CAS) — "
-            "plug an object-store client into this seam."
+            "strategy — implemented and tested against an in-memory "
+            "CAS double in sources/objectstore.py "
+            "(commit_files_conditional_put); plug a boto3/gcs client "
+            "with the same three primitives into that seam."
         )
 
 

@@ -886,3 +886,53 @@ def test_manifest_zone_maps_prune_and_stay_conservative(spark, tmp_path):
         json.dump(doc, fh)
     kept2, _ = zone_map_files(d, "id", 150, 160)
     assert len(kept2) == 2
+
+
+def test_conditional_put_commit_protocol_cas_semantics():
+    """The object-store commit seam, exercised against the in-memory
+    CAS double: concurrent appends never lose an update (the retry
+    loop re-merges), overwrite replaces the listing, and the
+    primitives enforce real etag semantics."""
+    import threading
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.objectstore import (
+        MemoryObjectStore,
+        PreconditionFailed,
+        commit_files_conditional_put,
+        read_committed_files,
+    )
+
+    store = MemoryObjectStore()
+    # primitive semantics
+    etag = store.put_if_absent("k", b"v1")
+    with pytest.raises(PreconditionFailed):
+        store.put_if_absent("k", b"v2")
+    with pytest.raises(PreconditionFailed):
+        store.put_if_match("k", b"v2", "wrong-etag")
+    etag2 = store.put_if_match("k", b"v2", etag)
+    assert etag2 != etag
+
+    # 8 concurrent appends of 1 file each -> all 8 visible
+    def append(i: int) -> None:
+        commit_files_conditional_put(
+            store, [{"file": f"part-{i}.parquet", "n_rows": i}]
+        )
+
+    threads = [threading.Thread(target=append, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    names = {f["file"] for f in read_committed_files(store)}
+    assert names == {f"part-{i}.parquet" for i in range(8)}
+
+    # overwrite retires the listing
+    gen = commit_files_conditional_put(
+        store, [{"file": "part-final.parquet", "n_rows": 1}], overwrite=True
+    )
+    assert gen == 9
+    assert [f["file"] for f in read_committed_files(store)] == [
+        "part-final.parquet"
+    ]
