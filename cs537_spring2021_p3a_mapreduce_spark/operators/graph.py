@@ -834,7 +834,87 @@ def label_propagation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINKPRED_TOPK = 100  # global top-k scored pairs kept
+_RA_SCALE = 1_000_000
+
+
+def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by the Resource-Allocation index (Zhou,
+    Lü & Zhang 2009) over the part–supplier bipartite graph: a
+    same-nation supplier pair's affinity is Σ_{common part} 1/deg(part)
+    — common neighbors weighted INVERSELY by how promiscuous they
+    are, so sharing a rare part says more than sharing a commodity
+    one. The eighth graph kernel; where ``supplier_affinity_topk``
+    counts shared parts raw, this is the degree-normalized score
+    recommender/fraud pipelines actually rank by (and unlike
+    Adamic–Adar's 1/log(deg) it needs NO libm transcendental).
+
+    Scale shape: degrees are one (pk) aggregate; candidate pairs
+    come from the same (pk, nk)-blocked self-join every co-supplier
+    kernel here uses (never all-pairs — fan-out per part is deg²
+    with deg bounded by suppliers-per-part); the global top-k is
+    orderBy+limit, which Spark plans as per-partition heap
+    TakeOrdered, never a full sort.
+
+    Determinism: each term quantizes to floor(1e6/deg) — an exact
+    integer — so the score SUM is combine-order-free.
+
+    Output: u, v, n_common, ra_micro (top LINKPRED_TOPK by
+    ra_micro desc, u, v).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
+    )
+    ps = li.join(supp, "sk").select("pk", "sk", "nk").distinct()
+    deg = ps.groupBy("pk").agg(F.count(F.lit(1)).alias("deg"))
+    psd = ps.join(deg, "pk").select(
+        "pk",
+        "sk",
+        "nk",
+        F.expr(f"{_RA_SCALE}L DIV deg").alias("ra_term"),
+    )
+    a, b = psd.alias("a"), psd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.nk") == F.col("b.nk"))
+            & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.col("a.ra_term")).alias("ra_micro"),
+        )
+        .orderBy(F.desc("ra_micro"), F.asc("u"), F.asc("v"))
+        .limit(LINKPRED_TOPK)
+    )
+
+
+_LINKPRED_SQL = f"""
+WITH ps AS (
+  SELECT DISTINCT l.l_partkey AS pk, l.l_suppkey AS sk, s.s_nationkey AS nk
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), deg AS (
+  SELECT pk, count(*)::BIGINT AS deg FROM ps GROUP BY 1
+), psd AS (
+  SELECT ps.pk, ps.sk, ps.nk, {_RA_SCALE} // deg.deg AS ra_term
+  FROM ps JOIN deg USING (pk)
+)
+SELECT a.sk AS u, b.sk AS v, count(*)::BIGINT AS n_common,
+       sum(a.ra_term)::BIGINT AS ra_micro
+FROM psd a JOIN psd b ON a.pk = b.pk AND a.nk = b.nk AND a.sk < b.sk
+GROUP BY 1, 2
+ORDER BY ra_micro DESC, u ASC, v ASC
+LIMIT {LINKPRED_TOPK}
+"""
+
+
 QUERIES = {
+    "link_prediction_ra": link_prediction_ra,
     "supplier_affinity_topk": supplier_affinity_topk,
     "label_propagation_suppliers": label_propagation_suppliers,
     "dedup_clusters": dedup_clusters,
@@ -993,6 +1073,7 @@ def _kcore_oracle(rounds: int = KCORE_ORACLE_ROUNDS, k: int = KCORE_K) -> str:
 
 
 ORACLES = {
+    "link_prediction_ra": _LINKPRED_SQL,
     "supplier_affinity_topk": _AFFINITY_SQL,
     # synchronous LPA unrolled round-by-round — deterministic argmax
     # with min-label tie-break on both engines

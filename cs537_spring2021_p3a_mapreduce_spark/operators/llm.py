@@ -3598,7 +3598,455 @@ SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
 """
 
 
+POWER_ITERS = 4  # fixed unrolled matvec rounds (deterministic DAG)
+_PI_SCALE = 1_000_000
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding matrix by POWER
+    ITERATION — the dimensionality/drift primitive (dominant
+    direction for whitening, compression, or monitoring) as a
+    sequence of DISTRIBUTED matvecs: v ← normalize(Xᵀ(Xv)),
+    ``POWER_ITERS`` fixed rounds from the all-ones start. No
+    eigensolver, no driver-side matrix: each round is two
+    corpus-shaped aggregates.
+
+    Scale shape (the iterative-kernel discipline from kmeans/
+    pagerank): the corpus unpivots ONCE to (vec_id, dim, q) rows and
+    persists; per round, u = Xv is a broadcast-join on the 64-row v
+    + one vec_id aggregate, and w = Xᵀû is one vec_id-keyed join +
+    dim aggregate; v is 64 rows, localCheckpointed per round to cut
+    lineage. Nothing ever collects.
+
+    Determinism (the oracle is EXACT, unlike any float eigensolver):
+    embeddings quantize to micro longs; every normalization is
+    max-abs INTEGER division by (m DIV 1e6 + 1) — which also bounds
+    each product at ~5e11 so ANSI int64 sums can never overflow —
+    and both engines truncate BIGINT division identically. The SQL
+    mirror unrolls the same four rounds as materialized CTEs.
+
+    Convergence contract (stated, not assumed): after T rounds the
+    iterate is within (λ2/λ1)^T of the top eigenvector — on data
+    with a real eigengap 4 rounds suffice (cos > 0.999 pinned in
+    tests on a planted-direction corpus); on gapless isotropic data
+    no fixed-round method converges and the output is the
+    deterministic refinement of the start, still oracle-exact.
+
+    Output: dim (1-based), v_micro — the iterate in max-abs integer
+    micro-units, sign fixed by the deterministic start.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _PI_SCALE).cast("long"),
+            )
+        ).alias("dim0", "q"),
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "q")
+    rows = rows.persist()
+    v = rows.select("dim").distinct().select(
+        "dim", F.lit(_PI_SCALE).cast("long").alias("v")
+    )
+    for _ in range(POWER_ITERS):
+        u = (
+            rows.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs("u")).alias("m"))
+        uh = u.crossJoin(F.broadcast(m)).select(
+            "vec_id", F.expr(f"u DIV (m DIV {_PI_SCALE} + 1)").alias("uh")
+        )
+        w = (
+            rows.join(uh, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("q") * F.col("uh")).alias("w"))
+        )
+        mw = w.agg(F.max(F.abs("w")).alias("mw"))
+        v = (
+            w.crossJoin(F.broadcast(mw))
+            .select(
+                "dim", F.expr(f"w DIV (mw DIV {_PI_SCALE} + 1)").alias("v")
+            )
+            .localCheckpoint()
+        )
+    return v.select("dim", F.col("v").alias("v_micro")).orderBy("dim")
+
+
+def _pca_power_oracle_sql() -> str:
+    """The same four integer matvec rounds unrolled as materialized
+    CTEs (DuckDB inlines CTEs by default; each round references the
+    previous several times)."""
+    sql = f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {_PI_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), rws AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(q, 1) AS dim, unnest(q) AS qv FROM emb
+), v0 AS MATERIALIZED (
+  SELECT DISTINCT dim, {_PI_SCALE}::BIGINT AS v FROM rws
+)"""
+    prev = "v0"
+    for t in range(1, POWER_ITERS + 1):
+        sql += f"""
+, u{t} AS MATERIALIZED (
+  SELECT vec_id, sum(qv * v)::BIGINT AS u
+  FROM rws JOIN {prev} USING (dim) GROUP BY 1
+), m{t} AS MATERIALIZED (SELECT max(abs(u))::BIGINT AS m FROM u{t})
+, uh{t} AS MATERIALIZED (
+  SELECT vec_id, u // (m // {_PI_SCALE} + 1) AS uh
+  FROM u{t} CROSS JOIN m{t}
+), w{t} AS MATERIALIZED (
+  SELECT dim, sum(qv * uh)::BIGINT AS w
+  FROM rws JOIN uh{t} USING (vec_id) GROUP BY 1
+), mw{t} AS MATERIALIZED (SELECT max(abs(w))::BIGINT AS mw FROM w{t})
+, v{t} AS MATERIALIZED (
+  SELECT dim, w // (mw // {_PI_SCALE} + 1) AS v
+  FROM w{t} CROSS JOIN mw{t}
+)"""
+        prev = f"v{t}"
+    sql += f"\nSELECT dim::BIGINT AS dim, v AS v_micro FROM {prev} ORDER BY dim"
+    return sql
+
+
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib COMPRESSION RATIO — the classic "does this text
+    carry information" quality signal (low-entropy template spam and
+    repeated boilerplate compress far below natural prose; used as a
+    culling feature in Gopher/RefinedWeb-class pipelines). Computed
+    the only honest way: actually DEFLATE-compressing the bytes
+    (stdlib zlib, fixed level, Arrow-batched ``mapInPandas``) —
+    which is also why this entry is rows-only: no SQL engine can
+    mirror DEFLATE, so the gate pins it with an EXACT per-row pytest
+    oracle against Python zlib plus monotonicity properties
+    (repetitive < natural) instead of a DuckDB hash.
+
+    Scale shape: narrow map over the payload bytes, zero shuffle —
+    the multimodal-decode shape applied to text. Determinism: zlib
+    with a fixed level is byte-deterministic for a given zlib build,
+    and the ratio is integer-DIV floor-quantized.
+
+    Output: doc_id, raw_len, comp_len, ratio_micro.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _ratios(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            raw_len = [len(b) for b in raw]
+            comp_len = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw_len,
+                    "comp_len": comp_len,
+                    "ratio_micro": [
+                        (c * 1_000_000) // r if r else None
+                        for c, r in zip(comp_len, raw_len)
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        _ratios,
+        "doc_id bigint, raw_len bigint, comp_len bigint, ratio_micro bigint",
+    ).orderBy("doc_id")
+
+
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to
+# the fixture corpus: its docs are ~30 synthetic words, so the word
+# count floor is 10, not Gopher's 50 — the RULE SHAPES are the point)
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WLEN_MICRO = 2_000_000  # mean word length ≥ 2 chars
+GOPHER_MAX_WLEN_MICRO = 10_000_000  # … and ≤ 10
+GOPHER_MIN_ALPHA_MICRO = 800_000  # ≥80 % of words contain a letter
+GOPHER_MIN_STOPWORDS = 2  # ≥2 distinct-list stopword hits
+GOPHER_STOPWORDS = ("the", "of", "and", "a", "in", "to", "is")
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style RULE-BASED quality filter (Rae et al. 2021
+    §A1.1): the pre-training cull that drops documents failing
+    cheap lexical sanity rules — word count bounds, mean word
+    length bounds, minimum fraction of alphabetic words, minimum
+    stopword hits — before any model-based scoring runs. Each rule
+    is emitted separately (0/1) plus the conjunction, so the audit
+    shows WHY a document was culled, not just that it was.
+
+    Where ``quality_score`` blends signals into one scalar, this is
+    the production filter: hard thresholds, explainable verdicts.
+
+    Scale shape: entirely per-row (tokenize → array aggregates →
+    compare) — zero shuffle at any corpus size, the canonical
+    embarrassingly-parallel curation pass. Determinism: counts are
+    exact longs; the two ratios are integer-DIV floor-quantized
+    micro-units (no float summation anywhere).
+
+    Output: doc_id, n_words, mean_wlen_micro, alpha_frac_micro,
+    n_stop, r_wordcount, r_wordlen, r_alpha, r_stop, pass_all.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return gopher_flags(docs).orderBy("doc_id")
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """The Gopher rule expressions over any (doc_id, text) relation —
+    pure per-row columns, so the same logic runs batch
+    (``gopher_quality_rules``) and streaming
+    (``stream_gopher_filter``) unchanged."""
+    toks = tokens(F.lower("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("long")
+        .alias("_alpha"),
+        F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    with_ratios = base.select(
+        "doc_id",
+        "n_words",
+        "n_stop",
+        F.expr("(_chars * 1000000) DIV nullif(n_words, 0)").alias(
+            "mean_wlen_micro"
+        ),
+        F.expr("(_alpha * 1000000) DIV nullif(n_words, 0)").alias(
+            "alpha_frac_micro"
+        ),
+    )
+    r_wc = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+    ).cast("int")
+    r_wl = (
+        F.coalesce(
+            (F.col("mean_wlen_micro") >= GOPHER_MIN_WLEN_MICRO)
+            & (F.col("mean_wlen_micro") <= GOPHER_MAX_WLEN_MICRO),
+            F.lit(False),
+        )
+    ).cast("int")
+    r_al = F.coalesce(
+        F.col("alpha_frac_micro") >= GOPHER_MIN_ALPHA_MICRO, F.lit(False)
+    ).cast("int")
+    r_st = (F.col("n_stop") >= GOPHER_MIN_STOPWORDS).cast("int")
+    return with_ratios.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen_micro",
+        "alpha_frac_micro",
+        "n_stop",
+        r_wc.alias("r_wordcount"),
+        r_wl.alias("r_wordlen"),
+        r_al.alias("r_alpha"),
+        r_st.alias("r_stop"),
+        (r_wc * r_wl * r_al * r_st).alias("pass_all"),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n_words,
+         list_reduce(list_prepend(0::BIGINT, list_transform(ts, t -> length(t)::BIGINT)),
+                     (a, x) -> a + x) AS chars,
+         len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))::BIGINT AS alpha,
+         len(list_filter(ts, t -> t IN {GOPHER_STOPWORDS!r}))::BIGINT AS n_stop
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> '') AS ts
+    FROM documents
+  )
+), ratios AS (
+  SELECT doc_id, n_words, n_stop,
+         CASE WHEN n_words > 0 THEN (chars * 1000000) // n_words END
+           AS mean_wlen_micro,
+         CASE WHEN n_words > 0 THEN (alpha * 1000000) // n_words END
+           AS alpha_frac_micro
+  FROM base
+), rules AS (
+  SELECT *,
+         (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})::INT
+           AS r_wordcount,
+         coalesce(mean_wlen_micro >= {GOPHER_MIN_WLEN_MICRO}
+                  AND mean_wlen_micro <= {GOPHER_MAX_WLEN_MICRO}, false)::INT
+           AS r_wordlen,
+         coalesce(alpha_frac_micro >= {GOPHER_MIN_ALPHA_MICRO}, false)::INT
+           AS r_alpha,
+         (n_stop >= {GOPHER_MIN_STOPWORDS})::INT AS r_stop
+  FROM ratios
+)
+SELECT doc_id, n_words, mean_wlen_micro, alpha_frac_micro, n_stop,
+       r_wordcount, r_wordlen, r_alpha, r_stop,
+       (r_wordcount * r_wordlen * r_alpha * r_stop)::INT AS pass_all
+FROM rules ORDER BY doc_id
+"""
+
+
+SOURCE_CAP_K = 15  # max docs kept per source (25/source at sf0.01)
+
+
+def source_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE document cap with drop accounting — the
+    RefinedWeb/C4-style "domain cap" that stops any one crawl
+    domain from dominating the training mix: within each source,
+    keep the best ``SOURCE_CAP_K`` documents (longest first — the
+    stand-in quality rank — doc_id tie-break) and report what the
+    cap did: kept/dropped counts and the kept set's floor, the
+    numbers a curation review asks for before signing off a mix.
+
+    Scale shape: ONE hash shuffle on source + a per-source rank
+    window (per-key sort, never global) + one re-aggregate of the
+    already-partitioned rows — at 100 TB this is a single shuffle
+    whose key count (domains) is millions, not rows; skewed mega
+    domains are exactly the rows the cap discards, and the window's
+    per-partition top-k never materializes more than each source's
+    run.
+
+    Output per source: source, n_docs, n_kept, n_dropped,
+    kept_min_chars, kept_chars.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+    )
+    ranked = docs.withColumn("rk", rk)
+    kept = F.col("rk") <= SOURCE_CAP_K
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+            F.min(F.when(kept, F.col("n_chars"))).alias("kept_min_chars"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum((rk <= {SOURCE_CAP_K})::BIGINT)::BIGINT AS n_kept,
+       sum((rk > {SOURCE_CAP_K})::BIGINT)::BIGINT AS n_dropped,
+       min(CASE WHEN rk <= {SOURCE_CAP_K} THEN n_chars END)::BIGINT
+         AS kept_min_chars,
+       sum(CASE WHEN rk <= {SOURCE_CAP_K} THEN n_chars ELSE 0 END)::BIGINT
+         AS kept_chars
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+# 80/10/10 split over the 0-255 leading-byte space of md5
+SPLIT_TRAIN_LT = 205  # 205/256 ≈ 80.1 %
+SPLIT_VAL_LT = 231  # next 26/256 ≈ 10.2 %; rest is test
+
+
+def train_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST split manifest — the assignment
+    step every training pipeline runs before sharding: each doc's
+    split is a pure function of its id (leading md5 byte over a
+    salted key → 80/10/10 bands), so the split is reproducible on
+    any cluster, stable under re-ingest, and never leaks a doc
+    across splits when the corpus grows (adding docs never moves an
+    existing one). The manifest aggregates the evidence a reviewer
+    checks: per (split, lang) doc counts and char mass, plus id
+    bounds for spot checks.
+
+    Scale shape: split assignment is a narrow per-row expression
+    (no sort, no shuffle — the ``shuffle_for_training`` hex-byte
+    idiom); the manifest is ONE map-side-combinable aggregate on a
+    15-value key space. Determinism: md5 is engine-portable; the
+    byte decode is integer CASE arithmetic.
+
+    Output: split, lang, n_docs, total_chars, min_doc, max_doc.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+
+    def _hexval(c: Column) -> Column:
+        a = F.ascii(c)
+        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    byte = _hexval(F.substring(h, 1, 1)) * 16 + _hexval(F.substring(h, 2, 1))
+    split = (
+        F.when(byte < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(byte < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_TRAIN_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN byte < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN byte < {SPLIT_VAL_LT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang, doc_id, n_chars,
+           (a1 - CASE WHEN a1 >= 97 THEN 87 ELSE 48 END) * 16
+           + (a2 - CASE WHEN a2 >= 97 THEN 87 ELSE 48 END) AS byte
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ascii(substr(md5('split:' || doc_id::VARCHAR), 1, 1)) AS a1,
+             ascii(substr(md5('split:' || doc_id::VARCHAR), 2, 1)) AS a2
+      FROM documents
+    )
+  )
+)
+SELECT split, lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "compression_ratio_quality": compression_ratio_quality,
+    "embedding_pca_power": embedding_pca_power,
+    "gopher_quality_rules": gopher_quality_rules,
+    "source_cap_audit": source_cap_audit,
+    "train_split_manifest": train_split_manifest,
     "char_gini_diversity": char_gini_diversity,
     "embedding_drift": embedding_drift,
     "quantile_normalize_quality": quantile_normalize_quality,
@@ -3649,6 +4097,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_pca_power": _pca_power_oracle_sql(),
+    "gopher_quality_rules": _GOPHER_SQL,
+    "source_cap_audit": _SOURCE_CAP_SQL,
+    "train_split_manifest": _TRAIN_SPLIT_SQL,
     "char_gini_diversity": _CHAR_GINI_SQL,
     "embedding_drift": _EMB_DRIFT_SQL,
     "quantile_normalize_quality": _QNORM,

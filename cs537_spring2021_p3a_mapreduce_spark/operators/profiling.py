@@ -1527,7 +1527,112 @@ ORDER BY rk
 """
 
 
+MEDIAN_BUCKETS = 4096  # histogram resolution for the selection pass
+
+
+def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median (lower order statistic) of l_extendedprice by
+    DISTRIBUTED SELECTION — no global sort: the classic two-pass
+    histogram-refinement algorithm a 100 TB column demands, where
+    ``ORDER BY`` to rank 50 % of a trillion rows is the thing you
+    must never do.
+
+    Pass shape: (1) one scan → min/max/count (1-row broadcast);
+    (2) one scan → fixed-width bucket histogram (≤4096 groups,
+    map-side combined), cumulative counts over the TINY bucket
+    table locate the bucket holding rank k=(n+1) DIV 2 and the
+    offset within it; (3) one scan filtered to that single bucket
+    (≈n/4096 rows) ranks its members per-value. Work is 3 linear
+    scans + a 4096-row window — the single-partition sorts touch
+    only the bucket table and the selected bucket's rows, both
+    bounded by construction, never the column.
+
+    Determinism: cents are exact longs, bucket math is integer DIV,
+    and the k-th VALUE is tie-order-free. Output: n_rows,
+    target_rank, candidate_rows, median_cents.
+    """
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        _cents("l_extendedprice").alias("cents")
+    )
+    stats = li.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("(count(1) + 1) DIV 2").alias("k"),
+    )
+    staged = li.crossJoin(F.broadcast(stats))
+    bucketed = staged.select(
+        "lo",
+        "hi",
+        "n_rows",
+        "k",
+        "cents",
+        F.expr(
+            f"(cents - lo) DIV ((hi - lo) DIV {MEDIAN_BUCKETS} + 1)"
+        ).alias("bucket"),
+    )
+    hist = bucketed.groupBy("bucket", "n_rows", "k").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    target = (
+        hist.withColumn("cum", F.sum("bn").over(w))
+        .where(
+            (F.col("cum") >= F.col("k"))
+            & (F.col("cum") - F.col("bn") < F.col("k"))
+        )
+        .select(
+            F.col("bucket").alias("tb"),
+            (F.col("k") - (F.col("cum") - F.col("bn"))).alias("offset"),
+            F.col("bn").alias("candidate_rows"),
+            "n_rows",
+            F.col("k").alias("target_rank"),
+        )
+    )
+    slim = bucketed.select("cents", "bucket")
+    cand = slim.join(F.broadcast(target), slim["bucket"] == target["tb"])
+    rn = F.row_number().over(Window.orderBy("cents"))
+    return (
+        cand.withColumn("rn", rn)
+        .where(F.col("rn") == F.col("offset"))
+        .select(
+            "n_rows",
+            "target_rank",
+            "candidate_rows",
+            F.col("cents").alias("median_cents"),
+        )
+    )
+
+
+_EXACT_MEDIAN_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+), stats AS (
+  SELECT min(cents) AS lo, max(cents) AS hi,
+         count(*)::BIGINT AS n_rows, ((count(*) + 1) // 2)::BIGINT AS k
+  FROM c
+), med AS (
+  SELECT cents AS median_cents
+  FROM (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+  WHERE rn = (SELECT k FROM stats)
+), cand AS (
+  SELECT count(*)::BIGINT AS candidate_rows
+  FROM c CROSS JOIN stats CROSS JOIN med
+  WHERE (cents - lo) // ((hi - lo) // {MEDIAN_BUCKETS} + 1)
+        = (median_cents - lo) // ((hi - lo) // {MEDIAN_BUCKETS} + 1)
+)
+SELECT stats.n_rows, stats.k AS target_rank, cand.candidate_rows,
+       med.median_cents
+FROM stats CROSS JOIN cand CROSS JOIN med
+"""
+
+
 QUERIES = {
+    "exact_median_selection": exact_median_selection,
     "key_skew_audit": key_skew_audit,
     "modal_priority_per_segment": modal_priority_per_segment,
     "revenue_concentration": revenue_concentration,
@@ -1549,6 +1654,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "exact_median_selection": _EXACT_MEDIAN_SQL,
     "key_skew_audit": _KEY_SKEW_SQL,
     "modal_priority_per_segment": _MODAL_SQL,
     "revenue_concentration": _CONCENTRATION_SQL,

@@ -478,6 +478,83 @@ PARAM_TOPN = 7
 PARAM_SEGMENT = "BUILDING"
 
 
+PRICE_BAND_CENTS = 5_000_000  # $50k order-value bands
+
+
+def sql_scripting_half_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 BEGIN/DECLARE/WHILE — the procedural
+    control-flow surface): find the smallest order-value band whose
+    cumulative revenue reaches half the corpus total, by an actual
+    scripted loop — DECLARE'd accumulators, a WHILE that walks bands
+    in order adding each band's revenue until the half-mass
+    threshold crosses.
+
+    Scale discipline for procedural SQL: the loop NEVER touches the
+    fact table — one scan pre-aggregates orders into ≤~120 band
+    sums, CACHEd so each loop iteration's scalar subquery reads the
+    cached rows (an uncached temp view would re-scan the facts per
+    iteration — the classic scripting scale-trap, designed out and
+    pinned by test). The scripted result is oracle-checked against
+    the declarative window form (first band where 2·cum ≥ total).
+
+    Output: band, cum_cents, total_cents.
+    """
+    import uuid
+
+    view = f"band_sums_{uuid.uuid4().hex[:8]}"
+    bands = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) DIV {PRICE_BAND_CENTS}"
+            ).alias("band"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("band")
+        .agg(F.sum("cents").alias("s"))
+    )
+    bands.createOrReplaceTempView(view)
+    spark.sql(f"CACHE TABLE {view}")
+    try:
+        # variables are named to never collide with column names —
+        # inside the scalar subquery a bare name resolves to the
+        # COLUMN first, which would make the predicate tautological
+        out = spark.sql(f"""
+BEGIN
+  DECLARE v_total BIGINT;
+  DECLARE v_cum BIGINT DEFAULT 0;
+  DECLARE v_band BIGINT DEFAULT -1;
+  SET v_total = (SELECT sum(s) FROM {view});
+  WHILE v_cum * 2 < v_total DO
+    SET v_band = v_band + 1;
+    SET v_cum = v_cum + coalesce(
+      (SELECT s FROM {view} v WHERE v.band = v_band), 0);
+  END WHILE;
+  SELECT v_band AS band, v_cum AS cum_cents, v_total AS total_cents;
+END
+""")
+        # force the scripted result before dropping the cache the
+        # loop's subqueries (and the lazy result) read from
+        return out.localCheckpoint()
+    finally:
+        spark.sql(f"UNCACHE TABLE {view}")
+
+
+_SQL_SCRIPTING_SQL = f"""
+WITH bands AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // {PRICE_BAND_CENTS} AS band,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS s
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT band, sum(s) OVER (ORDER BY band)::BIGINT AS cum,
+         sum(s) OVER ()::BIGINT AS total
+  FROM bands
+)
+SELECT band::BIGINT AS band, cum AS cum_cents, total AS total_cents
+FROM cum WHERE cum * 2 >= total ORDER BY band LIMIT 1
+"""
+
+
 def parameterized_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized SQL — ``spark.sql(query, args={...})`` binds
     named ``:params`` as literal AST nodes BEFORE analysis: the
@@ -3466,6 +3543,7 @@ GROUP BY 1
 
 
 QUERIES = {
+    "sql_scripting_half_mass": sql_scripting_half_mass,
     "cogroup_reconciliation": cogroup_reconciliation,
     "bitmap_segment_overlap": bitmap_segment_overlap,
     "explode_outer_tokens": explode_outer_tokens,
@@ -3534,6 +3612,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_scripting_half_mass": _SQL_SCRIPTING_SQL,
     "cogroup_reconciliation": _COGROUP,
     "bitmap_segment_overlap": _BITMAP_OVERLAP,
     "explode_outer_tokens": _EXPLODE_OUTER,

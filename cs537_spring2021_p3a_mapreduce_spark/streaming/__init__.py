@@ -808,6 +808,50 @@ def stream_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CURATION FILTER: the Gopher rule bundle
+    (``operators.llm.gopher_flags`` — the exact same per-row
+    expressions as the batch ``gopher_quality_rules``) applied to a
+    document STREAM, with the drop accounting a live ingest pipeline
+    alerts on: total docs seen, docs passing, and per-rule failure
+    counts. Batch/stream parity by construction — one rule
+    definition, two engines.
+
+    Scale shape: the rules are stateless per-row expressions; the
+    only state is ONE global aggregation row (six counters) —
+    bounded forever, no watermark needed. Complete mode emits the
+    running totals per trigger; the finite drain's last emission is
+    the full-corpus audit, which the oracle recomputes in SQL.
+
+    Output: n_docs, n_pass, fail_wordcount, fail_wordlen,
+    fail_alpha, fail_stop.
+    """
+    import uuid
+
+    from ..operators.llm import gopher_flags
+
+    work = scratch_dir("stream_gq_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = spark.readStream.schema(schema).parquet(src)
+    flags = gopher_flags(docs)
+    audit = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass_all").alias("n_pass"),
+        F.sum(1 - F.col("r_wordcount")).alias("fail_wordcount"),
+        F.sum(1 - F.col("r_wordlen")).alias("fail_wordlen"),
+        F.sum(1 - F.col("r_alpha")).alias("fail_alpha"),
+        F.sum(1 - F.col("r_stop")).alias("fail_stop"),
+    )
+    name = f"stream_gq_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        audit, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8
+    )
+    return spark.table(name)
+
+
 def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry: the reference's flagship pipeline
     (wordcount, main.c:50-74) run INCREMENTALLY by the streaming
@@ -1559,6 +1603,7 @@ QUERIES = {
     "stream_late_data_audit": stream_late_data_audit,
     "stream_pattern_match": stream_pattern_match,
     "stream_custom_sink_totals": stream_custom_sink_totals,
+    "stream_gopher_filter": stream_gopher_filter,
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
     "state_store_inspection": state_store_inspection,
@@ -1581,8 +1626,18 @@ if tws_available():  # pragma: no cover — container lacks protobuf
     QUERIES["stream_tws_user_totals"] = stream_tws_user_totals
 
 from ..operators.temporal import ORACLES as _TEMPORAL_ORACLES  # noqa: E402
+from ..operators.llm import ORACLES as _LLM_ORACLES  # noqa: E402
 
 ORACLES = {
+    "stream_gopher_filter": (
+        "SELECT count(*)::BIGINT AS n_docs, sum(pass_all)::BIGINT AS n_pass, "
+        "sum(1 - r_wordcount)::BIGINT AS fail_wordcount, "
+        "sum(1 - r_wordlen)::BIGINT AS fail_wordlen, "
+        "sum(1 - r_alpha)::BIGINT AS fail_alpha, "
+        "sum(1 - r_stop)::BIGINT AS fail_stop FROM ("
+        + _LLM_ORACLES["gopher_quality_rules"]
+        + ")"
+    ),
     "stream_late_data_audit": _LATE_AUDIT_SQL,
     # streaming CEP must reproduce the batch CEP's exact totals —
     # same oracle SQL as event_pattern_match

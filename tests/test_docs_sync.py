@@ -51,11 +51,16 @@ def test_every_oracle_has_a_query():
     assert not dangling, f"oracle_sql entries without queries: {dangling}"
 
 
-# the estimate-by-nature set: HLL cardinalities, LSH/ANN candidate
-# sets, PQ scores — no exact SQL mirror exists. Anything else lacking
-# an oracle entry is a gap (r3 verdict: k_core was the one fixable
+# the no-SQL-mirror set: estimates by nature (HLL cardinalities,
+# LSH/ANN candidate sets, PQ scores) plus signals whose computation
+# no SQL engine can express (DEFLATE). Anything else lacking an
+# oracle entry is a gap (r3 verdict: k_core was the one fixable
 # rows-only entry; it now has a bounded unrolled peeling oracle).
+# compression_ratio_quality is EXACT, not an estimate — its gate is
+# an exact per-row pytest oracle vs Python zlib (test_llm.py), which
+# is stronger than the hash compare, just not driver-visible.
 ROWS_ONLY_BY_NATURE = {
+    "compression_ratio_quality",
     "approx_distinct_users",
     "dedup_minhash",
     "dedup_simhash",

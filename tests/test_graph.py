@@ -428,3 +428,38 @@ def test_label_propagation_matches_bruteforce_sync_model(spark):
             for r in g.label_propagation(df, "u", "v").collect()
         }
         assert got == want
+
+
+def test_link_prediction_ra_scores_match_recompute(spark):
+    """RA scores recomputed from the raw projection match exactly:
+    every pair is same-nation, u<v, and ra_micro is the sum of
+    floor(1e6/deg) over the pair's true common parts."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import graph as g
+
+    # sf0.001 has no same-nation co-supplier pairs at all — use the
+    # 0.01 fixture where the projection is non-trivial
+    sf = "/root/testdata/sf0.01"
+    got = g.link_prediction_ra(spark, sf).collect()
+    assert got
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey").collect()
+    supp = {
+        r.s_suppkey: r.s_nationkey
+        for r in table(spark, sf, "supplier").collect()
+    }
+    ps = {(r.l_partkey, r.l_suppkey) for r in li}
+    parts_of = {}
+    deg = {}
+    for pk, sk in ps:
+        parts_of.setdefault(sk, set()).add(pk)
+        deg[pk] = deg.get(pk, 0) + 1
+    prev = None
+    for r in got:
+        assert r.u < r.v
+        assert supp[r.u] == supp[r.v]
+        common = parts_of[r.u] & parts_of[r.v]
+        assert r.n_common == len(common)
+        assert r.ra_micro == sum(1_000_000 // deg[pk] for pk in common)
+        key = (-r.ra_micro, r.u, r.v)
+        assert prev is None or prev <= key  # ranked output
+        prev = key

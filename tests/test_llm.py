@@ -701,3 +701,150 @@ def test_feature_hash_vectors_match_bruteforce_model(spark):
         for r in llm.feature_hash_vectors(spark, d).collect()
     }
     assert got == want
+
+
+def test_gopher_rules_verdicts_and_conjunction(spark):
+    """Planted corpus: a good doc passes, and each rule trips on its
+    designed violator; pass_all is exactly the product of the rules."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    good = "the quick brown fox jumps over a lazy dog in the warm sun today"
+    rows = [
+        (0, good, "en", "t", len(good)),
+        (1, "too short", "en", "t", 9),  # r_wordcount
+        (2, " ".join(["supercalifragilistic"] * 12), "en", "t", 251),  # r_wordlen
+        (3, " ".join(["12345"] * 12), "en", "t", 71),  # r_alpha (and r_stop)
+        (4, " ".join(["quick brown fox jumps"] * 3), "en", "t", 87),  # r_stop
+        (5, "", "en", "t", 0),  # empty: every ratio rule false
+    ]
+    d = tempfile.mkdtemp(prefix="gopher_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in llm.gopher_quality_rules(spark, d).collect()}
+    assert got[0].pass_all == 1
+    assert got[1].r_wordcount == 0 and got[1].pass_all == 0
+    assert got[2].r_wordlen == 0 and got[2].r_wordcount == 1
+    assert got[3].r_alpha == 0
+    assert got[4].r_stop == 0 and got[4].r_alpha == 1
+    assert got[5].pass_all == 0 and got[5].mean_wlen_micro is None
+    for r in got.values():
+        assert r.pass_all == r.r_wordcount * r.r_wordlen * r.r_alpha * r.r_stop
+
+
+def test_source_cap_audit_bookkeeping(spark):
+    """Per-source accounting is internally consistent and the cap is
+    the exact top-K-by-(n_chars, doc_id) cut."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.001"
+    rows = llm.source_cap_audit(spark, sf).collect()
+    assert rows
+    docs = table(spark, sf, "documents").select("doc_id", "source", "n_chars").collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append((-r.n_chars, r.doc_id))
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_kept == min(llm.SOURCE_CAP_K, r.n_docs)
+        kept = sorted(by_src[r.source])[: llm.SOURCE_CAP_K]
+        assert r.kept_min_chars == min(-c for c, _ in kept)
+        assert r.kept_chars == sum(-c for c, _ in kept)
+
+
+def test_train_split_is_deterministic_and_total(spark):
+    """Every doc lands in exactly one split; fractions are near
+    80/10/10; re-running yields the identical manifest."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.01"
+    a = llm.train_split_manifest(spark, sf).collect()
+    b = llm.train_split_manifest(spark, sf).collect()
+    assert a == b
+    total = table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in a) == total
+    frac_train = sum(r.n_docs for r in a if r.split == "train") / total
+    assert 0.7 < frac_train < 0.9
+    assert {r.split for r in a} == {"train", "val", "test"}
+
+
+def test_compression_ratio_exact_vs_python_zlib(spark):
+    """The rows-only entry's REAL oracle: every row equals a direct
+    Python zlib computation, and the signal orders repetitive text
+    below natural-entropy text."""
+    import os
+    import tempfile
+    import zlib
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [
+        (0, "spam " * 200, "en", "t", 1000),
+        (1, " ".join(f"w{i}x{i*7%13}" for i in range(200)), "en", "t", 1000),
+        (2, "", "en", "t", 0),
+    ]
+    d = tempfile.mkdtemp(prefix="czr_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in llm.compression_ratio_quality(spark, d).collect()}
+    for doc_id, text, *_ in rows:
+        b = text.encode()
+        r = got[doc_id]
+        assert r.raw_len == len(b)
+        assert r.comp_len == len(zlib.compress(b, 6))
+        want = (r.comp_len * 1_000_000) // r.raw_len if r.raw_len else None
+        assert r.ratio_micro == want
+    # repetitive text compresses far better than varied text
+    assert got[0].ratio_micro < got[1].ratio_micro
+
+
+def test_compression_ratio_fixture_rows(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.compression_ratio_quality(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 < r.comp_len and 0 < r.raw_len
+        assert r.ratio_micro == (r.comp_len * 1_000_000) // r.raw_len
+
+
+def test_pca_power_converges_on_gapped_spectrum(spark):
+    """On data with a real eigengap (planted dominant direction) the
+    4 integer rounds converge: cosine vs numpy's top eigenvector
+    > 0.999. (The sf fixtures are isotropic gaussians — eigengap
+    ~0.93 — where NO 4-round method converges; the operator is the
+    deterministic refinement there, pinned by the exact SQL oracle.)
+    Also pins the max-abs normalization contract."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rng = np.random.RandomState(11)
+    u = rng.randn(64)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.randn(400) * 3.0, u) + 0.2 * rng.randn(400, 64)
+    d = tempfile.mkdtemp(prefix="pca_t_")
+    spark.createDataFrame(
+        [(i, [float(x) for x in X[i]], 0) for i in range(400)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    got = llm.embedding_pca_power(spark, d).collect()
+    v = np.array([r.v_micro for r in sorted(got, key=lambda r: r.dim)], float)
+    # quantization: the parquet stores float32 — recompute truth from
+    # the quantized matrix the operator actually sees
+    Xq = np.round(X.astype(np.float32).astype(np.float64) * 1e6)
+    lam, vecs = np.linalg.eigh(Xq.T @ Xq)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    assert 900_000 < max(abs(x) for x in v) <= 1_000_000

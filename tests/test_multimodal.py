@@ -229,3 +229,63 @@ def test_png_decoder_rejects_corrupt_crc():
     payload[40] ^= 0xFF  # flip a byte inside IDAT
     with pytest.raises(ValueError, match="CRC"):
         _decode_png(bytes(payload))
+
+
+def test_gif_lzw_roundtrip_and_spec_vector():
+    """LZW pair round-trips across every width boundary; the decoder
+    also accepts the canonical public 1x1 GIF89a (extension-block
+    skipping, min-code-size 2, external bytes we did not produce)."""
+    import numpy as np
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    for n in [1, 511, 512, 513, 5000, 60000]:
+        data = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        assert _lzw_decode_gif(_lzw_encode_gif(data, 8), 8) == data
+    for n in [5, 5000]:  # tiny alphabet: KwKwK + fast width growth
+        data = rng.randint(0, 4, n).astype(np.uint8).tobytes()
+        assert _lzw_decode_gif(_lzw_encode_gif(data, 2), 2) == data
+    one = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"!\xf9\x04\x01\x00\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    w, h, n, s = _decode_gif(one)
+    assert (w, h, n, s) == (1, 1, 1, 255)  # white pixel, palette R=255
+    # full encode->decode with palette resolution
+    dw, dh, n, s = _decode_gif(_encode_gif(31, 17, 999))
+    want = sum(
+        ((3 * x + 7 * y + 999) % 256 * 7) % 256
+        for y in range(17)
+        for x in range(31)
+    )
+    assert (dw, dh, n, s) == (31, 17, 31 * 17, want)
+
+
+def test_gif_decoder_rejects_unsupported_variants():
+    import struct
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+    )
+
+    good = bytearray(_encode_gif(8, 8, 3))
+    with pytest.raises(ValueError):
+        _decode_gif(b"NOTAGIF" + bytes(good[7:]))
+    # flip the interlace bit in the image descriptor, which sits at
+    # the fixed offset header(6) + LSD(7) + GCT(768)
+    idesc = 6 + 7 + 768
+    assert good[idesc] == 0x2C
+    bad = bytearray(good)
+    bad[idesc + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        _decode_gif(bytes(bad))

@@ -386,3 +386,25 @@ def test_modal_tiebreak_is_deterministic(spark):
         ).alias("w")
     ).collect()[0].w
     assert got.p == "1-URGENT" and got.cnt == 2
+
+
+def test_exact_median_matches_sorted_truth(spark):
+    """The 3-pass selection returns the exact lower-median order
+    statistic, and only a histogram-bucket's worth of rows ever
+    reaches the final ranking stage."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+    row = prof.exact_median_selection(spark, SF).collect()[0]
+    cents = sorted(
+        r[0]
+        for r in table(spark, SF, "lineitem")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .collect()
+    )
+    k = (len(cents) + 1) // 2
+    assert row.n_rows == len(cents)
+    assert row.target_rank == k
+    assert row.median_cents == cents[k - 1]
+    # selection, not sorting: the final stage ranks one bucket, which
+    # must be a small fraction of the column
+    assert row.candidate_rows <= max(16, 4 * row.n_rows // prof.MEDIAN_BUCKETS)

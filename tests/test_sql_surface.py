@@ -76,3 +76,33 @@ def test_parameterized_sql_binds_literals(spark):
     assert len(rows) == PARAM_TOPN
     cents = [r.order_cents for r in rows]
     assert cents == sorted(cents, reverse=True)
+
+
+def test_sql_scripting_half_mass_matches_declarative(spark):
+    """The scripted WHILE walk lands on the same half-mass band as
+    the declarative window form, and the band's cumulative really
+    straddles the threshold (prior band is below half)."""
+    from pyspark.sql import functions as F
+
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    row = R.sql_scripting_half_mass(spark, sf).collect()[0]
+    cents = [
+        r[0]
+        for r in table(spark, sf, "orders")
+        .select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .collect()
+    ]
+    total = sum(cents)
+    by_band = {}
+    for c in cents:
+        by_band[c // R.PRICE_BAND_CENTS] = by_band.get(c // R.PRICE_BAND_CENTS, 0) + c
+    cum = 0
+    for band in sorted(by_band):
+        cum += by_band[band]
+        if cum * 2 >= total:
+            break
+    assert (row.band, row.cum_cents, row.total_cents) == (band, cum, total)
+    assert (row.cum_cents - by_band[row.band]) * 2 < total  # straddles
