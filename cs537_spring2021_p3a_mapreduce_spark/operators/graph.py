@@ -913,7 +913,95 @@ LIMIT {LINKPRED_TOPK}
 """
 
 
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex LOCAL CLUSTERING COEFFICIENT over the nation-scoped
+    co-supplier graph — cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the
+    ninth graph kernel: how close each supplier's partners are to a
+    clique (the community-tightness signal fraud/collusion analyses
+    rank by; the triangle kernel computes the numerator, this closes
+    the ratio).
+
+    Scale shape: reuses the degree-ordered triangle machinery
+    (wedges O(out-deg²) with out-deg ≤ √(2·edges) regardless of
+    skew); degrees are one aggregate over the same edge relation;
+    the ratio is a broadcast-free left join on the vertex key. All
+    integer: cc quantizes as (2·T·1e6) DIV (d·(d−1)).
+
+    Output (vertices with deg ≥ 2): s_suppkey, degree, n_triangles,
+    cc_micro.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
+    )
+    ps = li.join(supp, "sk").select("pk", "sk", "nk").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.pk") == F.col("b.pk"))
+        & (F.col("a.nk") == F.col("b.nk"))
+        & (F.col("a.sk") < F.col("b.sk")),
+    ).select(F.col("a.sk").alias("u"), F.col("b.sk").alias("v")).distinct()
+    edges = edges.persist()  # feeds degree AND triangle subtrees
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangle_counts(edges).select(
+        F.col("vertex").alias("u"), F.col("n_triangles").alias("t")
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "u", "left")
+        .select(
+            F.col("u").alias("s_suppkey"),
+            "degree",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "(2 * coalesce(t, 0) * 1000000) DIV (degree * (degree - 1))"
+            ).alias("cc_micro"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_CLUSTERING_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk, s_nationkey AS nk
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+), e AS (
+  SELECT DISTINCT a.sk AS u, b.sk AS v
+  FROM ps a JOIN ps b ON a.pk = b.pk AND a.nk = b.nk AND a.sk < b.sk
+), und AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT u, count(*)::BIGINT AS degree FROM und GROUP BY 1
+), t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), x AS (
+  SELECT a AS v FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+), tri AS (
+  SELECT v, count(*)::BIGINT AS t FROM x GROUP BY v
+)
+SELECT deg.u AS s_suppkey, degree,
+       coalesce(tri.t, 0)::BIGINT AS n_triangles,
+       (2 * coalesce(tri.t, 0) * 1000000) // (degree * (degree - 1))
+         AS cc_micro
+FROM deg LEFT JOIN tri ON tri.v = deg.u
+WHERE degree >= 2
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "clustering_coefficient": clustering_coefficient,
     "link_prediction_ra": link_prediction_ra,
     "supplier_affinity_topk": supplier_affinity_topk,
     "label_propagation_suppliers": label_propagation_suppliers,
@@ -1073,6 +1161,7 @@ def _kcore_oracle(rounds: int = KCORE_ORACLE_ROUNDS, k: int = KCORE_K) -> str:
 
 
 ORACLES = {
+    "clustering_coefficient": _CLUSTERING_SQL,
     "link_prediction_ra": _LINKPRED_SQL,
     "supplier_affinity_topk": _AFFINITY_SQL,
     # synchronous LPA unrolled round-by-round — deterministic argmax

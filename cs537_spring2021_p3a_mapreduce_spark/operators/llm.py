@@ -3598,6 +3598,170 @@ SELECT pair, sum(n)::BIGINT AS cnt FROM pairs GROUP BY pair
 """
 
 
+CURRICULUM_TOPN = 100  # schedule head emitted for inspection
+
+
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ORDERING — the training-order construction between
+    curation and sharding: within each source, docs rank by quality
+    (n_chars as the in-tree proxy rank, doc_id tie-break); the
+    global order interleaves sources ROUND-ROBIN at each quality
+    rank (rank 1 of every source, then rank 2, …) so early training
+    sees the best of EVERY source instead of drowning in one
+    domain's head. Emits the schedule head (first CURRICULUM_TOPN
+    positions) — the slice a reviewer inspects.
+
+    Scale shape: per-source rank is one source-keyed window
+    (per-key sort); the global head is TakeOrdered on the (rank,
+    source, doc_id) key — per-partition heaps, never a global sort.
+    A full-schedule materialization would instead WRITE sharded by
+    rank-band (the shuffle_for_training shape); the head is the
+    audit surface.
+
+    Output: pos, doc_id, source, src_rank, n_chars.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    head = (
+        docs.withColumn("src_rank", rk)
+        .orderBy("src_rank", "source", "doc_id")
+        .limit(CURRICULUM_TOPN)
+    )
+    pos = F.row_number().over(
+        Window.orderBy("src_rank", "source", "doc_id")
+    )
+    return head.select(
+        pos.alias("pos"), "doc_id", "source", "src_rank", "n_chars"
+    ).orderBy("pos")
+
+
+_CURRICULUM_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS src_rank
+  FROM documents
+), head AS (
+  SELECT * FROM ranked ORDER BY src_rank, source, doc_id
+  LIMIT {CURRICULUM_TOPN}
+)
+SELECT row_number() OVER (ORDER BY src_rank, source, doc_id)::BIGINT AS pos,
+       doc_id, source, src_rank::BIGINT AS src_rank, n_chars
+FROM head ORDER BY pos
+"""
+
+
+COOC_VOCAB_K = 40  # collocation vocabulary (fixture corpus is ~40 tokens)
+COOC_MIN_SUPPORT = 5  # pair must co-occur in ≥ this many docs
+COOC_TOPK = 50
+
+
+def term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION MINING by lift — which token pairs co-occur in
+    documents far beyond chance: lift = P(a,b) / (P(a)·P(b)) =
+    n_ab·N / (n_a·n_b). This is PMI's argument WITHOUT the log (the
+    libm transcendental that breaks cross-engine exactness —
+    monotone in PMI, so the ranking is identical), over
+    document-level presence.
+
+    Scale shape: presence sets restrict to a TakeOrdered top-K
+    vocabulary that rides a broadcast semi-join (per-doc distinct
+    vocab tokens ≤ K, so the within-doc pair fan-out is bounded by
+    K²/2, independent of doc length); pair counting is one hash
+    aggregate; marginals broadcast back onto the ≤K²/2 pair
+    relation. A support floor kills noise pairs before ranking; the
+    final top-k is TakeOrdered heaps.
+
+    Determinism: lift quantizes as n_ab·N·1e6 DIV (n_a·n_b) — exact
+    integer arithmetic (bounded by N·N·1e6; at >10⁹-doc corpora
+    compute in decimal(38,0) — noted, fixture-safe here).
+
+    Output: tok_a, tok_b, n_ab, n_a, n_b, lift_micro
+    (top COOC_TOPK by lift desc, tok_a, tok_b).
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    present = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    vocab = (
+        present.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(COOC_VOCAB_K)
+    )
+    pv = present.join(F.broadcast(vocab.select("tok")), "tok")
+    a, b = pv.alias("a"), pv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= COOC_MIN_SUPPORT)
+    )
+    marg = vocab.select("tok", F.col("df").alias("n"))
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * n_docs * 1000000) DIV (n_a * n_b)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift_micro"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(COOC_TOPK)
+
+
+_COOC_SQL = f"""
+WITH present AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+  )
+), vocab AS (
+  SELECT tok, count(*)::BIGINT AS df FROM present GROUP BY 1
+  ORDER BY df DESC, tok ASC LIMIT {COOC_VOCAB_K}
+), pv AS (
+  SELECT p.doc_id, p.tok FROM present p JOIN vocab USING (tok)
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_ab
+  FROM pv a JOIN pv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_SUPPORT}
+), nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT tok_a, tok_b, n_ab, va.df AS n_a, vb.df AS n_b,
+       (n_ab * n_docs * 1000000) // (va.df * vb.df) AS lift_micro
+FROM pairs
+JOIN vocab va ON va.tok = tok_a
+JOIN vocab vb ON vb.tok = tok_b
+CROSS JOIN nd
+ORDER BY lift_micro DESC, tok_a ASC, tok_b ASC
+LIMIT {COOC_TOPK}
+"""
+
+
 POWER_ITERS = 4  # fixed unrolled matvec rounds (deterministic DAG)
 _PI_SCALE = 1_000_000
 
@@ -4044,6 +4208,8 @@ FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES = {
     "compression_ratio_quality": compression_ratio_quality,
     "embedding_pca_power": embedding_pca_power,
+    "term_cooccurrence_lift": term_cooccurrence_lift,
+    "curriculum_schedule": curriculum_schedule,
     "gopher_quality_rules": gopher_quality_rules,
     "source_cap_audit": source_cap_audit,
     "train_split_manifest": train_split_manifest,
@@ -4098,6 +4264,8 @@ QUERIES = {
 
 ORACLES = {
     "embedding_pca_power": _pca_power_oracle_sql(),
+    "term_cooccurrence_lift": _COOC_SQL,
+    "curriculum_schedule": _CURRICULUM_SQL,
     "gopher_quality_rules": _GOPHER_SQL,
     "source_cap_audit": _SOURCE_CAP_SQL,
     "train_split_manifest": _TRAIN_SPLIT_SQL,

@@ -926,7 +926,176 @@ LIMIT {SEQ_TOPK}
 """
 
 
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC DOWNSAMPLING — the financial/telemetry bar aggregation:
+    per (event_type, day), the first (Open) and last (Close) value
+    plus High/Low/volume, in ONE aggregate pass: open/close are
+    ``min_by``/``max_by`` over a zero-padded (epoch-micros,
+    event_id) string key — a total order, so first/last are
+    tie-free on both engines; no window, no sort, map-side
+    combinable (min_by/max_by have partial merge).
+
+    At 100 TB this is the canonical "collapse ticks to bars" shape:
+    a single hash shuffle on the (series, bucket) key; bar count,
+    not tick count, bounds the output.
+
+    Output: event_type, day, open_cents, high_cents, low_cents,
+    close_cents, n_events, vol_cents.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            cents.alias("cents"),
+            key.alias("k"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("cents", "k").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "k").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("vol_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_OHLC_SQL = """
+WITH ev AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         round(value * 100)::BIGINT AS cents,
+         lpad(epoch_us(ts)::VARCHAR, 20, '0')
+           || lpad(event_id::VARCHAR, 12, '0') AS k
+  FROM events
+)
+SELECT event_type, day,
+       min_by(cents, k) AS open_cents,
+       max(cents)::BIGINT AS high_cents,
+       min(cents)::BIGINT AS low_cents,
+       max_by(cents, k) AS close_cents,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS vol_cents
+FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def latency_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style LOG2-BUCKETED value distribution per event
+    type — the latency-summary layout (exponential buckets: constant
+    relative error, ~40 buckets cover ns→hours) every telemetry
+    backend stores instead of raw quantiles. floor(log2(cents))
+    computed EXACTLY as length(bin(cents)) − 1 — integer bit-length,
+    no libm log2 (whose rounding differs across engines).
+
+    Scale: one hash aggregate on a (5 × ~16)-key space, map-side
+    combined; bucket bounds are pure expressions of the bucket id.
+
+    Output: event_type, bucket, lo_cents, hi_cents, n_events.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucket = (F.length(F.bin(cents)) - 1).cast("int")
+    return (
+        ev.select("event_type", cents.alias("cents"), bucket.alias("bucket"))
+        .where(F.col("cents") >= 1)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            "bucket",
+            F.expr("CAST(1 AS BIGINT) << bucket").alias("lo_cents"),
+            F.expr("(CAST(1 AS BIGINT) << (bucket + 1)) - 1").alias("hi_cents"),
+            "n_events",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_LOG_HIST_SQL = """
+WITH ev AS (
+  SELECT event_type, round(value * 100)::BIGINT AS cents FROM events
+), b AS (
+  SELECT event_type,
+         (length(printf('%b', cents)) - 1)::INT AS bucket
+  FROM ev WHERE cents >= 1
+)
+SELECT event_type, bucket,
+       (1::BIGINT << bucket)::BIGINT AS lo_cents,
+       ((1::BIGINT << (bucket + 1)) - 1)::BIGINT AS hi_cents,
+       count(*)::BIGINT AS n_events
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection on the daily revenue series: the
+    day where the cumulative sum of deviations from the corpus mean
+    peaks in magnitude — the classic single-changepoint estimator
+    (where the level shift happened, not just that one exists).
+    Integer-exact: the mean is total DIV n (floor), deviations and
+    their running sum are exact longs, and the argmax is a
+    TakeOrdered top-1 with (|cusum| desc, day asc) tie-break.
+
+    Scale shape: facts aggregate to DAY GRAIN first (the only
+    data-sized shuffle); the running sum + argmax run over
+    one-row-per-day. Output: day, cusum_cents, mean_cents, n_days.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(_day_cents())
+    )
+    stats = daily.agg(
+        F.expr("sum(cents) DIV count(1)").alias("mean_cents"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("cusum_cents", F.sum(F.col("cents") - F.col("mean_cents")).over(w))
+        .select("day", "cusum_cents", "mean_cents", "n_days")
+    )
+    return cusum.orderBy(
+        F.desc(F.abs("cusum_cents")), F.asc("day")
+    ).limit(1)
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT strftime(o_orderdate::DATE, '%Y-%m-%d') AS day,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1
+), stats AS (
+  SELECT (sum(cents) // count(*))::BIGINT AS mean_cents,
+         count(*)::BIGINT AS n_days
+  FROM daily
+), cusum AS (
+  SELECT day,
+         sum(cents - mean_cents) OVER (ORDER BY day)::BIGINT AS cusum_cents,
+         mean_cents, n_days
+  FROM daily CROSS JOIN stats
+)
+SELECT day, cusum_cents, mean_cents, n_days
+FROM cusum ORDER BY abs(cusum_cents) DESC, day ASC LIMIT 1
+"""
+
+
 QUERIES = {
+    "ohlc_bars": ohlc_bars,
+    "latency_log_histogram": latency_log_histogram,
+    "cusum_changepoint": cusum_changepoint,
     "frequent_event_triples": frequent_event_triples,
     "open_orders_timeline": open_orders_timeline,
     "event_transition_matrix": event_transition_matrix,
@@ -943,6 +1112,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ohlc_bars": _OHLC_SQL,
+    "latency_log_histogram": _LOG_HIST_SQL,
+    "cusum_changepoint": _CUSUM_SQL,
     "frequent_event_triples": _TRIPLES_SQL,
     "open_orders_timeline": _OPEN_ORDERS_SQL,
     "event_transition_matrix": _TRANSITION_SQL,

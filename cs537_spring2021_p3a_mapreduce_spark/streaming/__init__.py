@@ -808,6 +808,62 @@ def stream_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC bars — the batch ``ohlc_bars`` aggregation
+    (min_by/max_by over the zero-padded (epoch-micros, event_id)
+    total-order key) maintained INCREMENTALLY over an event stream:
+    open/close/high/low/volume per (event_type, day) update as ticks
+    arrive, because every one of those aggregates has a partial
+    merge (min_by keeps the least-key pair). Complete-mode drain;
+    state is bar-count-bounded (≈150 groups here), which is the
+    honest unbounded-retention choice for a finite backfill — a live
+    deployment adds a watermark to age out closed days.
+
+    Batch/stream parity: the oracle is the batch query's SQL
+    verbatim. Output: event_type, day, open/high/low/close cents,
+    n_events, vol_cents.
+    """
+    import uuid
+
+    work = scratch_dir("stream_ohlc_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "events", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ev = spark.readStream.schema(schema).parquet(src)
+    cents = F.round(F.col("value") * 100).cast("long")
+    # the staged parquet reads ts as TIMESTAMP_NTZ; session TZ is UTC
+    # so the cast is wall-clock identity (unix_micros needs TIMESTAMP)
+    key = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"
+        ),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bars = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            cents.alias("cents"),
+            key.alias("k"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("cents", "k").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "k").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("vol_cents"),
+        )
+    )
+    name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        bars, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8
+    )
+    return spark.table(name)
+
+
 def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CURATION FILTER: the Gopher rule bundle
     (``operators.llm.gopher_flags`` — the exact same per-row
@@ -1603,6 +1659,7 @@ QUERIES = {
     "stream_late_data_audit": stream_late_data_audit,
     "stream_pattern_match": stream_pattern_match,
     "stream_custom_sink_totals": stream_custom_sink_totals,
+    "stream_ohlc_bars": stream_ohlc_bars,
     "stream_gopher_filter": stream_gopher_filter,
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
@@ -1629,6 +1686,7 @@ from ..operators.temporal import ORACLES as _TEMPORAL_ORACLES  # noqa: E402
 from ..operators.llm import ORACLES as _LLM_ORACLES  # noqa: E402
 
 ORACLES = {
+    "stream_ohlc_bars": _TEMPORAL_ORACLES["ohlc_bars"],
     "stream_gopher_filter": (
         "SELECT count(*)::BIGINT AS n_docs, sum(pass_all)::BIGINT AS n_pass, "
         "sum(1 - r_wordcount)::BIGINT AS fail_wordcount, "

@@ -463,3 +463,36 @@ def test_link_prediction_ra_scores_match_recompute(spark):
         key = (-r.ra_micro, r.u, r.v)
         assert prev is None or prev <= key  # ranked output
         prev = key
+
+
+def test_clustering_coefficient_matches_recompute(spark):
+    """cc equals a brute-force adjacency recompute: exact triangle
+    membership and the integer micro ratio, every deg>=2 vertex."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import graph as g
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.s_suppkey: r for r in g.clustering_coefficient(spark, sf).collect()}
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey").collect()
+    nk = {r.s_suppkey: r.s_nationkey for r in table(spark, sf, "supplier").collect()}
+    by_part = {}
+    for r in li:
+        by_part.setdefault(r.l_partkey, set()).add(r.l_suppkey)
+    adj = {}
+    for pk, sks in by_part.items():
+        for u in sks:
+            for v in sks:
+                if u < v and nk[u] == nk[v]:
+                    adj.setdefault(u, set()).add(v)
+                    adj.setdefault(v, set()).add(u)
+    want = {}
+    for v, ns in adj.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        t = sum(1 for a in ns for b in ns if a < b and b in adj.get(a, ()))
+        want[v] = (d, t, (2 * t * 1_000_000) // (d * (d - 1)))
+    assert set(got) == set(want)
+    for v, (d, t, cc) in want.items():
+        r = got[v]
+        assert (r.degree, r.n_triangles, r.cc_micro) == (d, t, cc)

@@ -848,3 +848,59 @@ def test_pca_power_converges_on_gapped_spectrum(spark):
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.999, cos
     assert 900_000 < max(abs(x) for x in v) <= 1_000_000
+
+
+def test_cooccurrence_lift_invariants_and_recompute(spark):
+    """Pairs honor the support floor, marginals, and the exact
+    integer lift formula; ranking is the declared total order."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.001"
+    rows = llm.term_cooccurrence_lift(spark, sf).collect()
+    assert rows
+    docs = table(spark, sf, "documents").collect()
+    n_docs = len(docs)
+    present = {}
+    for d in docs:
+        for t in set(d.text.split()):
+            present.setdefault(t, set()).add(d.doc_id)
+    prev = None
+    for r in rows:
+        assert r.tok_a < r.tok_b
+        assert r.n_ab >= llm.COOC_MIN_SUPPORT
+        common = present[r.tok_a] & present[r.tok_b]
+        assert r.n_ab == len(common)
+        assert r.n_a == len(present[r.tok_a])
+        assert r.n_b == len(present[r.tok_b])
+        assert r.lift_micro == (r.n_ab * n_docs * 1_000_000) // (r.n_a * r.n_b)
+        k = (-r.lift_micro, r.tok_a, r.tok_b)
+        assert prev is None or prev <= k
+        prev = k
+
+
+def test_curriculum_schedule_interleaves_sources(spark):
+    """The head is ordered by (src_rank, source): every source's
+    rank-1 doc precedes any rank-2 doc, and within a rank block the
+    per-source quality ordering holds (longest doc of each source
+    first)."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.01"
+    rows = llm.curriculum_schedule(spark, sf).collect()
+    assert len(rows) == llm.CURRICULUM_TOPN
+    assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+    # non-decreasing rank; ties ordered by source then doc_id
+    keys = [(r.src_rank, r.source, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    # rank-1 really is each source's longest doc (doc_id tiebreak)
+    docs = table(spark, sf, "documents").collect()
+    best = {}
+    for d in docs:
+        k = (-d.n_chars, d.doc_id)
+        if d.source not in best or k < best[d.source][0]:
+            best[d.source] = (k, d.doc_id)
+    for r in rows:
+        if r.src_rank == 1:
+            assert r.doc_id == best[r.source][1]

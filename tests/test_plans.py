@@ -587,3 +587,25 @@ def test_link_prediction_plans_heap_topk_and_no_cartesian(spark):
     plan = P.plan(graph.link_prediction_ra(spark, "/root/testdata/sf0.01"))
     assert "TakeOrderedAndProject" in plan  # global top-k as heaps
     assert "CartesianProduct" not in plan  # pk-blocked equi-join only
+
+
+def test_ohlc_single_aggregate_with_partial_minby(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal
+
+    df = temporal.ohlc_bars(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    # one agg shuffle + the output sort, nothing else; min_by merges
+    # partially (map-side combine) — no per-group row materialization
+    assert plan.count("Exchange") <= 2
+    assert "min_by" in plan
+
+
+def test_cooccurrence_and_curriculum_plan_as_heaps(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    assert "TakeOrderedAndProject" in P.plan(
+        llm.term_cooccurrence_lift(spark, SF_SMOKE)
+    )
+    assert "TakeOrderedAndProject" in P.plan(
+        llm.curriculum_schedule(spark, SF_SMOKE)
+    )

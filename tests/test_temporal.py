@@ -297,3 +297,72 @@ def test_time_to_convert_gaps_nonnegative_ordered(spark):
     r = tmp.funnel_time_to_convert(spark, SF).collect()[0]
     assert r.n_attributed > 0
     assert 0 <= r.p25_s <= r.p50_s <= r.p75_s <= r.p90_s
+
+
+def test_ohlc_bars_match_python_recompute(spark):
+    """Every bar's OHLC equals a Python recompute over the raw
+    ticks, with the same (epoch_micros, event_id) total order."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as T
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.event_type, r.day): r for r in T.ohlc_bars(spark, sf).collect()}
+    raw = table(spark, sf, "events").collect()
+    groups = {}
+    for r in raw:
+        key = (r.event_type, r.ts.strftime("%Y-%m-%d"))
+        cents = round(r.value * 100)
+        ordk = (r.ts, r.event_id)
+        groups.setdefault(key, []).append((ordk, cents))
+    assert set(got) == set(groups)
+    for key, ticks in groups.items():
+        ticks.sort()
+        r = got[key]
+        assert r.open_cents == ticks[0][1]
+        assert r.close_cents == ticks[-1][1]
+        assert r.high_cents == max(c for _, c in ticks)
+        assert r.low_cents == min(c for _, c in ticks)
+        assert r.n_events == len(ticks)
+        assert r.vol_cents == sum(c for _, c in ticks)
+
+
+def test_log_histogram_buckets_are_exact_log2(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as T
+
+    sf = "/root/testdata/sf0.001"
+    rows = T.latency_log_histogram(spark, sf).collect()
+    raw = table(spark, sf, "events").collect()
+    want = {}
+    for r in raw:
+        c = round(r.value * 100)
+        if c >= 1:
+            b = c.bit_length() - 1
+            want[(r.event_type, b)] = want.get((r.event_type, b), 0) + 1
+    got = {(r.event_type, r.bucket): r.n_events for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.lo_cents == 1 << r.bucket
+        assert r.hi_cents == (1 << (r.bucket + 1)) - 1
+
+
+def test_cusum_changepoint_is_the_argmax(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as T
+
+    sf = "/root/testdata/sf0.001"
+    row = T.cusum_changepoint(spark, sf).collect()[0]
+    raw = table(spark, sf, "orders").collect()
+    daily = {}
+    for r in raw:
+        d = r.o_orderdate.strftime("%Y-%m-%d")
+        daily[d] = daily.get(d, 0) + round(r.o_totalprice * 100)
+    mean = sum(daily.values()) // len(daily)
+    cum, best = 0, None
+    for d in sorted(daily):
+        cum += daily[d] - mean
+        k = (-abs(cum), d)
+        if best is None or k < best[0]:
+            best = (k, d, cum)
+    assert (row.day, row.cusum_cents) == (best[1], best[2])
+    assert row.mean_cents == mean and row.n_days == len(daily)
