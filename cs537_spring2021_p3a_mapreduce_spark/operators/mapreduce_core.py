@@ -456,6 +456,68 @@ FROM orders
 """
 
 
+def manifest_vacuum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on the commit-protocol sink — the disk-reclaim
+    lifecycle op every table format separates from commit (Delta
+    VACUUM / Iceberg expire_snapshots): overwrite-style churn leaves
+    part files only old generations reference; vacuum with
+    keep_generations=1 must physically delete exactly those while
+    the LIVE table reads back bit-identical. The query value-checks
+    the read-back (the oracle is the expected live content) and
+    emits the audit counters a retention job reports; the orphan
+    arithmetic (files_before − deleted == files_after, deleted > 0,
+    time travel now bounded) is pinned in tests/test_sources.py.
+
+    Runs under the commit lock (a racing commit can't publish a file
+    mid-delete) — the crash/race suite covers the protocol.
+
+    Output: n_orders, sum_cents, deleted_gt_zero, live_files_match.
+    """
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        read_manifest_table,
+        vacuum_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_vac_"), "t")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # gen 1: odd orders (will become orphaned history) — gen 2: the
+    # DELETE rewrite drops them, leaving gen-1 part files unreferenced
+    orders.write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    from ..sources.manifest_sink import delete_where
+
+    delete_where(spark, path, "o_orderkey % 2 = 1")
+    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    deleted = vacuum_manifest_table(path, keep_generations=1)
+    after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    live = read_manifest_table(spark, path)
+    return live.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+        F.lit(len(deleted) > 0).cast("int").alias("deleted_gt_zero"),
+        F.lit(before - set(deleted) == after).cast("int").alias(
+            "live_files_match"
+        ),
+    )
+
+
+_MANIFEST_VACUUM = """
+SELECT count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+       1 AS deleted_gt_zero, 1 AS live_files_match
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
 def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADDITIVE SCHEMA EVOLUTION through the commit-protocol sink —
     the lakehouse contract ``schema_evolution_scan`` proves for raw
@@ -1311,6 +1373,7 @@ QUERIES = {
     "linescan_wordcount": linescan_wordcount,
     "custom_sink_roundtrip": custom_sink_roundtrip,
     "manifest_time_travel": manifest_time_travel,
+    "manifest_vacuum_roundtrip": manifest_vacuum_roundtrip,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_changes_cdc": manifest_changes_cdc,
@@ -1387,6 +1450,7 @@ ORACLES = {
     "manifest_zone_map_scan": _MANIFEST_ZM,
     "custom_sink_roundtrip": _SINK_RT,
     "manifest_time_travel": _MANIFEST_TT,
+    "manifest_vacuum_roundtrip": _MANIFEST_VACUUM,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,
     "manifest_changes_cdc": _MANIFEST_CDC,
