@@ -518,6 +518,85 @@ FROM orders WHERE o_orderkey % 2 = 0
 """
 
 
+def tpch_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H REFRESH STREAMS (the RF1 insert / RF2 delete half of
+    the spec the 22 query archetypes come from) against the
+    commit-protocol sink: RF1 appends a deterministic new-orders
+    batch (existing orders key-shifted past the key space — the
+    spec's "new sales"), RF2 deletes the oldest tenth by key
+    (file-scoped copy-on-write rewrite, not a table rewrite); the
+    refreshed table then reads back and aggregates, value-checked
+    against the SQL mirror of the same insert/delete algebra.
+
+    This is the lakehouse maintenance loop every warehouse runs
+    nightly — load, purge, query — on the same atomic manifest
+    commits the A10 upsert tier uses (two generations of history
+    stay time-travelable until vacuum).
+
+    Output: n_orders, sum_cents, n_new, n_deleted.
+    """
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("tpch_rf_"), "t")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    orders.write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    # RF1: new sales = keys shifted past the existing space, prices
+    # re-derived deterministically (spec uses fresh seeds; the shift
+    # keeps the oracle a pure expression of the base table)
+    shift = F.col("o_orderkey") + F.lit(10_000_000)
+    rf1 = orders.where(F.col("o_orderkey") % 10 == 3).select(
+        shift.alias("o_orderkey"),
+        (F.round(F.col("o_totalprice") * 100) / 100 + F.lit(1.5)).alias(
+            "o_totalprice"
+        ),
+    )
+    rf1.write.format("mr_manifest").option("path", path).mode("append").save()
+    delete_where(spark, path, "o_orderkey % 10 = 0 AND o_orderkey < 10000000")
+    live = read_manifest_table(spark, path)
+    return live.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+        F.sum((F.col("o_orderkey") >= 10_000_000).cast("long")).alias("n_new"),
+        F.sum(
+            (
+                (F.col("o_orderkey") % 10 == 0)
+                & (F.col("o_orderkey") < 10_000_000)
+            ).cast("long")
+        ).alias("n_deleted"),
+    )
+
+
+_TPCH_REFRESH = """
+WITH base AS (
+  SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents FROM orders
+), rf1 AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, cents + 150 AS cents
+  FROM base WHERE o_orderkey % 10 = 3
+), refreshed AS (
+  SELECT * FROM base WHERE o_orderkey % 10 <> 0
+  UNION ALL SELECT * FROM rf1
+)
+SELECT count(*)::BIGINT AS n_orders,
+       sum(cents)::BIGINT AS sum_cents,
+       sum((o_orderkey >= 10000000)::BIGINT)::BIGINT AS n_new,
+       0::BIGINT AS n_deleted
+FROM refreshed
+"""
+
+
 def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADDITIVE SCHEMA EVOLUTION through the commit-protocol sink —
     the lakehouse contract ``schema_evolution_scan`` proves for raw
@@ -1374,6 +1453,7 @@ QUERIES = {
     "custom_sink_roundtrip": custom_sink_roundtrip,
     "manifest_time_travel": manifest_time_travel,
     "manifest_vacuum_roundtrip": manifest_vacuum_roundtrip,
+    "tpch_refresh_roundtrip": tpch_refresh_roundtrip,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_changes_cdc": manifest_changes_cdc,
@@ -1451,6 +1531,7 @@ ORACLES = {
     "custom_sink_roundtrip": _SINK_RT,
     "manifest_time_travel": _MANIFEST_TT,
     "manifest_vacuum_roundtrip": _MANIFEST_VACUUM,
+    "tpch_refresh_roundtrip": _TPCH_REFRESH,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,
     "manifest_changes_cdc": _MANIFEST_CDC,

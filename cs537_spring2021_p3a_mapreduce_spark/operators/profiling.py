@@ -1527,6 +1527,330 @@ ORDER BY rk
 """
 
 
+GP_PERCENTILES = ((50, 1, 2), (90, 9, 10), (99, 99, 100))  # (label, num, den)
+
+
+def grouped_percentile_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (p50/p90/p99 of l_extendedprice per
+    l_returnflag) by DISTRIBUTED SELECTION — the grouped
+    generalization of ``exact_median_selection`` and the shape that
+    replaces sort-based ``percentile()`` (whose per-group state is
+    the group's full value list) at 100 TB: per-group histogram →
+    locate each target rank's bucket + offset in the TINY histogram
+    relation → rank only the selected buckets' rows.
+
+    Rank convention: the p-th percentile is the ceil(p·n/100)-th
+    order statistic (lower, tie-order-free) — exact integer
+    arithmetic throughout ((p·n + den − 1) DIV den).
+
+    Scale: 2 fact scans (group stats, histogram) + 1 scan filtered
+    to selected buckets (≈n/4096 rows per group·percentile); windows
+    touch only per-group histograms and selected buckets.
+
+    Output: l_returnflag, ptile, n_rows, target_rank, value_cents.
+    """
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        _cents("l_extendedprice").alias("cents"),
+    )
+    stats = li.groupBy("grp").agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ptiles = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("ptile"),
+                F.lit(num).alias("num"),
+                F.lit(den).alias("den"),
+            )
+            for lbl, num, den in GP_PERCENTILES
+        ]
+    )
+    targets = stats.select(
+        "grp",
+        "lo",
+        "hi",
+        "n_rows",
+        F.explode(ptiles).alias("p"),
+    ).select(
+        "grp",
+        "lo",
+        "hi",
+        "n_rows",
+        F.col("p.ptile").alias("ptile"),
+        F.expr("(p.num * n_rows + p.den - 1) DIV p.den").alias("k"),
+    )
+    bucketed = li.join(F.broadcast(stats), "grp").select(
+        "grp",
+        "cents",
+        F.expr(
+            f"(cents - lo) DIV ((hi - lo) DIV {MEDIAN_BUCKETS} + 1)"
+        ).alias("bucket"),
+    )
+    hist = bucketed.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("bn").over(w))
+    located = targets.join(F.broadcast(cum), "grp").where(
+        (F.col("cum") >= F.col("k"))
+        & (F.col("cum") - F.col("bn") < F.col("k"))
+    ).select(
+        "grp",
+        "ptile",
+        "n_rows",
+        F.col("k").alias("target_rank"),
+        F.col("bucket").alias("tb"),
+        (F.col("k") - (F.col("cum") - F.col("bn"))).alias("offset"),
+    )
+    bk, tg = bucketed.alias("bk"), located.alias("tg")
+    cand = bk.join(
+        F.broadcast(tg),
+        (F.col("bk.grp") == F.col("tg.grp"))
+        & (F.col("bk.bucket") == F.col("tg.tb")),
+    ).select(
+        F.col("tg.grp").alias("g"),
+        "ptile",
+        "n_rows",
+        "target_rank",
+        "offset",
+        "cents",
+    )
+    rn = F.row_number().over(Window.partitionBy("g", "ptile").orderBy("cents"))
+    return (
+        cand.withColumn("rn", rn)
+        .where(F.col("rn") == F.col("offset"))
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "ptile",
+            "n_rows",
+            "target_rank",
+            F.col("cents").alias("value_cents"),
+        )
+        .orderBy("l_returnflag", "ptile")
+    )
+
+
+def _grouped_pct_sql() -> str:
+    pt = " UNION ALL ".join(
+        f"SELECT {lbl} AS ptile, {num} AS num, {den} AS den"
+        for lbl, num, den in GP_PERCENTILES
+    )
+    return f"""
+WITH c AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), r AS (
+  SELECT grp, cents,
+         row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_rows
+  FROM c
+), p AS ({pt})
+SELECT grp AS l_returnflag, ptile, n_rows,
+       ((num * n_rows + den - 1) // den)::BIGINT AS target_rank,
+       cents AS value_cents
+FROM r CROSS JOIN p
+WHERE rn = (num * n_rows + den - 1) // den
+ORDER BY 1, 2
+"""
+
+
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 8
+# weights folded in PYTHON to exact micro literals — no engine ever
+# evaluates a data-dependent pow(); truncated-EWMA over the trailing
+# window, normalized by the embedded weight sum (integer DIV)
+EWMA_W_MICRO = [
+    int(EWMA_ALPHA * (1 - EWMA_ALPHA) ** j * 1_000_000)
+    for j in range(EWMA_WINDOW)
+]
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the daily revenue series — the trend line
+    dashboards overlay on noisy dailies: truncated exponential
+    weights over the trailing EWMA_WINDOW days, with every weight
+    PRECOMPUTED in Python and embedded as an exact micro-unit
+    literal (the data-dependent pow() that breaks cross-engine
+    exactness never reaches either engine; constant folding is the
+    whole trick). Days with a full window emit
+    Σ w_j·cents_{t−j} DIV Σ w_j — exact integer.
+
+    Scale: facts aggregate to day grain first; the lag window runs
+    over one-row-per-day. Output (full-window days): day,
+    revenue_cents, ewma_cents.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.orderBy("day")
+    lags = [F.lag("cents", j).over(w) for j in range(EWMA_WINDOW)]
+    num = sum(
+        (F.lit(wm) * lag for wm, lag in zip(EWMA_W_MICRO, lags)),
+        F.lit(0),
+    )
+    den = sum(EWMA_W_MICRO)
+    return (
+        daily.withColumn("_num", num)
+        .where(F.col("_num").isNotNull())
+        .select(
+            "day",
+            F.col("cents").alias("revenue_cents"),
+            F.expr(f"_num DIV {den}").alias("ewma_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+def _ewma_sql() -> str:
+    terms = " + ".join(
+        f"{wm} * lag(cents, {j}) OVER (ORDER BY day)"
+        for j, wm in enumerate(EWMA_W_MICRO)
+    )
+    den = sum(EWMA_W_MICRO)
+    return f"""
+WITH daily AS (
+  SELECT strftime(o_orderdate::DATE, '%Y-%m-%d') AS day,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1
+), sm AS (
+  SELECT day, cents, ({terms}) AS num FROM daily
+)
+SELECT day, cents AS revenue_cents, (num // {den})::BIGINT AS ewma_cents
+FROM sm WHERE num IS NOT NULL ORDER BY day
+"""
+
+
+MW_SEG_A = "BUILDING"
+MW_SEG_B = "MACHINERY"
+
+
+def mann_whitney_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–WHITNEY U — the NONPARAMETRIC two-sample test (rank-sum;
+    the A/B tool when revenue distributions are skewed and the
+    z-test on means misleads): do BUILDING-segment orders
+    stochastically dominate MACHINERY's? Tie-aware, with the exact
+    tie-corrected normal approximation.
+
+    Exactness discipline: average ranks use the DOUBLED-rank trick —
+    a tie group of size t starting after c smaller values has
+    2·avg_rank = 2c + t + 1, an integer — so the rank sum, U
+    statistic (kept doubled: U2 = 2U), and the tie correction
+    Σ(t³−t) are all exact longs; only the final z folds them through
+    one fixed IEEE expression (two divisions, one sqrt, one floor) —
+    bit-identical across engines.
+
+    Scale shape: ranks aggregate at VALUE grain (group by cents →
+    tie counts + conditional group-A counts), one cumulative window
+    over the distinct-value relation (domain-bounded; for unbounded
+    domains bucket first), then a 1-row reduce. Never a row-grain
+    global sort.
+
+    Output: n_a, n_b, u2_a, tie_term, z_micro.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pool = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .where(F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B))
+        .select(
+            "cents", (F.col("c_mktsegment") == MW_SEG_A).alias("is_a")
+        )
+    )
+    byval = pool.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.col("is_a").cast("long")).alias("ta"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byval.withColumn(
+        "c_le", F.sum("t").over(w)
+    ).select(
+        "cents",
+        "t",
+        "ta",
+        (F.col("c_le") - F.col("t")).alias("c_less"),
+    )
+    agg = ranked.agg(
+        F.sum("ta").alias("n_a"),
+        F.sum(F.col("t") - F.col("ta")).alias("n_b"),
+        F.sum(
+            F.col("ta") * (2 * F.col("c_less") + F.col("t") + 1)
+        ).alias("r2_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2_a"),
+        "tie_term",
+        F.expr(
+            "CAST(floor((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)"
+            " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+            " / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0"
+            "   * (CAST(n_a + n_b + 1 AS DOUBLE)"
+            "      - CAST(tie_term AS DOUBLE)"
+            "        / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("z_micro"),
+    )
+
+
+_MANN_WHITNEY_SQL = f"""
+WITH pool AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS cents,
+         (c_mktsegment = '{MW_SEG_A}') AS is_a
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+), byval AS (
+  SELECT cents, count(*)::BIGINT AS t,
+         sum(is_a::BIGINT)::BIGINT AS ta
+  FROM pool GROUP BY 1
+), ranked AS (
+  SELECT cents, t, ta,
+         (sum(t) OVER (ORDER BY cents) - t)::BIGINT AS c_less
+  FROM byval
+), agg AS (
+  SELECT sum(ta)::BIGINT AS n_a,
+         sum(t - ta)::BIGINT AS n_b,
+         sum(ta * (2 * c_less + t + 1))::BIGINT AS r2_a,
+         sum(t * t * t - t)::BIGINT AS tie_term
+  FROM ranked
+)
+SELECT n_a, n_b,
+       (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a,
+       tie_term,
+       CAST(floor((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                  / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                     * (CAST(n_a + n_b + 1 AS DOUBLE)
+                        - CAST(tie_term AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))))
+                  * 1000000.0) AS BIGINT) AS z_micro
+FROM agg
+"""
+
+
 MEDIAN_BUCKETS = 4096  # histogram resolution for the selection pass
 
 
@@ -1633,6 +1957,9 @@ FROM stats CROSS JOIN cand CROSS JOIN med
 
 QUERIES = {
     "exact_median_selection": exact_median_selection,
+    "mann_whitney_revenue": mann_whitney_revenue,
+    "grouped_percentile_selection": grouped_percentile_selection,
+    "ewma_daily_revenue": ewma_daily_revenue,
     "key_skew_audit": key_skew_audit,
     "modal_priority_per_segment": modal_priority_per_segment,
     "revenue_concentration": revenue_concentration,
@@ -1655,6 +1982,9 @@ QUERIES = {
 
 ORACLES = {
     "exact_median_selection": _EXACT_MEDIAN_SQL,
+    "mann_whitney_revenue": _MANN_WHITNEY_SQL,
+    "grouped_percentile_selection": _grouped_pct_sql(),
+    "ewma_daily_revenue": _ewma_sql(),
     "key_skew_audit": _KEY_SKEW_SQL,
     "modal_priority_per_segment": _MODAL_SQL,
     "revenue_concentration": _CONCENTRATION_SQL,

@@ -408,3 +408,99 @@ def test_exact_median_matches_sorted_truth(spark):
     # selection, not sorting: the final stage ranks one bucket, which
     # must be a small fraction of the column
     assert row.candidate_rows <= max(16, 4 * row.n_rows // prof.MEDIAN_BUCKETS)
+
+
+def test_mann_whitney_planted_dominance_and_ties(spark):
+    """Planted two-sample data: (a) complete dominance gives the
+    maximal U = n1*n2 and a positive z; (b) a hand-computed tied
+    dataset reproduces the textbook tie-corrected statistic."""
+    import math
+    import os
+    import tempfile
+
+    def run(vals_a, vals_b):
+        d = tempfile.mkdtemp(prefix="mw_t_")
+        rows, cust = [], []
+        for i, v in enumerate(vals_a + vals_b):
+            seg = prof.MW_SEG_A if i < len(vals_a) else prof.MW_SEG_B
+            rows.append((i, i, float(v)))
+            cust.append((i, seg))
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            cust, "c_custkey long, c_mktsegment string"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        return prof.mann_whitney_revenue(spark, d).collect()[0]
+
+    # complete dominance: every A value above every B value
+    r = run([10.0, 11.0, 12.0], [1.0, 2.0, 3.0, 4.0])
+    assert (r.n_a, r.n_b) == (3, 4)
+    assert r.u2_a == 2 * 3 * 4  # doubled U at its maximum
+    assert r.tie_term == 0
+    assert r.z_micro > 0
+
+    # textbook tied case: A = [1, 2, 2], B = [2, 3]
+    r = run([0.01, 0.02, 0.02], [0.02, 0.03])
+    # doubled avg ranks: value .01 -> 2; .02 (t=3, c=1) -> 2*1+3+1=6;
+    # .03 (t=1, c=4) -> 2*4+1+1=10. R2_A = 2+6+6 = 14; U2 = 14-12 = 2
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.u2_a == 2
+    assert r.tie_term == 3**3 - 3
+    n, n1, n2 = 5, 3, 2
+    var = n1 * n2 / 12.0 * ((n + 1) - (24.0) / (n * (n - 1)))
+    z = (2 / 2.0 - n1 * n2 / 2.0) / math.sqrt(var)
+    assert r.z_micro == math.floor(z * 1_000_000)
+
+
+def test_grouped_percentile_selection_matches_sorted_truth(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.l_returnflag, r.ptile): r
+        for r in prof.grouped_percentile_selection(spark, sf).collect()
+    }
+    raw = table(spark, sf, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long")
+    ).collect()
+    groups = {}
+    for r in raw:
+        groups.setdefault(r[0], []).append(r[1])
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for lbl, num, den in prof.GP_PERCENTILES:
+            k = (num * n + den - 1) // den
+            r = got[(g, lbl)]
+            assert r.n_rows == n and r.target_rank == k
+            assert r.value_cents == vals[k - 1], (g, lbl)
+    assert len(got) == len(groups) * len(prof.GP_PERCENTILES)
+
+
+def test_ewma_matches_integer_weight_recompute(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = prof.ewma_daily_revenue(spark, sf).collect()
+    raw = table(spark, sf, "orders").collect()
+    daily = {}
+    for r in raw:
+        d = r.o_orderdate.strftime("%Y-%m-%d")
+        daily[d] = daily.get(d, 0) + round(r.o_totalprice * 100)
+    days = sorted(daily)
+    den = sum(prof.EWMA_W_MICRO)
+    want = {}
+    for i in range(len(prof.EWMA_W_MICRO) - 1, len(days)):
+        num = sum(
+            w * daily[days[i - j]] for j, w in enumerate(prof.EWMA_W_MICRO)
+        )
+        want[days[i]] = num // den
+    got = {r.day: r.ewma_cents for r in rows}
+    assert got == want
+    # smoothing: EWMA variance strictly below the raw series variance
+    import statistics
+
+    raw_sd = statistics.pstdev([daily[d] for d in want])
+    ewma_sd = statistics.pstdev(list(want.values()))
+    assert ewma_sd < raw_sd
