@@ -1096,6 +1096,63 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def arrow_grouped_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` — the grouped-Arrow execution seam
+    (``arrow_doc_profile`` covers the map seam): each SOURCE's rows
+    arrive as one ``pyarrow.Table`` and the answer is computed with
+    Arrow compute kernels only — no pandas object-array
+    materialization for the string column, no per-row Python. The
+    per-group stats (docs, char mass, extremes, distinct langs) are
+    exactly SQL-mirrorable, so this seam is hash-checked like every
+    expression path.
+
+    Scale note: applyInArrow shuffles on the group key and hands
+    EACH group to one Python call — right when groups are bounded
+    (domains/sources here, each ≤ thousands of docs), wrong for
+    skewed mega-groups (then: pre-aggregate JVM-side, or bucket the
+    key like the cogroup lesson). Stated trade-off, tested shape.
+
+    Output: source, n_docs, total_chars, max_chars, n_langs.
+    """
+    import pyarrow as pa
+
+    def stats(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        chars = pc.utf8_length(tbl.column("text"))
+        return pa.table(
+            {
+                "source": [tbl.column("source")[0].as_py()],
+                "n_docs": [tbl.num_rows],
+                "total_chars": [pc.sum(chars).as_py()],
+                "max_chars": [pc.max(chars).as_py()],
+                "n_langs": [pc.count_distinct(tbl.column("lang")).as_py()],
+            }
+        )
+
+    docs = table(spark, sf_dir, "documents").select("source", "lang", "text")
+    return (
+        docs.groupBy("source")
+        .applyInArrow(
+            stats,
+            schema=(
+                "source string, n_docs bigint, total_chars bigint, "
+                "max_chars bigint, n_langs bigint"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_ARROW_GROUPED_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       max(length(text))::BIGINT AS max_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def arrow_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``mapInArrow`` — the LAST Python-execution seam the suite
     hadn't isolated (scalar pandas_udf, grouped-agg UDAF, UDTF,
@@ -4224,6 +4281,7 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train_merges": bpe_train_merges,
     "arrow_doc_profile": arrow_doc_profile,
+    "arrow_grouped_source_stats": arrow_grouped_source_stats,
     "export_training_shards": export_training_shards,
     "dedup_exact": dedup_exact,
     "curate_corpus": curate_corpus,
@@ -4280,6 +4338,7 @@ ORACLES = {
     "bpe_pair_counts": _BPE_PAIRS,
     "bpe_train_merges": _bpe_train_oracle(),
     "arrow_doc_profile": _ARROW_PROFILE,
+    "arrow_grouped_source_stats": _ARROW_GROUPED_SQL,
     "export_training_shards": _EXPORT_SHARDS_SQL,
     "dedup_exact": _DEDUP_EXACT,
     "curate_corpus": _CURATE,

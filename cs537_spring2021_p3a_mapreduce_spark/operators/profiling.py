@@ -1527,6 +1527,87 @@ ORDER BY rk
 """
 
 
+BOOTSTRAP_B = 8  # replicas; each rides one md5 per (replica, row)
+
+
+def bootstrap_replica_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP of the mean order value — resampling-based
+    uncertainty WITHOUT data movement (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): instead of
+    materializing B resampled datasets, each row carries B integer
+    weights w_b ~ Binomial(16, 1/16) ≈ Poisson(1) — the count of
+    zero nibbles among 16 md5 nibbles of (replica ‖ key), so the
+    "resampling" is deterministic, engine-portable arithmetic and
+    every replica mean is ONE conditional sum in the SAME single
+    aggregate pass (house one-agg+stack rule; B scans would be the
+    naive shape).
+
+    Exactness: weights and weighted sums are exact longs; each
+    replica mean is integer-DIV micro-cents. The spread of the B
+    replica means IS the sampling-uncertainty estimate a dashboard
+    bands the metric with.
+
+    Output: replica, n_eff, mean_micro_cents.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+
+    def w(b: int) -> Column:
+        h = F.md5(
+            F.concat(F.lit(f"boot{b}:"), F.col("o_orderkey").cast("string"))
+        )
+        first16 = F.substring(h, 1, 16)
+        return (
+            F.lit(16) - F.length(F.regexp_replace(first16, "0", ""))
+        ).cast("long")
+
+    aggs = []
+    for b in range(BOOTSTRAP_B):
+        wb = w(b)
+        aggs.append(F.sum(wb).alias(f"n{b}"))
+        aggs.append(F.sum(wb * F.col("cents")).alias(f"s{b}"))
+    wide = orders.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) AS (replica, n_eff, wsum)".format(
+                n=BOOTSTRAP_B,
+                args=", ".join(
+                    f"{b}, n{b}, s{b}" for b in range(BOOTSTRAP_B)
+                ),
+            )
+        )
+    )
+    return stacked.select(
+        F.col("replica").cast("long").alias("replica"),
+        "n_eff",
+        F.expr("(wsum * 1000000) DIV n_eff").alias("mean_micro_cents"),
+    ).orderBy("replica")
+
+
+def _bootstrap_sql() -> str:
+    branches = " UNION ALL ".join(
+        f"""
+    SELECT {b}::BIGINT AS replica,
+           sum(w)::BIGINT AS n_eff,
+           ((sum(w * cents) * 1000000) // sum(w))::BIGINT AS mean_micro_cents
+    FROM (
+      SELECT cents,
+             (16 - length(replace(substr(md5('boot{b}:' || o_orderkey::VARCHAR), 1, 16),
+                                  '0', '')))::BIGINT AS w
+      FROM c
+    )"""
+        for b in range(BOOTSTRAP_B)
+    )
+    return f"""
+WITH c AS (
+  SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents FROM orders
+)
+{branches}
+ORDER BY replica
+"""
+
+
 GP_PERCENTILES = ((50, 1, 2), (90, 9, 10), (99, 99, 100))  # (label, num, den)
 
 
@@ -1958,6 +2039,7 @@ FROM stats CROSS JOIN cand CROSS JOIN med
 QUERIES = {
     "exact_median_selection": exact_median_selection,
     "mann_whitney_revenue": mann_whitney_revenue,
+    "bootstrap_replica_means": bootstrap_replica_means,
     "grouped_percentile_selection": grouped_percentile_selection,
     "ewma_daily_revenue": ewma_daily_revenue,
     "key_skew_audit": key_skew_audit,
@@ -1983,6 +2065,7 @@ QUERIES = {
 ORACLES = {
     "exact_median_selection": _EXACT_MEDIAN_SQL,
     "mann_whitney_revenue": _MANN_WHITNEY_SQL,
+    "bootstrap_replica_means": _bootstrap_sql(),
     "grouped_percentile_selection": _grouped_pct_sql(),
     "ewma_daily_revenue": _ewma_sql(),
     "key_skew_audit": _KEY_SKEW_SQL,

@@ -2583,6 +2583,73 @@ FROM events GROUP BY 1, 2
 """
 
 
+def ivm_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an AGGREGATE under inserts
+    AND deletes (the counting method proper — the join twin
+    ``incremental_join_maintenance`` covers the insert-only join
+    algebra): a materialized day-grain (count, sum) rollup absorbs a
+    retraction batch (orders with keys ≡ 4 mod 10 leave) and an
+    insert batch (keys ≡ 7 mod 10 — carved out of the base here, as
+    late arrivals) as SIGNED delta rows merged by one keyed
+    aggregate:  V' = groupΣ(V ∪ +Δins ∪ −Δdel).  Refresh work is
+    ∝ |Δ|, never a base rescan; groups whose maintained count hits
+    zero VANISH (the counting method's reason to carry counts at
+    all) — enforced by a post-merge filter, pinned by the oracle.
+
+    The materialized base rollup is written to parquet and read
+    back (the stored-view shape); only the delta scans touch the
+    fact table. Oracle: from-scratch aggregation of the final row
+    set — any missed retraction or double-applied insert
+    hash-mismatches.
+
+    Output: day, n_orders, sum_cents.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    base = orders.where(F.col("o_orderkey") % 10 != 7)
+    view_path = os.path.join(scratch_dir("ivm_agg_"), "view")
+    base.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    ).write.mode("overwrite").parquet(view_path)
+    stored = spark.read.parquet(view_path)
+    d_ins = (
+        orders.where(F.col("o_orderkey") % 10 == 7)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    d_del = (
+        base.where(F.col("o_orderkey") % 10 == 4)
+        .groupBy("day")
+        .agg(
+            (-F.count(F.lit(1))).alias("n"),
+            (-F.sum("cents")).alias("s"),
+        )
+    )
+    merged = (
+        stored.unionByName(d_ins)
+        .unionByName(d_del)
+        .groupBy("day")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("sum_cents"))
+        .where(F.col("n_orders") > 0)
+    )
+    return merged.orderBy("day")
+
+
+_IVM_AGG_SQL = """
+SELECT strftime(o_orderdate::DATE, '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+WHERE o_orderkey % 10 <> 4
+GROUP BY 1
+HAVING count(*) > 0
+ORDER BY 1
+"""
+
+
 def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental VIEW maintenance for a JOIN — the delta algebra
     behind every materialized join view (IVM; Blakeley et al.'s
@@ -3561,6 +3628,7 @@ QUERIES = {
     "cms_user_frequencies": cms_user_frequencies,
     "incremental_rollup": incremental_rollup,
     "incremental_join_maintenance": incremental_join_maintenance,
+    "ivm_aggregate_maintenance": ivm_aggregate_maintenance,
     "map_functions_profile": map_functions_profile,
     "pandas_udaf_priority_stats": pandas_udaf_priority_stats,
     "agg_pricing_summary": agg_pricing_summary,
@@ -3630,6 +3698,7 @@ ORACLES = {
     "cms_user_frequencies": _CMS,
     "incremental_rollup": _INC_ROLLUP,
     "incremental_join_maintenance": _IVM_JOIN,
+    "ivm_aggregate_maintenance": _IVM_AGG_SQL,
     "map_functions_profile": _MAP_PROFILE,
     "pandas_udaf_priority_stats": _PANDAS_UDAF,
     "agg_pricing_summary": _Q1,

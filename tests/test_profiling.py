@@ -504,3 +504,32 @@ def test_ewma_matches_integer_weight_recompute(spark):
     raw_sd = statistics.pstdev([daily[d] for d in want])
     ewma_sd = statistics.pstdev(list(want.values()))
     assert ewma_sd < raw_sd
+
+
+def test_bootstrap_weights_match_python_md5(spark):
+    """Replica weights recompute exactly from md5 zero-nibble
+    counts; the mean formula and effective sample size follow."""
+    import hashlib
+    import os
+    import tempfile
+
+    rows = [(i, i, float(1 + i % 7)) for i in range(200)]
+    d = tempfile.mkdtemp(prefix="boot_t_")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    got = {r.replica: r for r in prof.bootstrap_replica_means(spark, d).collect()}
+    assert set(got) == set(range(prof.BOOTSTRAP_B))
+    for b in range(prof.BOOTSTRAP_B):
+        n_eff = wsum = 0
+        for k, _, p in rows:
+            h = hashlib.md5(f"boot{b}:{k}".encode()).hexdigest()[:16]
+            w = h.count("0")
+            n_eff += w
+            wsum += w * round(p * 100)
+        r = got[b]
+        assert r.n_eff == n_eff
+        assert r.mean_micro_cents == (wsum * 1_000_000) // n_eff
+    # Poisson(1)-ish weights: n_eff within 35% of n on every replica
+    for r in got.values():
+        assert 0.65 * len(rows) < r.n_eff < 1.35 * len(rows)

@@ -365,3 +365,32 @@ def test_explode_outer_keeps_empty_docs(spark):
     assert row.n_docs_out == n_docs          # no silent doc loss
     assert row.n_null_tokens == n_nulled     # one NULL row per empty doc
     assert row.n_real_tokens > 0
+
+
+def test_ivm_aggregate_vanishing_group_and_delta_merge(spark):
+    """A day whose every order retracts must VANISH from the
+    maintained view (the counting-method contract), and the merge
+    equals a from-scratch aggregate of the surviving rows."""
+    import datetime
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import relational as R
+
+    rows = []
+    # day 1: only keys ending in 4 -> fully retracted -> vanishes
+    rows += [(4, 1, 10.0, datetime.date(2024, 1, 1))]
+    rows += [(14, 1, 20.0, datetime.date(2024, 1, 1))]
+    # day 2: mix of stay (1), late insert (7), retract (24)
+    rows += [(1, 1, 5.0, datetime.date(2024, 1, 2))]
+    rows += [(7, 1, 7.0, datetime.date(2024, 1, 2))]
+    rows += [(24, 1, 9.0, datetime.date(2024, 1, 2))]
+    d = tempfile.mkdtemp(prefix="ivm_t_")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    got = {r.day: r for r in R.ivm_aggregate_maintenance(spark, d).collect()}
+    assert "2024-01-01" not in got  # vanished group
+    assert got["2024-01-02"].n_orders == 2  # keys 1 and 7 survive
+    assert got["2024-01-02"].sum_cents == 500 + 700
