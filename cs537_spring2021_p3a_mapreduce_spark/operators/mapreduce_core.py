@@ -518,6 +518,159 @@ FROM orders WHERE o_orderkey % 2 = 0
 """
 
 
+def partition_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION (the Iceberg capability Hive tables lack):
+    history written under layout v1 (partitioned by event_type)
+    stays as-is while new data lands under layout v2 (event_type ×
+    hour) — evolving the spec NEVER rewrites old files; a reader
+    unions both layouts and aggregates across them seamlessly. The
+    v2 scan still prunes on the finer key (plan-checked in tests):
+    old data answers with v1 pruning, new data with v2's.
+
+    Here: events with even ids are "history" (v1), odd ids are
+    "post-evolution" (v2); the query aggregates per event_type
+    across both — the oracle is the plain aggregate over everything,
+    so a dropped or double-read layout hash-mismatches.
+
+    Output: event_type, n_events, sum_cents.
+    """
+    base = scratch_dir("part_evo_")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(v1)
+    ev.where(F.col("event_id") % 2 == 1).write.mode("overwrite").partitionBy(
+        "event_type", "hr"
+    ).parquet(v2)
+    old = spark.read.parquet(v1).select("event_type", "cents")
+    new = spark.read.parquet(v2).select("event_type", "cents")
+    return (
+        old.unionByName(new)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PART_EVO_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-GOVERNANCE masking view — the column-masking /
+    row-filter pattern every warehouse applies before analysts see
+    PII: names reduce to a deterministic md5 surrogate (joinable
+    across tables, irreversible) plus a partial-reveal mask
+    (prefix + last 2 chars), account balances round to whole
+    currency units (k-anonymity-style coarsening), and a ROW filter
+    hides a restricted segment entirely. All masking is pure
+    expressions — the governed view costs nothing at any scale and
+    predicate pushdown still reaches the scan through it.
+
+    Output: c_custkey, name_surrogate, name_masked,
+    balance_dollars, c_mktsegment.
+    """
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.where(F.col("c_mktsegment") != "AUTOMOBILE")  # row policy
+        .select(
+            "c_custkey",
+            F.md5(F.concat(F.lit("mask:"), F.col("c_name"))).alias(
+                "name_surrogate"
+            ),
+            F.concat(
+                F.substring("c_name", 1, 9),
+                F.lit("****"),
+                F.substring(F.col("c_name"), -2, 2),
+            ).alias("name_masked"),
+            F.expr(
+                "CAST(round(c_acctbal * 100) AS BIGINT) DIV 100"
+            ).alias("balance_dollars"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_MASKED_VIEW_SQL = """
+SELECT c_custkey,
+       md5('mask:' || c_name) AS name_surrogate,
+       substr(c_name, 1, 9) || '****' || substr(c_name, -2, 2) AS name_masked,
+       (round(c_acctbal * 100)::BIGINT // 100)::BIGINT AS balance_dollars,
+       c_mktsegment
+FROM customer
+WHERE c_mktsegment <> 'AUTOMOBILE'
+ORDER BY c_custkey
+"""
+
+
+K_ANON = 5  # minimum group size before a quasi-identifier combo leaks
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit — the release-gate check behind the masking
+    view: does any QUASI-IDENTIFIER combination (nation × segment ×
+    coarse balance band — attributes an adversary can link
+    externally) isolate fewer than K individuals? Groups under K are
+    re-identification risks the release must suppress or generalize
+    further; the audit reports each violating combination with its
+    size, plus summary shares.
+
+    Scale: one hash aggregate on the quasi-identifier key + a
+    heap-ranked violation list — the audit costs one aggregate at
+    any corpus size. Coarsening (the balance band) is the knob: the
+    test pins that WIDER bands strictly reduce violations.
+
+    Output (violating combos, worst first): c_nationkey,
+    c_mktsegment, balance_band, group_n, n_total.
+    """
+    cust = table(spark, sf_dir, "customer")
+    band = F.expr(
+        "CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000"
+    )  # $1000 bands
+    total = cust.agg(F.count(F.lit(1)).alias("n_total"))
+    groups = (
+        cust.select(
+            "c_nationkey", "c_mktsegment", band.alias("balance_band")
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "balance_band")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .where(F.col("group_n") < K_ANON)
+    )
+    return (
+        groups.crossJoin(F.broadcast(total))
+        .orderBy(
+            "group_n", "c_nationkey", "c_mktsegment", "balance_band"
+        )
+    )
+
+
+_K_ANON_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         round(c_acctbal * 100)::BIGINT // 100000 AS balance_band,
+         count(*)::BIGINT AS group_n
+  FROM customer GROUP BY 1, 2, 3
+), t AS (SELECT count(*)::BIGINT AS n_total FROM customer)
+SELECT c_nationkey, c_mktsegment, balance_band, group_n, n_total
+FROM g CROSS JOIN t
+WHERE group_n < {K_ANON}
+ORDER BY group_n, c_nationkey, c_mktsegment, balance_band
+"""
+
+
 def tpch_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H REFRESH STREAMS (the RF1 insert / RF2 delete half of
     the spec the 22 query archetypes come from) against the
@@ -1454,6 +1607,9 @@ QUERIES = {
     "manifest_time_travel": manifest_time_travel,
     "manifest_vacuum_roundtrip": manifest_vacuum_roundtrip,
     "tpch_refresh_roundtrip": tpch_refresh_roundtrip,
+    "partition_evolution_roundtrip": partition_evolution_roundtrip,
+    "masked_customer_view": masked_customer_view,
+    "k_anonymity_audit": k_anonymity_audit,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_changes_cdc": manifest_changes_cdc,
@@ -1532,6 +1688,9 @@ ORACLES = {
     "manifest_time_travel": _MANIFEST_TT,
     "manifest_vacuum_roundtrip": _MANIFEST_VACUUM,
     "tpch_refresh_roundtrip": _TPCH_REFRESH,
+    "partition_evolution_roundtrip": _PART_EVO_SQL,
+    "masked_customer_view": _MASKED_VIEW_SQL,
+    "k_anonymity_audit": _K_ANON_SQL,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,
     "manifest_changes_cdc": _MANIFEST_CDC,

@@ -936,3 +936,113 @@ def test_conditional_put_commit_protocol_cas_semantics():
     assert [f["file"] for f in read_committed_files(store)] == [
         "part-final.parquet"
     ]
+
+
+def test_partition_evolution_prunes_both_layouts(spark):
+    """The hybrid read prunes on each layout's own keys: a v1 filter
+    prunes by event_type; a v2 filter prunes by (event_type, hr) —
+    partition evolution must not cost old data its pruning."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import (
+        mapreduce_core as mc,
+    )
+
+    # run the roundtrip (writes the two layouts), then re-derive the
+    # scratch dirs from the registered query's own writes by writing
+    # fresh ones here
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+    base = tempfile.mkdtemp(prefix="pe_t_")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", F.hour("ts").alias("hr")
+    )
+    ev.where(F.col("event_id") % 2 == 0).write.partitionBy("event_type").parquet(v1)
+    ev.where(F.col("event_id") % 2 == 1).write.partitionBy(
+        "event_type", "hr"
+    ).parquet(v2)
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    p1 = plan(spark.read.parquet(v1).where("event_type = 'click'"))
+    assert "PartitionFilters: [isnotnull(event_type" in p1
+    p2 = plan(
+        spark.read.parquet(v2).where("event_type = 'click' AND hr = 3")
+    )
+    assert "isnotnull(hr" in p2  # finer key prunes on the new layout
+    # and the registered roundtrip is exact end-to-end
+    rows = mc.partition_evolution_roundtrip(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    raw = table(spark, "/root/testdata/sf0.001", "events").collect()
+    want = {}
+    for r in raw:
+        c = round(r.value * 100)
+        n, s = want.get(r.event_type, (0, 0))
+        want[r.event_type] = (n + 1, s + c)
+    assert {(r.event_type, r.n_events, r.sum_cents) for r in rows} == {
+        (k, n, s) for k, (n, s) in want.items()
+    }
+
+
+def test_masked_view_is_irreversible_and_filtered(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import (
+        mapreduce_core as mc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = mc.masked_customer_view(spark, sf).collect()
+    raw = {r.c_custkey: r for r in table(spark, sf, "customer").collect()}
+    assert rows
+    for r in rows:
+        assert r.c_mktsegment != "AUTOMOBILE"  # row policy enforced
+        orig = raw[r.c_custkey]
+        assert orig.c_name not in r.name_surrogate  # no raw PII leaks
+        assert r.name_masked.startswith(orig.c_name[:9])
+        assert r.name_masked.endswith(orig.c_name[-2:])
+        assert "****" in r.name_masked
+        # coarsened balance: truncated toward zero, within one dollar
+        assert abs(r.balance_dollars - orig.c_acctbal) < 1.0
+
+
+def test_k_anonymity_audit_exact_and_coarsening_monotone(spark):
+    """Violations match a Python recompute, and coarsening the
+    balance band (x10 wider) strictly reduces risky combos — the
+    generalization knob behaves."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.operators import (
+        mapreduce_core as mc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = mc.k_anonymity_audit(spark, sf).collect()
+    raw = table(spark, sf, "customer").collect()
+
+    def count_violations(band_cents):
+        g = {}
+        for r in raw:
+            cents = round(r.c_acctbal * 100)
+            # Spark DIV / DuckDB // truncate toward zero on negatives
+            # (Python // floors — mirror truncation explicitly)
+            band = abs(cents) // band_cents * (1 if cents >= 0 else -1)
+            key = (r.c_nationkey, r.c_mktsegment, band)
+            g[key] = g.get(key, 0) + 1
+        return {k: n for k, n in g.items() if n < mc.K_ANON}
+
+    want = count_violations(100_000)
+    got = {
+        (r.c_nationkey, r.c_mktsegment, r.balance_band): r.group_n
+        for r in rows
+    }
+    assert got == want
+    assert all(r.n_total == len(raw) for r in rows)
+    assert len(count_violations(1_000_000)) < len(want)
