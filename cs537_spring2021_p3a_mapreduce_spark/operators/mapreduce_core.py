@@ -616,6 +616,79 @@ ORDER BY c_custkey
 """
 
 
+def multi_table_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE ATOMIC COMMIT — the consistency level per-table
+    formats lack (a Delta/Iceberg commit is atomic per TABLE; a
+    pipeline publishing facts + summary together can be read torn
+    between them): both tables stage through the ordinary manifest
+    sink, then ONE lock-guarded atomic catalog rename flips their
+    visible generations together (``sources/catalog_commit.py``).
+
+    This query drives the torn-read impossibility end-to-end:
+    publish a consistent pair (v1 = even orders in both tables),
+    stage a SECOND generation into ONLY the facts table (a crashed
+    publisher: data committed per-table, catalog never flipped),
+    then read both tables THROUGH THE CATALOG — the reader must see
+    the v1-consistent pair on both sides, with the straggler's rows
+    invisible. The oracle is the consistent pair's SQL, so any
+    torn-state leak hash-mismatches.
+
+    Output: side, n_rows, sum_cents (one row per table).
+    """
+    from ..sources.catalog_commit import publish_tables, read_catalog_table
+    from ..sources.manifest_sink import ManifestParquetSink
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    base = scratch_dir("catalog_tx_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    evens = orders.where(F.col("o_orderkey") % 2 == 0)
+    evens.write.format("mr_manifest").option(
+        "path", os.path.join(base, "facts")
+    ).mode("append").save()
+    evens.groupBy((F.col("o_orderkey") % 10).alias("bucket")).agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")
+    ).write.format("mr_manifest").option(
+        "path", os.path.join(base, "summary")
+    ).mode("append").save()
+    publish_tables(base, ["facts", "summary"])
+    # crashed second publisher: facts staged gen 2, catalog untouched
+    orders.where(F.col("o_orderkey") % 2 == 1).write.format(
+        "mr_manifest"
+    ).option("path", os.path.join(base, "facts")).mode("append").save()
+    facts = read_catalog_table(spark, base, "facts")
+    summary = read_catalog_table(spark, base, "summary")
+    a = facts.agg(
+        F.lit("facts").alias("side"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    b = summary.agg(
+        F.lit("summary").alias("side"),
+        F.sum("n").alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return a.unionByName(b).orderBy("side")
+
+
+_MULTI_TABLE_SQL = """
+SELECT 'facts' AS side, count(*)::BIGINT AS n_rows,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'summary', count(*)::BIGINT,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+FROM orders WHERE o_orderkey % 2 = 0
+ORDER BY side
+"""
+
+
 K_ANON = 5  # minimum group size before a quasi-identifier combo leaks
 
 
@@ -1610,6 +1683,7 @@ QUERIES = {
     "partition_evolution_roundtrip": partition_evolution_roundtrip,
     "masked_customer_view": masked_customer_view,
     "k_anonymity_audit": k_anonymity_audit,
+    "multi_table_commit_roundtrip": multi_table_commit_roundtrip,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_changes_cdc": manifest_changes_cdc,
@@ -1691,6 +1765,7 @@ ORACLES = {
     "partition_evolution_roundtrip": _PART_EVO_SQL,
     "masked_customer_view": _MASKED_VIEW_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
+    "multi_table_commit_roundtrip": _MULTI_TABLE_SQL,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,
     "manifest_changes_cdc": _MANIFEST_CDC,

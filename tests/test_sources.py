@@ -1046,3 +1046,99 @@ def test_k_anonymity_audit_exact_and_coarsening_monotone(spark):
     assert got == want
     assert all(r.n_total == len(raw) for r in rows)
     assert len(count_violations(1_000_000)) < len(want)
+
+
+def test_catalog_commit_atomicity_and_time_travel(spark, tmp_path):
+    """Cross-table catalog protocol: staged-but-unpublished
+    generations are invisible; a later publish flips both tables at
+    once; old catalog versions stay readable (time travel)."""
+    from cs537_spring2021_p3a_mapreduce_spark.sources.catalog_commit import (
+        publish_tables,
+        read_catalog,
+        read_catalog_table,
+    )
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    base = str(tmp_path / "cat")
+
+    def write(name, lo, hi):
+        spark.range(lo, hi).selectExpr("id AS k").write.format(
+            "mr_manifest"
+        ).option("path", f"{base}/{name}").mode("append").save()
+
+    write("a", 0, 10)
+    write("b", 0, 5)
+    v1 = publish_tables(base, ["a", "b"])
+    assert v1["version"] == 1
+    # crashed publisher: a gains a staged generation, no publish
+    write("a", 10, 20)
+    assert {r.k for r in read_catalog_table(spark, base, "a").collect()} == set(
+        range(10)
+    )  # straggler invisible
+    # successful second publish flips both together
+    write("b", 5, 8)
+    v2 = publish_tables(base, ["a", "b"])
+    assert v2["version"] == 2
+    assert {r.k for r in read_catalog_table(spark, base, "a").collect()} == set(
+        range(20)
+    )
+    assert {r.k for r in read_catalog_table(spark, base, "b").collect()} == set(
+        range(8)
+    )
+    # catalog time travel: v1 still reads the original consistent pair
+    assert {
+        r.k for r in read_catalog_table(spark, base, "a", version=1).collect()
+    } == set(range(10))
+    assert read_catalog(base)["tables"] == {"a": 2, "b": 2}
+
+
+def test_catalog_concurrent_publishers_serialize(spark, tmp_path):
+    """Two publishers racing on overlapping table sets: the lock
+    serializes them — both versions land, monotone, and the final
+    catalog maps every table to its true latest generation."""
+    import threading
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.catalog_commit import (
+        publish_tables,
+        read_catalog,
+    )
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    base = str(tmp_path / "cat2")
+    for name in ("x", "y"):
+        spark.range(0, 5).selectExpr("id AS k").write.format(
+            "mr_manifest"
+        ).option("path", f"{base}/{name}").mode("append").save()
+
+    errs = []
+
+    def pub(names):
+        try:
+            publish_tables(base, names)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=pub, args=(ns,))
+        for ns in (["x"], ["y"], ["x", "y"], ["y", "x"])
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    doc = read_catalog(base)
+    assert doc["version"] == 4  # every publish landed, serialized
+    assert doc["tables"] == {"x": 1, "y": 1}
