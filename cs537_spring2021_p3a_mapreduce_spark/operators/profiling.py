@@ -1527,6 +1527,121 @@ ORDER BY rk
 """
 
 
+def status_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE STATE-MACHINE consistency audit — the business-
+    rule check FK audits don't cover: TPC-H's invariant is that an
+    order's status derives from its lineitems (all F → 'F', all O →
+    'O', mixed → 'P'). Each order is classified from its lineitem
+    statuses in ONE aggregate (conditional counts, map-side
+    combined), joined to the header claim, and every
+    (claimed, derived) combination is counted with a violation
+    flag — the reconciliation matrix a data-quality dashboard shows.
+
+    Scale: one lineitem aggregate at order grain + one header join
+    on the same key (co-partitioned) + a 9-cell summary. Never wider
+    than the fact table's key space.
+
+    Output: o_orderstatus, derived_status, n_orders, is_violation.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus"
+    )
+    derived = li.groupBy("l_orderkey").agg(
+        F.sum((F.col("l_linestatus") == "F").cast("long")).alias("nf"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_orderkey",
+        F.when(F.col("nf") == F.col("n"), F.lit("F"))
+        .when(F.col("nf") == 0, F.lit("O"))
+        .otherwise(F.lit("P"))
+        .alias("derived_status"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return (
+        orders.join(derived, "l_orderkey")
+        .groupBy("o_orderstatus", "derived_status")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderstatus",
+            "derived_status",
+            "n_orders",
+            (F.col("o_orderstatus") != F.col("derived_status"))
+            .cast("int")
+            .alias("is_violation"),
+        )
+        .orderBy("o_orderstatus", "derived_status")
+    )
+
+
+_STATUS_AUDIT_SQL = """
+WITH derived AS (
+  SELECT l_orderkey,
+         CASE WHEN sum((l_linestatus = 'F')::BIGINT) = count(*) THEN 'F'
+              WHEN sum((l_linestatus = 'F')::BIGINT) = 0 THEN 'O'
+              ELSE 'P' END AS derived_status
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderstatus, derived_status, count(*)::BIGINT AS n_orders,
+       (o_orderstatus <> derived_status)::INT AS is_violation
+FROM orders JOIN derived ON o_orderkey = l_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-USER INTER-ARRIVAL gap statistics rolled up per event
+    type — the traffic-shape signal (bursty vs steady users, bot
+    cadences, dead sessions) behind rate limiting and session-gap
+    tuning: consecutive same-user event gaps from ONE lag window
+    (per-user partitions — never a global sort), then a map-side
+    combinable aggregate per event type of the FOLLOWING event.
+
+    Determinism: gaps are exact microsecond longs; the mean is one
+    integer DIV. Output: event_type, n_gaps, mean_gap_us,
+    max_gap_us, min_gap_us.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("prev_us", F.lag("us").over(w)).where(
+        F.col("prev_us").isNotNull()
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("sum(us - prev_us) DIV count(1)").alias("mean_gap_us"),
+            F.max(F.col("us") - F.col("prev_us")).alias("max_gap_us"),
+            F.min(F.col("us") - F.col("prev_us")).alias("min_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_gaps,
+       (sum(us - prev_us) // count(*))::BIGINT AS mean_gap_us,
+       max(us - prev_us)::BIGINT AS max_gap_us,
+       min(us - prev_us)::BIGINT AS min_gap_us
+FROM g WHERE prev_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 BOOTSTRAP_B = 8  # replicas; each rides one md5 per (replica, row)
 
 
@@ -2040,6 +2155,8 @@ QUERIES = {
     "exact_median_selection": exact_median_selection,
     "mann_whitney_revenue": mann_whitney_revenue,
     "bootstrap_replica_means": bootstrap_replica_means,
+    "status_consistency_audit": status_consistency_audit,
+    "interarrival_gap_stats": interarrival_gap_stats,
     "grouped_percentile_selection": grouped_percentile_selection,
     "ewma_daily_revenue": ewma_daily_revenue,
     "key_skew_audit": key_skew_audit,
@@ -2066,6 +2183,8 @@ ORACLES = {
     "exact_median_selection": _EXACT_MEDIAN_SQL,
     "mann_whitney_revenue": _MANN_WHITNEY_SQL,
     "bootstrap_replica_means": _bootstrap_sql(),
+    "status_consistency_audit": _STATUS_AUDIT_SQL,
+    "interarrival_gap_stats": _INTERARRIVAL_SQL,
     "grouped_percentile_selection": _grouped_pct_sql(),
     "ewma_daily_revenue": _ewma_sql(),
     "key_skew_audit": _KEY_SKEW_SQL,

@@ -533,3 +533,58 @@ def test_bootstrap_weights_match_python_md5(spark):
     # Poisson(1)-ish weights: n_eff within 35% of n on every replica
     for r in got.values():
         assert 0.65 * len(rows) < r.n_eff < 1.35 * len(rows)
+
+
+def test_status_audit_matrix_complete_and_exact(spark):
+    """The reconciliation matrix partitions ALL orders (cells sum to
+    the order count) and matches a Python re-derivation; violation
+    flags mark exactly the off-diagonal cells."""
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = prof.status_consistency_audit(spark, sf).collect()
+    li = table(spark, sf, "lineitem").collect()
+    st = {}
+    for r in li:
+        nf, n = st.get(r.l_orderkey, (0, 0))
+        st[r.l_orderkey] = (nf + (r.l_linestatus == "F"), n + 1)
+    orders = table(spark, sf, "orders").collect()
+    want = {}
+    n_with_lines = 0
+    for o in orders:
+        if o.o_orderkey not in st:
+            continue  # lineitem-less orders have no derivable status
+        n_with_lines += 1
+        nf, n = st[o.o_orderkey]
+        d = "F" if nf == n else ("O" if nf == 0 else "P")
+        want[(o.o_orderstatus, d)] = want.get((o.o_orderstatus, d), 0) + 1
+    got = {(r.o_orderstatus, r.derived_status): r.n_orders for r in rows}
+    assert got == want
+    assert sum(got.values()) == n_with_lines
+    for r in rows:
+        assert r.is_violation == int(r.o_orderstatus != r.derived_status)
+
+
+def test_interarrival_gaps_match_recompute(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.event_type: r for r in prof.interarrival_gap_stats(spark, sf).collect()}
+    ev = table(spark, sf, "events").collect()
+    by_user = {}
+    for r in ev:
+        us = int(r.ts.timestamp() * 1_000_000)
+        by_user.setdefault(r.user_id, []).append((us, r.event_id, r.event_type))
+    want = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (pu, _, _), (cu, _, et) in zip(seq, seq[1:]):
+            n, s, mx, mn = want.get(et, (0, 0, 0, None))
+            g = cu - pu
+            want[et] = (n + 1, s + g, max(mx, g), g if mn is None else min(mn, g))
+    assert set(rows) == set(want)
+    for et, (n, s, mx, mn) in want.items():
+        r = rows[et]
+        assert (r.n_gaps, r.mean_gap_us, r.max_gap_us, r.min_gap_us) == (
+            n, s // n, mx, mn
+        )
