@@ -289,3 +289,26 @@ def test_gif_decoder_rejects_unsupported_variants():
     bad[idesc + 9] |= 0x40
     with pytest.raises(NotImplementedError):
         _decode_gif(bytes(bad))
+
+
+def test_gif_lzw_decoder_rejects_corrupt_streams():
+    """Corruption must fail loudly, never return wrong pixels: a
+    truncated stream (no EOI) and an out-of-range code both raise."""
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    good = _lzw_encode_gif(bytes(range(100)), 8)
+    with pytest.raises(ValueError):
+        _lzw_decode_gif(good[: len(good) // 2], 8)  # truncated, no EOI
+    # a 9-bit stream opening with code 300 (> clear+1, nothing after
+    # a CLEAR may exceed the table) must be rejected
+    import struct
+
+    bits = (256) | (300 << 9)  # CLEAR then an impossible first code
+    payload = struct.pack("<I", bits)[:3] + b"\x00" * 4
+    with pytest.raises(ValueError):
+        _lzw_decode_gif(payload, 8)

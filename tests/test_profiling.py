@@ -588,3 +588,40 @@ def test_interarrival_gaps_match_recompute(spark):
         assert (r.n_gaps, r.mean_gap_us, r.max_gap_us, r.min_gap_us) == (
             n, s // n, mx, mn
         )
+
+
+def test_selection_operators_degenerate_distributions(spark):
+    """Histogram selection survives the degenerate shapes: all-equal
+    values (every row lands in bucket 0), a single row, and a
+    two-point bimodal column."""
+    import os
+    import tempfile
+
+    def orders_table(vals):
+        d = tempfile.mkdtemp(prefix="sel_t_")
+        spark.createDataFrame(
+            [(i, 1, float(v)) for i, v in enumerate(vals)],
+            "l_orderkey long, l_partkey long, l_extendedprice double",
+        ).selectExpr(
+            "l_orderkey", "l_extendedprice", "'N' AS l_returnflag"
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        return d
+
+    # all-equal: median is the value, candidate bucket holds all rows
+    d = orders_table([7.5] * 100)
+    r = prof.exact_median_selection(spark, d).collect()[0]
+    assert (r.n_rows, r.median_cents) == (100, 750)
+    # single row
+    d = orders_table([3.25])
+    r = prof.exact_median_selection(spark, d).collect()[0]
+    assert (r.n_rows, r.target_rank, r.median_cents) == (1, 1, 325)
+    # bimodal two-point: lower median at even counts is the low value
+    d = orders_table([1.0] * 50 + [9.0] * 50)
+    r = prof.exact_median_selection(spark, d).collect()[0]
+    assert (r.n_rows, r.target_rank, r.median_cents) == (100, 50, 100)
+    # grouped percentile on the bimodal: p50 low, p99 high
+    got = {
+        (x.l_returnflag, x.ptile): x.value_cents
+        for x in prof.grouped_percentile_selection(spark, d).collect()
+    }
+    assert got[("N", 50)] == 100 and got[("N", 99)] == 900
