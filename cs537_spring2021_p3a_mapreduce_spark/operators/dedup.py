@@ -21,9 +21,9 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..catalog import table
+from ..session import track_persist
 from ..functions.text import tokens
 
 SHINGLE_K = 3
@@ -159,9 +159,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The exact-Jaccard verify needs shingle SETS, but only for
     # candidate docs — dedupe AFTER a semi-join down to candidates,
     # so the distinct's shuffle is candidate-sized, not corpus-sized.
-    cands = minhash_candidates(
-        spark, sf_dir, _shingles_raw(spark, sf_dir)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = track_persist(
+        minhash_candidates(spark, sf_dir, _shingles_raw(spark, sf_dir))
+    )
     cand_ids = (
         cands.select(F.col("a_id").alias("doc_id"))
         .unionByName(cands.select(F.col("b_id").alias("doc_id")))
@@ -171,8 +171,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles_raw(spark, sf_dir)
         .join(cand_ids, "doc_id", "left_semi")  # Catalyst/AQE picks broadcast when it fits
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    shingles = track_persist(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sh"))
     sb = shingles.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh"))
@@ -262,7 +262,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # fps feeds both sides of the band self-join — persist so the
     # fingerprint aggregation runs once (spillable, as in minhash).
-    fps = _simhash_fp(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    fps = track_persist(_simhash_fp(spark, sf_dir))
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = fps.select(
@@ -364,7 +364,7 @@ def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import scratch_dir
 
     is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
-    raw = _shingles_raw(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    raw = track_persist(_shingles_raw(spark, sf_dir))
     n_bands = N_HASHES // BAND_ROWS
 
     def bands_of(sigs: DataFrame) -> DataFrame:
@@ -394,8 +394,8 @@ def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("new_id", "corpus_id")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cands = track_persist(cands)
     # exact verify on candidate docs only (semi-join-scoped sets)
     cand_docs = (
         cands.select(F.col("new_id").alias("doc_id"))
@@ -587,7 +587,7 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     |∩| per pair, J = |∩|/(|a|+|b|−|∩|), single IEEE division,
     round 6. Output: a_id, b_id, jaccard for J ≥ t.
     """
-    posting = _string_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    posting = track_persist(_string_shingles(spark, sf_dir))
     freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..session import track_persist
 from .dedup import dedup_minhash
 
 CC_MAX_ITER = 25
@@ -641,7 +642,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    ).persist()
+    )
+    oriented = track_persist(oriented)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # unordered out-neighbor pairs, once each: (deg, id) order again
     wedges = (
@@ -944,7 +946,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.nk") == F.col("b.nk"))
         & (F.col("a.sk") < F.col("b.sk")),
     ).select(F.col("a.sk").alias("u"), F.col("b.sk").alias("v")).distinct()
-    edges = edges.persist()  # feeds degree AND triangle subtrees
+    edges = track_persist(edges)  # feeds degree AND triangle subtrees
     und = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

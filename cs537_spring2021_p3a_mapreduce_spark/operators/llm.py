@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..session import track_persist
 from ..functions.text import tokens
 from ..functions.vectors import cosine_similarity
 from ..scratch import scratch_dir
@@ -346,11 +347,12 @@ def _ivf_pipeline(
     # (crank==1) and the probe branch — persist the diamond so the
     # GEMM runs once (different downstream filters defeat exchange
     # reuse); spillable level, same policy as dedup_minhash's shingles
-    from pyspark.storagelevel import StorageLevel
-
-    ranked = tiles.mapInPandas(
-        _assign, schema="vec_id long, cell long, crank int, embedding array<float>"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = track_persist(
+        tiles.mapInPandas(
+            _assign,
+            schema="vec_id long, cell long, crank int, embedding array<float>",
+        )
+    )
 
     index = ranked.filter(F.col("crank") == 1).select(
         "cell",
@@ -540,11 +542,9 @@ def _kmeans_cents(
     100 TB), and each round's K-row centroid relation is
     localCheckpoint-ed so plan depth stays constant instead of
     nesting every prior iteration's aggregates."""
-    from pyspark.storagelevel import StorageLevel
-
     if vecs is None:
         vecs = _kmeans_vecs(spark, sf_dir)
-    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    vecs = track_persist(vecs)
     init_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
     w_init = Window.orderBy(*init_order)
     cents = (
@@ -798,8 +798,10 @@ WITH emb AS (
   GROUP BY cid
 )"""
         prev = f"c{t}"
+    # list_sum over BIGINTs is HUGEINT in DuckDB (renders float64 via
+    # fetchdf) — ::BIGINT so the exact value-hash matches Spark's long
     sql += f"""
-SELECT vec_id, cid AS cluster, dist FROM (
+SELECT vec_id, cid AS cluster, dist::BIGINT AS dist FROM (
   SELECT e.vec_id, c.cid, {dist} AS dist,
          row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
   FROM emb e CROSS JOIN {prev} c)
@@ -3372,8 +3374,6 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: doc_id, n_bigrams, lm_micro.
     """
-    from pyspark.storagelevel import StorageLevel
-
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.lower("text")).alias("t"))
     arr = F.col("t")
@@ -3394,8 +3394,8 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    bigrams = track_persist(bigrams)
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     term = F.floor(
@@ -3514,7 +3514,10 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.pmod(F.col("sel"), F.lit(_WINNOW_POS)).alias("pos"),
-            (F.col("sel") / F.lit(_WINNOW_POS)).cast("long").alias("fp"),
+            # integer DIV, not float `/`: sel can exceed 2^53, where a
+            # double round-trip loses up to ~256 ulps; DIV mirrors the
+            # oracle's `//` exactly (sel >= 0, so truncation == floor)
+            F.expr(f"sel DIV {_WINNOW_POS}L").alias("fp"),
         )
         .orderBy("doc_id", "pos")
     )
@@ -3582,13 +3585,11 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: source, n_tokens, n_oov, oov_micro.
     """
-    from pyspark.storagelevel import StorageLevel
-
     toks = (
         table(spark, sf_dir, "documents")
         .select("source", F.explode(tokens(F.lower("text"))).alias("tok"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds vocab + scoring
     )
+    toks = track_persist(toks)  # feeds vocab + scoring
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -3866,7 +3867,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dim0", "q"),
     ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "q")
-    rows = rows.persist()
+    rows = track_persist(rows)
     v = rows.select("dim").distinct().select(
         "dim", F.lit(_PI_SCALE).cast("long").alias("v")
     )

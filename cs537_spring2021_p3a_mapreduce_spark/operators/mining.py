@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..session import track_persist
 
 MIN_PAIR_COUNT = 2  # rules need at least this many co-occurrences
 MAX_BASKET_ITEMS = 64  # explicit fan-out bound (fan-out ≤ this²)
@@ -49,8 +50,9 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("basket_n") <= MAX_BASKET_ITEMS)
         .drop("basket_n")
-        .persist()  # diamond: feeds pair join (×2), item_n, n_orders
     )
+    # diamond: feeds pair join (×2), item_n, n_orders
+    kept = track_persist(kept)
     # n_orders as a 1-ROW broadcast scalar carried in-plan (pagerank /
     # revenue_concentration pattern) — nothing collects to the driver.
     n_orders = kept.agg(

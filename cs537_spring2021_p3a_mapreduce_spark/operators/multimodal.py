@@ -298,6 +298,17 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
         w = bytes([byte])
     if w:
         emit(table_[w], width)
+        # Mirror the decoder's post-code bookkeeping: on receiving the
+        # final data code the decoder appends one table entry and bumps
+        # the width if the table lands exactly on 2^width. Without the
+        # matching bump here the decoder reads EOI one bit wider than
+        # it was written — zero padding usually absorbs that, but when
+        # EOI ends flush on the last byte the decoder would see a
+        # truncated stream.
+        if next_code < 4096:
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

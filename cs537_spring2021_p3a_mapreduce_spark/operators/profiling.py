@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..session import track_persist
 from ..functions.text import tokens
 
 # 128-bit exact integer moments (Spark decimal <-> DuckDB HUGEINT).
@@ -209,34 +210,34 @@ WITH base AS (
   FROM orders
 )
 SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
-       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
        count(DISTINCT o_orderkey) AS n_distinct,
        min(o_orderkey)::VARCHAR AS min_str, max(o_orderkey)::VARCHAR AS max_str
 FROM base
 UNION ALL
 SELECT 'o_custkey', count(*),
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT o_custkey),
        min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR FROM base
 UNION ALL
 SELECT 'o_orderstatus', count(*),
-       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT o_orderstatus),
        min(o_orderstatus), max(o_orderstatus) FROM base
 UNION ALL
 SELECT 'o_totalprice_cents', count(*),
-       sum(CASE WHEN o_totalprice_cents IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN o_totalprice_cents IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT o_totalprice_cents),
        min(o_totalprice_cents)::VARCHAR, max(o_totalprice_cents)::VARCHAR FROM base
 UNION ALL
 SELECT 'o_orderdate', count(*),
-       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT o_orderdate),
        strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
        strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM base
 UNION ALL
 SELECT 'o_orderpriority', count(*),
-       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT o_orderpriority),
        min(o_orderpriority), max(o_orderpriority) FROM base
 ORDER BY col_name
@@ -498,8 +499,6 @@ def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: source, n_tokens, n_terms, chi2 (divergence, round 6).
     """
-    from pyspark.storagelevel import StorageLevel
-
     toks = (
         table(spark, sf_dir, "documents")
         .select("source", F.explode(tokens(F.lower("text"))).alias("tok"))
@@ -508,10 +507,9 @@ def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source totals, the corpus totals): persist the diamond so
     # the tokenize+count pass runs once, not three times
     per_src = (
-        toks.groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
     )
+    per_src = track_persist(per_src)
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("t"))
     corpus = per_src.groupBy("tok").agg(F.sum("c").alias("cc"))
     corpus_tot = corpus.agg(F.sum("cc").alias("tt"))

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..session import track_persist
 from ..scratch import scratch_dir
 
 TOPK = 10
@@ -417,7 +418,11 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Declared through the SQL surface (spark.sql) — the DataFrame
     and SQL front-ends hit the same Catalyst plan.
 
-    Output: status, priority, gid, n_orders, sum_total.
+    Output: status, priority, gid, n_orders, sum_cents.  The total
+    is emitted as integer CENTS (BIGINT) — the ``pipe_syntax_pricing``
+    discipline — so the driver's exact value-hash can't be tripped by
+    dtype rendering (Spark DECIMAL(38,6) vs DuckDB float64 was
+    numerically equal but hash-different in r04).
     """
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
@@ -427,8 +432,8 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
                  AS gid,
                count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS DECIMAL(28, 4))) / 100.0
-                 AS sum_total
+               CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(28, 4)))
+                    AS BIGINT) AS sum_cents
         FROM orders
         GROUP BY GROUPING SETS (
           (o_orderstatus, o_orderpriority), (o_orderstatus),
@@ -866,16 +871,13 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: event_type ('ALL' for the union), est_users.
     """
-    from pyspark.storagelevel import StorageLevel
-
     ev = table(spark, sf_dir, "events")
     # per_type (one row per event type) feeds both branches; persist
     # so the full-table sketch aggregation scans events once
     per_type = (
-        ev.groupBy("event_type")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
     )
+    per_type = track_persist(per_type)
     typed = per_type.select(
         "event_type", F.hll_sketch_estimate("sk").alias("est_users")
     )
@@ -1332,7 +1334,7 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
          AS gid,
        count(*)::BIGINT AS n_orders,
-       sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS sum_total
+       sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS sum_cents
 FROM orders
 GROUP BY GROUPING SETS (
   (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ()

@@ -61,3 +61,54 @@ def get_spark(app_name: str = "cs537-p3a-spark", master: str | None = None) -> S
     for k, v in _SCALE_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# Persisted-frame lifecycle.
+#
+# Several operators persist an intermediate that the RETURNED plan (or an
+# internal training loop) reads more than once — a diamond the optimizer
+# won't collapse because the downstream filters differ. The persist is the
+# right plan shape, but a long-lived session running hundreds of queries
+# (bench.py, the driver's correctness gate) would otherwise accumulate
+# every query's cache entries: cached DataFrames live in the session's
+# CacheManager and are NOT garbage-collected when the Python handle dies.
+# Operators therefore persist through track_persist(), and batch runners
+# call release_persisted() after each query's terminal action.
+# ---------------------------------------------------------------------------
+
+_TRACKED_PERSISTS: list = []
+
+
+def track_persist(df, level=None):
+    """persist() a DataFrame and register it for release_persisted().
+
+    ``level`` defaults to MEMORY_AND_DISK (spillable — the only level
+    operators in this repo use; OOM-safe on executors at scale).
+    """
+    if level is None:
+        from pyspark.storagelevel import StorageLevel
+
+        level = StorageLevel.MEMORY_AND_DISK
+    df = df.persist(level)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked frame; returns how many were released.
+
+    Non-blocking: the executors drop blocks asynchronously. Safe to call
+    even if a frame's plan is re-collected later — Spark recomputes an
+    unpersisted lineage, so this is a performance boundary, never a
+    correctness one.
+    """
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass  # session already stopped: nothing to release
+    return n

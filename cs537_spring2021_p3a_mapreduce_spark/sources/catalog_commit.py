@@ -101,5 +101,14 @@ def read_catalog_table(spark, base: str, name: str, version: int | None = None):
             os.path.join(base, f"{CATALOG}.v{version}"), encoding="utf-8"
         ) as fh:
             doc = json.load(fh)
-    gen = doc["tables"][name]
+    try:
+        gen = doc["tables"][name]
+    except KeyError:
+        # Distinguish "staged but never published" (or a typo) from a
+        # torn catalog — a bare KeyError('tables') read as a bug
+        # report, not an answer.
+        raise KeyError(
+            f"table {name!r} not published in catalog at {base} "
+            f"(published: {sorted(doc.get('tables', {}))})"
+        ) from None
     return read_manifest_table(spark, os.path.join(base, name), as_of=gen)

@@ -419,7 +419,17 @@ def zone_map_files(
     kept = []
     for e in entries:
         st = e.get("stats", {}).get(column)
-        if st is None or (st[0] <= hi and st[1] >= lo):
+        if st is None:
+            kept.append(os.path.join(path, e["file"]))
+            continue
+        try:
+            overlaps = st[0] <= hi and st[1] >= lo
+        except TypeError:
+            # caller-supplied bounds of a different type than the
+            # committed stats (numeric vs string): pruning is never a
+            # correctness filter, so include the file
+            overlaps = True
+        if overlaps:
             kept.append(os.path.join(path, e["file"]))
     return kept, len(entries)
 

@@ -268,6 +268,31 @@ def test_gif_lzw_roundtrip_and_spec_vector():
     assert (dw, dh, n, s) == (31, 17, 31 * 17, want)
 
 
+def test_gif_lzw_eoi_flush_width_sync():
+    """Regression: when the decoder's post-final-code table append
+    lands exactly on 2^width, it reads EOI one bit wider than an
+    encoder that skips the matching bump would write it; if EOI also
+    ends flush on the last byte, the decode raised 'LZW stream ended
+    without EOI' on a valid stream. The vector below was found by
+    fuzzing the pre-fix encoder; a seeded fuzz sweep guards the rest
+    of the boundary space."""
+    import numpy as np
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    vector = b"\x02\x03\x02\x00\x03\x00\x03\x02\x00\x01\x03\x03\x03\x03"
+    assert _lzw_decode_gif(_lzw_encode_gif(vector, 2), 2) == vector
+    rng = np.random.RandomState(0)
+    for _ in range(4000):
+        mcs = int(rng.choice([2, 3, 8]))
+        n = int(rng.randint(1, 60))
+        data = rng.randint(0, 1 << mcs, n).astype(np.uint8).tobytes()
+        assert _lzw_decode_gif(_lzw_encode_gif(data, mcs), mcs) == data
+
+
 def test_gif_decoder_rejects_unsupported_variants():
     import struct
 

@@ -7,7 +7,16 @@ row-count, schema (sorted column names), and an order-insensitive
 value comparison (rows sorted by all columns, exact match for
 non-floats, tiny-epsilon report for floats).
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+The driver's value compare is an EXACT hash of rendered values, so a
+dtype mismatch with zero numeric diff (Spark DECIMAL vs DuckDB
+float64; BIGINT vs float64 — the two r04 driver hash-fails) is a real
+failure even though an epsilon compare passes. This gate therefore
+flags any cross-KIND column dtype mismatch (int vs float vs
+decimal/object) as ``WOULD FAIL EXACT HASH``; with ``--exact`` those
+warnings (and epsilon-passing nonzero float diffs) become hard
+failures, mirroring the driver.
+
+Usage: python tools/check_oracles.py [sf_dir] [--exact] [query ...]
 """
 
 from __future__ import annotations
@@ -21,7 +30,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_ARGS = [a for a in sys.argv[1:] if a != "--exact"]
+EXACT = "--exact" in sys.argv[1:]
+SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -52,6 +63,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _kind(series: pd.Series) -> str:
+    """Coarse dtype kind for exact-hash risk: the driver renders
+    values before hashing, so int 0 vs float 0.0 vs Decimal
+    0.000000 differ even when numerically equal."""
+    if pd.api.types.is_bool_dtype(series):
+        return "bool"
+    if pd.api.types.is_integer_dtype(series):
+        return "int"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    return "other"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_pdf) != len(duck_pdf):
@@ -62,6 +86,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     if problems:
         return problems
+    for c in s_cols:
+        sk, dk = _kind(spark_pdf[c]), _kind(duck_pdf[c])
+        if sk != dk:
+            problems.append(
+                f"col {c}: dtype kind spark={sk}({spark_pdf[c].dtype}) "
+                f"duck={dk}({duck_pdf[c].dtype}) [WOULD FAIL EXACT HASH]"
+            )
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
@@ -118,7 +149,7 @@ def main() -> int:
     con = duck_con(SF_DIR)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[2:])
+    only = set(_ARGS[1:])
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -140,7 +171,11 @@ def main() -> int:
             failures += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
-        hard = [p for p in problems if "WOULD FAIL" not in p]
+        hard = (
+            problems
+            if EXACT
+            else [p for p in problems if "WOULD FAIL" not in p]
+        )
         if hard:
             print(f"FAIL {name}:")
             for p in problems:
