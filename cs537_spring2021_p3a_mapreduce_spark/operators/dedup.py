@@ -536,6 +536,21 @@ PPJOIN_T_NUM, PPJOIN_T_DEN = 7, 10
 PPJOIN_THRESHOLD = PPJOIN_T_NUM / PPJOIN_T_DEN
 
 
+def _string_shingle_expr(arr):
+    """Array of word-SHINGLE_K string shingles (token0␟token1␟…) from
+    a token-array column — the shared narrow sliding-window kernel."""
+    n_windows = F.size(arr) - (SHINGLE_K - 1)
+    sliding = F.when(n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        sliding,
+        lambda i: F.concat_ws(
+            "\x1f", *[F.get(arr, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+
+
 def _string_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct word-3-shingles carried as the
     joined STRING (token0␟token1␟token2) — the oracle-parity twin of
@@ -543,21 +558,13 @@ def _string_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     string, not the hash). Same narrow sliding-window construction."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    arr = F.col("toks")
-    n_windows = F.size(arr) - (SHINGLE_K - 1)
-    sliding = F.when(n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingle_arr = F.transform(
-        sliding,
-        lambda i: F.concat_ws(
-            "\x1f", *[F.get(arr, i + j) for j in range(SHINGLE_K)]
-        ),
-    )
+    shingle_arr = _string_shingle_expr(F.col("toks"))
     return toks.select("doc_id", F.explode(shingle_arr).alias("sh")).distinct()
 
 
-def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ppjoin(
+    spark: SparkSession, sf_dir: str, posting: DataFrame | None = None
+) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (the
     PPJoin/AllPairs family) — the third blocking strategy in the
     dedup tier, and unlike MinHash-LSH it is LOSSLESS: every pair
@@ -586,8 +593,14 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification joins full shingle sets for candidate pairs only:
     |∩| per pair, J = |∩|/(|a|+|b|−|∩|), single IEEE division,
     round 6. Output: a_id, b_id, jaccard for J ≥ t.
+
+    ``posting`` lets a caller supply a pre-built (doc_id, sh) distinct
+    posting relation — the ``dedup`` façade shares one persisted scan
+    between its stats gate and this branch instead of re-scanning.
     """
-    posting = track_persist(_string_shingles(spark, sf_dir))
+    if posting is None:
+        posting = _string_shingles(spark, sf_dir)
+    posting = track_persist(posting)
     freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window
@@ -827,27 +840,56 @@ def dedup(spark: SparkSession, sf_dir: str, strategy: str = "auto") -> DataFrame
 
     Output: strategy, a_id, b_id, jaccard — identical pair semantics
     across strategies (exact duplicates have Jaccard 1 by identity).
+
+    Shared-scan shape (r4 audit: the façade recomputed the corpus
+    stats scan and then ran the chosen branch from cold): in auto
+    mode, ONE persisted pre-pass carries (doc_id, sha2, shingle
+    array) — the stats gate's aggregate materializes it, and the
+    exact branch (sha2 self-join) or the ppjoin branch (posting =
+    explode of the shingle array) then reads the cache instead of
+    re-scanning and re-tokenizing the corpus. The gate's
+    text-distinct count is computed over sha2(text) — identical to
+    distinct texts (the dedup_exact normalization; a 2⁻²⁵⁶ collision
+    could only flip d by one doc at the gate boundary). The lsh
+    branch keeps its own xxhash64 feature pipeline (different
+    feature space; unreachable below DEDUP_PPJOIN_MAX_DOCS, where a
+    pre-pass of this shape would be the wrong trade anyway).
     """
     docs = table(spark, sf_dir, "documents")
+    pre = None
     if strategy == "auto":
-        n, d = docs.agg(
-            F.count(F.lit(1)), F.count_distinct(F.col("text"))
-        ).first()
+        toks = docs.select(
+            "doc_id",
+            F.sha2(F.col("text"), 256).alias("h"),
+            tokens("text").alias("toks"),
+        )
+        pre = track_persist(
+            toks.select(
+                "doc_id", "h", _string_shingle_expr(F.col("toks")).alias("shs")
+            )
+        )
+        n, d = pre.agg(F.count(F.lit(1)), F.count_distinct(F.col("h"))).first()
         strategy = choose_dedup_strategy(n, d)
     if strategy == "exact":
-        a = docs.select(
-            F.col("doc_id").alias("a_id"), F.sha2(F.col("text"), 256).alias("h")
+        hashed = (
+            pre.select("doc_id", "h")
+            if pre is not None
+            else docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
         )
-        b = docs.select(
-            F.col("doc_id").alias("b_id"), F.sha2(F.col("text"), 256).alias("h")
-        )
+        a = hashed.select(F.col("doc_id").alias("a_id"), "h")
+        b = hashed.select(F.col("doc_id").alias("b_id"), "h")
         pairs = (
             a.join(b, "h")
             .where(F.col("a_id") < F.col("b_id"))
             .select("a_id", "b_id", F.lit(1.0).alias("jaccard"))
         )
     elif strategy == "ppjoin":
-        pairs = dedup_ppjoin(spark, sf_dir)
+        posting = (
+            pre.select("doc_id", F.explode("shs").alias("sh")).distinct()
+            if pre is not None
+            else None
+        )
+        pairs = dedup_ppjoin(spark, sf_dir, posting=posting)
     elif strategy == "lsh":
         pairs = dedup_minhash(spark, sf_dir)
     else:

@@ -202,6 +202,76 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_profile``'s 100 TB default: identical long-form output
+    but distinct counts via HyperLogLog (``approx_count_distinct``,
+    2% rsd) instead of exact ``count(DISTINCT)``.
+
+    Why it exists: the exact profile's 6 distinct-count columns
+    compile to an ``Expand`` of the scan (~×25 row multiplication
+    before the aggregate) — the right ORACLE query, the wrong default
+    at scale. HLL sketches are plain aggregate buffers: one pass, one
+    partial-aggregated row, NO Expand anywhere in the plan
+    (pinned by tests/test_plans.py::test_table_profile_approx_no_expand).
+
+    Estimates are sketch-implementation-specific, so the driver check
+    is rows-only; tests/test_profiling.py bounds every estimate
+    against the exact profile (±5% — well above HLL's 2% rsd).
+
+    Output: col_name, n_rows, n_null, n_distinct_approx, min_str,
+    max_str.
+    """
+    o = table(spark, sf_dir, "orders")
+    typed = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice_cents": _cents("o_totalprice"),
+        "o_orderdate": F.col("o_orderdate"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, t in typed.items():
+        aggs += [
+            F.sum(F.when(t.isNull(), 1).otherwise(0)).alias(f"null__{name}"),
+            F.approx_count_distinct(t, rsd=0.02).alias(f"dist__{name}"),
+            F.min(t).alias(f"min__{name}"),
+            F.max(t).alias(f"max__{name}"),
+        ]
+    one = o.agg(*aggs)
+    render = {
+        "o_totalprice_cents": lambda c: c.cast("string"),
+        "o_orderdate": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
+    }
+    stack_args: list[Column] = []
+    for name in typed:
+        r = render.get(name, lambda c: c.cast("string"))
+        stack_args += [
+            F.lit(name),
+            F.col(f"null__{name}"),
+            F.col(f"dist__{name}"),
+            r(F.col(f"min__{name}")),
+            r(F.col(f"max__{name}")),
+        ]
+    return (
+        one.select(
+            F.col("n_rows"),
+            F.stack(F.lit(len(typed)), *stack_args).alias(
+                "col_name", "n_null", "n_distinct_approx", "min_str", "max_str"
+            ),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            "n_distinct_approx",
+            "min_str",
+            "max_str",
+        )
+        .orderBy("col_name")
+    )
+
+
 _TABLE_PROFILE_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2169,6 +2239,7 @@ QUERIES = {
     "data_expectations_audit": data_expectations_audit,
     "fk_integrity_audit": fk_integrity_audit,
     "table_profile": table_profile,
+    "table_profile_approx": table_profile_approx,
     "regression_ols": regression_ols,
     "outlier_mad_robust": outlier_mad_robust,
     "benford_digit_audit": benford_digit_audit,

@@ -68,6 +68,7 @@ ROWS_ONLY_BY_NATURE = {
     "similarity_ann_ivf",
     "similarity_ann_ivf_trained",
     "similarity_pq",
+    "table_profile_approx",
     "sliding_distinct_hll",
 }
 

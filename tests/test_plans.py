@@ -609,3 +609,21 @@ def test_cooccurrence_and_curriculum_plan_as_heaps(spark):
     assert "TakeOrderedAndProject" in P.plan(
         llm.curriculum_schedule(spark, SF_SMOKE)
     )
+
+
+def test_table_profile_approx_no_expand(spark):
+    """The sketch-based profile must plan as ONE partial-aggregated
+    pass — no Expand (the exact profile's multi-count(DISTINCT)
+    multiplies the scan ~x25 through Expand; the HLL twin exists
+    precisely to avoid that at scale)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling
+
+    approx = profiling.table_profile_approx(spark, SF_SMOKE)
+    plan = P.plan(approx, "simple")
+    assert "Expand" not in plan
+    # HLL buffers plan as SortAggregate (object buffer, no codegen)
+    # but still carry the map-side partial pass
+    assert "partial_approx_count_distinct" in plan
+    # the exact twin DOES expand — the contrast that justifies both
+    exact = profiling.table_profile(spark, SF_SMOKE)
+    assert "Expand" in P.plan(exact, "simple")

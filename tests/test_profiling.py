@@ -625,3 +625,32 @@ def test_selection_operators_degenerate_distributions(spark):
         for x in prof.grouped_percentile_selection(spark, d).collect()
     }
     assert got[("N", 50)] == 100 and got[("N", 99)] == 900
+
+
+def test_table_profile_approx_tracks_exact(spark):
+    """Every HLL estimate within ±5% of the exact distinct count
+    (rsd=0.02), on the same fixture the exact oracle runs on; all
+    exact-computable columns identical."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.profiling import (
+        table_profile,
+        table_profile_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["col_name"]: r for r in table_profile(spark, sf).collect()}
+    approx = {
+        r["col_name"]: r for r in table_profile_approx(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for name, e in exact.items():
+        a = approx[name]
+        assert (a["n_rows"], a["n_null"], a["min_str"], a["max_str"]) == (
+            e["n_rows"],
+            e["n_null"],
+            e["min_str"],
+            e["max_str"],
+        )
+        rel_err = abs(a["n_distinct_approx"] - e["n_distinct"]) / max(
+            e["n_distinct"], 1
+        )
+        assert rel_err <= 0.05, (name, a["n_distinct_approx"], e["n_distinct"])
