@@ -725,6 +725,113 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Containment join (asymmetric set inclusion — boilerplate / quote dedup)
+# ---------------------------------------------------------------------------
+
+# exact rational threshold, same discipline as PPJoin's 7/10
+CONTAIN_T_NUM, CONTAIN_T_DEN = 9, 10
+CONTAIN_THRESHOLD = CONTAIN_T_NUM / CONTAIN_T_DEN
+
+
+def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-CONTAINMENT join: pairs (a_id, b_id) where
+    C(A,B) = |S_A ∩ S_B| / |S_A| ≥ t over distinct 3-token shingle
+    sets — "document a is (nearly) contained in document b". The
+    asymmetric sibling of ``dedup_ppjoin``'s symmetric Jaccard: a
+    curation pipeline uses it to find quoted/expanded articles,
+    boilerplate wrappers, and train/test snippet inclusion that
+    Jaccard misses whenever the container is much larger than the
+    contained doc (J ≈ |A|/|B| → 0 while C(A,B) = 1).
+
+    Scale shape — prefix filtering still applies, but one-sided:
+    if |A∩B| ≥ ceil(t·n_a), then by pigeonhole A's rarest
+    ``n_a − ceil(t·n_a) + 1`` shingles (global ascending-df order)
+    must hit B somewhere, so candidates come from A-PREFIX ⋈ FULL
+    posting — the indexed side carries everything, the probe side
+    only prefixes. No symmetric length filter exists (B may be any
+    size ≥ ceil(t·n_a)); the df-ascending prefix keeps the probe
+    join anti-skewed exactly as in PPJoin. Verification is exact on
+    candidates only. LOSSLESS: output equals the all-pairs
+    containment join.
+
+    Output: a_id (contained), b_id (container), containment
+    (round 6), for C ≥ 0.9, a_id ≠ b_id. Both directions can appear
+    — containment is not symmetric.
+    """
+    posting = track_persist(_string_shingles(spark, sf_dir))
+    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        posting.join(freq, "sh")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+        .join(sizes, "doc_id")
+    )
+    p, q = CONTAIN_T_NUM, CONTAIN_T_DEN
+    prefix = ranked.where(
+        F.col("rk") <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + F.lit(1)
+    ).select(F.col("doc_id").alias("a_id"), "sh")
+    cands = (
+        prefix.join(
+            posting.select(F.col("doc_id").alias("b_id"), "sh"), "sh"
+        )
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    pa = posting.select(F.col("doc_id").alias("a_id"), "sh")
+    pb = posting.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (
+        cands.join(pa, "a_id")
+        .join(pb, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    contain = F.round(
+        F.col("inter").cast("double") / F.col("na").cast("double"), 6
+    )
+    return (
+        inter.join(na, "a_id")
+        .select("a_id", "b_id", contain.alias("containment"))
+        .where(F.col("containment") >= CONTAIN_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), posting AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - 2, 0)),
+           i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]
+         )) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM posting GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS i
+  FROM posting a JOIN posting b
+    ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       round(i.i::DOUBLE / sa.n::DOUBLE, 6) AS containment
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+WHERE round(i.i::DOUBLE / sa.n::DOUBLE, 6) >= {CONTAIN_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sorted-neighborhood blocking (record-linkage classic)
 # ---------------------------------------------------------------------------
 
@@ -935,6 +1042,7 @@ ORDER BY a_id, b_id
 QUERIES = {
     "dedup_auto": dedup_auto,
     "dedup_ppjoin": dedup_ppjoin,
+    "containment_join": containment_join,
     "incremental_dedup_index": incremental_dedup_index,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "dedup_minhash": dedup_minhash,
@@ -954,6 +1062,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "dedup_auto": _DEDUP_AUTO_SQL,
     "dedup_ppjoin": _PPJOIN_SQL,
+    "containment_join": _CONTAINMENT_SQL,
     "incremental_dedup_index": _INCR_DEDUP_SQL,
     "sorted_neighborhood_pairs": _SNM_SQL,
     "fuzzy_join_customers": _FUZZY,

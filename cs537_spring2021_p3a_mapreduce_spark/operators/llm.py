@@ -4263,7 +4263,167 @@ FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+TEMPLATE_PREFIX_N = 6  # leading tokens that define a template family
+
+
+def template_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by LEADING-TOKEN prefix: groups
+    of ≥2 documents within a source that open with the same first
+    TEMPLATE_PREFIX_N tokens — the cheap first-pass signal a curation
+    pipeline uses to find form letters, scraped templates, and
+    generated boilerplate BEFORE paying for similarity joins (a
+    template family shares its opening verbatim even when bodies
+    diverge past any Jaccard threshold).
+
+    Scale shape: the prefix is a narrow per-row expression (slice of
+    the token array, already materialized once — no second tokenize),
+    then ONE (source, prefix) hash aggregate with map-side combine —
+    the wordcount shape on a derived key. No joins, no windows.
+
+    Output: source, prefix, n_docs, min_doc, max_doc — one row per
+    template family (n_docs ≥ 2), ordered by source, prefix.
+    """
+    docs = table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(tokens("text"), 1, TEMPLATE_PREFIX_N)
+    )
+    return (
+        docs.select("source", prefix.alias("prefix"), "doc_id")
+        .groupBy("source", "prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("source", "prefix")
+    )
+
+
+_TEMPLATE_PREFIX_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+)
+SELECT source,
+       array_to_string(ts[1:{TEMPLATE_PREFIX_N}], ' ') AS prefix,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM toks
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY 1, 2
+"""
+
+
+SPARSE_TOPK_K = 5
+SPARSE_TOPK_QUERIES = 20  # doc_id < this are the probe documents
+SPARSE_IDF_SCALE = 1_000_000
+
+
+def sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse LEXICAL similarity top-k — the posting-list sibling of
+    the dense ``similarity_topk``: for each probe document, the K
+    most similar other documents by the inverted-index dot product
+    Σ_tok w(q,tok)·w(d,tok) with idf-style weights, the BM25-family
+    workload every retrieval/dedup pipeline runs beside embeddings.
+
+    Exact-integer weighting (house determinism rule): w(d,tok) =
+    (tf · SPARSE_IDF_SCALE) DIV df — a rational idf carried in exact
+    longs, no ln(): transcendental idf would be engine-specific, and
+    rank order under 1/df is the same monotone rare-term preference.
+    Scores are exact integer sums → the oracle hash-matches.
+
+    Scale shape: postings = one (doc_id, tok) tf aggregate; df = one
+    token-keyed count; the probe side is filter-pruned to
+    SPARSE_TOPK_QUERIES docs BEFORE the join, so the match join is
+    |probe postings| ⋈ token-bucketed corpus postings — never
+    all-pairs; per-probe top-k is one window over the tiny match
+    relation. At 100 TB the df relation broadcast-joins (|vocab|
+    rows) and the posting join shuffles by token exactly like
+    ``inverted_index``.
+
+    Output: query_id, neighbor_id, score (exact integer), rank.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(df_rel), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(f"(tf * {SPARSE_IDF_SCALE}L) DIV df").alias("w"),
+        )
+    )
+    probes = w.where(F.col("doc_id") < SPARSE_TOPK_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok", F.col("w").alias("wq")
+    )
+    corpus = w.select(F.col("doc_id").alias("neighbor_id"), "tok", "w")
+    # products fit comfortably in int64 (w ≤ 1e6·tf), but the SUM is
+    # accumulated in DECIMAL(38,0) so a pathological probe (huge tf,
+    # df=1 vocabulary) can't trip ANSI overflow mid-aggregate; the
+    # final BIGINT cast throws only if the true total exceeds int64 —
+    # same contract, 10^19× later boundary. DuckDB sums in HUGEINT.
+    scores = (
+        probes.join(corpus, "tok")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum((F.col("wq") * F.col("w")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    topw = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= SPARSE_TOPK_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_SPARSE_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), w AS (
+  SELECT tf.doc_id, tf.tok, (tf.tf * {SPARSE_IDF_SCALE}) // df.df AS w
+  FROM tf JOIN df ON tf.tok = df.tok
+), scores AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+         sum(q.w * d.w)::BIGINT AS score
+  FROM w q JOIN w d ON q.tok = d.tok AND d.doc_id <> q.doc_id
+  WHERE q.doc_id < {SPARSE_TOPK_QUERIES}
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scores
+)
+SELECT query_id, neighbor_id, score, rank::INT AS rank
+FROM ranked WHERE rank <= {SPARSE_TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
+    "template_prefix_audit": template_prefix_audit,
+    "sparse_dot_topk": sparse_dot_topk,
     "compression_ratio_quality": compression_ratio_quality,
     "embedding_pca_power": embedding_pca_power,
     "term_cooccurrence_lift": term_cooccurrence_lift,
@@ -4322,6 +4482,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "template_prefix_audit": _TEMPLATE_PREFIX_SQL,
+    "sparse_dot_topk": _SPARSE_TOPK_SQL,
     "embedding_pca_power": _pca_power_oracle_sql(),
     "term_cooccurrence_lift": _COOC_SQL,
     "curriculum_schedule": _CURRICULUM_SQL,

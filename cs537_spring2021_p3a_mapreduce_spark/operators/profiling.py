@@ -272,6 +272,92 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive, partition-invariant table FINGERPRINT of
+    ``orders`` — the replica-reconciliation primitive: two copies of
+    a 100 TB table (two clusters, two engines, before/after a
+    migration) compare equal iff their per-column checksums match,
+    without moving a row. The same idea as anti-entropy Merkle
+    checks, flattened to one long-form row per column.
+
+    Construction: each value renders to its canonical string (the
+    ``table_profile`` renders), md5's first 15 hex chars become an
+    exact 60-bit integer (the ``sample_weighted`` idiom — both
+    engines compute identical md5 on identical strings), and the
+    column checksum is the SUM of those integers carried in
+    DECIMAL(38,0) — integer addition is commutative/associative, so
+    the result is independent of row order, partitioning, and
+    engine, and sums of 2^60-bounded terms stay exact up to ~10^19
+    rows. NULLs contribute a distinguished literal so "null" and
+    "the string 'NULL'" differ. One scan, every column's sum in one
+    partial-aggregated pass, ``stack`` to long form.
+
+    Output: col_name, n_rows, n_null, checksum (DECIMAL(38,0)
+    rendered as string — both engines' exact integer render).
+    """
+    o = table(spark, sf_dir, "orders")
+    renders = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice_cents": _cents("o_totalprice").cast("string"),
+        "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, c in renders.items():
+        payload = F.coalesce(c, F.lit("\x00NULL\x00"))
+        h = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"null__{name}"),
+            F.sum(h.cast("decimal(38,0)")).alias(f"sum__{name}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args: list[Column] = []
+    for name in renders:
+        stack_args += [
+            F.lit(name),
+            F.col(f"null__{name}"),
+            F.col(f"sum__{name}").cast("string"),
+        ]
+    return (
+        one.select(
+            F.col("n_rows"),
+            F.stack(F.lit(len(renders)), *stack_args).alias(
+                "col_name", "n_null", "checksum"
+            ),
+        )
+        .select("col_name", "n_rows", "n_null", "checksum")
+        .orderBy("col_name")
+    )
+
+
+def _checksum_sql() -> str:
+    renders = {
+        "o_orderkey": "o_orderkey::VARCHAR",
+        "o_custkey": "o_custkey::VARCHAR",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice_cents": "round(o_totalprice * 100)::BIGINT::VARCHAR",
+        "o_orderdate": "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+        "o_orderpriority": "o_orderpriority",
+    }
+    null_lit = "chr(0) || 'NULL' || chr(0)"
+    rows = []
+    for name, r in renders.items():
+        h = (
+            f"('0x' || substr(md5(coalesce({r}, {null_lit})), 1, 15))::BIGINT"
+        )
+        rows.append(
+            f"""
+SELECT '{name}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN ({r}) IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       sum({h})::VARCHAR AS checksum
+FROM orders"""
+        )
+    return " UNION ALL ".join(rows) + " ORDER BY col_name"
+
+
 _TABLE_PROFILE_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2240,6 +2326,7 @@ QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "table_profile": table_profile,
     "table_profile_approx": table_profile_approx,
+    "table_checksum": table_checksum,
     "regression_ols": regression_ols,
     "outlier_mad_robust": outlier_mad_robust,
     "benford_digit_audit": benford_digit_audit,
@@ -2269,6 +2356,7 @@ ORACLES = {
     "winsorize_amounts": _WINSORIZE_SQL,
     "fk_integrity_audit": _FK_AUDIT_SQL,
     "table_profile": _TABLE_PROFILE_SQL,
+    "table_checksum": _checksum_sql(),
     "regression_ols": _REGRESSION_OLS_SQL,
     "outlier_mad_robust": _OUTLIER_MAD_SQL,
     "benford_digit_audit": _BENFORD_SQL,

@@ -346,3 +346,47 @@ def test_dedup_facade_forced_lsh_strategy(spark):
     assert {r.strategy for r in out} <= {"lsh"}
     with pytest.raises(ValueError, match="unknown dedup strategy"):
         dedup.dedup(spark, SF, strategy="bogus")
+
+
+def test_containment_join_lossless_vs_bruteforce(spark):
+    """One-sided prefix filtering, tested: on a corpus with a doc
+    fully contained in a much larger one (where Jaccard ~ |A|/|B| is
+    far below any dedup threshold), containment_join must produce
+    EXACTLY the brute-force containment >= t pairs, both directions
+    considered independently."""
+    import itertools
+    import os
+    import tempfile
+
+    contained = "alpha beta gamma delta epsilon zeta eta theta"
+    container = contained + " " + " ".join(f"filler{i}" for i in range(40))
+    corpus = {
+        1: contained,           # contained in 2: C(1,2) = 1.0
+        2: container,           # C(2,1) small — must NOT pair that way
+        3: "one two three four five six seven eight nine ten",
+        4: "one two three four five six seven eight nine ten extra",  # contains 3's shingles
+        5: "completely unrelated words that overlap with nothing here",
+    }
+
+    def sh(text):
+        ts = text.split()
+        return {"\x1f".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    sets = {k: sh(v) for k, v in corpus.items()}
+    t = dedup.CONTAIN_THRESHOLD
+    want = set()
+    for a, b in itertools.permutations(sorted(sets), 2):
+        c = len(sets[a] & sets[b]) / len(sets[a])
+        if round(c, 6) >= t:
+            want.add((a, b))
+    assert (1, 2) in want and (2, 1) not in want  # the asymmetry the test exists for
+
+    d = tempfile.mkdtemp(prefix="contain_t_")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.a_id, r.b_id) for r in dedup.containment_join(spark, d).collect()
+    }
+    assert got == want

@@ -627,3 +627,51 @@ def test_table_profile_approx_no_expand(spark):
     # the exact twin DOES expand — the contrast that justifies both
     exact = profiling.table_profile(spark, SF_SMOKE)
     assert "Expand" in P.plan(exact, "simple")
+
+
+def test_sparse_dot_topk_broadcasts_df_and_prunes_probes(spark):
+    """The document-frequency relation must broadcast (|vocab| rows,
+    never a shuffle join against the posting list), and the probe
+    filter must sit below the match join so the join is probe-sized,
+    not corpus x corpus."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.sparse_dot_topk(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert P.uses_broadcast_join(df)
+    # the probe-side pruning predicate reaches a scan/filter, not
+    # post-join: doc_id < SPARSE_TOPK_QUERIES appears as a filter
+    assert "20" in plan
+
+
+def test_containment_join_probe_side_is_prefix_only(spark):
+    """One-sided prefix filtering: the probe side of the candidate
+    join is rank-bounded (rk <= n - ceil(t*n) + 1), the indexed side
+    is the full posting — and the verify join is candidate-bounded
+    (no all-pairs shape anywhere: every join is an equi-join)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup as dd
+
+    df = dd.containment_join(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_template_prefix_audit_single_aggregate_no_join(spark):
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.template_prefix_audit(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert P.shuffle_count(df) <= 2  # one agg exchange + final order
+    assert "Join" not in plan
+
+
+def test_table_checksum_single_pass_with_partials(spark):
+    """One scan, map-side partial aggregation, no Expand (the sums
+    are plain aggregates, not multi-distinct)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling
+
+    df = profiling.table_checksum(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Expand" not in plan
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1

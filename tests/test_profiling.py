@@ -654,3 +654,44 @@ def test_table_profile_approx_tracks_exact(spark):
             e["n_distinct"], 1
         )
         assert rel_err <= 0.05, (name, a["n_distinct_approx"], e["n_distinct"])
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    """The fingerprint must be identical across row order and
+    partitioning (that is its whole point), and must CHANGE when any
+    value changes."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.profiling import (
+        table_checksum,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {r.col_name: r.checksum for r in table_checksum(spark, sf).collect()}
+
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    d = tempfile.mkdtemp(prefix="cksum_t_")
+    # shuffled row order, different partition count: same fingerprint
+    o.orderBy(F.rand(7)).repartition(13).write.parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    shuffled = {
+        r.col_name: r.checksum for r in table_checksum(spark, d).collect()
+    }
+    assert shuffled == base
+    # one mutated value: that column's checksum (and only plausibly
+    # that one) must differ
+    d2 = tempfile.mkdtemp(prefix="cksum_m_")
+    o.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") == o.first().o_orderkey, F.lit("X-MUT"))
+        .otherwise(F.col("o_orderpriority")),
+    ).write.parquet(os.path.join(d2, "orders.parquet"))
+    mutated = {
+        r.col_name: r.checksum for r in table_checksum(spark, d2).collect()
+    }
+    assert mutated["o_orderpriority"] != base["o_orderpriority"]
+    assert mutated["o_orderkey"] == base["o_orderkey"]

@@ -323,6 +323,14 @@ PROBES = [
     "audio_features",
     "k_core_suppliers",
     "shuffle_for_training",
+    # round-5 additions: asymmetric containment join, template
+    # detection, sparse lexical retrieval, table fingerprint,
+    # sketch-based profile
+    "containment_join",
+    "template_prefix_audit",
+    "sparse_dot_topk",
+    "table_checksum",
+    "table_profile_approx",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
