@@ -139,6 +139,11 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]):
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
     wrapped.__doc__ = fn.__doc__
+    # forward the bench one-time-setup hook (bench.py reads it off
+    # the wrapped callable)
+    setup = getattr(fn, "bench_setup", None)
+    if setup is not None:
+        wrapped.bench_setup = setup
     return wrapped
 
 

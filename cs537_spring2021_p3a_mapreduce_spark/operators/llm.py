@@ -762,6 +762,200 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed-point scale for the oracle-exact PQ twin (2^20: float32
+# embeddings in [-1, 1]-ish quantize with ~6 decimal digits kept;
+# every downstream sum stays far under 2^53 so BIGINT→DOUBLE casts
+# are exact)
+PQ_INT_SCALE = 1 << 20
+
+
+def similarity_pq_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT twin of ``similarity_pq``: the same PQ dataflow —
+    codebook → per-subspace encode → ADC scoring → top-PQ_CAND →
+    exact re-rank → top-SIM_K — carried out entirely in
+    fixed-point INTEGER arithmetic (embeddings quantized at
+    PQ_INT_SCALE) so DuckDB can replay the PIPELINE itself and the
+    driver's hash compare pins every stage: codebook choice, code
+    assignment ties, ADC sums, candidate cut, re-rank order. The
+    float ``similarity_pq`` stays the production entry (numpy ADC,
+    hash-sampled codebook) with recall gates in tests; this twin is
+    the driver-checkable contract that the PQ *algorithm* — not just
+    its row count — is right (the ``ann_lsh_pairs`` discipline
+    applied to the quantization family).
+
+    Determinism argument: d2 / inner-product sums are exact BIGINTs
+    (≤ 64·(2·2^20)² ≈ 2^45); code argmin ties break to the lowest
+    code via a (d2, k) struct-min; the re-rank cosine is
+    dot/(sqrt(na)·sqrt(nb)) on exactly-cast doubles — one sqrt, one
+    multiply, one divide, all exact-rounded IEEE ops, identical
+    across engines; round(·, 6) last. Codebook = the PQ_K lowest
+    vec_ids (deterministic; the hash-sampled and Lloyd-trained
+    codebooks of the float path plug into the same seam).
+
+    Scale shape: encode is |corpus| × PQ_K broadcast-join rows (K is
+    a constant 16); ADC is a broadcast lookup-table join keyed
+    (m, code) + one hash aggregate per (query, vector); re-rank
+    touches PQ_CAND·|queries| rows. No all-pairs stage anywhere.
+
+    Output: query_id, neighbor_id, cos_sim (round 6).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = track_persist(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+            ).alias("q"),
+        )
+    )
+    sub_d = 64 // PQ_M
+    cent = qv.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("q").alias("c")
+    )
+    # encode: per (vector, centroid) the 64 squared diffs, sliced into
+    # PQ_M subspace sums — all narrow after one 16-row broadcast join
+    d2_arr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"aggregate(slice(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
+        f"m * {sub_d} + 1, {sub_d}), 0L, (acc, x) -> acc + x))"
+    )
+    sub = (
+        qv.crossJoin(F.broadcast(cent))
+        .select("vec_id", "k", F.posexplode(d2_arr).alias("m", "d2"))
+    )
+    codes = (
+        sub.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k")).alias("mk"))  # ties → lowest code
+        .select("vec_id", "m", F.col("mk.k").alias("code"))
+    )
+    # ADC lookup table: query-subvector · centroid-subvector, integer
+    ip_arr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"aggregate(slice(zip_with(qq, c, (a, b) -> a * b), "
+        f"m * {sub_d} + 1, {sub_d}), 0L, (acc, x) -> acc + x))"
+    )
+    lut = (
+        qv.where(F.col("vec_id") < SIM_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "k", F.posexplode(ip_arr).alias("m", "ip"))
+    )
+    approx = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["k"]),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ip").alias("approx"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("vec_id")
+    )
+    cands = (
+        approx.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # exact re-rank on the quantized vectors (deterministic cosine)
+    nbr = qv.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"))
+    qs = qv.where(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    dot = F.expr("aggregate(zip_with(qq, nq, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+    na = F.expr("aggregate(qq, 0L, (s, x) -> s + x * x)")
+    nb = F.expr("aggregate(nq, 0L, (s, x) -> s + x * x)")
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    rr = (
+        cands.join(nbr, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= SIM_K)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+_PQ_INT_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS k, q AS c FROM qv WHERE vec_id < {PQ_K}
+), ms AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+), d2 AS (
+  SELECT v.vec_id, c.k, ms.m,
+         CAST(list_sum(list_transform(generate_series(1, {64 // PQ_M}),
+           j -> (v.q[ms.m * {64 // PQ_M} + j] - c.c[ms.m * {64 // PQ_M} + j])
+              * (v.q[ms.m * {64 // PQ_M} + j] - c.c[ms.m * {64 // PQ_M} + j])))
+         AS BIGINT) AS d2
+  FROM qv v, cent c, ms
+), codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+    FROM d2) WHERE rn = 1
+), lut AS (
+  SELECT v.vec_id AS query_id, c.k, ms.m,
+         CAST(list_sum(list_transform(generate_series(1, {64 // PQ_M}),
+           j -> v.q[ms.m * {64 // PQ_M} + j] * c.c[ms.m * {64 // PQ_M} + j]))
+         AS BIGINT) AS ip
+  FROM qv v, cent c, ms
+  WHERE v.vec_id < {SIM_N_QUERIES}
+), approx AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.ip) AS approx
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, neighbor_id) AS rn
+    FROM approx) WHERE rn <= {PQ_CAND}
+), rr AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CASE WHEN na.s > 0 AND nb.s > 0 THEN
+           round(CAST(list_sum(list_transform(generate_series(1, 64),
+                   j -> a.q[j] * b.q[j])) AS BIGINT)::DOUBLE
+                 / (sqrt(na.s::DOUBLE) * sqrt(nb.s::DOUBLE)), 6)
+         ELSE 0.0 END AS cos_sim
+  FROM cand cd
+  JOIN qv a ON a.vec_id = cd.query_id
+  JOIN qv b ON b.vec_id = cd.neighbor_id
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 64),
+          j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) na
+    ON na.vec_id = cd.query_id
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 64),
+          j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) nb
+    ON nb.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM rr) WHERE rn <= {SIM_K}
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
 def _kmeans_oracle_sql() -> str:
     """Unrolled Lloyd's iterations as chained CTEs — exact mirror of
     ``embedding_kmeans`` (same integer arithmetic, same md5 init,
@@ -4452,6 +4646,7 @@ QUERIES = {
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_ivf_trained": similarity_ann_ivf_trained,
     "similarity_pq": similarity_pq,
+    "similarity_pq_int": similarity_pq_int,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
     "text_stats": text_stats,
@@ -4508,6 +4703,7 @@ ORACLES = {
     "dedup_ngram": _DEDUP_NGRAM,
     "dedup_embedding": _DEDUP_EMB,
     "similarity_topk": _SIM_TOPK,
+    "similarity_pq_int": _PQ_INT_SQL,
     "embedding_kmeans": _kmeans_oracle_sql(),
     "embedding_centroids": f"""
 SELECT label, (pos - 1)::BIGINT AS dim,

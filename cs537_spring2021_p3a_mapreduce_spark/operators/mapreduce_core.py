@@ -893,7 +893,16 @@ def manifest_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
 
     path = os.path.join(scratch_dir("manifest_zm_"), "t")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # one cached 2-column scan feeds the max() sizing aggregate AND
+    # all four range-disjoint writes (r5 re-read the parquet five
+    # times per call; the projected relation is small by construction
+    # — two numeric columns — so caching it is the right trade at any
+    # scale where a 4-way range split is driver-orchestrated at all)
+    from ..session import track_persist
+
+    orders = track_persist(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
     m = orders.agg(F.max("o_orderkey")).first()[0]
     bounds = [0, m // 4, m // 2, 3 * m // 4, m]
     for i in range(4):

@@ -888,6 +888,25 @@ def test_manifest_zone_maps_prune_and_stay_conservative(spark, tmp_path):
     assert len(kept2) == 2
 
 
+def test_zone_map_scan_prunes_on_fixture_types(spark):
+    """End-to-end pruning on the REAL fixture's column types
+    (o_orderkey int64 / o_totalprice double through the sink's Arrow
+    path): the second-quarter predicate must open exactly 1 of 4
+    committed files. Pins that the r5 TypeError→conservative-include
+    fallback in ``zone_map_files`` never fires on typed numeric
+    bounds — a silent fallback here would read as a 4/4 'pass' and
+    exactly double the scan (the r5 bench-regression hypothesis this
+    test exists to rule out)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        manifest_zone_map_scan,
+    )
+
+    row = manifest_zone_map_scan(spark, "/root/testdata/sf0.001").first()
+    assert row.n_files_total == 4
+    assert row.n_files_opened == 1
+    assert row.n_orders > 0
+
+
 def test_conditional_put_commit_protocol_cas_semantics():
     """The object-store commit seam, exercised against the in-memory
     CAS double: concurrent appends never lose an update (the retry

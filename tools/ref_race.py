@@ -16,7 +16,14 @@ The reference prints only its lookup ("Found %s %d times",
 main.c:68) — both engines do the full wordcount; the lookup result
 is also cross-checked.
 
-Usage: python tools/ref_race.py [mult] [n_shards]   (default 100 32)
+Measurement discipline (r5 advice): BOTH engines are timed
+min-of-N (default N=3, interleaved ref/spark so ambient windows
+can't land on one side only), and the result — including every
+raw rep — is written to RACE.json at the repo root so the claim
+is a committed artifact, not a number quoted from a scrollback.
+
+Usage: python tools/ref_race.py [mult] [n_shards] [reps]
+       (default 100 32 3)
 """
 
 from __future__ import annotations
@@ -66,25 +73,35 @@ def main() -> int:
     )
     corpus_bytes = sum(os.path.getsize(s) for s in shards)
 
-    # --- reference engine (10 mapper + 10 reducer threads) ---
-    t0 = time.perf_counter()
-    proc = subprocess.run(
-        [binary, *shards, TERM], capture_output=True, text=True, check=True
-    )
-    ref_s = time.perf_counter() - t0
-    ref_out = proc.stdout.strip()
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
-    # --- this repo (warm session, full physical execution) ---
     lines = spark.read.text(corpus_dir)
     wc = (
         lines.select(F.explode(tokens("value")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    wc.write.format("noop").mode("overwrite").save()  # warm-up run
-    t0 = time.perf_counter()
-    wc.write.format("noop").mode("overwrite").save()
-    spark_s = time.perf_counter() - t0
+    wc.write.format("noop").mode("overwrite").save()  # JVM/codegen warm-up
+
+    # min-of-N BOTH sides, interleaved (ref, spark, ref, spark, …):
+    # a slow ambient window then penalizes both engines alike instead
+    # of landing entirely on whichever ran second (the r5 race showed
+    # the unchanged C binary 2.2× slower than r4 on a single shot —
+    # exactly the artifact this protocol removes).
+    ref_runs: list[float] = []
+    spark_runs: list[float] = []
+    ref_out = ""
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [binary, *shards, TERM], capture_output=True, text=True, check=True
+        )
+        ref_runs.append(round(time.perf_counter() - t0, 2))
+        ref_out = proc.stdout.strip()
+        t0 = time.perf_counter()
+        wc.write.format("noop").mode("overwrite").save()
+        spark_runs.append(round(time.perf_counter() - t0, 2))
+
     t0 = time.perf_counter()
     hit = wc.filter(F.col("token") == TERM).collect()
     spark_lookup_s = time.perf_counter() - t0
@@ -94,20 +111,26 @@ def main() -> int:
         F.sum(F.size(tokens("value"))).alias("n")
     ).first().n
 
-    print(
-        json.dumps(
-            {
-                "corpus_mb": round(corpus_bytes / 1e6, 1),
-                "n_tokens": int(n_tokens),
-                "ref_wall_s": round(ref_s, 2),
-                "ref_stdout": ref_out,
-                "spark_wordcount_wall_s": round(spark_s, 2),
-                "spark_lookup_extra_s": round(spark_lookup_s, 2),
-                "spark_term_count": int(spark_cnt),
-                "lookup_agrees": f"Found {TERM} {spark_cnt} times" == ref_out,
-            }
-        )
-    )
+    ref_s, spark_s = min(ref_runs), min(spark_runs)
+    result = {
+        "corpus_mb": round(corpus_bytes / 1e6, 1),
+        "n_tokens": int(n_tokens),
+        "timing": f"min_of_{reps}_interleaved",
+        "ref_wall_s": ref_s,
+        "ref_runs": ref_runs,
+        "ref_stdout": ref_out,
+        "spark_wordcount_wall_s": spark_s,
+        "spark_runs": spark_runs,
+        "spark_lookup_extra_s": round(spark_lookup_s, 2),
+        "spark_term_count": int(spark_cnt),
+        "speedup_ref_over_spark": round(ref_s / spark_s, 1) if spark_s else None,
+        "lookup_agrees": f"Found {TERM} {spark_cnt} times" == ref_out,
+    }
+    line = json.dumps(result)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "RACE.json"), "w", encoding="utf-8") as fh:
+        fh.write(line + "\n")
+    print(line)
     return 0
 
 
