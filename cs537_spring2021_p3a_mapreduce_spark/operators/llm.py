@@ -956,6 +956,136 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
 
+SEMDEDUP_CELLS = 16  # cluster count; grows with corpus in production
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540 — public method): cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster
+    only — the trick that makes embedding-level dedup tractable at
+    web scale (the quadratic is bounded by cell population, never
+    corpus², and cells shard perfectly across executors).
+
+    Pipeline, all deterministic fixed-point integers (the
+    ``similarity_pq_int`` discipline, so the driver hash-pins every
+    stage): quantize at PQ_INT_SCALE → assign each vector to its
+    nearest of SEMDEDUP_CELLS centroids (integer L2, ties → lowest
+    cell; centroids = lowest vec_ids, the same seam the trained-
+    codebook variants plug into) → within-cell pairs score quantized
+    cosine → a vector is PRUNED iff a lower-id vector in its cell
+    scores ≥ EMB_DEDUP_THRESHOLD against it (greedy keep-first, the
+    standard deterministic tie-break; ``dup_of`` names the lowest
+    such keeper, -1 for kept rows).
+
+    Scale shape: one 16-row broadcast join for assignment, one
+    equi-join on cell for candidate pairs (cell-bounded, never
+    all-pairs), one per-vector min-aggregate. In production the cell
+    count scales ∝ corpus so cell population stays bounded.
+
+    Output: vec_id, cell, dup_of, pruned — one row per vector.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = track_persist(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+            ).alias("q"),
+        )
+    )
+    cent = qv.where(F.col("vec_id") < SEMDEDUP_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
+        "0L, (s, x) -> s + x)"
+    )
+    assign = (
+        qv.crossJoin(F.broadcast(cent))
+        .select("vec_id", d2.alias("d2"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("mk"))  # ties → lowest cell
+        .select("vec_id", F.col("mk.cid").alias("cell"))
+    )
+    assign = track_persist(assign)
+    av = assign.join(qv, "vec_id").select(
+        "cell", F.col("vec_id").alias("a_id"), F.col("q").alias("qa")
+    )
+    bv = assign.join(qv, "vec_id").select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("qb"),
+    )
+    dot = F.expr("aggregate(zip_with(qa, qb, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+    na = F.expr("aggregate(qa, 0L, (s, x) -> s + x * x)")
+    nb = F.expr("aggregate(qb, 0L, (s, x) -> s + x * x)")
+    cos = F.round(
+        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+        6,
+    )
+    dup = (
+        av.join(
+            bv,
+            (F.col("cell") == F.col("cell_b")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        assign.join(dup, assign["vec_id"] == dup["b_id"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+            F.when(F.col("dup_of").isNotNull(), 1).otherwise(0).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {SEMDEDUP_CELLS}
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               j -> (v.q[j] - c.c[j]) * (v.q[j] - c.c[j]))) AS BIGINT),
+             c.cid) AS rn
+    FROM qv v, cent c) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(CAST(list_sum(list_transform(generate_series(1, 64),
+                 j -> qa.q[j] * qb.q[j])) AS BIGINT)::DOUBLE
+           / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+                j -> qa.q[j] * qa.q[j])) AS BIGINT)::DOUBLE)
+            * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+                j -> qb.q[j] * qb.q[j])) AS BIGINT)::DOUBLE)), 6) AS cos_sim
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN qv qa ON qa.vec_id = a.vec_id
+  JOIN qv qb ON qb.vec_id = b.vec_id
+), dup AS (
+  SELECT b_id, min(a_id) AS dup_of FROM pairs
+  WHERE cos_sim >= {EMB_DEDUP_THRESHOLD} GROUP BY 1
+)
+SELECT a.vec_id, a.cell, coalesce(d.dup_of, -1) AS dup_of,
+       CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS pruned
+FROM assign a LEFT JOIN dup d ON d.b_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
 def _kmeans_oracle_sql() -> str:
     """Unrolled Lloyd's iterations as chained CTEs — exact mirror of
     ``embedding_kmeans`` (same integer arithmetic, same md5 init,
@@ -4647,6 +4777,7 @@ QUERIES = {
     "similarity_ann_ivf_trained": similarity_ann_ivf_trained,
     "similarity_pq": similarity_pq,
     "similarity_pq_int": similarity_pq_int,
+    "semdedup_prune": semdedup_prune,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
     "text_stats": text_stats,
@@ -4704,6 +4835,7 @@ ORACLES = {
     "dedup_embedding": _DEDUP_EMB,
     "similarity_topk": _SIM_TOPK,
     "similarity_pq_int": _PQ_INT_SQL,
+    "semdedup_prune": _SEMDEDUP_SQL,
     "embedding_kmeans": _kmeans_oracle_sql(),
     "embedding_centroids": f"""
 SELECT label, (pos - 1)::BIGINT AS dim,

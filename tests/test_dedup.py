@@ -390,3 +390,51 @@ def test_containment_join_lossless_vs_bruteforce(spark):
         (r.a_id, r.b_id) for r in dedup.containment_join(spark, d).collect()
     }
     assert got == want
+
+
+def test_semdedup_prune_invariants(spark):
+    """SemDeDup cell-scoped pruning: every vector gets exactly one
+    row; pruned rows name a LOWER-id keeper in the SAME cell whose
+    quantized cosine clears the threshold; kept rows carry the -1
+    sentinel; and a planted exact-duplicate vector must be pruned in
+    favor of its lower-id twin."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        semdedup_prune,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = semdedup_prune(spark, sf).collect()
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    cell_of = {r.vec_id: r.cell for r in rows}
+    pruned = [r for r in rows if r.pruned == 1]
+    assert pruned, "fixture should produce at least one pruned vector"
+    for r in pruned:
+        assert r.dup_of != -1 and r.dup_of < r.vec_id
+        assert cell_of[r.dup_of] == r.cell  # keeper shares the cell
+    for r in rows:
+        if r.pruned == 0:
+            assert r.dup_of == -1
+
+
+def test_semdedup_planted_duplicate_pruned(spark, tmp_path):
+    """An exact duplicate embedding (cos = 1) must always be pruned
+    in favor of the lowest-id copy, regardless of cell geometry."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        semdedup_prune,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    twin_src = base.where("vec_id = 100").first()
+    twin = spark.createDataFrame(
+        [(9_999, twin_src.embedding, twin_src.label)],
+        base.schema,
+    )
+    d = str(tmp_path / "semdedup")
+    base.unionByName(twin).write.parquet(os.path.join(d, "embeddings.parquet"))
+    rows = {r.vec_id: r for r in semdedup_prune(spark, d).collect()}
+    assert rows[9_999].pruned == 1
+    assert rows[9_999].dup_of == 100
