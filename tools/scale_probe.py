@@ -331,6 +331,10 @@ PROBES = [
     "sparse_dot_topk",
     "table_checksum",
     "table_profile_approx",
+    # round-6 additions: integer PQ twin (ADC over broadcast LUT),
+    # cell-scoped semantic dedup (cluster-bounded quadratic)
+    "similarity_pq_int",
+    "semdedup_prune",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
@@ -363,11 +367,18 @@ def main() -> int:
         rows[mult] = mult * BASE["lineitem"]
         print(f"# x{mult}: generated in {gen_s:.1f}s at {out_dir}", flush=True)
         for name in PROBES:
+            # noop WRITE, not count(): count() lets Catalyst prune the
+            # final projection and even eliminate unique-keyed outer
+            # joins entirely — semdedup_prune's pair stage vanished and
+            # a 15G-pair plan "measured" 10.7 s. The sink forces every
+            # column of the real plan.
             t0 = time.time()
-            n = queries[name](spark, out_dir).count()
+            queries[name](spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = time.time() - t0
             results[name][mult] = dt
-            print(f"x{mult:<4} {name:<24} {dt:7.2f}s  rows={n}", flush=True)
+            print(f"x{mult:<4} {name:<24} {dt:7.2f}s", flush=True)
         shutil.rmtree(out_dir, ignore_errors=True)
     if len(mults) >= 2:
         lo, hi = mults[0], mults[-1]
