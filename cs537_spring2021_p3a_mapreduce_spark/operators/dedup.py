@@ -637,9 +637,22 @@ def dedup_ppjoin(
     ``posting`` lets a caller supply a pre-built (doc_id, sh) distinct
     posting relation — the ``dedup`` façade shares one persisted scan
     between its stats gate and this branch instead of re-scanning.
+
+    Shingle identity (r6): the default posting carries each shingle
+    as its 8-byte ``xxhash64(token_0..token_2)`` instead of the
+    joined ~80-byte string — the ``_shingles`` argument applied to
+    the exact tier: every internal consumer (df counts, rarity
+    order, candidate equi-join, verify join) needs only IDENTITY,
+    the output is pair-level, and the prefix theorem holds for ANY
+    deterministic global order, so (df, hash) ordering is as valid
+    as (df, string). The shuffles move ~4× fewer bytes and the hash
+    joins compare longs, not strings; a 64-bit collision (negligible
+    at any corpus an exact verify can touch) could only merge two
+    shingle identities, and the oracle's string-identity twin would
+    surface it as a hash mismatch — the check, not a hazard.
     """
     if posting is None:
-        posting = _string_shingles(spark, sf_dir)
+        posting = _shingles(spark, sf_dir).withColumnRenamed("shingle", "sh")
     posting = track_persist(posting)
     freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -797,8 +810,14 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: a_id (contained), b_id (container), containment
     (round 6), for C ≥ 0.9, a_id ≠ b_id. Both directions can appear
     — containment is not symmetric.
+
+    Shingle identity: 8-byte xxhash64 ids, same rationale as
+    ``dedup_ppjoin`` (internal identity only; one-sided prefix bound
+    holds under any deterministic rarity order).
     """
-    posting = track_persist(_string_shingles(spark, sf_dir))
+    posting = track_persist(
+        _shingles(spark, sf_dir).withColumnRenamed("shingle", "sh")
+    )
     freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window
