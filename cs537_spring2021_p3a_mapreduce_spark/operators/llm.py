@@ -4777,6 +4777,11 @@ ORDER BY query_id, rank
 # = 22·tf / (10·tf + 3 + 9·dl/avgdl) after clearing denominators.
 BM25_IDF_SCALE = 1_000  # idf in milli-units
 BM25_TF_SCALE = 1_000_000  # tfnorm in micro-units
+# tf saturates: past this the weight moves < 1e-5 of its range, and
+# the clamp keeps 22·tf·10¹² under 2⁶³ for ANY input (a 420k-repeat
+# garbage doc would otherwise trip ANSI overflow mid-plan). Mirrored
+# exactly in the oracle, so exactness is preserved by construction.
+BM25_TF_CLAMP = 100_000
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4831,8 +4836,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"((n_docs - df + 1) * {BM25_IDF_SCALE}L) DIV (df + 1)"
             ).alias("idf_m"),
             F.expr(
-                f"(22L * tf * {BM25_TF_SCALE}L * {BM25_TF_SCALE}L) DIV "
-                f"(10L * tf * {BM25_TF_SCALE}L + 3L * {BM25_TF_SCALE}L"
+                f"(22L * least(tf, {BM25_TF_CLAMP}L) * {BM25_TF_SCALE}L"
+                f" * {BM25_TF_SCALE}L) DIV "
+                f"(10L * least(tf, {BM25_TF_CLAMP}L) * {BM25_TF_SCALE}L"
+                f" + 3L * {BM25_TF_SCALE}L"
                 f" + 9L * ((dl * n_docs * {BM25_TF_SCALE}L) DIV l_total))"
             ).alias("tfnorm_u"),
         )
@@ -4884,8 +4891,10 @@ WITH toks AS (
 ), w AS (
   SELECT tf.doc_id, tf.tok,
          ((((s.n_docs - df.df + 1) * {BM25_IDF_SCALE}) // (df.df + 1))
-          * ((22 * tf.tf * {BM25_TF_SCALE}::BIGINT * {BM25_TF_SCALE}) //
-             (10 * tf.tf * {BM25_TF_SCALE} + 3 * {BM25_TF_SCALE}
+          * ((22 * least(tf.tf, {BM25_TF_CLAMP}) * {BM25_TF_SCALE}::BIGINT
+              * {BM25_TF_SCALE}) //
+             (10 * least(tf.tf, {BM25_TF_CLAMP}) * {BM25_TF_SCALE}
+              + 3 * {BM25_TF_SCALE}
               + 9 * ((dl.dl * s.n_docs * {BM25_TF_SCALE}) // s.l_total))))
          // {BM25_IDF_SCALE} AS w
   FROM tf JOIN df ON tf.tok = df.tok

@@ -965,3 +965,49 @@ def test_rrf_fusion_prefers_cross_retriever_agreement(spark):
             # valid single-contribution values
             max_single = RRF_SCALE // (RRF_K + 1)
             assert 0 < r.rrf_micro <= 2 * max_single
+
+
+def test_bm25_survives_pathological_tf_and_matches_oracle(spark, tmp_path):
+    """A garbage doc with a 500k-repeat token must not trip ANSI
+    overflow mid-plan (the tf clamp bounds 22·tf·10^12 under 2^63),
+    and the Spark result must still exactly match the DuckDB oracle
+    on the same planted corpus — the clamp is mirrored, so
+    exactness is preserved by construction."""
+    import os
+
+    import duckdb
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        _BM25_SQL,
+        bm25_topk,
+    )
+
+    garbage = "spam " * 500_000
+    corpus = [
+        (0, "spam probe words here"),
+        (30, garbage.strip()),
+        (31, "spam and some ordinary text follows the term"),
+        (32, "entirely unrelated tokens only appear here now"),
+    ]
+    d = str(tmp_path / "bm25x")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = [
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in bm25_topk(spark, d).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    want = [tuple(t) for t in con.execute(_BM25_SQL).fetchall()]
+    assert got == want
+    # saturation must cap the 500,000× tf advantage to a small
+    # constant factor over a single-occurrence match (k1 bounds
+    # tfnorm at (k1+1)·tf/tf → the garbage doc can approach but
+    # never exceed ~1.3× the tf=1 weight here, not 500,000×)
+    scores = {n: s for _, n, s, _ in got}
+    assert scores[30] < 2 * scores[31]
