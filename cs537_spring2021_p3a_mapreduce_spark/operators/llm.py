@@ -4726,7 +4726,11 @@ def sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(
-            F.sum((F.col("wq") * F.col("w")).cast("decimal(38,0)"))
+            # widen BEFORE the multiply: wq·w in int64 can overflow
+            # for pathological tf on both sides (ANSI throws); the
+            # decimal product is exact and the oracle's HUGEINT
+            # arithmetic computes the identical value
+            F.sum(F.col("wq").cast("decimal(19,0)") * F.col("w"))
             .cast("long")
             .alias("score")
         )
@@ -4858,7 +4862,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(
-            F.sum((F.col("qtf") * F.col("w")).cast("decimal(38,0)"))
+            # widen BEFORE the multiply (see sparse_dot_topk)
+            F.sum(F.col("qtf").cast("decimal(19,0)") * F.col("w"))
             .cast("long")
             .alias("score")
         )

@@ -1011,3 +1011,60 @@ def test_bm25_survives_pathological_tf_and_matches_oracle(spark, tmp_path):
     # never exceed ~1.3× the tf=1 weight here, not 500,000×)
     scores = {n: s for _, n, s, _ in got}
     assert scores[30] < 2 * scores[31]
+
+
+def test_sparse_dot_heavy_tf_parity_and_loud_overflow(spark, tmp_path):
+    """The sparse score is linear in tf by design, so its int64
+    output has a documented domain boundary. Two contracts: (a) a
+    HEAVY but in-range corpus (near-10^18 single-pair scores) stays
+    exactly DuckDB-parity — the decimal-widened multiply never
+    corrupts; (b) an absurd corpus whose true score exceeds 2^63
+    fails LOUDLY at the final BIGINT cast (CAST_OVERFLOW), never a
+    silent wrap or a confusing mid-expression arithmetic error."""
+    import os
+
+    import duckdb
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        _SPARSE_TOPK_SQL,
+        sparse_dot_topk,
+    )
+
+    def plant(name, tf_repeat):
+        heavy = ("spam " * tf_repeat).strip()
+        corpus = [
+            (0, heavy),                      # probe with huge tf
+            (30, heavy),                     # corpus twin with huge tf
+            (31, "spam plus ordinary text"),
+            (32, "nothing shared with them"),
+        ]
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            [(k, v, "en", "t", len(v)) for k, v in corpus],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        return d
+
+    # (a) tf=3000, df(spam)=3 → wq=w=10^9, single-pair score 10^18:
+    # inside int64, outside naive float precision — must be exact
+    d = plant("heavy", 3000)
+    got = [
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in sparse_dot_topk(spark, d).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    want = [tuple(t) for t in con.execute(_SPARSE_TOPK_SQL).fetchall()]
+    assert got == want
+    scores = {n: s for _, n, s, _ in got}
+    assert scores[30] >= 10**18  # genuinely near the boundary
+
+    # (b) tf=400k → true score ~1.8e22 > 2^63: loud CAST_OVERFLOW
+    d2 = plant("absurd", 400_000)
+    with pytest.raises(ArithmeticException, match="CAST_OVERFLOW"):
+        sparse_dot_topk(spark, d2).collect()
