@@ -675,3 +675,55 @@ def test_table_checksum_single_pass_with_partials(spark):
     plan = P.plan(df, "simple")
     assert "Expand" not in plan
     assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
+
+
+def test_bm25_broadcasts_stats_and_no_cartesian(spark):
+    """BM25's df and corpus-stats relations must broadcast (|vocab|
+    and 1-row), the match join stays a token equi-join, and nothing
+    plans as a cartesian/BNL over the posting list (the 1-row stats
+    crossJoin is the sanctioned broadcast scalar)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.bm25_topk(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert P.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_pq_int_broadcasts_codebook_and_lut(spark):
+    """The integer-PQ twin's codebook (16 rows) and ADC lookup table
+    (queries x 16 x 8 rows) must broadcast; the encode pass must not
+    shuffle the corpus before its (vec_id, m) aggregate; no
+    cartesian over corpus-sized relations (the only crossJoins carry
+    broadcast constant-size sides)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.similarity_pq_int(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert P.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_planes_broadcast_and_cell_equijoin(spark):
+    """Sign-projection assignment joins a constant-size broadcast
+    plane relation; candidate pairs come from an equi-join on cell
+    (cell-bounded, never all-pairs): no cartesian, no BNL between
+    corpus-sized sides."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.semdedup_prune(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert P.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_fusion_inputs_stay_topk_bounded(spark):
+    """RRF fuses two already-top-k-bounded inputs: the fusion layer
+    adds only aggregates/windows, never a join between corpus-sized
+    relations (no cartesian, no BNL beyond the dense retriever's
+    sanctioned broadcast query join)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.rank_fusion_rrf(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
