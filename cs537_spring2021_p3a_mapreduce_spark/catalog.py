@@ -43,6 +43,39 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def corpus_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap content fingerprint of one table's parquet data:
+    (relative path, size, mtime_ns) of every data file, hashed.
+
+    Process-level staging memos (incremental dedup index, staged
+    binary media / video frames / event halves) key on
+    ``(sf_dir, fingerprint)`` instead of the bare path, so an
+    in-process regeneration of a corpus AT THE SAME PATH invalidates
+    the memo and restages — a rewrite always changes mtime_ns (and
+    usually size) even when the row count is identical. Pure
+    os.stat, no file reads: O(#files) syscalls per staging call.
+    """
+    import hashlib
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith(("_", ".")) or f.endswith(".crc"):
+                    continue
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
+    else:
+        h.update(b"missing")
+    return h.hexdigest()[:16]
+
+
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """THE one place the events timestamp encoding is normalized —
     every reader (batch catalog, streaming sources, staged drains)
@@ -85,7 +118,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    # the content fingerprint in the key makes an in-process
+    # regeneration of a table at a reused path a cache MISS — the
+    # cached plan's file index would otherwise point at the deleted
+    # old part files (a few os.stat calls, no file reads)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        corpus_fingerprint(sf_dir, name),
+    )
     cached = _RELATION_CACHE.get(key)
     if cached is not None:
         return cached

@@ -342,7 +342,7 @@ INCR_BATCH_MOD = 10  # doc_id % 10 == 0 -> the "new batch" (10%)
 # production contract (the index is the artifact an ingest pipeline
 # keeps between batches; rebuilding it per probe was the r5 perf bug:
 # every bench rep paid corpus-signature + parquet write + re-read).
-_INCR_INDEX_CACHE: dict[str, str] = {}
+_INCR_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _bands_of(sigs: DataFrame) -> DataFrame:
@@ -367,14 +367,17 @@ def build_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     path. Idempotent: subsequent calls return the existing index —
     the batch-ingest contract where the index outlives any single
     probe. A deployment would point this at a real table; the memo
-    keys on the corpus dir so tests with different fixtures never
-    share an index."""
+    keys on (corpus dir, content fingerprint) so tests with
+    different fixtures never share an index AND an in-process
+    regeneration of a corpus at a reused path restages."""
     import os as _os
     import uuid as _uuid
 
+    from ..catalog import corpus_fingerprint
     from ..scratch import scratch_dir
 
-    cached = _INCR_INDEX_CACHE.get(sf_dir)
+    memo_key = (sf_dir, corpus_fingerprint(sf_dir, "documents"))
+    cached = _INCR_INDEX_CACHE.get(memo_key)
     if cached is not None and _os.path.exists(_os.path.join(cached, "_SUCCESS")):
         return cached
     is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
@@ -383,7 +386,7 @@ def build_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> str:
         scratch_dir("incr_idx_"), f"idx_{_uuid.uuid4().hex[:8]}"
     )
     _bands_of(_minhash_signatures(corpus)).write.parquet(index_dir)
-    _INCR_INDEX_CACHE[sf_dir] = index_dir
+    _INCR_INDEX_CACHE[memo_key] = index_dir
     return index_dir
 
 

@@ -956,6 +956,178 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
 
+IVF_INT_K = 16  # coarse cells of the integer IVF twin
+IVF_INT_NPROBE = 4  # cells probed per query
+
+
+def similarity_ann_ivf_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT integer twin of ``similarity_ann_ivf`` — the
+    ``similarity_pq_int`` discipline applied to the IVF family: the
+    same partition → probe → re-rank dataflow carried out entirely
+    in fixed-point integer arithmetic so DuckDB replays the PIPELINE
+    and the driver's hash compare pins every stage — centroid
+    choice, cell assignment ties, probe-set cut, re-rank order. The
+    float ``similarity_ann_ivf``/`_trained`` remain the production
+    entries (GEMM assignment, recall gates in tests); this twin is
+    the driver-checkable contract that the IVF *algorithm* is right.
+
+    Determinism: vectors quantize once at PQ_INT_SCALE; coarse
+    centroids are the IVF_INT_K vectors with the smallest
+    ``(md5(vec_id), vec_id)`` — the ``embedding_kmeans`` init
+    pattern, md5 because both engines compute it on identical
+    strings; assignment is argmin of squared-L2 in exact BIGINTs
+    with (d2, cid) tie-break; queries probe their IVF_INT_NPROBE
+    nearest cells; the re-rank cosine is one sqrt/multiply/divide on
+    exactly-cast doubles (zero-norm guarded), round(·, 6) last.
+
+    Scale shape identical to the float IVF: the K-centroid relation
+    folds to ONE broadcast row, assignment is fully narrow
+    (array_min over per-centroid structs — zero shuffle of the n×K
+    product), the probe is a cell equi-join bounded by nprobe × cell
+    population, and only candidates reach the re-rank. No all-pairs
+    stage anywhere.
+
+    Output: query_id, neighbor_id, cos_sim (round 6).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = track_persist(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+            ).alias("q"),
+        )
+    )
+    init_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    w_init = Window.orderBy(*init_order)
+    cents = (
+        qv.orderBy(*init_order)
+        .limit(IVF_INT_K)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("cid"),
+            F.col("q").alias("cq"),
+        )
+    )
+    carr = cents.agg(F.collect_list(F.struct("cid", "cq")).alias("cents"))
+    # per-vector sorted (d2, cid) struct array: struct comparison is
+    # the (distance, cell-id) tie-break; sorting the K-array is O(K
+    # log K) per row with K a constant 16 — still fully narrow
+    ds = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with("q", c["cq"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    assigned = track_persist(
+        qv.crossJoin(F.broadcast(carr)).select("vec_id", "q", ds.alias("ds"))
+    )
+    index = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("nq"),
+        F.col("ds")[0]["cid"].alias("cell"),
+    )
+    probes = (
+        assigned.where(F.col("vec_id") < SIM_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.explode(
+                F.expr(f"transform(slice(ds, 1, {IVF_INT_NPROBE}), s -> s.cid)")
+            ).alias("cell"),
+        )
+    )
+    # a neighbor can surface via several probed cells only if cells
+    # were equal — cid is unique per cell, so (query, neighbor) pairs
+    # are already distinct; the join is bounded by nprobe × cell size
+    cands = probes.join(index, "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dot = F.expr("aggregate(zip_with(qq, nq, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+    na = F.expr("aggregate(qq, 0L, (s, x) -> s + x * x)")
+    nb = F.expr("aggregate(nq, 0L, (s, x) -> s + x * x)")
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    rr = cands.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= SIM_K)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+_ANN_IVF_INT_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
+         q AS cq
+  FROM (SELECT * FROM qv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_INT_K})
+), d AS (
+  SELECT v.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS BIGINT) AS d2
+  FROM qv v CROSS JOIN c0 c
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d WHERE vec_id < {SIM_N_QUERIES}) WHERE rn <= {IVF_INT_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), rr AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CASE WHEN na.s > 0 AND nb.s > 0 THEN
+           round(CAST(list_sum(list_transform(generate_series(1, 64),
+                   j -> a.q[j] * b.q[j])) AS BIGINT)::DOUBLE
+                 / (sqrt(na.s::DOUBLE) * sqrt(nb.s::DOUBLE)), 6)
+         ELSE 0.0 END AS cos_sim
+  FROM cand cd
+  JOIN qv a ON a.vec_id = cd.query_id
+  JOIN qv b ON b.vec_id = cd.neighbor_id
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 64),
+          j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) na
+    ON na.vec_id = cd.query_id
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 64),
+          j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) nb
+    ON nb.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM rr) WHERE rn <= {SIM_K}
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
 SEMDEDUP_CELL_TARGET = 64  # aim for ~this many vectors per cell
 SEMDEDUP_MAX_PLANES = 30  # static plane relation; b = used prefix
 
@@ -1055,6 +1227,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             bv,
             (F.col("cell") == F.col("cell_b")) & (F.col("a_id") < F.col("b_id")),
         )
+        # zero-norm guard (the similarity_pq_int discipline): an
+        # all-zero embedding has no direction, so cosine is 0/0 —
+        # NaN in Spark, NULL in DuckDB, i.e. ENGINE-DIVERGENT if it
+        # ever reached the threshold compare. Such vectors can never
+        # be semantic duplicates; drop their pairs on both sides.
+        .where((na > F.lit(0)) & (nb > F.lit(0)))
         .select("a_id", "b_id", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
         .groupBy("b_id")
@@ -1102,6 +1280,10 @@ WITH qv AS (
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN qv qa ON qa.vec_id = a.vec_id
   JOIN qv qb ON qb.vec_id = b.vec_id
+  WHERE CAST(list_sum(list_transform(generate_series(1, 64),
+          j -> qa.q[j] * qa.q[j])) AS BIGINT) > 0
+    AND CAST(list_sum(list_transform(generate_series(1, 64),
+          j -> qb.q[j] * qb.q[j])) AS BIGINT) > 0
 ), dup AS (
   SELECT b_id, min(a_id) AS dup_of FROM pairs
   WHERE cos_sim >= {EMB_DEDUP_THRESHOLD} GROUP BY 1
@@ -4671,6 +4853,45 @@ ORDER BY 1, 2
 SPARSE_TOPK_K = 5
 SPARSE_TOPK_QUERIES = 20  # doc_id < this are the probe documents
 SPARSE_IDF_SCALE = 1_000_000
+# Impact pruning (df-ceiling): a term present in more than this
+# percentage of documents is a stopword whose posting list is ~the
+# whole corpus for near-zero idf weight — at 100 TB that one term's
+# posting join is |corpus|×|probes| rows of noise. Terms with
+# df·100 > SPARSE_DF_CEIL_PCT·n_docs are dropped BEFORE the posting
+# join, mirrored exactly in the oracle so exactness is preserved by
+# construction (standard impact/quality pruning, e.g. WAND-family).
+# 90 is deliberately conservative: it cuts only near-universal terms
+# (idf ≈ 0 — at df = 0.9·N the rational idf is ~(0.1N)/(0.9N), under
+# 1/8th of a rare term's), so ranking quality is untouched while the
+# worst-case posting list is still bounded away from "every doc".
+SPARSE_DF_CEIL_PCT = 90
+
+
+def _sparse_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pruned posting-weight relation for the sparse
+    retrievers: (doc_id, tok, w) with exact-integer idf-style
+    weights, df-ceiling applied below the join (terms in more than
+    SPARSE_DF_CEIL_PCT% of documents carry no postings at all).
+    Exposed as a helper so tests can pin the posting row count
+    drop when a stopword is planted."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs_rel = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        df_rel.crossJoin(F.broadcast(n_docs_rel))
+        .where(F.expr(f"df * 100L <= {SPARSE_DF_CEIL_PCT}L * n_docs"))
+        .select("tok", "df")
+    )
+    return tf.join(F.broadcast(kept), "tok").select(
+        "doc_id",
+        "tok",
+        F.expr(f"(tf * {SPARSE_IDF_SCALE}L) DIV df").alias("w"),
+    )
 
 
 def sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4693,25 +4914,14 @@ def sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; per-probe top-k is one window over the tiny match
     relation. At 100 TB the df relation broadcast-joins (|vocab|
     rows) and the posting join shuffles by token exactly like
-    ``inverted_index``.
+    ``inverted_index``. Impact pruning (SPARSE_DF_CEIL_PCT) drops
+    stopword-grade terms BELOW the posting join — without it, one
+    ubiquitous term's posting list is ~every document and its join
+    output alone is |corpus|×|probes| rows for near-zero weight.
 
     Output: query_id, neighbor_id, score (exact integer), rank.
     """
-    docs = table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = (
-        tf.join(F.broadcast(df_rel), "tok")
-        .select(
-            "doc_id",
-            "tok",
-            F.expr(f"(tf * {SPARSE_IDF_SCALE}L) DIV df").alias("w"),
-        )
-    )
+    w = _sparse_weights(spark, sf_dir)
     probes = w.where(F.col("doc_id") < SPARSE_TOPK_QUERIES).select(
         F.col("doc_id").alias("query_id"), "tok", F.col("w").alias("wq")
     )
@@ -4755,12 +4965,17 @@ WITH toks AS (
   SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
 ), df AS (
   SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), kept AS (
+  SELECT tok, df FROM df, stats
+  WHERE df * 100 <= {SPARSE_DF_CEIL_PCT} * n_docs
 ), w AS (
-  SELECT tf.doc_id, tf.tok, (tf.tf * {SPARSE_IDF_SCALE}) // df.df AS w
-  FROM tf JOIN df ON tf.tok = df.tok
+  SELECT tf.doc_id, tf.tok, (tf.tf * {SPARSE_IDF_SCALE}) // kept.df AS w
+  FROM tf JOIN kept ON tf.tok = kept.tok
 ), scores AS (
   SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
-         sum(q.w * d.w)::BIGINT AS score
+         sum(q.w::HUGEINT * d.w)::BIGINT AS score
   FROM w q JOIN w d ON q.tok = d.tok AND d.doc_id <> q.doc_id
   WHERE q.doc_id < {SPARSE_TOPK_QUERIES}
   GROUP BY 1, 2
@@ -4811,8 +5026,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape identical to ``sparse_dot_topk``: probe side pruned
     BEFORE the join, df and corpus-stats relations broadcast, match
-    join bucketed by token, per-probe top-k window. Query-side term
-    multiplicity (qtf) weights each term's contribution.
+    join bucketed by token, per-probe top-k window, and the
+    SPARSE_DF_CEIL_PCT impact-pruning cut below the posting join
+    (a stopword's posting list is ~every document for near-zero
+    idf — at 100 TB that single term dominates the join). Query-side
+    term multiplicity (qtf) weights each term's contribution,
+    clamped at BM25_TF_CLAMP symmetrically with the corpus side.
 
     Output: query_id, neighbor_id, score (exact integer), rank.
     """
@@ -4829,9 +5048,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.agg(F.count(F.lit(1)).alias("n_docs"))
         .crossJoin(tf.agg(F.sum("tf").alias("l_total")))
     )
+    # impact pruning BELOW the posting join (see _sparse_weights):
+    # stopword-grade terms (df > SPARSE_DF_CEIL_PCT% of docs) carry
+    # near-zero BM25 idf but corpus-sized posting lists — cut them
+    # before they ever reach the match join
+    df_kept = (
+        df_rel.crossJoin(F.broadcast(stats.select("n_docs")))
+        .where(F.expr(f"df * 100L <= {SPARSE_DF_CEIL_PCT}L * n_docs"))
+        .select("tok", "df")
+    )
     w_rel = (
         tf.join(dl_rel, "doc_id")
-        .join(F.broadcast(df_rel), "tok")
+        .join(F.broadcast(df_kept), "tok")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -4853,8 +5081,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(idf_m * tfnorm_u) DIV {BM25_IDF_SCALE}L").alias("w"),
         )
     )
+    # query-side tf clamps symmetrically with the corpus side: a
+    # garbage probe repeating one token 500k times must not scale
+    # its contribution linearly past the saturation the corpus side
+    # already enforces (and the clamp keeps qtf·w under the decimal
+    # widening's exact range); mirrored in the oracle
     probes = tf.where(F.col("doc_id") < SPARSE_TOPK_QUERIES).select(
-        F.col("doc_id").alias("query_id"), "tok", F.col("tf").alias("qtf")
+        F.col("doc_id").alias("query_id"),
+        "tok",
+        F.expr(f"least(tf, {BM25_TF_CLAMP}L)").alias("qtf"),
     )
     corpus = w_rel.select(F.col("doc_id").alias("neighbor_id"), "tok", "w")
     scores = (
@@ -4893,21 +5128,24 @@ WITH toks AS (
 ), stats AS (
   SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
          (SELECT sum(tf) FROM tf)::BIGINT AS l_total
+), kept AS (
+  SELECT tok, df FROM df, stats
+  WHERE df * 100 <= {SPARSE_DF_CEIL_PCT} * n_docs
 ), w AS (
   SELECT tf.doc_id, tf.tok,
-         ((((s.n_docs - df.df + 1) * {BM25_IDF_SCALE}) // (df.df + 1))
+         ((((s.n_docs - kept.df + 1) * {BM25_IDF_SCALE}) // (kept.df + 1))
           * ((22 * least(tf.tf, {BM25_TF_CLAMP}) * {BM25_TF_SCALE}::BIGINT
               * {BM25_TF_SCALE}) //
              (10 * least(tf.tf, {BM25_TF_CLAMP}) * {BM25_TF_SCALE}
               + 3 * {BM25_TF_SCALE}
               + 9 * ((dl.dl * s.n_docs * {BM25_TF_SCALE}) // s.l_total))))
          // {BM25_IDF_SCALE} AS w
-  FROM tf JOIN df ON tf.tok = df.tok
+  FROM tf JOIN kept ON tf.tok = kept.tok
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
 ), scores AS (
   SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
-         sum(q.tf * w.w)::BIGINT AS score
+         sum(least(q.tf, {BM25_TF_CLAMP})::HUGEINT * w.w)::BIGINT AS score
   FROM tf q JOIN w ON q.tok = w.tok AND w.doc_id <> q.doc_id
   WHERE q.doc_id < {SPARSE_TOPK_QUERIES}
   GROUP BY 1, 2
@@ -4928,6 +5166,28 @@ RRF_SCALE = 1_000_000  # contributions in micro-units (exact DIV)
 RRF_TOPK = 5
 
 
+def _rrf_fuse(dranks: DataFrame, sranks: DataFrame) -> DataFrame:
+    """Shared RRF kernel: fuse two (query_id, neighbor_id, rank)
+    lists with exact-integer 1/(K+rank) contributions, top-RRF_TOPK
+    per query. Both inputs are already top-k-bounded, so this is an
+    O(k·|queries|) aggregate."""
+    contrib = F.expr(f"{RRF_SCALE}L DIV ({RRF_K} + rank)")
+    contribs = dranks.select(
+        "query_id", "neighbor_id", contrib.alias("c")
+    ).unionByName(sranks.select("query_id", "neighbor_id", contrib.alias("c")))
+    fused = contribs.groupBy("query_id", "neighbor_id").agg(
+        F.sum("c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_lists")
+    )
+    topw = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= RRF_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
 def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009, public IR
     canon) of the repo's DENSE and SPARSE retrievers — the standard
@@ -4945,6 +5205,15 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sets overlap and pass through single-list otherwise,
     RRF's normal behavior with a missing retriever. ``n_lists``
     records how many retrievers surfaced each candidate.
+
+    Id-space contract: fusing a vec_id-keyed dense list with a
+    doc_id-keyed sparse list is meaningful because the corpus
+    invariant ``embeddings.vec_id ⊆ documents.doc_id`` holds —
+    vec_id IS the doc_id of the embedded document (embeddings cover
+    a prefix subset of the corpus; every sf fixture satisfies it,
+    pinned by ``tests/test_llm.py::test_rrf_id_space_invariant``).
+    A corpus that breaks the invariant must join through an id map
+    before fusing.
 
     Scale shape: both inputs are already top-k-bounded relations
     (k·|queries| rows), so fusion is an O(k·|queries|) aggregate —
@@ -4964,25 +5233,72 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sranks = sparse_dot_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", "rank"
     )
-    contrib = F.expr(f"{RRF_SCALE}L DIV ({RRF_K} + rank)")
-    contribs = dranks.select("query_id", "neighbor_id", contrib.alias("c")).unionByName(
-        sranks.select("query_id", "neighbor_id", contrib.alias("c"))
+    return _rrf_fuse(dranks, sranks)
+
+
+def rank_fusion_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF with the dense leg fed by the ANN INDEX instead of the
+    brute-force scan — the production retrieval shape: at 100 TB
+    nobody runs exact cosine over the corpus per query; the dense
+    list comes from the IVF index probe and fusion sits on top.
+
+    The dense leg is ``similarity_ann_ivf_int`` (probe-bounded IVF,
+    exact-integer pipeline), so unlike a float-ANN feed this fusion
+    stays fully ORACLE-EXACT: DuckDB replays index build + probe +
+    re-rank + fusion and the driver hash-pins the whole composition.
+    The sparse leg and the id-space contract are identical to
+    ``rank_fusion_rrf`` (vec_id ⊆ doc_id, see its docstring); ANN
+    recall vs the exact dense leg is asserted in tests.
+
+    Output: query_id, neighbor_id, rrf_micro, n_lists, rank.
+    """
+    dense = similarity_ann_ivf_int(spark, sf_dir)
+    dw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    fused = contribs.groupBy("query_id", "neighbor_id").agg(
-        F.sum("c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_lists")
+    dranks = dense.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(dw).alias("rank"),
     )
-    topw = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf_micro"), F.asc("neighbor_id")
+    sranks = sparse_dot_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
     )
-    return (
-        fused.withColumn("rank", F.row_number().over(topw))
-        .where(F.col("rank") <= RRF_TOPK)
-        .orderBy("query_id", "rank")
-    )
+    return _rrf_fuse(dranks, sranks)
 
 
 _RRF_SQL = f"""
 WITH dense AS ({_SIM_TOPK}
+), dranks AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM dense
+), sparse AS ({_SPARSE_TOPK_SQL}
+), contribs AS (
+  SELECT query_id, neighbor_id, {RRF_SCALE} // ({RRF_K} + rank) AS c
+  FROM dranks
+  UNION ALL
+  SELECT query_id, neighbor_id, {RRF_SCALE} // ({RRF_K} + rank) AS c
+  FROM sparse
+), fused AS (
+  SELECT query_id, neighbor_id, sum(c)::BIGINT AS rrf_micro,
+         count(*)::BIGINT AS n_lists
+  FROM contribs GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf_micro, n_lists, rank::INT AS rank
+FROM (
+  SELECT query_id, neighbor_id, rrf_micro, n_lists,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, neighbor_id) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+_RRF_ANN_SQL = f"""
+WITH dense AS ({_ANN_IVF_INT_SQL}
 ), dranks AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
@@ -5016,6 +5332,7 @@ QUERIES = {
     "sparse_dot_topk": sparse_dot_topk,
     "bm25_topk": bm25_topk,
     "rank_fusion_rrf": rank_fusion_rrf,
+    "rank_fusion_rrf_ann": rank_fusion_rrf_ann,
     "compression_ratio_quality": compression_ratio_quality,
     "embedding_pca_power": embedding_pca_power,
     "term_cooccurrence_lift": term_cooccurrence_lift,
@@ -5045,6 +5362,7 @@ QUERIES = {
     "similarity_ann_ivf_trained": similarity_ann_ivf_trained,
     "similarity_pq": similarity_pq,
     "similarity_pq_int": similarity_pq_int,
+    "similarity_ann_ivf_int": similarity_ann_ivf_int,
     "semdedup_prune": semdedup_prune,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
@@ -5103,8 +5421,10 @@ ORACLES = {
     "dedup_embedding": _DEDUP_EMB,
     "similarity_topk": _SIM_TOPK,
     "similarity_pq_int": _PQ_INT_SQL,
+    "similarity_ann_ivf_int": _ANN_IVF_INT_SQL,
     "bm25_topk": _BM25_SQL,
     "rank_fusion_rrf": _RRF_SQL,
+    "rank_fusion_rrf_ann": _RRF_ANN_SQL,
     "semdedup_prune": _SEMDEDUP_SQL,
     "embedding_kmeans": _kmeans_oracle_sql(),
     "embedding_centroids": f"""

@@ -586,7 +586,7 @@ _OUTER_SPLIT_EPOCH_US = 1_705_363_200_000_000
 # keeps its own fresh checkpoint/state per call — the part that IS
 # the operator. r6 bench: each staging re-run cost ~2 s × two entries
 # per full pass.
-_EVENT_HALVES_CACHE: dict[str, str] = {}
+_EVENT_HALVES_CACHE: dict[tuple[str, str], str] = {}
 
 
 def staged_event_halves(spark: SparkSession, sf_dir: str) -> str:
@@ -599,9 +599,11 @@ def staged_event_halves(spark: SparkSession, sf_dir: str) -> str:
     import glob
     import shutil
 
+    from ..catalog import corpus_fingerprint
     from ..catalog import table as _table
 
-    cached = _EVENT_HALVES_CACHE.get(sf_dir)
+    memo_key = (sf_dir, corpus_fingerprint(sf_dir, "events"))
+    cached = _EVENT_HALVES_CACHE.get(memo_key)
     if cached is not None and os.path.exists(
         os.path.join(cached, "part-1.parquet")
     ):
@@ -622,7 +624,7 @@ def staged_event_halves(spark: SparkSession, sf_dir: str) -> str:
         shutil.copy(part, dst)
         # file-stream batches follow modification time: half0 first
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-    _EVENT_HALVES_CACHE[sf_dir] = src
+    _EVENT_HALVES_CACHE[memo_key] = src
     return src
 
 

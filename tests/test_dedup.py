@@ -292,6 +292,48 @@ def test_incremental_index_finds_planted_cross_batch_dup(spark):
     assert all(k[1] % dedup.INCR_BATCH_MOD != 0 for k in got)  # corpus side only
 
 
+def test_staging_memo_restages_on_in_place_corpus_regeneration(spark, tmp_path):
+    """The standing-index memo keys on a corpus CONTENT fingerprint,
+    not the bare path: regenerating documents.parquet at the SAME
+    path must invalidate the memo and build a FRESH index (the probe
+    must see the new corpus, not stale band signatures)."""
+    import os
+    import shutil
+
+    def write_docs(d, corpus):
+        p = os.path.join(d, "documents.parquet")
+        if os.path.exists(p):
+            shutil.rmtree(p)
+        spark.createDataFrame(
+            [(k, v, "en", "t", len(v)) for k, v in corpus.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(p)
+
+    d = str(tmp_path / "regen")
+    os.makedirs(d)
+    base = {
+        3: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        10: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        1: "one two three four five six seven eight nine ten",
+        2: "filler text goes here with several more words present",
+    }
+    write_docs(d, base)
+    first = dedup.build_incremental_dedup_index(spark, d)
+    again = dedup.build_incremental_dedup_index(spark, d)
+    assert again == first  # unchanged corpus → memo hit
+    # regenerate IN PLACE: corpus doc 3 no longer matches batch doc 10
+    regen = dict(base)
+    regen[3] = "totally rewritten corpus document with no shared shingles at all"
+    write_docs(d, regen)
+    fresh = dedup.build_incremental_dedup_index(spark, d)
+    assert fresh != first  # fingerprint change → fresh staging
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.incremental_dedup_index(spark, d).collect()
+    }
+    assert (10, 3) not in got  # probe sees the NEW corpus, not stale bands
+
+
 def test_choose_dedup_strategy_regimes():
     """The pure selection function: exact when <half the texts are
     distinct, ppjoin up to the size bound, lsh beyond."""
@@ -438,3 +480,45 @@ def test_semdedup_planted_duplicate_pruned(spark, tmp_path):
     rows = {r.vec_id: r for r in semdedup_prune(spark, d).collect()}
     assert rows[9_999].pruned == 1
     assert rows[9_999].dup_of == 100
+
+
+def test_semdedup_zero_norm_vectors_guarded_both_engines(spark, tmp_path):
+    """An all-zero embedding makes the cosine 0/0 — NaN in Spark,
+    NULL in DuckDB (engine-divergent without a guard). With the
+    zero-norm guard, zero vectors are always KEPT (never a dup, never
+    a keeper via similarity), and Spark stays exactly equal to the
+    mirrored oracle on a corpus planted with TWO zero vectors sharing
+    a cell (all-zero q agrees on every sign bit, so they collide)."""
+    import os
+
+    import duckdb
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        _SEMDEDUP_SQL,
+        semdedup_prune,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(base.first().embedding)
+    zeros = spark.createDataFrame(
+        [(8_000, [0.0] * dim, 0), (8_001, [0.0] * dim, 0)], base.schema
+    )
+    d = str(tmp_path / "semdedup_zero")
+    base.unionByName(zeros).write.parquet(os.path.join(d, "embeddings.parquet"))
+    got = [
+        (r.vec_id, r.cell, r.dup_of, r.pruned)
+        for r in semdedup_prune(spark, d).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'embeddings.parquet')}/*.parquet')"
+    )
+    want = [tuple(t) for t in con.execute(_SEMDEDUP_SQL).fetchall()]
+    assert got == want
+    by_id = {v: (c, dup, p) for v, c, dup, p in got}
+    # both zero vectors share a cell yet neither is pruned (0/0 is
+    # not similarity), and neither appears as anyone's keeper
+    assert by_id[8_000][0] == by_id[8_001][0]
+    assert by_id[8_000][2] == 0 and by_id[8_001][2] == 0
+    assert all(dup not in (8_000, 8_001) for _, (_, dup, _) in by_id.items())

@@ -922,6 +922,12 @@ def test_bm25_length_normalization_and_saturation(spark, tmp_path):
         (50, "needle " + " ".join(f"x{i}" for i in range(9))),   # short, tf=1
         (51, "needle " + pad_long),           # long, tf=1
         (52, "needle needle " + " ".join(f"y{i}" for i in range(8))),  # tf=2, short
+        # filler docs keep needle's df (4) under the 50% df-ceiling
+        # (impact pruning would otherwise drop a term in every doc)
+        (60, "filler alpha beta"),
+        (61, "filler gamma delta"),
+        (62, "filler epsilon zeta"),
+        (63, "filler eta theta"),
     ]
     d = str(tmp_path / "bm25")
     spark.createDataFrame(
@@ -967,6 +973,92 @@ def test_rrf_fusion_prefers_cross_retriever_agreement(spark):
             assert 0 < r.rrf_micro <= 2 * max_single
 
 
+def test_rrf_ann_fed_fusion_contract(spark):
+    """The ANN-fed fusion keeps RRF's output contract (bounded per
+    query, n_lists provenance, exact contribution arithmetic) and,
+    on the fixture, mostly agrees with the exact-dense fusion — the
+    recall the IVF probe budget buys flows through fusion."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        RRF_K,
+        RRF_SCALE,
+        RRF_TOPK,
+        rank_fusion_rrf,
+        rank_fusion_rrf_ann,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = rank_fusion_rrf_ann(spark, sf).collect()
+    assert rows
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    max_single = RRF_SCALE // (RRF_K + 1)
+    for lst in per_q.values():
+        assert len(lst) <= RRF_TOPK
+        for r in lst:
+            assert r.n_lists in (1, 2)
+            assert 0 < r.rrf_micro <= 2 * max_single
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in rank_fusion_rrf(spark, sf).collect()
+    }
+    ann = {(r.query_id, r.neighbor_id) for r in rows}
+    overlap = len(ann & exact) / len(exact)
+    assert overlap >= 0.4, f"ANN-fed fusion overlap = {overlap:.2f}"
+
+
+def test_rrf_id_space_invariant():
+    """The fusion contract rank_fusion_rrf documents: every
+    embeddings.vec_id IS a documents.doc_id (embeddings cover a
+    subset of the corpus), at every fixture scale factor — fusing a
+    vec_id-keyed dense list with a doc_id-keyed sparse list is only
+    meaningful under this invariant."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        orphans = con.execute(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/embeddings.parquet' e "
+            f"WHERE e.vec_id NOT IN "
+            f"(SELECT doc_id FROM '/root/testdata/sf{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert orphans == 0, f"sf{sf}: {orphans} vec_ids are not doc_ids"
+
+
+def test_ann_ivf_int_oracle_parity_and_recall(spark):
+    """The integer IVF twin must (a) exactly match its DuckDB oracle
+    (the whole pipeline: centroid pick, assignment ties, probe cut,
+    re-rank) and (b) retrieve a useful fraction of the exact
+    brute-force neighbors — the recall the probe budget buys."""
+    import duckdb
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        _ANN_IVF_INT_SQL,
+        SIM_K,
+        similarity_ann_ivf_int,
+        similarity_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in similarity_ann_ivf_int(spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf}/embeddings.parquet'"
+    )
+    want = [tuple(t) for t in con.execute(_ANN_IVF_INT_SQL).fetchall()]
+    assert got == want
+    exact = {
+        (r.query_id, r.neighbor_id) for r in similarity_topk(spark, sf).collect()
+    }
+    ann = {(q, n) for q, n, _ in got}
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.4, f"IVF-int recall@{SIM_K} = {recall:.2f}"
+
+
 def test_bm25_survives_pathological_tf_and_matches_oracle(spark, tmp_path):
     """A garbage doc with a 500k-repeat token must not trip ANSI
     overflow mid-plan (the tf clamp bounds 22·tf·10^12 under 2^63),
@@ -988,6 +1080,9 @@ def test_bm25_survives_pathological_tf_and_matches_oracle(spark, tmp_path):
         (30, garbage.strip()),
         (31, "spam and some ordinary text follows the term"),
         (32, "entirely unrelated tokens only appear here now"),
+        # filler docs keep spam's df (3) under the 50% df-ceiling
+        (33, "more unrelated padding content lives here"),
+        (34, "further disjoint filler text sits here"),
     ]
     d = str(tmp_path / "bm25x")
     spark.createDataFrame(
@@ -1039,6 +1134,9 @@ def test_sparse_dot_heavy_tf_parity_and_loud_overflow(spark, tmp_path):
             (30, heavy),                     # corpus twin with huge tf
             (31, "spam plus ordinary text"),
             (32, "nothing shared with them"),
+            # filler keeps spam's df (3) under the 50% df-ceiling
+            (33, "disjoint padding document one"),
+            (34, "disjoint padding document two"),
         ]
         d = str(tmp_path / name)
         spark.createDataFrame(
@@ -1068,3 +1166,99 @@ def test_sparse_dot_heavy_tf_parity_and_loud_overflow(spark, tmp_path):
     d2 = plant("absurd", 400_000)
     with pytest.raises(ArithmeticException, match="CAST_OVERFLOW"):
         sparse_dot_topk(spark, d2).collect()
+
+
+def _write_stopword_corpus(spark, tmp_path, name):
+    """8-doc corpus with a planted universal stopword ('the', df=8 =
+    100% of docs) riding alongside discriminative terms. Doc 0 is a
+    probe; doc 40 shares ONLY the stopword with it."""
+    import os
+
+    corpus = [
+        (0, "the quick brown fox"),
+        (40, "the onlystop word here"),          # stopword-only overlap
+        (41, "the quick red panda"),             # shares 'quick'
+        (42, "the brown bear woods"),            # shares 'brown'
+        (43, "the unrelated alpha beta"),
+        (44, "the unrelated gamma delta"),
+        (45, "the unrelated epsilon zeta"),
+        (46, "the unrelated eta theta"),
+    ]
+    d = str(tmp_path / name)
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_sparse_df_ceiling_cuts_stopword_postings(spark, tmp_path):
+    """Impact pruning must remove the planted stopword's postings
+    from the shared weight relation entirely (posting row count
+    drops by exactly df('the') = 8), and a corpus doc sharing ONLY
+    the stopword with the probe must produce no candidate pair."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        _sparse_weights,
+        sparse_dot_topk,
+    )
+
+    d = _write_stopword_corpus(spark, tmp_path, "stopword")
+    w = _sparse_weights(spark, d)
+    assert w.where(F.col("tok") == "the").count() == 0
+    assert w.where(F.col("tok") == "quick").count() == 2
+    # total postings = raw tf rows minus the 8 stopword postings
+    docs = table(spark, d, "documents")
+    raw = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .where(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    n_raw_postings = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .distinct()
+        .count()
+    )
+    assert w.count() == n_raw_postings - 8
+    assert raw  # corpus sanity
+    # semantic consequence: stopword-only overlap yields no pair
+    pairs = {
+        (r.query_id, r.neighbor_id) for r in sparse_dot_topk(spark, d).collect()
+    }
+    assert (0, 40) not in pairs
+    assert (0, 41) in pairs  # discriminative overlap survives
+
+
+def test_bm25_stopword_pruned_and_oracle_parity(spark, tmp_path):
+    """BM25 with the df-ceiling active: the stopword-only neighbor
+    vanishes, discriminative matches survive, and the Spark result
+    stays hash-exact against the mirrored DuckDB oracle (the cut is
+    applied identically on both sides)."""
+    import os
+
+    import duckdb
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        _BM25_SQL,
+        bm25_topk,
+    )
+
+    d = _write_stopword_corpus(spark, tmp_path, "stopword_bm25")
+    got = [
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in bm25_topk(spark, d).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    want = [tuple(t) for t in con.execute(_BM25_SQL).fetchall()]
+    assert got == want
+    neighbors_of_probe = {n for q, n, _, _ in got if q == 0}
+    assert 40 not in neighbors_of_probe   # stopword-only overlap cut
+    assert {41, 42} <= neighbors_of_probe  # real matches survive

@@ -642,6 +642,11 @@ def test_sparse_dot_topk_broadcasts_df_and_prunes_probes(spark):
     # the probe-side pruning predicate reaches a scan/filter, not
     # post-join: doc_id < SPARSE_TOPK_QUERIES appears as a filter
     assert "20" in plan
+    # impact pruning sits BELOW the posting join: the df-ceiling
+    # predicate (df * 100 <= 50 * n_docs) filters the broadcast-side
+    # weight relation before any token match happens
+    wplan = P.plan(llm._sparse_weights(spark, SF_SMOKE), "simple")
+    assert "* 100)" in wplan and "* 90)" in wplan
 
 
 def test_containment_join_probe_side_is_prefix_only(spark):
@@ -688,6 +693,9 @@ def test_bm25_broadcasts_stats_and_no_cartesian(spark):
     plan = P.plan(df, "simple")
     assert P.uses_broadcast_join(df)
     assert "CartesianProduct" not in plan
+    # the df-ceiling cut is in the plan below the posting join
+    # (filter on the broadcast df relation, not post-join)
+    assert "* 100)" in plan and "* 90)" in plan
 
 
 def test_similarity_pq_int_broadcasts_codebook_and_lut(spark):
