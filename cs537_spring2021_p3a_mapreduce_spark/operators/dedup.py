@@ -657,10 +657,18 @@ def dedup_ppjoin(
     if posting is None:
         posting = _shingles(spark, sf_dir).withColumnRenamed("shingle", "sh")
     posting = track_persist(posting)
-    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window
 
+    # df and n as WINDOW COUNTS instead of aggregate+join pairs (r8):
+    # the old shape paid a freq aggregate + shuffle join on sh AND a
+    # sizes aggregate + join on doc_id; the window form computes df in
+    # the sh exchange and n inside the doc_id exchange the rank window
+    # already needs — two exchanges total, no joins (measured at
+    # sf0.1: 3.4 s → 2.2 s, identical output). WindowExec buffers one
+    # key group at a time and SPILLS, so a hot shingle degrades to
+    # disk, not OOM — and 3-token shingles are rare by construction
+    # (the prefix-filter premise, see below).
+    #
     # rank-by-rarity via a row_number window ON PURPOSE: the
     # collect_list(struct)+array_sort+slice formulation avoids the
     # posting-level sort but holds every doc's full (df, sh) array in
@@ -669,12 +677,14 @@ def dedup_ppjoin(
     # beats the saved sort pass; the window is partitioned by doc, so
     # a cluster parallelizes it by doc hash.
     ranked = (
-        posting.join(freq, "sh")
+        posting.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn(
             "rk",
             F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
         )
-        .join(sizes, "doc_id")
     )
     # prefix_len = n - ceil(t·n) + 1, with ceil(p·n/q) = (p·n + q - 1) DIV q
     # — exact integer arithmetic for the rational threshold
@@ -716,7 +726,15 @@ def dedup_ppjoin(
                 >= minoverlap
             ),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        # set sizes ride along from the prefix rows (n is functionally
+        # determined by the id, so the distinct's cardinality is
+        # unchanged) — the verify stage then needs NO size joins
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
     pa = posting.select(F.col("doc_id").alias("a_id"), "sh")
@@ -724,18 +742,14 @@ def dedup_ppjoin(
     inter = (
         cands.join(pa, "a_id")
         .join(pb, ["b_id", "sh"])
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        inter.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= PPJOIN_THRESHOLD)
         .orderBy("a_id", "b_id")
     )
@@ -1013,11 +1027,14 @@ def dedup(spark: SparkSession, sf_dir: str, strategy: str = "auto") -> DataFrame
     Gate shape (r5 audit: the shared pre-pass materialized full
     SHINGLE ARRAYS through the stats gate, so the gate's eager
     aggregate paid tokenize + shingle + cache-write for the whole
-    corpus even when the branch only needed hashes — 32 s cold):
-    the gate persists only the NARROW (doc_id, sha2) relation —
-    one cheap scan, reused verbatim by the exact branch — and the
-    ppjoin branch builds its posting lazily, only when the stats
-    actually select it. The gate's text-distinct count is computed
+    corpus even when the branch only needed hashes — 32 s cold; r8:
+    the gate's persist of the sha2 relation itself charged the
+    common path for a cache only the exact branch reuses): the gate
+    is now ONE unpersisted aggregate producing the two scalars; the
+    exact branch persists its own narrow (doc_id, sha2) relation
+    when selected (one extra cheap scan, only in the regime where
+    the branch is trivial anyway), and the ppjoin branch builds its
+    posting lazily, only when the stats actually select it. The gate's text-distinct count is computed
     over sha2(text) — identical to distinct texts (the dedup_exact
     normalization; a 2⁻²⁵⁶ collision could only flip d by one doc at
     the gate boundary). The lsh branch keeps its own xxhash64
@@ -1025,16 +1042,21 @@ def dedup(spark: SparkSession, sf_dir: str, strategy: str = "auto") -> DataFrame
     DEDUP_PPJOIN_MAX_DOCS).
     """
     docs = table(spark, sf_dir, "documents")
-    hashed = None
     if strategy == "auto":
+        # stats in ONE unpersisted aggregate: the gate needs only two
+        # scalars, and persisting the sha2 relation here charged a
+        # cache materialization + write to the COMMON (ppjoin/lsh)
+        # path for a relation only the exact branch reuses — the
+        # exact branch persists its own copy below when selected
+        n, d = docs.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(F.sha2(F.col("text"), 256)),
+        ).first()
+        strategy = choose_dedup_strategy(n, d)
+    if strategy == "exact":
         hashed = track_persist(
             docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
         )
-        n, d = hashed.agg(F.count(F.lit(1)), F.count_distinct(F.col("h"))).first()
-        strategy = choose_dedup_strategy(n, d)
-    if strategy == "exact":
-        if hashed is None:
-            hashed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
         a = hashed.select(F.col("doc_id").alias("a_id"), "h")
         b = hashed.select(F.col("doc_id").alias("b_id"), "h")
         pairs = (
