@@ -835,28 +835,33 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = track_persist(
         _shingles(spark, sf_dir).withColumnRenamed("shingle", "sh")
     )
-    freq = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window
 
+    # df and n as window counts inside the exchanges the rank window
+    # already needs, and the probe-side size rides through the
+    # candidate join — the dedup_ppjoin r8 rebuild applied to the
+    # one-sided form (no freq/sizes aggregates or joins; identical
+    # output)
     ranked = (
-        posting.join(freq, "sh")
+        posting.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn(
             "rk",
             F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
         )
-        .join(sizes, "doc_id")
     )
     p, q = CONTAIN_T_NUM, CONTAIN_T_DEN
     prefix = ranked.where(
         F.col("rk") <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + F.lit(1)
-    ).select(F.col("doc_id").alias("a_id"), "sh")
+    ).select(F.col("doc_id").alias("a_id"), "sh", F.col("n").alias("na"))
     cands = (
         prefix.join(
             posting.select(F.col("doc_id").alias("b_id"), "sh"), "sh"
         )
         .where(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id")
+        .select("a_id", "b_id", "na")
         .distinct()
     )
     pa = posting.select(F.col("doc_id").alias("a_id"), "sh")
@@ -864,16 +869,14 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         cands.join(pa, "a_id")
         .join(pb, ["b_id", "sh"])
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "na")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     contain = F.round(
         F.col("inter").cast("double") / F.col("na").cast("double"), 6
     )
     return (
-        inter.join(na, "a_id")
-        .select("a_id", "b_id", contain.alias("containment"))
+        inter.select("a_id", "b_id", contain.alias("containment"))
         .where(F.col("containment") >= CONTAIN_THRESHOLD)
         .orderBy("a_id", "b_id")
     )
