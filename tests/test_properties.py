@@ -812,3 +812,103 @@ def test_market_basket_counts_match_itertools(spark, baskets):
         }
     )
     assert got == want
+
+
+# --- prefix-filter losslessness ------------------------------------------
+#
+# PPJoin's contract is a THEOREM (every pair with J >= t survives the
+# prefix + length + positional filters) — the strongest possible test
+# is random corpora against the brute-force all-pairs model. A small
+# vocabulary forces heavy shingle overlap, so high-Jaccard pairs occur
+# routinely and the filters are exercised at their boundary.
+
+_SHINGLE_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+_DOC = st.lists(
+    st.sampled_from(_SHINGLE_VOCAB), min_size=0, max_size=9
+)
+_CORPUS = st.lists(_DOC, min_size=2, max_size=7)
+
+
+def _write_docs(spark, corpus, d):
+    import os
+
+    rows = [
+        (i, " ".join(toks), "en", "t", len(" ".join(toks)))
+        for i, toks in enumerate(corpus)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+
+def _shingle_sets(corpus):
+    return {
+        i: {tuple(t[j : j + 3]) for j in range(len(t) - 2)}
+        for i, t in enumerate(corpus)
+    }
+
+
+@given(corpus=_CORPUS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ppjoin_lossless_vs_bruteforce_jaccard(spark, corpus):
+    """Random small corpora: dedup_ppjoin's output must equal the
+    brute-force all-pairs exact-Jaccard join at t=0.7 — losslessness
+    of the prefix/length/positional filters (and of the r8
+    window-count rebuild) over the full random pair spectrum,
+    including exact duplicates, empty docs, and sub-3-token docs."""
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup as dd
+
+    d = tempfile.mkdtemp(prefix="pp_prop_")
+    _write_docs(spark, corpus, d)
+    sets = _shingle_sets(corpus)
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if round(j, 6) >= dd.PPJOIN_THRESHOLD:
+                    want[(a, b)] = round(j, 6)
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd.dedup_ppjoin(spark, d).collect()
+    }
+    assert got == want
+
+
+@given(corpus=_CORPUS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_containment_lossless_vs_bruteforce(spark, corpus):
+    """Random small corpora: containment_join must equal the
+    brute-force ordered-pairs containment join at t=0.9 — the
+    one-sided prefix bound loses nothing, in both directions."""
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup as dd
+
+    d = tempfile.mkdtemp(prefix="cj_prop_")
+    _write_docs(spark, corpus, d)
+    sets = _shingle_sets(corpus)
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a != b and sets[a]:
+                c = len(sets[a] & sets[b]) / len(sets[a])
+                if round(c, 6) >= dd.CONTAIN_THRESHOLD:
+                    want[(a, b)] = round(c, 6)
+    got = {
+        (r.a_id, r.b_id): r.containment
+        for r in dd.containment_join(spark, d).collect()
+    }
+    assert got == want
