@@ -912,3 +912,114 @@ def test_containment_lossless_vs_bruteforce(spark, corpus):
         for r in dd.containment_join(spark, d).collect()
     }
     assert got == want
+
+
+@given(corpus=_CORPUS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sparse_dot_topk_matches_integer_model(spark, corpus):
+    """Random corpora: sparse_dot_topk must equal a from-scratch
+    Python model of the exact-integer pipeline — tf, df, the 90%
+    df-ceiling, w = tf·SCALE DIV df, pairwise integer dot products,
+    and the (score desc, neighbor asc) top-k tie-break."""
+    import tempfile
+    from collections import Counter
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    d = tempfile.mkdtemp(prefix="sp_prop_")
+    _write_docs(spark, corpus, d)
+    n_docs = len(corpus)
+    tf = {i: Counter(t) for i, t in enumerate(corpus)}
+    df = Counter()
+    for c in tf.values():
+        for tok in c:
+            df[tok] += 1
+    kept = {
+        t for t, v in df.items() if v * 100 <= llm.SPARSE_DF_CEIL_PCT * n_docs
+    }
+    w = {
+        i: {
+            t: (c[t] * llm.SPARSE_IDF_SCALE) // df[t]
+            for t in c
+            if t in kept
+        }
+        for i, c in tf.items()
+    }
+    want = []
+    for qid in range(min(n_docs, llm.SPARSE_TOPK_QUERIES)):
+        scored = []
+        for nid in range(n_docs):
+            if nid == qid:
+                continue
+            sc = sum(w[qid][t] * w[nid][t] for t in w[qid].keys() & w[nid].keys())
+            if w[qid].keys() & w[nid].keys():
+                scored.append((sc, nid))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (sc, nid) in enumerate(scored[: llm.SPARSE_TOPK_K], 1):
+            want.append((qid, nid, sc, rank))
+    got = [
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in llm.sparse_dot_topk(spark, d).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+@given(corpus=_CORPUS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_matches_integer_model(spark, corpus):
+    """Random corpora: bm25_topk must equal a from-scratch Python
+    model of the exact-rational BM25 — df-ceiling, rational idf
+    ((N−df+1)·1000 DIV (df+1)), micro-unit tfnorm with clamp, qtf
+    clamp, integer score sums, and the top-k tie-break."""
+    import tempfile
+    from collections import Counter
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    d = tempfile.mkdtemp(prefix="bm_prop_")
+    _write_docs(spark, corpus, d)
+    n = len(corpus)
+    tf = {i: Counter(t) for i, t in enumerate(corpus)}
+    df = Counter()
+    for c in tf.values():
+        for tok in c:
+            df[tok] += 1
+    l_total = sum(sum(c.values()) for c in tf.values())
+    dl = {i: sum(c.values()) for i, c in tf.items()}
+    S, C = llm.BM25_TF_SCALE, llm.BM25_TF_CLAMP
+    kept = {t for t, v in df.items() if v * 100 <= llm.SPARSE_DF_CEIL_PCT * n}
+
+    def weight(i, t):
+        idf_m = ((n - df[t] + 1) * llm.BM25_IDF_SCALE) // (df[t] + 1)
+        tfc = min(tf[i][t], C)
+        r = (dl[i] * n * S) // l_total
+        tfnorm_u = (22 * tfc * S * S) // (10 * tfc * S + 3 * S + 9 * r)
+        return (idf_m * tfnorm_u) // llm.BM25_IDF_SCALE
+
+    want = []
+    for qid in range(min(n, llm.SPARSE_TOPK_QUERIES)):
+        scored = []
+        for nid in range(n):
+            if nid == qid:
+                continue
+            shared = tf[qid].keys() & tf[nid].keys() & kept
+            if not shared:
+                continue
+            sc = sum(min(tf[qid][t], C) * weight(nid, t) for t in shared)
+            scored.append((sc, nid))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (sc, nid) in enumerate(scored[: llm.SPARSE_TOPK_K], 1):
+            want.append((qid, nid, sc, rank))
+    got = [
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in llm.bm25_topk(spark, d).collect()
+    ]
+    assert sorted(got) == sorted(want)
