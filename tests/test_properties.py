@@ -1023,3 +1023,77 @@ def test_bm25_matches_integer_model(spark, corpus):
         for r in llm.bm25_topk(spark, d).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-4, max_value=4), min_size=4, max_size=4
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivf_int_matches_python_model(spark, vecs):
+    """Random small integer embedding corpora (padded to 64 dims):
+    similarity_ann_ivf_int must equal a from-scratch Python model of
+    the whole pipeline — md5-ordered centroid sample, squared-L2
+    argmin assignment with (d2, cid) ties, nprobe probe cut,
+    zero-norm-guarded cosine re-rank with the (cos desc, neighbor
+    asc) tie-break. Pins the operator independently of the DuckDB
+    oracle (same theorem, third implementation)."""
+    import hashlib
+    import math
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    dim = 64
+    emb = [v + [0] * (dim - len(v)) for v in vecs]
+    d = tempfile.mkdtemp(prefix="ivf_prop_")
+    spark.createDataFrame(
+        [(i, [float(x) for x in e], 0) for i, e in enumerate(emb)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    # model: q = round(x * SCALE) — inputs are small integers, exact
+    q = {i: [x * llm.PQ_INT_SCALE for x in e] for i, e in enumerate(emb)}
+    order = sorted(q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = {cid: q[i] for cid, i in enumerate(order[: llm.IVF_INT_K])}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def cells_of(i):
+        return sorted((d2(q[i], cq), cid) for cid, cq in cents.items())
+
+    assign = {i: cells_of(i)[0][1] for i in q}
+    want = []
+    for qid in range(min(len(emb), llm.SIM_N_QUERIES)):
+        probe = {cid for _, cid in cells_of(qid)[: llm.IVF_INT_NPROBE]}
+        scored = []
+        for nid in q:
+            if nid == qid or assign[nid] not in probe:
+                continue
+            na = sum(x * x for x in q[qid])
+            nb = sum(x * x for x in q[nid])
+            if na > 0 and nb > 0:
+                dot = sum(a * b for a, b in zip(q[qid], q[nid]))
+                cos = round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+            else:
+                cos = 0.0
+            scored.append((cos, nid))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for cos, nid in scored[: llm.SIM_K]:
+            want.append((qid, nid, cos))
+    got = [
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in llm.similarity_ann_ivf_int(spark, d).collect()
+    ]
+    assert sorted(got) == sorted(want)
