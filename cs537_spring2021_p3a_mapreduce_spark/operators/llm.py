@@ -2682,6 +2682,63 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_SPAN_K = 5  # span width for corpus-duplicate span detection
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL duplication audit (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    public method): for each document, the fraction of its sliding
+    word-DUP_SPAN_K-gram windows that occur MORE THAN ONCE anywhere
+    in the corpus (other documents or repeats within the same one).
+    This is the tractable map-reduce approximation of suffix-array
+    substring dedup that large-corpus pipelines actually run — the
+    signal is per-document (memorization/boilerplate risk), distinct
+    from doc-level similarity (``dedup_ngram``) and eval-overlap
+    (``decontaminate_ngram``).
+
+    Scale shape: windows are narrow per-row expressions (the
+    ``_doc_shingle_arr`` construction, 8-byte xxhash64 identities);
+    the corpus-wide occurrence count is ONE window count inside a
+    single shuffle by span hash (the dedup_ppjoin r8 pattern — no
+    freq aggregate + join back), then one per-doc aggregate. Two
+    exchanges total, both wordcount-shaped; nothing is quadratic and
+    nothing holds a span's full posting list in memory (WindowExec
+    spills).
+
+    Exact integers: dup_micro = dup_spans·10⁶ DIV n_spans. Docs with
+    fewer than DUP_SPAN_K tokens have no windows and are absent, on
+    both engines.
+
+    Output: doc_id, n_spans, dup_spans, dup_micro.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    win = toks.select(
+        "doc_id", F.explode(_doc_shingle_arr(DUP_SPAN_K)).alias("sh")
+    )
+    flagged = win.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(Window.partitionBy("sh")) >= 2)
+        .cast("long")
+        .alias("dup"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("dup").alias("dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.expr("(dup_spans * 1000000) DIV n_spans").alias("dup_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-prep chunking: split each document's token stream
     into fixed-size windows (``CHUNK_SIZE`` tokens, stride
@@ -2905,6 +2962,35 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_SHINGLE_EXPR = " || chr(31) || ".join(
     f"ts[i+{j}]" for j in range(DECON_K)
 )
+
+# string-identity twin of the xxhash64 span ids (same k), the usual
+# oracle arrangement: identity-equal unless a 64-bit collision, which
+# the hash compare would surface
+_DUP_SPAN_EXPR = " || chr(31) || ".join(
+    f"ts[i+{j}]" for j in range(DUP_SPAN_K)
+)
+
+_DUP_SPAN_SQL = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), win AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - {DUP_SPAN_K - 1}, 0)),
+           i -> {_DUP_SPAN_EXPR})) AS sh
+  FROM arr
+), flagged AS (
+  SELECT doc_id,
+         (count(*) OVER (PARTITION BY sh) >= 2)::BIGINT AS dup
+  FROM win
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(dup)::BIGINT AS dup_spans,
+       ((sum(dup) * 1000000) // count(*))::BIGINT AS dup_micro
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
 
 _DECON = f"""
 WITH arr AS (
@@ -5397,6 +5483,7 @@ QUERIES = {
     "shuffle_for_training": shuffle_for_training,
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
+    "dup_span_stats": dup_span_stats,
     "chunk_documents": chunk_documents,
     "pii_scrub": pii_scrub,
     "ann_lsh_pairs": ann_lsh_pairs,
@@ -5487,6 +5574,7 @@ FROM g
     "shuffle_for_training": _shuffle_sql(),
     "pack_sequences": _PACK_SEQ,
     "decontaminate_ngram": _DECON,
+    "dup_span_stats": _DUP_SPAN_SQL,
     "chunk_documents": _CHUNKS,
     "pii_scrub": _PII,
     "ann_lsh_pairs": _ANN_LSH,

@@ -973,6 +973,56 @@ def test_rrf_fusion_prefers_cross_retriever_agreement(spark):
             assert 0 < r.rrf_micro <= 2 * max_single
 
 
+def test_dup_span_stats_planted(spark, tmp_path):
+    """Planted span duplication: a 5-gram shared verbatim between
+    two docs marks exactly its windows as duplicated in both; a
+    WITHIN-doc repeat counts too; a unique doc scores 0; sub-5-token
+    docs are absent. Matches the DuckDB string-identity oracle."""
+    import os
+
+    import duckdb
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        _DUP_SPAN_SQL,
+        dup_span_stats,
+    )
+
+    span = "one two three four five"
+    corpus = [
+        (0, span + " unique0 tail0 here0"),     # shares span with doc 1
+        (1, "lead1 " + span + " tail1"),        # shares span with doc 0
+        (2, "entirely distinct words appear in this doc only"),
+        (3, span + " mid filler " + span),      # within-doc repeat
+        (4, "too short"),                        # < 5 tokens: absent
+    ]
+    d = str(tmp_path / "dupspan")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in dup_span_stats(spark, d).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[2].dup_spans == 0 and rows[2].dup_micro == 0
+    # docs 0, 1 and 3 each contain the planted 5-gram at least once
+    assert rows[0].dup_spans >= 1
+    assert rows[1].dup_spans >= 1
+    assert rows[3].dup_spans >= 2  # the repeat duplicates both copies
+    for r in rows.values():
+        assert 0 <= r.dup_micro <= 1_000_000
+        assert r.dup_micro == (r.dup_spans * 1_000_000) // r.n_spans
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    want = [tuple(t) for t in con.execute(_DUP_SPAN_SQL).fetchall()]
+    got = [
+        (r.doc_id, r.n_spans, r.dup_spans, r.dup_micro)
+        for r in dup_span_stats(spark, d).collect()
+    ]
+    assert got == want
+
+
 def test_rrf_ann_fed_fusion_contract(spark):
     """The ANN-fed fusion keeps RRF's output contract (bounded per
     query, n_lists provenance, exact contribution arithmetic) and,

@@ -1097,3 +1097,40 @@ def test_ivf_int_matches_python_model(spark, vecs):
         for r in llm.similarity_ann_ivf_int(spark, d).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+@given(corpus=_CORPUS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dup_span_stats_matches_python_model(spark, corpus):
+    """Random corpora: dup_span_stats must equal the Python model —
+    every doc's sliding 5-gram windows counted against the
+    corpus-wide multiset (within-doc repeats included), integer
+    micro fraction, sub-5-token docs absent."""
+    import tempfile
+    from collections import Counter
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    d = tempfile.mkdtemp(prefix="ds_prop_")
+    _write_docs(spark, corpus, d)
+    k = llm.DUP_SPAN_K
+    spans = {
+        i: [tuple(t[j : j + k]) for j in range(len(t) - k + 1)]
+        for i, t in enumerate(corpus)
+    }
+    total = Counter(s for ss in spans.values() for s in ss)
+    want = []
+    for i, ss in spans.items():
+        if not ss:
+            continue
+        dup = sum(1 for s in ss if total[s] >= 2)
+        want.append((i, len(ss), dup, (dup * 1_000_000) // len(ss)))
+    got = [
+        (r.doc_id, r.n_spans, r.dup_spans, r.dup_micro)
+        for r in llm.dup_span_stats(spark, d).collect()
+    ]
+    assert sorted(got) == sorted(want)
