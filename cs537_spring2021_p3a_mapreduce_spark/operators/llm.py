@@ -2701,10 +2701,10 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_doc_shingle_arr`` construction, 8-byte xxhash64 identities);
     the corpus-wide occurrence count is ONE window count inside a
     single shuffle by span hash (the dedup_ppjoin r8 pattern — no
-    freq aggregate + join back), then one per-doc aggregate. Two
-    exchanges total, both wordcount-shaped; nothing is quadratic and
-    nothing holds a span's full posting list in memory (WindowExec
-    spills).
+    freq aggregate + join back), then one per-doc aggregate. Three
+    exchanges total (span window, doc aggregate, output sort), all
+    wordcount-shaped, ZERO joins; nothing is quadratic and nothing
+    holds a span's full posting list in memory (WindowExec spills).
 
     Exact integers: dup_micro = dup_spans·10⁶ DIV n_spans. Docs with
     fewer than DUP_SPAN_K tokens have no windows and are absent, on

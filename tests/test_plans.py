@@ -712,6 +712,44 @@ def test_similarity_pq_int_broadcasts_codebook_and_lut(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_int_broadcast_fold_no_cartesian(spark):
+    """The integer IVF twin's K-centroid relation folds to ONE
+    broadcast row (assignment is narrow — zero shuffle of the n×K
+    product); the probe is a cell equi-join; no cartesian between
+    corpus-sized sides (the only BNL carries the 1-row fold)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.similarity_ann_ivf_int(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.uses_broadcast_join(df)
+    assert P.shuffle_count(df) <= 2  # probe equi-join + top-k window
+
+
+def test_dup_span_stats_join_free_three_exchanges(spark):
+    """Span-duplication audit must plan with ZERO joins (the window
+    count replaces the freq-aggregate-and-join-back shape) and at
+    most three exchanges: span-hash window, per-doc aggregate,
+    output sort — the wordcount cost profile at any corpus size."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.dup_span_stats(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Join" not in plan
+    assert P.shuffle_count(df) <= 3
+
+
+def test_rrf_ann_composition_no_cartesian(spark):
+    """The ANN-fed fusion composes IVF probe + sparse posting join +
+    fusion aggregate — no cartesian product anywhere in the composed
+    plan; the posting join and probe join stay equi-joins."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.rank_fusion_rrf_ann(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
 def test_semdedup_planes_broadcast_and_cell_equijoin(spark):
     """Sign-projection assignment joins a constant-size broadcast
     plane relation; candidate pairs come from an equi-join on cell
