@@ -60,7 +60,12 @@ def corpus_fingerprint(sf_dir: str, name: str) -> str:
     path = os.path.join(sf_dir, f"{name}.parquet")
     h = hashlib.sha256()
     if os.path.isdir(path):
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            # sort the traversal IN PLACE: os.walk visits subdirs in
+            # filesystem order, so identical content under a
+            # partitioned layout could hash differently between
+            # calls (spurious memo misses → needless restaging)
+            dirs.sort()
             for f in sorted(files):
                 if f.startswith(("_", ".")) or f.endswith(".crc"):
                     continue
@@ -131,6 +136,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _RELATION_CACHE.get(key)
     if cached is not None:
         return cached
+    # a new fingerprint for the same (app, path, table) means the
+    # data was regenerated: evict the stale entries (their plans
+    # point at deleted part files) instead of accumulating one dead
+    # DataFrame per regeneration for the life of the driver
+    for k in [k for k in _RELATION_CACHE if k[:3] == key[:3]]:
+        del _RELATION_CACHE[k]
     if name == "events":
         # Sources must not depend on how the caller built its session
         # (the reference's file source never does: mapreduce.c:163-189).

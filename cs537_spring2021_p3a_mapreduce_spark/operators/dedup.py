@@ -317,6 +317,175 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_int_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, c0..c3): the SimHash fingerprint as four 16-bit
+    chunk INTEGERS, with per-token bits derived from md5 instead of
+    xxhash64 — the ``_int`` twin trick (cf. similarity_pq_int): md5
+    is the one 64-bit-capable hash both Spark and DuckDB compute
+    identically, so the ENTIRE pipeline — token bits, weighted bit
+    sums, majority threshold, chunking — replays in the oracle.
+    Bit b of a token is bit (b % 4) of hex digit (b // 4) of
+    md5(token); chunk k packs bits [16k, 16k+16) into an int, so no
+    value ever touches a sign bit on either engine.
+
+    Shape identical to ``_simhash_fp``: the 64 bit positions are 64
+    aggregate EXPRESSIONS over one (doc_id) hash aggregate — one
+    shuffle carrying a row per (doc, distinct token), map-side
+    combined."""
+    docs = table(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("m", F.md5("token"))
+    )
+    pos = [
+        F.sum(
+            F.col("cnt")
+            * F.shiftright(
+                F.conv(F.substring("m", 1 + b // 4, 1), 16, 10).cast("int"),
+                b % 4,
+            ).bitwiseAND(F.lit(1))
+        ).alias(f"p{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok_counts.groupBy("doc_id").agg(F.sum("cnt").alias("t"), *pos)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    chunks = [
+        reduce(
+            lambda acc, j: acc
+            + F.when(
+                F.col(f"p{k * SIMHASH_BAND_BITS + j}") * 2 > F.col("t"),
+                F.lit(1 << j),
+            ).otherwise(F.lit(0)),
+            range(SIMHASH_BAND_BITS),
+            F.lit(0),
+        ).alias(f"c{k}")
+        for k in range(n_bands)
+    ]
+    return sums.select("doc_id", *chunks)
+
+
+def dedup_simhash_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT integer twin of ``dedup_simhash`` (the house
+    integer-twin discipline: the float/bespoke-hash operator stays
+    rows-only with planted-dup pytest gates; this twin replays the
+    identical pipeline with engine-portable md5 bits so the driver
+    hash-pins every stage — fingerprint construction, band/chunk
+    match, Hamming verify).
+
+    Same banded candidate generation as ``dedup_simhash``: a pair is
+    a candidate iff SOME 16-bit chunk matches (the oracle replays
+    this as an OR over the four chunk equalities — semantically the
+    band join, feasible at oracle scale), then the exact Hamming
+    filter. Same pigeonhole recall guarantee: Hamming < 4 is always
+    caught.
+
+    Scale shape: identical to ``dedup_simhash`` — one fingerprint
+    aggregate, a band equi-join on (band, chunk) whose buckets bound
+    the work, an in-row lowest-matching-band filter instead of a
+    distinct. Only the token-bit source differs (md5 nibble bits vs
+    xxhash64), which changes WHICH pairs near the Hamming boundary
+    surface, not the cost profile.
+
+    Output: a_id, b_id, hamming (long).
+    """
+    fps = track_persist(_simhash_int_chunks(spark, sf_dir))
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    banded = fps.select(
+        "doc_id",
+        *[f"c{k}" for k in range(n_bands)],
+        F.posexplode(F.array(*[F.col(f"c{k}") for k in range(n_bands)])).alias(
+            "band", "chunk"
+        ),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"c{k}").alias(f"a{k}") for k in range(n_bands)],
+        "band",
+        "chunk",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"c{k}").alias(f"b{k}") for k in range(n_bands)],
+        "band",
+        "chunk",
+    )
+
+    def _chunk_matches(k: int) -> F.Column:
+        return F.col(f"a{k}") == F.col(f"b{k}")
+
+    first_match = F.when(_chunk_matches(0), 0)
+    for k in range(1, n_bands):
+        first_match = first_match.when(_chunk_matches(k), k)
+    hamming = reduce(
+        lambda acc, k: acc
+        + F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))),
+        range(n_bands),
+        F.lit(0).cast("long"),
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter((F.col("a_id") < F.col("b_id")) & (F.col("band") == first_match))
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _simhash_int_sql() -> str:
+    """DuckDB replay of the full integer-SimHash pipeline: md5
+    nibble bits, cnt-weighted majority per bit, 16-bit chunk packing,
+    band match as an OR over chunk equalities (exact same pair set
+    as the band join), exact Hamming filter."""
+    hexd = "strpos('0123456789abcdef', substring(m, {pos}, 1)) - 1"
+    bits = ",\n         ".join(
+        "sum(cnt * ((("
+        + hexd.format(pos=1 + b // 4)
+        + f") >> {b % 4}) & 1))::BIGINT AS p{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    chunks = ",\n       ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN 2 * p{k * SIMHASH_BAND_BITS + j} > t"
+            f" THEN {1 << j} ELSE 0 END"
+            for j in range(SIMHASH_BAND_BITS)
+        )
+        + f")::INTEGER AS c{k}"
+        for k in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+    )
+    band_or = " OR ".join(f"a.c{k} = b.c{k}" for k in range(4))
+    ham = " + ".join(f"bit_count(xor(a.c{k}, b.c{k}))" for k in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), tok_counts AS (
+  SELECT doc_id, token, count(*)::BIGINT AS cnt, md5(token) AS m
+  FROM toks GROUP BY 1, 2
+), sums AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS t,
+         {bits}
+  FROM tok_counts GROUP BY 1
+), fps AS (
+  SELECT doc_id,
+       {chunks}
+  FROM sums
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       ({ham})::BIGINT AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id AND ({band_or})
+WHERE ({ham}) <= {SIMHASH_MAX_HAMMING}
+ORDER BY 1, 2
+"""
+
+
+_SIMHASH_INT_SQL = _simhash_int_sql()
+
+
 def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked form of the MinHash-LSH pipeline: the full
     LSH → exact-Jaccard-verify output, compared against an exact
@@ -997,26 +1166,38 @@ ORDER BY a.block, a_id, dist
 DEDUP_PPJOIN_MAX_DOCS = 100_000
 
 
-def choose_dedup_strategy(n_docs: int, n_distinct_texts: int) -> str:
+def choose_dedup_strategy(
+    n_docs: int, n_distinct_texts: int, ppjoin_max_docs: int = DEDUP_PPJOIN_MAX_DOCS
+) -> str:
     """Pick the dedup strategy from two corpus stats (one aggregate):
 
     - ``exact`` when fewer than half the texts are distinct
       (``2·d < n``, exact integers) — the duplication mass is literal
       copies, and a sha2 equi-join answers without any similarity
       math;
-    - ``ppjoin`` for corpora up to DEDUP_PPJOIN_MAX_DOCS — lossless
-      exact-Jaccard via prefix+length+positional filtering;
+    - ``ppjoin`` for corpora up to ``ppjoin_max_docs`` (default
+      DEDUP_PPJOIN_MAX_DOCS) — lossless exact-Jaccard via
+      prefix+length+positional filtering;
     - ``lsh`` beyond that — MinHash-banded candidates with exact
       verify, the 100 TB path (recall probabilistic, work bucketed).
+
+    ``ppjoin_max_docs`` is threaded from the façade so tests can
+    drive the lsh regime end-to-end on a generated corpus without
+    materializing 100k+ docs.
     """
     if n_docs > 0 and 2 * n_distinct_texts < n_docs:
         return "exact"
-    if n_docs <= DEDUP_PPJOIN_MAX_DOCS:
+    if n_docs <= ppjoin_max_docs:
         return "ppjoin"
     return "lsh"
 
 
-def dedup(spark: SparkSession, sf_dir: str, strategy: str = "auto") -> DataFrame:
+def dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    strategy: str = "auto",
+    ppjoin_max_docs: int = DEDUP_PPJOIN_MAX_DOCS,
+) -> DataFrame:
     """The production dedup façade: one entry point over the tier's
     research-grade strategies (exact sha2 / PPJoin / MinHash-LSH),
     auto-selected from corpus stats by ``choose_dedup_strategy``.
@@ -1055,7 +1236,7 @@ def dedup(spark: SparkSession, sf_dir: str, strategy: str = "auto") -> DataFrame
             F.count(F.lit(1)),
             F.count_distinct(F.sha2(F.col("text"), 256)),
         ).first()
-        strategy = choose_dedup_strategy(n, d)
+        strategy = choose_dedup_strategy(n, d, ppjoin_max_docs)
     if strategy == "exact":
         hashed = track_persist(
             docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
@@ -1120,6 +1301,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_verify": dedup_minhash_verify,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_int": dedup_simhash_int,
     "fuzzy_join_customers": fuzzy_join_customers,
 }
 
@@ -1133,6 +1315,7 @@ QUERIES = {
 # fixtures — see the docstring).
 ORACLES: dict[str, str] = {
     "dedup_auto": _DEDUP_AUTO_SQL,
+    "dedup_simhash_int": _SIMHASH_INT_SQL,
     "dedup_ppjoin": _PPJOIN_SQL,
     "containment_join": _CONTAINMENT_SQL,
     "incremental_dedup_index": _INCR_DEDUP_SQL,

@@ -933,17 +933,17 @@ WITH qv AS (
 ), rr AS (
   SELECT cd.query_id, cd.neighbor_id,
          CASE WHEN na.s > 0 AND nb.s > 0 THEN
-           round(CAST(list_sum(list_transform(generate_series(1, 64),
+           round(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
                    j -> a.q[j] * b.q[j])) AS BIGINT)::DOUBLE
                  / (sqrt(na.s::DOUBLE) * sqrt(nb.s::DOUBLE)), 6)
          ELSE 0.0 END AS cos_sim
   FROM cand cd
   JOIN qv a ON a.vec_id = cd.query_id
   JOIN qv b ON b.vec_id = cd.neighbor_id
-  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 64),
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
           j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) na
     ON na.vec_id = cd.query_id
-  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 64),
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
           j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) nb
     ON nb.vec_id = cd.neighbor_id
 )
@@ -1085,7 +1085,7 @@ WITH qv AS (
   FROM (SELECT * FROM qv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_INT_K})
 ), d AS (
   SELECT v.vec_id, c.cid,
-         CAST(list_sum(list_transform(generate_series(1, 64),
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
            i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS BIGINT) AS d2
   FROM qv v CROSS JOIN c0 c
 ), assign AS (
@@ -1105,17 +1105,17 @@ WITH qv AS (
 ), rr AS (
   SELECT cd.query_id, cd.neighbor_id,
          CASE WHEN na.s > 0 AND nb.s > 0 THEN
-           round(CAST(list_sum(list_transform(generate_series(1, 64),
+           round(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
                    j -> a.q[j] * b.q[j])) AS BIGINT)::DOUBLE
                  / (sqrt(na.s::DOUBLE) * sqrt(nb.s::DOUBLE)), 6)
          ELSE 0.0 END AS cos_sim
   FROM cand cd
   JOIN qv a ON a.vec_id = cd.query_id
   JOIN qv b ON b.vec_id = cd.neighbor_id
-  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 64),
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
           j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) na
     ON na.vec_id = cd.query_id
-  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 64),
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
           j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) nb
     ON nb.vec_id = cd.neighbor_id
 )
@@ -1269,25 +1269,25 @@ WITH qv AS (
 ), assign AS (
   SELECT v.vec_id,
          sum(CASE WHEN p.j < nb.b AND
-                       CAST(list_sum(list_transform(generate_series(1, 64),
+                       CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
                          i -> v.q[i] * p.h[i])) AS BIGINT) > 0
                   THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS cell
   FROM qv v, planes p, nb
   GROUP BY 1
 ), pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         round(CAST(list_sum(list_transform(generate_series(1, 64),
+         round(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
                  j -> qa.q[j] * qb.q[j])) AS BIGINT)::DOUBLE
-           / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+           / (sqrt(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
                 j -> qa.q[j] * qa.q[j])) AS BIGINT)::DOUBLE)
-            * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+            * sqrt(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
                 j -> qb.q[j] * qb.q[j])) AS BIGINT)::DOUBLE)), 6) AS cos_sim
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN qv qa ON qa.vec_id = a.vec_id
   JOIN qv qb ON qb.vec_id = b.vec_id
-  WHERE CAST(list_sum(list_transform(generate_series(1, 64),
+  WHERE CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
           j -> qa.q[j] * qa.q[j])) AS BIGINT) > 0
-    AND CAST(list_sum(list_transform(generate_series(1, 64),
+    AND CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
           j -> qb.q[j] * qb.q[j])) AS BIGINT) > 0
 ), dup AS (
   SELECT b_id, min(a_id) AS dup_of FROM pairs
@@ -1305,7 +1305,7 @@ def _kmeans_oracle_sql() -> str:
     ``embedding_kmeans`` (same integer arithmetic, same md5 init,
     same (dist, cid) tie-break)."""
     dist = (
-        "list_sum(list_transform(generate_series(1, 64), "
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
         "i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))"
     )
     sql = f"""
@@ -2697,14 +2697,29 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc-level similarity (``dedup_ngram``) and eval-overlap
     (``decontaminate_ngram``).
 
-    Scale shape: windows are narrow per-row expressions (the
-    ``_doc_shingle_arr`` construction, 8-byte xxhash64 identities);
-    the corpus-wide occurrence count is ONE window count inside a
-    single shuffle by span hash (the dedup_ppjoin r8 pattern — no
-    freq aggregate + join back), then one per-doc aggregate. Three
-    exchanges total (span window, doc aggregate, output sort), all
-    wordcount-shaped, ZERO joins; nothing is quadratic and nothing
-    holds a span's full posting list in memory (WindowExec spills).
+    Scale shape — skew-proof by construction (this operator's whole
+    point is corpora where some spans are NOT rare: boilerplate
+    5-grams — nav text, license headers — can occur in a large
+    fraction of all documents, so anything that serializes one span
+    onto one task dies at web scale). The corpus-wide occurrence
+    count is therefore NOT a window over the span hash (a window
+    spills but still runs each hot span on ONE task); instead:
+
+    1. pre-aggregate ``(doc_id, sh) → c`` — map-side combinable, so
+       within-document repeats of a hot span collapse before any
+       shuffle;
+    2. total per span ``sh → occ = Σc`` — again partial-aggregated,
+       so a span present in 50% of all documents arrives at its
+       reducer as one partial row per map task, never as a row per
+       occurrence;
+    3. join the per-doc relation back on ``sh``. The (doc, span)
+       side of a boilerplate span still has one row per containing
+       doc, but that is a JOIN key, not a window partition: AQE's
+       skew-join splits the hot partition across tasks (and at small
+       span-dictionary sizes converts the whole join to broadcast,
+       removing the sh shuffle entirely). The per-(doc,sh) exchange
+       is reused for both the total and the probe, so the corpus is
+       scanned and tokenized exactly once.
 
     Exact integers: dup_micro = dup_spans·10⁶ DIV n_spans. Docs with
     fewer than DUP_SPAN_K tokens have no windows and are absent, on
@@ -2717,17 +2732,16 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = toks.select(
         "doc_id", F.explode(_doc_shingle_arr(DUP_SPAN_K)).alias("sh")
     )
-    flagged = win.select(
-        "doc_id",
-        (F.count(F.lit(1)).over(Window.partitionBy("sh")) >= 2)
-        .cast("long")
-        .alias("dup"),
-    )
+    per = win.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.groupBy("sh").agg(F.sum("c").alias("occ"))
     return (
-        flagged.groupBy("doc_id")
+        per.join(tot, "sh")
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum("dup").alias("dup_spans"),
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("occ") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_spans"
+            ),
         )
         .select(
             "doc_id",
@@ -3081,7 +3095,7 @@ WITH nn AS (
 ), bits AS (
   SELECT vec_id, p,
          CASE WHEN CAST(list_sum(list_transform(
-                generate_series(1, 64),
+                generate_series(1, {EMB_DIM}),
                 d -> qe[d] * ((((p * 64 + (d - 1)) * 2654435761) % 2147483648) % 2001 - 1000)
               )) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
   FROM q CROSS JOIN generate_series(0, {ANN_LSH_PLANES - 1}) t(p)
@@ -3097,7 +3111,7 @@ WITH nn AS (
   WHERE a.vec_id < b.vec_id
 )
 SELECT c.vec_a, c.vec_b,
-       round(CAST(list_sum(list_transform(generate_series(1, 64),
+       round(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
                                           d -> qa.qe[d] * qb.qe[d])) AS BIGINT)
              / (sqrt(CAST(list_sum(list_transform(qa.qe, x -> x * x)) AS BIGINT))
                 * sqrt(CAST(list_sum(list_transform(qb.qe, x -> x * x)) AS BIGINT))),
@@ -4951,18 +4965,36 @@ SPARSE_IDF_SCALE = 1_000_000
 # df·100 > SPARSE_DF_CEIL_PCT·n_docs are dropped BEFORE the posting
 # join, mirrored exactly in the oracle so exactness is preserved by
 # construction (standard impact/quality pruning, e.g. WAND-family).
-# 90 is deliberately conservative: it cuts only near-universal terms
-# (idf ≈ 0 — at df = 0.9·N the rational idf is ~(0.1N)/(0.9N), under
-# 1/8th of a rare term's), so ranking quality is untouched while the
-# worst-case posting list is still bounded away from "every doc".
+# The ceiling is a PARAMETER of the retrievers (threaded to both
+# engines); the two named defaults:
+#
+# - SPARSE_DF_CEIL_PCT = 90 — the FIXTURE default. The sf0.01
+#   corpus has a 31-token vocabulary with most tokens at ~80% df
+#   (a synthetic artifact, not a property of real text); any lower
+#   ceiling guts its retrieval results. 90 cuts only near-universal
+#   terms (idf ≈ 0 — at df = 0.9·N the rational idf is
+#   ~(0.1N)/(0.9N), under 1/8th of a rare term's), so fixture
+#   ranking is untouched while the worst-case posting list is still
+#   bounded away from "every doc".
+# - SPARSE_DF_CEIL_PCT_PROD = 55 — the PRODUCTION default for real
+#   corpora, where stopwords sit at 30–60% df ("the" ~60%, "of"
+#   ~45% in English web text): at 55 the highest-df stopwords —
+#   exactly the terms whose posting lists are each ~half the
+#   corpus — drop below the join, while content words (df typically
+#   ≪ 10%) are untouched. Pinned on a generated realistic-df corpus
+#   by tests/test_llm.py::test_df_ceiling_parameter_prunes.
 SPARSE_DF_CEIL_PCT = 90
+SPARSE_DF_CEIL_PCT_PROD = 55
 
 
-def _sparse_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sparse_weights(
+    spark: SparkSession, sf_dir: str, ceil_pct: int = SPARSE_DF_CEIL_PCT
+) -> DataFrame:
     """Shared pruned posting-weight relation for the sparse
     retrievers: (doc_id, tok, w) with exact-integer idf-style
     weights, df-ceiling applied below the join (terms in more than
-    SPARSE_DF_CEIL_PCT% of documents carry no postings at all).
+    ``ceil_pct``% of documents carry no postings at all; fixture
+    default SPARSE_DF_CEIL_PCT, production SPARSE_DF_CEIL_PCT_PROD).
     Exposed as a helper so tests can pin the posting row count
     drop when a stopword is planted."""
     docs = table(spark, sf_dir, "documents")
@@ -4975,7 +5007,7 @@ def _sparse_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs_rel = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     kept = (
         df_rel.crossJoin(F.broadcast(n_docs_rel))
-        .where(F.expr(f"df * 100L <= {SPARSE_DF_CEIL_PCT}L * n_docs"))
+        .where(F.expr(f"df * 100L <= {int(ceil_pct)}L * n_docs"))
         .select("tok", "df")
     )
     return tf.join(F.broadcast(kept), "tok").select(
@@ -4985,7 +5017,9 @@ def _sparse_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sparse_dot_topk(
+    spark: SparkSession, sf_dir: str, ceil_pct: int = SPARSE_DF_CEIL_PCT
+) -> DataFrame:
     """Sparse LEXICAL similarity top-k — the posting-list sibling of
     the dense ``similarity_topk``: for each probe document, the K
     most similar other documents by the inverted-index dot product
@@ -5016,7 +5050,7 @@ def sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus projection, so Catalyst gets no exchange reuse) —
     # persist it or the tokenize+tf+df pipeline runs twice
     # (measured at sf0.1: 1.72 → 1.25 s)
-    w = track_persist(_sparse_weights(spark, sf_dir))
+    w = track_persist(_sparse_weights(spark, sf_dir, ceil_pct))
     probes = w.where(F.col("doc_id") < SPARSE_TOPK_QUERIES).select(
         F.col("doc_id").alias("query_id"), "tok", F.col("w").alias("wq")
     )
@@ -5050,7 +5084,11 @@ def sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPARSE_TOPK_SQL = f"""
+def _sparse_topk_sql(ceil_pct: int = SPARSE_DF_CEIL_PCT) -> str:
+    """DuckDB twin of sparse_dot_topk at the same df-ceiling —
+    parameterized so generated-corpus tests can hash-pin non-default
+    ceilings (SPARSE_DF_CEIL_PCT_PROD) exactly like the fixture."""
+    return f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -5064,7 +5102,7 @@ WITH toks AS (
   SELECT count(*)::BIGINT AS n_docs FROM documents
 ), kept AS (
   SELECT tok, df FROM df, stats
-  WHERE df * 100 <= {SPARSE_DF_CEIL_PCT} * n_docs
+  WHERE df * 100 <= {int(ceil_pct)} * n_docs
 ), w AS (
   SELECT tf.doc_id, tf.tok, (tf.tf * {SPARSE_IDF_SCALE}) // kept.df AS w
   FROM tf JOIN kept ON tf.tok = kept.tok
@@ -5086,6 +5124,9 @@ ORDER BY query_id, rank
 """
 
 
+_SPARSE_TOPK_SQL = _sparse_topk_sql()
+
+
 # BM25 parameters as exact rationals (k1 = 6/5, b = 3/4 — the
 # standard 1.2/0.75): tfnorm = tf·(k1+1)/(tf + k1(1−b) + k1·b·dl/avgdl)
 # = 22·tf / (10·tf + 3 + 9·dl/avgdl) after clearing denominators.
@@ -5098,7 +5139,9 @@ BM25_TF_SCALE = 1_000_000  # tfnorm in micro-units
 BM25_TF_CLAMP = 100_000
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_topk(
+    spark: SparkSession, sf_dir: str, ceil_pct: int = SPARSE_DF_CEIL_PCT
+) -> DataFrame:
     """Full BM25 lexical top-k (Robertson-Spärck Jones / Okapi,
     public IR canon) — ``sparse_dot_topk``'s idf·tf dot product plus
     the two things that make BM25 the retrieval default: tf
@@ -5144,12 +5187,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tf.agg(F.sum("tf").alias("l_total")))
     )
     # impact pruning BELOW the posting join (see _sparse_weights):
-    # stopword-grade terms (df > SPARSE_DF_CEIL_PCT% of docs) carry
-    # near-zero BM25 idf but corpus-sized posting lists — cut them
-    # before they ever reach the match join
+    # stopword-grade terms (df > ceil_pct% of docs) carry near-zero
+    # BM25 idf but corpus-sized posting lists — cut them before they
+    # ever reach the match join
     df_kept = (
         df_rel.crossJoin(F.broadcast(stats.select("n_docs")))
-        .where(F.expr(f"df * 100L <= {SPARSE_DF_CEIL_PCT}L * n_docs"))
+        .where(F.expr(f"df * 100L <= {int(ceil_pct)}L * n_docs"))
         .select("tok", "df")
     )
     w_rel = (
@@ -5208,7 +5251,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_SQL = f"""
+def _bm25_sql(ceil_pct: int = SPARSE_DF_CEIL_PCT) -> str:
+    """DuckDB twin of bm25_topk at the same df-ceiling (see
+    _sparse_topk_sql)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -5225,7 +5271,7 @@ WITH toks AS (
          (SELECT sum(tf) FROM tf)::BIGINT AS l_total
 ), kept AS (
   SELECT tok, df FROM df, stats
-  WHERE df * 100 <= {SPARSE_DF_CEIL_PCT} * n_docs
+  WHERE df * 100 <= {int(ceil_pct)} * n_docs
 ), w AS (
   SELECT tf.doc_id, tf.tok,
          ((((s.n_docs - kept.df + 1) * {BM25_IDF_SCALE}) // (kept.df + 1))
@@ -5254,6 +5300,9 @@ SELECT query_id, neighbor_id, score, rank::INT AS rank
 FROM ranked WHERE rank <= {SPARSE_TOPK_K}
 ORDER BY query_id, rank
 """
+
+
+_BM25_SQL = _bm25_sql()
 
 
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant

@@ -88,6 +88,32 @@ def test_simhash_hamming_symmetric_bound(spark):
     assert all(0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING for r in rows)
 
 
+def test_simhash_int_finds_exact_copies_and_matches_oracle(spark, planted):
+    """The md5-bit integer twin keeps SimHash's pigeonhole recall
+    (exact copies: Hamming 0, always caught) AND replays bit-exact
+    in DuckDB — fingerprint bits, chunk packing, band match, Hamming
+    filter all verified end-to-end on the planted corpus (the driver
+    pins the same thing on the fixtures)."""
+    import os
+
+    import duckdb
+
+    sf_dir, _, exact_pairs = planted
+    rows = dedup.dedup_simhash_int(spark, sf_dir).collect()
+    found = {(r.a_id, r.b_id) for r in rows}
+    for p in exact_pairs:
+        assert p in found, f"exact copy {p} not found by simhash_int"
+    assert all(0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}/*.parquet')"
+    )
+    want = [tuple(t) for t in con.execute(dedup._SIMHASH_INT_SQL).fetchall()]
+    got = [(r.a_id, r.b_id, r.hamming) for r in rows]
+    assert got == want
+
+
 def test_minhash_agrees_with_ngram_baseline(spark):
     """On the raw corpus, minhash (shingle jaccard ≥0.7) pairs must
     be a superset-of-threshold view consistent with the quadratic
@@ -388,6 +414,47 @@ def test_dedup_facade_forced_lsh_strategy(spark):
     assert {r.strategy for r in out} <= {"lsh"}
     with pytest.raises(ValueError, match="unknown dedup strategy"):
         dedup.dedup(spark, SF, strategy="bogus")
+
+
+def test_dedup_facade_lsh_regime_end_to_end(spark, tmp_path):
+    """Drive the façade through its AUTO-SELECTED lsh regime — the
+    one dispatch path no other test reaches end-to-end: a generated
+    300-doc all-distinct corpus with ppjoin_max_docs lowered to 250
+    (the size seam the façade threads to choose_dedup_strategy) must
+    route to 'lsh', and the emitted pairs must VALUE-match the exact
+    all-pairs Jaccard SQL (dedup_minhash_verify's oracle) on the
+    same corpus — i.e. LSH recall is 1 here: planted near-dups are
+    supersets differing by one appended token (3-shingle jaccard
+    ~0.93, band collision essentially certain), fillers share no
+    shingles."""
+    import os
+
+    import duckdb
+
+    rng_tok = lambda i, j: f"f{i}x{j}"  # unique per (doc, pos): no cross-doc shingles
+    rows = []
+    for i in range(280):  # fillers: 20 unique tokens each, all texts distinct
+        rows.append((i, " ".join(rng_tok(i, j) for j in range(20))))
+    for k in range(10):  # 10 near-dup pairs: (400+k, 500+k), superset by one token
+        base = " ".join(f"p{k}w{j}" for j in range(30))
+        rows.append((400 + k, base))
+        rows.append((500 + k, base + f" extra{k}"))
+    d = str(tmp_path / "facade_lsh")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = dedup.dedup(spark, d, strategy="auto", ppjoin_max_docs=250).collect()
+    assert {r.strategy for r in out} == {"lsh"}
+    got = {(r.a_id, r.b_id, r.jaccard) for r in out}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    want = {tuple(t) for t in con.execute(dedup.ORACLES["dedup_minhash_verify"]).fetchall()}
+    assert got == want
+    assert {(a, b) for a, b, _ in got} == {(400 + k, 500 + k) for k in range(10)}
 
 
 def test_containment_join_lossless_vs_bruteforce(spark):

@@ -922,7 +922,7 @@ def test_bm25_length_normalization_and_saturation(spark, tmp_path):
         (50, "needle " + " ".join(f"x{i}" for i in range(9))),   # short, tf=1
         (51, "needle " + pad_long),           # long, tf=1
         (52, "needle needle " + " ".join(f"y{i}" for i in range(8))),  # tf=2, short
-        # filler docs keep needle's df (4) under the 50% df-ceiling
+        # filler docs keep needle's df (4) under the SPARSE_DF_CEIL_PCT (90%) df-ceiling
         # (impact pruning would otherwise drop a term in every doc)
         (60, "filler alpha beta"),
         (61, "filler gamma delta"),
@@ -1021,6 +1021,56 @@ def test_dup_span_stats_planted(spark, tmp_path):
         for r in dup_span_stats(spark, d).collect()
     ]
     assert got == want
+
+
+def test_dup_span_stats_boilerplate_heavy(spark, tmp_path):
+    """Boilerplate-heavy corpus — the operator's real design point:
+    one 5-gram present verbatim in >=50% of docs (the nav-text /
+    license-header case). Output must match the Python multiset
+    model exactly; the skew-safe partial-agg + join-back shape is
+    pinned separately in test_plans. tools/boilerplate_probe.py
+    measures the same construction at x100 for wall-clock parity."""
+    import os
+    from collections import Counter
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        DUP_SPAN_K,
+        dup_span_stats,
+    )
+
+    boiler = "copyright license header boilerplate notice"
+    corpus = []
+    for i in range(200):
+        body = " ".join(f"u{i}t{j}" for j in range(10))  # unique tail
+        corpus.append((i, (boiler + " " + body) if i % 2 == 0 else body))
+    d = str(tmp_path / "boiler")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    spans = {
+        i: [
+            tuple(t.split()[j : j + DUP_SPAN_K])
+            for j in range(len(t.split()) - DUP_SPAN_K + 1)
+        ]
+        for i, t in corpus
+    }
+    total = Counter(s for ss in spans.values() for s in ss)
+    want = sorted(
+        (i, len(ss), dup, (dup * 1_000_000) // len(ss))
+        for i, ss in spans.items()
+        if ss
+        for dup in [sum(1 for s in ss if total[s] >= 2)]
+    )
+    got = [
+        (r.doc_id, r.n_spans, r.dup_spans, r.dup_micro)
+        for r in dup_span_stats(spark, d).collect()
+    ]
+    assert got == want
+    # the planted 5-gram is its doc's only duplicated window: every
+    # even doc has exactly 1 dup span, odd docs have 0
+    by_id = dict((g[0], g[2]) for g in got)
+    assert all(by_id[i] == (1 if i % 2 == 0 else 0) for i in range(200))
 
 
 def test_rrf_ann_fed_fusion_contract(spark):
@@ -1130,7 +1180,7 @@ def test_bm25_survives_pathological_tf_and_matches_oracle(spark, tmp_path):
         (30, garbage.strip()),
         (31, "spam and some ordinary text follows the term"),
         (32, "entirely unrelated tokens only appear here now"),
-        # filler docs keep spam's df (3) under the 50% df-ceiling
+        # filler docs keep spam's df (3) under the SPARSE_DF_CEIL_PCT (90%) df-ceiling
         (33, "more unrelated padding content lives here"),
         (34, "further disjoint filler text sits here"),
     ]
@@ -1184,7 +1234,7 @@ def test_sparse_dot_heavy_tf_parity_and_loud_overflow(spark, tmp_path):
             (30, heavy),                     # corpus twin with huge tf
             (31, "spam plus ordinary text"),
             (32, "nothing shared with them"),
-            # filler keeps spam's df (3) under the 50% df-ceiling
+            # filler keeps spam's df (3) under the SPARSE_DF_CEIL_PCT (90%) df-ceiling
             (33, "disjoint padding document one"),
             (34, "disjoint padding document two"),
         ]
@@ -1312,3 +1362,87 @@ def test_bm25_stopword_pruned_and_oracle_parity(spark, tmp_path):
     neighbors_of_probe = {n for q, n, _, _ in got if q == 0}
     assert 40 not in neighbors_of_probe   # stopword-only overlap cut
     assert {41, 42} <= neighbors_of_probe  # real matches survive
+
+
+def _write_realistic_df_corpus(spark, tmp_path) -> str:
+    """Generated corpus with a REALISTIC df profile (unlike the
+    31-token sf fixtures where everything sits at ~80% df): one true
+    stopword 'the' in ~70% of docs, a mid-band word 'of' in ~40%,
+    and a 400-word content tail at low df. Deterministic (seeded)."""
+    import os
+    import random
+
+    rng = random.Random(909)
+    rows = []
+    for i in range(300):
+        toks = []
+        if rng.random() < 0.70:
+            toks += ["the"] * rng.randint(1, 3)
+        if rng.random() < 0.40:
+            toks.append("of")
+        toks += [f"c{rng.randint(0, 399)}" for _ in range(12)]
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+    d = str(tmp_path / "realdf")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_df_ceiling_parameter_prunes(spark, tmp_path):
+    """The df-ceiling is a PARAMETER threaded to both engines: on a
+    realistic-df generated corpus, the production ceiling
+    (SPARSE_DF_CEIL_PCT_PROD = 55) prunes the planted ~70%-df
+    stopword 'the' while keeping the ~40%-df 'of', and BOTH sparse
+    retrievers stay hash-exact against the SAME-ceiling DuckDB
+    oracles. The fixture default (90) keeps 'the' on the same corpus
+    — the two ceilings are behaviorally distinct, so the constant
+    can't silently re-couple to the fixture."""
+    import os
+
+    import duckdb
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        SPARSE_DF_CEIL_PCT_PROD,
+        _bm25_sql,
+        _sparse_topk_sql,
+        _sparse_weights,
+        bm25_topk,
+        sparse_dot_topk,
+    )
+
+    d = _write_realistic_df_corpus(spark, tmp_path)
+    toks_prod = {
+        r.tok for r in _sparse_weights(spark, d, SPARSE_DF_CEIL_PCT_PROD)
+        .select("tok").distinct().collect()
+    }
+    assert "the" not in toks_prod and "of" in toks_prod
+    toks_fix = {
+        r.tok
+        for r in _sparse_weights(spark, d).select("tok").distinct().collect()
+    }
+    assert "the" in toks_fix  # default ceiling keeps it: distinct regimes
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    got = [
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in sparse_dot_topk(spark, d, SPARSE_DF_CEIL_PCT_PROD).collect()
+    ]
+    want = [
+        tuple(t)
+        for t in con.execute(_sparse_topk_sql(SPARSE_DF_CEIL_PCT_PROD)).fetchall()
+    ]
+    assert got and got == want
+    got_bm = [
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in bm25_topk(spark, d, SPARSE_DF_CEIL_PCT_PROD).collect()
+    ]
+    want_bm = [
+        tuple(t) for t in con.execute(_bm25_sql(SPARSE_DF_CEIL_PCT_PROD)).fetchall()
+    ]
+    assert got_bm and got_bm == want_bm

@@ -1,12 +1,20 @@
 #!/usr/bin/env python
 """Generalization gate: the full DuckDB-oracle check on a GENERATED
 dataset instead of the driver fixtures — proof that correctness is
-not fixture-overfit. Builds the scale-probe's deterministic
-synthetic tables at the given multiple of sf0.1 row counts, then
-runs ``tools/check_oracles.py`` over every registered query except
-the ones whose DUCKDB ORACLES are quadratic by design (all-pairs
-cosine / levenshtein / shared-shingle self-joins — the Spark sides
-scale, the exact SQL baselines do not).
+not fixture-overfit. Two stages:
+
+1. Builds the scale-probe's deterministic synthetic tables at the
+   given multiple of sf0.1 row counts, then runs
+   ``tools/check_oracles.py`` over every registered query except
+   the QUADRATIC_ORACLES set (all-pairs cosine / levenshtein /
+   shared-shingle self-joins — the Spark sides scale, the exact SQL
+   baselines do not).
+2. Builds a second, BOUNDED-SIZE generated dataset (a few hundred
+   rows per fact table — small enough that the quadratic oracles
+   stay feasible, still generated, still layout/distribution-distinct
+   from the fixtures) and gates exactly the QUADRATIC_ORACLES set on
+   it — so the excluded queries get their own generalization check
+   instead of a silent exemption.
 
 Usage: python tools/synth_gate.py [mult]   (default 10)
 """
@@ -20,7 +28,10 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# oracles that are quadratic in DuckDB by design (exact baselines)
+# Oracles that are quadratic in DuckDB by design (exact baselines).
+# These are EXCLUDED from the full-size stage and gated separately on
+# the bounded dataset below; the list is mirrored in SCALE.md's
+# "synth-gate exclusions" section — keep both in sync.
 QUADRATIC_ORACLES = {
     "dedup_embedding",
     "dedup_ngram",
@@ -31,6 +42,65 @@ QUADRATIC_ORACLES = {
     "ann_lsh_pairs",
     "video_frame_dedup",
 }
+
+# Bounded row counts for the quadratic-oracle stage: a few hundred
+# rows keeps every all-pairs SQL baseline at ~10^5 candidate pairs
+# (sub-second in DuckDB) while still exercising generated content.
+SMALL = {
+    "documents": 400,
+    "events": 2_000,
+    "customer": 600,
+    "orders": 600,
+    "lineitem": 2_400,
+    "embeddings": 400,
+}
+
+
+def _small_documents(spark):
+    """Generated docs with PLANTED duplication (the scale-probe
+    corpus is near-dup-free by construction, which makes the
+    pair-emitting quadratic oracles trivially-0-row): docs 350–369
+    are near-copies of 0–19 (one appended token), docs 370–379 are
+    EXACT copies of 20–29 — so every dedup oracle has real pairs,
+    clusters, and survivors to check."""
+    import tools.scale_probe as sp
+    from pyspark.sql import functions as F
+
+    docs = sp.gen_documents(spark, SMALL["documents"])
+    near = (
+        docs.filter(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 350)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" nearduptail")))
+    )
+    exact = (
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+        .withColumn("doc_id", F.col("doc_id") + 350)
+    )
+    return (
+        docs.filter((F.col("doc_id") < 350) | (F.col("doc_id") >= 380))
+        .unionByName(near)
+        .unionByName(exact)
+        .withColumn("n_chars", F.length("text"))
+    )
+
+
+def build_small(spark, out_dir: str) -> None:
+    import tools.scale_probe as sp
+
+    gens = {
+        "documents": _small_documents(spark),
+        "events": sp.gen_events(spark, SMALL["events"], 150),
+        "customer": sp.gen_customer(spark, SMALL["customer"]),
+        "orders": sp.gen_orders(spark, SMALL["orders"], SMALL["customer"]),
+        "lineitem": sp.gen_lineitem(spark, SMALL["lineitem"], SMALL["orders"]),
+        "embeddings": sp.gen_embeddings(spark, SMALL["embeddings"]),
+    }
+    for name, df in gens.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    for name in ("nation", "region", "supplier", "part"):
+        spark.read.parquet(f"/root/testdata/sf0.1/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
 def main() -> int:
@@ -52,14 +122,25 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     sp.build_dataset(spark, mult, out)
+    small_out = os.path.join(tempfile.mkdtemp(prefix="synth_gate_small_"), "small")
+    build_small(spark, small_out)
     spark.stop()
 
     names = sorted(set(entry.queries()) - QUADRATIC_ORACLES)
     print(f"# built x{mult} at {out}; gating {len(names)} queries", flush=True)
     # fresh process: check_oracles owns its own session/conf
-    return subprocess.call(
+    rc = subprocess.call(
         [sys.executable, os.path.join("tools", "check_oracles.py"), out, *names]
     )
+    quad = sorted(QUADRATIC_ORACLES & set(entry.queries()))
+    print(
+        f"# bounded stage at {small_out}; gating {len(quad)} quadratic-oracle "
+        "queries", flush=True,
+    )
+    rc_small = subprocess.call(
+        [sys.executable, os.path.join("tools", "check_oracles.py"), small_out, *quad]
+    )
+    return rc or rc_small
 
 
 if __name__ == "__main__":
