@@ -486,6 +486,260 @@ ORDER BY 1, 2
 _SIMHASH_INT_SQL = _simhash_int_sql()
 
 
+def _md5_fold(c: F.Column, start: int, n_hex: int) -> F.Column:
+    """``n_hex`` hex digits of md5(c) starting at 1-based ``start``
+    as a non-negative long — the engine-portable integer-hash
+    foundation of the _int LSH twins: Spark computes it as
+    conv(substring(md5, start, n), 16, 10), DuckDB as a positional
+    hex-digit fold (``_md5_fold_sql``); bit-identical by
+    construction, pinned by
+    tests/test_dedup.py::test_md5_fold_engine_equivalence."""
+    return F.conv(F.substring(F.md5(c), start, n_hex), 16, 10).cast("long")
+
+
+def _md5_fold_sql(arg: str, start: int, n_hex: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series({start}, {start + n_hex - 1}), "
+        f"i -> (strpos('0123456789abcdef', substring(md5({arg}), i, 1)) - 1)::BIGINT "
+        f"* (1::BIGINT << (4 * ({start + n_hex - 1} - i)))))::BIGINT"
+    )
+
+
+def _string_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh string) WITH duplicates: word-SHINGLE_K-shingles
+    as unit-separator-joined STRINGS (not xxhash64 identities) — the
+    engine-portable identity the integer-minhash twin hashes and
+    verifies on. Fully narrow, same shape as ``_shingles_raw``."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    arr = F.col("toks")
+    n_windows = F.size(arr) - (SHINGLE_K - 1)
+    sliding = F.when(n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle_arr = F.transform(
+        sliding,
+        lambda i: F.concat_ws(
+            "\x1f", *[F.get(arr, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+    return toks.select("doc_id", F.explode(shingle_arr).alias("sh"))
+
+
+# Universal-hash constants for the integer-MinHash twin: 32 fixed
+# (a, b) pairs from random.Random(537) — a < 2^15, b < 2^31 keep
+# a*h + b < 2^63 for 48-bit h; P is the 2^61-1 Mersenne prime.
+_MINHASH_INT_P = (1 << 61) - 1
+
+
+def _minhash_int_ab() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(537)
+    return [
+        (rng.randrange(1, 1 << 15), rng.randrange(0, 1 << 31))
+        for _ in range(N_HASHES)
+    ]
+
+
+_MINHASH_INT_AB = _minhash_int_ab()
+
+
+def dedup_minhash_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT integer twin of the FULL MinHash-LSH pipeline —
+    the last dedup strategy to get one (house integer-twin
+    discipline; cf. ``dedup_simhash_int``). Unlike
+    ``dedup_minhash_verify`` — which checks only the verified OUTPUT
+    against exact all-pairs Jaccard and would mask a banding bug
+    whenever recall happens to be 1 — this twin's oracle replays
+    every stage: the 32-seed min-hash signatures, the 8×4
+    banded candidate generation (a pair is a candidate iff some band
+    agrees on all four mins — the oracle states it as an OR over
+    band equalities), and the candidate-scoped exact-Jaccard verify
+    at MINHASH_JACCARD_THRESHOLD.
+
+    Hash family: classic universal hashing over ONE md5 fold
+    (Broder et al. min-wise canon; Carter-Wegman family): the
+    shingle's 48-bit integer identity h (``_md5_fold``) is scrambled
+    per seed as h_s = (a_s·h + b_s) mod (2⁶¹−1), with the 32
+    (a_s < 2¹⁵, b_s < 2³¹) constants fixed at module load from a
+    seeded PRNG (deterministic forever; max a·h + b < 2⁶³, no int64
+    overflow under ANSI). One md5 instead of 32 keyed ones cuts the
+    signature pass ~5×, and the multiplicative scramble decorrelates
+    the per-seed argmins (a LINEAR family like Kirsch-Mitzenmacher
+    h1+s·h2 makes adjacent seeds pick the same minimizing shingle,
+    which inflates band-collision probability from j⁴ toward j — 
+    measured 2× more candidate work on the ×1 probe corpus); both
+    engines compute the identical integers.
+
+    Scale shape identical to ``dedup_minhash``: signatures are 32
+    min-aggregate expressions over ONE (doc_id) hash aggregate (raw
+    shingles — min is duplicate-insensitive, so no distinct before
+    the aggregate); candidates come from a band equi-join (struct of
+    the band's four mins as the key — bucket sizes bound the work);
+    the verify join deduplicates shingles only for candidate docs.
+    md5 costs ~3× xxhash64 per call, which is why the production
+    operator keeps xxhash64 and THIS one exists for the oracle.
+
+    Output: a_id, b_id, jaccard (round 6).
+    """
+    # ONE narrow persisted relation (doc_id, 48-bit shingle id) feeds
+    # both the signature aggregate and the verify: strings are folded
+    # to longs BEFORE anything shuffles (the string form measured
+    # ~3.5x slower end-to-end: every verify join moved ~30-byte keys)
+    hashed = track_persist(
+        _string_shingles(spark, sf_dir).select(
+            "doc_id", _md5_fold(F.col("sh"), 1, 12).alias("sh")
+        )
+    )
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("sh") + F.lit(b), F.lit(_MINHASH_INT_P))
+        ).alias(f"m{s}")
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*mins)
+    n_bands = N_HASHES // BAND_ROWS
+    # band signature: md5-fold of the band's four mins — a single
+    # 48-bit long join key (the production operator's xxhash64 trick,
+    # in the engine-portable hash) instead of a 4-long struct; the
+    # ORACLE joins on the SAME folded key, so even a fold collision
+    # produces the identical candidate set on both engines
+    band_sigs = F.array(
+        *[
+            _md5_fold(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * BAND_ROWS + r}")
+                        for r in range(BAND_ROWS)
+                    ],
+                ),
+                1,
+                12,
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_sigs).alias("band", "bs"))
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bs")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bs")
+    # cands feeds FOUR consumers (both cand_ids projections, the
+    # verify join, and through shd's semi-join) — persist it like the
+    # production operator or the band join replays per consumer
+    cands = track_persist(
+        a.join(b, ["band", "bs"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    cand_ids = (
+        cands.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cands.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    shd = track_persist(
+        hashed.join(cand_ids, "doc_id", "left_semi").distinct()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shd.select(F.col("doc_id").alias("a_id"), "sh")
+    sb = shd.select(F.col("doc_id").alias("b_id"), "sh")
+    shared = (
+        cands.join(sa, "a_id")
+        .join(sb, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _minhash_int_sql() -> str:
+    """DuckDB replay of the full integer-MinHash pipeline: string
+    shingles, one md5 fold to the 48-bit identity, 32 universal-hash
+    (a·h+b mod 2⁶¹−1) min signatures, band match as an OR over the 8
+    four-min equalities, candidate-scoped exact Jaccard."""
+    sh_expr = " || chr(31) || ".join(f"ts[i+{j}]" for j in range(SHINGLE_K))
+    mins = ",\n         ".join(
+        f"min(({a} * sh + {b}) % {_MINHASH_INT_P})::BIGINT AS m{s}"
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    )
+    band_keys = ",\n       ".join(
+        _md5_fold_sql(
+            " || ',' || ".join(
+                f"m{b * BAND_ROWS + r}" for r in range(BAND_ROWS)
+            ),
+            1,
+            12,
+        )
+        + f" AS bk{b}"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    band_or = " OR ".join(
+        f"a.bk{b} = b.bk{b}" for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), win AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - {SHINGLE_K - 1}, 0)),
+           i -> {sh_expr})) AS sh
+  FROM arr
+), hashed AS (
+  SELECT doc_id, {_md5_fold_sql("sh", 1, 12)} AS sh
+  FROM win
+), sigs0 AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY 1
+), sigs AS (
+  SELECT doc_id,
+       {band_keys}
+  FROM sigs0
+), cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_or})
+), shd AS (
+  SELECT DISTINCT doc_id, sh FROM hashed
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM shd GROUP BY 1
+), pairs AS (
+  SELECT c.a_id, c.b_id, count(*)::BIGINT AS shared
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.a_id
+  JOIN shd y ON y.doc_id = c.b_id AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT p.a_id, p.b_id,
+       round(p.shared / (na.n + nb.n - p.shared), 6) AS jaccard
+FROM pairs p
+JOIN sizes na ON p.a_id = na.doc_id
+JOIN sizes nb ON p.b_id = nb.doc_id
+WHERE round(p.shared / (na.n + nb.n - p.shared), 6) >= {MINHASH_JACCARD_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+_MINHASH_INT_SQL = _minhash_int_sql()
+
+
 def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked form of the MinHash-LSH pipeline: the full
     LSH → exact-Jaccard-verify output, compared against an exact
@@ -1300,6 +1554,7 @@ QUERIES = {
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_verify": dedup_minhash_verify,
+    "dedup_minhash_int": dedup_minhash_int,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_int": dedup_simhash_int,
     "fuzzy_join_customers": fuzzy_join_customers,
@@ -1316,6 +1571,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "dedup_auto": _DEDUP_AUTO_SQL,
     "dedup_simhash_int": _SIMHASH_INT_SQL,
+    "dedup_minhash_int": _MINHASH_INT_SQL,
     "dedup_ppjoin": _PPJOIN_SQL,
     "containment_join": _CONTAINMENT_SQL,
     "incremental_dedup_index": _INCR_DEDUP_SQL,

@@ -2753,6 +2753,128 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REMOVAL — the rewrite pass to
+    ``dup_span_stats``'s audit (Lee et al. 2022, arXiv:2107.06499,
+    ExactSubstr dedup at word-DUP_SPAN_K-gram granularity, public
+    method): for every sliding span that occurs more than once
+    corpus-wide, keep only the globally FIRST occurrence (minimum
+    (doc_id, window_pos), lexicographic) and remove every token
+    covered by any later occurrence. The canonical "train on each
+    substring once" preprocessing pass.
+
+    Skew-proof shape (same rebuild as ``dup_span_stats`` r9): the
+    global first-occurrence per span is ONE map-side-combinable
+    ``groupBy(sh).agg(min(struct(doc_id, i)))`` — lexicographic
+    struct-min, identical semantics in DuckDB's ``min(row(...))`` —
+    followed by an equi-join-back on the span hash (AQE
+    skew-splittable; a boilerplate 5-gram in half the corpus arrives
+    at its reducer as one partial row per map task). Token coverage
+    is a narrow sequence-explode + per-doc distinct; the text
+    rebuild is a per-row index filter — no window over the span
+    hash anywhere.
+
+    Exactness: spans are xxhash64 identities Spark-side, string
+    identities in the oracle (the ``dup_span_stats`` twin
+    arrangement — identity-equal unless a 64-bit collision, which
+    the hash compare would surface). Output witnesses the rewrite
+    via md5 of the cleaned text, so masking exactly the duplicated
+    spans and nothing else is what the driver pins. Docs shorter
+    than DUP_SPAN_K tokens have no windows and pass through
+    unchanged (present, n_removed = 0).
+
+    Output: doc_id, n_tokens, n_removed, clean_hash.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    win = toks.select(
+        "doc_id", F.posexplode(_doc_shingle_arr(DUP_SPAN_K)).alias("i", "sh")
+    )
+    keep = win.groupBy("sh").agg(F.min(F.struct("doc_id", "i")).alias("k"))
+    dup_wins = (
+        win.join(keep, "sh")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("k.doc_id"))
+                & (F.col("i") == F.col("k.i"))
+            )
+        )
+        .select("doc_id", "i")
+    )
+    removed = dup_wins.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + DUP_SPAN_K - 1)).alias("p"),
+    ).distinct()
+    rem_arr = removed.groupBy("doc_id").agg(F.collect_set("p").alias("rp"))
+    return (
+        toks.join(rem_arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ts",
+            F.coalesce("rp", F.array().cast("array<int>")).alias("rp"),
+        )
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.size("rp").cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        "ts", lambda x, i: ~F.array_contains(F.col("rp"), i)
+                    ),
+                )
+            ).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# string-identity span twin (see _DUP_SPAN_EXPR below — defined
+# here too because this SQL is built before that block)
+_RDS_SPAN_EXPR = " || chr(31) || ".join(
+    f"ts[i+{j}]" for j in range(DUP_SPAN_K)
+)
+
+_REMOVE_DUP_SPANS_SQL = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), win AS (
+  SELECT doc_id, i - 1 AS pos, {_RDS_SPAN_EXPR} AS sh
+  FROM arr, unnest(generate_series(1, greatest(len(ts) - {DUP_SPAN_K - 1}, 0))) AS t(i)
+), keep AS (
+  SELECT sh, min(row(doc_id, pos)) AS k FROM win GROUP BY 1
+), dupwin AS (
+  SELECT w.doc_id, w.pos
+  FROM win w JOIN keep ON w.sh = keep.sh
+  WHERE row(w.doc_id, w.pos) <> keep.k
+), removed AS (
+  SELECT DISTINCT d.doc_id, u.p
+  FROM dupwin d, unnest(generate_series(d.pos, d.pos + {DUP_SPAN_K - 1})) AS u(p)
+), tokpos AS (
+  SELECT doc_id, i - 1 AS p, ts[i] AS tok
+  FROM arr, unnest(generate_series(1, len(ts))) AS t(i)
+), kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tokpos t LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.p = t.p
+  WHERE r.p IS NULL
+), clean AS (
+  SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS ctext
+  FROM kept GROUP BY 1
+)
+SELECT a.doc_id, len(a.ts)::BIGINT AS n_tokens,
+       coalesce(rc.n, 0)::BIGINT AS n_removed,
+       md5(coalesce(c.ctext, '')) AS clean_hash
+FROM arr a
+LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM removed GROUP BY 1) rc
+  ON rc.doc_id = a.doc_id
+LEFT JOIN clean c ON c.doc_id = a.doc_id
+ORDER BY a.doc_id
+"""
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-prep chunking: split each document's token stream
     into fixed-size windows (``CHUNK_SIZE`` tokens, stride
@@ -5533,6 +5655,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
     "dup_span_stats": dup_span_stats,
+    "remove_dup_spans": remove_dup_spans,
     "chunk_documents": chunk_documents,
     "pii_scrub": pii_scrub,
     "ann_lsh_pairs": ann_lsh_pairs,
@@ -5624,6 +5747,7 @@ FROM g
     "pack_sequences": _PACK_SEQ,
     "decontaminate_ngram": _DECON,
     "dup_span_stats": _DUP_SPAN_SQL,
+    "remove_dup_spans": _REMOVE_DUP_SPANS_SQL,
     "chunk_documents": _CHUNKS,
     "pii_scrub": _PII,
     "ann_lsh_pairs": _ANN_LSH,

@@ -88,6 +88,81 @@ def test_simhash_hamming_symmetric_bound(spark):
     assert all(0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING for r in rows)
 
 
+def test_md5_fold_engine_equivalence(spark):
+    """The md5 hex-digit fold (_md5_fold) must be bit-identical
+    between Spark's conv(substring(md5,start,n),16,10) and DuckDB's
+    positional fold, for both Kirsch-Mitzenmacher halves — the
+    integer-hash foundation the _int LSH twins build on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    vals = ["hello", "world foo bar", "a\x1fb\x1fc", "", "x" * 500]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for start, n in ((1, 12), (13, 12), (1, 15)):
+        got = [
+            r.h
+            for r in df.select(dedup._md5_fold(F.col("s"), start, n).alias("h"))
+            .collect()
+        ]
+        con = duckdb.connect()
+        want = [
+            con.execute(
+                f"SELECT {dedup._md5_fold_sql('s', start, n)} FROM (SELECT ? AS s)",
+                [v],
+            ).fetchone()[0]
+            for v in vals
+        ]
+        assert got == want, (start, n)
+        assert all(0 <= h < (1 << (4 * n)) for h in got)
+
+
+def test_minhash_int_finds_planted_dups_and_matches_oracle(spark, tmp_path):
+    """The integer-MinHash twin on a corpus planted where LSH's
+    guarantees are unconditional: exact copies ALWAYS pair
+    (identical signatures collide in every band) and j≈0.93
+    superset near-dups are caught with miss probability ~2·10⁻⁴ per
+    pair; the full pipeline (md5-fold identity, universal-hash min
+    signatures, banding, candidate-scoped verify) replays exactly
+    in DuckDB. (The `planted` fixture's one-token edits sit at
+    j≈0.71, where 8×4 banding misses ~9% per pair BY DESIGN — that
+    borderline regime is the production operator's test, not the
+    twin's.)"""
+    import os
+
+    import duckdb
+
+    rows_in = []
+    for i in range(60):  # fillers: unique-token docs, no shared shingles
+        rows_in.append((i, " ".join(f"g{i}q{j}" for j in range(20))))
+    near_pairs, exact_pairs = set(), set()
+    for k in range(15):  # strong near-dups: one appended token on 30 tokens
+        base = " ".join(f"n{k}w{j}" for j in range(30))
+        rows_in.append((100 + k, base))
+        rows_in.append((200 + k, base + f" tail{k}"))
+        near_pairs.add((100 + k, 200 + k))
+    for k in range(5):  # exact copies
+        txt = " ".join(f"e{k}v{j}" for j in range(25))
+        rows_in.append((300 + k, txt))
+        rows_in.append((400 + k, txt))
+        exact_pairs.add((300 + k, 400 + k))
+    d = str(tmp_path / "mh_int")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in rows_in],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = dedup.dedup_minhash_int(spark, d).collect()
+    found = {(r.a_id, r.b_id) for r in rows}
+    assert found == near_pairs | exact_pairs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    want = [tuple(t) for t in con.execute(dedup._MINHASH_INT_SQL).fetchall()]
+    got = [(r.a_id, r.b_id, r.jaccard) for r in rows]
+    assert got == want
+
+
 def test_simhash_int_finds_exact_copies_and_matches_oracle(spark, planted):
     """The md5-bit integer twin keeps SimHash's pigeonhole recall
     (exact copies: Hamming 0, always caught) AND replays bit-exact

@@ -1023,6 +1023,67 @@ def test_dup_span_stats_planted(spark, tmp_path):
     assert got == want
 
 
+def test_remove_dup_spans_planted(spark, tmp_path):
+    """Span REMOVAL semantics, hand-checked: the globally-first
+    occurrence (min (doc_id, pos)) of a shared 5-gram survives,
+    every later occurrence's tokens are removed (cross-doc AND
+    within-doc repeats), unique docs pass through byte-identical,
+    sub-5-token docs pass through untouched. clean_hash is verified
+    against a Python model of the exact rule."""
+    import hashlib
+    import os
+    from collections import defaultdict
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        DUP_SPAN_K,
+        remove_dup_spans,
+    )
+
+    span = "one two three four five"
+    corpus = [
+        (0, span + " u0a u0b u0c"),            # first occurrence: kept
+        (1, "lead1 " + span + " tail1"),       # later occurrence: removed
+        (2, "entirely distinct words appear in this doc only"),
+        (3, span + " mid filler " + span),     # within-doc repeat
+        (4, "too short"),                       # < K tokens: untouched
+    ]
+    d = str(tmp_path / "rds")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    # Python model of the exact rule
+    toks = {i: t.split() for i, t in corpus}
+    occ = defaultdict(list)
+    for i, ts in sorted(toks.items()):
+        for p in range(len(ts) - DUP_SPAN_K + 1):
+            occ[tuple(ts[p : p + DUP_SPAN_K])].append((i, p))
+    removed = defaultdict(set)
+    for sh, lst in occ.items():
+        for i, p in sorted(lst)[1:]:
+            removed[i].update(range(p, p + DUP_SPAN_K))
+    want = {}
+    for i, ts in toks.items():
+        clean = " ".join(t for p, t in enumerate(ts) if p not in removed[i])
+        want[i] = (
+            len(ts),
+            len(removed[i]),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_hash)
+        for r in remove_dup_spans(spark, d).collect()
+    }
+    assert got == want
+    assert got[0][1] == 0          # first occurrence keeps its tokens
+    assert got[1][1] == DUP_SPAN_K  # later cross-doc occurrence loses K
+    assert got[2][1] == 0          # unique doc untouched
+    assert got[3][1] >= DUP_SPAN_K  # within-doc repeat removed
+    assert got[4][1] == 0          # sub-K doc untouched
+
+
 def test_dup_span_stats_boilerplate_heavy(spark, tmp_path):
     """Boilerplate-heavy corpus — the operator's real design point:
     one 5-gram present verbatim in >=50% of docs (the nav-text /

@@ -772,6 +772,20 @@ def test_dup_span_stats_partial_agg_no_window_no_cartesian(spark):
     assert "ReusedExchange" in fplan or fplan.count("Scan parquet") <= 1
 
 
+def test_remove_dup_spans_partial_agg_no_window_no_cartesian(spark):
+    """The span-removal pass shares dup_span_stats' skew-proof
+    shape: the global first-occurrence is a partial-aggregated
+    struct-min (never a window over the span hash), joined back as
+    an equi-join; no cartesian anywhere."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.remove_dup_spans(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_rrf_ann_composition_no_cartesian(spark):
     """The ANN-fed fusion composes IVF probe + sparse posting join +
     fusion aggregate — no cartesian product anywhere in the composed

@@ -1134,3 +1134,44 @@ def test_dup_span_stats_matches_python_model(spark, corpus):
         for r in llm.dup_span_stats(spark, d).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+@given(corpus=_CORPUS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_remove_dup_spans_matches_python_model(spark, corpus):
+    """Random corpora: remove_dup_spans must equal the Python model
+    of the exact rule — per span, the min-(doc,pos) occurrence is
+    kept, every token covered by any later occurrence is removed,
+    cleaned text hashed; all docs present."""
+    import hashlib
+    import tempfile
+    from collections import defaultdict
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    d = tempfile.mkdtemp(prefix="rds_prop_")
+    _write_docs(spark, corpus, d)
+    k = llm.DUP_SPAN_K
+    occ = defaultdict(list)
+    for i, ts in enumerate(corpus):
+        for p in range(len(ts) - k + 1):
+            occ[tuple(ts[p : p + k])].append((i, p))
+    removed = defaultdict(set)
+    for lst in occ.values():
+        for i, p in sorted(lst)[1:]:
+            removed[i].update(range(p, p + k))
+    want = []
+    for i, ts in enumerate(corpus):
+        clean = " ".join(t for p, t in enumerate(ts) if p not in removed[i])
+        want.append(
+            (i, len(ts), len(removed[i]), hashlib.md5(clean.encode()).hexdigest())
+        )
+    got = [
+        (r.doc_id, r.n_tokens, r.n_removed, r.clean_hash)
+        for r in llm.remove_dup_spans(spark, d).collect()
+    ]
+    assert sorted(got) == sorted(want)

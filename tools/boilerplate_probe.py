@@ -18,7 +18,7 @@ and time `dup_span_stats` on both (min of N noop-sink runs). A
 serial hot task shows up as the boilerplate corpus taking far longer
 than the uniform one; parity means the skew is absorbed.
 
-Usage: python tools/boilerplate_probe.py [mult] [reps]   (default: 100 2)
+Usage: python tools/boilerplate_probe.py [mult] [reps] [query]   (default: 100 2 dup_span_stats)
 Prints one JSON line: {"mult": M, "uniform_s": a, "boilerplate_s": b,
 "ratio": b/a}.
 """
@@ -54,14 +54,12 @@ def gen_boilerplate_documents(spark: SparkSession, n: int):
     )
 
 
-def time_query(queries, spark, d: str, reps: int) -> float:
+def time_query(queries, spark, d: str, reps: int, qname: str) -> float:
     best = float("inf")
     for _ in range(reps):
         spark.catalog.clearCache()
         t0 = time.time()
-        queries["dup_span_stats"](spark, d).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        queries[qname](spark, d).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     return best
 
@@ -69,6 +67,7 @@ def time_query(queries, spark, d: str, reps: int) -> float:
 def main() -> int:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    qname = sys.argv[3] if len(sys.argv) > 3 else "dup_span_stats"
     import __spark_entry__ as entry_mod
 
     spark = (
@@ -90,7 +89,7 @@ def main() -> int:
     gen_documents(spark, BASE["documents"]).write.mode("overwrite").parquet(
         os.path.join(wd, "documents.parquet")
     )
-    queries["dup_span_stats"](spark, wd).write.format("noop").mode("overwrite").save()
+    queries[qname](spark, wd).write.format("noop").mode("overwrite").save()
     shutil.rmtree(wd, ignore_errors=True)
     out = {}
     for kind, gen in (
@@ -101,10 +100,11 @@ def main() -> int:
         gen(spark, n).write.mode("overwrite").parquet(
             os.path.join(d, "documents.parquet")
         )
-        out[f"{kind}_s"] = round(time_query(queries, spark, d, reps), 2)
+        out[f"{kind}_s"] = round(time_query(queries, spark, d, reps, qname), 2)
         print(f"# {kind}: {out[f'{kind}_s']:.2f}s ({n} docs)", flush=True)
         shutil.rmtree(d, ignore_errors=True)
     out["mult"] = mult
+    out["query"] = qname
     out["ratio"] = round(out["boilerplate_s"] / out["uniform_s"], 2)
     print(json.dumps(out))
     return 0

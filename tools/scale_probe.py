@@ -337,6 +337,12 @@ PROBES = [
     "semdedup_prune",
     "bm25_topk",
     "rank_fusion_rrf",
+    # round-9 additions: skew-proof span-duplication audit, the two
+    # oracle-replayable LSH twins (md5-fold hash family)
+    "dup_span_stats",
+    "dedup_simhash_int",
+    "dedup_minhash_int",
+    "remove_dup_spans",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
