@@ -3790,10 +3790,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
-    """The merge loop unrolled: one (symbols → pairs → argmax →
-    rewrite) CTE block per round, same tiebreak, same replace()
-    semantics."""
+def _bpe_train_ctes(n_merges: int = BPE_TRAIN_MERGES) -> list[str]:
+    """Shared CTE prefix for the BPE oracles: vocabulary collapse,
+    then one (symbols → pairs → argmax → rewrite) block per round —
+    same tiebreak, same replace() semantics as the Spark loop."""
     ctes = [
         "WITH words AS (\n"
         "  SELECT word, count(*)::BIGINT AS n FROM (\n"
@@ -3827,12 +3827,195 @@ def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
                 f"  FROM v{i - 1}, b{i}\n"
                 f")"
             )
+    return ctes
+
+
+def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     selects = [
         f"SELECT {i}::BIGINT AS step, a AS left_sym, b AS right_sym,"
         f" pc AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
     ]
-    return "".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+    return "".join(_bpe_train_ctes(n_merges)) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY — the third leg of the BPE story (``bpe_pair_counts``
+    counts, ``bpe_train_merges`` trains, this ENCODES): tokenize every
+    document with the corpus-trained first-``BPE_TRAIN_MERGES`` merge
+    rules, exactly what a training pipeline does after the trainer
+    converges. Every word is wrapped in the marker encoding
+    ('hello' → '|h||e||l||l||o|') and the learned merges apply as
+    sequential replaces IN STEP ORDER — the same rewrite the trainer
+    itself used, so encode∘train round-trips by construction. Words
+    containing the marker are excluded exactly as in training.
+
+    Scale shape: training cost is paid once (the trainer's argmax
+    rounds are vocabulary-bounded and its 1-row results are already
+    localCheckpointed); the learned rules PIVOT to ONE broadcast row
+    (a1,b1..aK,bK — never a driver collect), and encoding is a
+    narrow per-row ``transform`` over each doc's token array with a
+    K-deep replace chain — scan-bound, zero shuffle beyond the final
+    sort. The md5 of the space-joined per-word encodings witnesses
+    byte-exact tokenization; n_symbols is the post-merge token count
+    (the number a packing/budgeting stage consumes).
+
+    Output: doc_id, n_words, n_symbols, enc_hash.
+    """
+    merges = bpe_train_merges(spark, sf_dir)
+    rules_row = merges.agg(
+        *[
+            f
+            for k in range(1, BPE_TRAIN_MERGES + 1)
+            for f in (
+                F.max(F.when(F.col("step") == k, F.col("left_sym"))).alias(
+                    f"a{k}"
+                ),
+                F.max(F.when(F.col("step") == k, F.col("right_sym"))).alias(
+                    f"b{k}"
+                ),
+            )
+        ]
+    )
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ts")).crossJoin(
+        F.broadcast(rules_row)
+    )
+    words = F.filter(F.col("ts"), lambda w: ~w.contains("|"))
+
+    def _enc(w: F.Column) -> F.Column:
+        e = F.regexp_replace(w, "(.)", r"|$1|")
+        for k in range(1, BPE_TRAIN_MERGES + 1):
+            # coalesce to an impossible marker so a corpus with fewer
+            # than K learnable merges (rule k is NULL) no-ops instead
+            # of NULL-poisoning the encoding — mirrored in the oracle
+            a = F.coalesce(F.col(f"a{k}"), F.lit("\x01"))
+            b = F.coalesce(F.col(f"b{k}"), F.lit("\x01"))
+            e = F.replace(
+                e,
+                F.concat(F.lit("|"), a, F.lit("||"), b, F.lit("|")),
+                F.concat(F.lit("|"), a, b, F.lit("|")),
+            )
+        return e
+
+    enc_arr = F.transform(words, _enc)
+    n_syms_per = F.transform(
+        enc_arr, lambda e: F.size(F.split(F.btrim(e, F.lit("|")), r"\|\|"))
+    )
+    return toks.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            n_syms_per, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_symbols"),
+        F.md5(F.concat_ws(" ", enc_arr)).alias("enc_hash"),
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Training CTEs (shared with _bpe_train_oracle) + the apply
+    stage: pivot the learned rules to one row, replay the per-word
+    marker encoding and replace chain, count post-merge symbols,
+    hash the joined encodings."""
+    rules = ", ".join(
+        f"coalesce((SELECT a FROM b{k}), chr(1)) AS a{k},"
+        f" coalesce((SELECT b FROM b{k}), chr(1)) AS b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    chain = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+    for k in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, '|' || r.a{k} || '||' || r.b{k} || '|',"
+            f" '|' || r.a{k} || r.b{k} || '|')"
+        )
+    return "".join(_bpe_train_ctes(n_merges)) + f"""
+, rules AS (
+  SELECT {rules}
+), arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '' AND t NOT LIKE '%|%') AS ws
+  FROM documents
+), encoded AS (
+  SELECT doc_id,
+         list_transform(ws, w -> {chain}) AS encs,
+         len(ws)::BIGINT AS n_words
+  FROM arr, rules r
+)
+SELECT doc_id, n_words,
+       coalesce(list_sum(list_transform(encs,
+         e -> len(string_split(trim(e, '|'), '||')))), 0)::BIGINT AS n_symbols,
+       md5(array_to_string(encs, ' ')) AS enc_hash
+FROM encoded
+ORDER BY doc_id
+"""
+
+
+_BPE_ENCODE_SQL = _bpe_encode_oracle()
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — post-BPE symbols per word,
+    the standard tokenizer-fairness metric (a tokenizer trained on
+    one language's corpus fragments other languages into more pieces,
+    inflating their effective sequence length and training cost;
+    fertility per language is the number multilingual pipelines
+    monitor). Composes ``bpe_encode`` (corpus-trained rules applied
+    per doc) with the documents' language column.
+
+    Exact integers: fert_micro = Σ n_symbols·10⁶ DIV Σ n_words per
+    language (corpus-level ratio, not an average of per-doc ratios —
+    the estimator actually used, robust to short docs). Languages
+    whose docs have zero encodable words are absent on both engines.
+
+    Scale shape: bpe_encode's scan-bound apply + ONE tiny aggregate
+    keyed by language (|langs| rows) — the fertility rollup adds no
+    shuffle beyond that aggregate.
+
+    Output: lang, n_docs, n_words, n_symbols, fert_micro.
+    """
+    enc = bpe_encode(spark, sf_dir)
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        enc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_symbols").alias("n_symbols"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_symbols",
+            F.expr("(n_symbols * 1000000) DIV n_words").alias("fert_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _tokenizer_fertility_oracle() -> str:
+    """bpe_encode's oracle re-aggregated by language (the encode SQL
+    rides along as a CTE; same integer ratio)."""
+    enc_sql = _bpe_encode_oracle().strip()
+    return f"""
+WITH enc AS (
+{enc_sql}
+)
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       sum(e.n_words)::BIGINT AS n_words,
+       sum(e.n_symbols)::BIGINT AS n_symbols,
+       ((sum(e.n_symbols) * 1000000) // sum(e.n_words))::BIGINT AS fert_micro
+FROM enc e JOIN documents d ON d.doc_id = e.doc_id
+GROUP BY 1
+HAVING sum(e.n_words) > 0
+ORDER BY 1
+"""
+
+
+_TOKENIZER_FERTILITY_SQL = _tokenizer_fertility_oracle()
 
 
 def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5656,6 +5839,8 @@ QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "dup_span_stats": dup_span_stats,
     "remove_dup_spans": remove_dup_spans,
+    "bpe_encode": bpe_encode,
+    "tokenizer_fertility": tokenizer_fertility,
     "chunk_documents": chunk_documents,
     "pii_scrub": pii_scrub,
     "ann_lsh_pairs": ann_lsh_pairs,
@@ -5748,6 +5933,8 @@ FROM g
     "decontaminate_ngram": _DECON,
     "dup_span_stats": _DUP_SPAN_SQL,
     "remove_dup_spans": _REMOVE_DUP_SPANS_SQL,
+    "bpe_encode": _BPE_ENCODE_SQL,
+    "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
     "chunk_documents": _CHUNKS,
     "pii_scrub": _PII,
     "ann_lsh_pairs": _ANN_LSH,

@@ -1023,6 +1023,83 @@ def test_dup_span_stats_planted(spark, tmp_path):
     assert got == want
 
 
+def test_bpe_encode_matches_python_model(spark, tmp_path):
+    """bpe_encode vs a from-scratch Python BPE (train K merges with
+    the same count-desc/pair-asc tiebreak, apply left-to-right
+    non-overlapping): n_words, post-merge symbol counts, and the
+    md5 of the joined encodings must all match — and encode∘train
+    round-trips (the merged pair never survives as adjacent symbols
+    in any encoding)."""
+    import hashlib
+    import os
+    from collections import Counter
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        BPE_TRAIN_MERGES,
+        bpe_encode,
+    )
+
+    corpus = [
+        (0, "banana bandana banana"),
+        (1, "ban ban banana cabana"),
+        (2, "anab nabba banana"),
+        (3, "xy zz xy xy banana"),
+        (4, "q"),
+    ]
+    d = str(tmp_path / "bpe_enc")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in corpus],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    # Python trainer: vocabulary word counts, K rounds of argmax +
+    # non-overlapping left-to-right rewrite (list-of-symbols form)
+    vocab = Counter(w for _, t in corpus for w in t.split() if "|" not in w)
+    encs = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(BPE_TRAIN_MERGES):
+        pc = Counter()
+        for w, syms in encs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, syms in encs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            encs[w] = out
+    want = {}
+    for k, t in corpus:
+        ws = [w for w in t.split() if "|" not in w]
+        per = [encs[w] for w in ws]
+        joined = " ".join("|" + "||".join(s) + "|" for s in per)
+        want[k] = (
+            len(ws),
+            sum(len(s) for s in per),
+            hashlib.md5(joined.encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_symbols, r.enc_hash)
+        for r in bpe_encode(spark, d).collect()
+    }
+    assert got == want
+    # round-trip: every learned merge's pair is gone from every enc
+    for a, b in merges:
+        for syms in encs.values():
+            assert (a, b) not in zip(syms, syms[1:])
+
+
 def test_remove_dup_spans_planted(spark, tmp_path):
     """Span REMOVAL semantics, hand-checked: the globally-first
     occurrence (min (doc_id, pos)) of a shared 5-gram survives,

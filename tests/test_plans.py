@@ -786,6 +786,20 @@ def test_remove_dup_spans_partial_agg_no_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bpe_encode_broadcast_rules_scan_bound(spark):
+    """The apply pass must be scan-bound: the learned rules ride a
+    1-row broadcast (BNL of a 1-row fold is the sanctioned scalar
+    crossJoin), the encoding is a narrow per-row transform — no
+    Window, no shuffle beyond the output sort and the (eagerly
+    checkpointed) trainer's own aggregates."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    df = llm.bpe_encode(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_rrf_ann_composition_no_cartesian(spark):
     """The ANN-fed fusion composes IVF probe + sparse posting join +
     fusion aggregate — no cartesian product anywhere in the composed

@@ -343,6 +343,7 @@ PROBES = [
     "dedup_simhash_int",
     "dedup_minhash_int",
     "remove_dup_spans",
+    "bpe_encode",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
