@@ -64,7 +64,13 @@ def _rotation_key(names: list[str]):
        ≥2 rounds stale (so a healthy weak record refreshes
        periodically without hogging the window every round).
     1. Never-checked queries, in registration order.
-    2. Everything else, stalest first: (times checked, last round).
+    2. Everything else, stalest first: (last round checked, times
+       checked). Last-round leads: a query whose latest record is
+       r2-vintage must outrank one freshly re-checked in r8 even if
+       the former has been checked more times overall — with a
+       50-entry window over 280 queries, times-first let six-round-
+       stale records sit behind once-checked-but-recent ones
+       indefinitely (r8 VERDICT "What's missing" #1).
 
     Before this ordering, fixed queries sat red for 3 rounds because
     never-checked entries always outranked recorded failures.
@@ -106,8 +112,8 @@ def _rotation_key(names: list[str]):
     order = {n: i for i, n in enumerate(names)}
     return lambda n: (
         bucket(n),
-        times.get(n, 0),
         latest.get(n, (0, {}))[0],
+        times.get(n, 0),
         order[n],
     )
 

@@ -126,6 +126,109 @@ def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HB_BITS = 16  # bits per dimension of the Hilbert grid
+HB_FILES = 16  # range partitions (= files) the clustered copy writes
+HB_USER_LO, HB_USER_HI = 5, 60  # non-empty at every fixture sf
+HB_HOUR_LO, HB_HOUR_HI = 150, 450
+
+
+def _hilbert_expr(x_col: str, y_col: str) -> F.Column:
+    """Hilbert curve index d of a 2-D point, as one pure Catalyst
+    fold — the classic xy2d bit-level walk (top bit down: quadrant
+    digit ``(3·rx) XOR ry`` weighted s², then the reflect+swap
+    rotation), carried in a (x, y, d) struct accumulator. All
+    integer shifts/XORs — codegen'd, no UDF; bit-exactness vs the
+    Python reference model is pinned in tests/test_layout.py."""
+    n1 = (1 << HB_BITS) - 1  # n-1: the reflection constant
+    step = (
+        "named_struct("
+        "'x', CASE WHEN (shiftright(a.y, i) & 1) = 0 THEN "
+        f"CASE WHEN (shiftright(a.x, i) & 1) = 1 THEN {n1}L - a.y ELSE a.y END "
+        "ELSE a.x END, "
+        "'y', CASE WHEN (shiftright(a.y, i) & 1) = 0 THEN "
+        f"CASE WHEN (shiftright(a.x, i) & 1) = 1 THEN {n1}L - a.x ELSE a.x END "
+        "ELSE a.y END, "
+        "'d', a.d + shiftleft(1L, 2*i) * CAST("
+        "(3 * (shiftright(a.x, i) & 1)) ^ (shiftright(a.y, i) & 1) AS BIGINT))"
+    )
+    return F.expr(
+        f"aggregate(sequence({HB_BITS - 1}, 0, -1), "
+        f"named_struct('x', CAST({x_col} AS BIGINT), "
+        f"'y', CAST({y_col} AS BIGINT), 'd', 0L), "
+        f"(a, i) -> {step}, a -> a.d)"
+    )
+
+
+def write_hilbert_events(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Events re-clustered by Hilbert(user_id, hours-since-epoch).
+    Same normalize → interleave → ``repartitionByRange`` +
+    ``sortWithinPartitions`` write as the Z-order path, but on the
+    Hilbert index: the curve has no Morton "seams" (consecutive d
+    are always grid neighbors), so per-file 2-D extents are tighter
+    squares and a min-max-pruning reader opens fewer files for the
+    same range predicate — measured against the Z layout in
+    tests/test_layout.py, not claimed. This is the clustering family
+    behind Databricks liquid clustering / Hudi's Hilbert sort."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.floor((F.unix_timestamp("ts") - Z_EPOCH) / 3600)
+        .cast("long")
+        .alias("hour_id"),
+    )
+    stats = ev.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min("hour_id").alias("h_lo"),
+        F.max("hour_id").alias("h_hi"),
+    )
+    top = (1 << HB_BITS) - 1
+    h = (
+        ev.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "u_n",
+            F.expr(f"((user_id - u_lo) * {top}) DIV greatest(u_hi - u_lo, 1)"),
+        )
+        .withColumn(
+            "h_n",
+            F.expr(f"((hour_id - h_lo) * {top}) DIV greatest(h_hi - h_lo, 1)"),
+        )
+        .withColumn("hval", _hilbert_expr("u_n", "h_n"))
+        .drop("u_lo", "u_hi", "h_lo", "h_hi", "u_n", "h_n")
+    )
+    (
+        h.repartitionByRange(HB_FILES, "hval")
+        .sortWithinPartitions("hval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def hilbert_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D range aggregate over the HILBERT-clustered copy of events
+    — ``zorder_range_scan``'s sibling with the stronger curve. Like
+    the Z query, the layout must be RESULT-INVISIBLE: the oracle runs
+    the identical predicate on the original table; the I/O saving
+    (files a min-max reader can skip, Hilbert ≤ Z on the same slice)
+    is measured in tests/test_layout.py.
+
+    Output: n_events, n_users, sum_cents.
+    """
+    path = os.path.join(scratch_dir("hilbert_"), "events_h")
+    write_hilbert_events(spark, sf_dir, path)
+    back = spark.read.parquet(path).where(
+        F.col("user_id").between(HB_USER_LO, HB_USER_HI)
+        & F.col("hour_id").between(HB_HOUR_LO, HB_HOUR_HI)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
 DEGRADED_FILES = 64  # simulated streaming-ingest fragmentation
 COMPACT_TARGET_BYTES = 32 << 20  # post-compaction file-size target
 
@@ -176,6 +279,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "zorder_range_scan": zorder_range_scan,
+    "hilbert_range_scan": hilbert_range_scan,
     "compact_small_files": compact_small_files,
 }
 
@@ -192,5 +296,13 @@ SELECT count(*)::BIGINT AS n_events,
 FROM events
 WHERE user_id BETWEEN {Z_USER_LO} AND {Z_USER_HI}
   AND ((epoch(ts)::BIGINT - {Z_EPOCH}) // 3600) BETWEEN {Z_HOUR_LO} AND {Z_HOUR_HI}
+""",
+    "hilbert_range_scan": f"""
+SELECT count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events
+WHERE user_id BETWEEN {HB_USER_LO} AND {HB_USER_HI}
+  AND ((epoch(ts)::BIGINT - {Z_EPOCH}) // 3600) BETWEEN {HB_HOUR_LO} AND {HB_HOUR_HI}
 """,
 }

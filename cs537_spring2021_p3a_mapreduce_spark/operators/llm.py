@@ -4287,6 +4287,213 @@ ORDER BY 1, 2
 """
 
 
+QCLF_DIM = 256  # hashed feature buckets of the linear classifier
+QCLF_MULT = 2654435761  # Knuth 2^32 multiplicative constant
+QCLF_SPAN = 2001  # weights span [-1000, 1000]
+
+
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016,
+    arXiv:1607.01759) — the model family behind CCNet/LLaMA-era
+    "looks like Wikipedia" corpus filtering: hashed bag-of-words,
+    one weight per hash bucket, document logit = Σ w[bucket(token)],
+    keep/drop by sign. The WEIGHTS here are a deterministic
+    multiplicative-hash stand-in (w[b] = (b·{QCLF_MULT}) %
+    {QCLF_SPAN} − 1000) so the oracle can rebuild them; a trained
+    model drops its real weight vector into the same seam — the
+    Spark shape is what matters and it is the cheapest possible one:
+    scoring is a PURE NARROW MAP (the per-token hash → bucket →
+    weight lookup and the per-doc sum all happen inside one
+    ``aggregate`` over the token array — zero explode, ZERO
+    shuffles, one corpus scan), which is why hashed linear models
+    are the only classifier family you can afford to run over all
+    100 TB rather than a sample. Weight-by-BUCKET (not by raw hash)
+    keeps the collision semantics of a real weight-vector lookup.
+
+    Output: doc_id, n_tokens, logit, label (1 = keep).
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = (
+        "aggregate(filter(split(tok, ''), c -> c <> ''), 0L, "
+        f"(a, c) -> (a * {FP_BASE} + ascii(c)) % {FP_MOD})"
+    )
+    w = f"((({h}) % {QCLF_DIM}) * {QCLF_MULT}) % {QCLF_SPAN} - 1000"
+    scored = docs.select(
+        "doc_id",
+        tokens(F.lower("text")).alias("ts"),
+    ).select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.expr(f"aggregate(ts, 0L, (acc, tok) -> acc + ({w}))").alias("logit"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logit",
+        F.when(F.col("logit") >= 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("label"),
+    ).orderBy("doc_id")
+
+
+_QCLF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n_tokens,
+         coalesce(list_sum(list_transform(ts, tok ->
+           ((list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+             (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})
+             % {QCLF_DIM}) * {QCLF_MULT}) % {QCLF_SPAN} - 1000)), 0)::BIGINT
+           AS logit
+  FROM toks
+)
+SELECT doc_id, n_tokens, logit,
+       (CASE WHEN logit >= 0 THEN 1 ELSE 0 END)::BIGINT AS label
+FROM scored
+ORDER BY doc_id
+"""
+
+
+DSIR_BUCKETS = 512  # hashed n-gram buckets (paper uses 10k; fixture-sized)
+DSIR_SCALE = 1_000_000  # per-bucket ratio quantum (micro-units)
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much
+    its hashed n-gram profile resembles a TARGET distribution, so a
+    pretraining pipeline can resample 100 TB of crawl toward the
+    data it actually wants. Features are hashed unigrams+bigrams
+    (the paper's construction); the target here is the ``lang='en'``
+    slice of the corpus (the seam a curated target set plugs into);
+    per bucket b the importance factor is the Laplace-smoothed
+    likelihood ratio p̂_target(b)/p̂_raw(b) and a document's score
+    sums c_b·ratio(b) over its features.
+
+    Determinism (the ngram_lm_score discipline — NO transcendentals,
+    so no log-space weights; the per-bucket ratio is a monotone
+    transform of the paper's log-ratio term, which preserves the
+    per-bucket up/down-weighting): each bucket ratio is two IEEE
+    divisions and two multiplies on exactly-cast integer counts —
+    identical bit-results in both engines — floor-quantized to
+    DSIR_SCALE units before any summation, and per-doc sums are pure
+    BIGINT (combine-order-free).
+
+    Shape at 100 TB: one corpus scan → per-(doc, bucket) counts (the
+    one hash shuffle, map-side combinable); bucket stats fold to
+    DSIR_BUCKETS rows and totals to ONE row, so the score join is a
+    BROADCAST of a ≤512-row relation back onto the per-doc counts —
+    no second corpus shuffle. The doc-bucket relation persists (it
+    feeds the stats branch and the scoring branch).
+
+    Output: doc_id, n_feats, dsir_score.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        tokens(F.lower("text")).alias("ts"),
+    )
+    feats = toks.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(
+                "concat(ts, transform("
+                "sequence(1, greatest(size(ts) - 1, 0)), "
+                "i -> concat(element_at(ts, i), char(31), "
+                "element_at(ts, i + 1))))"
+            )
+        ).alias("f"),
+    )
+    h = (
+        "aggregate(filter(split(f, ''), c -> c <> ''), 0L, "
+        f"(a, c) -> (a * {FP_BASE} + ascii(c)) % {FP_MOD})"
+    )
+    g = track_persist(
+        feats.select(
+            "doc_id",
+            "is_target",
+            F.expr(f"({h}) % {DSIR_BUCKETS}").alias("bucket"),
+        )
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = g.groupBy("bucket").agg(
+        F.sum("c").alias("cq"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+    )
+    tot = bs.agg(F.sum("cq").alias("nq"), F.sum("ct").alias("nt"))
+    ratios = bs.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(floor((CAST(ct + 1 AS DOUBLE) / CAST(cq + 1 AS DOUBLE))"
+            f" * (CAST(nq + {DSIR_BUCKETS} AS DOUBLE)"
+            f" / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))"
+            f" * {DSIR_SCALE}.0) AS BIGINT)"
+        ).alias("term"),
+    )
+    return (
+        g.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("term")).alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), feats AS (
+  SELECT doc_id, is_target, f
+  FROM toks,
+       unnest(list_concat(ts,
+         list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                        i -> ts[i] || chr(31) || ts[i+1]))) AS u(f)
+), g AS (
+  SELECT doc_id, is_target,
+         (list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(f, ''), c -> ord(c)::BIGINT)),
+           (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})
+          % {DSIR_BUCKETS}) AS bucket,
+         count(*)::BIGINT AS c
+  FROM feats GROUP BY 1, 2, 3
+), bs AS (
+  SELECT bucket, sum(c)::BIGINT AS cq,
+         sum(CASE WHEN is_target THEN c ELSE 0 END)::BIGINT AS ct
+  FROM g GROUP BY 1
+), tot AS (
+  SELECT sum(cq)::BIGINT AS nq, sum(ct)::BIGINT AS nt FROM bs
+), ratios AS (
+  SELECT bucket,
+         CAST(floor(((ct + 1)::DOUBLE / (cq + 1)::DOUBLE)
+              * ((nq + {DSIR_BUCKETS})::DOUBLE
+                 / (nt + {DSIR_BUCKETS})::DOUBLE)
+              * {DSIR_SCALE}.0) AS BIGINT) AS term
+  FROM bs, tot
+)
+SELECT g.doc_id, sum(g.c)::BIGINT AS n_feats,
+       sum(g.c * r.term)::BIGINT AS dsir_score
+FROM g JOIN ratios r USING (bucket)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 LM_SCALE = 1_000_000_000  # per-term 1e-9 quantum; final score in micro
 
 
@@ -5793,6 +6000,8 @@ QUERIES = {
     "embedding_drift": embedding_drift,
     "quantile_normalize_quality": quantile_normalize_quality,
     "feature_hash_vectors": feature_hash_vectors,
+    "quality_classifier_linear": quality_classifier_linear,
+    "dsir_importance_weights": dsir_importance_weights,
     "ngram_lm_score": ngram_lm_score,
     "winnow_fingerprints": winnow_fingerprints,
     "oov_rate": oov_rate,
@@ -5859,6 +6068,8 @@ ORACLES = {
     "embedding_drift": _EMB_DRIFT_SQL,
     "quantile_normalize_quality": _QNORM,
     "feature_hash_vectors": _FEATURE_HASH_SQL,
+    "quality_classifier_linear": _QCLF_SQL,
+    "dsir_importance_weights": _DSIR_SQL,
     "ngram_lm_score": _LM_SQL,
     "winnow_fingerprints": _winnow_sql(),
     "oov_rate": _OOV_SQL,

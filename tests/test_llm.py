@@ -1584,3 +1584,118 @@ def test_df_ceiling_parameter_prunes(spark, tmp_path):
         tuple(t) for t in con.execute(_bm25_sql(SPARSE_DF_CEIL_PCT_PROD)).fetchall()
     ]
     assert got_bm and got_bm == want_bm
+
+
+def test_quality_classifier_linear_matches_python_model(spark):
+    """Third independent implementation: a from-scratch Python
+    hashed-linear scorer (same poly hash, bucket, weight formula)
+    must reproduce every logit at sf0.001 — and the sign label."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    def w(tok: str) -> int:
+        h = 0
+        for ch in tok:
+            h = (h * llm.FP_BASE + ord(ch)) % llm.FP_MOD
+        return ((h % llm.QCLF_DIM) * llm.QCLF_MULT) % llm.QCLF_SPAN - 1000
+
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        want[doc_id] = (len(toks), sum(w(t) for t in toks))
+    got = llm.quality_classifier_linear(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, logit = want[r.doc_id]
+        assert (r.n_tokens, r.logit) == (n, logit), r.doc_id
+        assert r.label == (1 if r.logit >= 0 else 0)
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """The 100 TB claim in the docstring: scoring is a narrow map —
+    the ONLY exchange in the plan is the output sort's range
+    partitioning (no hash aggregate, no join)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    plan = (
+        llm.quality_classifier_linear(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_dsir_importance_weights_python_model_and_direction(spark):
+    """From-scratch Python DSIR on a planted corpus: docs drawn from
+    the target (en) vocabulary must outscore per-feature a doc of
+    never-target vocabulary, and every Spark score must equal the
+    Python model's exactly."""
+    import math
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "t", 0),
+        (1, "the quick brown fox sleeps under the old tree", "en", "t", 0),
+        (2, "quick brown dogs jump over lazy foxes daily", "en", "t", 0),
+        (3, "zzq wwx vvy uut rrs qqp oon mml kkj", "de", "t", 0),
+        (4, "zzq wwx vvy kkj oon mml uut rrs qqp", "de", "t", 0),
+    ]
+    d = tempfile.mkdtemp(prefix="dsir_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    def poly(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * llm.FP_BASE + ord(ch)) % llm.FP_MOD
+        return h
+
+    B = llm.DSIR_BUCKETS
+    per_doc: dict[int, dict[int, int]] = {}
+    is_target = {}
+    for doc_id, text, lang, _, _ in rows:
+        toks = [t for t in text.lower().split() if t]
+        feats = toks + [
+            f"{a}\x1f{b}" for a, b in zip(toks, toks[1:])
+        ]
+        buckets: dict[int, int] = {}
+        for f in feats:
+            buckets[poly(f) % B] = buckets.get(poly(f) % B, 0) + 1
+        per_doc[doc_id] = buckets
+        is_target[doc_id] = lang == "en"
+    cq: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for doc_id, buckets in per_doc.items():
+        for b, c in buckets.items():
+            cq[b] = cq.get(b, 0) + c
+            if is_target[doc_id]:
+                ct[b] = ct.get(b, 0) + c
+    nq = sum(cq.values())
+    nt = sum(ct.values())
+    want = {}
+    for doc_id, buckets in per_doc.items():
+        score = 0
+        for b, c in buckets.items():
+            r1 = float(ct.get(b, 0) + 1) / float(cq[b] + 1)
+            r2 = float(nq + B) / float(nt + B)
+            score += c * int(math.floor(r1 * r2 * float(llm.DSIR_SCALE)))
+        want[doc_id] = (sum(buckets.values()), score)
+    got = {r.doc_id: (r.n_feats, r.dsir_score) for r in
+           llm.dsir_importance_weights(spark, d).collect()}
+    assert got == want
+    # direction: per-feature mean score of target-vocab docs beats
+    # the never-target-vocab docs
+    mean = {k: got[k][1] / got[k][0] for k in got}
+    assert min(mean[0], mean[1], mean[2]) > max(mean[3], mean[4])
