@@ -1128,6 +1128,284 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
 
+def similarity_ann_ivfpq_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition FAISS actually ships for web-scale
+    ANN (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search", §IV: coarse quantizer + PQ on the RESIDUALS):
+    IVF prunes the corpus to nprobe cells, PQ codes (4 bytes/vector
+    here) score the survivors by asymmetric-distance lookup, and
+    only the top candidates touch full vectors for the exact
+    re-rank. This twin fuses the repo's ``similarity_ann_ivf_int``
+    (coarse stage) and ``similarity_pq_int`` (code stage) into that
+    production shape, entirely in fixed-point integers so DuckDB
+    replays EVERY stage — coarse assignment ties, residual encode,
+    ADC sums, candidate cut, re-rank order — and the driver's hash
+    compare pins the composed algorithm, not just its row count.
+
+    Faithful-to-FAISS details: the PQ codebook is trained on
+    residuals (q − centroid[cell]) and SHARED across cells; each
+    query builds a separate ADC table per probed cell from its own
+    residual in that cell. Codebook = residuals of the PQ_K lowest
+    vec_ids (the deterministic seam a Lloyd-trained codebook plugs
+    into, cf. similarity_pq_int).
+
+    Determinism: residual components are exact BIGINTs (≤ 2·2²⁰),
+    sub-space d2/ip sums ≤ 8·(2²¹)² ≈ 2⁴⁵; argmins tie-break to the
+    lowest code/cell id via struct-min / (d2, cid) windows; the
+    re-rank cosine is one sqrt/multiply/divide on exactly-cast
+    doubles, round(·, 6) last — the house IEEE rules.
+
+    Scale shape: coarse assignment is fully narrow (ONE broadcast
+    centroid fold, no n×K shuffle); residual encode is a 16-row
+    broadcast join; PQ code assignment shuffles n·PQ_M rows once;
+    the ADC relation is |queries|·nprobe·PQ_K·PQ_M rows — broadcast;
+    scoring joins it to codes of vectors IN PROBED CELLS only; the
+    exact re-rank touches PQ_CAND·|queries| rows. No all-pairs
+    stage anywhere.
+
+    Output: query_id, neighbor_id, cos_sim (round 6).
+    """
+    sub_d = EMB_DIM // PQ_M
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = track_persist(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+            ).alias("q"),
+        )
+    )
+    init_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    w_init = Window.orderBy(*init_order)
+    cents = track_persist(
+        qv.orderBy(*init_order)
+        .limit(IVF_INT_K)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("cid"),
+            F.col("q").alias("cq"),
+        )
+    )
+    carr = cents.agg(F.collect_list(F.struct("cid", "cq")).alias("cents"))
+    ds = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with("q", c["cq"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    withcell = (
+        qv.crossJoin(F.broadcast(carr))
+        .withColumn("ds", ds)
+        .select(
+            "vec_id",
+            "q",
+            F.col("ds")[0]["cid"].alias("cell"),
+            F.expr(
+                f"transform(slice(ds, 1, {IVF_INT_NPROBE}), s -> s.cid)"
+            ).alias("probe_cells"),
+        )
+    )
+    # residual w.r.t. the OWN cell's centroid (16-row broadcast join)
+    resid = track_persist(
+        withcell.join(F.broadcast(cents), F.col("cell") == F.col("cid"))
+        .select(
+            "vec_id",
+            "q",
+            "cell",
+            "probe_cells",
+            F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("r"),
+        )
+    )
+    cb = resid.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("r").alias("rc")
+    )
+    d2_arr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"aggregate(slice(zip_with(r, rc, (a, b) -> (a - b) * (a - b)), "
+        f"m * {sub_d} + 1, {sub_d}), 0L, (acc, x) -> acc + x))"
+    )
+    codes = (
+        resid.crossJoin(F.broadcast(cb))
+        .select("vec_id", "k", F.posexplode(d2_arr).alias("m", "d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k")).alias("mk"))  # ties → lowest code
+        .select("vec_id", "m", F.col("mk.k").alias("code"))
+    )
+    # per-(query, probed-cell) residual → per-cell ADC table
+    probes_r = (
+        resid.where(F.col("vec_id") < SIM_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.explode("probe_cells").alias("pcell"),
+        )
+        .join(F.broadcast(cents), F.col("pcell") == F.col("cid"))
+        .select(
+            "query_id",
+            "pcell",
+            F.expr("zip_with(qq, cq, (a, b) -> a - b)").alias("rq"),
+        )
+    )
+    ip_arr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"aggregate(slice(zip_with(rq, rc, (a, b) -> a * b), "
+        f"m * {sub_d} + 1, {sub_d}), 0L, (acc, x) -> acc + x))"
+    )
+    lut = (
+        probes_r.crossJoin(F.broadcast(cb))
+        .select("query_id", "pcell", "k", F.posexplode(ip_arr).alias("m", "ip"))
+    )
+    ncodes = codes.join(resid.select("vec_id", "cell"), "vec_id")
+    approx = (
+        ncodes.join(
+            F.broadcast(lut),
+            (F.col("cell") == F.col("pcell"))
+            & (ncodes["m"] == lut["m"])
+            & (F.col("code") == F.col("k")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ip").alias("approx"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cands = (
+        approx.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    nbr = qv.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"))
+    qs = qv.where(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    dot = F.expr("aggregate(zip_with(qq, nq, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+    na = F.expr("aggregate(qq, 0L, (s, x) -> s + x * x)")
+    nb = F.expr("aggregate(nq, 0L, (s, x) -> s + x * x)")
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    rr = (
+        cands.join(nbr, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= SIM_K)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+_ANN_IVFPQ_INT_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
+         q AS cq
+  FROM (SELECT * FROM qv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_INT_K})
+), d AS (
+  SELECT v.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+           i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS BIGINT) AS d2
+  FROM qv v CROSS JOIN c0 c
+), asg AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d
+), assign AS (
+  SELECT vec_id, cid AS cell FROM asg WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM asg
+  WHERE rn <= {IVF_INT_NPROBE} AND vec_id < {SIM_N_QUERIES}
+), resid AS (
+  SELECT v.vec_id, a.cell,
+         list_transform(generate_series(1, {EMB_DIM}),
+                        i -> v.q[i] - c.cq[i]) AS r
+  FROM qv v JOIN assign a USING (vec_id) JOIN c0 c ON c.cid = a.cell
+), cb AS (
+  SELECT vec_id AS k, r AS rc FROM resid WHERE vec_id < {PQ_K}
+), ms AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+), d2s AS (
+  SELECT v.vec_id, c.k, ms.m,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM // PQ_M}),
+           j -> (v.r[ms.m * {EMB_DIM // PQ_M} + j] - c.rc[ms.m * {EMB_DIM // PQ_M} + j])
+              * (v.r[ms.m * {EMB_DIM // PQ_M} + j] - c.rc[ms.m * {EMB_DIM // PQ_M} + j])))
+         AS BIGINT) AS d2
+  FROM resid v, cb c, ms
+), codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+    FROM d2s) WHERE rn = 1
+), rq AS (
+  SELECT p.query_id, p.cell,
+         list_transform(generate_series(1, {EMB_DIM}),
+                        i -> v.q[i] - c.cq[i]) AS rq
+  FROM probe p JOIN qv v ON v.vec_id = p.query_id JOIN c0 c ON c.cid = p.cell
+), lut AS (
+  SELECT q.query_id, q.cell, c.k, ms.m,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM // PQ_M}),
+           j -> q.rq[ms.m * {EMB_DIM // PQ_M} + j] * c.rc[ms.m * {EMB_DIM // PQ_M} + j]))
+         AS BIGINT) AS ip
+  FROM rq q, cb c, ms
+), approx AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.ip) AS approx
+  FROM codes cd
+  JOIN resid rs ON rs.vec_id = cd.vec_id
+  JOIN lut l ON l.cell = rs.cell AND l.m = cd.m AND l.k = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, neighbor_id) AS rn
+    FROM approx) WHERE rn <= {PQ_CAND}
+), rr AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CASE WHEN na.s > 0 AND nb.s > 0 THEN
+           round(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   j -> a.q[j] * b.q[j])) AS BIGINT)::DOUBLE
+                 / (sqrt(na.s::DOUBLE) * sqrt(nb.s::DOUBLE)), 6)
+         ELSE 0.0 END AS cos_sim
+  FROM cand cd
+  JOIN qv a ON a.vec_id = cd.query_id
+  JOIN qv b ON b.vec_id = cd.neighbor_id
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+          j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) na
+    ON na.vec_id = cd.query_id
+  JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+          j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) nb
+    ON nb.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM rr) WHERE rn <= {SIM_K}
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
 SEMDEDUP_CELL_TARGET = 64  # aim for ~this many vectors per cell
 SEMDEDUP_MAX_PLANES = 30  # static plane relation; b = used prefix
 
@@ -5651,40 +5929,12 @@ BM25_TF_SCALE = 1_000_000  # tfnorm in micro-units
 BM25_TF_CLAMP = 100_000
 
 
-def bm25_topk(
+def _bm25_scores(
     spark: SparkSession, sf_dir: str, ceil_pct: int = SPARSE_DF_CEIL_PCT
 ) -> DataFrame:
-    """Full BM25 lexical top-k (Robertson-Spärck Jones / Okapi,
-    public IR canon) — ``sparse_dot_topk``'s idf·tf dot product plus
-    the two things that make BM25 the retrieval default: tf
-    SATURATION (k1: the 50th occurrence of a term is worth ~nothing
-    more than the 5th) and DOC-LENGTH normalization (b: long
-    documents don't win by volume).
-
-    Exact-integer formulation (house determinism rule — no ln, no
-    float sums): with k1 = 6/5 and b = 3/4,
-    tfnorm = 22·tf / (10·tf + 3 + 9·r) where r = dl·N/L is the
-    relative doc length; r is carried in micro-units
-    ((dl·N·10⁶) DIV L), the quotient in micro-units
-    ((22·tf·10¹²) DIV den), and the idf component is the rational
-    ((N − df + 1)·10³) DIV (df + 1) — monotone decreasing in df like
-    the log form, engine-identical by construction. Products stay
-    under 2⁶³ for any fixture/probe scale this repo runs (dl·N·10⁶
-    bounds the first overflow at ~10¹² corpus tokens; ANSI mode
-    throws loudly, never silently wraps); the score sum accumulates
-    in DECIMAL(38,0) exactly like ``sparse_dot_topk``.
-
-    Scale shape identical to ``sparse_dot_topk``: probe side pruned
-    BEFORE the join, df and corpus-stats relations broadcast, match
-    join bucketed by token, per-probe top-k window, and the
-    SPARSE_DF_CEIL_PCT impact-pruning cut below the posting join
-    (a stopword's posting list is ~every document for near-zero
-    idf — at 100 TB that single term dominates the join). Query-side
-    term multiplicity (qtf) weights each term's contribution,
-    clamped at BM25_TF_CLAMP symmetrically with the corpus side.
-
-    Output: query_id, neighbor_id, score (exact integer), rank.
-    """
+    """Shared BM25 score relation (query_id, neighbor_id, score) —
+    the everything-before-the-top-k of ``bm25_topk``, factored out
+    so ``hard_negative_mining`` reuses the identical scorer."""
     docs = table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("tok"))
@@ -5742,7 +5992,7 @@ def bm25_topk(
         F.expr(f"least(tf, {BM25_TF_CLAMP}L)").alias("qtf"),
     )
     corpus = w_rel.select(F.col("doc_id").alias("neighbor_id"), "tok", "w")
-    scores = (
+    return (
         probes.join(corpus, "tok")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
@@ -5753,6 +6003,43 @@ def bm25_topk(
             .alias("score")
         )
     )
+
+
+def bm25_topk(
+    spark: SparkSession, sf_dir: str, ceil_pct: int = SPARSE_DF_CEIL_PCT
+) -> DataFrame:
+    """Full BM25 lexical top-k (Robertson-Spärck Jones / Okapi,
+    public IR canon) — ``sparse_dot_topk``'s idf·tf dot product plus
+    the two things that make BM25 the retrieval default: tf
+    SATURATION (k1: the 50th occurrence of a term is worth ~nothing
+    more than the 5th) and DOC-LENGTH normalization (b: long
+    documents don't win by volume).
+
+    Exact-integer formulation (house determinism rule — no ln, no
+    float sums): with k1 = 6/5 and b = 3/4,
+    tfnorm = 22·tf / (10·tf + 3 + 9·r) where r = dl·N/L is the
+    relative doc length; r is carried in micro-units
+    ((dl·N·10⁶) DIV L), the quotient in micro-units
+    ((22·tf·10¹²) DIV den), and the idf component is the rational
+    ((N − df + 1)·10³) DIV (df + 1) — monotone decreasing in df like
+    the log form, engine-identical by construction. Products stay
+    under 2⁶³ for any fixture/probe scale this repo runs (dl·N·10⁶
+    bounds the first overflow at ~10¹² corpus tokens; ANSI mode
+    throws loudly, never silently wraps); the score sum accumulates
+    in DECIMAL(38,0) exactly like ``sparse_dot_topk``.
+
+    Scale shape identical to ``sparse_dot_topk``: probe side pruned
+    BEFORE the join, df and corpus-stats relations broadcast, match
+    join bucketed by token, per-probe top-k window, and the
+    SPARSE_DF_CEIL_PCT impact-pruning cut below the posting join
+    (a stopword's posting list is ~every document for near-zero
+    idf — at 100 TB that single term dominates the join). Query-side
+    term multiplicity (qtf) weights each term's contribution,
+    clamped at BM25_TF_CLAMP symmetrically with the corpus side.
+
+    Output: query_id, neighbor_id, score (exact integer), rank.
+    """
+    scores = _bm25_scores(spark, sf_dir, ceil_pct)
     topw = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
@@ -5763,9 +6050,56 @@ def bm25_topk(
     )
 
 
-def _bm25_sql(ceil_pct: int = SPARSE_DF_CEIL_PCT) -> str:
-    """DuckDB twin of bm25_topk at the same df-ceiling (see
-    _sparse_topk_sql)."""
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for retrieval/embedding training (the
+    BM25-negatives construction of DPR, Karpukhin et al. 2020,
+    arXiv:2004.04906; also RocketQA): for each query document, the
+    top-k documents the LEXICAL retriever ranks highest that are NOT
+    the query's positives — the "looks relevant but isn't the same
+    document" examples a contrastive trainer needs, and the standard
+    way training pairs are mined from an unlabeled corpus at scale.
+
+    Positives here are exact duplicates (same normalized md5 — the
+    ``dedup_exact`` notion; a labeled-pairs relation drops into the
+    same anti-join seam). The scorer IS ``bm25_topk``'s score stage
+    (shared ``_bm25_scores``), so ranking semantics and the
+    df-ceiling pruning are identical by construction.
+
+    Scale shape: the BM25 score relation is posting-join-bounded
+    (never all-pairs); the positives relation is |probes| ⋈ dup
+    groups — tiny, BROADCAST into a left-anti join (never a
+    corpus-wide hash-equality shuffle); top-k is one window over the
+    candidate relation.
+
+    Output: query_id, neighbor_id, score, rank.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hashes = docs.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("th")
+    )
+    positives = (
+        hashes.where(F.col("doc_id") < SPARSE_TOPK_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "th")
+        .join(hashes.select(F.col("doc_id").alias("neighbor_id"), "th"), "th")
+        .select("query_id", "neighbor_id")
+    )
+    scores = _bm25_scores(spark, sf_dir)
+    hard = scores.join(
+        F.broadcast(positives), ["query_id", "neighbor_id"], "left_anti"
+    )
+    topw = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        hard.withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= SPARSE_TOPK_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_scores_cte(ceil_pct: int = SPARSE_DF_CEIL_PCT) -> str:
+    """The WITH-chain through ``scores`` shared by the bm25_topk and
+    hard_negative_mining oracles."""
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -5802,7 +6136,16 @@ WITH toks AS (
   FROM tf q JOIN w ON q.tok = w.tok AND w.doc_id <> q.doc_id
   WHERE q.doc_id < {SPARSE_TOPK_QUERIES}
   GROUP BY 1, 2
-), ranked AS (
+)"""
+
+
+def _bm25_sql(ceil_pct: int = SPARSE_DF_CEIL_PCT) -> str:
+    """DuckDB twin of bm25_topk at the same df-ceiling (see
+    _sparse_topk_sql)."""
+    return (
+        _bm25_scores_cte(ceil_pct)
+        + f"""
+, ranked AS (
   SELECT query_id, neighbor_id, score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, neighbor_id) AS rank
@@ -5812,9 +6155,36 @@ SELECT query_id, neighbor_id, score, rank::INT AS rank
 FROM ranked WHERE rank <= {SPARSE_TOPK_K}
 ORDER BY query_id, rank
 """
+    )
 
 
 _BM25_SQL = _bm25_sql()
+
+_HARD_NEG_SQL = (
+    _bm25_scores_cte()
+    + f"""
+, h AS (
+  SELECT doc_id, md5(lower(trim(text))) AS th FROM documents
+), pos AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id
+  FROM h q JOIN h d ON q.th = d.th
+  WHERE q.doc_id < {SPARSE_TOPK_QUERIES}
+), hard AS (
+  SELECT s.query_id, s.neighbor_id, s.score FROM scores s
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.query_id = s.query_id
+                      AND p.neighbor_id = s.neighbor_id)
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM hard
+)
+SELECT query_id, neighbor_id, score, rank::INT AS rank
+FROM ranked WHERE rank <= {SPARSE_TOPK_K}
+ORDER BY query_id, rank
+"""
+)
 
 
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
@@ -5987,6 +6357,7 @@ QUERIES = {
     "template_prefix_audit": template_prefix_audit,
     "sparse_dot_topk": sparse_dot_topk,
     "bm25_topk": bm25_topk,
+    "hard_negative_mining": hard_negative_mining,
     "rank_fusion_rrf": rank_fusion_rrf,
     "rank_fusion_rrf_ann": rank_fusion_rrf_ann,
     "compression_ratio_quality": compression_ratio_quality,
@@ -6021,6 +6392,7 @@ QUERIES = {
     "similarity_pq": similarity_pq,
     "similarity_pq_int": similarity_pq_int,
     "similarity_ann_ivf_int": similarity_ann_ivf_int,
+    "similarity_ann_ivfpq_int": similarity_ann_ivfpq_int,
     "semdedup_prune": semdedup_prune,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
@@ -6086,7 +6458,9 @@ ORACLES = {
     "similarity_topk": _SIM_TOPK,
     "similarity_pq_int": _PQ_INT_SQL,
     "similarity_ann_ivf_int": _ANN_IVF_INT_SQL,
+    "similarity_ann_ivfpq_int": _ANN_IVFPQ_INT_SQL,
     "bm25_topk": _BM25_SQL,
+    "hard_negative_mining": _HARD_NEG_SQL,
     "rank_fusion_rrf": _RRF_SQL,
     "rank_fusion_rrf_ann": _RRF_ANN_SQL,
     "semdedup_prune": _SEMDEDUP_SQL,

@@ -1699,3 +1699,39 @@ def test_dsir_importance_weights_python_model_and_direction(spark):
     # the never-target-vocab docs
     mean = {k: got[k][1] / got[k][0] for k in got}
     assert min(mean[0], mean[1], mean[2]) > max(mean[3], mean[4])
+
+
+def test_hard_negative_mining_excludes_exact_dup_positives(spark):
+    """Planted corpus: probe doc 0 has an exact duplicate (doc 30).
+    bm25_topk must rank the duplicate #1 for query 0 (it shares every
+    term); hard_negative_mining must EXCLUDE it (a positive, not a
+    negative) while otherwise ranking by the identical scorer."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        bm25_topk,
+        hard_negative_mining,
+    )
+
+    probe = "alpha beta gamma delta epsilon"
+    near = "alpha beta gamma delta zeta"
+    rows = [(0, probe, "en", "t", 0), (30, probe, "en", "t", 0),
+            (31, near, "en", "t", 0)]
+    # filler docs keep the planted terms under the df-ceiling
+    rows += [
+        (100 + i, f"filler{i} pad{i} noise{i} blank{i} void{i} junk{i}", "en", "t", 0)
+        for i in range(30)
+    ]
+    d = tempfile.mkdtemp(prefix="hardneg_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    bm = {(r.query_id, r.rank): r.neighbor_id for r in bm25_topk(spark, d).collect()}
+    assert bm[(0, 1)] == 30  # the exact duplicate wins BM25
+    hn = [(r.rank, r.neighbor_id) for r in
+          hard_negative_mining(spark, d).collect() if r.query_id == 0]
+    ids = {n for _, n in hn}
+    assert 30 not in ids and 0 not in ids
+    assert hn and hn[0] == (1, 31)  # the near-but-not-dup doc leads

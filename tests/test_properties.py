@@ -1175,3 +1175,101 @@ def test_remove_dup_spans_matches_python_model(spark, corpus):
         for r in llm.remove_dup_spans(spark, d).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-4, max_value=4), min_size=4, max_size=4
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivfpq_int_matches_python_model(spark, vecs):
+    """Random small integer embedding corpora: similarity_ann_ivfpq_int
+    must equal a from-scratch Python model of the COMPOSED pipeline —
+    md5-sampled coarse centroids, (d2, cid)-tied assignment, residual
+    encode against the own cell, shared residual codebook, per-cell
+    ADC tables from the query's residual in the PROBED cell, (approx
+    desc, id) candidate cut, exact-cosine re-rank. Third independent
+    implementation beside Spark and the DuckDB oracle."""
+    import hashlib
+    import math
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    dim = 64
+    emb = [v + [0] * (dim - len(v)) for v in vecs]
+    d = tempfile.mkdtemp(prefix="ivfpq_prop_")
+    spark.createDataFrame(
+        [(i, [float(x) for x in e], 0) for i, e in enumerate(emb)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    q = {i: [x * llm.PQ_INT_SCALE for x in e] for i, e in enumerate(emb)}
+    order = sorted(q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = {cid: q[i] for cid, i in enumerate(order[: llm.IVF_INT_K])}
+    sub_d = dim // llm.PQ_M
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def sub(v, m):
+        return v[m * sub_d : (m + 1) * sub_d]
+
+    def cells_of(i):
+        return sorted((d2(q[i], cq), cid) for cid, cq in cents.items())
+
+    assign = {i: cells_of(i)[0][1] for i in q}
+    resid = {i: [a - b for a, b in zip(q[i], cents[assign[i]])] for i in q}
+    cb = {k: resid[k] for k in q if k < llm.PQ_K}
+    codes = {
+        i: [
+            min((d2(sub(resid[i], m), sub(rc, m)), k) for k, rc in cb.items())[1]
+            for m in range(llm.PQ_M)
+        ]
+        for i in q
+    }
+    want = []
+    for qid in range(min(len(emb), llm.SIM_N_QUERIES)):
+        probe = {cid for _, cid in cells_of(qid)[: llm.IVF_INT_NPROBE]}
+        approx = []
+        for nid in q:
+            if nid == qid or assign[nid] not in probe:
+                continue
+            rq = [a - b for a, b in zip(q[qid], cents[assign[nid]])]
+            a = sum(
+                sum(
+                    x * y
+                    for x, y in zip(sub(rq, m), sub(cb[codes[nid][m]], m))
+                )
+                for m in range(llm.PQ_M)
+            )
+            approx.append((a, nid))
+        approx.sort(key=lambda t: (-t[0], t[1]))
+        scored = []
+        for _, nid in approx[: llm.PQ_CAND]:
+            na = sum(x * x for x in q[qid])
+            nb = sum(x * x for x in q[nid])
+            if na > 0 and nb > 0:
+                dot = sum(a * b for a, b in zip(q[qid], q[nid]))
+                cos = round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+            else:
+                cos = 0.0
+            scored.append((cos, nid))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for cos, nid in scored[: llm.SIM_K]:
+            want.append((qid, nid, cos))
+    got = [
+        (r.query_id, r.neighbor_id, r.cos_sim)
+        for r in llm.similarity_ann_ivfpq_int(spark, d).collect()
+    ]
+    assert sorted(got) == sorted(want)
