@@ -1406,6 +1406,168 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
 
+MRL_DIM = 16  # truncated-prefix dimensionality under evaluation
+
+
+def matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval agreement (Kusupati et al.
+    2022, "Matryoshka Representation Learning", arXiv:2205.13147):
+    per query, how many of the FULL-dimension exact top-k neighbors
+    the MRL_DIM-PREFIX retrieval recovers — the go/no-go measurement
+    before serving truncated embeddings (4× cheaper dot products and
+    index memory here) in place of full vectors. Run on a query
+    sample, exactly how MRL papers and vector-DB capacity planning
+    evaluate truncation.
+
+    Both rankings use the house integer cosine (vectors quantized at
+    PQ_INT_SCALE, one sqrt/multiply/divide on exactly-cast doubles,
+    round 6, zero-norm guarded — prefix norms CAN be zero where full
+    norms are not) with the (cos desc, neighbor asc) tie-break, so
+    the oracle replays both rankings and the overlap count exactly.
+
+    Scale shape: ONE pass builds both scores (the broadcast
+    query-side join of ``similarity_topk`` — the corpus never
+    shuffles, and the truncated score reuses the same scanned row
+    rather than a second index); two k-bounded rank windows; the
+    overlap join touches k·|queries| rows. Queries with zero overlap
+    still emit (left join from the query list).
+
+    Output: query_id, n_overlap (0..SIM_K).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = track_persist(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+            ).alias("q"),
+        )
+    )
+    qs = qv.where(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    pairs = F.broadcast(qs).join(
+        qv.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq")),
+        F.col("neighbor_id") != F.col("query_id"),
+    )
+
+    def _cos(qc: str, nc: str) -> Column:
+        dot = F.expr(
+            f"aggregate(zip_with({qc}, {nc}, (a, b) -> a * b), 0L, (s, x) -> s + x)"
+        )
+        na = F.expr(f"aggregate({qc}, 0L, (s, x) -> s + x * x)")
+        nb = F.expr(f"aggregate({nc}, 0L, (s, x) -> s + x * x)")
+        return F.when(
+            (na > 0) & (nb > 0),
+            F.round(
+                dot.cast("double")
+                / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    scored = track_persist(
+        pairs.withColumn("qt", F.expr(f"slice(qq, 1, {MRL_DIM})"))
+        .withColumn("nt", F.expr(f"slice(nq, 1, {MRL_DIM})"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos("qq", "nq").alias("cos_full"),
+            _cos("qt", "nt").alias("cos_trunc"),
+        )
+    )
+
+    def _topk(col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(col), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= SIM_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    overlap = (
+        _topk("cos_full")
+        .join(_topk("cos_trunc"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        qs.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias(
+                "n_overlap"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+_MRL_OVERLAP_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         a.q AS qq, b.q AS nq
+  FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < {SIM_N_QUERIES}
+), norms AS (
+  SELECT query_id, neighbor_id, qq, nq,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+           j -> qq[j] * qq[j])) AS BIGINT) AS naf,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+           j -> nq[j] * nq[j])) AS BIGINT) AS nbf,
+         CAST(list_sum(list_transform(generate_series(1, {MRL_DIM}),
+           j -> qq[j] * qq[j])) AS BIGINT) AS nat,
+         CAST(list_sum(list_transform(generate_series(1, {MRL_DIM}),
+           j -> nq[j] * nq[j])) AS BIGINT) AS nbt
+  FROM pairs
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN naf > 0 AND nbf > 0 THEN
+           round(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   j -> qq[j] * nq[j])) AS BIGINT)::DOUBLE
+                 / (sqrt(naf::DOUBLE) * sqrt(nbf::DOUBLE)), 6)
+         ELSE 0.0 END AS cos_full,
+         CASE WHEN nat > 0 AND nbt > 0 THEN
+           round(CAST(list_sum(list_transform(generate_series(1, {MRL_DIM}),
+                   j -> qq[j] * nq[j])) AS BIGINT)::DOUBLE
+                 / (sqrt(nat::DOUBLE) * sqrt(nbt::DOUBLE)), 6)
+         ELSE 0.0 END AS cos_trunc
+  FROM norms
+), tf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_full DESC, neighbor_id) AS rn
+    FROM scored) WHERE rn <= {SIM_K}
+), tt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_trunc DESC, neighbor_id) AS rn
+    FROM scored) WHERE rn <= {SIM_K}
+), ov AS (
+  SELECT tf.query_id, count(*)::BIGINT AS n_overlap
+  FROM tf JOIN tt ON tt.query_id = tf.query_id
+                 AND tt.neighbor_id = tf.neighbor_id
+  GROUP BY 1
+)
+SELECT q.vec_id AS query_id,
+       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap
+FROM (SELECT vec_id FROM qv WHERE vec_id < {SIM_N_QUERIES}) q
+LEFT JOIN ov ON ov.query_id = q.vec_id
+ORDER BY 1
+"""
+
+
 SEMDEDUP_CELL_TARGET = 64  # aim for ~this many vectors per cell
 SEMDEDUP_MAX_PLANES = 30  # static plane relation; b = used prefix
 
@@ -6393,6 +6555,7 @@ QUERIES = {
     "similarity_pq_int": similarity_pq_int,
     "similarity_ann_ivf_int": similarity_ann_ivf_int,
     "similarity_ann_ivfpq_int": similarity_ann_ivfpq_int,
+    "matryoshka_overlap": matryoshka_overlap,
     "semdedup_prune": semdedup_prune,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
@@ -6459,6 +6622,7 @@ ORACLES = {
     "similarity_pq_int": _PQ_INT_SQL,
     "similarity_ann_ivf_int": _ANN_IVF_INT_SQL,
     "similarity_ann_ivfpq_int": _ANN_IVFPQ_INT_SQL,
+    "matryoshka_overlap": _MRL_OVERLAP_SQL,
     "bm25_topk": _BM25_SQL,
     "hard_negative_mining": _HARD_NEG_SQL,
     "rank_fusion_rrf": _RRF_SQL,

@@ -744,6 +744,75 @@ ORDER BY group_n, c_nationkey, c_mktsegment, balance_band
 """
 
 
+L_DIV = 6  # minimum distinct sensitive values per QI group
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit (Machanavajjhala et al. 2007, "l-Diversity:
+    Privacy Beyond k-Anonymity") — the check k-anonymity misses: a
+    group can be ≥ K members yet still leak if they all share the
+    SAME sensitive value (the homogeneity attack). Here the
+    quasi-identifier is (nation × segment) and the sensitive
+    attribute is the $1000 balance band: any QI group with fewer
+    than L_DIV distinct bands is flagged, together with the share of
+    its most common band in exact integer micro-units (the
+    skew signal behind recursive (c,l)-diversity — a group that is
+    technically diverse but 99% one value still leaks
+    probabilistically).
+
+    Scale: two map-side-combinable hash aggregates — (QI, sensitive)
+    counts, then a per-QI rollup — the audit costs a wordcount at
+    any corpus size; no distinct-expansion, no window.
+
+    Output (violating groups, least diverse first): c_nationkey,
+    c_mktsegment, group_n, n_sensitive, top_share_micro.
+    """
+    cust = table(spark, sf_dir, "customer")
+    band = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+    per_value = (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment", "sens")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_value.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("cnt").alias("group_n"),
+            F.count(F.lit(1)).alias("n_sensitive"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .where(F.col("n_sensitive") < L_DIV)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_n",
+            "n_sensitive",
+            F.expr("(top_cnt * 1000000) DIV group_n").alias("top_share_micro"),
+        )
+        .orderBy("n_sensitive", "c_nationkey", "c_mktsegment")
+    )
+
+
+_L_DIV_SQL = f"""
+WITH pv AS (
+  SELECT c_nationkey, c_mktsegment,
+         round(c_acctbal * 100)::BIGINT // 100000 AS sens,
+         count(*)::BIGINT AS cnt
+  FROM customer GROUP BY 1, 2, 3
+), g AS (
+  SELECT c_nationkey, c_mktsegment,
+         sum(cnt)::BIGINT AS group_n,
+         count(*)::BIGINT AS n_sensitive,
+         max(cnt)::BIGINT AS top_cnt
+  FROM pv GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, group_n, n_sensitive,
+       (top_cnt * 1000000 // group_n)::BIGINT AS top_share_micro
+FROM g WHERE n_sensitive < {L_DIV}
+ORDER BY n_sensitive, c_nationkey, c_mktsegment
+"""
+
+
 def tpch_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H REFRESH STREAMS (the RF1 insert / RF2 delete half of
     the spec the 22 query archetypes come from) against the
@@ -1692,6 +1761,7 @@ QUERIES = {
     "partition_evolution_roundtrip": partition_evolution_roundtrip,
     "masked_customer_view": masked_customer_view,
     "k_anonymity_audit": k_anonymity_audit,
+    "l_diversity_audit": l_diversity_audit,
     "multi_table_commit_roundtrip": multi_table_commit_roundtrip,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
@@ -1774,6 +1844,7 @@ ORACLES = {
     "partition_evolution_roundtrip": _PART_EVO_SQL,
     "masked_customer_view": _MASKED_VIEW_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
+    "l_diversity_audit": _L_DIV_SQL,
     "multi_table_commit_roundtrip": _MULTI_TABLE_SQL,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,

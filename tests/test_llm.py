@@ -1735,3 +1735,55 @@ def test_hard_negative_mining_excludes_exact_dup_positives(spark):
     ids = {n for _, n in hn}
     assert 30 not in ids and 0 not in ids
     assert hn and hn[0] == (1, 31)  # the near-but-not-dup doc leads
+
+
+def test_matryoshka_overlap_planted_extremes(spark):
+    """Two planted embedding corpora pin the overlap semantics:
+    (a) all signal in the first MRL_DIM dims (tail zero) → truncated
+    ranking IS the full ranking, overlap = SIM_K for every query;
+    (b) identical prefix for every vector with all signal in the
+    tail → the truncated ranking is pure neighbor-id tie-break while
+    the full ranking follows the tail, overlap = 0 by construction."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    dim, n = 64, 30
+
+    def write(vectors, prefix):
+        d = tempfile.mkdtemp(prefix=prefix)
+        spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in enumerate(vectors)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        return d
+
+    # (a) tail-zero: vector i points along axes (i % MRL_DIM, +noise)
+    va = []
+    for i in range(n):
+        v = [0.0] * dim
+        v[i % llm.MRL_DIM] = 1.0
+        v[(i * 7 + 3) % llm.MRL_DIM] += 0.25
+        va.append(v)
+    da = write(va, "mrl_a_")
+    got_a = llm.matryoshka_overlap(spark, da).collect()
+    assert len(got_a) == llm.SIM_N_QUERIES
+    assert all(r.n_overlap == llm.SIM_K for r in got_a)
+
+    # (b) constant prefix, tail-only signal: full top-k = the 5
+    # nearest by tail; truncated ranking = all-ties → lowest ids.
+    # Make the tail favor HIGH ids for every query so the two sets
+    # are disjoint (low-id ties vs high-id tail neighbors).
+    vb = []
+    for i in range(n):
+        v = [0.0] * dim
+        v[0] = 1.0  # identical prefix
+        v[llm.MRL_DIM + (i % 8)] = float(i + 1)  # tail magnitude grows with id
+        vb.append(v)
+    db = write(vb, "mrl_b_")
+    got_b = {r.query_id: r.n_overlap for r in llm.matryoshka_overlap(spark, db).collect()}
+    # truncated list is ids {0..SIM_K-1} minus self; full list is
+    # tail-driven — overlap must be far below SIM_K (exact value
+    # pinned by the oracle; here the structural claim)
+    assert sum(got_b.values()) < llm.SIM_N_QUERIES * llm.SIM_K // 2

@@ -144,3 +144,35 @@ def test_manifest_cdc_reconstructs_changes(spark):
         rows["update_postimage"].sum_cents - rows["update_preimage"].sum_cents
         == 111 * n_upd
     )
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    """Planted customers: a (nation, segment) group whose members all
+    share ONE balance band must be flagged with top_share_micro =
+    1_000_000; a group spanning L_DIV+ bands must not appear."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        L_DIV,
+        l_diversity_audit,
+    )
+
+    rows = []
+    # homogeneous group: nation 1 / AUTO, 8 members, all ~$500
+    rows += [(i, f"c{i}", 1, 500.0 + i * 0.01, "AUTO") for i in range(8)]
+    # diverse group: nation 2 / RAIL, one member per $1000 band
+    rows += [
+        (100 + b, f"d{b}", 2, b * 1000.0 + 10.0, "RAIL") for b in range(L_DIV + 2)
+    ]
+    d = tempfile.mkdtemp(prefix="ldiv_t_")
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    got = {(r.c_nationkey, r.c_mktsegment): r for r in l_diversity_audit(spark, d).collect()}
+    flagged = got[(1, "AUTO")]
+    assert flagged.group_n == 8 and flagged.n_sensitive == 1
+    assert flagged.top_share_micro == 1_000_000
+    assert (2, "RAIL") not in got
