@@ -83,6 +83,97 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cross_source_matrix(docs: DataFrame, fp: Column) -> DataFrame:
+    """Shared kernel: per-fingerprint per-source counts folded into
+    an ordered source-pair matrix — see cross_source_dup_matrix."""
+    per = (
+        docs.select(fp.alias("h"), "source")
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # fold each hash's (source, n) list into ordered-pair cells:
+    # within-source n·(n−1)/2, cross-source n_a·n_b for a < b
+    grouped = per.groupBy("h").agg(
+        F.sort_array(F.collect_list(F.struct("source", "n"))).alias("sn")
+    )
+    cells = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sn, (x, i) -> concat("
+                "array(named_struct('source_a', x.source, 'source_b', x.source,"
+                "      'p', x.n * (x.n - 1) DIV 2)),"
+                "transform(slice(sn, i + 2, size(sn)), y ->"
+                "  named_struct('source_a', x.source, 'source_b', y.source,"
+                "               'p', x.n * y.n)))))"
+            )
+        ).alias("c")
+    ).select("c.source_a", "c.source_b", "c.p")
+    return (
+        cells.groupBy("source_a", "source_b")
+        .agg(F.sum("p").alias("n_dup_pairs"))
+        .where(F.col("n_dup_pairs") > 0)
+        .orderBy("source_a", "source_b")
+    )
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix — the provenance signal a
+    curation pipeline reads before setting per-source dedup policy
+    (CCNet/RefinedWeb-style source analysis): for every ordered
+    source pair (a ≤ b), how many DOC PAIRS sharing a fingerprint
+    span them. High off-diagonal cells mean sources mirror each
+    other (dedup across them first); high diagonal cells mean a
+    source repeats itself.
+
+    The registered fingerprint is the TEMPLATE_PREFIX_N-token
+    opening prefix (the ``template_prefix_audit`` notion — shared
+    boilerplate openings, substantive at every fixture sf); the
+    exact-text sha2 notion runs through the same kernel seam and is
+    pinned by a planted-dup pytest (the fixtures are exact-dup-free
+    at the driver's sf, where an exact matrix would be trivially
+    empty).
+
+    The scale trick: pair counts are computed ARITHMETICALLY from
+    per-(fingerprint, source) counts — n_a·n_b across sources,
+    n·(n−1)/2 within — never by materializing pairs, so a
+    boilerplate fingerprint shared by 10⁶ docs costs one row per
+    source it appears in, not 10¹² join rows. Two
+    map-side-combinable aggregates + one per-fingerprint list fold
+    (group width ≤ |sources|, a constant).
+
+    Output: source_a, source_b, n_dup_pairs (BIGINT, > 0 rows only).
+    """
+    docs = table(spark, sf_dir, "documents")
+    fp = F.array_join(
+        F.slice(tokens("text"), 1, TEMPLATE_PREFIX_N), " "
+    )
+    return _cross_source_matrix(docs, fp)
+
+
+def _cross_source_dup_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT array_to_string(
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       t -> t <> '')[1:{TEMPLATE_PREFIX_N}], ' ') AS h,
+         source, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+              ELSE a.n * b.n END AS p
+  FROM per a JOIN per b
+    ON b.h = a.h AND a.source <= b.source
+)
+SELECT source_a, source_b, sum(p)::BIGINT AS n_dup_pairs
+FROM pairs
+GROUP BY 1, 2
+HAVING sum(p) > 0
+ORDER BY 1, 2
+"""
+
+
+
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-Jaccard near-dup pairs — EXACT BASELINE, deliberately
     bounded to the first NGRAM_EXACT_MAX_DOCS doc_ids. This query is
@@ -6545,6 +6636,7 @@ QUERIES = {
     "arrow_grouped_source_stats": arrow_grouped_source_stats,
     "export_training_shards": export_training_shards,
     "dedup_exact": dedup_exact,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
     "curate_corpus": curate_corpus,
     "dedup_ngram": dedup_ngram,
     "dedup_embedding": dedup_embedding,
@@ -6615,6 +6707,7 @@ ORACLES = {
     "arrow_grouped_source_stats": _ARROW_GROUPED_SQL,
     "export_training_shards": _EXPORT_SHARDS_SQL,
     "dedup_exact": _DEDUP_EXACT,
+    "cross_source_dup_matrix": _cross_source_dup_sql(),
     "curate_corpus": _CURATE,
     "dedup_ngram": _DEDUP_NGRAM,
     "dedup_embedding": _DEDUP_EMB,

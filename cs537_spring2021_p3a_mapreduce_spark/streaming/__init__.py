@@ -942,6 +942,133 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP DEDUP ON INGEST — the streaming form of the MinHash
+    pipeline, the thing a 100 TB crawl pipeline actually wants:
+    collapse near-duplicates as documents ARRIVE, before they ever
+    land, instead of re-scanning the lake nightly. A document's
+    32-seed integer MinHash signature (the ``dedup_minhash_int``
+    hash family — md5-fold shingle identities scrambled by the fixed
+    Carter-Wegman (a,b) pairs) is computed as a PURE NARROW per-row
+    expression on the stream — shingle array → fold array → 32
+    array_min's, no explode, no pre-aggregation shuffle (the batch
+    operator's groupBy-over-exploded-shingles shape would shuffle
+    every shingle row; on a stream the per-row form is free) — and
+    signature-identical docs (Jaccard ≈ 1 near-dups) collapse in ONE
+    keyed streaming aggregate: keeper = min(doc_id), copies counted.
+
+    State honesty: the aggregate keys on the signature, so state is
+    one row per DISTINCT signature seen — fine for a bounded drain
+    (availableNow here) or a TTL'd/windowed deploy;
+    an unbounded deploy caps it with dropDuplicatesWithinWatermark
+    or state TTL, same plan otherwise. Docs under SHINGLE_K tokens
+    have no shingles and pass through unexamined on both engines.
+
+    Oracle: DuckDB replays shingles → folds → 32 universal-hash mins
+    → signature fold → group, exactly (the integer-twin discipline,
+    on a STREAMING entry).
+
+    Output: sig, keeper_doc_id, n_copies.
+    """
+    import uuid
+
+    from ..functions.text import tokens
+    from ..operators.dedup import (
+        _MINHASH_INT_AB,
+        _MINHASH_INT_P,
+        SHINGLE_K,
+        _md5_fold,
+    )
+
+    work = scratch_dir("stream_mh_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = spark.readStream.schema(schema).parquet(src)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    arr = F.col("toks")
+    n_windows = F.size(arr) - (SHINGLE_K - 1)
+    sliding = F.when(
+        n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    shingle_arr = F.transform(
+        sliding,
+        lambda i: F.concat_ws(
+            "\x1f", *[F.get(arr, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+    folds = F.transform(
+        shingle_arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    hashed = toks.select("doc_id", folds.alias("hs")).where(F.size("hs") >= 1)
+    mins = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> ({a} * h + {b}) % {_MINHASH_INT_P})")
+        ).alias(f"m{s}")
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    ]
+    sigs = hashed.select("doc_id", *mins)
+    sig = _md5_fold(
+        F.concat_ws(",", *[F.col(f"m{s}") for s in range(len(_MINHASH_INT_AB))]),
+        1,
+        12,
+    )
+    out = (
+        sigs.select("doc_id", sig.alias("sig"))
+        .groupBy("sig")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    name = f"stream_mh_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        out, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8
+    )
+    return spark.table(name)
+
+
+def _stream_dedup_docs_minhash_sql() -> str:
+    from ..operators.dedup import (
+        _MINHASH_INT_AB,
+        _MINHASH_INT_P,
+        SHINGLE_K,
+        _md5_fold_sql,
+    )
+
+    sh_expr = " || chr(31) || ".join(f"ts[i+{j}]" for j in range(SHINGLE_K))
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_INT_P})::BIGINT AS m{s}"
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    )
+    sig_fold = _md5_fold_sql(
+        " || ',' || ".join(f"m{s}" for s in range(len(_MINHASH_INT_AB))), 1, 12
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), win AS (
+  SELECT doc_id, {sh_expr} AS sh
+  FROM arr,
+       unnest(generate_series(1, greatest(len(ts) - {SHINGLE_K - 1}, 0))) AS u(i)
+), hashed AS (
+  SELECT doc_id, {_md5_fold_sql("sh", 1, 12)} AS h FROM win
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+), sigk AS (
+  SELECT doc_id, {sig_fold} AS sig FROM sigs
+)
+SELECT sig, min(doc_id) AS keeper_doc_id, count(*)::BIGINT AS n_copies
+FROM sigk GROUP BY 1
+"""
+
+
 def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry: the reference's flagship pipeline
     (wordcount, main.c:50-74) run INCREMENTALLY by the streaming
@@ -1688,6 +1815,7 @@ QUERIES = {
     "stream_custom_sink_totals": stream_custom_sink_totals,
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_gopher_filter": stream_gopher_filter,
+    "stream_dedup_docs_minhash": stream_dedup_docs_minhash,
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
     "state_store_inspection": state_store_inspection,
@@ -1724,6 +1852,10 @@ ORACLES = {
         + ")"
     ),
     "stream_late_data_audit": _LATE_AUDIT_SQL,
+    # the on-ingest near-dup collapse must reproduce the batch
+    # integer-MinHash signature grouping exactly (stage-by-stage
+    # replay — the dedup_minhash_int discipline on a streaming entry)
+    "stream_dedup_docs_minhash": _stream_dedup_docs_minhash_sql(),
     # streaming CEP must reproduce the batch CEP's exact totals —
     # same oracle SQL as event_pattern_match
     "stream_pattern_match": _TEMPORAL_ORACLES["event_pattern_match"],

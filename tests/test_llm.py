@@ -1787,3 +1787,31 @@ def test_matryoshka_overlap_planted_extremes(spark):
     # tail-driven — overlap must be far below SIM_K (exact value
     # pinned by the oracle; here the structural claim)
     assert sum(got_b.values()) < llm.SIM_N_QUERIES * llm.SIM_K // 2
+
+
+def test_cross_source_matrix_exact_dup_arithmetic(spark):
+    """The kernel's arithmetic pair counts vs hand counts: 3 copies
+    in src a + 2 copies in src b of one text ⇒ within-a 3, within-b
+    1, cross 6 — through the exact-sha2 fingerprint seam (the
+    registered query uses the template-prefix notion; the fixtures
+    are exact-dup-free at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import (
+        _cross_source_matrix,
+    )
+
+    t = "shared duplicate text body"
+    rows = [(i, t, "en", "a", 0) for i in range(3)]
+    rows += [(10 + i, t, "en", "b", 0) for i in range(2)]
+    rows += [(20, "unique one", "en", "a", 0), (21, "unique two", "en", "c", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_dup_pairs
+        for r in _cross_source_matrix(
+            docs, F.sha2(F.lower(F.trim("text")), 256)
+        ).collect()
+    }
+    assert got == {("a", "a"): 3, ("a", "b"): 6, ("b", "b"): 1}

@@ -652,3 +652,31 @@ def test_pattern_match_batch_split_invariant(spark, tmp_path):
     for n, pat in tmp_ops.CEP_PATTERNS:
         for uid, s in seqs.items():
             assert getattr(last[uid], f"m_{n}") == len(re.findall(pat, s)), (n, uid)
+
+
+def test_stream_dedup_docs_minhash_collapses_planted_dups(spark, tmp_path):
+    """Planted corpus through the on-ingest collapse: token-identical
+    docs (exact copy; whitespace-variant copy) share a signature and
+    collapse to the min doc_id; a distinct doc keeps its own row;
+    sub-SHINGLE_K-token docs pass through unexamined (absent)."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.streaming import (
+        stream_dedup_docs_minhash,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (5, body, "en", "t", 0),
+        (9, "  " + body.replace(" ", "   ") + " ", "en", "t", 0),  # same tokens
+        (7, "completely different words here now okay fine", "en", "t", 0),
+        (8, "too short", "en", "t", 0),  # < SHINGLE_K tokens → no shingles
+    ]
+    d = str(tmp_path / "corpus")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = stream_dedup_docs_minhash(spark, d).collect()
+    by_keeper = {r.keeper_doc_id: r.n_copies for r in out}
+    assert by_keeper == {5: 2, 7: 1}
