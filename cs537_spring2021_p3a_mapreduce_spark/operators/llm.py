@@ -5025,6 +5025,157 @@ ORDER BY 1
 """
 
 
+T5_START_MOD = 18  # P(span start)=1/18; with span 3 → ~15% masked (T5's density)
+T5_SPAN = 3  # tokens covered by each span start (overlaps merge)
+
+
+def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION training examples (Raffel et al. 2020, T5 —
+    the denoising objective; same construction family as seqio's
+    span_corruption): ~15% of each document's tokens are masked in
+    ~T5_SPAN-token spans, each maximal masked run replaced by a
+    numbered sentinel in the INPUT and expanded after its sentinel
+    in the TARGET — the (corrupted, target) pair a seq2seq denoiser
+    trains on. Span starts are hash-driven (md5 of (doc_id, pos) —
+    the deterministic stand-in for the trainer's RNG; same seam as
+    ``shuffle_for_training``), and overlapping spans merge into one
+    longer span, the natural well-defined semantics.
+
+    Shape at 100 TB: everything happens INSIDE the token array of
+    one row — start flags, the 3-window mask OR, run starts, and ONE
+    O(n) fold that builds the input and target piece lists with the
+    running sentinel counter. Zero shuffles beyond the output sort;
+    example construction is scan-bound, which is why T5-scale
+    pipelines do it on the fly. The oracle computes the identical
+    function relationally (window OR + lag + prefix-sum sentinel
+    indices + ordered string_agg) — different algebra, same strings.
+
+    Output: doc_id, n_tokens, n_masked, n_spans, corrupted, target.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ts")).where(
+        F.size("ts") >= 1
+    )
+    # Stage arrays are LET-BOUND via single-element transform()
+    # lambdas — `transform(array(e), v -> body)` evaluates e ONCE and
+    # binds it as v. Chained withColumns don't work here: Catalyst's
+    # CollapseProject inlines a column referenced once, and a stage
+    # array referenced INSIDE a later stage's per-element lambda then
+    # re-evaluates wholesale per element — the md5 start-flag array
+    # re-ran inside the window-OR's lambda for an O(n²·md5) plan
+    # (measured 14.4 s for 5k docs on the ×1 probe; 0.6 s let-bound).
+    #
+    # Sentinel numbering without an accumulating fold (array-append
+    # aggregates copy the accumulator per element): run-start
+    # POSITIONS are a tiny array (~n/18), and the sentinel index at a
+    # start is the count of earlier starts — every piece is a pure
+    # transform, O(n·n_spans) reads, zero accumulator copies.
+    st = (
+        f"transform(sequence(0, size(ts) - 1), i -> "
+        f"conv(substring(md5(concat(cast(doc_id as string), ':', "
+        f"cast(i as string))), 1, 12), 16, 10) % {T5_START_MOD} = 0)"
+    )
+    mk_of_st = (
+        f"transform(sequence(0, size(ts) - 1), i -> "
+        f"exists(sequence(greatest(i - {T5_SPAN - 1}, 0), i), "
+        f"j -> element_at(stv, j + 1)))"
+    )
+    rs_of_mk = (
+        "transform(sequence(0, size(ts) - 1), i -> "
+        "element_at(mkv, i + 1) AND (i = 0 OR NOT element_at(mkv, i)))"
+    )
+    rs_pos = "filter(sequence(0, size(ts) - 1), i -> element_at(rsv, i + 1))"
+    k_of = "cast(size(filter(rpv, p -> p < i)) as string)"
+    cin = (
+        f"filter(transform(sequence(0, size(ts) - 1), i -> CASE "
+        f"WHEN element_at(rsv, i + 1) THEN concat('<X', {k_of}, '>') "
+        f"WHEN NOT element_at(mkv, i + 1) THEN element_at(ts, i + 1) "
+        f"END), x -> x IS NOT NULL)"
+    )
+    tgt = (
+        f"filter(transform(sequence(0, size(ts) - 1), i -> CASE "
+        f"WHEN element_at(rsv, i + 1) THEN "
+        f"  concat('<X', {k_of}, '> ', element_at(ts, i + 1)) "
+        f"WHEN element_at(mkv, i + 1) THEN element_at(ts, i + 1) "
+        f"END), x -> x IS NOT NULL)"
+    )
+    out_struct = (
+        f"element_at(transform(array({st}), stv -> "
+        f"element_at(transform(array({mk_of_st}), mkv -> "
+        f"element_at(transform(array({rs_of_mk}), rsv -> "
+        f"element_at(transform(array({rs_pos}), rpv -> "
+        f"named_struct("
+        f"'n_masked', size(filter(mkv, x -> x)), "
+        f"'n_spans', size(rpv), "
+        f"'corrupted', array_join({cin}, ' '), "
+        f"'target', array_join({tgt}, ' '))"
+        f"), 1)), 1)), 1)), 1)"
+    )
+    return (
+        toks.withColumn("o", F.expr(out_struct))
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.col("o.n_masked").cast("long").alias("n_masked"),
+            F.col("o.n_spans").cast("long").alias("n_spans"),
+            F.col("o.corrupted").alias("corrupted"),
+            F.col("o.target").alias("target"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_T5_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS tok,
+         generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t <> ''), 1) AS pos
+  FROM documents
+), flags AS (
+  SELECT doc_id, tok, pos,
+         (list_reduce(list_prepend(0::BIGINT,
+            list_transform(string_split(md5(doc_id::VARCHAR || ':'
+              || (pos - 1)::VARCHAR)[1:12], ''),
+            c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+          (acc, d) -> acc * 16 + d) % {T5_START_MOD} = 0) AS st
+  FROM toks
+), masked AS (
+  SELECT doc_id, tok, pos,
+         bool_or(st) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {T5_SPAN - 1} PRECEDING
+                                    AND CURRENT ROW) AS mk
+  FROM flags
+), runs AS (
+  SELECT doc_id, tok, pos, mk,
+         (mk AND NOT coalesce(lag(mk) OVER (PARTITION BY doc_id
+                                            ORDER BY pos), false)) AS rs
+  FROM masked
+), sidx AS (
+  SELECT doc_id, tok, pos, mk, rs,
+         coalesce(sum(CASE WHEN rs THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS k
+  FROM runs
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN mk THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+       sum(CASE WHEN rs THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+       coalesce(string_agg(
+         CASE WHEN rs THEN '<X' || k || '>'
+              WHEN NOT mk THEN tok END, ' ' ORDER BY pos), '') AS corrupted,
+       coalesce(string_agg(
+         CASE WHEN rs THEN '<X' || k || '> ' || tok
+              WHEN mk THEN tok END, ' ' ORDER BY pos), '') AS target
+FROM sidx
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 LM_SCALE = 1_000_000_000  # per-term 1e-9 quantum; final score in micro
 
 
@@ -6672,6 +6823,7 @@ QUERIES = {
     "mix_temperature": mix_temperature,
     "shuffle_for_training": shuffle_for_training,
     "pack_sequences": pack_sequences,
+    "t5_span_corruption": t5_span_corruption,
     "decontaminate_ngram": decontaminate_ngram,
     "dup_span_stats": dup_span_stats,
     "remove_dup_spans": remove_dup_spans,
@@ -6772,6 +6924,7 @@ FROM g
     "mix_temperature": _MIX_TEMP,
     "shuffle_for_training": _shuffle_sql(),
     "pack_sequences": _PACK_SEQ,
+    "t5_span_corruption": _T5_SPAN_SQL,
     "decontaminate_ngram": _DECON,
     "dup_span_stats": _DUP_SPAN_SQL,
     "remove_dup_spans": _REMOVE_DUP_SPANS_SQL,

@@ -1815,3 +1815,73 @@ def test_cross_source_matrix_exact_dup_arithmetic(spark):
         ).collect()
     }
     assert got == {("a", "a"): 3, ("a", "b"): 6, ("b", "b"): 1}
+
+
+def test_t5_span_corruption_model_and_roundtrip(spark):
+    """From-scratch Python model of the span-corruption construction
+    at sf0.001 (hash starts, 3-window merge, sentinel numbering) must
+    match every output column — and the DENOISING ROUND-TRIP must
+    hold: substituting each corrupted sentinel with its target span
+    reconstructs the original token stream exactly."""
+    import hashlib
+
+    import duckdb
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    def start(doc_id, i):
+        h = int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:12], 16)
+        return h % llm.T5_START_MOD == 0
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        ts = [t for t in text.split() if t]
+        if not ts:
+            continue
+        st = [start(doc_id, i) for i in range(len(ts))]
+        mk = [
+            any(st[max(0, i - (llm.T5_SPAN - 1)) : i + 1])
+            for i in range(len(ts))
+        ]
+        cin, tgt, k = [], [], 0
+        for i, tok in enumerate(ts):
+            rs = mk[i] and (i == 0 or not mk[i - 1])
+            if rs:
+                cin.append(f"<X{k}>")
+                tgt += [f"<X{k}>", tok]
+                k += 1
+            elif mk[i]:
+                tgt.append(tok)
+            else:
+                cin.append(tok)
+        want[doc_id] = (len(ts), sum(mk), k, " ".join(cin), " ".join(tgt))
+    got = llm.t5_span_corruption(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r.n_tokens, r.n_masked, r.n_spans, r.corrupted, r.target) == want[
+            r.doc_id
+        ], r.doc_id
+        # round-trip: splice target spans back into the sentinels
+        spans = {}
+        cur = None
+        for t in r.target.split():
+            if t.startswith("<X") and t.endswith(">"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in r.corrupted.split():
+            if t.startswith("<X") and t.endswith(">"):
+                rebuilt += spans[t]
+            else:
+                rebuilt.append(t)
+        orig = [t for t in dict(docs)[r.doc_id].split() if t]
+        assert rebuilt == orig, r.doc_id
+    # the density knob holds corpus-wide: masked fraction ~15%
+    tot = sum(w[0] for w in want.values())
+    msk = sum(w[1] for w in want.values())
+    assert 0.08 < msk / tot < 0.25
