@@ -1497,6 +1497,152 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
 
+def _int_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-cosine top-SIM_K per probe query — the ground
+    truth the ANN twins are measured against (the full-dim ranking
+    of ``matryoshka_overlap``, factored for reuse)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+    qs = qv.where(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    pairs = F.broadcast(qs).join(
+        qv.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq")),
+        F.col("neighbor_id") != F.col("query_id"),
+    )
+    dot = F.expr("aggregate(zip_with(qq, nq, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+    na = F.expr("aggregate(qq, 0L, (s, x) -> s + x * x)")
+    nb = F.expr("aggregate(nq, 0L, (s, x) -> s + x * x)")
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@K evaluation of every ANN index family against the
+    exact ranking — the table a deploy reads before choosing its
+    index (the FAISS-benchmark measurement, as a driver-checkable
+    query instead of a test-only gate): per probe query and method
+    (``ivf``, ``ivfpq``, ``pq``), how many of the exact integer-
+    cosine top-SIM_K the index's top-SIM_K recovered. Every leg is
+    the repo's oracle-exact integer twin, so the WHOLE evaluation —
+    index answers, exact answers, and the intersection counts —
+    replays in DuckDB and the driver hash-pins it (most eval
+    harnesses are test-side; making the eval itself a query means a
+    recall regression fails the correctness gate, not just a test).
+
+    Scale shape: each leg is the already-bounded twin (no all-pairs
+    beyond the exact baseline's broadcast-query scan); intersections
+    touch k·|queries| rows; queries with zero hits still emit via
+    the query-list left join.
+
+    Output: query_id, method, n_hits (0..SIM_K).
+    """
+    exact = track_persist(_int_exact_topk(spark, sf_dir))
+    legs = {
+        "ivf": similarity_ann_ivf_int(spark, sf_dir),
+        "ivfpq": similarity_ann_ivfpq_int(spark, sf_dir),
+        "pq": similarity_pq_int(spark, sf_dir),
+    }
+    emb = table(spark, sf_dir, "embeddings")
+    qlist = emb.where(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    outs = []
+    for method, df in legs.items():
+        hits = (
+            df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        outs.append(
+            qlist.join(hits, "query_id", "left").select(
+                "query_id",
+                F.lit(method).alias("method"),
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                    "n_hits"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("query_id", "method")
+
+
+def _ann_recall_sql() -> str:
+    exact = f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             CASE WHEN na.s > 0 AND nb.s > 0 THEN
+               round(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                       j -> a.q[j] * b.q[j])) AS BIGINT)::DOUBLE
+                     / (sqrt(na.s::DOUBLE) * sqrt(nb.s::DOUBLE)), 6)
+             ELSE 0.0 END DESC, b.vec_id) AS rn
+    FROM qv a
+    JOIN qv b ON b.vec_id <> a.vec_id
+    JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+            j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) na ON na.vec_id = a.vec_id
+    JOIN (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+            j -> q[j] * q[j])) AS BIGINT) AS s FROM qv) nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id < {SIM_N_QUERIES}
+  ) WHERE rn <= {SIM_K}
+"""
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), exact AS ({exact}
+), ivf AS ({_ANN_IVF_INT_SQL}
+), ivfpq AS ({_ANN_IVFPQ_INT_SQL}
+), pq AS ({_PQ_INT_SQL}
+), qlist AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {SIM_N_QUERIES}
+), legs AS (
+  SELECT query_id, neighbor_id, 'ivf' AS method FROM ivf
+  UNION ALL
+  SELECT query_id, neighbor_id, 'ivfpq' AS method FROM ivfpq
+  UNION ALL
+  SELECT query_id, neighbor_id, 'pq' AS method FROM pq
+), hits AS (
+  SELECT l.query_id, l.method, count(*)::BIGINT AS n_hits
+  FROM legs l JOIN exact e
+    ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT q.query_id, m.method,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits
+FROM qlist q
+CROSS JOIN (VALUES ('ivf'), ('ivfpq'), ('pq')) AS m(method)
+LEFT JOIN hits h ON h.query_id = q.query_id AND h.method = m.method
+ORDER BY 1, 2
+"""
+
+
 MRL_DIM = 16  # truncated-prefix dimensionality under evaluation
 
 
@@ -6799,6 +6945,7 @@ QUERIES = {
     "similarity_ann_ivf_int": similarity_ann_ivf_int,
     "similarity_ann_ivfpq_int": similarity_ann_ivfpq_int,
     "matryoshka_overlap": matryoshka_overlap,
+    "ann_recall_report": ann_recall_report,
     "semdedup_prune": semdedup_prune,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
@@ -6868,6 +7015,7 @@ ORACLES = {
     "similarity_ann_ivf_int": _ANN_IVF_INT_SQL,
     "similarity_ann_ivfpq_int": _ANN_IVFPQ_INT_SQL,
     "matryoshka_overlap": _MRL_OVERLAP_SQL,
+    "ann_recall_report": _ann_recall_sql(),
     "bm25_topk": _BM25_SQL,
     "hard_negative_mining": _HARD_NEG_SQL,
     "rank_fusion_rrf": _RRF_SQL,

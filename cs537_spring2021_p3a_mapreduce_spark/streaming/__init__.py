@@ -1069,6 +1069,117 @@ FROM sigk GROUP BY 1
 """
 
 
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX MAINTENANCE ON INGEST — the write path of the IVF
+    family: vectors ARRIVE on a stream and are routed to their
+    coarse cell right there (the posting-list append a vector DB
+    does per insert), so the batch index (`similarity_ann_ivf_int`)
+    stays warm without nightly rebuilds. Centroids come from the
+    same deterministic md5-ordered sample the batch twin trains
+    (the trained-codebook seam), folded to ONE row and
+    stream-static-broadcast onto the vector stream; assignment is
+    the twin's narrow struct-argmin with (d2, cid) ties — per-row,
+    stateless, no shuffle before the per-cell rollup.
+
+    The output is the index maintenance summary a deploy monitors:
+    per cell, how many vectors landed and the smallest id (cell
+    balance = the thing that decides when to retrain centroids).
+    State is one row per cell (≤ IVF_INT_K) — bounded forever.
+
+    Oracle: DuckDB replays quantize → centroid sample → argmin →
+    per-cell rollup (a projection of the IVF twin's own oracle).
+
+    Output: cell, n_vectors, min_vec_id.
+    """
+    import uuid
+
+    from ..operators.llm import IVF_INT_K, PQ_INT_SCALE
+
+    work = scratch_dir("stream_ivf_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "embeddings", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+
+    # batch-side centroid build (the trained index being maintained)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+    from pyspark.sql.window import Window
+
+    init_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    w_init = Window.orderBy(*init_order)
+    cents = (
+        qv.orderBy(*init_order)
+        .limit(IVF_INT_K)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("cid"),
+            F.col("q").alias("cq"),
+        )
+    )
+    carr = cents.agg(F.collect_list(F.struct("cid", "cq")).alias("cents"))
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    sq = stream.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+    assigned = sq.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        F.expr(
+            "array_min(transform(cents, c -> named_struct("
+            "'d2', aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x), 'cid', c.cid))).cid"
+        ).alias("cell"),
+    )
+    out = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+    name = f"stream_ivf_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        out, name, os.path.join(work, "ckpt"), "complete", shuffle_partitions=8
+    )
+    return spark.table(name)
+
+
+def _stream_ivf_assign_sql() -> str:
+    from ..operators.llm import EMB_DIM, IVF_INT_K, PQ_INT_SCALE
+
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
+         q AS cq
+  FROM (SELECT * FROM qv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_INT_K})
+), d AS (
+  SELECT v.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+           i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS BIGINT) AS d2
+  FROM qv v CROSS JOIN c0 c
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1
+)
+SELECT cell, count(*)::BIGINT AS n_vectors, min(vec_id) AS min_vec_id
+FROM assign GROUP BY 1
+"""
+
+
 def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry: the reference's flagship pipeline
     (wordcount, main.c:50-74) run INCREMENTALLY by the streaming
@@ -1816,6 +1927,7 @@ QUERIES = {
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_gopher_filter": stream_gopher_filter,
     "stream_dedup_docs_minhash": stream_dedup_docs_minhash,
+    "stream_ivf_assign": stream_ivf_assign,
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
     "state_store_inspection": state_store_inspection,
@@ -1856,6 +1968,9 @@ ORACLES = {
     # integer-MinHash signature grouping exactly (stage-by-stage
     # replay — the dedup_minhash_int discipline on a streaming entry)
     "stream_dedup_docs_minhash": _stream_dedup_docs_minhash_sql(),
+    # on-ingest cell routing must reproduce the batch IVF twin's
+    # assignment stage exactly (same centroids, same tie-breaks)
+    "stream_ivf_assign": _stream_ivf_assign_sql(),
     # streaming CEP must reproduce the batch CEP's exact totals —
     # same oracle SQL as event_pattern_match
     "stream_pattern_match": _TEMPORAL_ORACLES["event_pattern_match"],

@@ -1885,3 +1885,37 @@ def test_t5_span_corruption_model_and_roundtrip(spark):
     tot = sum(w[0] for w in want.values())
     msk = sum(w[1] for w in want.values())
     assert 0.08 < msk / tot < 0.25
+
+
+def test_ann_recall_report_matches_direct_intersection(spark):
+    """n_hits must equal the direct intersection of each twin's
+    top-k with the exact integer top-k (computed independently from
+    the same DataFrames), and every method must find something on
+    the fixture corpus."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in llm._int_exact_topk(spark, sf).collect()
+    }
+    legs = {
+        "ivf": llm.similarity_ann_ivf_int(spark, sf),
+        "ivfpq": llm.similarity_ann_ivfpq_int(spark, sf),
+        "pq": llm.similarity_pq_int(spark, sf),
+    }
+    want = {}
+    for m, df in legs.items():
+        got_pairs = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        for q in range(llm.SIM_N_QUERIES):
+            want[(q, m)] = len(
+                {p for p in got_pairs if p[0] == q} & {p for p in exact if p[0] == q}
+            )
+    got = {
+        (r.query_id, r.method): r.n_hits
+        for r in llm.ann_recall_report(spark, sf).collect()
+    }
+    assert got == want
+    for m in legs:
+        tot = sum(v for (q, mm), v in got.items() if mm == m)
+        assert 0 < tot <= llm.SIM_N_QUERIES * llm.SIM_K, m

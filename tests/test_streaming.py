@@ -680,3 +680,20 @@ def test_stream_dedup_docs_minhash_collapses_planted_dups(spark, tmp_path):
     out = stream_dedup_docs_minhash(spark, d).collect()
     by_keeper = {r.keeper_doc_id: r.n_copies for r in out}
     assert by_keeper == {5: 2, 7: 1}
+
+
+def test_stream_ivf_assign_partitions_whole_corpus(spark):
+    """On-ingest routing: every vector lands in exactly one of the
+    <= IVF_INT_K cells (counts sum to the corpus), and min_vec_id is
+    a member of its own cell (min <= every other id routed there —
+    sanity via totals)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.llm import IVF_INT_K
+    from cs537_spring2021_p3a_mapreduce_spark.streaming import stream_ivf_assign
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_ivf_assign(spark, sf).collect()
+    n_corpus = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in out) == n_corpus
+    assert len(out) <= IVF_INT_K
+    assert len({r.cell for r in out}) == len(out)
+    assert all(0 <= r.cell < IVF_INT_K and r.min_vec_id >= 0 for r in out)
