@@ -765,6 +765,89 @@ ORDER BY 1, 2
 """
 
 
+IMG_RESIZE_P = 4  # target grid: P×P area-averaged cells per image
+
+
+def image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize — the ViT-preprocessing primitive
+    (area-average downsample to a fixed IMG_RESIZE_P×P grid; each
+    cell's mean is also exactly a patch embedding input): decoded
+    BMP pixel values are averaged over rectangular cells with
+    floor boundaries (pixel x → cell (x·P) DIV w), in EXACT integer
+    arithmetic (sum DIV count), from the actual payload bytes —
+    bottom-up row order unflipped, padding excluded, channel layout
+    honored — never the meta columns. This upgrades the meta-only
+    ``resize_images`` stub to an honest pixel transform for the
+    format the repo truly decodes; re-encoding the resized grid
+    plugs into the same seam.
+
+    Shape: narrow Arrow-batched decode, P² rows per image, no
+    shuffle before the output sort. The oracle recomputes every cell
+    mean from the generator's closed-form pixel formula
+    ((x+y+id) mod 256), so a decoder that misread the flip, the
+    padding, or the cell boundaries hash-mismatches.
+
+    Output: media_id, cx, cy, mean_val (exact integer DIV).
+    """
+    imgs = synth_media_encoded(spark, sf_dir).filter(F.col("fmt") == "bmp")
+    P = IMG_RESIZE_P
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                offset = _struct.unpack_from("<2sIHHI", payload, 0)[4]
+                _hs, width, height = _struct.unpack_from("<Iii", payload, 14)
+                row_bytes = (3 * width + 3) // 4 * 4
+                raw = np.frombuffer(
+                    payload, dtype=np.uint8, count=height * row_bytes,
+                    offset=offset,
+                ).reshape(height, row_bytes)
+                # one channel (B=G=R by construction), unflip bottom-up
+                vals = raw[::-1, : 3 * width : 3].astype(np.int64)
+                mid = int(row["media_id"])
+                cx_of = (np.arange(width) * P) // width
+                cy_of = (np.arange(height) * P) // height
+                for cy in range(P):
+                    ys = np.where(cy_of == cy)[0]
+                    for cx in range(P):
+                        xs = np.where(cx_of == cx)[0]
+                        cell = vals[np.ix_(ys, xs)]
+                        out.append(
+                            (mid, cx, cy, int(cell.sum()) // cell.size)
+                        )
+            yield pd.DataFrame(
+                out, columns=["media_id", "cx", "cy", "mean_val"]
+            )
+
+    return imgs.mapInPandas(
+        _resize, schema="media_id long, cx long, cy long, mean_val long"
+    ).orderBy("media_id", "cy", "cx")
+
+
+_IMG_RESIZE_SQL = f"""
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT media_id,
+         (x * {IMG_RESIZE_P}) // w AS cx,
+         (y * {IMG_RESIZE_P}) // h AS cy,
+         (x + y + media_id) % 256 AS v
+  FROM imgs,
+       unnest(generate_series(0, w - 1)) AS ux(x),
+       unnest(generate_series(0, h - 1)) AS uy(y)
+)
+SELECT media_id, cx::BIGINT AS cx, cy::BIGINT AS cy,
+       (sum(v) // count(*))::BIGINT AS mean_val
+FROM px
+GROUP BY 1, 2, 3
+ORDER BY media_id, cy, cx
+"""
+
+
 def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode of a COMPRESSED format with the standard library
     only: PNG is DEFLATE (stdlib zlib) + scanline filter
@@ -1295,6 +1378,7 @@ video_frame_dedup.bench_setup = stage_video_frames
 # byte-level oracle is in tests (deterministic synth + decode)
 QUERIES = {
     "image_histogram_real": image_histogram_real,
+    "image_resize_real": image_resize_real,
     "audio_features": audio_features,
     "multimodal_pipeline": media_feature_stats,
     "multimodal_decode_real": media_decode_real_stats,
@@ -1308,6 +1392,7 @@ QUERIES = {
 # the whole fake pipeline is SQL-expressible — full value oracle.
 ORACLES = {
     "image_histogram_real": _IMG_HIST_SQL,
+    "image_resize_real": _IMG_RESIZE_SQL,
     "audio_features": _AUDIO_FEATURES_SQL,
     "multimodal_pipeline": """
 WITH media AS (

@@ -337,3 +337,39 @@ def test_gif_lzw_decoder_rejects_corrupt_streams():
     payload = struct.pack("<I", bits)[:3] + b"\x00" * 4
     with pytest.raises(ValueError):
         _lzw_decode_gif(payload, 8)
+
+
+def test_image_resize_real_matches_formula_model(spark):
+    """The decode-path resize (real BMP bytes: unflip, de-pad,
+    channel stride) must equal a from-scratch model computed straight
+    from the generator's pixel formula — no bytes involved."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.multimodal import (
+        IMG_RESIZE_P,
+        image_resize_real,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.media_id, r.cx, r.cy): r.mean_val
+        for r in image_resize_real(spark, sf).collect()
+    }
+    import duckdb
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf}/documents.parquet' WHERE doc_id % 3 = 0"
+        ).fetchall()
+    ]
+    want = {}
+    P = IMG_RESIZE_P
+    for mid in ids:
+        w, h = 16 + mid % 31, 12 + mid % 17
+        sums: dict[tuple[int, int], list[int]] = {}
+        for y in range(h):
+            for x in range(w):
+                key = ((x * P) // w, (y * P) // h)
+                sums.setdefault(key, []).append((x + y + mid) % 256)
+        for (cx, cy), vs in sums.items():
+            want[(mid, cx, cy)] = sum(vs) // len(vs)
+    assert got == want
