@@ -765,6 +765,94 @@ ORDER BY 1, 2
 """
 
 
+AUDIO_DECIM_R = 4  # resample factor: 8 kHz → 2 kHz, R-sample box means
+
+
+def audio_resample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample — ``image_resize_real``'s sibling on the
+    other decoded modality: decimate each PCM16 clip by
+    AUDIO_DECIM_R with box averaging (out_j = trunc-div of the
+    R-sample sum — the anti-aliased downsample a speech pipeline
+    runs before feature extraction), computed from the actual WAV
+    bytes (header-parsed offset, little-endian int16), never the
+    meta columns. The generator's clip lengths are all divisible by
+    R (400 + k·64), so every output sample is a full box. Reported
+    per clip: resampled length, exact sum of resampled samples, and
+    the resampled zero-crossing count (the ZCR drop vs
+    ``audio_features``' full-rate ZCR is the aliasing signal).
+
+    Determinism: trunc-division of possibly-negative sums — Python
+    mirrors engine semantics with sign·(|s| // R); Spark DIV and
+    DuckDB // truncate identically (verified house rule).
+
+    Shape: narrow Arrow-batched decode, one row per clip. Oracle
+    recomputes everything from the closed-form sample formula
+    (s_i = ((id·7 + i·13) mod 65536) − 32768) grouped by i // R.
+
+    Output: media_id, n_out, sum_resampled, zero_crossings_out.
+    """
+    wavs = synth_media_encoded(spark, sf_dir).filter(F.col("fmt") == "wav")
+    R = AUDIO_DECIM_R
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                fmt_len = _struct.unpack_from("<4sIHHI", payload, 12)[1]
+                data_off = 12 + 8 + fmt_len + 8
+                data_len = _struct.unpack_from(
+                    "<4sI", payload, 12 + 8 + fmt_len
+                )[1]
+                s = np.frombuffer(
+                    payload, dtype="<i2", count=data_len // 2, offset=data_off
+                ).astype(np.int64)
+                sums = s.reshape(-1, R).sum(axis=1)
+                res = np.sign(sums) * (np.abs(sums) // R)  # trunc div
+                zc = int(((res[:-1] * res[1:]) < 0).sum())
+                out.append(
+                    (int(row["media_id"]), res.size, int(res.sum()), zc)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_out", "sum_resampled", "zero_crossings_out",
+                ],
+            )
+
+    return wavs.mapInPandas(
+        _resample,
+        schema="media_id long, n_out long, sum_resampled long, "
+        "zero_crossings_out long",
+    ).orderBy("media_id")
+
+
+_AUDIO_RESAMPLE_SQL = f"""
+WITH clips AS (
+  SELECT doc_id AS media_id, 400 + (doc_id % 13) * 64 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), s AS (
+  SELECT media_id, i // {AUDIO_DECIM_R} AS j,
+         ((media_id * 7 + i * 13) % 65536) - 32768 AS v
+  FROM clips, unnest(generate_series(0, n - 1)) AS u(i)
+), res AS (
+  SELECT media_id, j, (sum(v) // {AUDIO_DECIM_R})::BIGINT AS r
+  FROM s GROUP BY 1, 2
+), pairs AS (
+  SELECT media_id, r,
+         lag(r) OVER (PARTITION BY media_id ORDER BY j) AS pr
+  FROM res
+)
+SELECT media_id, count(*)::BIGINT AS n_out,
+       sum(r)::BIGINT AS sum_resampled,
+       sum(CASE WHEN pr IS NOT NULL AND pr * r < 0
+                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings_out
+FROM pairs
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
 IMG_RESIZE_P = 4  # target grid: P×P area-averaged cells per image
 
 
@@ -1379,6 +1467,7 @@ video_frame_dedup.bench_setup = stage_video_frames
 QUERIES = {
     "image_histogram_real": image_histogram_real,
     "image_resize_real": image_resize_real,
+    "audio_resample_real": audio_resample_real,
     "audio_features": audio_features,
     "multimodal_pipeline": media_feature_stats,
     "multimodal_decode_real": media_decode_real_stats,
@@ -1393,6 +1482,7 @@ QUERIES = {
 ORACLES = {
     "image_histogram_real": _IMG_HIST_SQL,
     "image_resize_real": _IMG_RESIZE_SQL,
+    "audio_resample_real": _AUDIO_RESAMPLE_SQL,
     "audio_features": _AUDIO_FEATURES_SQL,
     "multimodal_pipeline": """
 WITH media AS (

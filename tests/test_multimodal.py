@@ -373,3 +373,52 @@ def test_image_resize_real_matches_formula_model(spark):
         for (cx, cy), vs in sums.items():
             want[(mid, cx, cy)] = sum(vs) // len(vs)
     assert got == want
+
+
+def test_audio_resample_real_matches_formula_model(spark):
+    """Decode-path resample vs a formula-only model (trunc-division
+    box means, no bytes); plus the aliasing signal: the corpus-total
+    resampled ZCR is strictly below the full-rate ZCR."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.multimodal import (
+        AUDIO_DECIM_R,
+        audio_features,
+        audio_resample_real,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.media_id: (r.n_out, r.sum_resampled, r.zero_crossings_out)
+        for r in audio_resample_real(spark, sf).collect()
+    }
+    import duckdb
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf}/documents.parquet' WHERE doc_id % 3 = 1"
+        ).fetchall()
+    ]
+    R = AUDIO_DECIM_R
+
+    def trunc_div(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    want = {}
+    for mid in ids:
+        n = 400 + (mid % 13) * 64
+        s = [((mid * 7 + i * 13) % 65536) - 32768 for i in range(n)]
+        res = [
+            trunc_div(sum(s[j * R : (j + 1) * R]), R) for j in range(n // R)
+        ]
+        zc = sum(1 for a, b in zip(res, res[1:]) if a * b < 0)
+        want[mid] = (len(res), sum(res), zc)
+    assert got == want
+    # box-averaging can only REMOVE crossings, never add them —
+    # corpus-total resampled ZCR is bounded by the full-rate ZCR
+    # (the generator's slow sawtooth crosses rarely, so both are
+    # often 0 at this sf; the bound is the invariant)
+    full_zc = {
+        r.media_id: r.zero_crossings
+        for r in audio_features(spark, sf).collect()
+    }
+    assert sum(z for _, _, z in got.values()) <= sum(full_zc.values())
