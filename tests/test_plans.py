@@ -834,3 +834,87 @@ def test_rank_fusion_inputs_stay_topk_bounded(spark):
     df = llm.rank_fusion_rrf(spark, SF_SMOKE)
     plan = P.plan(df, "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcast_ratio_join_and_partial_aggs(spark):
+    """DSIR's scale contract: the ≤DSIR_BUCKETS-row ratio relation
+    broadcasts back onto the per-doc counts (never a second corpus
+    shuffle), aggregates combine map-side, and nothing goes
+    cartesian."""
+    df = llm.dsir_importance_weights(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert P.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # partial + final pairs on the doc/bucket count and the score agg
+    assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_ivfpq_broadcasts_every_small_relation_no_cartesian(spark):
+    """IVF-PQ composition: centroid fold, residual-centroid join,
+    codebook and ADC relations all ride broadcasts; no
+    CartesianProduct anywhere (the only nested-loop shapes are
+    1-row/16-row broadcast folds)."""
+    df = llm.similarity_ann_ivfpq_int(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert P.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") + plan.count(
+        "ReusedExchange"
+    ) >= 4  # carr fold, cents (resid + probes), codebook, lut
+
+
+def test_hard_negatives_positives_join_is_broadcast_anti(spark):
+    """The positives exclusion must be a BROADCAST left-anti join —
+    a shuffle anti join on (query, neighbor) would move the whole
+    score relation for a tiny exclusion set."""
+    df = llm.hard_negative_mining(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastExchange" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_t5_span_corruption_is_scan_bound(spark):
+    """The example constructor's 100 TB claim: everything happens
+    inside the token array — the ONLY exchange is the output sort's
+    range partitioning."""
+    import re
+
+    df = llm.t5_span_corruption(spark, SF_SMOKE)
+    exchanges = re.findall(r"Exchange (\w+)", P.plan(df, "simple"))
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_matryoshka_single_corpus_pass_broadcast_queries(spark):
+    """Both rankings score off ONE pass: the query side broadcasts
+    (BroadcastNestedLoopJoin for the != predicate — bounded by
+    |queries|·corpus, the similarity_topk shape), and no
+    CartesianProduct appears."""
+    df = llm.matryoshka_overlap(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_matrix_is_aggregate_only(spark):
+    """The arithmetic-pair-count promise: NO join of any kind in the
+    plan — two hash aggregates and a fold, so a million-doc
+    boilerplate fingerprint can never become a join blow-up."""
+    df = llm.cross_source_dup_matrix(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    for node in (
+        "Join", "CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"
+    ):
+        assert node not in plan, node
+    assert P.count_nodes(plan, "HashAggregate") >= 4  # two partial/final pairs
+
+
+def test_l_diversity_two_aggregates_no_expand(spark):
+    """Two map-side-combinable aggregates, no Expand (a count
+    DISTINCT rewrite would insert one) and no join before the
+    violating filter."""
+    df = mc.l_diversity_audit(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Expand" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 4

@@ -741,7 +741,18 @@ def test_twap_matches_step_function_model(spark, evs):
     from pyspark.sql.window import Window
 
     rows = [(u, s * 1_000_000, i, c) for i, (u, s, c) in enumerate(evs)]
-    # model: per user, sort by (us, event_id), weight value by gap
+    # model: per user, sort by (us, event_id), weight value by gap.
+    # Rounding must mirror Spark's round(double, 6) — BigDecimal
+    # HALF_UP on the double's exact expansion — NOT Python round()'s
+    # banker's rounding: hypothesis found the tie 27·269/384 =
+    # 18.9140625, where round() gives …62 and Spark …63.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def half_up6(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
     model: dict[int, list] = {}
     for u, us, eid, c in rows:
         model.setdefault(u, []).append((us, eid, c))
@@ -753,7 +764,7 @@ def test_twap_matches_step_function_model(spark, evs):
             num += c * (nus - us)
             den += nus - us
         if den > 0:
-            want[u] = round(num / den, 6)
+            want[u] = half_up6(num / den)
     assume(want)
     df = spark.createDataFrame(rows, "user_id long, us long, event_id long, cents long")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
