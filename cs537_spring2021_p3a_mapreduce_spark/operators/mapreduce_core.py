@@ -813,6 +813,90 @@ ORDER BY n_sensitive, c_nationkey, c_mktsegment
 """
 
 
+def safe_release_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE the two privacy audits gate: a customer row is
+    publishable iff its quasi-identifier group passes BOTH
+    k-anonymity (its (nation, segment, $1000-band) group has ≥
+    K_ANON members — `k_anonymity_audit`'s rule) and l-diversity
+    (its (nation, segment) group spans ≥ L_DIV distinct bands —
+    `l_diversity_audit`'s rule); everything else is SUPPRESSED, the
+    generalize-or-drop decision those audits exist to inform. The
+    output is the release manifest a data-sharing pipeline logs:
+    per segment, how many rows shipped vs were suppressed by each
+    rule (a row failing both counts once, under the stricter k rule
+    — suppression reasons must partition the suppressed set).
+
+    Shape: two group-size relations (map-side-combinable aggregates,
+    both tiny — ≤ |nation×segment×band|) broadcast-joined back onto
+    the corpus, then ONE summary aggregate. No window, no
+    distinct-expansion; the release test is O(1) per row after the
+    broadcasts.
+
+    Output: c_mktsegment, n_released, n_supp_k, n_supp_l, n_total.
+    """
+    cust = table(spark, sf_dir, "customer")
+    band = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+    rows = cust.select("c_nationkey", "c_mktsegment", band.alias("b"))
+    kg = rows.groupBy("c_nationkey", "c_mktsegment", "b").agg(
+        F.count(F.lit(1)).alias("k_n")
+    )
+    lg = kg.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("l_n")
+    )
+    joined = rows.join(F.broadcast(kg), ["c_nationkey", "c_mktsegment", "b"]).join(
+        F.broadcast(lg), ["c_nationkey", "c_mktsegment"]
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("k_n") >= K_ANON) & (F.col("l_n") >= L_DIV), 1
+                ).otherwise(0)
+            ).alias("n_released"),
+            F.sum(F.when(F.col("k_n") < K_ANON, 1).otherwise(0)).alias(
+                "n_supp_k"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("k_n") >= K_ANON) & (F.col("l_n") < L_DIV), 1
+                ).otherwise(0)
+            ).alias("n_supp_l"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SAFE_RELEASE_SQL = f"""
+WITH rows_b AS (
+  SELECT c_nationkey, c_mktsegment,
+         round(c_acctbal * 100)::BIGINT // 100000 AS b
+  FROM customer
+), kg AS (
+  SELECT c_nationkey, c_mktsegment, b, count(*)::BIGINT AS k_n
+  FROM rows_b GROUP BY 1, 2, 3
+), lg AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS l_n
+  FROM kg GROUP BY 1, 2
+)
+SELECT r.c_mktsegment,
+       sum(CASE WHEN kg.k_n >= {K_ANON} AND lg.l_n >= {L_DIV}
+                THEN 1 ELSE 0 END)::BIGINT AS n_released,
+       sum(CASE WHEN kg.k_n < {K_ANON} THEN 1 ELSE 0 END)::BIGINT AS n_supp_k,
+       sum(CASE WHEN kg.k_n >= {K_ANON} AND lg.l_n < {L_DIV}
+                THEN 1 ELSE 0 END)::BIGINT AS n_supp_l,
+       count(*)::BIGINT AS n_total
+FROM rows_b r
+JOIN kg ON kg.c_nationkey = r.c_nationkey
+       AND kg.c_mktsegment = r.c_mktsegment AND kg.b = r.b
+JOIN lg ON lg.c_nationkey = r.c_nationkey
+       AND lg.c_mktsegment = r.c_mktsegment
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def tpch_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H REFRESH STREAMS (the RF1 insert / RF2 delete half of
     the spec the 22 query archetypes come from) against the
@@ -1762,6 +1846,7 @@ QUERIES = {
     "masked_customer_view": masked_customer_view,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
+    "safe_release_view": safe_release_view,
     "multi_table_commit_roundtrip": multi_table_commit_roundtrip,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
@@ -1845,6 +1930,7 @@ ORACLES = {
     "masked_customer_view": _MASKED_VIEW_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
     "l_diversity_audit": _L_DIV_SQL,
+    "safe_release_view": _SAFE_RELEASE_SQL,
     "multi_table_commit_roundtrip": _MULTI_TABLE_SQL,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,

@@ -176,3 +176,21 @@ def test_l_diversity_flags_homogeneous_groups(spark):
     assert flagged.group_n == 8 and flagged.n_sensitive == 1
     assert flagged.top_share_micro == 1_000_000
     assert (2, "RAIL") not in got
+
+
+def test_safe_release_partitions_suppressions(spark):
+    """The release manifest's invariants at sf0.01: released +
+    suppressed-by-k + suppressed-by-l = total per segment (the
+    reasons PARTITION the suppressed set), some rows actually
+    release, and some are suppressed (both rules bind on this
+    fixture — l-diversity violations exist at sf0.01)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        safe_release_view,
+    )
+
+    out = safe_release_view(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 5  # the five market segments
+    for r in out:
+        assert r.n_released + r.n_supp_k + r.n_supp_l == r.n_total
+    assert sum(r.n_released for r in out) > 0
+    assert sum(r.n_supp_k + r.n_supp_l for r in out) > 0
