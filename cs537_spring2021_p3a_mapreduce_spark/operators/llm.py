@@ -5081,9 +5081,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "is_target",
         F.explode(
+            # Guard: sequence(1, 0) DESCENDS ([1, 0]) and element_at(ts, 0)
+            # always throws (1-based) — short docs (<2 tokens) must take
+            # the empty-array branch, matching the oracle's empty
+            # generate_series(1, 0).
             F.expr(
                 "concat(ts, transform("
-                "sequence(1, greatest(size(ts) - 1, 0)), "
+                "if(size(ts) >= 2, sequence(1, size(ts) - 1), "
+                "cast(array() as array<int>)), "
                 "i -> concat(element_at(ts, i), char(31), "
                 "element_at(ts, i + 1))))"
             )
@@ -5218,8 +5223,9 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform, O(n·n_spans) reads, zero accumulator copies.
     st = (
         f"transform(sequence(0, size(ts) - 1), i -> "
-        f"conv(substring(md5(concat(cast(doc_id as string), ':', "
-        f"cast(i as string))), 1, 12), 16, 10) % {T5_START_MOD} = 0)"
+        f"cast(conv(substring(md5(concat(cast(doc_id as string), ':', "
+        f"cast(i as string))), 1, 12), 16, 10) as bigint) "
+        f"% {T5_START_MOD} = 0)"
     )
     mk_of_st = (
         f"transform(sequence(0, size(ts) - 1), i -> "

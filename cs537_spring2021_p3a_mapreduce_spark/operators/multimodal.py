@@ -799,11 +799,20 @@ def audio_resample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"])
-                fmt_len = _struct.unpack_from("<4sIHHI", payload, 12)[1]
-                data_off = 12 + 8 + fmt_len + 8
-                data_len = _struct.unpack_from(
-                    "<4sI", payload, 12 + 8 + fmt_len
-                )[1]
+                # Walk RIFF chunks to the 'data' chunk instead of assuming
+                # fmt-then-data — extra chunks (LIST/fact) must not shift
+                # the sample window, and a malformed payload fails loudly.
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                off, data_off, data_len = 12, None, None
+                while off + 8 <= len(payload):
+                    cid, clen = _struct.unpack_from("<4sI", payload, off)
+                    if cid == b"data":
+                        data_off, data_len = off + 8, clen
+                        break
+                    off += 8 + clen + (clen & 1)  # chunks are word-aligned
+                if data_off is None:
+                    raise ValueError("WAVE payload has no data chunk")
                 s = np.frombuffer(
                     payload, dtype="<i2", count=data_len // 2, offset=data_off
                 ).astype(np.int64)

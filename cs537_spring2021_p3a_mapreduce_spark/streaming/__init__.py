@@ -1005,7 +1005,7 @@ def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = toks.select("doc_id", folds.alias("hs")).where(F.size("hs") >= 1)
     mins = [
         F.array_min(
-            F.expr(f"transform(hs, h -> ({a} * h + {b}) % {_MINHASH_INT_P})")
+            F.expr(f"transform(hs, h -> pmod({a} * h + {b}, {_MINHASH_INT_P}))")
         ).alias(f"m{s}")
         for s, (a, b) in enumerate(_MINHASH_INT_AB)
     ]

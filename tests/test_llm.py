@@ -1650,6 +1650,12 @@ def test_dsir_importance_weights_python_model_and_direction(spark):
         (2, "quick brown dogs jump over lazy foxes daily", "en", "t", 0),
         (3, "zzq wwx vvy uut rrs qqp oon mml kkj", "de", "t", 0),
         (4, "zzq wwx vvy kkj oon mml uut rrs qqp", "de", "t", 0),
+        # short-doc guard regression: sequence(1, 0) descends and
+        # element_at(ts, 0) throws — a 1-token doc must yield one
+        # unigram feature (no bigrams) and a 0-token doc must vanish
+        # from the output, never crash the Spark side.
+        (5, "quick", "en", "t", 0),
+        (6, "", "de", "t", 0),
     ]
     d = tempfile.mkdtemp(prefix="dsir_t_")
     spark.createDataFrame(
@@ -1670,6 +1676,8 @@ def test_dsir_importance_weights_python_model_and_direction(spark):
         feats = toks + [
             f"{a}\x1f{b}" for a, b in zip(toks, toks[1:])
         ]
+        if not feats:
+            continue  # explode() drops featureless docs from the output
         buckets: dict[int, int] = {}
         for f in feats:
             buckets[poly(f) % B] = buckets.get(poly(f) % B, 0) + 1
