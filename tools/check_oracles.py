@@ -30,8 +30,15 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_ARGS = [a for a in sys.argv[1:] if a != "--exact"]
+_ARGS = [
+    a for a in sys.argv[1:] if a != "--exact" and not a.startswith("--out=")
+]
 EXACT = "--exact" in sys.argv[1:]
+# --out=PATH writes a committed-auditable JSON artifact (per-query
+# status + problems + summary) so a gate run is evidence, not prose.
+OUT = next(
+    (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--out=")), None
+)
 SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
 
 
@@ -151,6 +158,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     only = set(_ARGS[1:])
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -158,16 +166,19 @@ def main() -> int:
             spark_pdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "error": f"spark: {e}"[:500]}
             failures += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows)")
+            results[name] = {"status": "ok_rows_only", "rows": len(spark_pdf)}
             continue
         try:
             duck_pdf = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "error": f"duckdb: {e}"[:500]}
             failures += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
@@ -180,11 +191,44 @@ def main() -> int:
             print(f"FAIL {name}:")
             for p in problems:
                 print(f"     - {p}")
+            results[name] = {
+                "status": "fail",
+                "rows": len(spark_pdf),
+                "problems": problems,
+            }
             failures += 1
         else:
             note = "" if not problems else f"  ({problems[0]})"
             print(f"ok   {name}: {len(spark_pdf)} rows{note}")
+            results[name] = {"status": "ok", "rows": len(spark_pdf)}
+            if problems:
+                results[name]["notes"] = problems
     print(f"\n{failures} failures")
+    if OUT:
+        import json
+
+        with open(OUT, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "exact": EXACT,
+                    "n_checked": len(results),
+                    "n_ok": sum(
+                        1 for r in results.values() if r["status"] == "ok"
+                    ),
+                    "n_rows_only": sum(
+                        1
+                        for r in results.values()
+                        if r["status"] == "ok_rows_only"
+                    ),
+                    "failures": failures,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"# wrote {OUT}")
     return 1 if failures else 0
 
 

@@ -104,7 +104,14 @@ def build_small(spark, out_dir: str) -> None:
 
 
 def main() -> int:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # --out=PATH merges both stages' check_oracles artifacts into one
+    # committed-auditable JSON (see check_oracles --out).
+    out_path = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--out=")),
+        None,
+    )
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mult = int(pos[0]) if pos else 10
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
 
@@ -128,9 +135,17 @@ def main() -> int:
 
     names = sorted(set(entry.queries()) - QUADRATIC_ORACLES)
     print(f"# built x{mult} at {out}; gating {len(names)} queries", flush=True)
+    full_art = os.path.join(tempfile.mkdtemp(prefix="synth_art_"), "full.json")
+    small_art = os.path.join(os.path.dirname(full_art), "bounded.json")
     # fresh process: check_oracles owns its own session/conf
     rc = subprocess.call(
-        [sys.executable, os.path.join("tools", "check_oracles.py"), out, *names]
+        [
+            sys.executable,
+            os.path.join("tools", "check_oracles.py"),
+            out,
+            f"--out={full_art}",
+            *names,
+        ]
     )
     quad = sorted(QUADRATIC_ORACLES & set(entry.queries()))
     print(
@@ -138,8 +153,36 @@ def main() -> int:
         "queries", flush=True,
     )
     rc_small = subprocess.call(
-        [sys.executable, os.path.join("tools", "check_oracles.py"), small_out, *quad]
+        [
+            sys.executable,
+            os.path.join("tools", "check_oracles.py"),
+            small_out,
+            f"--out={small_art}",
+            *quad,
+        ]
     )
+    if out_path:
+        import json
+
+        def _load(p):
+            try:
+                with open(p) as f:
+                    return json.load(f)
+            except OSError:
+                return None
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "mult": mult,
+                    "full_stage": _load(full_art),
+                    "bounded_stage": _load(small_art),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"# wrote {out_path}")
     return rc or rc_small
 
 
