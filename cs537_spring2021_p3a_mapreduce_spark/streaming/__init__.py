@@ -1069,6 +1069,319 @@ FROM sigk GROUP BY 1
 """
 
 
+# On-ingest near-dup horizon: a doc is checked against arrivals up to
+# this many seconds of event time before it. THE state bound — a
+# banded near-dup check against ALL history needs unbounded state by
+# definition; bounding by recency is how every production ingest dedup
+# stays finite (the nightly batch tier, dedup_minhash_int, catches
+# cross-horizon pairs). Both engines mirror the bound exactly.
+LSH_HORIZON_S = 86_400
+# Watermark delay: bounds how LATE a doc may arrive and still be
+# checked. Must be >= the max event-time disorder of the source; for
+# the fixture drains (ev synthesized from doc_id, files in arbitrary
+# order) 7 days covers every sf's doc_id span, so no valid pair is
+# lost to lateness and the drained result is batch-split-invariant.
+LSH_WATERMARK = "7 days"
+_LSH_EV_EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+
+def _lsh_band_rows(docs: DataFrame, watermark: str) -> DataFrame:
+    """Document stream → watermarked banded rows
+    ``(doc_id, ev, shd, band, bk)`` — every step narrow (per-row).
+
+    The 32-seed integer MinHash signature is the
+    ``dedup_minhash_int`` hash family computed the
+    ``stream_dedup_docs_minhash`` way (shingle array → md5-fold array
+    → 32 array_min's, no explode/shuffle); the 8 band keys are
+    md5-folds of each band's four mins (the batch twin's single-long
+    band key); ``shd`` is the distinct shingle-fold set carried for
+    the candidate-scoped exact-Jaccard verify. Event time is
+    synthesized from doc_id (deterministic fixtures); a real deploy
+    uses ingest time. Docs under SHINGLE_K tokens have no shingles
+    and pass through unexamined (never banded), as in every tier.
+
+    State honesty: each doc buffers 8 band rows × its shd array in
+    the join state until the horizon passes it — the price of EXACT
+    verify on ingest. The lighter deploy variant verifies on the 32
+    mins alone (estimated Jaccard = matching-min fraction, state
+    O(32 longs/doc)); this entry keeps exact verify for parity with
+    the batch tier's semantics."""
+    from ..functions.text import tokens
+    from ..operators.dedup import (
+        _MINHASH_INT_AB,
+        _MINHASH_INT_P,
+        BAND_ROWS,
+        N_HASHES,
+        SHINGLE_K,
+        _md5_fold,
+    )
+
+    arr = F.col("toks")
+    n_windows = F.size(arr) - (SHINGLE_K - 1)
+    sliding = F.when(
+        n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    shingle_arr = F.transform(
+        sliding,
+        lambda i: F.concat_ws(
+            "\x1f", *[F.get(arr, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+    folds = F.transform(
+        shingle_arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    hashed = (
+        docs.select(
+            "doc_id",
+            F.timestamp_seconds(
+                F.lit(_LSH_EV_EPOCH) + F.col("doc_id")
+            ).alias("ev"),
+            tokens("text").alias("toks"),
+        )
+        .select("doc_id", "ev", folds.alias("hs"))
+        .where(F.size("hs") >= 1)
+    )
+    mins = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> pmod({a} * h + {b}, {_MINHASH_INT_P}))")
+        ).alias(f"m{s}")
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    ]
+    sigs = hashed.select(
+        "doc_id", "ev", F.array_distinct("hs").alias("shd"), *mins
+    )
+    band_keys = F.array(
+        *[
+            _md5_fold(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * BAND_ROWS + r}")
+                        for r in range(BAND_ROWS)
+                    ],
+                ),
+                1,
+                12,
+            )
+            for b in range(N_HASHES // BAND_ROWS)
+        ]
+    )
+    return sigs.select(
+        "doc_id", "ev", "shd", F.posexplode(band_keys).alias("band", "bk")
+    ).withWatermark("ev", watermark)
+
+
+def dedup_docs_lsh_stream(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    watermark: str = LSH_WATERMARK,
+    horizon_s: int = LSH_HORIZON_S,
+) -> DataFrame:
+    """STREAMING BANDED NEAR-DUP CORE: band-keyed stream-stream
+    self-join with a bounded event-time horizon, candidate-scoped
+    exact-Jaccard verify — the on-ingest form of the batch 8×4 LSH
+    banding (``dedup_minhash_int``), which
+    ``stream_dedup_docs_minhash`` deliberately does NOT provide (it
+    collapses only signature-identical docs, J≈1; this catches
+    J ≥ 0.7 near-dups as they arrive).
+
+    Semantics: emit one witness row per (earlier doc a, later doc b,
+    band) where some band's four mins agree, 0 < ev(b) − ev(a) ≤
+    horizon, and exact Jaccard over distinct shingle folds ≥ the
+    batch threshold. Inner-join rows emit as soon as both sides have
+    arrived (append mode, no watermark wait).
+
+    State bound — IMPLEMENTED, not documented-away: the join
+    condition bounds each side's event time against the other
+    (ev_b ∈ (ev_a, ev_a + horizon]), so the engine derives per-side
+    eviction horizons from the watermark — an a-row whose ev is more
+    than `horizon` behind the watermark can never match a future b
+    and its 8 band rows + shingle set leave the state store (probed
+    by tests/test_streaming.py's staged multi-batch drain via the
+    state-operator metrics). An un-watermarked banded join would
+    buffer the crawl in full. (Expected log noise: the optimizer
+    pushes the Jaccard-threshold filter into the join condition and
+    StreamingJoinHelper WARNs it can't extract a state watermark
+    from THAT conjunct — harmless; the two ev conjuncts are the
+    ones that carry the bound.)
+
+    Output (streaming, append): a_id, b_id, band, jaccard.
+    """
+    a = docs_a.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("ev").alias("a_ev"),
+        F.col("shd").alias("a_shd"),
+        "band",
+        "bk",
+    )
+    b = docs_b.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("ev").alias("b_ev"),
+        F.col("shd").alias("b_shd"),
+        F.col("band").alias("b_band"),
+        F.col("bk").alias("b_bk"),
+    )
+    joined = a.join(
+        b,
+        (a["band"] == b["b_band"])
+        & (a["bk"] == b["b_bk"])
+        & (b["b_ev"] > a["a_ev"])
+        & (b["b_ev"] <= a["a_ev"] + F.expr(f"INTERVAL {horizon_s} SECONDS")),
+    )
+    shared = F.size(F.array_intersect("a_shd", "b_shd"))
+    union = F.size("a_shd") + F.size("b_shd") - shared
+    from ..operators.dedup import MINHASH_JACCARD_THRESHOLD
+
+    return joined.select(
+        "a_id",
+        "b_id",
+        "band",
+        F.round(shared / union, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+
+
+def stream_dedup_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible entry for STREAMING BANDED NEAR-DUP DEDUP —
+    the ingest-tier LSH: documents stream in, and every verified
+    near-dup (J ≥ 0.7) of a doc that arrived within the horizon is
+    flagged the moment it lands, with bounded state (see
+    ``dedup_docs_lsh_stream``). Two independent file-stream readers
+    over the staged corpus feed the two join sides (the
+    ``stream_interval_join`` pattern).
+
+    The drained witness stream is rolled up batch-side to per-doc
+    verdicts — the trivial consumer step, not a stateful stream op:
+    each duplicate doc, its earliest verified partner (keeper
+    semantics: min doc_id), that pair's Jaccard, and how many
+    distinct earlier docs witnessed it.
+
+    Oracle: DuckDB replays every stage — shingle folds, 32
+    universal-hash mins, 8 banded keys, the horizon bound as a
+    doc_id inequality (ev is doc_id-synthesized, so the bound is
+    exactly b − a ≤ horizon), candidate-scoped exact Jaccard, the
+    same rollup (the ``dedup_minhash_int`` stage-replay discipline
+    on a streaming entry).
+
+    Output: dup_id, dup_of, jaccard, n_witnesses.
+    """
+    import uuid
+
+    work = scratch_dir("stream_lsh_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs_a = _lsh_band_rows(
+        spark.readStream.schema(schema).parquet(src), LSH_WATERMARK
+    )
+    docs_b = _lsh_band_rows(
+        spark.readStream.schema(schema).parquet(src), LSH_WATERMARK
+    )
+    pairs = dedup_docs_lsh_stream(docs_a, docs_b)
+    name = f"stream_lsh_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        pairs, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8
+    )
+    return (
+        spark.table(name)
+        .groupBy("b_id")
+        .agg(
+            F.min(F.struct(F.col("a_id"), F.col("jaccard"))).alias("m"),
+            F.countDistinct("a_id").alias("n_witnesses"),
+        )
+        .select(
+            F.col("b_id").alias("dup_id"),
+            F.col("m.a_id").alias("dup_of"),
+            F.col("m.jaccard").alias("jaccard"),
+            "n_witnesses",
+        )
+        .orderBy("dup_id")
+    )
+
+
+def _stream_dedup_docs_lsh_sql() -> str:
+    from ..operators.dedup import (
+        _MINHASH_INT_AB,
+        _MINHASH_INT_P,
+        BAND_ROWS,
+        MINHASH_JACCARD_THRESHOLD,
+        N_HASHES,
+        SHINGLE_K,
+        _md5_fold_sql,
+    )
+
+    sh_expr = " || chr(31) || ".join(f"ts[i+{j}]" for j in range(SHINGLE_K))
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_INT_P})::BIGINT AS m{s}"
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    )
+    band_keys = ",\n       ".join(
+        _md5_fold_sql(
+            " || ',' || ".join(
+                f"m{b * BAND_ROWS + r}" for r in range(BAND_ROWS)
+            ),
+            1,
+            12,
+        )
+        + f" AS bk{b}"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    band_or = " OR ".join(
+        f"a.bk{b} = b.bk{b}" for b in range(N_HASHES // BAND_ROWS)
+    )
+    jac = "round(p.shared / (na.n + nb.n - p.shared), 6)"
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), win AS (
+  SELECT doc_id, {sh_expr} AS sh
+  FROM arr,
+       unnest(generate_series(1, greatest(len(ts) - {SHINGLE_K - 1}, 0))) AS u(i)
+), hashed AS (
+  SELECT doc_id, {_md5_fold_sql("sh", 1, 12)} AS h FROM win
+), sigs0 AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+       {band_keys}
+  FROM sigs0
+), cand AS (
+  -- horizon: ev is doc_id-synthesized (epoch + doc_id s), so the
+  -- event-time bound 0 < ev_b - ev_a <= H is exactly the id bound
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id
+   AND b.doc_id - a.doc_id <= {LSH_HORIZON_S}
+   AND ({band_or})
+), shd AS (
+  SELECT DISTINCT doc_id, h FROM hashed
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM shd GROUP BY 1
+), pairs AS (
+  SELECT c.a_id, c.b_id, count(*)::BIGINT AS shared
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.a_id
+  JOIN shd y ON y.doc_id = c.b_id AND y.h = x.h
+  GROUP BY 1, 2
+), jac AS (
+  SELECT p.a_id, p.b_id, {jac} AS j
+  FROM pairs p
+  JOIN sizes na ON p.a_id = na.doc_id
+  JOIN sizes nb ON p.b_id = nb.doc_id
+  WHERE {jac} >= {MINHASH_JACCARD_THRESHOLD}
+)
+SELECT b_id AS dup_id, min(a_id) AS dup_of,
+       arg_min(j, a_id) AS jaccard,
+       count(*)::BIGINT AS n_witnesses
+FROM jac GROUP BY 1 ORDER BY 1
+"""
+
+
 def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN INDEX MAINTENANCE ON INGEST — the write path of the IVF
     family: vectors ARRIVE on a stream and are routed to their
@@ -1927,6 +2240,7 @@ QUERIES = {
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_gopher_filter": stream_gopher_filter,
     "stream_dedup_docs_minhash": stream_dedup_docs_minhash,
+    "stream_dedup_docs_lsh": stream_dedup_docs_lsh,
     "stream_ivf_assign": stream_ivf_assign,
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
@@ -1968,6 +2282,10 @@ ORACLES = {
     # integer-MinHash signature grouping exactly (stage-by-stage
     # replay — the dedup_minhash_int discipline on a streaming entry)
     "stream_dedup_docs_minhash": _stream_dedup_docs_minhash_sql(),
+    # the on-ingest BANDED near-dup tier must reproduce, stage by
+    # stage, the batch 8x4 banding + candidate-scoped exact-Jaccard
+    # verify restricted to the implemented ingest horizon
+    "stream_dedup_docs_lsh": _stream_dedup_docs_lsh_sql(),
     # on-ingest cell routing must reproduce the batch IVF twin's
     # assignment stage exactly (same centroids, same tie-breaks)
     "stream_ivf_assign": _stream_ivf_assign_sql(),

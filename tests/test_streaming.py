@@ -682,6 +682,116 @@ def test_stream_dedup_docs_minhash_collapses_planted_dups(spark, tmp_path):
     assert by_keeper == {5: 2, 7: 1}
 
 
+def test_stream_dedup_docs_lsh_matches_batch_banding(spark):
+    """Batch/stream parity for the BANDED near-dup tier: at fixture
+    scale every doc_id gap is under the ingest horizon, so the
+    streaming banded join must find exactly the batch
+    ``dedup_minhash_int`` pair set — rolled up to per-doc verdicts
+    (dup_of = min verified partner, that pair's jaccard, distinct
+    witness count)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup
+    from cs537_spring2021_p3a_mapreduce_spark.streaming import (
+        LSH_HORIZON_S,
+        stream_dedup_docs_lsh,
+    )
+
+    max_id = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").agg(
+        F.max("doc_id")
+    ).collect()[0][0]
+    assert max_id < LSH_HORIZON_S  # test premise: all pairs in-horizon
+
+    want: dict[int, tuple[int, float, int]] = {}
+    for r in dedup.dedup_minhash_int(spark, SF_SMOKE).collect():
+        prev = want.get(r.b_id)
+        if prev is None:
+            want[r.b_id] = (r.a_id, r.jaccard, 1)
+        else:
+            a, j, n = prev
+            if r.a_id < a:
+                a, j = r.a_id, r.jaccard
+            want[r.b_id] = (a, j, n + 1)
+    got = {
+        r.dup_id: (r.dup_of, r.jaccard, r.n_witnesses)
+        for r in stream_dedup_docs_lsh(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # fixtures contain near-dups; parity isn't vacuous
+
+
+def test_stream_dedup_docs_lsh_horizon_and_state_eviction(spark, tmp_path):
+    """The IMPLEMENTED state bound, probed on a staged multi-batch
+    drain: with horizon=1000 s and watermark=100 s, a near-dup 300 s
+    after its original is flagged, an equally-near dup 5000 s after
+    is NOT (out of horizon — the nightly batch tier's job), and the
+    state-operator metrics show rows actually LEAVING the join state
+    once the watermark passes their horizon (eviction, not just a
+    docstring)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from cs537_spring2021_p3a_mapreduce_spark.streaming import (
+        _lsh_band_rows,
+        dedup_docs_lsh_stream,
+        run_to_memory,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (0, base),                 # original
+        (300, base + " extra"),    # near-dup, in horizon (J = 18/19)
+        (5000, base + " other"),   # near-dup of 0 AND 300, out of horizon
+        (6000, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9"),  # unrelated; advances wm
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    # one file per doc, mtime-ordered so maxFilesPerTrigger=1 drains
+    # them as four micro-batches in doc_id (= event-time) order
+    for i, (doc_id, text) in enumerate(rows):
+        d = tmp_path / f"doc{i}"
+        spark.createDataFrame(
+            [(doc_id, text)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        dst = str(src / f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+
+    def reader():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+    pairs = dedup_docs_lsh_stream(
+        _lsh_band_rows(reader(), "100 seconds"),
+        _lsh_band_rows(reader(), "100 seconds"),
+        watermark="100 seconds",
+        horizon_s=1000,
+    )
+    name = f"lsh_evict_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        pairs, name, str(tmp_path / "ckpt"), "append", shuffle_partitions=4
+    )
+    got = spark.table(name).collect()
+    # only the in-horizon pair is flagged, in every matching band
+    assert {(r.a_id, r.b_id) for r in got} == {(0, 300)}
+    assert all(r.jaccard == round(18 / 19, 6) for r in got)
+    # multi-batch drain really happened (4 files, 1 per trigger)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 3
+    # and state rows were EVICTED once the watermark passed their
+    # horizon — the bound is mechanical, not documentation
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0
+
+
 def test_stream_ivf_assign_partitions_whole_corpus(spark):
     """On-ingest routing: every vector lands in exactly one of the
     <= IVF_INT_K cells (counts sum to the corpus), and min_vec_id is

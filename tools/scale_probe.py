@@ -344,6 +344,8 @@ PROBES = [
     "dedup_minhash_int",
     "remove_dup_spans",
     "bpe_encode",
+    # round-10 additions: the on-ingest banded near-dup tier
+    "stream_dedup_docs_lsh",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
