@@ -923,6 +923,233 @@ def image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "cy", "cx")
 
 
+IMG_PHASH_G = 8  # dHash grid: G rows × G cols of area-averaged cells
+IMG_PHASH_BITS = IMG_PHASH_G * (IMG_PHASH_G - 1)  # 56 row-wise compares
+IMG_PHASH_BANDS = 4  # Hamming-LSH bands over the packed fingerprint
+IMG_PHASH_BAND_BITS = IMG_PHASH_BITS // IMG_PHASH_BANDS  # 14
+IMG_PHASH_HAM_T = 3  # ≤3 differing bits touch ≤3 of 4 bands → ≥1 agrees
+
+
+def image_phash(imgs: DataFrame) -> DataFrame:
+    """Per-image 56-bit dHash from REAL payload bytes — the
+    perceptual fingerprint (difference hash: brightness-SHIFT
+    invariant, the classic near-dup-image signature): decode the BMP
+    (unflip, de-pad, one channel), area-average to the G×G grid with
+    floor boundaries in exact integer arithmetic (the
+    ``image_resize_real`` cells at G=8), then one bit per
+    horizontally-adjacent cell pair (right mean > left mean), packed
+    LSB-first as bit cy·(G−1)+cx into one BIGINT (56 bits — fits a
+    signed long without touching the sign bit). Requires w,h ≥ G
+    (every cell non-empty with floor boundaries); smaller thumbnails
+    would need padding, not a silent empty-cell division.
+
+    Output: media_id, phash."""
+    G = IMG_PHASH_G
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                offset = _struct.unpack_from("<2sIHHI", payload, 0)[4]
+                _hs, width, height = _struct.unpack_from("<Iii", payload, 14)
+                row_bytes = (3 * width + 3) // 4 * 4
+                raw = np.frombuffer(
+                    payload, dtype=np.uint8, count=height * row_bytes,
+                    offset=offset,
+                ).reshape(height, row_bytes)
+                vals = raw[::-1, : 3 * width : 3].astype(np.int64)
+                cx_of = (np.arange(width) * G) // width
+                cy_of = (np.arange(height) * G) // height
+                m = np.empty((G, G), dtype=np.int64)
+                for cy in range(G):
+                    ys = np.where(cy_of == cy)[0]
+                    for cx in range(G):
+                        xs = np.where(cx_of == cx)[0]
+                        cell = vals[np.ix_(ys, xs)]
+                        m[cy, cx] = int(cell.sum()) // cell.size
+                h = 0
+                for cy in range(G):
+                    for cx in range(G - 1):
+                        if m[cy, cx + 1] > m[cy, cx]:
+                            h |= 1 << (cy * (G - 1) + cx)
+                out.append((int(row["media_id"]), h))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return imgs.mapInPandas(_phash, schema="media_id long, phash long")
+
+
+def phash_dedup_report(per_doc: DataFrame) -> DataFrame:
+    """Hash-level near-dup mass report over per-image fingerprints —
+    the skew-proof shape (the ``cross_source_dup_matrix`` /
+    ``dup_span_stats`` discipline): NEVER a doc-pair join.
+
+    1. One map-side-combinable aggregate to DISTINCT fingerprints
+       (count + keeper = min id) — a million byte-identical-looking
+       images cost one row here, not 10¹² pairs.
+    2. Exact-dup mass reported arithmetically per group
+       (n·(n−1)/2 pairs).
+    3. Near-dup candidates from a banded self-join over DISTINCT
+       hashes only (4 bands × 14 bits; pigeonhole: Hamming ≤ 3
+       differing bits leave ≥ 1 band intact), verified by exact
+       popcount Hamming, pair mass = n_a·n_b — arithmetic again.
+
+    Output: h_a, h_b, hamming, n_a, n_b, pair_weight, keeper_a,
+    keeper_b (exact groups appear as h_a = h_b, hamming 0)."""
+    from ..session import track_persist
+
+    groups = track_persist(
+        per_doc.groupBy("phash").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("media_id").alias("keeper"),
+        )
+    )
+    exact = groups.where(F.col("n") >= 2).select(
+        F.col("phash").alias("h_a"),
+        F.col("phash").alias("h_b"),
+        F.lit(0).alias("hamming"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+        F.expr("n * (n - 1) DIV 2").alias("pair_weight"),
+        F.col("keeper").alias("keeper_a"),
+        F.col("keeper").alias("keeper_b"),
+    )
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (
+                        F.shiftright("phash", b * IMG_PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << IMG_PHASH_BAND_BITS) - 1))
+                    ).alias("key"),
+                )
+                for b in range(IMG_PHASH_BANDS)
+            ]
+        )
+    )
+    banded = groups.select("phash", "n", "keeper", band.alias("bk")).select(
+        "phash", "n", "keeper", "bk.band", "bk.key"
+    )
+    a = banded.select(
+        F.col("phash").alias("h_a"),
+        F.col("n").alias("n_a"),
+        F.col("keeper").alias("keeper_a"),
+        "band",
+        "key",
+    )
+    b = banded.select(
+        F.col("phash").alias("h_b"),
+        F.col("n").alias("n_b"),
+        F.col("keeper").alias("keeper_b"),
+        F.col("band").alias("b_band"),
+        F.col("key").alias("b_key"),
+    )
+    near = (
+        a.join(
+            b,
+            (a["band"] == b["b_band"])
+            & (a["key"] == b["b_key"])
+            & (a["h_a"] < b["h_b"]),
+        )
+        .select("h_a", "h_b", "n_a", "n_b", "keeper_a", "keeper_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .where(F.col("hamming") <= IMG_PHASH_HAM_T)
+        .select(
+            "h_a",
+            "h_b",
+            F.col("hamming").cast("int").alias("hamming"),
+            "n_a",
+            "n_b",
+            (F.col("n_a") * F.col("n_b")).alias("pair_weight"),
+            "keeper_a",
+            "keeper_b",
+        )
+    )
+    return exact.unionByName(near).orderBy("h_a", "h_b")
+
+
+def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STILL-IMAGE NEAR-DUP DEDUP — the multimodal dedup leg the text
+    tier (9 strategies) and video tier (``video_frame_dedup``) had
+    and still images lacked: perceptual dHash over REAL decoded BMP
+    bytes (``image_phash``), exact-group collapse + banded Hamming
+    near-match over distinct fingerprints (``phash_dedup_report``).
+
+    The oracle recomputes every fingerprint ARITHMETICALLY from the
+    generator's closed-form pixels ((x+y+id) mod 256) — cells, bit
+    packs, band keys, popcount Hamming, pair masses — so a decoder
+    that misread the flip/padding, a mis-packed bit, or a band-key
+    slip hash-mismatches.
+
+    Output: h_a, h_b, hamming, n_a, n_b, pair_weight, keeper_a,
+    keeper_b."""
+    imgs = synth_media_encoded(spark, sf_dir).filter(F.col("fmt") == "bmp")
+    return phash_dedup_report(image_phash(imgs))
+
+
+_IMG_PHASH_CELLS = f"""
+imgs AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), cells AS (
+  SELECT media_id,
+         (x * {IMG_PHASH_G}) // w AS cx,
+         (y * {IMG_PHASH_G}) // h AS cy,
+         (sum((x + y + media_id) % 256) // count(*))::BIGINT AS m
+  FROM imgs,
+       unnest(generate_series(0, w - 1)) AS ux(x),
+       unnest(generate_series(0, h - 1)) AS uy(y)
+  GROUP BY 1, 2, 3
+), ph AS (
+  SELECT media_id,
+         sum(CASE WHEN nxt > m
+             THEN (1::BIGINT << (cy * {IMG_PHASH_G - 1} + cx)::INT)
+             ELSE 0 END)::BIGINT AS phash
+  FROM (
+    SELECT media_id, cx, cy, m,
+           lead(m) OVER (PARTITION BY media_id, cy ORDER BY cx) AS nxt
+    FROM cells
+  )
+  WHERE cx < {IMG_PHASH_G - 1}
+  GROUP BY 1
+), grp AS (
+  SELECT phash, count(*)::BIGINT AS n, min(media_id) AS keeper
+  FROM ph GROUP BY 1
+)"""
+
+_IMG_PHASH_BAND_OR = " OR ".join(
+    f"(a.phash >> {b * IMG_PHASH_BAND_BITS}) & {(1 << IMG_PHASH_BAND_BITS) - 1}"
+    f" = (b.phash >> {b * IMG_PHASH_BAND_BITS}) & {(1 << IMG_PHASH_BAND_BITS) - 1}"
+    for b in range(IMG_PHASH_BANDS)
+)
+
+_IMG_PHASH_SQL = f"""
+WITH {_IMG_PHASH_CELLS}
+SELECT h_a, h_b, hamming, n_a, n_b, pair_weight, keeper_a, keeper_b
+FROM (
+  SELECT phash AS h_a, phash AS h_b, 0 AS hamming,
+         n AS n_a, n AS n_b, (n * (n - 1) // 2)::BIGINT AS pair_weight,
+         keeper AS keeper_a, keeper AS keeper_b
+  FROM grp WHERE n >= 2
+  UNION ALL
+  SELECT a.phash AS h_a, b.phash AS h_b,
+         bit_count(xor(a.phash, b.phash))::INT AS hamming,
+         a.n AS n_a, b.n AS n_b, (a.n * b.n)::BIGINT AS pair_weight,
+         a.keeper AS keeper_a, b.keeper AS keeper_b
+  FROM grp a JOIN grp b
+    ON a.phash < b.phash
+   AND ({_IMG_PHASH_BAND_OR})
+  WHERE bit_count(xor(a.phash, b.phash)) <= {IMG_PHASH_HAM_T}
+)
+ORDER BY h_a, h_b
+"""
+
+
 _IMG_RESIZE_SQL = f"""
 WITH imgs AS (
   SELECT doc_id AS media_id,
@@ -1476,6 +1703,7 @@ video_frame_dedup.bench_setup = stage_video_frames
 QUERIES = {
     "image_histogram_real": image_histogram_real,
     "image_resize_real": image_resize_real,
+    "image_dedup_phash": image_dedup_phash,
     "audio_resample_real": audio_resample_real,
     "audio_features": audio_features,
     "multimodal_pipeline": media_feature_stats,
@@ -1491,6 +1719,7 @@ QUERIES = {
 ORACLES = {
     "image_histogram_real": _IMG_HIST_SQL,
     "image_resize_real": _IMG_RESIZE_SQL,
+    "image_dedup_phash": _IMG_PHASH_SQL,
     "audio_resample_real": _AUDIO_RESAMPLE_SQL,
     "audio_features": _AUDIO_FEATURES_SQL,
     "multimodal_pipeline": """

@@ -422,3 +422,84 @@ def test_audio_resample_real_matches_formula_model(spark):
         for r in audio_features(spark, sf).collect()
     }
     assert sum(z for _, _, z in got.values()) <= sum(full_zc.values())
+
+
+def _raw_bmp(pixels) -> bytes:
+    """Spec-compliant 24-bit BMP from an arbitrary (h, w) uint8 array
+    — the planted-corpus encoder (the generator's _encode_bmp is
+    locked to its closed-form gradient)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    height, width = arr.shape
+    row_bytes = (3 * width + 3) // 4 * 4
+    rows = np.zeros((height, row_bytes), dtype=np.uint8)
+    rows[:, : 3 * width] = np.repeat(arr, 3, axis=1)
+    data = rows[::-1].tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def test_image_dedup_phash_planted_near_dups(spark):
+    """The dHash contract on planted images: a brightness-shifted
+    copy hashes IDENTICALLY (difference hash is shift-invariant →
+    exact-group collapse), a copy with one cell's comparison flipped
+    lands within Hamming ≤ 3 (near pair found via the banded join),
+    and an unrelated image pairs with nothing."""
+    import numpy as np
+
+    h, w = 16, 24
+    rng = np.random.RandomState(7)
+    base = rng.randint(30, 200, size=(h, w)).astype(np.uint8)
+    # pin the cy=4 row's cells cx=2..4 so the planted flip below
+    # changes EXACTLY two known comparison bits (a random base can
+    # leave both comparisons already at their post-flip values)
+    ys = np.where((np.arange(h) * 8) // h == 4)[0]
+
+    def _cell_xs(cx):
+        return np.where((np.arange(w) * 8) // w == cx)[0]
+
+    base[np.ix_(ys, _cell_xs(2))] = 180
+    base[np.ix_(ys, _cell_xs(3))] = 100
+    base[np.ix_(ys, _cell_xs(4))] = 150
+    bright = base + 20  # max 220 + 20 < 256: pure shift, no wrap
+    # flip cell (cx=3, cy=4) to 255: bit cx=2 (100>180→255>180) and
+    # bit cx=3 (150>100→150>255) both flip — Hamming exactly 2
+    near = base.copy()
+    near[np.ix_(ys, _cell_xs(3))] = 255
+    distinct = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+
+    rows = [
+        (0, "image", "bmp", bytearray(_raw_bmp(base)), w, h, None, None),
+        (1, "image", "bmp", bytearray(_raw_bmp(bright)), w, h, None, None),
+        (2, "image", "bmp", bytearray(_raw_bmp(near)), w, h, None, None),
+        (3, "image", "bmp", bytearray(_raw_bmp(distinct)), w, h, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, fmt string, payload binary, "
+        "width int, height int, sample_rate int, duration_ms int",
+    )
+    per_doc = {r.media_id: r.phash for r in mm.image_phash(df).collect()}
+    assert per_doc[0] == per_doc[1]  # shift-invariance
+    assert per_doc[0] != per_doc[2]
+    ham = bin(per_doc[0] ^ per_doc[2]).count("1")
+    assert 1 <= ham <= mm.IMG_PHASH_HAM_T
+
+    report = mm.phash_dedup_report(mm.image_phash(df)).collect()
+    exact = [r for r in report if r.h_a == r.h_b]
+    near_rows = [r for r in report if r.h_a != r.h_b]
+    assert len(exact) == 1 and exact[0].n_a == 2 and exact[0].keeper_a == 0
+    assert exact[0].pair_weight == 1
+    assert len(near_rows) == 1
+    nr = near_rows[0]
+    assert {nr.keeper_a, nr.keeper_b} == {0, 2}
+    assert nr.hamming == ham and nr.pair_weight == 2 * 1
+    # the unrelated image appears in no row
+    assert all(3 not in (r.keeper_a, r.keeper_b) for r in report)
