@@ -4695,6 +4695,416 @@ ORDER BY 1
 _TOKENIZER_FERTILITY_SQL = _tokenizer_fertility_oracle()
 
 
+# --- Unigram-LM tokenizer (SentencePiece-style; Kudo 2018) ----------
+# The tokenizer family modern pipelines actually ship (T5/LLaMA)
+# beside BPE. House integer-twin discipline: the real algorithm's
+# float log-probs are QUANTIZED to integer bit-lengths
+# (score(piece) = bit_length(count)), so Viterbi segmentation and the
+# EM re-estimation replay engine-exactly — no libm logs (the IEEE
+# determinism rule), no float state. The objective per word is
+#   maximize   Σ bits(cnt(piece)) − n_pieces · bits(N)
+# (the quantized Σ log p form), ties broken by fewer pieces, then by
+# the smallest boundary MASK (bit j−1 set ⟺ a cut after char j) —
+# a total order both engines can state.
+UNI_MAX_PIECE = 3  # max piece length (seed substrings 1..3)
+UNI_MAX_WORD = 12  # words longer are excluded identically everywhere
+UNI_VOCAB_K = 48  # multi-char seed pieces kept (count DESC, piece ASC)
+UNI_EM_ROUNDS = 2  # Viterbi-EM re-estimation rounds after seeding
+_UNI_US = "\x1f"  # piece separator inside a word's encoding
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collapsed to (word, n) — the vocabulary every unigram
+    stage (seeding, EM, encode) operates on; words over UNI_MAX_WORD
+    chars excluded identically on both engines (the oracle's mask
+    enumeration is 2^(L−1) per distinct word — the cap keeps it
+    bounded; real corpora cap word length too)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("word"))
+        .where(F.length("word") <= UNI_MAX_WORD)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _uni_segment(words_with_vocab: DataFrame) -> DataFrame:
+    """Viterbi segmentation of each DISTINCT word under the current
+    integer-quantized vocabulary — vocabulary-bounded Arrow-batched
+    Python (the trainer's inner loop; sentencepiece runs this on one
+    node over the word-count dict — here it's distributed over the
+    collapsed vocab, never the corpus). Input rows carry the vocab
+    as ONE pivoted list column (broadcast crossJoin — never a driver
+    collect, the ``bpe_encode`` rules-row discipline).
+
+    DP tuple per prefix: (score, n_pieces, mask), compared
+    (score DESC, n_pieces ASC, mask ASC); additivity + disjoint
+    higher mask bits make prefix-optimality exact for the
+    lexicographic objective. Coverage is guaranteed: every corpus
+    word's chars are 1-char vocab entries (chars never prune).
+
+    Output: word, n, pieces (in order)."""
+    import pandas as pd
+
+    def seg(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vps = pdf["vps"].iloc[0]
+            cnt = {r["piece"]: int(r["cnt"]) for r in vps}
+            bn = sum(cnt.values())
+            bn = bn.bit_length()
+            out = []
+            for word, n in zip(pdf["word"], pdf["n"]):
+                L = len(word)
+                best: list = [(0, 0, 0)] + [None] * L
+                for j in range(1, L + 1):
+                    cand = None
+                    for i in range(max(0, j - UNI_MAX_PIECE), j):
+                        if best[i] is None:
+                            continue
+                        c = cnt.get(word[i:j])
+                        if c is None:
+                            continue
+                        t = (
+                            best[i][0] + c.bit_length() - bn,
+                            best[i][1] + 1,
+                            best[i][2] | ((1 << (i - 1)) if i else 0),
+                        )
+                        if cand is None or (t[0], -t[1], -t[2]) > (
+                            cand[0], -cand[1], -cand[2],
+                        ):
+                            cand = t
+                    best[j] = cand
+                mask = best[L][2]
+                cuts = [j for j in range(1, L) if (mask >> (j - 1)) & 1]
+                cuts.append(L)
+                pieces, prev = [], 0
+                for cpos in cuts:
+                    pieces.append(word[prev:cpos])
+                    prev = cpos
+                out.append((word, int(n), pieces))
+            yield pd.DataFrame(out, columns=["word", "n", "pieces"])
+
+    return words_with_vocab.mapInPandas(
+        seg, "word string, n long, pieces array<string>"
+    )
+
+
+def _uni_vocab_row(vocab: DataFrame) -> DataFrame:
+    return vocab.agg(
+        F.collect_list(F.struct("piece", "cnt")).alias("vps")
+    )
+
+
+def _unigram_vocab(
+    spark: SparkSession, sf_dir: str, rounds: int = UNI_EM_ROUNDS
+) -> tuple[DataFrame, DataFrame]:
+    """Seed + `rounds` Viterbi-EM re-estimations. Returns
+    (final vocab (piece, cnt), the collapsed words relation).
+
+    Scale shape (the ``bpe_train_merges`` loop discipline): the
+    corpus collapses to the vocabulary ONCE (one hash aggregate);
+    seeding explodes ≤ L·UNI_MAX_PIECE substrings per DISTINCT word;
+    each EM round is one vocab-bounded segmentation pass + one
+    map-side-combinable usage aggregate; the vocab rides as a
+    broadcast 1-row pivot and is localCheckpointed per round (plan
+    truncation, the embedding_kmeans discipline). Multi-char pieces
+    prune monotonically (usage 0 → out); 1-char pieces never prune
+    (coverage), carrying usage 0 honestly."""
+    words = track_persist(_uni_words(spark, sf_dir))
+    subs = F.expr(
+        f"""flatten(transform(sequence(1, length(word)), i ->
+            transform(sequence(1, least({UNI_MAX_PIECE},
+                                        length(word) - i + 1)),
+                      l -> substring(word, i, l))))"""
+    )
+    seed = (
+        words.select("n", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    chars = seed.where(F.length("piece") == 1).localCheckpoint()
+    multi = (
+        seed.where(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(UNI_VOCAB_K)
+    )
+    vocab = chars.unionByName(multi).localCheckpoint()
+    for _ in range(rounds):
+        segd = _uni_segment(words.crossJoin(F.broadcast(_uni_vocab_row(vocab))))
+        usage = (
+            segd.select("n", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        chars_u = (
+            chars.select("piece")
+            .join(usage, "piece", "left")
+            .select("piece", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        )
+        multi_u = usage.where(F.length("piece") >= 2)
+        vocab = chars_u.unionByName(multi_u).localCheckpoint()
+    return vocab, words
+
+
+def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM TOKENIZER TRAINING (SentencePiece-style, Kudo 2018
+    §3; integer-quantized per the house _int discipline — see module
+    comment above UNI_MAX_PIECE): seed vocabulary = all 1..3-char
+    substrings of the collapsed corpus words (top-UNI_VOCAB_K
+    multi-char by count, ALL single chars), then UNI_EM_ROUNDS
+    Viterbi-EM rounds — segment every distinct word under the
+    current integer scores, re-estimate piece counts from usage,
+    prune unused multi-char pieces.
+
+    Output: piece, usage, score_bits (final round's counts and
+    quantized scores)."""
+    vocab, _ = _unigram_vocab(spark, sf_dir)
+    return vocab.select(
+        "piece",
+        F.col("cnt").alias("usage"),
+        F.when(F.col("cnt") == 0, F.lit(0))
+        .otherwise(F.length(F.expr("bin(cnt)")))
+        .cast("int")
+        .alias("score_bits"),
+    ).orderBy(F.desc("usage"), "piece")
+
+
+def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM APPLY — Viterbi-encode every document with the
+    corpus-trained final vocabulary (the ``bpe_encode`` counterpart
+    for the unigram family): the distinct-word → piece-sequence map
+    is computed ONCE on the collapsed vocabulary, then joined back
+    to the documents' token stream (word-keyed join, vocabulary ≪
+    corpus — broadcastable in deploys with a bounded dict). The md5
+    of the doc's space-joined word encodings (pieces joined by the
+    unit separator) witnesses byte-exact segmentation.
+
+    Output: doc_id, n_words, n_pieces, enc_hash (docs whose every
+    word exceeds UNI_MAX_WORD are absent on both engines)."""
+    vocab, words = _unigram_vocab(spark, sf_dir)
+    segd = _uni_segment(words.crossJoin(F.broadcast(_uni_vocab_row(vocab))))
+    wmap = segd.select(
+        "word",
+        F.concat_ws(_UNI_US, "pieces").alias("enc"),
+        F.size("pieces").cast("long").alias("k"),
+    )
+    docw = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "word"))
+        .where(F.length("word") <= UNI_MAX_WORD)
+    )
+    return (
+        docw.join(wmap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("k").alias("n_pieces"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "enc"))
+                        ),
+                        lambda s: s["enc"],
+                    ),
+                )
+            ).alias("enc_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vs UNIGRAM fertility head-to-head per language — the
+    comparison a tokenizer bake-off actually reads (Kudo 2018 §5
+    evaluates unigram against BPE the same way): corpus-level
+    symbols-per-word in exact integer micro-units for each family,
+    joined on language. Each family's denominator is its own
+    encodable-word set (BPE excludes marker-bearing words, unigram
+    excludes words over UNI_MAX_WORD) — the honest per-family
+    metric, same estimator as ``tokenizer_fertility``.
+
+    Output: lang, bpe_fert_micro, uni_fert_micro.
+    """
+    bpe = tokenizer_fertility(spark, sf_dir).select(
+        "lang", F.col("fert_micro").alias("bpe_fert_micro")
+    )
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    uni = (
+        unigram_encode(spark, sf_dir)
+        .join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_words").alias("nw"), F.sum("n_pieces").alias("np"))
+        .where(F.col("nw") > 0)
+        .select(
+            "lang", F.expr("(np * 1000000) DIV nw").alias("uni_fert_micro")
+        )
+    )
+    return bpe.join(uni, "lang").orderBy("lang")
+
+
+def _uni_base_ctes() -> str:
+    """Words collapse + substring seeding + seed vocabulary (v0)."""
+    return f"""WITH words AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS n FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS word
+    FROM documents
+  ) WHERE length(word) <= {UNI_MAX_WORD} GROUP BY 1
+), seed AS MATERIALIZED (
+  SELECT piece, sum(n)::BIGINT AS cnt FROM (
+    SELECT n, substr(word, i, l) AS piece
+    FROM words,
+         unnest(generate_series(1, length(word))) AS ui(i),
+         unnest(generate_series(1, {UNI_MAX_PIECE})) AS ul(l)
+    WHERE i + l - 1 <= length(word)
+  ) GROUP BY 1
+), chars0 AS MATERIALIZED (
+  SELECT piece, cnt FROM seed WHERE length(piece) = 1
+), multi0 AS MATERIALIZED (
+  SELECT piece, cnt FROM seed WHERE length(piece) >= 2
+  ORDER BY cnt DESC, piece LIMIT {UNI_VOCAB_K}
+), v0 AS MATERIALIZED (
+  SELECT * FROM chars0 UNION ALL SELECT * FROM multi0
+)"""
+
+
+def _uni_seg_ctes(tag: str, vocab_cte: str) -> str:
+    """One Viterbi segmentation block over `words` under `vocab_cte`:
+    enumerate every boundary mask per distinct word (2^(L−1), L ≤
+    UNI_MAX_WORD), slice pieces, validate (length ≤ UNI_MAX_PIECE and
+    in-vocab), score Σ bits(cnt) − n_pieces·bits(N), pick per word by
+    (score DESC, pieces ASC, mask ASC) — the exact objective the
+    Spark DP optimizes, stated enumeratively."""
+    return f"""
+, n{tag} AS MATERIALIZED (
+  SELECT sum(cnt)::BIGINT AS nn FROM {vocab_cte}
+), bn{tag} AS MATERIALIZED (
+  SELECT CASE WHEN nn = 0 THEN 0
+         ELSE length(printf('%b', nn)) END AS bn FROM n{tag}
+), masks{tag} AS MATERIALIZED (
+  SELECT word, n, m,
+         list_append(list_filter(generate_series(1, length(word) - 1),
+                     j -> ((m >> (j - 1)::INT) & 1) = 1),
+                     length(word)) AS cuts
+  FROM words,
+       unnest(generate_series(0,
+              (1::BIGINT << (length(word) - 1)::INT) - 1)) AS u(m)
+), pieces{tag} AS MATERIALIZED (
+  SELECT word, n, m, k,
+         word[(CASE WHEN k = 1 THEN 0 ELSE cuts[k - 1] END) + 1
+              : cuts[k]] AS piece,
+         cuts[k] - (CASE WHEN k = 1 THEN 0 ELSE cuts[k - 1] END) AS plen
+  FROM masks{tag}, unnest(generate_series(1, len(cuts))) AS uk(k)
+), scored{tag} AS MATERIALIZED (
+  SELECT p.word, p.n, p.m,
+         bool_and(v.piece IS NOT NULL
+                  AND p.plen <= {UNI_MAX_PIECE}) AS valid,
+         sum(CASE WHEN v.cnt IS NULL OR v.cnt = 0 THEN 0
+                  ELSE length(printf('%b', v.cnt)) END)
+           - count(*) * (SELECT bn FROM bn{tag}) AS score,
+         count(*)::BIGINT AS np
+  FROM pieces{tag} p LEFT JOIN {vocab_cte} v ON v.piece = p.piece
+  GROUP BY 1, 2, 3
+), best{tag} AS MATERIALIZED (
+  SELECT word, n, m FROM (
+    SELECT word, n, m,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY score DESC, np ASC, m ASC) AS rn
+    FROM scored{tag} WHERE valid
+  ) WHERE rn = 1
+), usage{tag} AS MATERIALIZED (
+  SELECT p.piece, sum(b.n)::BIGINT AS cnt
+  FROM best{tag} b JOIN pieces{tag} p ON p.word = b.word AND p.m = b.m
+  GROUP BY 1
+)"""
+
+
+def _uni_train_chain(rounds: int = UNI_EM_ROUNDS) -> str:
+    """Base + `rounds` EM blocks, each re-vocabing from usage
+    (1-char pieces kept with usage 0; multi-char prune to used)."""
+    parts = [_uni_base_ctes()]
+    for r in range(1, rounds + 1):
+        parts.append(_uni_seg_ctes(str(r), f"v{r - 1}"))
+        parts.append(
+            f"""
+, v{r} AS MATERIALIZED (
+  SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
+  FROM chars0 c LEFT JOIN usage{r} u ON u.piece = c.piece
+  UNION ALL
+  SELECT piece, cnt FROM usage{r} WHERE length(piece) >= 2
+)"""
+        )
+    return "".join(parts)
+
+
+def _unigram_train_oracle(rounds: int = UNI_EM_ROUNDS) -> str:
+    return (
+        _uni_train_chain(rounds)
+        + f"""
+SELECT piece, cnt AS usage,
+       (CASE WHEN cnt = 0 THEN 0
+        ELSE length(printf('%b', cnt)) END)::INT AS score_bits
+FROM v{rounds} ORDER BY usage DESC, piece
+"""
+    )
+
+
+def _unigram_encode_oracle(rounds: int = UNI_EM_ROUNDS) -> str:
+    return (
+        _uni_train_chain(rounds)
+        + _uni_seg_ctes("e", f"v{rounds}")
+        + f"""
+, wmap AS MATERIALIZED (
+  SELECT p.word, string_agg(p.piece, chr(31) ORDER BY p.k) AS enc,
+         count(*)::BIGINT AS k
+  FROM beste b JOIN piecese p ON p.word = b.word AND p.m = b.m
+  GROUP BY 1
+), docw AS (
+  SELECT doc_id, i AS pos, ws[i] AS word
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS ui(i)
+  WHERE length(ws[i]) <= {UNI_MAX_WORD}
+)
+SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(w.k)::BIGINT AS n_pieces,
+       md5(string_agg(w.enc, ' ' ORDER BY d.pos)) AS enc_hash
+FROM docw d JOIN wmap w ON w.word = d.word
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+def _tokenizer_fertility_compare_oracle() -> str:
+    return f"""
+WITH bpe AS (
+{_TOKENIZER_FERTILITY_SQL.strip()}
+), uni AS (
+  WITH enc AS (
+{_unigram_encode_oracle().strip()}
+  )
+  SELECT d.lang,
+         ((sum(e.n_pieces) * 1000000) // sum(e.n_words))::BIGINT
+           AS uni_fert_micro
+  FROM enc e JOIN documents d ON d.doc_id = e.doc_id
+  GROUP BY 1 HAVING sum(e.n_words) > 0
+)
+SELECT b.lang, b.fert_micro AS bpe_fert_micro, u.uni_fert_micro
+FROM bpe b JOIN uni u USING (lang)
+ORDER BY lang
+"""
+
+
+_UNIGRAM_TRAIN_SQL = _unigram_train_oracle()
+_UNIGRAM_ENCODE_SQL = _unigram_encode_oracle()
+_TOKENIZER_FERTILITY_COMPARE_SQL = _tokenizer_fertility_compare_oracle()
+
+
 def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based quantile normalization of the quality score WITHIN
     each document source — the step before cross-source mixing:
@@ -6982,6 +7392,9 @@ QUERIES = {
     "remove_dup_spans": remove_dup_spans,
     "bpe_encode": bpe_encode,
     "tokenizer_fertility": tokenizer_fertility,
+    "unigram_train": unigram_train,
+    "unigram_encode": unigram_encode,
+    "tokenizer_fertility_compare": tokenizer_fertility_compare,
     "chunk_documents": chunk_documents,
     "pii_scrub": pii_scrub,
     "ann_lsh_pairs": ann_lsh_pairs,
@@ -7084,6 +7497,9 @@ FROM g
     "remove_dup_spans": _REMOVE_DUP_SPANS_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,
     "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
+    "unigram_train": _UNIGRAM_TRAIN_SQL,
+    "unigram_encode": _UNIGRAM_ENCODE_SQL,
+    "tokenizer_fertility_compare": _TOKENIZER_FERTILITY_COMPARE_SQL,
     "chunk_documents": _CHUNKS,
     "pii_scrub": _PII,
     "ann_lsh_pairs": _ANN_LSH,

@@ -1927,3 +1927,124 @@ def test_ann_recall_report_matches_direct_intersection(spark):
     for m in legs:
         tot = sum(v for (q, mm), v in got.items() if mm == m)
         assert 0 < tot <= llm.SIM_N_QUERIES * llm.SIM_K, m
+
+
+def test_unigram_tokenizer_python_model_parity(spark):
+    """From-scratch integer-quantized unigram-LM on a planted corpus,
+    implemented by mask ENUMERATION (a different algorithm from the
+    engine's Viterbi DP — same stated objective, so agreement checks
+    the objective, not the code path): seeding, both EM rounds, and
+    the final encode must match the Spark results exactly, and the
+    planted high-frequency trigram must be learned as a piece."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [
+        (0, "abcd abcd abcd zq", "en", "t", 0),
+        (1, "abcd abce xyz xyz", "en", "t", 0),
+        (2, "qabc abcd zq xyz", "en", "t", 0),
+        (3, "averylongwordover12ch abcd", "en", "t", 0),  # 21 ch: excluded
+    ]
+    d = tempfile.mkdtemp(prefix="uni_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    # ---- independent model ----
+    words: dict[str, int] = {}
+    for _, text, *_ in rows:
+        for w in text.split():
+            if w and len(w) <= llm.UNI_MAX_WORD:
+                words[w] = words.get(w, 0) + 1
+
+    def seed_counts():
+        c: dict[str, int] = {}
+        for w, n in words.items():
+            for i in range(len(w)):
+                for l in range(1, llm.UNI_MAX_PIECE + 1):
+                    if i + l <= len(w):
+                        c[w[i : i + l]] = c.get(w[i : i + l], 0) + n
+        return c
+
+    seed = seed_counts()
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[: llm.UNI_VOCAB_K]
+    vocab = dict(chars)
+    vocab.update(dict(multi))
+
+    def segment_all(vc: dict[str, int]):
+        bn = sum(vc.values()).bit_length()
+        segs = {}
+        for w in words:
+            L = len(w)
+            best = None
+            for m in range(1 << (L - 1)):
+                cuts = [j for j in range(1, L) if (m >> (j - 1)) & 1] + [L]
+                pieces, prev, ok = [], 0, True
+                for cpos in cuts:
+                    p = w[prev:cpos]
+                    if len(p) > llm.UNI_MAX_PIECE or p not in vc:
+                        ok = False
+                        break
+                    pieces.append(p)
+                    prev = cpos
+                if not ok:
+                    continue
+                score = sum(vc[p].bit_length() for p in pieces) - len(
+                    pieces
+                ) * bn
+                key = (-score, len(pieces), m)
+                if best is None or key < best[0]:
+                    best = (key, pieces)
+            segs[w] = best[1]
+        return segs
+
+    vc = vocab
+    for _ in range(llm.UNI_EM_ROUNDS):
+        segs = segment_all(vc)
+        usage: dict[str, int] = {}
+        for w, n in words.items():
+            for p in segs[w]:
+                usage[p] = usage.get(p, 0) + n
+        vc = {p: usage.get(p, 0) for p in chars}
+        vc.update({p: c for p, c in usage.items() if len(p) >= 2})
+
+    got_train = {
+        r.piece: (r.usage, r.score_bits)
+        for r in llm.unigram_train(spark, d).collect()
+    }
+    want_train = {p: (c, c.bit_length()) for p, c in vc.items()}
+    assert got_train == want_train
+    # the planted high-frequency trigram survives EM as a piece
+    assert "abc" in got_train and got_train["abc"][0] > 0
+
+    # ---- encode parity ----
+    segs = segment_all(vc)
+    want_enc = {}
+    for doc_id, text, *_ in rows:
+        toks = [
+            w for w in text.split() if w and len(w) <= llm.UNI_MAX_WORD
+        ]
+        if not toks:
+            continue
+        encs = ["\x1f".join(segs[w]) for w in toks]
+        want_enc[doc_id] = (
+            len(toks),
+            sum(len(segs[w]) for w in toks),
+            hashlib.md5(" ".join(encs).encode()).hexdigest(),
+        )
+    got_enc = {
+        r.doc_id: (r.n_words, r.n_pieces, r.enc_hash)
+        for r in llm.unigram_encode(spark, d).collect()
+    }
+    assert got_enc == want_enc
+    # fewer pieces than characters: the LM actually merges
+    total_chars = sum(len(w) * n for w, n in words.items())
+    total_pieces = sum(len(segs[w]) * n for w, n in words.items())
+    assert total_pieces < total_chars
