@@ -1643,6 +1643,319 @@ ORDER BY 1, 2
 """
 
 
+# --- IVF index maintenance loop -------------------------------------
+# Imbalance trigger: retrain iff max_cell · K · DEN > NUM · total,
+# i.e. max/mean > NUM/DEN. 5/4 (=1.25×) is the fixture-calibrated
+# point where the md5-sampled gen-0 centroids read as skewed and two
+# Lloyd rounds measurably rebalance them; a deploy tunes this knob.
+IVF_IMB_NUM = 5
+IVF_IMB_DEN = 4
+IVF_RETRAIN_ITERS = 2  # Lloyd rounds per retrain, from gen-0 centroids
+
+
+def _ivf_assign_ds(qv: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Per-vector SORTED (d2, cid) struct array under the given
+    centroids — the ``similarity_ann_ivf_int`` assignment stage,
+    factored so the retrain loop can run it per generation. Fully
+    narrow: centroids fold to ONE broadcast row."""
+    carr = cents_df.agg(F.collect_list(F.struct("cid", "cq")).alias("cents"))
+    ds = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with("q", c["cq"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return qv.crossJoin(F.broadcast(carr)).select("vec_id", "q", ds.alias("ds"))
+
+
+def _ivf_gen_summary(spark, sf_dir, gen, assigned, exact):
+    """One summary row for a generation's index: cell balance + the
+    retrieval recall of its nprobe-probed top-K vs the exact
+    ranking (the ann_recall_report measurement folded to one int)."""
+    cells = assigned.select(F.col("ds")[0]["cid"].alias("cell"))
+    stats = cells.groupBy("cell").count().agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("count").alias("max_n"),
+        F.sum("count").alias("total_n"),
+    )
+    index = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("nq"),
+        F.col("ds")[0]["cid"].alias("cell"),
+    )
+    probes = assigned.where(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.explode(
+            F.expr(f"transform(slice(ds, 1, {IVF_INT_NPROBE}), s -> s.cid)")
+        ).alias("cell"),
+    )
+    cands = probes.join(index, "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qq, nq, (a, b) -> a * b), 0L, (s, x) -> s + x)"
+    )
+    na = F.expr("aggregate(qq, 0L, (s, x) -> s + x * x)")
+    nb = F.expr("aggregate(nq, 0L, (s, x) -> s + x * x)")
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        cands.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= SIM_K)
+    )
+    hits = topk.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("recall_hits")
+    )
+    return stats.crossJoin(hits).select(
+        F.lit(gen).cast("long").alias("gen"),
+        "n_cells",
+        "max_n",
+        "total_n",
+        F.expr(f"max_n * {IVF_INT_K} * 1000 DIV total_n").alias("imb_milli"),
+        "recall_hits",
+    )
+
+
+def ivf_retrain_loop(
+    spark: SparkSession, sf_dir: str, index_path: str | None = None
+) -> DataFrame:
+    """THE IVF MAINTENANCE LOOP, end to end — assign → detect →
+    retrain → reassign → recall — the cycle ``stream_ivf_assign``'s
+    per-cell balance exists to trigger (it emits "the retrain
+    signal"; this is the retrain): the gen-0 md5-sampled centroids
+    are COMMITTED through the manifest sink (the index version-
+    travels like any table — generation g1), the corpus is assigned
+    against the COMMITTED index (the sink is load-bearing, not
+    decorative), and if the cell balance breaches the
+    IVF_IMB_NUM/IVF_IMB_DEN max/mean ratio, IVF_RETRAIN_ITERS Lloyd
+    rounds (the ``embedding_kmeans`` update discipline: exact
+    integer means, K-key aggregate per round, localCheckpointed)
+    retrain the centroids FROM the current index, the new generation
+    commits (g2 — g1 stays time-travelable, pinned in pytest), and
+    the corpus reassigns under it.
+
+    The imbalance decision is ONE driver-side scalar (the salt-stats
+    class: control-plane, 1 row) because it changes the PLAN —
+    retrain or not — exactly like AQE's runtime decisions; the
+    oracle mirrors the same predicate as a gating WHERE, so both
+    engines emit the gen-1 row iff the same integers breach the same
+    ratio.
+
+    Output: one row per committed generation — gen, n_cells, max_n,
+    total_n, imb_milli (max/mean ×1000, integer), recall_hits
+    (Σ over probe queries |IVF top-K ∩ exact top-K| — the
+    ann_recall_report measurement, folded per generation so a
+    recall REGRESSION from a retrain fails the correctness gate).
+    """
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        read_manifest_table,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = track_persist(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+            ).alias("q"),
+        )
+    )
+    init_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    w_init = Window.orderBy(*init_order)
+    cents0 = (
+        qv.orderBy(*init_order)
+        .limit(IVF_INT_K)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("long").alias("cid"),
+            F.col("q").alias("cq"),
+        )
+    )
+    path = index_path or os.path.join(scratch_dir("ivf_index_"), "centroids")
+    spark.dataSource.register(ManifestParquetSink)
+    cents0.coalesce(1).write.format("mr_manifest").mode("overwrite").option(
+        "path", path
+    ).save()
+
+    exact = track_persist(_int_exact_topk(spark, sf_dir))
+    a0 = track_persist(_ivf_assign_ds(qv, read_manifest_table(spark, path)))
+    rows = _ivf_gen_summary(spark, sf_dir, 0, a0, exact)
+
+    # control-plane scalar: does gen 0 breach the balance ratio?
+    st = (
+        a0.select(F.col("ds")[0]["cid"].alias("cell"))
+        .groupBy("cell")
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+        .collect()[0]
+    )
+    if st.mx * IVF_INT_K * IVF_IMB_DEN > IVF_IMB_NUM * st.tot:
+        cents = read_manifest_table(spark, path).select("cid", "cq")
+        for _ in range(IVF_RETRAIN_ITERS):
+            assigned = _kmeans_assign(qv, cents)
+            dims = assigned.select("cid", F.posexplode("q").alias("dim", "v"))
+            means = dims.groupBy("cid", "dim").agg(
+                F.round(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c")
+            )
+            cents = (
+                means.groupBy("cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "c"))
+                    ).alias("s")
+                )
+                .select("cid", F.transform("s", lambda x: x["c"]).alias("cq"))
+                .localCheckpoint()
+            )
+        cents.coalesce(1).write.format("mr_manifest").mode(
+            "overwrite"
+        ).option("path", path).save()
+        a1 = _ivf_assign_ds(qv, read_manifest_table(spark, path))
+        rows = rows.unionByName(
+            _ivf_gen_summary(spark, sf_dir, 1, a1, exact)
+        )
+    return rows.orderBy("gen")
+
+
+def _ivf_retrain_loop_sql() -> str:
+    """DuckDB replay of the whole loop: md5-sampled gen-0 centroids,
+    assignment, balance stats, the SAME imbalance predicate as a
+    gating WHERE, the unrolled Lloyd rounds (the _kmeans_oracle_sql
+    update expression), reassignment, and both generations' probed
+    recall vs the exact ranking."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        "i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))"
+    )
+    cos = f"""CASE WHEN na.s > 0 AND nb.s > 0 THEN
+           round(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   j -> p.qq[j] * x.nq[j])) AS BIGINT)::DOUBLE
+                 / (sqrt(na.s::DOUBLE) * sqrt(nb.s::DOUBLE)), 6)
+         ELSE 0.0 END"""
+
+    def gen_block(tag: str, cents: str) -> str:
+        return f"""
+, a{tag} AS MATERIALIZED (
+  SELECT e.vec_id, e.q, c.cid, {dist} AS d2,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dist}, c.cid) AS rn
+  FROM qv e CROSS JOIN {cents} c
+), cells{tag} AS MATERIALIZED (
+  SELECT cid, count(*)::BIGINT AS n FROM a{tag} WHERE rn = 1 GROUP BY 1
+), stats{tag} AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n_cells, max(n)::BIGINT AS max_n,
+         sum(n)::BIGINT AS total_n
+  FROM cells{tag}
+), topk{tag} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vec_id AS query_id, x.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY {{COS}} DESC,
+                              x.vec_id) AS rnn
+    FROM (SELECT vec_id, q AS qq, cid FROM a{tag}
+          WHERE vec_id < {SIM_N_QUERIES} AND rn <= {IVF_INT_NPROBE}) p
+    JOIN (SELECT vec_id, q AS nq, cid FROM a{tag} WHERE rn = 1) x
+      ON x.cid = p.cid AND x.vec_id <> p.vec_id
+    JOIN norms na ON na.vec_id = p.vec_id
+    JOIN norms nb ON nb.vec_id = x.vec_id
+  ) WHERE rnn <= {SIM_K}
+), hits{tag} AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS recall_hits
+  FROM (SELECT DISTINCT query_id, neighbor_id FROM topk{tag}) t
+  JOIN exact e2 ON e2.query_id = t.query_id
+              AND e2.neighbor_id = t.neighbor_id
+)""".replace("{COS}", cos)
+
+    lloyd = ""
+    prev = "c0"
+    for t in range(1, IVF_RETRAIN_ITERS + 1):
+        lloyd += f"""
+, la{t} AS MATERIALIZED (
+  SELECT vec_id, q, cid FROM (
+    SELECT e.vec_id, e.q, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM qv e CROSS JOIN {prev} c) WHERE rn = 1
+), lc{t} AS MATERIALIZED (
+  SELECT cid, list(CAST(round(s * 1.0 / n) AS BIGINT) ORDER BY pos) AS cq
+  FROM (
+    SELECT cid, pos, sum(v) AS s, count(*) AS n
+    FROM (SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+          FROM la{t})
+    GROUP BY 1, 2)
+  GROUP BY cid
+)"""
+        prev = f"lc{t}"
+
+    exact_cte = f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             CASE WHEN na.s > 0 AND nb.s > 0 THEN
+               round(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                       j -> a.q[j] * b.q[j])) AS BIGINT)::DOUBLE
+                     / (sqrt(na.s::DOUBLE) * sqrt(nb.s::DOUBLE)), 6)
+             ELSE 0.0 END DESC, b.vec_id) AS rn
+    FROM qv a
+    JOIN qv b ON b.vec_id <> a.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id < {SIM_N_QUERIES}
+  ) WHERE rn <= {SIM_K}
+"""
+    return f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), norms AS MATERIALIZED (
+  SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+           j -> q[j] * q[j])) AS BIGINT) AS s FROM qv
+), exact AS MATERIALIZED ({exact_cte}
+), c0 AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT AS cid,
+         q AS cq
+  FROM (SELECT * FROM qv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {IVF_INT_K})
+){gen_block("0", "c0")}{lloyd}{gen_block("1", prev)}
+SELECT * FROM (
+  SELECT 0::BIGINT AS gen, s.n_cells, s.max_n, s.total_n,
+         (s.max_n * {IVF_INT_K} * 1000 // s.total_n)::BIGINT AS imb_milli,
+         h.recall_hits
+  FROM stats0 s, hits0 h
+  UNION ALL
+  SELECT 1::BIGINT AS gen, s.n_cells, s.max_n, s.total_n,
+         (s.max_n * {IVF_INT_K} * 1000 // s.total_n)::BIGINT AS imb_milli,
+         h.recall_hits
+  FROM stats1 s, hits1 h
+  WHERE (SELECT max_n * {IVF_INT_K} * {IVF_IMB_DEN} FROM stats0)
+        > (SELECT {IVF_IMB_NUM} * total_n FROM stats0)
+)
+ORDER BY gen
+"""
+
+
+_IVF_RETRAIN_LOOP_SQL = _ivf_retrain_loop_sql()
+
+
 MRL_DIM = 16  # truncated-prefix dimensionality under evaluation
 
 
@@ -7392,6 +7705,7 @@ QUERIES = {
     "remove_dup_spans": remove_dup_spans,
     "bpe_encode": bpe_encode,
     "tokenizer_fertility": tokenizer_fertility,
+    "ivf_retrain_loop": ivf_retrain_loop,
     "unigram_train": unigram_train,
     "unigram_encode": unigram_encode,
     "tokenizer_fertility_compare": tokenizer_fertility_compare,
@@ -7497,6 +7811,7 @@ FROM g
     "remove_dup_spans": _REMOVE_DUP_SPANS_SQL,
     "bpe_encode": _BPE_ENCODE_SQL,
     "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
+    "ivf_retrain_loop": _IVF_RETRAIN_LOOP_SQL,
     "unigram_train": _UNIGRAM_TRAIN_SQL,
     "unigram_encode": _UNIGRAM_ENCODE_SQL,
     "tokenizer_fertility_compare": _TOKENIZER_FERTILITY_COMPARE_SQL,

@@ -2048,3 +2048,86 @@ def test_unigram_tokenizer_python_model_parity(spark):
     total_chars = sum(len(w) * n for w, n in words.items())
     total_pieces = sum(len(segs[w]) * n for w, n in words.items())
     assert total_pieces < total_chars
+
+
+def test_ivf_retrain_loop_fixture_cycle_and_version_travel(spark, tmp_path):
+    """The maintenance cycle on the fixtures: gen-0 imbalance
+    breaches the ratio, the retrain commits generation 2, imbalance
+    DROPS, recall does not regress — and the index version-travels:
+    as_of=1 is still exactly the md5-sampled gen-0 centroids after
+    the retrain overwrote the latest view."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        read_manifest_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "centroids")
+    out = llm.ivf_retrain_loop(spark, sf, index_path=path).collect()
+    assert [r.gen for r in out] == [0, 1]
+    g0, g1 = out
+    assert g0.imb_milli * llm.IVF_IMB_DEN > 1000 * llm.IVF_IMB_NUM  # breached
+    assert g1.imb_milli < g0.imb_milli  # Lloyd rebalanced
+    assert g1.recall_hits >= g0.recall_hits  # recall non-regression
+    assert g0.n_cells <= llm.IVF_INT_K and g1.n_cells <= llm.IVF_INT_K
+    assert g0.total_n == g1.total_n  # every vector reassigned
+
+    # version travel: g1 snapshot = the md5-sampled init, unchanged
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {llm.PQ_INT_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+    want0 = {
+        tuple(r.q)
+        for r in qv.orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        ).limit(llm.IVF_INT_K).collect()
+    }
+    got0 = {
+        tuple(r.cq)
+        for r in read_manifest_table(spark, path, as_of=1).collect()
+    }
+    assert got0 == want0
+    got1 = {
+        tuple(r.cq)
+        for r in read_manifest_table(spark, path, as_of=2).collect()
+    }
+    assert got1 != got0  # the retrain really moved the centroids
+    latest = {
+        tuple(r.cq) for r in read_manifest_table(spark, path).collect()
+    }
+    assert latest == got1
+
+
+def test_ivf_retrain_loop_balanced_corpus_does_not_retrain(spark, tmp_path):
+    """The detect step's other branch: a corpus of IVF_INT_K distinct
+    well-separated vectors (each its own cell under the md5-sampled
+    init — max/mean exactly 1) must NOT trigger a retrain: one output
+    row, and the index table still has only generation 1."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    d = str(tmp_path / "data")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (i, [1000.0 if j == i * 4 else 0.0 for j in range(llm.EMB_DIM)])
+        for i in range(llm.IVF_INT_K)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    path = str(tmp_path / "centroids")
+    out = llm.ivf_retrain_loop(spark, d, index_path=path).collect()
+    assert [r.gen for r in out] == [0]
+    assert out[0].imb_milli == 1000  # perfectly balanced
+    assert not os.path.exists(os.path.join(path, "_MANIFEST.g2"))
+    assert os.path.exists(os.path.join(path, "_MANIFEST.g1"))
