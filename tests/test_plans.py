@@ -918,3 +918,46 @@ def test_l_diversity_two_aggregates_no_expand(spark):
     plan = P.plan(df, "simple")
     assert "Expand" not in plan
     assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_image_phash_dedup_joins_distinct_hashes_only(spark):
+    """The phash report's scale contract: ONE Arrow decode pass feeds
+    both report branches through the persisted distinct-fingerprint
+    relation (exact mass + banded near-pairs), the candidate join
+    runs on DISTINCT hashes (aggregate BELOW the join), and nothing
+    goes cartesian — a doc-pair join would melt on a million
+    byte-identical thumbnails."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import multimodal as mm
+
+    df = mm.image_dedup_phash(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    # both branches read the CACHED groups relation (the single
+    # decode+collapse), not two fresh decode pipelines
+    assert P.count_nodes(plan, "InMemoryTableScan") >= 2
+
+
+def test_unigram_encode_vocab_bounded_no_cartesian(spark):
+    """Unigram encode's scale contract: the only nested-loop shape is
+    the 1-row broadcast vocab fold (never CartesianProduct), the
+    word-keyed map join is an equi-join, and the corpus collapses
+    through hash aggregates with map-side partials."""
+    df = llm.unigram_encode(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_ivf_retrain_loop_broadcast_assignment_no_cartesian(spark):
+    """The maintenance loop's scale contract: every assignment rides
+    the 1-row broadcast centroid fold, the probe join is an
+    equi-join, and no stage goes cartesian (the exact baseline is
+    the bounded broadcast-query scan)."""
+    import tempfile
+
+    df = llm.ivf_retrain_loop(
+        spark, SF_SMOKE, index_path=tempfile.mkdtemp(prefix="ivf_pin_")
+    )
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.uses_broadcast_join(df)
