@@ -1128,8 +1128,10 @@ _IMG_PHASH_BAND_OR = " OR ".join(
     for b in range(IMG_PHASH_BANDS)
 )
 
-_IMG_PHASH_SQL = f"""
-WITH {_IMG_PHASH_CELLS}
+# the report tail is fingerprint-agnostic — any prefix ending in a
+# `grp(phash, n, keeper)` CTE (image dHash, audio segment hash)
+# shares it: exact-mass arithmetic + banded-Hamming near pairs
+_PHASH_REPORT_TAIL = f"""
 SELECT h_a, h_b, hamming, n_a, n_b, pair_weight, keeper_a, keeper_b
 FROM (
   SELECT phash AS h_a, phash AS h_b, 0 AS hamming,
@@ -1147,6 +1149,130 @@ FROM (
   WHERE bit_count(xor(a.phash, b.phash)) <= {IMG_PHASH_HAM_T}
 )
 ORDER BY h_a, h_b
+"""
+
+_IMG_PHASH_SQL = f"""
+WITH {_IMG_PHASH_CELLS}
+{_PHASH_REPORT_TAIL}
+"""
+
+
+AUD_FP_G = IMG_PHASH_G * (IMG_PHASH_G - 1) + 1  # 57 boxes → 56 bits
+
+
+def audio_fingerprint(wavs: DataFrame) -> DataFrame:
+    """Per-clip 56-bit acoustic fingerprint from REAL PCM16 bytes —
+    the audio sibling of ``image_phash`` (dHash on the time axis,
+    the Chromaprint/AcoustID family's simplest honest member): walk
+    the RIFF chunks to the samples, box-mean them into AUD_FP_G
+    equal segments (floor boundaries, TRUNCATING integer division —
+    the engine DIV semantics, samples are signed), one bit per
+    adjacent-segment comparison (right mean > left mean), packed
+    LSB-first into one BIGINT. Amplitude-scale and DC-offset
+    invariant (both preserve every comparison) — the two loudness
+    edits a re-encode applies. Clips shorter than AUD_FP_G samples
+    would leave empty segments; the fixture generator's shortest
+    clip (400 samples) clears it — a deploy pads or skips.
+
+    Output: media_id, phash."""
+    G = AUD_FP_G
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                off, data_off, data_len = 12, None, None
+                while off + 8 <= len(payload):
+                    cid, clen = _struct.unpack_from("<4sI", payload, off)
+                    if cid == b"data":
+                        data_off, data_len = off + 8, clen
+                        break
+                    off += 8 + clen + (clen & 1)
+                if data_off is None:
+                    raise ValueError("WAVE payload has no data chunk")
+                s = np.frombuffer(
+                    payload, dtype="<i2", count=data_len // 2, offset=data_off
+                ).astype(np.int64)
+                n = s.size
+                seg_of = (np.arange(n) * G) // n
+                m = np.empty(G, dtype=np.int64)
+                for g in range(G):
+                    box = s[seg_of == g]
+                    tot = int(box.sum())
+                    # TRUNCATING div (Spark DIV / DuckDB // semantics;
+                    # Python // floors, which differs on negatives)
+                    m[g] = abs(tot) // box.size * (1 if tot >= 0 else -1)
+                h = 0
+                for k in range(G - 1):
+                    if m[k + 1] > m[k]:
+                        h |= 1 << k
+                out.append((int(row["media_id"]), h))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return wavs.mapInPandas(_fp, schema="media_id long, phash long")
+
+
+def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO NEAR-DUP DEDUP — completes the perceptual-dedup triangle
+    (text: 10 strategies; stills: ``image_dedup_phash``; video:
+    ``video_frame_dedup``; audio: this): segment-mean fingerprints
+    from real decoded WAV bytes (``audio_fingerprint``), then the
+    SAME skew-proof hash-level report (``phash_dedup_report`` — the
+    report is fingerprint-agnostic by construction): exact-group
+    collapse, banded Hamming near-match over distinct fingerprints,
+    arithmetic pair masses.
+
+    Oracle recomputes every fingerprint from the generator's
+    closed-form samples (((id·7 + i·13) mod 65536) − 32768) — a
+    chunk-walk slip, a truncation-vs-floor slip on negative sums, or
+    a bit-pack slip hash-mismatches.
+
+    Fixture honesty: every fixture clip is a sub-period RAMP whose
+    phase (id·7, ids ≤ ~500) never wraps mid-clip, so all clips
+    fingerprint identically and the report is one exact-group mass
+    row — correct, and exactly why the exact branch must be
+    arithmetic (167 clips → 13 861 pairs from ONE row). Near-pair
+    behavior is exercised by the planted pytest (scaled / shifted /
+    perturbed clips) and by the synth-gate corpus, whose larger ids
+    wrap mid-clip and diversify the fingerprints.
+
+    Output: h_a, h_b, hamming, n_a, n_b, pair_weight, keeper_a,
+    keeper_b."""
+    wavs = synth_media_encoded(spark, sf_dir).filter(F.col("fmt") == "wav")
+    return phash_dedup_report(audio_fingerprint(wavs))
+
+
+_AUD_FP_SQL = f"""
+WITH clips AS (
+  SELECT doc_id AS media_id, 400 + (doc_id % 13) * 64 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), segs AS (
+  SELECT media_id,
+         (i * {AUD_FP_G}) // n AS g,
+         ((media_id * 7 + i * 13) % 65536) - 32768 AS v
+  FROM clips, unnest(generate_series(0, n - 1)) AS ui(i)
+), cells AS (
+  SELECT media_id, g, (sum(v) // count(*))::BIGINT AS m
+  FROM segs GROUP BY 1, 2
+), ph AS (
+  SELECT media_id,
+         sum(CASE WHEN nxt > m THEN (1::BIGINT << g::INT) ELSE 0 END)::BIGINT
+           AS phash
+  FROM (
+    SELECT media_id, g, m,
+           lead(m) OVER (PARTITION BY media_id ORDER BY g) AS nxt
+    FROM cells
+  )
+  WHERE g < {AUD_FP_G - 1}
+  GROUP BY 1
+), grp AS (
+  SELECT phash, count(*)::BIGINT AS n, min(media_id) AS keeper
+  FROM ph GROUP BY 1
+)
+{_PHASH_REPORT_TAIL}
 """
 
 
@@ -1704,6 +1830,7 @@ QUERIES = {
     "image_histogram_real": image_histogram_real,
     "image_resize_real": image_resize_real,
     "image_dedup_phash": image_dedup_phash,
+    "audio_dedup_fingerprint": audio_dedup_fingerprint,
     "audio_resample_real": audio_resample_real,
     "audio_features": audio_features,
     "multimodal_pipeline": media_feature_stats,
@@ -1720,6 +1847,7 @@ ORACLES = {
     "image_histogram_real": _IMG_HIST_SQL,
     "image_resize_real": _IMG_RESIZE_SQL,
     "image_dedup_phash": _IMG_PHASH_SQL,
+    "audio_dedup_fingerprint": _AUD_FP_SQL,
     "audio_resample_real": _AUDIO_RESAMPLE_SQL,
     "audio_features": _AUDIO_FEATURES_SQL,
     "multimodal_pipeline": """

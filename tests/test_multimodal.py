@@ -503,3 +503,70 @@ def test_image_dedup_phash_planted_near_dups(spark):
     assert nr.hamming == ham and nr.pair_weight == 2 * 1
     # the unrelated image appears in no row
     assert all(3 not in (r.keeper_a, r.keeper_b) for r in report)
+
+
+def _raw_wav(samples) -> bytes:
+    """Spec-compliant PCM16 WAV from an arbitrary int16 array, with a
+    LIST chunk planted BEFORE data — the planted-corpus encoder, and
+    a standing test that the chunk walk really walks."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    lst = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    dat = struct.pack("<4sI", b"data", len(data)) + data
+    body = b"WAVE" + fmt + lst + dat
+    return struct.pack("<4sI", b"RIFF", 4 + len(body) - 8 + 8) + body
+
+
+def test_audio_dedup_fingerprint_planted_near_dups(spark):
+    """The acoustic-fingerprint contract on planted clips: an
+    amplitude-scaled copy and a DC-shifted copy fingerprint
+    IDENTICALLY (segment-mean comparisons are scale- and
+    shift-invariant), a clip with one segment boosted lands within
+    Hamming <= 3, and an unrelated clip pairs with nothing — all
+    through payloads whose chunk layout includes a LIST chunk."""
+    import numpy as np
+
+    G = mm.AUD_FP_G
+    n = 570  # 10 samples per segment exactly
+    rng = np.random.RandomState(3)
+    base = rng.randint(-3000, 3000, size=n).astype(np.int64)
+    # pin segments 20..22 so the boost below flips exactly 2 bits
+    base[200:210] = 1800   # seg 20
+    base[210:220] = -1500  # seg 21
+    base[220:230] = 400    # seg 22
+    scaled = base * 2            # same comparisons
+    shifted = base + 500         # same comparisons
+    near = base.copy()
+    near[210:220] = 30000        # seg 21 now far above 20 and 22
+    unrelated = rng.randint(-30000, 30000, size=n).astype(np.int64)
+
+    rows = [
+        (0, "audio", "wav", bytearray(_raw_wav(base)), None, None, 8000, 71),
+        (1, "audio", "wav", bytearray(_raw_wav(scaled)), None, None, 8000, 71),
+        (2, "audio", "wav", bytearray(_raw_wav(shifted)), None, None, 8000, 71),
+        (3, "audio", "wav", bytearray(_raw_wav(near)), None, None, 8000, 71),
+        (4, "audio", "wav", bytearray(_raw_wav(unrelated)), None, None, 8000, 71),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, fmt string, payload binary, "
+        "width int, height int, sample_rate int, duration_ms int",
+    )
+    fp = {r.media_id: r.phash for r in mm.audio_fingerprint(df).collect()}
+    assert fp[0] == fp[1] == fp[2]  # scale + shift invariance
+    ham = bin(fp[0] ^ fp[3]).count("1")
+    assert 1 <= ham <= mm.IMG_PHASH_HAM_T
+
+    report = mm.phash_dedup_report(mm.audio_fingerprint(df)).collect()
+    exact = [r for r in report if r.h_a == r.h_b]
+    near_rows = [r for r in report if r.h_a != r.h_b]
+    assert len(exact) == 1 and exact[0].n_a == 3 and exact[0].keeper_a == 0
+    assert exact[0].pair_weight == 3  # C(3,2)
+    assert len(near_rows) == 1
+    assert {near_rows[0].keeper_a, near_rows[0].keeper_b} == {0, 3}
+    assert near_rows[0].pair_weight == 3 * 1
+    assert all(4 not in (r.keeper_a, r.keeper_b) for r in report)

@@ -344,8 +344,13 @@ PROBES = [
     "dedup_minhash_int",
     "remove_dup_spans",
     "bpe_encode",
-    # round-10 additions: the on-ingest banded near-dup tier
+    # round-10 additions: the on-ingest banded near-dup tier, the
+    # perceptual dedup legs, the unigram tokenizer, the IVF loop
     "stream_dedup_docs_lsh",
+    "image_dedup_phash",
+    "audio_dedup_fingerprint",
+    "unigram_encode",
+    "ivf_retrain_loop",
 ]
 
 # Probe a subset without editing the list: SCALE_PROBE_ONLY=a,b,c
