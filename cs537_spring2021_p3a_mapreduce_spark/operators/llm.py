@@ -5903,6 +5903,145 @@ T5_START_MOD = 18  # P(span start)=1/18; with span 3 → ~15% masked (T5's densi
 T5_SPAN = 3  # tokens covered by each span start (overlaps merge)
 
 
+FIM_MIN_TOK = 4  # docs shorter than this stay plain (no FIM split)
+FIM_RATE_PCT = 90  # fraction of eligible docs FIM-transformed
+
+
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL-IN-THE-MIDDLE training examples (Bavarian et al. 2022,
+    arXiv:2207.14255 — the data transform every code LLM ships):
+    each document's token stream is split at two hash-driven points
+    into (prefix, middle, suffix) and re-emitted with sentinels so
+    the model learns to infill — PSM order
+    ``<PRE> prefix <SUF> suffix <MID> middle`` or SPM order
+    ``<SUF> suffix <PRE> prefix <MID> middle`` (mode hash-chosen
+    50/50, the paper's joint training). FIM_RATE_PCT% of eligible
+    docs transform (the paper's ~90% FIM rate); the rest — and docs
+    under FIM_MIN_TOK tokens — pass through as ``plain`` (document
+    order intact), exactly the mixed batch the trainer consumes.
+
+    Cut points from md5(doc_id:salt) folds (the deterministic
+    stand-in for the trainer's RNG, the ``t5_span_corruption``
+    seam): p1 ∈ [1, n−1], p2 ∈ [p1, n]; middle and suffix may be
+    empty — the paper keeps empty spans (the model must learn to
+    emit an immediate <EOT> for them).
+
+    Shape at 100 TB: entirely inside the token array of one row —
+    three slices and a concat; zero shuffles beyond the output sort;
+    scan-bound like every on-the-fly example transform. The oracle
+    replays cuts, slices, sentinel orders, and the md5 witness of
+    the exact emitted stream.
+
+    Output: doc_id, mode, p1, p2, n_tokens, fim_hash.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ts")).where(
+        F.size("ts") >= 1
+    )
+
+    def h(salt: str) -> str:
+        return (
+            f"cast(conv(substring(md5(concat(cast(doc_id as string), "
+            f"':{salt}')), 1, 12), 16, 10) as bigint)"
+        )
+
+    n = "size(ts)"
+    fimmed = f"{n} >= {FIM_MIN_TOK} AND pmod({h('r')}, 100) < {FIM_RATE_PCT}"
+    p1 = f"1 + pmod({h('a')}, {n} - 1)"
+    p2 = f"p1 + pmod({h('b')}, {n} - p1 + 1)"
+    out = (
+        toks.withColumn("fimmed", F.expr(fimmed))
+        .withColumn("p1", F.expr(f"CASE WHEN fimmed THEN {p1} ELSE 0 END"))
+        .withColumn("p2", F.expr(f"CASE WHEN fimmed THEN {p2} ELSE 0 END"))
+        .withColumn(
+            "mode",
+            F.expr(
+                "CASE WHEN NOT fimmed THEN 'plain' "
+                f"WHEN pmod({h('m')}, 2) = 0 THEN 'psm' ELSE 'spm' END"
+            ),
+        )
+        .withColumn(
+            "stream",
+            F.expr(
+                "CASE WHEN mode = 'plain' THEN ts "
+                "WHEN mode = 'psm' THEN concat("
+                "array('<PRE>'), slice(ts, 1, p1), "
+                "array('<SUF>'), slice(ts, p2 + 1, size(ts) - p2), "
+                "array('<MID>'), slice(ts, p1 + 1, p2 - p1)) "
+                "ELSE concat("
+                "array('<SUF>'), slice(ts, p2 + 1, size(ts) - p2), "
+                "array('<PRE>'), slice(ts, 1, p1), "
+                "array('<MID>'), slice(ts, p1 + 1, p2 - p1)) END"
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "mode",
+        F.col("p1").cast("long").alias("p1"),
+        F.col("p2").cast("long").alias("p2"),
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "stream")).alias("fim_hash"),
+    ).orderBy("doc_id")
+
+
+def _fim_h_sql(salt: str) -> str:
+    from .dedup import _md5_fold_sql
+
+    return _md5_fold_sql(f"doc_id::VARCHAR || ':{salt}'", 1, 12)
+
+
+_FIM_SQL: str  # built below once _fim_h_sql is defined
+
+
+def _fim_sql() -> str:
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), base AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         len(ts) >= {FIM_MIN_TOK}
+           AND ({_fim_h_sql('r')}) % 100 < {FIM_RATE_PCT} AS fimmed
+  FROM arr WHERE len(ts) >= 1
+), cuts AS (
+  SELECT doc_id, ts, n, fimmed,
+         CASE WHEN fimmed
+           THEN 1 + ({_fim_h_sql('a')}) % (n - 1) ELSE 0 END AS p1
+  FROM base
+), cuts2 AS (
+  SELECT doc_id, ts, n, fimmed, p1,
+         CASE WHEN fimmed
+           THEN p1 + ({_fim_h_sql('b')}) % (n - p1 + 1)
+           ELSE 0 END AS p2,
+         CASE WHEN NOT fimmed THEN 'plain'
+              WHEN ({_fim_h_sql('m')}) % 2 = 0 THEN 'psm'
+              ELSE 'spm' END AS mode
+  FROM cuts
+), streams AS (
+  SELECT doc_id, mode, p1, p2, n,
+         CASE WHEN mode = 'plain' THEN ts
+              WHEN mode = 'psm' THEN
+                ['<PRE>'] || ts[1:p1] || ['<SUF>'] || ts[p2+1:n]
+                  || ['<MID>'] || ts[p1+1:p2]
+              ELSE
+                ['<SUF>'] || ts[p2+1:n] || ['<PRE>'] || ts[1:p1]
+                  || ['<MID>'] || ts[p1+1:p2]
+         END AS stream
+  FROM cuts2
+)
+SELECT doc_id, mode, p1::BIGINT AS p1, p2::BIGINT AS p2,
+       n::BIGINT AS n_tokens,
+       md5(array_to_string(stream, ' ')) AS fim_hash
+FROM streams
+ORDER BY doc_id
+"""
+
+
+_FIM_SQL = _fim_sql()
+
+
 def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN-CORRUPTION training examples (Raffel et al. 2020, T5 —
     the denoising objective; same construction family as seqio's
@@ -7706,6 +7845,7 @@ QUERIES = {
     "bpe_encode": bpe_encode,
     "tokenizer_fertility": tokenizer_fertility,
     "ivf_retrain_loop": ivf_retrain_loop,
+    "fim_transform": fim_transform,
     "unigram_train": unigram_train,
     "unigram_encode": unigram_encode,
     "tokenizer_fertility_compare": tokenizer_fertility_compare,
@@ -7812,6 +7952,7 @@ FROM g
     "bpe_encode": _BPE_ENCODE_SQL,
     "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
     "ivf_retrain_loop": _IVF_RETRAIN_LOOP_SQL,
+    "fim_transform": _FIM_SQL,
     "unigram_train": _UNIGRAM_TRAIN_SQL,
     "unigram_encode": _UNIGRAM_ENCODE_SQL,
     "tokenizer_fertility_compare": _TOKENIZER_FERTILITY_COMPARE_SQL,

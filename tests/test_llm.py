@@ -2131,3 +2131,58 @@ def test_ivf_retrain_loop_balanced_corpus_does_not_retrain(spark, tmp_path):
     assert out[0].imb_milli == 1000  # perfectly balanced
     assert not os.path.exists(os.path.join(path, "_MANIFEST.g2"))
     assert os.path.exists(os.path.join(path, "_MANIFEST.g1"))
+
+
+def test_fim_transform_roundtrip_and_modes(spark):
+    """FIM contract on a planted corpus: every emitted stream
+    reconstructs its original document exactly (split sentinels,
+    reorder, splice back), cut points are in-range, short docs pass
+    through plain, and the md5 witness matches a from-scratch Python
+    reconstruction of the same hash-driven construction."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(3 + i % 9)), "en", "t", 0)
+            for i in range(40)]
+    rows.append((100, "a b", "en", "t", 0))  # < FIM_MIN_TOK → plain
+    d = tempfile.mkdtemp(prefix="fim_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    def fold(doc_id, salt):
+        return int(
+            hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:12], 16
+        )
+
+    got = {r.doc_id: r for r in llm.fim_transform(spark, d).collect()}
+    toks_by_id = {i: t.split() for i, t, *_ in rows}
+    n_modes = {"psm": 0, "spm": 0, "plain": 0}
+    for doc_id, ts in toks_by_id.items():
+        r = got[doc_id]
+        n = len(ts)
+        n_modes[r.mode] += 1
+        if n < llm.FIM_MIN_TOK or fold(doc_id, "r") % 100 >= llm.FIM_RATE_PCT:
+            assert r.mode == "plain" and (r.p1, r.p2) == (0, 0)
+            stream = ts
+        else:
+            p1 = 1 + fold(doc_id, "a") % (n - 1)
+            p2 = p1 + fold(doc_id, "b") % (n - p1 + 1)
+            assert (r.p1, r.p2) == (p1, p2)
+            assert 1 <= p1 <= p2 <= n
+            pre, mid, suf = ts[:p1], ts[p1:p2], ts[p2:]
+            if fold(doc_id, "m") % 2 == 0:
+                assert r.mode == "psm"
+                stream = ["<PRE>"] + pre + ["<SUF>"] + suf + ["<MID>"] + mid
+            else:
+                assert r.mode == "spm"
+                stream = ["<SUF>"] + suf + ["<PRE>"] + pre + ["<MID>"] + mid
+            # round-trip: splice the pieces back together
+            assert pre + mid + suf == ts
+        assert r.fim_hash == hashlib.md5(" ".join(stream).encode()).hexdigest()
+        assert r.n_tokens == n
+    # both FIM orders and the plain path all actually occur
+    assert all(v > 0 for v in n_modes.values()), n_modes
