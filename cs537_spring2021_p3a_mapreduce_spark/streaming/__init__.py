@@ -1069,6 +1069,136 @@ FROM sigk GROUP BY 1
 """
 
 
+def stream_dedup_docs_minhash_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WATERMARK-BOUNDED deploy form of
+    ``stream_dedup_docs_minhash`` — the variant that entry's r9
+    docstring deferred to ("a TTL'd/windowed deploy"), now shipped:
+    the same per-row narrow integer-MinHash signature, deduped with
+    ``dropDuplicatesWithinWatermark`` on the signature
+    (``dedup_stream`` — the ``stream_dedup_events`` precedent), so
+    state is one row per distinct signature WITHIN THE WATERMARK
+    HORIZON, evicted as event time passes — bounded forever, unlike
+    the verification entry's complete-mode aggregate.
+
+    Determinism honesty: WHICH copy survives is arrival-order (the
+    first processed) — not a stable id — so the output projects the
+    signature column alone: the engine's guarantee is "exactly one
+    survivor per signature within the horizon", and the signature
+    SET is what the oracle pins (the fixture span sits far inside
+    the 7-day watermark, so no eviction perturbs it; a cross-horizon
+    duplicate re-emitting its signature is the documented bound, the
+    batch tier's job — the same trade as ``stream_dedup_docs_lsh``).
+
+    Output: sig (one row per distinct in-horizon signature).
+    """
+    import uuid
+
+    from ..functions.text import tokens
+    from ..operators.dedup import (
+        _MINHASH_INT_AB,
+        _MINHASH_INT_P,
+        SHINGLE_K,
+        _md5_fold,
+    )
+
+    work = scratch_dir("stream_mhb_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = spark.readStream.schema(schema).parquet(src)
+    toks = docs.select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(_LSH_EV_EPOCH) + F.col("doc_id")).alias(
+            "ev"
+        ),
+        tokens("text").alias("toks"),
+    )
+    arr = F.col("toks")
+    n_windows = F.size(arr) - (SHINGLE_K - 1)
+    sliding = F.when(
+        n_windows >= 1, F.sequence(F.lit(0), n_windows - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    shingle_arr = F.transform(
+        sliding,
+        lambda i: F.concat_ws(
+            "\x1f", *[F.get(arr, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+    folds = F.transform(
+        shingle_arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    hashed = toks.select("doc_id", "ev", folds.alias("hs")).where(
+        F.size("hs") >= 1
+    )
+    mins = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> pmod({a} * h + {b}, {_MINHASH_INT_P}))")
+        ).alias(f"m{s}")
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    ]
+    sigs = hashed.select("doc_id", "ev", *mins)
+    sig = _md5_fold(
+        F.concat_ws(",", *[F.col(f"m{s}") for s in range(len(_MINHASH_INT_AB))]),
+        1,
+        12,
+    )
+    survivors = dedup_stream(
+        sigs.select("doc_id", "ev", sig.alias("sig")),
+        key="sig",
+        ts_col="ev",
+        watermark=LSH_WATERMARK,
+    )
+    name = f"stream_mhb_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        survivors.select("sig"),
+        name,
+        os.path.join(work, "ckpt"),
+        "append",
+        shuffle_partitions=8,
+    )
+    return spark.table(name).orderBy("sig")
+
+
+def _stream_dedup_docs_minhash_bounded_sql() -> str:
+    from ..operators.dedup import (
+        _MINHASH_INT_AB,
+        _MINHASH_INT_P,
+        SHINGLE_K,
+        _md5_fold_sql,
+    )
+
+    sh_expr = " || chr(31) || ".join(f"ts[i+{j}]" for j in range(SHINGLE_K))
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_INT_P})::BIGINT AS m{s}"
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    )
+    sig_fold = _md5_fold_sql(
+        " || ',' || ".join(f"m{s}" for s in range(len(_MINHASH_INT_AB))), 1, 12
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), win AS (
+  SELECT doc_id, {sh_expr} AS sh
+  FROM arr,
+       unnest(generate_series(1, greatest(len(ts) - {SHINGLE_K - 1}, 0))) AS u(i)
+), hashed AS (
+  SELECT doc_id, {_md5_fold_sql("sh", 1, 12)} AS h FROM win
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+)
+SELECT DISTINCT {sig_fold} AS sig FROM sigs ORDER BY sig
+"""
+
+
 # On-ingest near-dup horizon: a doc is checked against arrivals up to
 # this many seconds of event time before it. THE state bound — a
 # banded near-dup check against ALL history needs unbounded state by
@@ -2241,6 +2371,7 @@ QUERIES = {
     "stream_gopher_filter": stream_gopher_filter,
     "stream_dedup_docs_minhash": stream_dedup_docs_minhash,
     "stream_dedup_docs_lsh": stream_dedup_docs_lsh,
+    "stream_dedup_docs_minhash_bounded": stream_dedup_docs_minhash_bounded,
     "stream_ivf_assign": stream_ivf_assign,
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
@@ -2286,6 +2417,10 @@ ORACLES = {
     # stage, the batch 8x4 banding + candidate-scoped exact-Jaccard
     # verify restricted to the implemented ingest horizon
     "stream_dedup_docs_lsh": _stream_dedup_docs_lsh_sql(),
+    # the bounded deploy form guarantees exactly one survivor per
+    # in-horizon signature; the deterministic contract is the SET of
+    # signatures (survivor ids are arrival-order)
+    "stream_dedup_docs_minhash_bounded": _stream_dedup_docs_minhash_bounded_sql(),
     # on-ingest cell routing must reproduce the batch IVF twin's
     # assignment stage exactly (same centroids, same tie-breaks)
     "stream_ivf_assign": _stream_ivf_assign_sql(),

@@ -807,3 +807,118 @@ def test_stream_ivf_assign_partitions_whole_corpus(spark):
     assert len(out) <= IVF_INT_K
     assert len({r.cell for r in out}) == len(out)
     assert all(0 <= r.cell < IVF_INT_K and r.min_vec_id >= 0 for r in out)
+
+
+def test_bounded_minhash_dedup_horizon_reemission_and_eviction(spark, tmp_path):
+    """The bounded signature dedup's state contract, on a staged
+    multi-batch drain of the SAME composition the registered entry
+    ships (per-row signature → dedup_stream on sig): an in-horizon
+    signature-identical copy is dropped, a copy arriving AFTER the
+    watermark passed the first copy's state re-emits its signature
+    (the documented horizon bound — the batch tier's job), and the
+    dedup state-store metrics show rows leaving."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cs537_spring2021_p3a_mapreduce_spark.functions.text import tokens
+    from cs537_spring2021_p3a_mapreduce_spark.operators.dedup import (
+        _MINHASH_INT_AB,
+        _MINHASH_INT_P,
+        SHINGLE_K,
+        _md5_fold,
+    )
+    from cs537_spring2021_p3a_mapreduce_spark.streaming import (
+        _LSH_EV_EPOCH,
+        dedup_stream,
+        run_to_memory,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, body),                       # original
+        (100, body),                     # in-horizon copy: dropped
+        (1_000_000, "z1 z2 z3 z4 z5"),   # filler: advances watermark
+        # second filler batch: state EVICTION runs at end-of-batch
+        # with that batch's watermark, one batch behind the data that
+        # advanced it — the original's state leaves after this one
+        (1_500_000, "y1 y2 y3 y4 y5"),
+        (2_000_000, body),               # post-horizon copy: re-emits
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, (doc_id, text) in enumerate(rows):
+        d = tmp_path / f"doc{i}"
+        spark.createDataFrame(
+            [(doc_id, text)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        dst = str(src / f"part-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(_LSH_EV_EPOCH) + F.col("doc_id")).alias("ev"),
+        tokens("text").alias("toks"),
+    )
+    arr = F.col("toks")
+    nw = F.size(arr) - (SHINGLE_K - 1)
+    sh = F.transform(
+        F.when(nw >= 1, F.sequence(F.lit(0), nw - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.concat_ws(
+            "\x1f", *[F.get(arr, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+    folds = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+    )
+    hashed = toks.select("doc_id", "ev", folds.alias("hs")).where(
+        F.size("hs") >= 1
+    )
+    mins = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> pmod({a} * h + {b}, {_MINHASH_INT_P}))")
+        ).alias(f"m{s}")
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    ]
+    sig = _md5_fold(
+        F.concat_ws(",", *[F.col(f"m{s}") for s in range(len(_MINHASH_INT_AB))]),
+        1,
+        12,
+    )
+    sigs = hashed.select("doc_id", "ev", *mins).select(
+        "doc_id", "ev", sig.alias("sig")
+    )
+    survivors = dedup_stream(sigs, key="sig", ts_col="ev", watermark="100 seconds")
+    name = f"mhb_evict_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        survivors.select("doc_id", "sig"),
+        name,
+        str(tmp_path / "ckpt"),
+        "append",
+        shuffle_partitions=4,
+    )
+    out = spark.table(name).collect()
+    by_doc = {r.doc_id for r in out}
+    assert 0 in by_doc          # first copy survives
+    assert 100 not in by_doc    # in-horizon duplicate dropped
+    assert 2_000_000 in by_doc  # post-horizon copy re-emits (the bound)
+    body_sig = [r.sig for r in out if r.doc_id == 0][0]
+    assert [r.sig for r in out if r.doc_id == 2_000_000] == [body_sig]
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0  # signature state rows really evicted
