@@ -5692,6 +5692,160 @@ QCLF_MULT = 2654435761  # Knuth 2^32 multiplicative constant
 QCLF_SPAN = 2001  # weights span [-1000, 1000]
 
 
+QCLF_EPOCHS = 3  # batch-perceptron training epochs
+
+
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier — the step
+    ``quality_classifier_linear`` takes as given (its docstring's "a
+    trained model drops its real weight vector into the same seam"):
+    a BATCH PERCEPTRON over the same hashed bag-of-words features
+    (CCNet/DCLM train exactly this model family; target class =
+    ``lang = 'en'`` docs, the "looks like the reference corpus"
+    supervision CCNet uses). Perceptron, not logistic: the update
+    w ← w + Σ_mistakes y·x is pure INTEGER arithmetic, so every
+    epoch replays engine-exactly — a sigmoid would put libm between
+    the engines (the house IEEE-determinism rule).
+
+    Per epoch: score every doc under the current weights (narrow —
+    the 1-row broadcast weight array, per-token bucket lookup inside
+    ONE ``aggregate`` over the token array, zero explode), find
+    mistakes (y·logit ≤ 0), and apply the summed update (ONE
+    ≤QCLF_DIM-key map-side-combinable aggregate, rebuilt into the
+    next 1-row weight array, localCheckpointed — the
+    ``bpe_train_merges``/kmeans loop discipline). Per-epoch cost at
+    100 TB: one corpus scan + one 256-key shuffle.
+
+    Output: epoch, n_mistakes (under the epoch's incoming weights),
+    w_l1 (Σ|w| after the update), w_hash (md5 of the weight vector —
+    the driver-checkable witness that training is bit-identical).
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = (
+        "aggregate(filter(split(tok, ''), c -> c <> ''), 0L, "
+        f"(a, c) -> (a * {FP_BASE} + ascii(c)) % {FP_MOD})"
+    )
+    feats = track_persist(
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1)
+            .otherwise(-1)
+            .cast("long")
+            .alias("y"),
+            tokens(F.lower("text")).alias("ts"),
+        ).select(
+            "doc_id",
+            "y",
+            F.expr(f"transform(ts, tok -> ({h}) % {QCLF_DIM})").alias("bs"),
+        )
+    )
+    wrow = spark.range(1).select(
+        F.expr(f"transform(sequence(0, {QCLF_DIM - 1}), b -> 0L)").alias("w")
+    )
+    stats = []
+    for e in range(1, QCLF_EPOCHS + 1):
+        scored = feats.crossJoin(F.broadcast(wrow)).withColumn(
+            "logit",
+            F.expr(
+                "aggregate(bs, 0L, (acc, b) -> "
+                "acc + element_at(w, cast(b + 1 as int)))"
+            ),
+        )
+        mist = scored.where(F.expr("y * logit <= 0"))
+        drow = (
+            mist.select("y", F.explode("bs").alias("b"))
+            .groupBy("b")
+            .agg(F.sum("y").alias("d"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("b", "d"))
+                ).alias("dm")
+            )
+        )
+        wrow = (
+            wrow.crossJoin(F.broadcast(drow))
+            .select(
+                F.expr(
+                    f"transform(sequence(0, {QCLF_DIM - 1}), b -> "
+                    "element_at(w, cast(b + 1 as int)) "
+                    "+ coalesce(element_at(dm, b), 0L))"
+                ).alias("w")
+            )
+            .localCheckpoint()
+        )
+        n_mist = mist.agg(F.count(F.lit(1)).alias("n_mistakes"))
+        stats.append(
+            n_mist.crossJoin(wrow).select(
+                F.lit(e).cast("long").alias("epoch"),
+                "n_mistakes",
+                F.expr("aggregate(w, 0L, (a, x) -> a + abs(x))").alias(
+                    "w_l1"
+                ),
+                F.expr(
+                    "md5(concat_ws(',', transform(w, x -> cast(x as string))))"
+                ).alias("w_hash"),
+            )
+        )
+    out = stats[0]
+    for df in stats[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("epoch")
+
+
+def _qclf_train_sql(epochs: int = QCLF_EPOCHS) -> str:
+    """Unrolled perceptron epochs as chained CTEs — same hash fold,
+    same integer updates, same witnesses."""
+    fold = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)), "
+        f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
+    )
+    sql = f"""
+WITH feats AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> ''),
+           tok -> ({fold}) % {QCLF_DIM}) AS bs
+  FROM documents
+), w0 AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {QCLF_DIM}), x -> 0::BIGINT) AS w
+)"""
+    for e in range(1, epochs + 1):
+        sql += f"""
+, sc{e} AS MATERIALIZED (
+  SELECT f.doc_id, f.y, f.bs,
+         coalesce(list_sum(list_transform(f.bs,
+           b -> w.w[(b + 1)::INT])), 0)::BIGINT AS logit
+  FROM feats f CROSS JOIN w{e - 1} w
+), dl{e} AS MATERIALIZED (
+  SELECT b, sum(y)::BIGINT AS d
+  FROM (SELECT y, unnest(bs) AS b FROM sc{e} WHERE y * logit <= 0)
+  GROUP BY 1
+), w{e} AS MATERIALIZED (
+  SELECT list(v ORDER BY b) AS w FROM (
+    SELECT gs.b, (w.w[(gs.b + 1)::INT] + coalesce(dl.d, 0))::BIGINT AS v
+    FROM generate_series(0, {QCLF_DIM - 1}) AS gs(b)
+    CROSS JOIN w{e - 1} w
+    LEFT JOIN dl{e} dl ON dl.b = gs.b)
+), st{e} AS (
+  SELECT {e}::BIGINT AS epoch,
+         (SELECT count(*)::BIGINT FROM sc{e} WHERE y * logit <= 0)
+           AS n_mistakes,
+         (SELECT list_sum(list_transform(w, x -> abs(x)))::BIGINT
+          FROM w{e}) AS w_l1,
+         (SELECT md5(array_to_string(w, ',')) FROM w{e}) AS w_hash
+)"""
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM st{e}" for e in range(1, epochs + 1)
+    )
+    return sql + f"\n{selects}\nORDER BY epoch"
+
+
+_QCLF_TRAIN_SQL = _qclf_train_sql()
+
+
 def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality classifier (Joulin et al. 2016,
     arXiv:1607.01759) — the model family behind CCNet/LLaMA-era
@@ -7790,6 +7944,7 @@ QUERIES = {
     "quantile_normalize_quality": quantile_normalize_quality,
     "feature_hash_vectors": feature_hash_vectors,
     "quality_classifier_linear": quality_classifier_linear,
+    "quality_classifier_train": quality_classifier_train,
     "dsir_importance_weights": dsir_importance_weights,
     "ngram_lm_score": ngram_lm_score,
     "winnow_fingerprints": winnow_fingerprints,
@@ -7868,6 +8023,7 @@ ORACLES = {
     "quantile_normalize_quality": _QNORM,
     "feature_hash_vectors": _FEATURE_HASH_SQL,
     "quality_classifier_linear": _QCLF_SQL,
+    "quality_classifier_train": _QCLF_TRAIN_SQL,
     "dsir_importance_weights": _DSIR_SQL,
     "ngram_lm_score": _LM_SQL,
     "winnow_fingerprints": _winnow_sql(),

@@ -2186,3 +2186,63 @@ def test_fim_transform_roundtrip_and_modes(spark):
         assert r.n_tokens == n
     # both FIM orders and the plain path all actually occur
     assert all(v > 0 for v in n_modes.values()), n_modes
+
+
+def test_quality_classifier_train_python_model_and_separable(spark):
+    """From-scratch batch perceptron on a planted corpus: every
+    epoch's mistake count, weight L1, and weight-vector md5 must
+    equal the independent Python model's — and on a linearly
+    separable corpus (disjoint class vocabularies) the mistakes must
+    reach 0 within the trained epochs."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = []
+    for i in range(12):
+        rows.append((i, f"good clean prose sample{i % 3}", "en", "t", 0))
+    for i in range(12, 24):
+        rows.append((i, f"zzq wwx vvy junk{i % 3}", "de", "t", 0))
+    d = tempfile.mkdtemp(prefix="qct_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    def bucket(tok: str) -> int:
+        h = 0
+        for ch in tok:
+            h = (h * llm.FP_BASE + ord(ch)) % llm.FP_MOD
+        return h % llm.QCLF_DIM
+
+    feats = [
+        (1 if lang == "en" else -1, [bucket(t) for t in text.lower().split()])
+        for _, text, lang, _, _ in rows
+    ]
+    w = [0] * llm.QCLF_DIM
+    want = []
+    for e in range(1, llm.QCLF_EPOCHS + 1):
+        mistakes = [
+            (y, bs)
+            for y, bs in feats
+            if y * sum(w[b] for b in bs) <= 0
+        ]
+        for y, bs in mistakes:
+            for b in bs:
+                w[b] += y
+        want.append(
+            (
+                e,
+                len(mistakes),
+                sum(abs(x) for x in w),
+                hashlib.md5(",".join(map(str, w)).encode()).hexdigest(),
+            )
+        )
+    got = [
+        (r.epoch, r.n_mistakes, r.w_l1, r.w_hash)
+        for r in llm.quality_classifier_train(spark, d).collect()
+    ]
+    assert got == want
+    # separable classes: training converges to zero mistakes
+    assert got[-1][1] == 0
