@@ -5792,6 +5792,183 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("epoch")
 
 
+def quality_filter_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained filter — closes the classifier lifecycle
+    (count → train → filter, the bpe count/train/encode pattern)
+    with the AVERAGED perceptron (Freund & Schapire 1999): the plain
+    batch perceptron OSCILLATES on non-separable data (the fixtures:
+    epoch mistakes 500 → 218 → 282, every raw snapshot collapsing to
+    one class), so the applied weights are the element-wise integer
+    mean of ALL epoch snapshots — the standard stabilizer, and pure
+    integer arithmetic (sum DIV count), so the whole lifecycle stays
+    engine-exact with zero control-plane scalars.
+
+    Fixture honesty: the five languages share one 31-token
+    vocabulary with heavily overlapping count distributions, so even
+    the averaged model keeps only 2 documents — all of them 'en'
+    (perfect precision, ~1% recall): the per-language keep table is
+    exactly the readout that tells a curation run this feature set
+    is too weak to deploy, which is the table's job. The planted
+    separable-corpus pytest shows the same lifecycle reaching 100%.
+
+    Output: lang, n_docs, n_keep, keep_micro (rate ×10⁶, integer).
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = (
+        "aggregate(filter(split(tok, ''), c -> c <> ''), 0L, "
+        f"(a, c) -> (a * {FP_BASE} + ascii(c)) % {FP_MOD})"
+    )
+    feats = track_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.when(F.col("lang") == "en", 1)
+            .otherwise(-1)
+            .cast("long")
+            .alias("y"),
+            tokens(F.lower("text")).alias("ts"),
+        ).select(
+            "doc_id",
+            "lang",
+            "y",
+            F.expr(f"transform(ts, tok -> ({h}) % {QCLF_DIM})").alias("bs"),
+        )
+    )
+    wrow = spark.range(1).select(
+        F.expr(f"transform(sequence(0, {QCLF_DIM - 1}), b -> 0L)").alias("w")
+    )
+    snapshots = [wrow]
+    for _ in range(QCLF_EPOCHS):
+        scored = feats.crossJoin(F.broadcast(wrow)).withColumn(
+            "logit",
+            F.expr(
+                "aggregate(bs, 0L, (acc, b) -> "
+                "acc + element_at(w, cast(b + 1 as int)))"
+            ),
+        )
+        drow = (
+            scored.where(F.expr("y * logit <= 0"))
+            .select("y", F.explode("bs").alias("b"))
+            .groupBy("b")
+            .agg(F.sum("y").alias("d"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("b", "d"))
+                ).alias("dm")
+            )
+        )
+        wrow = (
+            wrow.crossJoin(F.broadcast(drow))
+            .select(
+                F.expr(
+                    f"transform(sequence(0, {QCLF_DIM - 1}), b -> "
+                    "element_at(w, cast(b + 1 as int)) "
+                    "+ coalesce(element_at(dm, b), 0L))"
+                ).alias("w")
+            )
+            .localCheckpoint()
+        )
+        snapshots.append(wrow)
+    avg = snapshots[0].select(F.col("w").alias("w0"))
+    for i, sn in enumerate(snapshots[1:], start=1):
+        avg = avg.crossJoin(F.broadcast(sn.select(F.col("w").alias(f"w{i}"))))
+    terms = " + ".join(
+        f"element_at(w{i}, cast(b + 1 as int))"
+        for i in range(len(snapshots))
+    )
+    wavg = avg.select(
+        F.expr(
+            f"transform(sequence(0, {QCLF_DIM - 1}), b -> "
+            f"({terms}) DIV {len(snapshots)})"
+        ).alias("w")
+    )
+    final = feats.crossJoin(F.broadcast(wavg)).select(
+        "lang",
+        F.expr(
+            "aggregate(bs, 0L, (acc, b) -> "
+            "acc + element_at(w, cast(b + 1 as int)))"
+        ).alias("logit"),
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("logit") >= 0, 1).otherwise(0)
+            ).cast("long").alias("n_keep"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_keep",
+            F.expr("n_keep * 1000000 DIV n_docs").alias("keep_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _qclf_filter_sql(epochs: int = QCLF_EPOCHS) -> str:
+    """Training CTEs (re-stated with lang carried through) + the
+    averaged-weight build + scoring + the per-language rollup."""
+    fold = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)), "
+        f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
+    )
+    sql = f"""
+WITH feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> ''),
+           tok -> ({fold}) % {QCLF_DIM}) AS bs
+  FROM documents
+), w0 AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {QCLF_DIM}), x -> 0::BIGINT) AS w
+)"""
+    for e in range(1, epochs + 1):
+        sql += f"""
+, sc{e} AS MATERIALIZED (
+  SELECT f.doc_id, f.y, f.bs,
+         coalesce(list_sum(list_transform(f.bs,
+           b -> w.w[(b + 1)::INT])), 0)::BIGINT AS logit
+  FROM feats f CROSS JOIN w{e - 1} w
+), dl{e} AS MATERIALIZED (
+  SELECT b, sum(y)::BIGINT AS d
+  FROM (SELECT y, unnest(bs) AS b FROM sc{e} WHERE y * logit <= 0)
+  GROUP BY 1
+), w{e} AS MATERIALIZED (
+  SELECT list(v ORDER BY b) AS w FROM (
+    SELECT gs.b, (w.w[(gs.b + 1)::INT] + coalesce(dl.d, 0))::BIGINT AS v
+    FROM generate_series(0, {QCLF_DIM - 1}) AS gs(b)
+    CROSS JOIN w{e - 1} w
+    LEFT JOIN dl{e} dl ON dl.b = gs.b)
+)"""
+    terms = " + ".join(f"w{i}.w[i]" for i in range(epochs + 1))
+    froms = ", ".join(f"w{i}" for i in range(epochs + 1))
+    return sql + f"""
+, wavg AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {QCLF_DIM}), i ->
+    (({terms}) // {epochs + 1})::BIGINT) AS w
+  FROM {froms}
+), final AS (
+  SELECT f.lang,
+         coalesce(list_sum(list_transform(f.bs,
+           b -> w.w[(b + 1)::INT])), 0)::BIGINT AS logit
+  FROM feats f CROSS JOIN wavg w
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       (sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) * 1000000
+         // count(*))::BIGINT AS keep_micro
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
+_QCLF_FILTER_SQL = _qclf_filter_sql()
+
+
 def _qclf_train_sql(epochs: int = QCLF_EPOCHS) -> str:
     """Unrolled perceptron epochs as chained CTEs — same hash fold,
     same integer updates, same witnesses."""
@@ -7945,6 +8122,7 @@ QUERIES = {
     "feature_hash_vectors": feature_hash_vectors,
     "quality_classifier_linear": quality_classifier_linear,
     "quality_classifier_train": quality_classifier_train,
+    "quality_filter_trained": quality_filter_trained,
     "dsir_importance_weights": dsir_importance_weights,
     "ngram_lm_score": ngram_lm_score,
     "winnow_fingerprints": winnow_fingerprints,
@@ -8024,6 +8202,7 @@ ORACLES = {
     "feature_hash_vectors": _FEATURE_HASH_SQL,
     "quality_classifier_linear": _QCLF_SQL,
     "quality_classifier_train": _QCLF_TRAIN_SQL,
+    "quality_filter_trained": _QCLF_FILTER_SQL,
     "dsir_importance_weights": _DSIR_SQL,
     "ngram_lm_score": _LM_SQL,
     "winnow_fingerprints": _winnow_sql(),

@@ -2246,3 +2246,28 @@ def test_quality_classifier_train_python_model_and_separable(spark):
     assert got == want
     # separable classes: training converges to zero mistakes
     assert got[-1][1] == 0
+
+
+def test_quality_filter_trained_separable_corpus_filters_perfectly(spark):
+    """The full lifecycle on a separable planted corpus: the trained
+    (averaged) filter keeps every target-class doc and drops every
+    other — keep_micro 10⁶ for en, 0 for the rest."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = []
+    for i in range(12):
+        rows.append((i, f"good clean prose sample{i % 3}", "en", "t", 0))
+    for i in range(12, 24):
+        rows.append((i, f"zzq wwx vvy junk{i % 3}", "de", "t", 0))
+    d = tempfile.mkdtemp(prefix="qft_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r.lang: (r.n_docs, r.n_keep, r.keep_micro)
+        for r in llm.quality_filter_trained(spark, d).collect()
+    }
+    assert got == {"en": (12, 12, 1_000_000), "de": (12, 0, 0)}
