@@ -2305,8 +2305,138 @@ FROM stats CROSS JOIN cand CROSS JOIN med
 """
 
 
+def ks_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KOLMOGOROV–SMIRNOV two-sample test — the DISTRIBUTION-SHAPE
+    companion to ``mann_whitney_revenue`` (which only detects
+    location shift): is the full CDF of BUILDING-segment order
+    totals the same as MACHINERY's?  D = sup|F_a − F_b| is sensitive
+    to any difference — spread, tails, modality — the rank-sum test
+    misses.
+
+    Exactness discipline: the CDF gap at a value x is
+    |cum_a·n_b − cum_b·n_a| / (n_a·n_b), so the supremum is found on
+    the exact-long NUMERATOR (``d_num``) and only the final derived
+    metrics fold it through one fixed IEEE expression each:
+    ``d_micro`` by integer DIV, ``lambda_micro`` (the scaled KS
+    statistic λ = D·√(n_a·n_b/(n_a+n_b))) through +,*,/,sqrt —
+    all correctly-rounded IEEE ops, bit-identical across engines
+    (no exp/erf: the asymptotic p-value series needs libm exp, which
+    is NOT correctly rounded, so the decision is reported as the
+    exact α=0.05 threshold comparison λ > 1.358 instead).
+
+    Scale shape (same as Mann–Whitney): one map-side-combinable
+    aggregate at VALUE grain (group by cents), one cumulative window
+    over the DISTINCT-value relation (domain-bounded — bucket first
+    for unbounded domains), then a 1-row reduce.  Never a row-grain
+    global sort.  Integer bound: exact while n_a·n_b ≤ 2⁶³/10⁶
+    (~3M rows per side); beyond that quantize the per-value CDFs to
+    micro first.
+
+    Output: n_a, n_b, d_num, d_micro, lambda_micro, reject_05.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pool = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .where(F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B))
+        .select("cents", (F.col("c_mktsegment") == MW_SEG_A).alias("is_a"))
+    )
+    byval = pool.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.col("is_a").cast("long")).alias("ta"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = byval.select(
+        "cents",
+        "t",
+        "ta",
+        F.sum("ta").over(w).alias("cum_a"),
+        (F.sum("t").over(w) - F.sum("ta").over(w)).alias("cum_b"),
+    )
+    totals = byval.agg(
+        F.sum("ta").alias("n_a"), F.sum(F.col("t") - F.col("ta")).alias("n_b")
+    )
+    agg = (
+        cdf.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("d_num"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr("(d_num * 1000000) DIV (n_a * n_b)").alias("d_micro"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE))"
+            " * (CAST(d_num AS DOUBLE)"
+            "    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("lambda_micro"),
+        F.expr(
+            "CAST(CAST(floor(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE))"
+            " * (CAST(d_num AS DOUBLE)"
+            "    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+            " * 1000000.0) AS BIGINT) > 1358000 AS INT)"
+        ).alias("reject_05"),
+    )
+
+
+_KS_TEST_SQL = f"""
+WITH pool AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS cents,
+         (c_mktsegment = '{MW_SEG_A}') AS is_a
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+), byval AS (
+  SELECT cents, count(*)::BIGINT AS t, sum(is_a::BIGINT)::BIGINT AS ta
+  FROM pool GROUP BY 1
+), cdf AS (
+  SELECT cents,
+         sum(ta) OVER (ORDER BY cents)::BIGINT AS cum_a,
+         (sum(t) OVER (ORDER BY cents) - sum(ta) OVER (ORDER BY cents))::BIGINT
+           AS cum_b
+  FROM byval
+), totals AS (
+  SELECT sum(ta)::BIGINT AS n_a, sum(t - ta)::BIGINT AS n_b FROM byval
+), agg AS (
+  SELECT max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num,
+         max(n_a) AS n_a, max(n_b) AS n_b
+  FROM cdf CROSS JOIN totals
+)
+SELECT n_a, n_b, d_num,
+       (d_num * 1000000 // (n_a * n_b))::BIGINT AS d_micro,
+       CAST(floor(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                  * (CAST(d_num AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS lambda_micro,
+       CAST(CAST(floor(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE))
+                       * (CAST(d_num AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                       * 1000000.0) AS BIGINT) > 1358000 AS INT) AS reject_05
+FROM agg
+"""
+
+
 QUERIES = {
     "exact_median_selection": exact_median_selection,
+    "ks_test_revenue": ks_test_revenue,
     "mann_whitney_revenue": mann_whitney_revenue,
     "bootstrap_replica_means": bootstrap_replica_means,
     "status_consistency_audit": status_consistency_audit,
@@ -2337,6 +2467,7 @@ QUERIES = {
 
 ORACLES = {
     "exact_median_selection": _EXACT_MEDIAN_SQL,
+    "ks_test_revenue": _KS_TEST_SQL,
     "mann_whitney_revenue": _MANN_WHITNEY_SQL,
     "bootstrap_replica_means": _bootstrap_sql(),
     "status_consistency_audit": _STATUS_AUDIT_SQL,

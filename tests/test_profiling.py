@@ -453,6 +453,52 @@ def test_mann_whitney_planted_dominance_and_ties(spark):
     assert r.z_micro == math.floor(z * 1_000_000)
 
 
+def test_ks_test_planted_distributions(spark):
+    """Planted two-sample KS: (a) identical samples give D = 0 and no
+    rejection; (b) fully separated samples give D = 1 (d_num =
+    n_a*n_b); (c) a hand-computed mixed case reproduces the exact
+    supremum numerator and the scipy-checked lambda."""
+    import math
+    import os
+    import tempfile
+
+    def run(vals_a, vals_b):
+        d = tempfile.mkdtemp(prefix="ks_t_")
+        rows, cust = [], []
+        for i, v in enumerate(vals_a + vals_b):
+            seg = prof.MW_SEG_A if i < len(vals_a) else prof.MW_SEG_B
+            rows.append((i, i, float(v)))
+            cust.append((i, seg))
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            cust, "c_custkey long, c_mktsegment string"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        return prof.ks_test_revenue(spark, d).collect()[0]
+
+    # identical samples: D = 0
+    r = run([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])
+    assert (r.n_a, r.n_b, r.d_num, r.d_micro) == (3, 3, 0, 0)
+    assert r.reject_05 == 0
+
+    # complete separation: D = 1 at the boundary value
+    r = run([1.0, 2.0, 3.0], [10.0, 11.0, 12.0, 13.0])
+    assert (r.n_a, r.n_b) == (3, 4)
+    assert r.d_num == 3 * 4
+    assert r.d_micro == 1_000_000
+
+    # hand-computed mixed case: A = [1, 2, 3], B = [2, 3, 4].
+    # At x=1: |1*3 - 0*3| = 3; x=2: |2*3 - 1*3| = 3; x=3: |3*3-2*3|=3;
+    # x=4: |3*3 - 3*3| = 0 -> d_num = 3, D = 1/3.
+    r = run([1.0, 2.0, 3.0], [2.0, 3.0, 4.0])
+    assert r.d_num == 3
+    assert r.d_micro == 333_333
+    lam = math.sqrt(3 * 3 / 6.0) * (3 / 9.0)
+    assert r.lambda_micro == math.floor(lam * 1_000_000)
+    assert r.reject_05 == int(lam > 1.358)
+
+
 def test_grouped_percentile_selection_matches_sorted_truth(spark):
     from cs537_spring2021_p3a_mapreduce_spark.catalog import table
 
