@@ -897,6 +897,105 @@ ORDER BY 1
 """
 
 
+T_CLOSE_MICRO = 500_000  # max EMD between group and global sensitive dists
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE 2007,
+    "t-Closeness: Privacy Beyond k-Anonymity and l-Diversity") — the
+    check l-diversity misses: a QI group can span many distinct
+    sensitive values yet still leak if its DISTRIBUTION over them
+    differs sharply from the table-wide distribution (the skewness
+    attack — e.g. a group where rare high balances are 10× over-
+    represented).  For categorical sensitive values with uniform
+    ground distance the Earth-Mover's Distance reduces to total
+    variation: t(g) = ½·Σ_v |p_g(v) − p(v)|.
+
+    Exactness discipline: the per-value gap is
+    |c_gv·N − C_v·n_g| / (n_g·N), so t's numerator Σ|c_gv·N − C_v·n_g|
+    is an exact long (absent values contribute C_v·n_g — the dense
+    grid below makes that explicit) and t_micro quantizes through ONE
+    integer DIV.  Integer bound: exact while N² ≤ 2⁶³ (N ≤ 3·10⁹
+    customers — the dimension side; fact tables never carry the QI).
+
+    Scale shape: one map-side-combinable (QI, sensitive) count, two
+    domain-bounded rollups (per-QI sizes, per-value totals), then a
+    DENSE GRID = |QI domain| × |value domain| — data-INDEPENDENT
+    cardinality (125 × ~45 here), built by cross-joining the two tiny
+    broadcast relations, never by expanding rows.  One aggregate over
+    the grid finishes the audit; cost is one wordcount-shaped pass
+    at any corpus size.
+
+    Output (violating groups, farthest first): c_nationkey,
+    c_mktsegment, group_n, t_micro.
+    """
+    cust = table(spark, sf_dir, "customer")
+    band = F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+    obs = (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment", "sens")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    groups = obs.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("n_g")
+    )
+    values = obs.groupBy("sens").agg(F.sum("cnt").alias("c_v"))
+    total = obs.agg(F.sum("cnt").alias("n_total"))
+    grid = (
+        groups.crossJoin(F.broadcast(values))
+        .join(F.broadcast(obs), ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+    )
+    per_group = grid.groupBy("c_nationkey", "c_mktsegment", "n_g").agg(
+        F.sum(
+            F.abs(F.col("cnt") * F.col("n_total") - F.col("c_v") * F.col("n_g"))
+        ).alias("num"),
+        F.max("n_total").alias("n_total"),
+    )
+    return (
+        per_group.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_g").alias("group_n"),
+            F.expr("(num * 500000) DIV (n_g * n_total)").alias("t_micro"),
+        )
+        .where(F.col("t_micro") > T_CLOSE_MICRO)
+        .orderBy(F.desc("t_micro"), "c_nationkey", "c_mktsegment")
+    )
+
+
+_T_CLOSE_SQL = f"""
+WITH obs AS (
+  SELECT c_nationkey, c_mktsegment,
+         round(c_acctbal * 100)::BIGINT // 100000 AS sens,
+         count(*)::BIGINT AS cnt
+  FROM customer GROUP BY 1, 2, 3
+), g AS (
+  SELECT c_nationkey, c_mktsegment, sum(cnt)::BIGINT AS n_g
+  FROM obs GROUP BY 1, 2
+), v AS (SELECT sens, sum(cnt)::BIGINT AS c_v FROM obs GROUP BY 1),
+t AS (SELECT sum(cnt)::BIGINT AS n_total FROM obs),
+grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, v.sens, v.c_v,
+         coalesce(obs.cnt, 0)::BIGINT AS cnt
+  FROM g CROSS JOIN v
+  LEFT JOIN obs ON obs.c_nationkey = g.c_nationkey
+               AND obs.c_mktsegment = g.c_mktsegment AND obs.sens = v.sens
+), per AS (
+  SELECT c_nationkey, c_mktsegment, n_g,
+         sum(abs(cnt * n_total - c_v * n_g))::BIGINT AS num,
+         max(n_total) AS n_total
+  FROM grid CROSS JOIN t GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, n_g AS group_n,
+       (num * 500000 // (n_g * n_total))::BIGINT AS t_micro
+FROM per
+WHERE (num * 500000 // (n_g * n_total)) > {T_CLOSE_MICRO}
+ORDER BY t_micro DESC, c_nationkey, c_mktsegment
+"""
+
+
 def tpch_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H REFRESH STREAMS (the RF1 insert / RF2 delete half of
     the spec the 22 query archetypes come from) against the
@@ -1847,6 +1946,7 @@ QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
     "safe_release_view": safe_release_view,
+    "t_closeness_audit": t_closeness_audit,
     "multi_table_commit_roundtrip": multi_table_commit_roundtrip,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
@@ -1931,6 +2031,7 @@ ORACLES = {
     "k_anonymity_audit": _K_ANON_SQL,
     "l_diversity_audit": _L_DIV_SQL,
     "safe_release_view": _SAFE_RELEASE_SQL,
+    "t_closeness_audit": _T_CLOSE_SQL,
     "multi_table_commit_roundtrip": _MULTI_TABLE_SQL,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,

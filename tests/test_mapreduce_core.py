@@ -178,6 +178,53 @@ def test_l_diversity_flags_homogeneous_groups(spark):
     assert (2, "RAIL") not in got
 
 
+def test_t_closeness_flags_skewed_groups(spark):
+    """Planted customers: a group whose band distribution MIRRORS the
+    global one has t = 0 (never flagged) even though it is perfectly
+    l-diverse, while a group concentrated on one globally-rare band
+    is flagged with the hand-computed total-variation distance —
+    exactly the skewness attack t-closeness exists to catch."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators.mapreduce_core import (
+        t_closeness_audit,
+    )
+
+    rows = []
+    # nation 1 / AUTO: 6 members, bands 0..5 one each
+    rows += [(i, f"a{i}", 1, b * 1000.0 + 10.0, "AUTO") for i, b in enumerate(range(6))]
+    # nation 2 / RAIL: 6 members, same band profile -> mirrors global
+    # band shape of the AUTO group; combined global is uniform-ish
+    rows += [
+        (100 + i, f"r{i}", 2, b * 1000.0 + 20.0, "RAIL")
+        for i, b in enumerate(range(6))
+    ]
+    # nation 3 / MACH: 6 members ALL in band 9 (globally rare)
+    rows += [(200 + i, f"m{i}", 3, 9010.0 + i, "MACHINERY") for i in range(6)]
+    d = tempfile.mkdtemp(prefix="tclose_t_")
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in t_closeness_audit(spark, d).collect()
+    }
+    # global: bands 0..5 have 2/18 each, band 9 has 6/18.
+    # MACH group: p_g(9)=1 vs 6/18 -> gap 12/18; six bands 0..5
+    # contribute 2/18 each -> total 24/18; t = 12/18 = 2/3.
+    flagged = got[(3, "MACHINERY")]
+    assert flagged.group_n == 6
+    assert flagged.t_micro == (24 * 500_000 * 6 * 18) // (18 * 6 * 18) // 1
+    assert flagged.t_micro == 666_666
+    # AUTO/RAIL: p_g(b)=1/6 vs 2/18=1/9 for b in 0..5 (gap 1/18 each)
+    # and 0 vs 6/18 for band 9 -> sum = 6/18 + 6/18 = 12/18, t = 1/3
+    # -> under the 0.5 threshold, not flagged.
+    assert (1, "AUTO") not in got and (2, "RAIL") not in got
+
+
 def test_safe_release_partitions_suppressions(spark):
     """The release manifest's invariants at sf0.01: released +
     suppressed-by-k + suppressed-by-l = total per segment (the
