@@ -8102,8 +8102,102 @@ ORDER BY query_id, rank
 """
 
 
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE + FLESCH–KINCAID GRADE — the classic
+    readability pair (Flesch 1948; Kincaid et al. 1975), a standard
+    cheap curation signal beside `quality_score` / `gopher_quality_rules`:
+    corpora for instruction tuning are routinely bucketed by grade
+    level, and readability outliers (ease ≪ 0: run-on token soup;
+    ease ≈ 121.22 max: "a a a") flag extraction failures.
+
+    Deterministic syllable heuristic: a syllable is one VOWEL RUN
+    ``[aeiouy]+`` in the lowered text (vowel runs never span
+    whitespace, so one regexp count over the whole doc equals the
+    per-word sum — no explode). Sentences are ``[.!?]+`` runs,
+    floored at 1 (the sf fixtures' docs carry no punctuation — there
+    they read as single run-on sentences, honestly scored as such;
+    the pytest plants real punctuated text).
+
+    Exactness: counts are exact longs; both scores fold through
+    integer-DIV micro-quantization only —
+    ease_micro  = 206_835_000 − (w·1_015_000) DIV s − (sy·84_600_000) DIV w,
+    grade_micro = (w·390_000) DIV s + (sy·11_800_000) DIV w − 15_590_000 —
+    no floats anywhere, hash-exact by construction.
+
+    Scale shape: pure per-row (three regexp counts + arithmetic) —
+    zero shuffle at any corpus size.
+
+    Output: doc_id, n_words, n_sentences, n_syllables, ease_micro,
+    grade_micro, band.
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.lower("text"))).cast("long").alias("n_words"),
+        F.greatest(
+            F.expr("regexp_count(text, '[.!?]+')").cast("long"), F.lit(1)
+        ).alias("n_sentences"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')")
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    scored = base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "206835000 - (n_words * 1015000) DIV n_sentences"
+            " - (n_syllables * 84600000) DIV nullif(n_words, 0)"
+        ).alias("ease_micro"),
+        F.expr(
+            "(n_words * 390000) DIV n_sentences"
+            " + (n_syllables * 11800000) DIV nullif(n_words, 0)"
+            " - 15590000"
+        ).alias("grade_micro"),
+    )
+    band = (
+        F.when(F.col("ease_micro") >= 90_000_000, "very_easy")
+        .when(F.col("ease_micro") >= 60_000_000, "standard")
+        .when(F.col("ease_micro") >= 30_000_000, "difficult")
+        .otherwise("very_confusing")
+    )
+    return scored.withColumn("band", band).orderBy("doc_id")
+
+
+_FLESCH_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> ''))::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+'))::BIGINT, 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         (206835000 - (n_words * 1015000) // n_sentences
+          - (n_syllables * 84600000) // nullif(n_words, 0))::BIGINT
+           AS ease_micro,
+         ((n_words * 390000) // n_sentences
+          + (n_syllables * 11800000) // nullif(n_words, 0)
+          - 15590000)::BIGINT AS grade_micro
+  FROM base
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, ease_micro, grade_micro,
+       CASE WHEN ease_micro >= 90000000 THEN 'very_easy'
+            WHEN ease_micro >= 60000000 THEN 'standard'
+            WHEN ease_micro >= 30000000 THEN 'difficult'
+            ELSE 'very_confusing' END AS band
+FROM scored
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "template_prefix_audit": template_prefix_audit,
+    "flesch_readability": flesch_readability,
     "sparse_dot_topk": sparse_dot_topk,
     "bm25_topk": bm25_topk,
     "hard_negative_mining": hard_negative_mining,
@@ -8189,6 +8283,7 @@ QUERIES = {
 
 ORACLES = {
     "template_prefix_audit": _TEMPLATE_PREFIX_SQL,
+    "flesch_readability": _FLESCH_SQL,
     "sparse_dot_topk": _SPARSE_TOPK_SQL,
     "embedding_pca_power": _pca_power_oracle_sql(),
     "term_cooccurrence_lift": _COOC_SQL,

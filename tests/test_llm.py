@@ -735,6 +735,52 @@ def test_gopher_rules_verdicts_and_conjunction(spark):
         assert r.pass_all == r.r_wordcount * r.r_wordlen * r.r_alpha * r.r_stop
 
 
+def test_flesch_readability_hand_computed(spark):
+    """Planted punctuated docs reproduce the hand-computed Flesch
+    ease / FK grade in exact micro-units, the sentence floor and the
+    zero-word nullif guard hold, and bands cut at the thresholds."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [
+        # 6 words, 2 sentence runs, 6 vowel runs
+        (0, "The cat sat. The dog ran!", "en", "t", 25),
+        # no punctuation: sentence floor = 1; 1 word, 1 vowel run ->
+        # the 121.22 Flesch maximum
+        (1, "abc", "en", "t", 3),
+        # whitespace-only: n_words = 0 -> scores null
+        (2, "   ", "en", "t", 3),
+        # long run-on: 40 monosyllables, one sentence -> ease < 90
+        (3, " ".join(["cat"] * 40) + ".", "en", "t", 160),
+    ]
+    d = tempfile.mkdtemp(prefix="flesch_t_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in llm.flesch_readability(spark, d).collect()}
+
+    r0 = got[0]
+    assert (r0.n_words, r0.n_sentences, r0.n_syllables) == (6, 2, 6)
+    assert r0.ease_micro == 206_835_000 - (6 * 1_015_000) // 2 - 84_600_000
+    assert r0.ease_micro == 119_190_000 and r0.band == "very_easy"
+    assert r0.grade_micro == 1_170_000 + 11_800_000 - 15_590_000
+
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (1, 1, 1)
+    assert r1.ease_micro == 121_220_000  # the theoretical maximum
+
+    r2 = got[2]
+    assert r2.n_words == 0 and r2.ease_micro is None and r2.grade_micro is None
+    assert r2.band == "very_confusing"  # null ease falls to otherwise()
+
+    r3 = got[3]
+    # ease = 206.835 - 1.015*40 - 84.6*1 = 81.635 -> 'standard'
+    assert r3.ease_micro == 206_835_000 - 40_600_000 - 84_600_000
+    assert r3.band == "standard"
+
+
 def test_source_cap_audit_bookkeeping(spark):
     """Per-source accounting is internally consistent and the cap is
     the exact top-K-by-(n_chars, doc_id) cut."""
