@@ -1546,8 +1546,227 @@ ORDER BY a_id, b_id
 """
 
 
+_RECALL_TH_MICRO = int(round(MINHASH_JACCARD_THRESHOLD * 1_000_000))
+
+
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL/PRECISION eval of the banded-LSH CANDIDATE tier against
+    exact all-pairs Jaccard ground truth — the dedup counterpart of
+    ``ann_recall_report``: a driver-checkable query, so a regression
+    in the banding (wrong band count, a broken hash family, the
+    correlated-argmin pathology the Kirsch-Mitzenmacher rejection
+    memo measured) now fails the correctness HASH, not just a
+    pytest. ``dedup_minhash_verify`` only proves the verified OUTPUT
+    matches when recall happens to be 1; this reports the recall
+    itself, bucketed by true Jaccard — the curve that shows the 8×4
+    banding's S-curve doing its job (recall rises toward 1 as J→1,
+    and precision stays above the post-verify cost floor).
+
+    Exactness: true Jaccard is integer-quantized ONCE
+    (j_micro = shared·10⁶ DIV union) and every downstream stat is
+    exact-long counting + one integer DIV — hash-exact end-to-end;
+    the oracle replays signatures, banding, candidates, all-pairs
+    truth, and the bucketing.
+
+    Scale shape: the candidate tier is the production banded join
+    (bucket-bounded); the ground truth is an exact all-pairs
+    shingle join — the declared exact baseline, affordable on the
+    eval corpus only. At 100 TB the report runs on a fixed-size
+    sampled eval slice (like every recall eval), never the full
+    corpus; the LSH tier itself needs no such cap.
+
+    Output (one row per true-Jaccard bucket, overall candidate
+    stats repeated): bucket, n_truth, n_hit, recall_micro, n_cand,
+    n_cand_true, precision_micro.
+    """
+    hashed = track_persist(
+        _string_shingles(spark, sf_dir).select(
+            "doc_id", _md5_fold(F.col("sh"), 1, 12).alias("sh")
+        )
+    )
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("sh") + F.lit(b), F.lit(_MINHASH_INT_P))
+        ).alias(f"m{s}")
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*mins)
+    n_bands = N_HASHES // BAND_ROWS
+    band_sigs = F.array(
+        *[
+            _md5_fold(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+                ),
+                1,
+                12,
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_sigs).alias("band", "bs"))
+    cands = track_persist(
+        bands.select(F.col("doc_id").alias("a_id"), "band", "bs")
+        .join(bands.select(F.col("doc_id").alias("b_id"), "band", "bs"), ["band", "bs"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    shd = track_persist(hashed.distinct())
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shd.select(F.col("doc_id").alias("a_id"), "sh")
+    sb = shd.select(F.col("doc_id").alias("b_id"), "sh")
+    shared = (
+        sa.join(sb, "sh")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scores = track_persist(
+        shared.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.expr("(shared * 1000000) DIV (na + nb - shared)").alias("j_micro"),
+        )
+    )
+    truth = scores.where(F.col("j_micro") >= _RECALL_TH_MICRO)
+    hits = truth.join(
+        cands.withColumn("is_cand", F.lit(1)), ["a_id", "b_id"], "left"
+    )
+    bucket = (
+        F.when(F.col("j_micro") >= 900_000, "j_090_100")
+        .when(F.col("j_micro") >= 800_000, "j_080_090")
+        .otherwise("j_070_080")
+    )
+    per_bucket = (
+        hits.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("is_cand"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "bucket",
+            "n_truth",
+            "n_hit",
+            F.expr("(n_hit * 1000000) DIV n_truth").alias("recall_micro"),
+        )
+    )
+    overall = (
+        cands.join(scores, ["a_id", "b_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("j_micro"), F.lit(0)) >= _RECALL_TH_MICRO, 1
+                ).otherwise(0)
+            ).alias("n_cand_true"),
+        )
+        .select(
+            "n_cand",
+            "n_cand_true",
+            F.expr(
+                "(n_cand_true * 1000000) DIV nullif(n_cand, 0)"
+            ).alias("precision_micro"),
+        )
+    )
+    return per_bucket.crossJoin(F.broadcast(overall)).orderBy("bucket")
+
+
+def _dedup_recall_sql() -> str:
+    """DuckDB replay of the full recall report: the integer-twin
+    signature/band/candidate stages verbatim, exact all-pairs truth
+    at j_micro grain, bucketed recall + overall precision."""
+    sh_expr = " || chr(31) || ".join(f"ts[i+{j}]" for j in range(SHINGLE_K))
+    mins = ",\n         ".join(
+        f"min(({a} * sh + {b}) % {_MINHASH_INT_P})::BIGINT AS m{s}"
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    )
+    band_keys = ",\n       ".join(
+        _md5_fold_sql(
+            " || ',' || ".join(f"m{b * BAND_ROWS + r}" for r in range(BAND_ROWS)),
+            1,
+            12,
+        )
+        + f" AS bk{b}"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    band_or = " OR ".join(
+        f"a.bk{b} = b.bk{b}" for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), win AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ts) - {SHINGLE_K - 1}, 0)),
+           i -> {sh_expr})) AS sh
+  FROM arr
+), hashed AS (
+  SELECT doc_id, {_md5_fold_sql("sh", 1, 12)} AS sh
+  FROM win
+), sigs0 AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY 1
+), sigs AS (
+  SELECT doc_id,
+       {band_keys}
+  FROM sigs0
+), cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_or})
+), shd AS (
+  SELECT DISTINCT doc_id, sh FROM hashed
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM shd GROUP BY 1
+), shared AS (
+  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*)::BIGINT AS shared
+  FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), scores AS (
+  SELECT s.a_id, s.b_id,
+         (s.shared * 1000000 // (na.n + nb.n - s.shared))::BIGINT AS j_micro
+  FROM shared s
+  JOIN sizes na ON s.a_id = na.doc_id
+  JOIN sizes nb ON s.b_id = nb.doc_id
+), truth AS (
+  SELECT t.a_id, t.b_id, t.j_micro,
+         CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS is_cand
+  FROM scores t LEFT JOIN cand c
+    ON t.a_id = c.a_id AND t.b_id = c.b_id
+  WHERE t.j_micro >= {_RECALL_TH_MICRO}
+), per_bucket AS (
+  SELECT CASE WHEN j_micro >= 900000 THEN 'j_090_100'
+              WHEN j_micro >= 800000 THEN 'j_080_090'
+              ELSE 'j_070_080' END AS bucket,
+         count(*)::BIGINT AS n_truth,
+         sum(is_cand)::BIGINT AS n_hit
+  FROM truth GROUP BY 1
+), overall AS (
+  SELECT count(*)::BIGINT AS n_cand,
+         sum(CASE WHEN coalesce(s.j_micro, 0) >= {_RECALL_TH_MICRO}
+                  THEN 1 ELSE 0 END)::BIGINT AS n_cand_true
+  FROM cand c LEFT JOIN scores s
+    ON c.a_id = s.a_id AND c.b_id = s.b_id
+)
+SELECT bucket, n_truth, n_hit,
+       (n_hit * 1000000 // n_truth)::BIGINT AS recall_micro,
+       n_cand, n_cand_true,
+       (n_cand_true * 1000000 // nullif(n_cand, 0))::BIGINT AS precision_micro
+FROM per_bucket CROSS JOIN overall
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "dedup_auto": dedup_auto,
+    "dedup_recall_report": dedup_recall_report,
     "dedup_ppjoin": dedup_ppjoin,
     "containment_join": containment_join,
     "incremental_dedup_index": incremental_dedup_index,
@@ -1570,6 +1789,7 @@ QUERIES = {
 # fixtures — see the docstring).
 ORACLES: dict[str, str] = {
     "dedup_auto": _DEDUP_AUTO_SQL,
+    "dedup_recall_report": _dedup_recall_sql(),
     "dedup_simhash_int": _SIMHASH_INT_SQL,
     "dedup_minhash_int": _MINHASH_INT_SQL,
     "dedup_ppjoin": _PPJOIN_SQL,

@@ -664,3 +664,50 @@ def test_semdedup_zero_norm_vectors_guarded_both_engines(spark, tmp_path):
     assert by_id[8_000][0] == by_id[8_001][0]
     assert by_id[8_000][2] == 0 and by_id[8_001][2] == 0
     assert all(dup not in (8_000, 8_001) for _, (_, dup, _) in by_id.items())
+
+
+def test_dedup_recall_report_planted_curve(spark, tmp_path):
+    """Planted pairs at true Jaccard 0.75 / ~0.875 / ~0.895 / ~0.947:
+    the report reproduces the exact bucketed truth counts, and the
+    LSH S-curve shows — both 0.8+ buckets at recall 1, while the
+    0.75 pair is (deterministically, given the fixed hash family)
+    MISSED by the 8×4 banding: exactly the miss class a recall eval
+    exists to surface. Precision is 1 (no false-positive bands on
+    disjoint vocab). Values are fully deterministic — the hash
+    family is fixed at module load."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup
+
+    def words(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    A = words("a", 20)                # 18 shingles
+    B = A[:-1] + ["zz"]               # 17/19 = 0.8947
+    C = words("c", 30)                # 28 shingles
+    D = C + ["cx", "cy", "cz", "cw"]  # 28/32 = 0.875
+    E = words("e", 20)
+    Fw = E + ["ex"]                   # 18/19 = 0.947
+    G = words("g", 50)                # 48 shingles
+    H = G + words("h", 16)            # 48/64 = 0.75
+    docs = [
+        (0, " ".join(A)), (1, " ".join(B)),
+        (2, " ".join(C)), (3, " ".join(D)),
+        (4, " ".join(E)), (5, " ".join(Fw)),
+        (6, " ".join(words("q", 25))), (7, " ".join(words("r", 25))),
+        (8, " ".join(G)), (9, " ".join(H)),
+    ]
+    d = str(tmp_path / "recall")
+    spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.bucket: r for r in dedup.dedup_recall_report(spark, d).collect()}
+    assert set(rows) == {"j_070_080", "j_080_090", "j_090_100"}
+    lo, mid, hi = rows["j_070_080"], rows["j_080_090"], rows["j_090_100"]
+    assert (lo.n_truth, lo.n_hit, lo.recall_micro) == (1, 0, 0)
+    assert (mid.n_truth, mid.n_hit, mid.recall_micro) == (2, 2, 1_000_000)
+    assert (hi.n_truth, hi.n_hit, hi.recall_micro) == (1, 1, 1_000_000)
+    # overall candidate stats repeat on every row and are consistent
+    for r in rows.values():
+        assert (r.n_cand, r.n_cand_true, r.precision_micro) == (3, 3, 1_000_000)
