@@ -8102,6 +8102,124 @@ ORDER BY query_id, rank
 """
 
 
+DECON_EMB_TH = 0.35  # max-cosine-vs-eval threshold flagging a train vector
+
+
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space decontamination — the semantic companion to
+    ``decontaminate_ngram``: n-gram overlap misses paraphrased or
+    re-formatted benchmark leakage, so production decontamination
+    (e.g. the phi-series' approach) ALSO flags training items whose
+    embedding sits too close to any held-out eval item. Eval slice =
+    ``vec_id % DECON_EVAL_MOD == 0`` (the decon family's
+    deterministic stand-in for the benchmark suite).
+
+    Determinism (house integer-twin discipline): vectors quantize
+    ONCE at PQ_INT_SCALE; dot products and squared norms are exact
+    BIGINTs; each cosine folds through one CAST/sqrt/multiply/divide
+    chain of correctly-rounded IEEE ops (zero-norm guarded to 0.0),
+    so the per-row argmax — taken on the raw doubles with eval_id as
+    the tie-break via max-struct — is bit-identical across engines;
+    round(·, 6) happens only at output.
+
+    Scale shape: the eval side folds to ONE broadcast row of
+    (eval_id, eq, nb) structs — real benchmark suites are tiny
+    relative to the corpus — so the scan is fully NARROW: each train
+    vector scores |eval| candidates in-row, zero shuffle at any
+    corpus size (the same fold the IVF centroid assignment uses).
+    The per-row norm let-binds via ``transform(array(·), na -> …)``
+    so it computes once per row, not once per eval element.
+
+    Output: vec_id, eval_id (nearest eval item), cos_sim (round 6),
+    contaminated.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+    is_eval = F.col("vec_id") % DECON_EVAL_MOD == 0
+    ev = (
+        qv.where(is_eval)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("q").alias("eq"),
+            F.expr(
+                "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+            ).alias("nb"),
+        )
+        .agg(F.collect_list(F.struct("eval_id", "eq", "nb")).alias("evs"))
+    )
+    best = F.expr(
+        "transform(array(aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)),"
+        " na -> array_max(transform(evs, e -> struct("
+        "  CASE WHEN na = 0 OR e.nb = 0 THEN CAST(0.0 AS DOUBLE)"
+        "       ELSE CAST(aggregate(zip_with(q, e.eq, (a, b) -> a * b),"
+        "                           CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        "                 AS DOUBLE)"
+        "            / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(e.nb AS DOUBLE)))"
+        "  END AS cos,"
+        "  -e.eval_id AS nid))))[0]"
+    )
+    return (
+        qv.where(~is_eval)
+        .crossJoin(F.broadcast(ev))
+        .select("vec_id", best.alias("best"))
+        .select(
+            "vec_id",
+            (-F.col("best.nid")).alias("eval_id"),
+            F.round(F.col("best.cos"), 6).alias("cos_sim"),
+            (F.col("best.cos") >= F.lit(DECON_EMB_TH)).cast("int").alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_DECON_EMB_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT))
+           AS q
+  FROM embeddings
+), ev AS (
+  SELECT vec_id AS eval_id, q AS eq,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> q[i] * q[i])) AS BIGINT) AS nb
+  FROM qv WHERE vec_id % {DECON_EVAL_MOD} = 0
+), tr AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> q[i] * q[i])) AS BIGINT) AS na
+  FROM qv WHERE vec_id % {DECON_EVAL_MOD} <> 0
+), pairs AS (
+  SELECT tr.vec_id, ev.eval_id,
+         CASE WHEN tr.na = 0 OR ev.nb = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(CAST(list_sum(list_transform(
+                       generate_series(1, {EMB_DIM}),
+                       i -> tr.q[i] * ev.eq[i])) AS BIGINT) AS DOUBLE)
+                   / (sqrt(CAST(tr.na AS DOUBLE)) * sqrt(CAST(ev.nb AS DOUBLE)))
+         END AS cos
+  FROM tr CROSS JOIN ev
+), best AS (
+  SELECT vec_id, eval_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, eval_id ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, eval_id, round(cos, 6) AS cos_sim,
+       CAST(CASE WHEN cos >= {DECON_EMB_TH} THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM best WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
 def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLESCH READING-EASE + FLESCH–KINCAID GRADE — the classic
     readability pair (Flesch 1948; Kincaid et al. 1975), a standard
@@ -8198,6 +8316,7 @@ ORDER BY doc_id
 QUERIES = {
     "template_prefix_audit": template_prefix_audit,
     "flesch_readability": flesch_readability,
+    "decontaminate_embedding": decontaminate_embedding,
     "sparse_dot_topk": sparse_dot_topk,
     "bm25_topk": bm25_topk,
     "hard_negative_mining": hard_negative_mining,
@@ -8284,6 +8403,7 @@ QUERIES = {
 ORACLES = {
     "template_prefix_audit": _TEMPLATE_PREFIX_SQL,
     "flesch_readability": _FLESCH_SQL,
+    "decontaminate_embedding": _DECON_EMB_SQL,
     "sparse_dot_topk": _SPARSE_TOPK_SQL,
     "embedding_pca_power": _pca_power_oracle_sql(),
     "term_cooccurrence_lift": _COOC_SQL,

@@ -2317,3 +2317,36 @@ def test_quality_filter_trained_separable_corpus_filters_perfectly(spark):
         for r in llm.quality_filter_trained(spark, d).collect()
     }
     assert got == {"en": (12, 12, 1_000_000), "de": (12, 0, 0)}
+
+
+def test_decontaminate_embedding_planted(spark, tmp_path):
+    """Planted vectors: an exact copy of an eval vector is flagged at
+    cos 1.0; an orthogonal vector is clean; the zero vector guards to
+    0.0; and an exact cosine tie between two eval neighbors resolves
+    to the smaller eval_id (the -nid max-struct tie-break)."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [
+        # eval slice: ids 0 and 97 (multiples of DECON_EVAL_MOD)
+        (0, [2.0, 0.0, 0.0, 0.0], 0),
+        (97, [3.0, 0.0, 0.0, 0.0], 0),
+        # train: scaled copy of both evals -> cos exactly 1.0 to both,
+        # tie resolves to eval_id 0
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        # train: orthogonal -> max cos 0.0, clean
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        # train: zero vector -> guarded cos 0.0, clean
+        (3, [0.0, 0.0, 0.0, 0.0], 0),
+    ]
+    d = str(tmp_path / "decon_emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    got = {r.vec_id: r for r in llm.decontaminate_embedding(spark, d).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].cos_sim == 1.0 and got[1].contaminated == 1
+    assert got[1].eval_id == 0  # tie -> smaller eval_id
+    assert got[2].cos_sim == 0.0 and got[2].contaminated == 0
+    assert got[3].cos_sim == 0.0 and got[3].contaminated == 0
