@@ -8102,6 +8102,331 @@ ORDER BY query_id, rank
 """
 
 
+WP_MERGES = 3  # WordPiece merge rounds (BPE_TRAIN_MERGES discipline)
+WP_SCORE_SCALE = 1_000_000_000  # likelihood-score quantization
+
+
+def _wp_rounds(spark: SparkSession, sf_dir: str):
+    """The WordPiece training loop (Schuster & Nakajima 2012; the
+    BERT tokenizer's trainer): identical dataflow to
+    ``bpe_train_merges`` — vocabulary collapse, per-round pair
+    counting on the marker-wrapped symbol encoding, 1-row argmax,
+    narrow rewrite — except the merge OBJECTIVE: WordPiece adopts
+    the pair maximizing the LIKELIHOOD GAIN count(ab)/(count(a)·
+    count(b)), not the raw pair count (the reason 'ing' merges early
+    in WordPiece but late in BPE). The score quantizes to
+    ``(pc·WP_SCORE_SCALE) DIV (ca·cb)`` with the multiplicands
+    widened (DECIMAL(38) / HUGEINT) so no corpus size overflows;
+    ties break (score DESC, a, b) — deterministic across engines
+    and partitionings.
+
+    Returns (per-step 1-row best DataFrames, the FINAL rewritten
+    vocabulary) — the latter feeds ``wordpiece_encode``.
+    """
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("word"))
+        .filter(~F.col("word").contains("|"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = words.select(
+        "n", F.regexp_replace("word", "(.)", r"|$1|").alias("enc")
+    )
+    bests = []
+    for step in range(1, WP_MERGES + 1):
+        syms_col = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+        with_syms = vocab.select("n", syms_col.alias("syms"))
+        symc = (
+            with_syms.select("n", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("n").alias("c"))
+        )
+        prs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.get(F.col("syms"), i).alias("a"),
+                    F.get(F.col("syms"), i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        pc = (
+            with_syms.select("n", F.explode(prs).alias("pr"))
+            .select("n", "pr.a", "pr.b")
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("pc"))
+        )
+        best = (
+            pc.join(
+                F.broadcast(
+                    symc.select(F.col("sym").alias("a"), F.col("c").alias("ca"))
+                ),
+                "a",
+            )
+            .join(
+                F.broadcast(
+                    symc.select(F.col("sym").alias("b"), F.col("c").alias("cb"))
+                ),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                "pc",
+                F.expr(
+                    f"CAST((CAST(pc AS DECIMAL(38,0)) * {WP_SCORE_SCALE})"
+                    " DIV (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"
+                ).alias("score_q"),
+            )
+            .orderBy(F.desc("score_q"), "a", "b")
+            .limit(1)
+            .localCheckpoint()
+        )
+        bests.append(
+            best.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("pc").alias("pair_count"),
+                "score_q",
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            .withColumn(
+                "enc",
+                F.expr(
+                    "replace(enc, '|' || a || '||' || b || '|',"
+                    " '|' || a || b || '|')"
+                ),
+            )
+            .select("n", "enc")
+        )
+    return bests, vocab
+
+
+def wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE TRAINING — the THIRD tokenizer family beside BPE
+    (count-argmax merges) and unigram-LM (Viterbi-EM pruning),
+    completing the set modern pipelines choose from (BERT ships
+    WordPiece, GPT ships BPE, T5/LLaMA ship unigram). Same loop
+    discipline as ``bpe_train_merges`` (vocabulary-bounded counting,
+    1-row broadcast argmax, narrow rewrite, localCheckpointed
+    rounds); the objective is the likelihood gain — see
+    ``_wp_rounds``.
+
+    Scale shape: per round one pair-count shuffle (bounded by
+    symbol-set², not corpus) + one symbol-count shuffle (bounded by
+    the symbol set) + two broadcast joins of the tiny count
+    relations. Never a driver collect.
+
+    Output: step, left_sym, right_sym, pair_count, score_q.
+    """
+    bests, _ = _wp_rounds(spark, sf_dir)
+    out = bests[0]
+    for df in bests[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE APPLY — greedy LONGEST-MATCH-FIRST segmentation (the
+    BERT tokenizer's max-munch algorithm) under the corpus-trained
+    final symbol vocabulary: at each position consume the longest
+    vocabulary piece prefixing the remainder (ties impossible — one
+    longest match per (rest, vocab)); every corpus character is a
+    1-piece fallback so segmentation always terminates. Continuation
+    pieces share the vocabulary (the '##'-prefix distinction is a
+    display convention this position-independent variant drops —
+    deterministic and documented, same class as the strsep-quirk
+    non-goal).
+
+    Scale shape: training cost is paid once (vocabulary-bounded
+    rounds, localCheckpointed); the final symbol set folds to ONE
+    broadcast row SORTED (length DESC, piece ASC) so the greedy
+    match is ``filter(varr, p -> startswith(rest, p))[0]``; the
+    per-word fold is a bounded ``aggregate`` over ≤ UNI_MAX_WORD
+    steps (multi-char pieces make later steps no-ops) computed once
+    per DISTINCT word, then word-joined back to the token stream —
+    the ``unigram_encode`` dataflow. Words longer than UNI_MAX_WORD
+    or containing the marker are excluded identically on both
+    engines.
+
+    Output: doc_id, n_words, n_pieces, enc_hash.
+    """
+    _, final_vocab = _wp_rounds(spark, sf_dir)
+    syms_col = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+    pieces = final_vocab.select(
+        F.explode(syms_col).alias("piece")
+    ).distinct()
+    vrow = pieces.agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "  struct(-length(piece) AS nl, piece AS p))), s -> s.p)"
+        ).alias("varr")
+    )
+    words2 = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("word"))
+        .filter(
+            ~F.col("word").contains("|")
+            & (F.length("word") <= UNI_MAX_WORD)
+        )
+        .distinct()
+    )
+    fold = F.expr(
+        "aggregate("
+        "  sequence(1, greatest(length(word), 1)),"
+        "  named_struct('rest', word,"
+        "               'pieces', CAST(array() AS ARRAY<STRING>)),"
+        "  (acc, i) -> CASE WHEN length(acc.rest) = 0 THEN acc ELSE"
+        "    named_struct("
+        "      'rest', substr(acc.rest, length(coalesce("
+        "        filter(varr, p -> startswith(acc.rest, p))[0],"
+        "        substr(acc.rest, 1, 1))) + 1),"
+        "      'pieces', array_append(acc.pieces, coalesce("
+        "        filter(varr, p -> startswith(acc.rest, p))[0],"
+        "        substr(acc.rest, 1, 1)))"
+        "    ) END"
+        ")"
+    )
+    wmap = (
+        words2.crossJoin(F.broadcast(vrow))
+        .select("word", fold.alias("st"))
+        .select(
+            "word",
+            F.concat_ws(_UNI_US, F.col("st.pieces")).alias("enc"),
+            F.size("st.pieces").cast("long").alias("k"),
+        )
+    )
+    docw = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "word"))
+        .where(F.length("word") <= UNI_MAX_WORD)
+    )
+    return (
+        docw.join(wmap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("k").alias("n_pieces"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                        lambda s: s["enc"],
+                    ),
+                )
+            ).alias("enc_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _wp_train_ctes(n_merges: int = WP_MERGES) -> str:
+    """Shared CTE chain for the WordPiece oracles: vocabulary
+    collapse, then one (symbols → symbol counts + pair counts →
+    score argmax → rewrite) block per round. Every CTE is
+    MATERIALIZED (each round references the previous 2-3 times —
+    the unrolled-iterative-oracle rule)."""
+    ctes = [
+        "WITH RECURSIVE words AS MATERIALIZED (\n"
+        "  SELECT word, count(*)::BIGINT AS n FROM (\n"
+        "    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),\n"
+        "                              t -> t <> '')) AS word\n"
+        "    FROM documents\n"
+        "  ) WHERE word NOT LIKE '%|%' GROUP BY word\n"
+        "), v0 AS MATERIALIZED (\n"
+        "  SELECT n, regexp_replace(word, '(.)', '|\\1|', 'g') AS enc"
+        " FROM words\n"
+        ")"
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f", s{i} AS MATERIALIZED (\n"
+            f"  SELECT n, string_split(trim(enc, '|'), '||') AS syms"
+            f" FROM v{i - 1}\n"
+            f"), sc{i} AS MATERIALIZED (\n"
+            f"  SELECT sym, sum(n)::BIGINT AS c FROM\n"
+            f"    (SELECT n, unnest(syms) AS sym FROM s{i}) GROUP BY 1\n"
+            f"), pc{i} AS MATERIALIZED (\n"
+            f"  SELECT pr.a AS a, pr.b AS b, sum(n)::BIGINT AS pc FROM (\n"
+            f"    SELECT n, unnest(list_transform(\n"
+            f"      generate_series(1, greatest(len(syms) - 1, 0)),\n"
+            f"      j -> struct_pack(a := syms[j], b := syms[j+1]))) AS pr\n"
+            f"    FROM s{i}) GROUP BY 1, 2\n"
+            f"), best{i} AS MATERIALIZED (\n"
+            f"  SELECT p.a, p.b, p.pc,\n"
+            f"         CAST((p.pc::HUGEINT * {WP_SCORE_SCALE})\n"
+            f"              // (ca.c::HUGEINT * cb.c) AS BIGINT) AS score_q\n"
+            f"  FROM pc{i} p JOIN sc{i} ca ON ca.sym = p.a\n"
+            f"             JOIN sc{i} cb ON cb.sym = p.b\n"
+            f"  ORDER BY score_q DESC, p.a, p.b LIMIT 1\n"
+            f"), v{i} AS MATERIALIZED (\n"
+            f"  SELECT n, replace(enc, '|' || t.a || '||' || t.b || '|',\n"
+            f"                    '|' || t.a || t.b || '|') AS enc\n"
+            f"  FROM v{i - 1} CROSS JOIN best{i} t\n"
+            f")"
+        )
+    return "".join(ctes)
+
+
+def _wordpiece_train_oracle(n_merges: int = WP_MERGES) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS step, a AS left_sym, b AS right_sym,"
+        f" pc AS pair_count, score_q FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return _wp_train_ctes(n_merges) + "\n" + selects + "\nORDER BY step"
+
+
+def _wordpiece_encode_oracle(n_merges: int = WP_MERGES) -> str:
+    return (
+        _wp_train_ctes(n_merges)
+        + f"""
+, fsyms AS MATERIALIZED (
+  SELECT DISTINCT unnest(string_split(trim(enc, '|'), '||')) AS piece
+  FROM v{n_merges}
+), vrow AS MATERIALIZED (
+  SELECT list(piece ORDER BY length(piece) DESC, piece) AS varr FROM fsyms
+), words2 AS MATERIALIZED (
+  SELECT word FROM words WHERE length(word) <= {UNI_MAX_WORD}
+), rec AS (
+  SELECT word, word AS rest, CAST('' AS VARCHAR) AS enc, 0::BIGINT AS k
+  FROM words2
+  UNION ALL
+  SELECT word, substr(rest, length(bp) + 1),
+         CASE WHEN enc = '' THEN bp ELSE enc || chr(31) || bp END,
+         k + 1
+  FROM (
+    SELECT r.word, r.rest, r.enc, r.k,
+           coalesce(list_filter(v.varr, p -> starts_with(r.rest, p))[1],
+                    substr(r.rest, 1, 1)) AS bp
+    FROM rec r CROSS JOIN vrow v
+    WHERE r.rest <> ''
+  )
+), wmap AS MATERIALIZED (
+  SELECT word, enc, k FROM rec WHERE rest = ''
+), docw AS (
+  SELECT doc_id, i AS pos, ws[i] AS word
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS ui(i)
+  WHERE length(ws[i]) <= {UNI_MAX_WORD}
+)
+SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(w.k)::BIGINT AS n_pieces,
+       md5(string_agg(w.enc, ' ' ORDER BY d.pos)) AS enc_hash
+FROM docw d JOIN wmap w ON w.word = d.word
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 DECON_EMB_TH = 0.35  # max-cosine-vs-eval threshold flagging a train vector
 
 
@@ -8317,6 +8642,8 @@ QUERIES = {
     "template_prefix_audit": template_prefix_audit,
     "flesch_readability": flesch_readability,
     "decontaminate_embedding": decontaminate_embedding,
+    "wordpiece_train": wordpiece_train,
+    "wordpiece_encode": wordpiece_encode,
     "sparse_dot_topk": sparse_dot_topk,
     "bm25_topk": bm25_topk,
     "hard_negative_mining": hard_negative_mining,
@@ -8404,6 +8731,8 @@ ORACLES = {
     "template_prefix_audit": _TEMPLATE_PREFIX_SQL,
     "flesch_readability": _FLESCH_SQL,
     "decontaminate_embedding": _DECON_EMB_SQL,
+    "wordpiece_train": _wordpiece_train_oracle(),
+    "wordpiece_encode": _wordpiece_encode_oracle(),
     "sparse_dot_topk": _SPARSE_TOPK_SQL,
     "embedding_pca_power": _pca_power_oracle_sql(),
     "term_cooccurrence_lift": _COOC_SQL,

@@ -2350,3 +2350,61 @@ def test_decontaminate_embedding_planted(spark, tmp_path):
     assert got[1].eval_id == 0  # tie -> smaller eval_id
     assert got[2].cos_sim == 0.0 and got[2].contaminated == 0
     assert got[3].cos_sim == 0.0 and got[3].contaminated == 0
+
+
+def test_wordpiece_train_likelihood_objective(spark, tmp_path):
+    """The discriminating property vs BPE: on a corpus where (a,a)
+    has 10x the COUNT of (c,d) but a far lower likelihood gain,
+    WordPiece merges (c,d) first. All three rounds reproduce the
+    hand-computed argmax, pair counts and quantized scores."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [
+        (0, " ".join(["aaab"] * 10), "en", "t", 49),
+        (1, "cd cd", "en", "t", 5),
+    ]
+    d = str(tmp_path / "wp")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.step: r for r in llm.wordpiece_train(spark, d).collect()}
+    # round 1: counts a=30 b=10 c=2 d=2; (a,a) pc=20 q=20e9/900,
+    # (a,b) pc=10 q=10e9/300, (c,d) pc=2 q=2e9/4 -> (c,d) wins
+    assert (got[1].left_sym, got[1].right_sym) == ("c", "d")
+    assert (got[1].pair_count, got[1].score_q) == (2, 500_000_000)
+    # round 2: cd merged away; (a,b) 10e9/(30*10) beats (a,a) 20e9/900
+    assert (got[2].left_sym, got[2].right_sym) == ("a", "b")
+    assert (got[2].pair_count, got[2].score_q) == (10, 33_333_333)
+    # round 3: counts a=20 ab=10; (a,ab) 10e9/200 beats (a,a) 10e9/400
+    assert (got[3].left_sym, got[3].right_sym) == ("a", "ab")
+    assert (got[3].pair_count, got[3].score_q) == (10, 50_000_000)
+
+
+def test_wordpiece_encode_greedy_longest_match(spark, tmp_path):
+    """Encode under the trained vocab {a, aab, cd}: 'aaab' greedily
+    splits [a, aab] (longest-match — 'aab' doesn't prefix 'aaab'),
+    'cd' is a single piece; doc hashes witness the byte-exact
+    segmentations."""
+    import hashlib
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [
+        (0, " ".join(["aaab"] * 10), "en", "t", 49),
+        (1, "cd cd", "en", "t", 5),
+    ]
+    d = str(tmp_path / "wpe")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in llm.wordpiece_encode(spark, d).collect()}
+    assert (got[0].n_words, got[0].n_pieces) == (10, 20)
+    assert (got[1].n_words, got[1].n_pieces) == (2, 2)
+    w0 = "a\x1faab"
+    assert got[0].enc_hash == hashlib.md5(
+        " ".join([w0] * 10).encode()
+    ).hexdigest()
+    assert got[1].enc_hash == hashlib.md5(b"cd cd").hexdigest()
