@@ -8102,6 +8102,254 @@ ORDER BY query_id, rank
 """
 
 
+MMR_POOL = 10  # relevance-ranked candidate pool fed to the MMR re-rank
+MMR_K = 5  # diversified results returned per query
+# λ = 0.5 exactly representable in binary — 0.5·x and the subtraction
+# are correctly-rounded IEEE ops, bit-identical across engines
+
+
+def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein
+    1998) — the diversification pass every RAG retrieval stack runs
+    after top-k: from each query's MMR_POOL most-similar candidates,
+    greedily select MMR_K maximizing ½·sim(q,d) − ½·max_{s∈S}
+    sim(d,s) — relevance traded against redundancy with the already-
+    selected set S, so near-duplicate neighbors stop crowding out
+    coverage.
+
+    Determinism: vectors quantize once at PQ_INT_SCALE; every cosine
+    is exact-BIGINT dot/norms folded through one CAST/sqrt/·//
+    chain (correctly-rounded IEEE, bit-identical across engines);
+    λ=0.5 makes the MMR blend exact-rounded too; every argmax breaks
+    ties (score DESC, id ASC); round(·,6) only at output.
+
+    Scale shape: the candidate pool is the broadcast-query
+    brute-force top-MMR_POOL (the ``similarity_topk`` shape — swap
+    in an ANN twin for huge corpora); everything after is bounded by
+    |queries|·MMR_POOL² rows (the pair-sim matrix) and MMR_K − 1
+    unrolled (anti-join → max-penalty aggregate → 1-row-per-query
+    window argmax) rounds on those tiny relations — cost independent
+    of corpus size once the pool is cut.
+
+    Output: query_id, rank, neighbor_id, mmr_score (round 6;
+    rank 1's score is the raw query cosine — no selected set yet).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = track_persist(
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                f"cast(round(cast(x as double) * {PQ_INT_SCALE}) as bigint))"
+            ).alias("q"),
+        ).select(
+            "vec_id",
+            "q",
+            F.expr(
+                "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+            ).alias("nrm"),
+        )
+    )
+    cos = (
+        "CASE WHEN {na} = 0 OR {nb} = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE CAST(aggregate(zip_with({qa}, {qb}, (a, b) -> a * b),"
+        "                     CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        "           AS DOUBLE)"
+        "      / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+        " END"
+    )
+    queries = qv.where(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        qv.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            "q",
+            "nrm",
+            F.expr(cos.format(qa="qq", qb="q", na="qn", nb="nrm")).alias(
+                "simq"
+            ),
+        )
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.desc("simq"), F.asc("cand_id")
+    )
+    pool = track_persist(
+        scored.withColumn("rn", F.row_number().over(w_pool))
+        .where(F.col("rn") <= MMR_POOL)
+        .select("query_id", "cand_id", "q", "nrm", "simq")
+    )
+    pa = pool.select(
+        "query_id",
+        F.col("cand_id").alias("i_id"),
+        F.col("q").alias("qi"),
+        F.col("nrm").alias("ni"),
+    )
+    pb = pool.select(
+        "query_id",
+        F.col("cand_id").alias("j_id"),
+        F.col("q").alias("qj"),
+        F.col("nrm").alias("nj"),
+    )
+    pair_sim = track_persist(
+        pa.join(pb, "query_id")
+        .where(F.col("i_id") != F.col("j_id"))
+        .select(
+            "query_id",
+            "i_id",
+            "j_id",
+            F.expr(cos.format(qa="qi", qb="qj", na="ni", nb="nj")).alias(
+                "sim"
+            ),
+        )
+    )
+    cands = pool.select("query_id", "cand_id", "simq")
+    w_pick = Window.partitionBy("query_id")
+    sel = (
+        cands.withColumn(
+            "rn",
+            F.row_number().over(
+                w_pick.orderBy(F.desc("simq"), F.asc("cand_id"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("long").alias("rank"),
+            F.col("cand_id").alias("neighbor_id"),
+            F.col("simq").alias("score"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, MMR_K + 1):
+        remaining = cands.join(
+            sel.select("query_id", F.col("neighbor_id").alias("cand_id")),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        pen = (
+            remaining.join(
+                pair_sim.withColumnRenamed("i_id", "cand_id"), ["query_id", "cand_id"]
+            )
+            .join(
+                sel.select(
+                    "query_id", F.col("neighbor_id").alias("j_id")
+                ),
+                ["query_id", "j_id"],
+            )
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            remaining.join(pen, ["query_id", "cand_id"])
+            .select(
+                "query_id",
+                "cand_id",
+                (0.5 * F.col("simq") - 0.5 * F.col("maxsim")).alias("mmr"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    w_pick.orderBy(F.desc("mmr"), F.asc("cand_id"))
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).cast("long").alias("rank"),
+                F.col("cand_id").alias("neighbor_id"),
+                F.col("mmr").alias("score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round("score", 6).alias("mmr_score"),
+    ).orderBy("query_id", "rank")
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB replay: quantized cosines, the top-MMR_POOL pool, the
+    pool pair-sim matrix, then MMR_K − 1 unrolled greedy rounds —
+    every CTE MATERIALIZED (each round references sel/pairs twice)."""
+    cos = (
+        "CASE WHEN {na} = 0 OR {nb} = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE CAST(CAST(list_sum(list_transform(generate_series(1, "
+        f"{EMB_DIM}), i -> {{qa}}[i] * {{qb}}[i])) AS BIGINT) AS DOUBLE)"
+        " / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))) END"
+    )
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        rounds.append(
+            f", pen{r} AS MATERIALIZED (\n"
+            f"  SELECT c.query_id, c.cand_id, c.simq, max(p.sim) AS maxsim\n"
+            f"  FROM cands c\n"
+            f"  JOIN pair_sim p ON p.query_id = c.query_id"
+            f" AND p.i_id = c.cand_id\n"
+            f"  JOIN sel{r - 1} s ON s.query_id = c.query_id"
+            f" AND s.neighbor_id = p.j_id\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} x\n"
+            f"    WHERE x.query_id = c.query_id"
+            f" AND x.neighbor_id = c.cand_id)\n"
+            f"  GROUP BY 1, 2, 3\n"
+            f"), pick{r} AS MATERIALIZED (\n"
+            f"  SELECT query_id, {r}::BIGINT AS rank, cand_id AS neighbor_id,\n"
+            f"         0.5 * simq - 0.5 * maxsim AS score\n"
+            f"  FROM (SELECT *, row_number() OVER (PARTITION BY query_id\n"
+            f"          ORDER BY 0.5 * simq - 0.5 * maxsim DESC, cand_id)"
+            f" AS rn\n"
+            f"        FROM pen{r}) WHERE rn = 1\n"
+            f"), sel{r} AS MATERIALIZED (\n"
+            f"  SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r}\n"
+            f")"
+        )
+    return f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT))
+           AS q,
+         CAST(list_sum(list_transform(
+           list_transform(embedding,
+                          x -> CAST(round(x::DOUBLE * {PQ_INT_SCALE}) AS BIGINT)),
+           v -> v * v)) AS BIGINT) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS cand_id, c.q, c.nrm,
+         {cos.format(qa="qs.q", qb="c.q", na="qs.nrm", nb="c.nrm")} AS simq
+  FROM qv qs JOIN qv c ON c.vec_id <> qs.vec_id
+  WHERE qs.vec_id < {SIM_N_QUERIES}
+), pool AS MATERIALIZED (
+  SELECT query_id, cand_id, q, nrm, simq
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY simq DESC, cand_id) AS rn FROM scored)
+  WHERE rn <= {MMR_POOL}
+), pair_sim AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS i_id, b.cand_id AS j_id,
+         {cos.format(qa="a.q", qb="b.q", na="a.nrm", nb="b.nrm")} AS sim
+  FROM pool a JOIN pool b
+    ON b.query_id = a.query_id AND b.cand_id <> a.cand_id
+), cands AS MATERIALIZED (
+  SELECT query_id, cand_id, simq FROM pool
+), sel1 AS MATERIALIZED (
+  SELECT query_id, 1::BIGINT AS rank, cand_id AS neighbor_id,
+         simq AS score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY simq DESC, cand_id) AS rn FROM cands) WHERE rn = 1
+){"".join(rounds)}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS mmr_score
+FROM sel{MMR_K}
+ORDER BY query_id, rank
+"""
+
+
 WP_MERGES = 3  # WordPiece merge rounds (BPE_TRAIN_MERGES discipline)
 WP_SCORE_SCALE = 1_000_000_000  # likelihood-score quantization
 
@@ -8643,6 +8891,7 @@ QUERIES = {
     "flesch_readability": flesch_readability,
     "decontaminate_embedding": decontaminate_embedding,
     "wordpiece_train": wordpiece_train,
+    "similarity_topk_mmr": similarity_topk_mmr,
     "wordpiece_encode": wordpiece_encode,
     "sparse_dot_topk": sparse_dot_topk,
     "bm25_topk": bm25_topk,
@@ -8732,6 +8981,7 @@ ORACLES = {
     "flesch_readability": _FLESCH_SQL,
     "decontaminate_embedding": _DECON_EMB_SQL,
     "wordpiece_train": _wordpiece_train_oracle(),
+    "similarity_topk_mmr": _mmr_oracle_sql(),
     "wordpiece_encode": _wordpiece_encode_oracle(),
     "sparse_dot_topk": _SPARSE_TOPK_SQL,
     "embedding_pca_power": _pca_power_oracle_sql(),

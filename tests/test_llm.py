@@ -2408,3 +2408,35 @@ def test_wordpiece_encode_greedy_longest_match(spark, tmp_path):
         " ".join([w0] * 10).encode()
     ).hexdigest()
     assert got[1].enc_hash == hashlib.md5(b"cd cd").hexdigest()
+
+
+def test_similarity_topk_mmr_diversifies(spark, tmp_path):
+    """Planted candidates: c10 and c11 are colinear (pairwise sim
+    exactly 1.0) and both most-relevant; c12 is less relevant but
+    diverse. Pure top-k ranks (c10, c11, c12); MMR flips to
+    (c10, c12, c11) — the redundancy penalty doing its job — and
+    rank-1's score is the raw query cosine."""
+    import math
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # the only query (id < 10)
+        (10, [4.0, 1.0, 0.0, 0.0], 0),  # most relevant
+        (11, [8.0, 2.0, 0.0, 0.0], 0),  # exact scalar copy of c10
+        (12, [3.0, 0.0, 0.0, 3.0], 0),  # less relevant, diverse
+    ]
+    d = str(tmp_path / "mmr")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    got = sorted(
+        llm.similarity_topk_mmr(spark, d).collect(), key=lambda r: r.rank
+    )
+    assert [r.neighbor_id for r in got] == [10, 12, 11]
+    s = 1 << 20
+    exp = (4 * s * s) / (math.sqrt(s * s) * math.sqrt(17 * s * s))
+    assert got[0].mmr_score == round(exp, 6)
+    # ranks cap at the candidate count (3 < MMR_K): no phantom rows
+    assert [r.rank for r in got] == [1, 2, 3]
