@@ -127,10 +127,274 @@ ORDER BY p.part_a, p.part_b
 """
 
 
+BT_ROUNDS = 5  # MM iterations (Hunter 2004 §1) — fixed, oracle-unrolled
+BT_SCALE = 1_000_000_000_000  # 1e12: micro-π times micro-term
+
+
+def bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY–TERRY paired-comparison ratings via the MM algorithm
+    (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    models") — the model behind RLHF reward-model data audits, chess
+    Elo-style leaderboards and A/B preference aggregation: from
+    pairwise win counts n_ij, estimate strengths π with
+    π_i ← W_i / Σ_j N̄_ij/(π_i+π_j) (W_i = total smoothed wins, N̄_ij =
+    total smoothed games between i and j), iterated BT_ROUNDS times.
+
+    Comparisons are synthesized deterministically from the fixtures:
+    within each order, every lineitem pair whose supplier NATIONS
+    differ is one comparison, won by the higher extended-price cents
+    (price ties dropped) — 25 nations, a domain-bounded item set.
+    Counts get +1 Laplace smoothing on the DENSE ordered-pair grid
+    (items × items, data-independent like ``t_closeness_audit``'s
+    grid), which keeps the comparison graph strongly connected — the
+    MM convergence precondition — and every π strictly positive.
+
+    Exactness (the house summed-float rule): π lives in integer
+    MICRO-units; each round's per-j terms quantize to longs BEFORE
+    the Σ_j sum (term = N̄_ij·10¹² DIV (π_i+π_j) — combine-order-free
+    exact-long sums), π′ = W_i·10¹² DIV denom, then one gauge-fixing
+    normalization to Σπ = N·10⁶. Multiplicands widen via DECIMAL(38)
+    / HUGEINT so no corpus size overflows.
+
+    Scale shape: the comparison generator is the within-order
+    self-join (fan-out ≤ lines-per-order², single digits²) + one
+    count aggregate at (winner, loser) grain — bounded by 25², not
+    the corpus; every MM round runs on the 625-row grid with 1-row
+    broadcast totals. Never a driver collect.
+
+    Output: nationkey, n_wins, n_losses, pi_micro, rank.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    lin = li.join(F.broadcast(sup), "l_suppkey").select(
+        "l_orderkey", "l_linenumber", "s_nationkey", "cents"
+    )
+    a = lin.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("s_nationkey").alias("nat_a"),
+        F.col("cents").alias("c_a"),
+    )
+    b = lin.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("s_nationkey").alias("nat_b"),
+        F.col("cents").alias("c_b"),
+    )
+    comps = (
+        a.join(b, "l_orderkey")
+        .where(
+            (F.col("ln_a") < F.col("ln_b"))
+            & (F.col("nat_a") != F.col("nat_b"))
+            & (F.col("c_a") != F.col("c_b"))
+        )
+        .select(
+            F.when(F.col("c_a") > F.col("c_b"), F.col("nat_a"))
+            .otherwise(F.col("nat_b"))
+            .alias("winner"),
+            F.when(F.col("c_a") > F.col("c_b"), F.col("nat_b"))
+            .otherwise(F.col("nat_a"))
+            .alias("loser"),
+        )
+    )
+    nij_raw = track_persist(
+        comps.groupBy("winner", "loser").agg(F.count(F.lit(1)).alias("n"))
+    )
+    items = track_persist(
+        nij_raw.select(F.col("winner").alias("nationkey"))
+        .unionByName(nij_raw.select(F.col("loser").alias("nationkey")))
+        .distinct()
+    )
+    grid = track_persist(
+        items.select(F.col("nationkey").alias("i"))
+        .crossJoin(F.broadcast(items.select(F.col("nationkey").alias("j"))))
+        .where(F.col("i") != F.col("j"))
+        .join(
+            F.broadcast(
+                nij_raw.select(
+                    F.col("winner").alias("i"), F.col("loser").alias("j"), "n"
+                )
+            ),
+            ["i", "j"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                nij_raw.select(
+                    F.col("loser").alias("i"),
+                    F.col("winner").alias("j"),
+                    F.col("n").alias("nr"),
+                )
+            ),
+            ["i", "j"],
+            "left",
+        )
+        .select(
+            "i",
+            "j",
+            (F.coalesce(F.col("n"), F.lit(0)) + 1).alias("ns"),
+            # TOTAL games between i and j (Hunter 2004's N_ij) — the
+            # MM denominator; wins-only here makes uniform π a fixed
+            # point (denom_i collapses to W_i·const for every i)
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("nr"), F.lit(0))
+                + 2
+            ).alias("g"),
+        )
+    )
+    wins = grid.groupBy("i").agg(F.sum("ns").alias("w"))
+    n_items = items.agg(F.count(F.lit(1)).alias("n_items"))
+    pi = items.select(
+        F.col("nationkey").alias("i"), F.lit(1_000_000).alias("pi")
+    ).localCheckpoint()
+    for _ in range(BT_ROUNDS):
+        t = (
+            grid.join(F.broadcast(pi), "i")
+            .join(
+                F.broadcast(
+                    pi.select(F.col("i").alias("j"), F.col("pi").alias("pj"))
+                ),
+                "j",
+            )
+            .select(
+                "i",
+                F.expr(
+                    f"CAST((CAST(g AS DECIMAL(38,0)) * {BT_SCALE})"
+                    " DIV greatest(pi + pj, 1) AS BIGINT)"
+                ).alias("term"),
+            )
+        )
+        denom = t.groupBy("i").agg(F.sum("term").alias("denom"))
+        raw = (
+            wins.join(denom, "i")
+            .select(
+                "i",
+                F.expr(
+                    f"CAST((CAST(w AS DECIMAL(38,0)) * {BT_SCALE})"
+                    " DIV greatest(denom, 1) AS BIGINT)"
+                ).alias("pr"),
+            )
+        )
+        total = raw.agg(F.sum("pr").alias("s"))
+        pi = (
+            raw.crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(n_items))
+            .select(
+                "i",
+                F.expr(
+                    "CAST((CAST(pr AS DECIMAL(38,0)) * n_items * 1000000)"
+                    " DIV greatest(s, 1) AS BIGINT)"
+                ).alias("pi"),
+            )
+            .localCheckpoint()
+        )
+    w_rank = Window.orderBy(F.desc("pi_micro"), F.asc("nationkey"))
+    raw_w = nij_raw.groupBy(F.col("winner").alias("i")).agg(
+        F.sum("n").alias("n_wins")
+    )
+    raw_l = nij_raw.groupBy(F.col("loser").alias("i")).agg(
+        F.sum("n").alias("n_losses")
+    )
+    return (
+        pi.join(raw_w, "i", "left")
+        .join(raw_l, "i", "left")
+        .select(
+            F.col("i").alias("nationkey"),
+            F.coalesce("n_wins", F.lit(0)).alias("n_wins"),
+            F.coalesce("n_losses", F.lit(0)).alias("n_losses"),
+            F.col("pi").alias("pi_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .orderBy("rank")
+    )
+
+
+def _bt_oracle_sql() -> str:
+    rounds = []
+    for r in range(1, BT_ROUNDS + 1):
+        rounds.append(
+            f", t{r} AS MATERIALIZED (\n"
+            f"  SELECT g.i,\n"
+            f"         CAST((g.g::HUGEINT * {BT_SCALE})\n"
+            f"              // greatest(a.pi + b.pi, 1) AS BIGINT) AS term\n"
+            f"  FROM grid g JOIN pi{r - 1} a ON a.i = g.i\n"
+            f"              JOIN pi{r - 1} b ON b.i = g.j\n"
+            f"), d{r} AS MATERIALIZED (\n"
+            f"  SELECT i, sum(term)::BIGINT AS denom FROM t{r} GROUP BY 1\n"
+            f"), raw{r} AS MATERIALIZED (\n"
+            f"  SELECT w.i,\n"
+            f"         CAST((w.w::HUGEINT * {BT_SCALE})\n"
+            f"              // greatest(d.denom, 1) AS BIGINT) AS pr\n"
+            f"  FROM wins w JOIN d{r} d ON d.i = w.i\n"
+            f"), pi{r} AS MATERIALIZED (\n"
+            f"  SELECT r.i,\n"
+            f"         CAST((r.pr::HUGEINT * n.n_items * 1000000)\n"
+            f"              // greatest(s.s, 1) AS BIGINT) AS pi\n"
+            f"  FROM raw{r} r\n"
+            f"  CROSS JOIN (SELECT sum(pr)::BIGINT AS s FROM raw{r}) s\n"
+            f"  CROSS JOIN n_items n\n"
+            f")"
+        )
+    return f"""
+WITH lin AS MATERIALIZED (
+  SELECT l.l_orderkey, l.l_linenumber, s.s_nationkey,
+         round(l.l_extendedprice * 100)::BIGINT AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+), comps AS (
+  SELECT CASE WHEN a.cents > b.cents THEN a.s_nationkey
+              ELSE b.s_nationkey END AS winner,
+         CASE WHEN a.cents > b.cents THEN b.s_nationkey
+              ELSE a.s_nationkey END AS loser
+  FROM lin a JOIN lin b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+   AND a.s_nationkey <> b.s_nationkey AND a.cents <> b.cents
+), nij AS MATERIALIZED (
+  SELECT winner, loser, count(*)::BIGINT AS n FROM comps GROUP BY 1, 2
+), items AS MATERIALIZED (
+  SELECT DISTINCT winner AS nationkey FROM nij
+  UNION SELECT DISTINCT loser FROM nij
+), grid AS MATERIALIZED (
+  SELECT a.nationkey AS i, b.nationkey AS j,
+         (coalesce(n.n, 0) + 1)::BIGINT AS ns,
+         (coalesce(n.n, 0) + coalesce(r.n, 0) + 2)::BIGINT AS g
+  FROM items a JOIN items b ON a.nationkey <> b.nationkey
+  LEFT JOIN nij n ON n.winner = a.nationkey AND n.loser = b.nationkey
+  LEFT JOIN nij r ON r.winner = b.nationkey AND r.loser = a.nationkey
+), wins AS MATERIALIZED (
+  SELECT i, sum(ns)::BIGINT AS w FROM grid GROUP BY 1
+), n_items AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n_items FROM items
+), pi0 AS MATERIALIZED (
+  SELECT nationkey AS i, 1000000::BIGINT AS pi FROM items
+){"".join(rounds)}
+SELECT p.i AS nationkey,
+       coalesce(rw.n_wins, 0)::BIGINT AS n_wins,
+       coalesce(rl.n_losses, 0)::BIGINT AS n_losses,
+       p.pi AS pi_micro,
+       row_number() OVER (ORDER BY p.pi DESC, p.i)::BIGINT AS rank
+FROM pi{BT_ROUNDS} p
+LEFT JOIN (SELECT winner AS i, sum(n)::BIGINT AS n_wins FROM nij
+           GROUP BY 1) rw ON rw.i = p.i
+LEFT JOIN (SELECT loser AS i, sum(n)::BIGINT AS n_losses FROM nij
+           GROUP BY 1) rl ON rl.i = p.i
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "market_basket_rules": market_basket_rules,
+    "bradley_terry_rating": bradley_terry_rating,
 }
 
 ORACLES = {
     "market_basket_rules": _BASKET_SQL,
+    "bradley_terry_rating": _bt_oracle_sql(),
 }

@@ -1284,3 +1284,38 @@ def test_ivfpq_int_matches_python_model(spark, vecs):
         for r in llm.similarity_ann_ivfpq_int(spark, d).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_bradley_terry_planted_dominance(spark, tmp_path):
+    """Planted transitive dominance (nation 1 beats all, 2 beats 3):
+    exact raw win/loss bookkeeping, strict strength ordering, ranks
+    1-2-3, and the gauge normalization holds Σπ = N·1e6 up to DIV
+    slop."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import mining
+
+    d = str(tmp_path / "bt")
+    li, sup = [], [(1, 1), (2, 2), (3, 3)]
+    for ok in range(3):
+        li += [
+            (ok, 1, 1, 300.0),
+            (ok, 2, 2, 200.0),
+            (ok, 3, 3, 100.0),
+        ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_linenumber int, l_suppkey long, "
+        "l_extendedprice double"
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        sup, "s_suppkey long, s_nationkey int"
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    rows = mining.bradley_terry_rating(spark, d).collect()
+    got = {r.nationkey: r for r in rows}
+    assert (got[1].n_wins, got[1].n_losses) == (6, 0)
+    assert (got[2].n_wins, got[2].n_losses) == (3, 3)
+    assert (got[3].n_wins, got[3].n_losses) == (0, 6)
+    assert got[1].pi_micro > got[2].pi_micro > got[3].pi_micro
+    assert [r.nationkey for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+    total = sum(r.pi_micro for r in rows)
+    assert 3_000_000 - 3 <= total <= 3_000_000
