@@ -942,6 +942,91 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-INGEST BENCHMARK DECONTAMINATION — the streaming form of
+    ``decontaminate_ngram``: flag documents sharing any
+    word-DECON_K-gram with the held-out eval set AS THEY ARRIVE,
+    so contaminated training data never lands (the batch pass then
+    only audits the backlog). The eval set is STATIC (benchmark
+    suites change on release cadence, not per micro-batch): its
+    distinct shingles fold to ONE broadcast array row, and each
+    streaming doc intersects its own distinct-shingle array against
+    it per row.
+
+    State honesty: ZERO streaming state — the whole operator is
+    stateless per-row expressions in append mode (no aggregate, no
+    watermark, nothing to evict); this is the strongest scaling
+    class a streaming operator can be in. Batch/stream parity by
+    construction: the oracle is the batch entry's own SQL verbatim.
+
+    Scale shape: real eval suites are tiny relative to the corpus
+    (the broadcast is bounded by the benchmark suite, not the
+    corpus); the intersect is O(|doc grams| · log |eval|) per row.
+    For an eval set too big to broadcast, the same plan becomes a
+    stream-static semi-join on the shingle key — same semantics,
+    one shuffle.
+
+    Output: doc_id, n_ngrams, n_hit_ngrams, contaminated — one row
+    per TRAIN doc (eval docs don't ingest into training).
+    """
+    import uuid
+
+    from ..functions.text import tokens
+    from ..operators.llm import DECON_EVAL_MOD, DECON_K
+
+    work = scratch_dir("stream_dc_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+
+    def gram_arr() -> F.Column:
+        arr = F.col("ts")
+        n_win = F.size(arr) - (DECON_K - 1)
+        sliding = F.when(
+            n_win >= 1, F.sequence(F.lit(0), n_win - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                sliding,
+                lambda i: F.concat_ws(
+                    "\x1f", *[F.get(arr, i + j) for j in range(DECON_K)]
+                ),
+            )
+        )
+
+    ev_docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("doc_id", tokens("text").alias("ts"))
+        .select(F.explode(gram_arr()).alias("sh"))
+        .distinct()
+    )
+    ev_row = ev_docs.agg(F.collect_list("sh").alias("evs"))
+    docs = spark.readStream.schema(schema).parquet(src)
+    out = (
+        docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .select("doc_id", tokens("text").alias("ts"))
+        .select("doc_id", gram_arr().alias("grams"))
+        .crossJoin(F.broadcast(ev_row))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_ngrams"),
+            F.size(F.array_intersect("grams", "evs"))
+            .cast("long")
+            .alias("n_hit_ngrams"),
+        )
+        .withColumn(
+            "contaminated", (F.col("n_hit_ngrams") > 0).cast("long")
+        )
+    )
+    name = f"stream_dc_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        out, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8
+    )
+    return spark.table(name)
+
+
 def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-DUP DEDUP ON INGEST — the streaming form of the MinHash
     pipeline, the thing a 100 TB crawl pipeline actually wants:
@@ -2369,6 +2454,7 @@ QUERIES = {
     "stream_custom_sink_totals": stream_custom_sink_totals,
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_gopher_filter": stream_gopher_filter,
+    "stream_decontaminate": stream_decontaminate,
     "stream_dedup_docs_minhash": stream_dedup_docs_minhash,
     "stream_dedup_docs_lsh": stream_dedup_docs_lsh,
     "stream_dedup_docs_minhash_bounded": stream_dedup_docs_minhash_bounded,
@@ -2409,6 +2495,9 @@ ORACLES = {
         + ")"
     ),
     "stream_late_data_audit": _LATE_AUDIT_SQL,
+    # on-ingest decontamination must reproduce the batch pass's
+    # verdicts row-for-row — the oracle IS the batch entry's SQL
+    "stream_decontaminate": _LLM_ORACLES["decontaminate_ngram"],
     # the on-ingest near-dup collapse must reproduce the batch
     # integer-MinHash signature grouping exactly (stage-by-stage
     # replay — the dedup_minhash_int discipline on a streaming entry)

@@ -922,3 +922,26 @@ def test_bounded_minhash_dedup_horizon_reemission_and_eviction(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert removed > 0  # signature state rows really evicted
+
+
+def test_stream_decontaminate_matches_batch(spark):
+    """Batch/stream parity: the on-ingest decontamination verdicts
+    equal the batch pass row-for-row at sf0.001 (different shingle
+    identities — xxhash64 vs strings — same distinct-gram counts),
+    and at least one doc on each side of the contaminated flag
+    exists so the parity is non-vacuous."""
+    from cs537_spring2021_p3a_mapreduce_spark import streaming
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_hit_ngrams, r.contaminated)
+        for r in streaming.stream_decontaminate(spark, sf).collect()
+    }
+    exp = {
+        r.doc_id: (r.n_ngrams, r.n_hit_ngrams, r.contaminated)
+        for r in llm.decontaminate_ngram(spark, sf).collect()
+    }
+    assert got == exp and len(got) > 0
+    flags = {v[2] for v in got.values()}
+    assert flags == {0, 1}
