@@ -741,3 +741,42 @@ def test_table_checksum_order_and_partition_invariant(spark):
     }
     assert mutated["o_orderpriority"] != base["o_orderpriority"]
     assert mutated["o_orderkey"] == base["o_orderkey"]
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Planted monthly series: a perfect +100-cents/month trend with
+    ONE wild outlier month — Theil-Sen recovers the true slope
+    (median of pairwise slopes) where OLS would be dragged; even
+    pair counts take the deterministic LOWER median."""
+    import os
+    import tempfile
+
+    def run(series, seg="BUILDING"):
+        d = tempfile.mkdtemp(prefix="ts_t_")
+        rows, cust = [], [(0, seg)]
+        i = 0
+        for month, total in series:
+            rows.append((i, 0, total / 100.0, f"1994-{month:02d}-15"))
+            i += 1
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderdate string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "CAST(o_orderdate AS DATE) AS o_orderdate",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            cust, "c_custkey long, c_mktsegment string"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        return prof.theil_sen_trend(spark, d).collect()
+
+    # months 1..5 at 1000, 1100, 1200, 999999 (outlier), 1400 cents
+    out = run([(1, 1000), (2, 1100), (3, 1200), (4, 999999), (5, 1400)])
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_months, r.n_pairs) == (5, 10)
+    # 6 of 10 pairwise slopes are exactly +100/month; the outlier
+    # contributes 4 wild ones (3 huge positive, 1 huge negative as
+    # (5,4) is ordered 4<5 with a crash down) -> median is 100e6
+    assert r.sen_slope_micro == 100_000_000
