@@ -2540,10 +2540,151 @@ ORDER BY 1
 """
 
 
+CHI2_CRIT_16_MICRO = 26_296_228  # χ²(0.05, dof=16) in micro-units
+
+
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² TEST OF INDEPENDENCE on the market-segment × order-priority
+    contingency table — the categorical association test beside the
+    two-sample pair (``mann_whitney_revenue`` / ``ks_test_revenue``):
+    does order priority depend on customer segment? Reports each
+    cell's contribution (the residual a drill-down reads) plus the
+    total, dof and the α=0.05 verdict.
+
+    Exactness: with E_ij = R_i·C_j/N, the cell statistic
+    (O−E)²/E = (O·N − R·C)²/(N·R·C) — an exact-integer numerator and
+    denominator, quantized through ONE widened integer DIV
+    (DECIMAL(38)/HUGEINT: N⁴·10⁶ fits to N ≈ 10⁸ rows) and summed as
+    exact longs (combine-order-free); the dof-16 critical value is a
+    fixed integer constant, so the verdict is an integer compare —
+    no libm anywhere.
+
+    Scale shape: ONE hash aggregate at (segment, priority) grain,
+    two domain-bounded rollups, a 5×5 dense grid (data-independent,
+    broadcast cross-join — absent cells enter with O = 0 as the test
+    requires), one grid aggregate. A wordcount-shaped pass at any
+    corpus size.
+
+    Output (one row per cell, totals repeated): c_mktsegment,
+    o_orderpriority, observed, expected_micro, cell_chi2_micro,
+    chi2_micro, dof, reject_05.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    obs = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows_m = obs.groupBy("c_mktsegment").agg(F.sum("o").alias("r"))
+    cols_m = obs.groupBy("o_orderpriority").agg(F.sum("o").alias("c"))
+    total = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .join(F.broadcast(obs), ["c_mktsegment", "o_orderpriority"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "o",
+            F.expr(
+                "CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000) DIV n"
+                " AS BIGINT)"
+            ).alias("expected_micro"),
+            F.expr(
+                "CAST((CAST(o * n - r * c AS DECIMAL(38,0))"
+                " * (o * n - r * c) * 1000000)"
+                " DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+            ).alias("cell_chi2_micro"),
+        )
+    )
+    grid = track_persist(grid)
+    meta = (
+        grid.agg(
+            F.sum("cell_chi2_micro").alias("chi2_micro"),
+            (
+                (F.count_distinct("c_mktsegment") - 1)
+                * (F.count_distinct("o_orderpriority") - 1)
+            )
+            .cast("long")
+            .alias("dof"),
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(meta))
+        .withColumn(
+            "reject_05",
+            F.when(
+                (F.col("dof") == 16)
+                & (F.col("chi2_micro") > CHI2_CRIT_16_MICRO),
+                1,
+            )
+            .when(F.col("dof") == 16, 0)
+            .otherwise(None)
+            .cast("int"),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            F.col("o").alias("observed"),
+            "expected_micro",
+            "cell_chi2_micro",
+            "chi2_micro",
+            "dof",
+            "reject_05",
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+_CHI2_SQL = f"""
+WITH obs AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, count(*)::BIGINT AS o
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), rm AS (SELECT c_mktsegment, sum(o)::BIGINT AS r FROM obs GROUP BY 1),
+cm AS (SELECT o_orderpriority, sum(o)::BIGINT AS c FROM obs GROUP BY 1),
+t AS (SELECT sum(o)::BIGINT AS n FROM obs),
+grid AS (
+  SELECT rm.c_mktsegment, cm.o_orderpriority, rm.r, cm.c,
+         coalesce(obs.o, 0)::BIGINT AS o
+  FROM rm CROSS JOIN cm
+  LEFT JOIN obs ON obs.c_mktsegment = rm.c_mktsegment
+               AND obs.o_orderpriority = cm.o_orderpriority
+), cells AS (
+  SELECT g.c_mktsegment, g.o_orderpriority, g.o,
+         CAST((g.r::HUGEINT * g.c * 1000000) // t.n AS BIGINT) AS expected_micro,
+         CAST(((g.o * t.n - g.r * g.c)::HUGEINT
+               * (g.o * t.n - g.r * g.c) * 1000000)
+              // (t.n::HUGEINT * g.r * g.c) AS BIGINT) AS cell_chi2_micro
+  FROM grid g CROSS JOIN t
+), tot AS (
+  SELECT sum(cell_chi2_micro)::BIGINT AS chi2_micro,
+         ((count(DISTINCT c_mktsegment) - 1)
+          * (count(DISTINCT o_orderpriority) - 1))::BIGINT AS dof
+  FROM cells
+)
+SELECT c.c_mktsegment, c.o_orderpriority, c.o AS observed,
+       c.expected_micro, c.cell_chi2_micro, tot.chi2_micro, tot.dof,
+       CAST(CASE WHEN tot.dof = 16
+                 THEN CASE WHEN tot.chi2_micro > {CHI2_CRIT_16_MICRO}
+                           THEN 1 ELSE 0 END
+                 ELSE NULL END AS INT) AS reject_05
+FROM cells c CROSS JOIN tot
+ORDER BY c.c_mktsegment, c.o_orderpriority
+"""
+
+
 QUERIES = {
     "exact_median_selection": exact_median_selection,
     "ks_test_revenue": ks_test_revenue,
     "theil_sen_trend": theil_sen_trend,
+    "chi_square_independence": chi_square_independence,
     "mann_whitney_revenue": mann_whitney_revenue,
     "bootstrap_replica_means": bootstrap_replica_means,
     "status_consistency_audit": status_consistency_audit,
@@ -2576,6 +2717,7 @@ ORACLES = {
     "exact_median_selection": _EXACT_MEDIAN_SQL,
     "ks_test_revenue": _KS_TEST_SQL,
     "theil_sen_trend": _THEIL_SEN_SQL,
+    "chi_square_independence": _CHI2_SQL,
     "mann_whitney_revenue": _MANN_WHITNEY_SQL,
     "bootstrap_replica_means": _bootstrap_sql(),
     "status_consistency_audit": _STATUS_AUDIT_SQL,

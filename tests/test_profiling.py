@@ -780,3 +780,51 @@ def test_theil_sen_robust_to_outlier(spark):
     # contributes 4 wild ones (3 huge positive, 1 huge negative as
     # (5,4) is ordered 4<5 with a crash down) -> median is 100e6
     assert r.sen_slope_micro == 100_000_000
+
+
+def test_chi_square_planted_dependence(spark):
+    """Planted contingency tables: (a) a perfectly INDEPENDENT table
+    has chi2 exactly 0 in every cell; (b) a perfectly dependent
+    (diagonal) 2x2 table reproduces the textbook chi2 = N; dof is
+    (r-1)(c-1) and reject_05 is null off the dof=16 fixture shape."""
+    import os
+    import tempfile
+
+    def run(cells):
+        # cells: list of (segment, priority, count)
+        d = tempfile.mkdtemp(prefix="chi2_t_")
+        rows, cust = [], []
+        i = 0
+        for ci, (seg, pri, n) in enumerate(cells):
+            cust.append((ci, seg))
+            for _ in range(n):
+                rows.append((i, ci, pri))
+                i += 1
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderpriority string"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            cust, "c_custkey long, c_mktsegment string"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        return prof.chi_square_independence(spark, d).collect()
+
+    # independent 2x2: every cell O = E -> chi2 = 0
+    out = run([("A", "1-URGENT", 4), ("A", "2-HIGH", 4),
+               ("B", "1-URGENT", 4), ("B", "2-HIGH", 4)])
+    assert len(out) == 4
+    for r in out:
+        assert r.cell_chi2_micro == 0 and r.chi2_micro == 0
+        assert r.dof == 1 and r.reject_05 is None
+
+    # perfectly dependent diagonal 2x2 (N=8): chi2 = N = 8
+    out = run([("A", "1-URGENT", 4), ("B", "2-HIGH", 4)])
+    assert len(out) == 4  # dense grid: the two empty cells included
+    r0 = out[0]
+    assert r0.chi2_micro == 8_000_000 and r0.dof == 1
+    zeros = [r for r in out if r.observed == 0]
+    assert len(zeros) == 2
+    # each cell contributes (O*N - R*C)^2/(N*R*C): here all four
+    # contribute (8*4 - wait) -> every cell has |O*N - R*C| = 16,
+    # N*R*C = 128 -> 2.0 each; 4 cells -> 8.0 total
+    for r in out:
+        assert r.cell_chi2_micro == 2_000_000
