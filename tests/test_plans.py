@@ -961,3 +961,118 @@ def test_ivf_retrain_loop_broadcast_assignment_no_cartesian(spark):
     plan = P.plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert P.uses_broadcast_join(df)
+
+
+def test_ks_test_value_grain_no_row_sort(spark):
+    """KS shares Mann-Whitney's scale contract: rank work happens at
+    VALUE grain (group-by-cents aggregate below the window), the
+    customer dim broadcasts, and no sort-merge join appears."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.ks_test_revenue(spark, SF_SMOKE)
+    assert P.uses_broadcast_join(df)
+    assert not P.uses_sort_merge_join(df)
+    plan = P.plan(df, "simple")
+    assert P.count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_t_closeness_grid_is_domain_bounded(spark):
+    """The dense QI×value grid builds from two AGGREGATED relations
+    (never by expanding customer rows): aggregates sit below the
+    grid join and nothing goes cartesian except the tiny broadcast
+    value/total folds."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import mapreduce_core as mcx
+
+    df = mcx.t_closeness_audit(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_decontaminate_embedding_is_narrow_broadcast_fold(spark):
+    """The semantic decon scan is fully narrow: ONE broadcast of the
+    folded eval row, no shuffle on the train side beyond the output
+    sort, no sort-merge join, no cartesian."""
+    df = llm.decontaminate_embedding(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert not P.uses_sort_merge_join(df)
+    # train side: scan -> project -> broadcast join -> sort. The only
+    # exchanges are the 1-row eval broadcast and the final ordering.
+    assert P.shuffle_count(df) <= 2
+
+
+def test_wordpiece_encode_vocab_bounded_no_cartesian(spark):
+    """WordPiece encode inherits the unigram contract: the greedy
+    fold rides the 1-row broadcast vocab row (never
+    CartesianProduct) and the corpus collapses via hash aggregates
+    with map-side partials."""
+    df = llm.wordpiece_encode(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_mmr_pool_bounded_no_cartesian(spark):
+    """MMR's scale contract: the per-round selections are
+    localCheckpointed (each greedy round materializes its 1-row-per-
+    query pick, keeping the K-round plan shallow — the
+    bpe_train_merges discipline), so the FINAL plan is a scan of the
+    checkpointed RDD plus the output sort: no cartesian, no join, no
+    aggregate may reappear above the checkpoint."""
+    df = llm.similarity_topk_mmr(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan
+
+
+def test_bradley_terry_grid_rounds_broadcast(spark):
+    """Every MM round joins the 625-row grid against broadcast π
+    relations; the comparison generator is the within-order
+    equi-join; nothing cartesian, no sort-merge join."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import mining
+
+    df = mining.bradley_terry_rating(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert not P.uses_sort_merge_join(df)
+
+
+def test_theil_sen_pairs_on_monthly_aggregate(spark):
+    """The pair join's inputs are MONTHLY aggregates (hash aggregate
+    below the self-join) — the T²-bounded shape — and the corpus is
+    touched by exactly one aggregation pipeline per side of the
+    reused exchange."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.theil_sen_trend(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_chi_square_single_pass_dense_grid(spark):
+    """χ² touches the corpus in ONE (segment, priority) aggregate;
+    the dense grid builds from aggregated relations with broadcast
+    joins; verdict totals ride a 1-row broadcast."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.chi_square_independence(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert not P.uses_sort_merge_join(df)
+    assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_dedup_recall_report_candidates_below_verify(spark):
+    """The recall report's scale contract: the banded candidate join
+    and the all-pairs truth join both run on aggregated/distinct
+    relations (aggregates below joins), and the overall stats ride a
+    1-row broadcast — no cartesian anywhere."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup
+
+    df = dedup.dedup_recall_report(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 4
