@@ -5813,6 +5813,38 @@ def quality_filter_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: lang, n_docs, n_keep, keep_micro (rate ×10⁶, integer).
     """
+    feats, wavg = _qclf_feats_and_wavg(spark, sf_dir)
+    final = feats.crossJoin(F.broadcast(wavg)).select(
+        "lang",
+        F.expr(
+            "aggregate(bs, 0L, (acc, b) -> "
+            "acc + element_at(w, cast(b + 1 as int)))"
+        ).alias("logit"),
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("logit") >= 0, 1).otherwise(0)
+            ).cast("long").alias("n_keep"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_keep",
+            F.expr("n_keep * 1000000 DIV n_docs").alias("keep_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _qclf_feats_and_wavg(spark: SparkSession, sf_dir: str):
+    """Shared model build for the trained-filter family: hashed
+    bag-of-buckets features + the AVERAGED perceptron weight row
+    (element-wise integer mean of all epoch snapshots). Returns
+    (feats, 1-row wavg) so the batch filter and the streaming apply
+    score with the IDENTICAL model by construction."""
     docs = table(spark, sf_dir, "documents")
     h = (
         "aggregate(filter(split(tok, ''), c -> c <> ''), 0L, "
@@ -5882,34 +5914,13 @@ def quality_filter_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({terms}) DIV {len(snapshots)})"
         ).alias("w")
     )
-    final = feats.crossJoin(F.broadcast(wavg)).select(
-        "lang",
-        F.expr(
-            "aggregate(bs, 0L, (acc, b) -> "
-            "acc + element_at(w, cast(b + 1 as int)))"
-        ).alias("logit"),
-    )
-    return (
-        final.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.when(F.col("logit") >= 0, 1).otherwise(0)
-            ).cast("long").alias("n_keep"),
-        )
-        .select(
-            "lang",
-            "n_docs",
-            "n_keep",
-            F.expr("n_keep * 1000000 DIV n_docs").alias("keep_micro"),
-        )
-        .orderBy("lang")
-    )
+    return feats, wavg
 
 
-def _qclf_filter_sql(epochs: int = QCLF_EPOCHS) -> str:
+def _qclf_wavg_ctes(epochs: int = QCLF_EPOCHS) -> str:
     """Training CTEs (re-stated with lang carried through) + the
-    averaged-weight build + scoring + the per-language rollup."""
+    averaged-weight build — the shared prefix of the batch rollup
+    and the streaming per-doc apply oracles."""
     fold = (
         "list_reduce(list_prepend(0::BIGINT, "
         "list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)), "
@@ -5952,7 +5963,12 @@ WITH feats AS MATERIALIZED (
   SELECT list_transform(generate_series(1, {QCLF_DIM}), i ->
     (({terms}) // {epochs + 1})::BIGINT) AS w
   FROM {froms}
-), final AS (
+)"""
+
+
+def _qclf_filter_tail() -> str:
+    return """
+, final AS (
   SELECT f.lang,
          coalesce(list_sum(list_transform(f.bs,
            b -> w.w[(b + 1)::INT])), 0)::BIGINT AS logit
@@ -5964,6 +5980,27 @@ SELECT lang, count(*)::BIGINT AS n_docs,
          // count(*))::BIGINT AS keep_micro
 FROM final GROUP BY 1 ORDER BY 1
 """
+
+
+def _qclf_score_docs_sql(epochs: int = QCLF_EPOCHS) -> str:
+    """Per-document scoring under the SAME averaged model — the
+    streaming apply's oracle (the batch rollup's CTE prefix with a
+    per-doc tail)."""
+    return _qclf_wavg_ctes(epochs) + """
+, final AS (
+  SELECT f.doc_id, f.lang,
+         coalesce(list_sum(list_transform(f.bs,
+           b -> w.w[(b + 1)::INT])), 0)::BIGINT AS logit
+  FROM feats f CROSS JOIN wavg w
+)
+SELECT doc_id, lang, logit,
+       CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM final ORDER BY doc_id
+"""
+
+
+def _qclf_filter_sql(epochs: int = QCLF_EPOCHS) -> str:
+    return _qclf_wavg_ctes(epochs) + _qclf_filter_tail()
 
 
 _QCLF_FILTER_SQL = _qclf_filter_sql()

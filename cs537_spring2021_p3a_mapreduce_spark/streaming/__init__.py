@@ -1027,6 +1027,78 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_quality_filter_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED FILTERING ON INGEST — the trained averaged-
+    perceptron quality filter (``quality_filter_trained``) applied
+    to a document STREAM: train once in batch (models retrain on
+    release cadence, not per micro-batch), broadcast the 1-row
+    weight vector, score every arriving doc per row, and emit the
+    per-doc verdict — the deploy shape of every learned curation
+    filter (fastText quality/language models in production crawl
+    pipelines run exactly this way).
+
+    Model identity by construction: the weight row comes from the
+    SAME ``_qclf_feats_and_wavg`` build the batch filter uses, so
+    batch and stream cannot score differently; the oracle re-derives
+    the model end-to-end (training CTEs + averaged weights) and
+    scores each doc — a full lifecycle replay on a streaming entry.
+
+    State honesty: ZERO streaming state (stateless per-row hashing +
+    dot product in append mode) — same class as
+    ``stream_decontaminate``.
+
+    Output: doc_id, lang, logit, keep — one row per doc.
+    """
+    import uuid
+
+    from ..operators.llm import (
+        FP_BASE,
+        FP_MOD,
+        QCLF_DIM,
+        _qclf_feats_and_wavg,
+    )
+
+    _, wavg = _qclf_feats_and_wavg(spark, sf_dir)
+    wavg = wavg.localCheckpoint()  # materialize the model ONCE
+    work = scratch_dir("stream_qf_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = spark.readStream.schema(schema).parquet(src)
+    h = (
+        "aggregate(filter(split(tok, ''), c -> c <> ''), 0L, "
+        f"(a, c) -> (a * {FP_BASE} + ascii(c)) % {FP_MOD})"
+    )
+    from ..functions.text import tokens
+
+    out = (
+        docs.select(
+            "doc_id", "lang", tokens(F.lower("text")).alias("ts")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"transform(ts, tok -> ({h}) % {QCLF_DIM})").alias("bs"),
+        )
+        .crossJoin(F.broadcast(wavg))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "aggregate(bs, 0L, (acc, b) -> "
+                "acc + element_at(w, cast(b + 1 as int)))"
+            ).alias("logit"),
+        )
+        .withColumn("keep", (F.col("logit") >= 0).cast("int"))
+    )
+    name = f"stream_qf_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        out, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8
+    )
+    return spark.table(name)
+
+
 def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-DUP DEDUP ON INGEST — the streaming form of the MinHash
     pipeline, the thing a 100 TB crawl pipeline actually wants:
@@ -2455,6 +2527,7 @@ QUERIES = {
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_gopher_filter": stream_gopher_filter,
     "stream_decontaminate": stream_decontaminate,
+    "stream_quality_filter_trained": stream_quality_filter_trained,
     "stream_dedup_docs_minhash": stream_dedup_docs_minhash,
     "stream_dedup_docs_lsh": stream_dedup_docs_lsh,
     "stream_dedup_docs_minhash_bounded": stream_dedup_docs_minhash_bounded,
@@ -2482,6 +2555,7 @@ if tws_available():  # pragma: no cover — container lacks protobuf
 
 from ..operators.temporal import ORACLES as _TEMPORAL_ORACLES  # noqa: E402
 from ..operators.llm import ORACLES as _LLM_ORACLES  # noqa: E402
+from ..operators.llm import _qclf_score_docs_sql as _llm_score_docs_sql  # noqa: E402
 
 ORACLES = {
     "stream_ohlc_bars": _TEMPORAL_ORACLES["ohlc_bars"],
@@ -2498,6 +2572,9 @@ ORACLES = {
     # on-ingest decontamination must reproduce the batch pass's
     # verdicts row-for-row — the oracle IS the batch entry's SQL
     "stream_decontaminate": _LLM_ORACLES["decontaminate_ngram"],
+    # the streaming apply must score with the batch-trained model
+    # exactly — the oracle replays train + average + per-doc score
+    "stream_quality_filter_trained": _llm_score_docs_sql(),
     # the on-ingest near-dup collapse must reproduce the batch
     # integer-MinHash signature grouping exactly (stage-by-stage
     # replay — the dedup_minhash_int discipline on a streaming entry)

@@ -945,3 +945,29 @@ def test_stream_decontaminate_matches_batch(spark):
     assert got == exp and len(got) > 0
     flags = {v[2] for v in got.values()}
     assert flags == {0, 1}
+
+
+def test_stream_quality_filter_matches_batch_rollup(spark):
+    """Model identity: rolling the streaming per-doc verdicts up by
+    language reproduces the batch quality_filter_trained table
+    exactly — train-once/apply-on-ingest cannot drift from the batch
+    filter because both score with the same averaged weight row."""
+    from cs537_spring2021_p3a_mapreduce_spark import streaming
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = streaming.stream_quality_filter_trained(spark, sf).collect()
+    assert len(per_doc) == 500  # one verdict per doc
+    roll = {}
+    for r in per_doc:
+        n, k = roll.get(r.lang, (0, 0))
+        roll[r.lang] = (n + 1, k + r.keep)
+    exp = {
+        r.lang: (r.n_docs, r.n_keep, r.keep_micro)
+        for r in llm.quality_filter_trained(spark, sf).collect()
+    }
+    assert set(roll) == set(exp)
+    for lang, (n, k) in roll.items():
+        en, ek, emic = exp[lang]
+        assert (n, k) == (en, ek)
+        assert emic == k * 1_000_000 // n
