@@ -1092,7 +1092,157 @@ FROM cusum ORDER BY abs(cusum_cents) DESC, day ASC LIMIT 1
 """
 
 
+HW_SEASON = 12  # months per seasonal cycle
+HW_HORIZON = 12  # forecast steps emitted
+# α=1/2, β=γ=1/4: binary fractions — every smoothing step is integer
+# DIV arithmetic (trunc-division, engine-identical on negatives)
+
+
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT–WINTERS additive triple exponential smoothing (Holt 1957;
+    Winters 1960) — the forecasting tier above ``ewma_daily_revenue``
+    (level only) and ``theil_sen_trend`` (trend only): per market
+    segment, smooth the monthly revenue series into level + trend +
+    12-month seasonal state and emit the next HW_HORIZON monthly
+    forecasts ŷ_{T+h} = l_T + h·b_T + s_{(T+h−1) mod 12}.
+
+    Exactness: the series is exact cent sums; state lives in integer
+    MICRO-cents and every smoothing update is integer DIV arithmetic
+    with the binary-fraction coefficients α=1/2, β=γ=1/4
+    (l ← (y−s)/2 + (l+b)/2; b ← (l′−l)/4 + 3b/4; s ← (y−l′)/4 +
+    3s/4) — no floats anywhere, hash-exact by construction.
+    Deterministic init: l₁ = y₁, b₁ = 0, seasonals start at 0 (the
+    first cycle learns them).
+
+    Scale shape: ONE hash aggregate collapses the corpus to the
+    monthly grain; each segment's series folds to ONE ordered array
+    row and the recurrence runs as a single ``aggregate`` fold over
+    it — T-bounded sequential work (the irreducible nature of
+    exponential smoothing), never a corpus-sized window. Forecast
+    expansion is |segments|·HW_HORIZON rows.
+
+    Output: c_mktsegment, n_months, h, forecast_micro, level_micro,
+    trend_micro.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    monthly = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_mktsegment", "mx")
+        .agg(F.sum("cents").alias("y"))
+    )
+    series = monthly.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_list(F.struct("mx", "y"))).alias("ser")
+    )
+    fold = F.expr(
+        f"""
+aggregate(
+  ser,
+  named_struct('t', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+               'b', CAST(0 AS BIGINT),
+               's', transform(sequence(1, {HW_SEASON}),
+                              x -> CAST(0 AS BIGINT))),
+  (acc, p) -> transform(array(named_struct(
+      'y', p.y * 1000000,
+      'sm', element_at(acc.s, CAST(pmod(acc.t, {HW_SEASON}) + 1 AS INT)),
+      'lnew', CASE WHEN acc.t = 0 THEN p.y * 1000000
+        ELSE (p.y * 1000000
+              - element_at(acc.s, CAST(pmod(acc.t, {HW_SEASON}) + 1 AS INT)))
+             DIV 2 + (acc.l + acc.b) DIV 2 END)),
+    v -> named_struct(
+      't', acc.t + 1,
+      'l', v.lnew,
+      'b', CASE WHEN acc.t = 0 THEN CAST(0 AS BIGINT)
+           ELSE (v.lnew - acc.l) DIV 4 + (3 * acc.b) DIV 4 END,
+      's', transform(acc.s, (sv, i) ->
+        CASE WHEN i = CAST(pmod(acc.t, {HW_SEASON}) AS INT)
+             THEN (v.y - v.lnew) DIV 4 + (3 * v.sm) DIV 4
+             ELSE sv END)))[0]
+)
+"""
+    )
+    state = series.select("c_mktsegment", fold.alias("st"))
+    hs = spark.range(1, HW_HORIZON + 1).select(
+        F.col("id").alias("h")
+    )
+    return (
+        state.crossJoin(F.broadcast(hs))
+        .select(
+            "c_mktsegment",
+            F.col("st.t").alias("n_months"),
+            "h",
+            (
+                F.col("st.l")
+                + F.col("h") * F.col("st.b")
+                + F.expr(
+                    f"element_at(st.s, CAST(pmod(st.t + h - 1, {HW_SEASON})"
+                    " + 1 AS INT))"
+                )
+            ).alias("forecast_micro"),
+            F.col("st.l").alias("level_micro"),
+            F.col("st.b").alias("trend_micro"),
+        )
+        .orderBy("c_mktsegment", "h")
+    )
+
+
+_HW_SQL = f"""
+WITH RECURSIVE monthly AS MATERIALIZED (
+  SELECT c.c_mktsegment AS seg,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))::BIGINT AS mx,
+         sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), ordered AS MATERIALIZED (
+  SELECT seg, y,
+         row_number() OVER (PARTITION BY seg ORDER BY mx)::BIGINT AS t
+  FROM monthly
+), segs AS MATERIALIZED (
+  SELECT seg, count(*)::BIGINT AS tn FROM ordered GROUP BY 1
+), rec AS (
+  SELECT seg, 0::BIGINT AS t, 0::BIGINT AS l, 0::BIGINT AS b,
+         list_transform(generate_series(1, {HW_SEASON}),
+                        x -> 0::BIGINT) AS s
+  FROM segs
+  UNION ALL
+  SELECT seg, t1, lnew,
+         CASE WHEN t = 0 THEN 0::BIGINT
+              ELSE ((lnew - l) // 4 + (3 * b) // 4)::BIGINT END,
+         list_transform(s, (sv, i) ->
+           CASE WHEN i = (t % {HW_SEASON} + 1)
+                THEN ((ym - lnew) // 4 + (3 * sm) // 4)::BIGINT
+                ELSE sv END)
+  FROM (
+    SELECT r.seg, r.t, r.l, r.b, r.s, r.t + 1 AS t1,
+           o.y * 1000000 AS ym,
+           r.s[(r.t % {HW_SEASON} + 1)::INT] AS sm,
+           CASE WHEN r.t = 0 THEN o.y * 1000000
+                ELSE ((o.y * 1000000 - r.s[(r.t % {HW_SEASON} + 1)::INT]) // 2
+                      + (r.l + r.b) // 2) END::BIGINT AS lnew
+    FROM rec r JOIN ordered o ON o.seg = r.seg AND o.t = r.t + 1
+  )
+), final AS (
+  SELECT r.seg, r.t, r.l, r.b, r.s
+  FROM rec r JOIN segs ON segs.seg = r.seg AND r.t = segs.tn
+)
+SELECT f.seg AS c_mktsegment, f.t AS n_months, h.h::BIGINT AS h,
+       (f.l + h.h * f.b
+        + f.s[((f.t + h.h - 1) % {HW_SEASON} + 1)::INT])::BIGINT
+         AS forecast_micro,
+       f.l AS level_micro, f.b AS trend_micro
+FROM final f CROSS JOIN generate_series(1, {HW_HORIZON}) AS h(h)
+ORDER BY 1, 3
+"""
+
+
 QUERIES = {
+    "holt_winters_forecast": holt_winters_forecast,
     "ohlc_bars": ohlc_bars,
     "latency_log_histogram": latency_log_histogram,
     "cusum_changepoint": cusum_changepoint,
@@ -1112,6 +1262,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "holt_winters_forecast": _HW_SQL,
     "ohlc_bars": _OHLC_SQL,
     "latency_log_histogram": _LOG_HIST_SQL,
     "cusum_changepoint": _CUSUM_SQL,

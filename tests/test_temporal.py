@@ -366,3 +366,44 @@ def test_cusum_changepoint_is_the_argmax(spark):
             best = (k, d, cum)
     assert (row.day, row.cusum_cents) == (best[1], best[2])
     assert row.mean_cents == mean and row.n_days == len(daily)
+
+
+def test_holt_winters_hand_computed_recurrence(spark, tmp_path):
+    """Two-month planted series (100, 200 cents): the integer
+    recurrence reproduces the hand-computed level 1.5e8, trend
+    1.25e7 micro-cents and the seasonal cell written at step 2;
+    forecasts are level + h*trend + the right seasonal cell."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as tp
+
+    d = str(tmp_path / "hw")
+    rows = [
+        (0, 0, 1.00, "1994-01-15"),
+        (1, 0, 2.00, "1994-02-15"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(0, "BUILDING")], "c_custkey long, c_mktsegment string"
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    out = {r.h: r for r in tp.holt_winters_forecast(spark, d).collect()}
+    assert len(out) == tp.HW_HORIZON
+    r1 = out[1]
+    assert r1.n_months == 2
+    # step 1: l=1e8, b=0, s[1]=0; step 2: l=1.5e8, b=1.25e7, s[2]=1.25e7
+    assert r1.level_micro == 150_000_000
+    assert r1.trend_micro == 12_500_000
+    # h=1 -> seasonal cell s[3] = 0
+    assert r1.forecast_micro == 150_000_000 + 12_500_000
+    # h=11 wraps to s[1] = 0; h=12 wraps to s[2] = 1.25e7
+    assert out[11].forecast_micro == 150_000_000 + 11 * 12_500_000
+    assert out[12].forecast_micro == (
+        150_000_000 + 12 * 12_500_000 + 12_500_000
+    )
