@@ -1546,6 +1546,133 @@ ORDER BY a_id, b_id
 """
 
 
+CDC_WINDOW = 8  # rolling-hash window (chars)
+CDC_MASK = 64  # boundary when h % CDC_MASK == 0 → ~64-char chunks
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync family —
+    Muthitacharoen et al. 2001 LBFS) — the BYTE-level dedup modality
+    beside the token-shingle tiers: chunk boundaries are chosen by a
+    rolling hash of the content itself, so INSERTING text into a
+    document shifts byte offsets but leaves every downstream chunk
+    identical — fixed-size blocks lose all alignment, content-defined
+    chunks keep deduplicating. The storage-dedup primitive a 100 TB
+    lake's segment store runs under every table format.
+
+    Variant note: boundaries are POSITION-LOCAL (a position i ≥ W is
+    a boundary iff the 33-polynomial hash of chars [i−W+1..i] ≡ 0
+    mod CDC_MASK) with no min/max-size suppression — suppression
+    makes boundary j depend on boundary j−1 (sequential), while this
+    form is embarrassingly parallel and keeps the content-defined
+    property; expected chunk length is CDC_MASK chars.
+
+    Exactness: the rolling hash is exact-integer (≤ 255·33⁸ ≪ 2⁶³),
+    chunk identities are md5 folds, all stats exact-long counts, one
+    integer-DIV ratio.
+
+    Scale shape: fully narrow per-row boundary/chunk construction
+    (O(len·W) arithmetic), one explode at chunk grain, ONE hash
+    aggregate on the chunk identity. Same cost class as the shingle
+    pipelines.
+
+    Output (1 row): n_chunks, n_distinct_chunks, total_bytes,
+    dup_bytes, dup_ratio_micro.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    roll = (
+        "aggregate(sequence(CAST(i AS INT) - 7, CAST(i AS INT)),"
+        " CAST(0 AS BIGINT), (a, j) -> a * 33 + ascii(substr(text, j, 1)))"
+    )
+    chunks_expr = F.expr(
+        f"""
+CASE WHEN length(text) >= 1 THEN
+  transform(array(
+    CASE WHEN length(text) >= {CDC_WINDOW}
+         THEN filter(sequence({CDC_WINDOW}, length(text)),
+                     i -> ({roll}) % {CDC_MASK} = 0)
+         ELSE CAST(array() AS ARRAY<INT>) END),
+    bnd -> transform(
+      sequence(1, size(bnd) + 1),
+      k -> named_struct(
+        's', CASE WHEN k = 1 THEN 1
+                  ELSE element_at(bnd, CAST(k - 1 AS INT)) + 1 END,
+        'e', CASE WHEN k = size(bnd) + 1 THEN CAST(length(text) AS INT)
+                  ELSE element_at(bnd, CAST(k AS INT)) END)))[0]
+ELSE CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>) END
+"""
+    )
+    per_chunk = (
+        docs.select("doc_id", "text", chunks_expr.alias("cs"))
+        .select("doc_id", "text", F.explode("cs").alias("c"))
+        .where(F.col("c.e") >= F.col("c.s"))
+        .select(
+            (F.col("c.e") - F.col("c.s") + 1).cast("long").alias("clen"),
+            _md5_fold(
+                F.expr("substring(text, c.s, c.e - c.s + 1)"), 1, 12
+            ).alias("ch"),
+        )
+    )
+    by_chunk = per_chunk.groupBy("ch", "clen").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return by_chunk.agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).alias("total_bytes"),
+        F.sum((F.col("cnt") - 1) * F.col("clen")).alias("dup_bytes"),
+    ).select(
+        "n_chunks",
+        "n_distinct_chunks",
+        "total_bytes",
+        "dup_bytes",
+        F.expr(
+            "(dup_bytes * 1000000) DIV nullif(total_bytes, 0)"
+        ).alias("dup_ratio_micro"),
+    )
+
+
+def _cdc_sql() -> str:
+    roll = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        " list_transform(generate_series(i - 7, i),"
+        " j -> ord(substring(text, j, 1))::BIGINT)),"
+        " (a, c) -> a * 33 + c)"
+    )
+    return f"""
+WITH bounds AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) >= {CDC_WINDOW}
+              THEN list_filter(generate_series({CDC_WINDOW}, length(text)),
+                               i -> ({roll}) % {CDC_MASK} = 0)
+              ELSE [] END AS bnd
+  FROM documents WHERE length(text) >= 1
+), chunks AS (
+  SELECT doc_id, text, bnd,
+         unnest(generate_series(1, len(bnd) + 1)) AS k
+  FROM bounds
+), spans AS (
+  SELECT doc_id, text,
+         CASE WHEN k = 1 THEN 1 ELSE bnd[k - 1] + 1 END AS s,
+         CASE WHEN k = len(bnd) + 1 THEN length(text) ELSE bnd[k] END AS e
+  FROM chunks
+), per_chunk AS (
+  SELECT (e - s + 1)::BIGINT AS clen,
+         {_md5_fold_sql("substring(text, s, e - s + 1)", 1, 12)} AS ch
+  FROM spans WHERE e >= s
+), by_chunk AS (
+  SELECT ch, clen, count(*)::BIGINT AS cnt FROM per_chunk GROUP BY 1, 2
+)
+SELECT sum(cnt)::BIGINT AS n_chunks,
+       count(*)::BIGINT AS n_distinct_chunks,
+       sum(cnt * clen)::BIGINT AS total_bytes,
+       sum((cnt - 1) * clen)::BIGINT AS dup_bytes,
+       (sum((cnt - 1) * clen) * 1000000
+        // nullif(sum(cnt * clen), 0))::BIGINT AS dup_ratio_micro
+FROM by_chunk
+"""
+
+
 _RECALL_TH_MICRO = int(round(MINHASH_JACCARD_THRESHOLD * 1_000_000))
 
 
@@ -1767,6 +1894,7 @@ ORDER BY bucket
 QUERIES = {
     "dedup_auto": dedup_auto,
     "dedup_recall_report": dedup_recall_report,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "dedup_ppjoin": dedup_ppjoin,
     "containment_join": containment_join,
     "incremental_dedup_index": incremental_dedup_index,
@@ -1790,6 +1918,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "dedup_auto": _DEDUP_AUTO_SQL,
     "dedup_recall_report": _dedup_recall_sql(),
+    "cdc_chunk_dedup": _cdc_sql(),
     "dedup_simhash_int": _SIMHASH_INT_SQL,
     "dedup_minhash_int": _MINHASH_INT_SQL,
     "dedup_ppjoin": _PPJOIN_SQL,

@@ -711,3 +711,43 @@ def test_dedup_recall_report_planted_curve(spark, tmp_path):
     # overall candidate stats repeat on every row and are consistent
     for r in rows.values():
         assert (r.n_cand, r.n_cand_true, r.precision_micro) == (3, 3, 1_000_000)
+
+
+def test_cdc_chunk_dedup_shift_invariance(spark, tmp_path):
+    """THE content-defined property: doc B = junk prefix + doc A.
+    Fixed-size blocks would lose all alignment after the insertion;
+    CDC boundaries depend only on local content, so A's chunks past
+    the first boundary reappear in B — dup_bytes is large. Chunks
+    also PARTITION each doc exactly (total_bytes = Σ doc lengths),
+    and two unrelated docs share nothing."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup
+
+    a = " ".join(f"tok{i}ab" for i in range(200))  # ~1400 chars
+    b = "INSERTED PREFIX " + a
+
+    runs = [0]
+
+    def run(docs):
+        runs[0] += 1
+        d = str(tmp_path / f"cdc{runs[0]}")
+        spark.createDataFrame(
+            [(i, t, "en", "t", len(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        return dedup.cdc_chunk_dedup(spark, d).collect()[0]
+
+    r = run([a, b])
+    assert r.total_bytes == len(a) + len(b)
+    # the shared suffix dedupes: at least half of A's bytes repeat
+    assert r.dup_bytes > len(a) // 2
+    assert r.dup_ratio_micro == r.dup_bytes * 1_000_000 // r.total_bytes
+
+    # unrelated docs: only incidental tiny within-doc chunk repeats
+    # remain (<1% of bytes) — an order of magnitude under the planted
+    # duplication, which the ratio comparison pins
+    r2 = run([a, "completely different content with no overlap at all"])
+    assert r2.dup_ratio_micro < 10_000
+    assert r.dup_ratio_micro > 10 * r2.dup_ratio_micro
