@@ -8139,6 +8139,115 @@ ORDER BY query_id, rank
 """
 
 
+CHI2_TOP_TOKENS = 24  # document-frequency cut for the feature table
+
+
+def token_label_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² FEATURE SELECTION for the language label (the classic
+    text-classification feature ranking — Yang & Pedersen 1997): for
+    each of the top-CHI2_TOP_TOKENS tokens by document frequency and
+    each language, the 2×2 presence-vs-class χ² — the statistic that
+    tells a classifier build (``quality_classifier_train``'s hashed
+    features, ``lang_id``'s lexicons) WHICH tokens actually carry
+    label signal. A high-χ² (token, lang) cell is a discriminative
+    feature; uniformly low rows are stopword-class noise.
+
+    Exactness: with the 2×2 margins A=a, B=df−a, C=n_l−a,
+    D=N−df−n_l+a, χ² = N·(AD−BC)²/((A+B)(C+D)(A+C)(B+D)) — exact
+    integer numerator/denominator, ONE widened DIV per cell
+    (DECIMAL(38)/HUGEINT; exact to ~10⁶ docs at the ×10⁶ scale —
+    beyond that the eval runs on a sampled slice like every feature
+    study). Degenerate margins (df=N or n_l=0) zero the denominator
+    and emit NULL — mirrored on both engines.
+
+    Scale shape: ONE distinct-presence aggregate at (token, doc)
+    grain collapses the corpus; the df top-K is a
+    TakeOrderedAndProject; everything downstream runs on the K×5
+    dense grid (data-independent, broadcast joins).
+
+    Output: token, lang, df, n_lang, a, chi2_micro.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pres = track_persist(
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.lower("text"))).alias("token")
+        ).distinct()
+    )
+    df_t = pres.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    topk = F.broadcast(
+        df_t.orderBy(F.desc("df"), "token").limit(CHI2_TOP_TOKENS)
+    )
+    n_l = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    a_cnt = (
+        pres.join(topk.select("token"), "token", "left_semi")
+        .groupBy("token", "lang")
+        .agg(F.count_distinct("doc_id").alias("a"))
+    )
+    grid = (
+        topk.crossJoin(F.broadcast(n_l))
+        .join(F.broadcast(a_cnt), ["token", "lang"], "left")
+        .withColumn("a", F.coalesce(F.col("a"), F.lit(0)))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return grid.select(
+        "token",
+        "lang",
+        "df",
+        "n_lang",
+        "a",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0))"
+            " * CAST(a * (n - df - n_lang + a) - (df - a) * (n_lang - a)"
+            "        AS DECIMAL(38,0))"
+            " * (a * (n - df - n_lang + a) - (df - a) * (n_lang - a))"
+            " * 1000000)"
+            " DIV nullif(CAST(df AS DECIMAL(38,0)) * (n - df)"
+            "            * n_lang * (n - n_lang), 0) AS BIGINT)"
+        ).alias("chi2_micro"),
+    ).orderBy("token", "lang")
+
+
+_TOKEN_CHI2_SQL = f"""
+WITH pres AS MATERIALIZED (
+  SELECT DISTINCT doc_id, lang, token FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS token
+    FROM documents)
+), df_t AS MATERIALIZED (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM pres GROUP BY 1
+), topk AS MATERIALIZED (
+  SELECT token, df FROM df_t ORDER BY df DESC, token
+  LIMIT {CHI2_TOP_TOKENS}
+), n_l AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY 1),
+n_tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+a_cnt AS MATERIALIZED (
+  SELECT p.token, p.lang, count(DISTINCT p.doc_id)::BIGINT AS a
+  FROM pres p JOIN topk USING (token) GROUP BY 1, 2
+), grid AS (
+  SELECT t.token, l.lang, t.df, l.n_lang,
+         coalesce(a.a, 0)::BIGINT AS a
+  FROM topk t CROSS JOIN n_l l
+  LEFT JOIN a_cnt a ON a.token = t.token AND a.lang = l.lang
+)
+SELECT g.token, g.lang, g.df, g.n_lang, g.a,
+       CAST((n.n::HUGEINT
+             * (g.a * (n.n - g.df - g.n_lang + g.a)
+                - (g.df - g.a) * (g.n_lang - g.a))::HUGEINT
+             * (g.a * (n.n - g.df - g.n_lang + g.a)
+                - (g.df - g.a) * (g.n_lang - g.a))
+             * 1000000)
+            // nullif(g.df::HUGEINT * (n.n - g.df)
+                      * g.n_lang * (n.n - g.n_lang), 0) AS BIGINT)
+         AS chi2_micro
+FROM grid g CROSS JOIN n_tot n
+ORDER BY g.token, g.lang
+"""
+
+
 MMR_POOL = 10  # relevance-ranked candidate pool fed to the MMR re-rank
 MMR_K = 5  # diversified results returned per query
 # λ = 0.5 exactly representable in binary — 0.5·x and the subtraction
@@ -8929,6 +9038,7 @@ QUERIES = {
     "decontaminate_embedding": decontaminate_embedding,
     "wordpiece_train": wordpiece_train,
     "similarity_topk_mmr": similarity_topk_mmr,
+    "token_label_chi2": token_label_chi2,
     "wordpiece_encode": wordpiece_encode,
     "sparse_dot_topk": sparse_dot_topk,
     "bm25_topk": bm25_topk,
@@ -9019,6 +9129,7 @@ ORACLES = {
     "decontaminate_embedding": _DECON_EMB_SQL,
     "wordpiece_train": _wordpiece_train_oracle(),
     "similarity_topk_mmr": _mmr_oracle_sql(),
+    "token_label_chi2": _TOKEN_CHI2_SQL,
     "wordpiece_encode": _wordpiece_encode_oracle(),
     "sparse_dot_topk": _SPARSE_TOPK_SQL,
     "embedding_pca_power": _pca_power_oracle_sql(),

@@ -2440,3 +2440,42 @@ def test_similarity_topk_mmr_diversifies(spark, tmp_path):
     assert got[0].mmr_score == round(exp, 6)
     # ranks cap at the candidate count (3 < MMR_K): no phantom rows
     assert [r.rank for r in got] == [1, 2, 3]
+
+
+def test_token_label_chi2_discriminative_vs_uniform(spark, tmp_path):
+    """Planted corpus: token 'nur' appears in EVERY de doc and no
+    other; token 'the' appears in every doc of every lang. The
+    perfectly discriminative (token, lang) cell gets χ² = N (the 2x2
+    maximum); the uniform token's cells get NULL (df = N zeroes the
+    (n-df) margin — no signal, degenerate by construction)."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = []
+    i = 0
+    for lang, marker in [("de", "nur"), ("en", "only"), ("fr", "seul")]:
+        for _ in range(4):
+            rows.append((i, f"the {marker} common words here", lang, "t", 20))
+            i += 1
+    d = str(tmp_path / "chi2tok")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.token, r.lang): r for r in llm.token_label_chi2(spark, d).collect()
+    }
+    n = 12
+    r = got[("nur", "de")]
+    assert (r.df, r.n_lang, r.a) == (4, 4, 4)
+    # perfect association: chi2 = N -> 12e6 micro
+    assert r.chi2_micro == n * 1_000_000
+    # 'nur' in a language it never appears in: a=0 but margins are
+    # non-degenerate -> chi2 = N*(0*4 - 4*4)^2/(4*8*4*8) = 3 -> 3e6? 
+    # compute: N*(AD-BC)^2 = 12*(0*(12-4-4+0) - 4*4)^2 = 12*256 = 3072
+    # denom = 4*8*4*8 = 1024 -> 3.0
+    r2 = got[("nur", "en")]
+    assert r2.chi2_micro == 3_000_000
+    # df = N token: (n - df) = 0 -> NULL on both engines
+    r3 = got[("the", "de")]
+    assert r3.chi2_micro is None
