@@ -1546,6 +1546,113 @@ ORDER BY a_id, b_id
 """
 
 
+KMV_K = 16  # sketch size: K smallest fingerprints per source
+
+
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MINIMUM-VALUES sketch overlap between sources (Bar-Yossef
+    et al. 2002; the Theta-sketch family) — the SKETCH leg beside
+    the exact ``cross_source_dup_matrix``: when 20 sources × 100 TB
+    make exact pairwise intersection a luxury, each source keeps
+    only its KMV_K smallest distinct document fingerprints, and any
+    pair's Jaccard is estimated from the two tiny sketches alone —
+    the mergeable-summary pattern every federated dedup audit uses.
+
+    Estimator: merge = the k′ = min(K, |union|) smallest of the two
+    sketches' union; Ĵ = |{v ∈ merge : v in BOTH sketches}| / k′.
+    All integers (md5-fold fingerprints, exact counts, one DIV);
+    ``merged_max`` (the k′-th smallest of the union) witnesses the
+    sketch CONTENT in the driver hash, so a broken sketch cut cannot
+    hide behind zero-overlap fixtures.
+
+    Scale shape: one distinct-fingerprint aggregate, one per-source
+    sort-limited sketch (K rows per source — the collect_list is
+    K-bounded after the rank cut, never corpus-bounded), then a
+    |sources|² grid of pure array arithmetic. Sketches are
+    mergeable: a 1000-executor run unions per-partition sketches.
+
+    Output: source_a, source_b, k_used, n_shared, j_est_micro,
+    merged_max.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", _md5_fold(F.col("text"), 1, 12).alias("fp")
+    )
+    dfp = docs.distinct()
+    w_k = Window.partitionBy("source").orderBy("fp")
+    sketch = (
+        dfp.withColumn("rn", F.row_number().over(w_k))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("fp")).alias("sk"))
+    )
+    a = sketch.select(
+        F.col("source").alias("source_a"), F.col("sk").alias("sa")
+    )
+    b = sketch.select(
+        F.col("source").alias("source_b"), F.col("sk").alias("sb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    merged = F.expr(
+        f"slice(array_sort(array_union(sa, sb)), 1, {KMV_K})"
+    )
+    return (
+        pairs.withColumn("mg", merged)
+        .select(
+            "source_a",
+            "source_b",
+            F.size("mg").cast("long").alias("k_used"),
+            F.size(
+                F.array_intersect(F.array_intersect("sa", "sb"), F.col("mg"))
+            )
+            .cast("long")
+            .alias("n_shared"),
+            F.expr("element_at(mg, size(mg))").alias("merged_max"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "k_used",
+            "n_shared",
+            F.expr("(n_shared * 1000000) DIV k_used").alias("j_est_micro"),
+            "merged_max",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _kmv_sql() -> str:
+    return f"""
+WITH dfp AS (
+  SELECT DISTINCT source, {_md5_fold_sql("text", 1, 12)} AS fp
+  FROM documents
+), ranked AS (
+  SELECT source, fp,
+         row_number() OVER (PARTITION BY source ORDER BY fp) AS rn
+  FROM dfp
+), sketch AS MATERIALIZED (
+  SELECT source, list_sort(list(fp)) AS sk
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY 1
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.sk AS sa, b.sk AS sb,
+         list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:{KMV_K}] AS mg
+  FROM sketch a JOIN sketch b ON a.source < b.source
+)
+SELECT source_a, source_b,
+       len(mg)::BIGINT AS k_used,
+       len(list_filter(mg, v -> list_contains(sa, v)
+                               AND list_contains(sb, v)))::BIGINT AS n_shared,
+       (len(list_filter(mg, v -> list_contains(sa, v)
+                               AND list_contains(sb, v))) * 1000000
+        // len(mg))::BIGINT AS j_est_micro,
+       mg[len(mg)]::BIGINT AS merged_max
+FROM pairs
+ORDER BY source_a, source_b
+"""
+
+
 CDC_WINDOW = 8  # rolling-hash window (chars)
 CDC_MASK = 64  # boundary when h % CDC_MASK == 0 → ~64-char chunks
 
@@ -1895,6 +2002,7 @@ QUERIES = {
     "dedup_auto": dedup_auto,
     "dedup_recall_report": dedup_recall_report,
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "source_overlap_kmv": source_overlap_kmv,
     "dedup_ppjoin": dedup_ppjoin,
     "containment_join": containment_join,
     "incremental_dedup_index": incremental_dedup_index,
@@ -1919,6 +2027,7 @@ ORACLES: dict[str, str] = {
     "dedup_auto": _DEDUP_AUTO_SQL,
     "dedup_recall_report": _dedup_recall_sql(),
     "cdc_chunk_dedup": _cdc_sql(),
+    "source_overlap_kmv": _kmv_sql(),
     "dedup_simhash_int": _SIMHASH_INT_SQL,
     "dedup_minhash_int": _MINHASH_INT_SQL,
     "dedup_ppjoin": _PPJOIN_SQL,

@@ -751,3 +751,40 @@ def test_cdc_chunk_dedup_shift_invariance(spark, tmp_path):
     r2 = run([a, "completely different content with no overlap at all"])
     assert r2.dup_ratio_micro < 10_000
     assert r.dup_ratio_micro > 10 * r2.dup_ratio_micro
+
+
+def test_source_overlap_kmv_estimates_planted_overlap(spark, tmp_path):
+    """Planted sources: X and Y share exactly half their docs (true
+    J = 1/3), Z is disjoint. With |distinct| <= K the KMV estimate
+    is EXACT (the sketch holds the whole set): Ĵ(X,Y) = 1/3,
+    Ĵ(X,Z) = 0; merged_max witnesses the sketch content."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup
+
+    shared = [f"shared doc {i} body" for i in range(4)]
+    only_x = [f"x only doc {i} body" for i in range(4)]
+    only_y = [f"y only doc {i} body" for i in range(4)]
+    only_z = [f"z only doc {i} body" for i in range(8)]
+    rows, i = [], 0
+    for src, texts in [
+        ("X", shared + only_x), ("Y", shared + only_y), ("Z", only_z)
+    ]:
+        for t in texts:
+            rows.append((i, t, "en", src, len(t)))
+            i += 1
+    d = str(tmp_path / "kmv")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.source_a, r.source_b): r
+        for r in dedup.source_overlap_kmv(spark, d).collect()
+    }
+    xy = got[("X", "Y")]
+    # union = 12 distinct fps <= K=16 -> exact: 4 shared / 12
+    assert (xy.k_used, xy.n_shared) == (12, 4)
+    assert xy.j_est_micro == 4 * 1_000_000 // 12
+    xz = got[("X", "Z")]
+    assert xz.n_shared == 0 and xz.j_est_micro == 0
+    assert xy.merged_max > 0
