@@ -2540,6 +2540,148 @@ ORDER BY 1
 """
 
 
+MK_CRIT_MICRO = 1_959_963  # |z| threshold, two-sided α=0.05
+
+
+def mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–KENDALL trend test (Mann 1945; Kendall 1975) — the
+    SIGNIFICANCE companion to ``theil_sen_trend``'s magnitude: is
+    each segment's monthly revenue trend real or noise? S = Σ_{i<j}
+    sign(y_j − y_i) over time-ordered pairs; the tie-corrected
+    normal approximation gives z.
+
+    Exactness: S and the ×18 variance numerator
+    V18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are exact longs (tie
+    groups counted exactly); z folds through ONE fixed IEEE
+    expression per row ((S∓1)/sqrt(V18/18) — CAST//sqrt only,
+    bit-identical across engines) floor-quantized to micro; the
+    α=0.05 verdict is an integer compare.
+
+    Scale shape: identical to ``theil_sen_trend`` — pairs on the
+    MONTHLY aggregate (T²-bounded, data-size-independent), tie
+    groups from one value-grain aggregate, a per-segment reduce.
+
+    Output: c_mktsegment, n_months, s_stat, var18, z_micro,
+    trend, reject_05.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        _cents("o_totalprice").alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    monthly = track_persist(
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_mktsegment", "mx")
+        .agg(F.sum("cents").alias("y"))
+    )
+    a = monthly.select(
+        "c_mktsegment", F.col("mx").alias("x1"), F.col("y").alias("y1")
+    )
+    b = monthly.select(
+        "c_mktsegment", F.col("mx").alias("x2"), F.col("y").alias("y2")
+    )
+    s_stat = (
+        a.join(b, "c_mktsegment")
+        .where(F.col("x1") < F.col("x2"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    ties = (
+        monthly.groupBy("c_mktsegment", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("_nvals"),
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie18"),
+        )
+    )
+    z = (
+        "CASE WHEN var18 <= 0 OR s_stat = 0 THEN CAST(0 AS BIGINT) ELSE"
+        " CAST(floor((CAST(s_stat AS DOUBLE)"
+        "  - CAST(CASE WHEN s_stat > 0 THEN 1 ELSE -1 END AS DOUBLE))"
+        " / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000.0) AS BIGINT) END"
+    )
+    return (
+        s_stat.join(ties, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.col("n").alias("n_months"),
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            ).alias("var18"),
+        )
+        .withColumn("z_micro", F.expr(z))
+        .withColumn(
+            "trend",
+            F.when(F.col("z_micro") > MK_CRIT_MICRO, "increasing")
+            .when(F.col("z_micro") < -MK_CRIT_MICRO, "decreasing")
+            .otherwise("no_trend"),
+        )
+        .withColumn(
+            "reject_05",
+            (F.abs(F.col("z_micro")) > MK_CRIT_MICRO).cast("int"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_MANN_KENDALL_SQL = f"""
+WITH monthly AS MATERIALIZED (
+  SELECT c.c_mktsegment,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))::BIGINT AS mx,
+         sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT a.c_mktsegment,
+         sum(sign(b.y - a.y))::BIGINT AS s_stat
+  FROM monthly a JOIN monthly b
+    ON b.c_mktsegment = a.c_mktsegment AND a.mx < b.mx
+  GROUP BY 1
+), ties AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS _nvals,
+         sum(t)::BIGINT AS n,
+         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+  FROM (SELECT c_mktsegment, y, count(*)::BIGINT AS t
+        FROM monthly GROUP BY 1, 2)
+  GROUP BY 1
+), base AS (
+  SELECT s.c_mktsegment, ties.n AS n_months, s.s_stat,
+         (ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie18)::BIGINT
+           AS var18
+  FROM s JOIN ties USING (c_mktsegment)
+), scored AS (
+  SELECT *,
+         CASE WHEN var18 <= 0 OR s_stat = 0 THEN 0::BIGINT ELSE
+           CAST(floor((CAST(s_stat AS DOUBLE)
+             - CAST(CASE WHEN s_stat > 0 THEN 1 ELSE -1 END AS DOUBLE))
+            / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000.0) AS BIGINT) END
+           AS z_micro
+  FROM base
+)
+SELECT c_mktsegment, n_months, s_stat, var18, z_micro,
+       CASE WHEN z_micro > {MK_CRIT_MICRO} THEN 'increasing'
+            WHEN z_micro < -{MK_CRIT_MICRO} THEN 'decreasing'
+            ELSE 'no_trend' END AS trend,
+       CAST(CASE WHEN abs(z_micro) > {MK_CRIT_MICRO} THEN 1 ELSE 0 END
+            AS INT) AS reject_05
+FROM scored
+ORDER BY c_mktsegment
+"""
+
+
 CHI2_CRIT_16_MICRO = 26_296_228  # χ²(0.05, dof=16) in micro-units
 
 
@@ -2684,6 +2826,7 @@ QUERIES = {
     "exact_median_selection": exact_median_selection,
     "ks_test_revenue": ks_test_revenue,
     "theil_sen_trend": theil_sen_trend,
+    "mann_kendall_test": mann_kendall_test,
     "chi_square_independence": chi_square_independence,
     "mann_whitney_revenue": mann_whitney_revenue,
     "bootstrap_replica_means": bootstrap_replica_means,
@@ -2717,6 +2860,7 @@ ORACLES = {
     "exact_median_selection": _EXACT_MEDIAN_SQL,
     "ks_test_revenue": _KS_TEST_SQL,
     "theil_sen_trend": _THEIL_SEN_SQL,
+    "mann_kendall_test": _MANN_KENDALL_SQL,
     "chi_square_independence": _CHI2_SQL,
     "mann_whitney_revenue": _MANN_WHITNEY_SQL,
     "bootstrap_replica_means": _bootstrap_sql(),

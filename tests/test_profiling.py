@@ -828,3 +828,43 @@ def test_chi_square_planted_dependence(spark):
     # N*R*C = 128 -> 2.0 each; 4 cells -> 8.0 total
     for r in out:
         assert r.cell_chi2_micro == 2_000_000
+
+
+def test_mann_kendall_planted_trends(spark):
+    """Planted monthly series: (a) strictly increasing 10 months
+    gives the maximal S = 45, textbook variance, and a significant
+    'increasing' verdict; (b) an alternating series has |S| <= 1 and
+    no trend."""
+    import math
+    import os
+    import tempfile
+
+    def run(series):
+        d = tempfile.mkdtemp(prefix="mk_t_")
+        rows = []
+        for i, (month, total) in enumerate(series):
+            y, m = 1994 + (month - 1) // 12, (month - 1) % 12 + 1
+            rows.append((i, 0, total / 100.0, f"{y}-{m:02d}-15"))
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderdate string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "CAST(o_orderdate AS DATE) AS o_orderdate",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            [(0, "BUILDING")], "c_custkey long, c_mktsegment string"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        return prof.mann_kendall_test(spark, d).collect()[0]
+
+    r = run([(m, 1000 + 10 * m) for m in range(1, 11)])
+    assert (r.n_months, r.s_stat) == (10, 45)
+    assert r.var18 == 10 * 9 * 25  # no ties
+    z = (45 - 1) / math.sqrt(10 * 9 * 25 / 18.0)
+    assert r.z_micro == math.floor(z * 1_000_000)
+    assert r.trend == "increasing" and r.reject_05 == 1
+
+    r = run([(m, 1000 + (100 if m % 2 else 0) + m) for m in range(1, 9)])
+    # alternating up/down: pairwise signs largely cancel
+    assert abs(r.s_stat) < 10 and r.reject_05 == 0
