@@ -1076,3 +1076,68 @@ def test_dedup_recall_report_candidates_below_verify(spark):
     plan = P.plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_holt_winters_fold_on_monthly_aggregate(spark):
+    """The recurrence folds per-segment ordered ARRAYS built from the
+    monthly hash aggregate — no corpus-sized window, no cartesian
+    (the horizon expansion is a 12-row broadcast)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as tp
+
+    df = tp.holt_winters_forecast(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 2
+    assert not P.uses_sort_merge_join(df)
+
+
+def test_cdc_chunk_dedup_single_chunk_aggregate(spark):
+    """CDC is narrow per-row chunking + ONE chunk-grain hash
+    aggregate: exactly one exchange below the final 1-row reduce,
+    no join of any kind."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup
+
+    df = dedup.cdc_chunk_dedup(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Join" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_token_chi2_grid_from_aggregates(spark):
+    """The χ² feature grid builds from aggregated relations (distinct
+    presence collapses the corpus first); the top-K is a limit over
+    the df aggregate; no sort-merge join, no cartesian beyond 1-row
+    broadcasts."""
+    df = llm.token_label_chi2(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert not P.uses_sort_merge_join(df)
+    assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_kmv_sketch_bounded_before_pair_grid(spark):
+    """The per-source sketch is K-row-bounded BEFORE the pair grid
+    (rank filter below the collect), and the pair join is the tiny
+    broadcast sources² grid — never a doc-grain join."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import dedup
+
+    df = dedup.source_overlap_kmv(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    # the inequality pair grid plans as a BROADCAST nested-loop of
+    # the |sources|-row sketch relation — bounded by the source
+    # domain, never doc-grain
+    assert "BroadcastNestedLoopJoin" in plan
+    assert not P.uses_sort_merge_join(df)
+
+
+def test_mann_kendall_shares_theil_sen_shape(spark):
+    """Pairwise signs on the MONTHLY aggregate (T²-bounded), tie
+    groups from a value-grain aggregate — no row-grain global sort,
+    dims broadcast."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.mann_kendall_test(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 4
