@@ -1027,6 +1027,140 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+STREAM_SAMPLE_K = 8  # bottom-K sample size per source
+
+
+def bottomk_sample_stream(docs: DataFrame) -> DataFrame:
+    """The bottom-K sampler's stateful core over any streaming
+    (source, doc_id, ...) relation — shared by the registered entry
+    and the multi-batch staging tests, so arrival-order invariance
+    is pinned on the SAME code the driver runs. Priorities are
+    md5-fold longs computed JVM-side before the Python state op."""
+    from ..operators.dedup import _md5_fold
+
+    pri = docs.select(
+        "source",
+        "doc_id",
+        _md5_fold(F.col("doc_id").cast("string"), 1, 12).alias("pri"),
+    )
+
+    k = STREAM_SAMPLE_K
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (source,) = key
+        if state.exists:
+            pris, ids, n = state.get
+            cur = list(zip(pris, ids))
+        else:
+            cur, n = [], 0
+        for pdf in pdfs:
+            n += len(pdf)
+            cur.extend(zip(pdf["pri"].tolist(), pdf["doc_id"].tolist()))
+        cur.sort()
+        cur = cur[:k]
+        state.update(
+            ([p for p, _ in cur], [d for _, d in cur], n)
+        )
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(cur),
+                "doc_id": [d for _, d in cur],
+                "pri": [p for p, _ in cur],
+                "rank": list(range(1, len(cur) + 1)),
+                "n_seen": [n] * len(cur),
+            }
+        )
+
+    return pri.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, doc_id bigint, pri bigint, rank bigint, "
+            "n_seen bigint"
+        ),
+        stateStructType="pris array<bigint>, ids array<bigint>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFORM SAMPLE ON INGEST — deterministic reservoir sampling's
+    distributed form (the BOTTOM-K / min-wise sample: keep the K
+    docs with the smallest hash priority; because the hash is a
+    fixed function of doc identity, the kept set is a uniform sample
+    AND the same regardless of arrival order or batch boundaries —
+    the property order-sensitive reservoir algorithms lose the
+    moment two executors race). Per SOURCE, so state parallelizes
+    across the key domain; the continuously-maintained sample is
+    what monitoring dashboards and eval-slice builders read without
+    scanning the lake.
+
+    Custom stateful op via ``applyInPandasWithState``: state is the
+    current K smallest (priority, doc_id) pairs + a seen counter —
+    BOUNDED at K rows per source forever, the strongest stateful
+    class after stateless. Priorities are md5-fold longs computed
+    JVM-side BEFORE the Python state op (the narrow/vectorized
+    split), and the oracle replays the same bottom-K with a rank
+    window.
+
+    Output (last emission per source = the full-drain sample):
+    source, doc_id, pri, rank, n_seen.
+    """
+    import uuid
+
+    from ..operators.dedup import _md5_fold
+
+    work = scratch_dir("stream_bk_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = spark.readStream.schema(schema).parquet(src)
+    out = bottomk_sample_stream(docs)
+    name = f"stream_bk_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        out, name, os.path.join(work, "ckpt"), "update", shuffle_partitions=8
+    )
+    # keep only each source's FINAL emission (single-batch drains
+    # emit once; multi-batch tests emit per batch — max n_seen wins)
+    t = spark.table(name)
+    from pyspark.sql.window import Window as _W
+
+    return (
+        t.withColumn(
+            "_mx", F.max("n_seen").over(_W.partitionBy("source"))
+        )
+        .where(F.col("n_seen") == F.col("_mx"))
+        .drop("_mx")
+        .orderBy("source", "rank")
+    )
+
+
+def _stream_bottomk_sql() -> str:
+    from ..operators.dedup import _md5_fold_sql
+
+    return f"""
+WITH pri AS (
+  SELECT source, doc_id,
+         {_md5_fold_sql("doc_id::VARCHAR", 1, 12)} AS pri
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, pri,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY pri, doc_id)::BIGINT AS rank,
+         count(*) OVER (PARTITION BY source)::BIGINT AS n_seen
+  FROM pri
+)
+SELECT source, doc_id, pri, rank, n_seen
+FROM ranked WHERE rank <= {STREAM_SAMPLE_K}
+ORDER BY source, rank
+"""
+
+
 def stream_quality_filter_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODEL-BASED FILTERING ON INGEST — the trained averaged-
     perceptron quality filter (``quality_filter_trained``) applied
@@ -2528,6 +2662,7 @@ QUERIES = {
     "stream_gopher_filter": stream_gopher_filter,
     "stream_decontaminate": stream_decontaminate,
     "stream_quality_filter_trained": stream_quality_filter_trained,
+    "stream_sample_bottomk": stream_sample_bottomk,
     "stream_dedup_docs_minhash": stream_dedup_docs_minhash,
     "stream_dedup_docs_lsh": stream_dedup_docs_lsh,
     "stream_dedup_docs_minhash_bounded": stream_dedup_docs_minhash_bounded,
@@ -2575,6 +2710,9 @@ ORACLES = {
     # the streaming apply must score with the batch-trained model
     # exactly — the oracle replays train + average + per-doc score
     "stream_quality_filter_trained": _llm_score_docs_sql(),
+    # the on-ingest bottom-K sample must equal the batch bottom-K
+    # over the same corpus — arrival-order invariance is the point
+    "stream_sample_bottomk": _stream_bottomk_sql(),
     # the on-ingest near-dup collapse must reproduce the batch
     # integer-MinHash signature grouping exactly (stage-by-stage
     # replay — the dedup_minhash_int discipline on a streaming entry)

@@ -971,3 +971,75 @@ def test_stream_quality_filter_matches_batch_rollup(spark):
         en, ek, emic = exp[lang]
         assert (n, k) == (en, ek)
         assert emic == k * 1_000_000 // n
+
+
+def test_stream_bottomk_multibatch_order_invariance(spark, tmp_path):
+    """THE bottom-K property: drain the same docs in TWO micro-batches
+    (split at an arbitrary doc_id boundary) and the final per-source
+    sample equals the batch bottom-K over everything — arrival order
+    and batch boundaries cannot change a hash-priority sample. State
+    stays K-bounded: no emission ever exceeds K rows per source."""
+    import os
+
+    from pyspark.sql import functions as F
+    from cs537_spring2021_p3a_mapreduce_spark import streaming
+    from cs537_spring2021_p3a_mapreduce_spark.operators.dedup import _md5_fold
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # two files staged up front; maxFilesPerTrigger=1 -> two batches
+    docs.where("doc_id < 250").coalesce(1).write.parquet(
+        os.path.join(src, "b1.parquet")
+    )
+    docs.where("doc_id >= 250").coalesce(1).write.parquet(
+        os.path.join(src, "b2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    out = streaming.bottomk_sample_stream(stream)
+    streaming.run_to_memory(
+        out, "bk_test", str(tmp_path / "ckpt"), "update", shuffle_partitions=4
+    )
+    rows = spark.table("bk_test").collect()
+    # two emissions per source (one per batch) -> final = max n_seen
+    final = {}
+    for r in rows:
+        cur = final.setdefault(r.source, [])
+        cur.append(r)
+    expected = {
+        (r.source, r.doc_id): r.rank
+        for r in docs.select(
+            "source",
+            "doc_id",
+            _md5_fold(F.col("doc_id").cast("string"), 1, 12).alias("pri"),
+        )
+        .withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (PARTITION BY source"
+                " ORDER BY pri, doc_id)"
+            ),
+        )
+        .where(F.col("rank") <= streaming.STREAM_SAMPLE_K)
+        .collect()
+    }
+    for source, emitted in final.items():
+        n_final = max(r.n_seen for r in emitted)
+        last = [r for r in emitted if r.n_seen == n_final]
+        assert 0 < len(last) <= streaming.STREAM_SAMPLE_K
+        for r in last:
+            assert expected[(r.source, r.doc_id)] == r.rank
+    # every batch-side bottom-K member was emitted by its source's
+    # final batch (sample completeness, not just soundness)
+    finals = {
+        (r.source, r.doc_id)
+        for src_rows in final.values()
+        for r in src_rows
+        if r.n_seen == max(x.n_seen for x in src_rows)
+    }
+    assert finals == set(expected)
