@@ -2540,6 +2540,136 @@ ORDER BY 1
 """
 
 
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S t-TEST (unequal variances; Welch 1947) — the
+    PARAMETRIC leg completing the two-sample family beside
+    ``mann_whitney_revenue`` (ranks) and ``ks_test_revenue`` (CDF):
+    do BUILDING and MACHINERY order totals differ in MEAN? With the
+    Welch–Satterthwaite effective dof, so unequal group variances
+    don't inflate the false-positive rate the way Student's pooled t
+    does.
+
+    Exactness: per-group (n, Σx, Σx²) are exact integer moments
+    (cents widened to DECIMAL(38)/HUGEINT before squaring — Σx²
+    overflows int64 at ~10⁵ rows); means quantize by integer DIV;
+    t and dof fold through ONE fixed IEEE expression each (+,−,×,÷,
+    sqrt on exactly-cast doubles — bit-identical across engines);
+    the α=0.05 verdict compares t_micro against the 1.96 constant
+    (dof ≫ 30 here; the constant is part of the contract).
+
+    Scale shape: ONE map-side-combinable aggregate over the joined
+    fact (two wide rows), then a 1-row projection. A wordcount-
+    shaped pass at any corpus size.
+
+    Output: n_a, n_b, mean_a_micro, mean_b_micro, t_micro,
+    dof_micro, reject_05.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("c")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pool = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .where(F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B))
+        .select((F.col("c_mktsegment") == MW_SEG_A).alias("is_a"), "c")
+    )
+    dec = "CAST(c AS DECIMAL(38,0))"
+    agg = pool.agg(
+        F.sum(F.expr("CASE WHEN is_a THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN is_a THEN 0 ELSE 1 END")).alias("n_b"),
+        F.sum(F.expr(f"CASE WHEN is_a THEN {dec} ELSE 0 END")).alias("s_a"),
+        F.sum(F.expr(f"CASE WHEN is_a THEN 0 ELSE {dec} END")).alias("s_b"),
+        F.sum(
+            F.expr(f"CASE WHEN is_a THEN {dec} * c ELSE 0 END")
+        ).alias("q_a"),
+        F.sum(
+            F.expr(f"CASE WHEN is_a THEN 0 ELSE {dec} * c END")
+        ).alias("q_b"),
+    )
+    # v/n per side as one double each: (n·Σx² − (Σx)²)/(n·(n−1)·n)
+    vn = (
+        "(CAST({q} AS DOUBLE) * CAST({n} AS DOUBLE)"
+        " - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE))"
+        " / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)"
+        "    * CAST({n} - 1 AS DOUBLE))"
+    )
+    vna = vn.format(q="q_a", s="s_a", n="n_a")
+    vnb = vn.format(q="q_b", s="s_b", n="n_b")
+    t_expr = (
+        "CAST(floor((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        f" / sqrt({vna} + {vnb}) * 1000000.0) AS BIGINT)"
+    )
+    dof_expr = (
+        f"CAST(floor(({vna} + {vnb}) * ({vna} + {vnb})"
+        f" / ({vna} * {vna} / CAST(n_a - 1 AS DOUBLE)"
+        f"    + {vnb} * {vnb} / CAST(n_b - 1 AS DOUBLE))"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST((s_a * 1000000) DIV n_a AS BIGINT)").alias(
+            "mean_a_micro"
+        ),
+        F.expr("CAST((s_b * 1000000) DIV n_b AS BIGINT)").alias(
+            "mean_b_micro"
+        ),
+        F.expr(t_expr).alias("t_micro"),
+        F.expr(dof_expr).alias("dof_micro"),
+        F.expr(
+            f"CAST(abs({t_expr}) > {MK_CRIT_MICRO} AS INT)"
+        ).alias("reject_05"),
+    )
+
+
+def _welch_sql() -> str:
+    vn = (
+        "(CAST({q} AS DOUBLE) * CAST({n} AS DOUBLE)"
+        " - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE))"
+        " / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)"
+        "    * CAST({n} - 1 AS DOUBLE))"
+    )
+    vna = vn.format(q="q_a", s="s_a", n="n_a")
+    vnb = vn.format(q="q_b", s="s_b", n="n_b")
+    t_expr = (
+        "CAST(floor((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        f" / sqrt({vna} + {vnb}) * 1000000.0) AS BIGINT)"
+    )
+    dof_expr = (
+        f"CAST(floor(({vna} + {vnb}) * ({vna} + {vnb})"
+        f" / ({vna} * {vna} / CAST(n_a - 1 AS DOUBLE)"
+        f"    + {vnb} * {vnb} / CAST(n_b - 1 AS DOUBLE))"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return f"""
+WITH pool AS (
+  SELECT (c_mktsegment = '{MW_SEG_A}') AS is_a,
+         round(o_totalprice * 100)::BIGINT AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+), agg AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+         sum(CASE WHEN is_a THEN c::HUGEINT ELSE 0 END) AS s_a,
+         sum(CASE WHEN is_a THEN 0 ELSE c::HUGEINT END) AS s_b,
+         sum(CASE WHEN is_a THEN c::HUGEINT * c ELSE 0 END) AS q_a,
+         sum(CASE WHEN is_a THEN 0 ELSE c::HUGEINT * c END) AS q_b
+  FROM pool
+)
+SELECT n_a, n_b,
+       CAST((s_a * 1000000) // n_a AS BIGINT) AS mean_a_micro,
+       CAST((s_b * 1000000) // n_b AS BIGINT) AS mean_b_micro,
+       {t_expr} AS t_micro,
+       {dof_expr} AS dof_micro,
+       CAST(abs({t_expr}) > {MK_CRIT_MICRO} AS INT) AS reject_05
+FROM agg
+"""
+
+
 MK_CRIT_MICRO = 1_959_963  # |z| threshold, two-sided α=0.05
 
 
@@ -2827,6 +2957,7 @@ QUERIES = {
     "ks_test_revenue": ks_test_revenue,
     "theil_sen_trend": theil_sen_trend,
     "mann_kendall_test": mann_kendall_test,
+    "welch_ttest": welch_ttest,
     "chi_square_independence": chi_square_independence,
     "mann_whitney_revenue": mann_whitney_revenue,
     "bootstrap_replica_means": bootstrap_replica_means,
@@ -2861,6 +2992,7 @@ ORACLES = {
     "ks_test_revenue": _KS_TEST_SQL,
     "theil_sen_trend": _THEIL_SEN_SQL,
     "mann_kendall_test": _MANN_KENDALL_SQL,
+    "welch_ttest": _welch_sql(),
     "chi_square_independence": _CHI2_SQL,
     "mann_whitney_revenue": _MANN_WHITNEY_SQL,
     "bootstrap_replica_means": _bootstrap_sql(),

@@ -868,3 +868,41 @@ def test_mann_kendall_planted_trends(spark):
     r = run([(m, 1000 + (100 if m % 2 else 0) + m) for m in range(1, 9)])
     # alternating up/down: pairwise signs largely cancel
     assert abs(r.s_stat) < 10 and r.reject_05 == 0
+
+
+def test_welch_ttest_hand_computed(spark):
+    """Planted groups A=[10,20,30], B=[40,50,60,70] (dollars): exact
+    moments, hand-computed Welch t and Satterthwaite dof in micro
+    units, and a clear rejection."""
+    import math
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="welch_t_")
+    rows, cust = [], []
+    vals_a, vals_b = [10.0, 20.0, 30.0], [40.0, 50.0, 60.0, 70.0]
+    for i, v in enumerate(vals_a + vals_b):
+        seg = prof.MW_SEG_A if i < len(vals_a) else prof.MW_SEG_B
+        rows.append((i, i, v))
+        cust.append((i, seg))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        cust, "c_custkey long, c_mktsegment string"
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    r = prof.welch_ttest(spark, d).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 4)
+    assert r.mean_a_micro == 2000 * 1_000_000  # 2000 cents
+    assert r.mean_b_micro == 5500 * 1_000_000
+    # cents: A var = 1e6, B var = 500000/3... compute directly
+    a = [1000, 2000, 3000]
+    b = [4000, 5000, 6000, 7000]
+    va = sum((x - 2000) ** 2 for x in a) / 2
+    vb = sum((x - 5500) ** 2 for x in b) / 3
+    se2 = va / 3 + vb / 4
+    t = (2000 - 5500) / math.sqrt(se2)
+    dof = se2 ** 2 / ((va / 3) ** 2 / 2 + (vb / 4) ** 2 / 3)
+    assert r.t_micro == math.floor(t * 1_000_000)
+    assert r.dof_micro == math.floor(dof * 1_000_000)
+    assert r.reject_05 == 1
