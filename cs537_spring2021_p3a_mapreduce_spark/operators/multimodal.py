@@ -1823,6 +1823,104 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measure the scan → decode → hash → join steady-state path
 video_frame_dedup.bench_setup = stage_video_frames
 
+def shared_frame_segments(frames: DataFrame) -> DataFrame:
+    """Gaps-and-islands over shared frame POSITIONS for any
+    (media_id, frame_idx, fhash) relation — the segment detector
+    behind ``video_shared_segments``, factored out so the pytest can
+    drive planted gapped fixtures through the same code."""
+    from pyspark.sql.window import Window
+
+    a = frames.select(F.col("media_id").alias("a_id"), "frame_idx", "fhash")
+    b = frames.select(F.col("media_id").alias("b_id"), "frame_idx", "fhash")
+    shared = (
+        a.join(b, ["fhash", "frame_idx"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "frame_idx")
+    )
+    w = Window.partitionBy("a_id", "b_id").orderBy("frame_idx")
+    runs = (
+        shared.withColumn(
+            "island", F.col("frame_idx") - F.row_number().over(w)
+        )
+        .groupBy("a_id", "b_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("frame_idx").alias("run_start"),
+        )
+    )
+    w_best = Window.partitionBy("a_id", "b_id").orderBy(
+        F.desc("run_len"), F.asc("run_start")
+    )
+    totals = shared.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .join(totals, ["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            F.col("run_start").cast("long").alias("run_start"),
+            F.col("run_len").cast("long").alias("run_len"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def video_shared_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-LEVEL video dedup — the CLIP detector above
+    ``video_frame_dedup``'s whole-video fraction: which CONSECUTIVE
+    frame runs do two videos share, where does the copied segment
+    start, and how long is it? The question content-ID / clip-reuse
+    pipelines ask (a 10-second stolen clip inside an hour-long video
+    is invisible to whole-video similarity).
+
+    Same honest pipeline as the frame dedup: scan stored frame
+    payloads → header-validate BMP decode → content hash — then the
+    segment logic is pure relational gaps-and-islands: shared
+    (position, hash) pairs from ONE equi-join on (fhash, frame_idx)
+    (never all-pairs), island id = frame_idx − row_number per pair,
+    longest run per pair with (len DESC, start ASC) tie-break.
+
+    The synthetic construction shares exactly frames
+    0..VID_SHARED−1 within a content group, so the oracle re-derives
+    every pair's (run_start=0, run_len=VID_SHARED) arithmetically
+    while the Spark side must earn it through decode → hash → join →
+    islands; the pytest plants a GAPPED sharing pattern to prove the
+    island logic (run selection, tie-breaks) beyond the fixture's
+    single-run shape.
+
+    Output: a_id, b_id, n_shared, run_start, run_len.
+    """
+    import hashlib as _hashlib
+
+    frames_src = spark.read.parquet(stage_video_frames(spark, sf_dir))
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fi, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                _decode_bmp(payload)  # header-validate every frame
+                out.append(
+                    (int(mid), int(fi), _hashlib.md5(payload).hexdigest())
+                )
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "fhash"])
+
+    frames = frames_src.mapInPandas(
+        _hash, schema="media_id long, frame_idx int, fhash string"
+    )
+    return shared_frame_segments(frames)
+
+
+video_shared_segments.bench_setup = stage_video_frames
+
+
+
 
 # the driver's rows-only check covers the pipeline end-to-end; the
 # byte-level oracle is in tests (deterministic synth + decode)
@@ -1836,6 +1934,7 @@ QUERIES = {
     "multimodal_pipeline": media_feature_stats,
     "multimodal_decode_real": media_decode_real_stats,
     "video_frame_dedup": video_frame_dedup,
+    "video_shared_segments": video_shared_segments,
     "binary_file_ingest": binary_file_ingest,
     "png_decode_real": png_decode_real,
     "gif_decode_real": gif_decode_real,
@@ -1881,6 +1980,17 @@ SELECT a.v AS a_id, b.v AS b_id,
        {VID_SHARED}::BIGINT AS shared_frames,
        round({VID_SHARED} / {VID_FRAMES}, 6) AS sim
 FROM vids a JOIN vids b ON a.v < b.v AND a.v % {VID_GROUPS} = b.v % {VID_GROUPS}
+""",
+    "video_shared_segments": f"""
+WITH vids AS (
+  SELECT doc_id AS v FROM documents WHERE doc_id % 3 = 2
+)
+SELECT a.v AS a_id, b.v AS b_id,
+       {VID_SHARED}::BIGINT AS n_shared,
+       0::BIGINT AS run_start,
+       {VID_SHARED}::BIGINT AS run_len
+FROM vids a JOIN vids b ON a.v < b.v AND a.v % {VID_GROUPS} = b.v % {VID_GROUPS}
+ORDER BY 1, 2
 """,
     "binary_file_ingest": _BINARY_FILE,
     "png_decode_real": _PNG_REAL,

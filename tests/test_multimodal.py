@@ -570,3 +570,39 @@ def test_audio_dedup_fingerprint_planted_near_dups(spark):
     assert {near_rows[0].keeper_a, near_rows[0].keeper_b} == {0, 3}
     assert near_rows[0].pair_weight == 3 * 1
     assert all(4 not in (r.keeper_a, r.keeper_b) for r in report)
+
+
+def test_shared_frame_segments_gapped_islands(spark):
+    """Planted gapped sharing: videos A and B share frames at
+    positions {0,1,2, 5,6, 9} — the island logic must report the
+    LONGEST run (0..2, len 3), count all 6 shared positions, and
+    break a length tie toward the earlier start (positions {5,6}
+    vs a later {8,9} pair in the C/D case)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators.multimodal import (
+        shared_frame_segments,
+    )
+
+    rows = []
+    # A(1)/B(2): shared hashes at 0,1,2,5,6,9; different elsewhere
+    for pos in range(10):
+        shared = pos in (0, 1, 2, 5, 6, 9)
+        rows.append((1, pos, f"s{pos}" if shared else f"a{pos}"))
+        rows.append((2, pos, f"s{pos}" if shared else f"b{pos}"))
+    # C(3)/D(4): two runs of equal length 2 at (5,6) and (8,9)
+    for pos in range(10):
+        shared = pos in (5, 6, 8, 9)
+        rows.append((3, pos, f"t{pos}" if shared else f"c{pos}"))
+        rows.append((4, pos, f"t{pos}" if shared else f"d{pos}"))
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, fhash string"
+    )
+    got = {
+        (r.a_id, r.b_id): r
+        for r in shared_frame_segments(frames).collect()
+    }
+    ab = got[(1, 2)]
+    assert (ab.n_shared, ab.run_start, ab.run_len) == (6, 0, 3)
+    cd = got[(3, 4)]
+    assert (cd.n_shared, cd.run_start, cd.run_len) == (4, 5, 2)
+    # no phantom cross pairs (hash namespaces disjoint)
+    assert set(got) == {(1, 2), (3, 4)}
