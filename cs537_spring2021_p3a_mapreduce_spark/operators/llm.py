@@ -8835,23 +8835,29 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism (house integer-twin discipline): vectors quantize
     ONCE at PQ_INT_SCALE; dot products and squared norms are exact
-    BIGINTs; each cosine folds through one CAST/sqrt/multiply/divide
-    chain of correctly-rounded IEEE ops (zero-norm guarded to 0.0),
-    so the per-row argmax — taken on the raw doubles with eval_id as
-    the tie-break via max-struct — is bit-identical across engines;
-    round(·, 6) happens only at output.
+    int64 (NumPy integer matmul is exact within 2⁵³ — 64 dims ×
+    2⁴² products ≪); each cosine is one float64 CAST/sqrt/×/÷ chain
+    of correctly-rounded IEEE ops (identical in NumPy, Spark and
+    DuckDB), zero-norm guarded to 0.0; the per-row argmax ties to
+    the smallest eval_id (eval sorted, first-max argmax); round(·,6)
+    and the threshold compare happen JVM-side so the comparison
+    semantics are Catalyst's.
 
-    Scale shape: the eval side folds to ONE broadcast row of
-    (eval_id, eq, nb) structs — real benchmark suites are tiny
-    relative to the corpus — so the scan is fully NARROW: each train
-    vector scores |eval| candidates in-row, zero shuffle at any
-    corpus size (the same fold the IVF centroid assignment uses).
-    The per-row norm let-binds via ``transform(array(·), na -> …)``
-    so it computes once per row, not once per eval element.
+    Scale shape (the ``dedup_embedding`` blocked-GEMM discipline):
+    train vectors pack into EMB_BLOCK-row blocks; the eval side —
+    real benchmark suites are tiny relative to the corpus — folds to
+    ONE broadcast struct row; each task scores one block × eval tile
+    as a vectorized exact-int64 matmul instead of interpreted
+    per-element array folds (~30× measured on the ×1 probe). For an
+    eval set too big to broadcast, the same semantics become a
+    block × eval-block tile join.
 
     Output: vec_id, eval_id (nearest eval item), cos_sim (round 6),
     contaminated.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qv = emb.select(
         "vec_id",
@@ -8861,42 +8867,64 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     is_eval = F.col("vec_id") % DECON_EVAL_MOD == 0
-    ev = (
+    ev_row = (
         qv.where(is_eval)
-        .select(
-            F.col("vec_id").alias("eval_id"),
-            F.col("q").alias("eq"),
-            F.expr(
-                "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
-            ).alias("nb"),
-        )
-        .agg(F.collect_list(F.struct("eval_id", "eq", "nb")).alias("evs"))
+        .agg(F.collect_list(F.struct("vec_id", "q")).alias("evs"))
     )
-    best = F.expr(
-        "transform(array(aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)),"
-        " na -> array_max(transform(evs, e -> struct("
-        "  CASE WHEN na = 0 OR e.nb = 0 THEN CAST(0.0 AS DOUBLE)"
-        "       ELSE CAST(aggregate(zip_with(q, e.eq, (a, b) -> a * b),"
-        "                           CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        "                 AS DOUBLE)"
-        "            / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(e.nb AS DOUBLE)))"
-        "  END AS cos,"
-        "  -e.eval_id AS nid))))[0]"
-    )
-    return (
+    blocks = (
         qv.where(~is_eval)
-        .crossJoin(F.broadcast(ev))
-        .select("vec_id", best.alias("best"))
-        .select(
-            "vec_id",
-            (-F.col("best.nid")).alias("eval_id"),
-            F.round(F.col("best.cos"), 6).alias("cos_sim"),
-            (F.col("best.cos") >= F.lit(DECON_EMB_TH)).cast("int").alias(
-                "contaminated"
-            ),
-        )
-        .orderBy("vec_id")
+        .withColumn("blk", (F.col("vec_id") / EMB_BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "q")).alias("vs"))
     )
+    tiles = blocks.crossJoin(F.broadcast(ev_row))
+
+    def _tile(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.fromiter(
+                    (r["vec_id"] for r in row["vs"]), dtype=np.int64
+                )
+                m = np.array([r["q"] for r in row["vs"]], dtype=np.int64)
+                evs = sorted(row["evs"], key=lambda r: r["vec_id"])
+                eids = np.fromiter(
+                    (r["vec_id"] for r in evs), dtype=np.int64
+                )
+                e = np.array([r["q"] for r in evs], dtype=np.int64)
+                dots = m @ e.T  # exact int64
+                na = (m * m).sum(axis=1)
+                nb = (e * e).sum(axis=1)
+                denom = (
+                    np.sqrt(na.astype(np.float64))[:, None]
+                    * np.sqrt(nb.astype(np.float64))[None, :]
+                )
+                safe = denom.copy()
+                safe[safe == 0.0] = 1.0
+                cos = np.where(
+                    (na[:, None] == 0) | (nb[None, :] == 0),
+                    0.0,
+                    dots.astype(np.float64) / safe,
+                )
+                best = np.argmax(cos, axis=1)  # first max = min eval_id
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "eval_id": eids[best],
+                        "raw_cos": cos[np.arange(len(ids)), best],
+                    }
+                )
+
+    scored = tiles.mapInPandas(
+        _tile, schema="vec_id long, eval_id long, raw_cos double"
+    )
+    return scored.select(
+        "vec_id",
+        "eval_id",
+        F.round("raw_cos", 6).alias("cos_sim"),
+        (F.col("raw_cos") >= F.lit(DECON_EMB_TH)).cast("int").alias(
+            "contaminated"
+        ),
+    ).orderBy("vec_id")
 
 
 _DECON_EMB_SQL = f"""

@@ -989,17 +989,19 @@ def test_t_closeness_grid_is_domain_bounded(spark):
     assert P.count_nodes(plan, "HashAggregate") >= 4
 
 
-def test_decontaminate_embedding_is_narrow_broadcast_fold(spark):
-    """The semantic decon scan is fully narrow: ONE broadcast of the
-    folded eval row, no shuffle on the train side beyond the output
-    sort, no sort-merge join, no cartesian."""
+def test_decontaminate_embedding_is_blocked_gemm_tiles(spark):
+    """The semantic decon runs the dedup_embedding tile discipline:
+    train blocks × ONE broadcast eval row (BroadcastNestedLoopJoin of
+    the 1-row fold — never CartesianProduct, never a doc-grain
+    join), the scoring is Arrow-batched mapInPandas, and the only
+    exchanges are the block collect, the 1-row eval fold and the
+    output sort."""
     df = llm.decontaminate_embedding(spark, SF_SMOKE)
     plan = P.plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert not P.uses_sort_merge_join(df)
-    # train side: scan -> project -> broadcast join -> sort. The only
-    # exchanges are the 1-row eval broadcast and the final ordering.
-    assert P.shuffle_count(df) <= 2
+    assert "MapInPandas" in plan
+    assert P.shuffle_count(df) <= 3
 
 
 def test_wordpiece_encode_vocab_bounded_no_cartesian(spark):
