@@ -8139,6 +8139,139 @@ ORDER BY query_id, rank
 """
 
 
+RAKE_MAX_PHRASE = 4  # candidate phrases longer than this are dropped
+RAKE_TOP_K = 20  # keywords returned
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") — the unsupervised
+    keyphrase tier beside ``tfidf_terms`` (single terms) and
+    ``term_cooccurrence_lift`` (pairs): candidate PHRASES are maximal
+    stopword-free token runs (delimiters = the Gopher stopword set),
+    each word scores deg(w)/freq(w) (degree counts co-occurring
+    phrase mass, so words that appear inside longer phrases outrank
+    bare frequent words), and a phrase scores the sum of its words —
+    RAKE's signature bias toward multi-word technical terms.
+
+    Exactness: deg/freq are exact longs; the word score quantizes
+    through ONE integer DIV to micro; phrase scores are exact-long
+    sums of quantized word scores (combine-order-free); top-K by
+    (score DESC, phrase ASC) is a total order.
+
+    Scale shape: phrase extraction is NARROW array arithmetic
+    (stopword boundary positions → slice — no per-element appending
+    fold, no per-doc window); then two wordcount-shaped aggregates
+    (word grain, phrase grain) and one broadcast join of the word
+    scores (vocabulary-bounded) back onto phrase words. Top-K is a
+    TakeOrderedAndProject.
+
+    Output: phrase, n_words, n_occurrences, score_micro.
+    """
+    docs = table(spark, sf_dir, "documents")
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    toks = docs.select("doc_id", tokens(F.lower("text")).alias("ts"))
+    # boundary positions: -1, every stopword index, size — phrases
+    # are the (exclusive) gaps between consecutive boundaries
+    phrases_expr = F.expr(
+        f"""
+filter(
+  transform(array(concat(array(-1),
+                         filter(transform(ts, (t, i) ->
+                                  CASE WHEN t IN ({stops}) THEN i
+                                       ELSE -2 END),
+                                p -> p >= 0),
+                         array(size(ts)))),
+    bnd -> transform(sequence(1, size(bnd) - 1),
+             k -> slice(ts, element_at(bnd, CAST(k AS INT)) + 2,
+                        element_at(bnd, CAST(k + 1 AS INT))
+                        - element_at(bnd, CAST(k AS INT)) - 1)))[0],
+  ph -> size(ph) >= 1 AND size(ph) <= {RAKE_MAX_PHRASE})
+"""
+    )
+    ph = track_persist(
+        toks.select(F.explode(phrases_expr).alias("ph")).select(
+            F.concat_ws(" ", "ph").alias("phrase"),
+            F.col("ph").alias("words"),
+            F.size("ph").alias("n_words"),
+        )
+    )
+    wordstats = (
+        ph.select(F.explode("words").alias("w"), "n_words")
+        .groupBy("w")
+        .agg(
+            F.sum("n_words").alias("deg"),
+            F.count(F.lit(1)).alias("freq"),
+        )
+        .select(
+            "w", F.expr("(deg * 1000000) DIV freq").alias("wscore")
+        )
+    )
+    phrase_scores = (
+        ph.select("phrase", F.explode("words").alias("w"))
+        .join(F.broadcast(wordstats), "w")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").alias("score_micro"))
+    )
+    counts = ph.groupBy("phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        counts.join(phrase_scores, "phrase")
+        .select("phrase", "n_words", "n_occurrences", "score_micro")
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(RAKE_TOP_K)
+    )
+
+
+def _rake_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), bnds AS (
+  SELECT doc_id, ts,
+         list_concat(list_concat([-1],
+           list_filter(list_transform(generate_series(1, len(ts)),
+                         i -> CASE WHEN ts[i] IN ({stops}) THEN i - 1
+                                   ELSE -2 END),
+                       p -> p >= 0)),
+           [len(ts)]) AS bnd
+  FROM toks
+), ph0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(bnd) - 1),
+                  k -> ts[bnd[k] + 2 : bnd[k + 1]])) AS ph
+  FROM bnds
+), ph AS MATERIALIZED (
+  SELECT array_to_string(ph, ' ') AS phrase, ph AS words,
+         len(ph)::BIGINT AS n_words
+  FROM ph0 WHERE len(ph) >= 1 AND len(ph) <= {RAKE_MAX_PHRASE}
+), wordstats AS MATERIALIZED (
+  SELECT w, ((sum(n_words) * 1000000) // count(*))::BIGINT AS wscore
+  FROM (SELECT unnest(words) AS w, n_words FROM ph)
+  GROUP BY 1
+), phrase_scores AS (
+  SELECT p.phrase, sum(ws.wscore)::BIGINT AS score_micro
+  FROM (SELECT phrase, unnest(words) AS w FROM ph) p
+  JOIN wordstats ws ON ws.w = p.w
+  GROUP BY 1
+), counts AS (
+  SELECT phrase, max(n_words)::BIGINT AS n_words,
+         count(*)::BIGINT AS n_occurrences
+  FROM ph GROUP BY 1
+)
+SELECT c.phrase, c.n_words, c.n_occurrences, s.score_micro
+FROM counts c JOIN phrase_scores s USING (phrase)
+ORDER BY s.score_micro DESC, c.phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
 CHI2_TOP_TOKENS = 24  # document-frequency cut for the feature table
 
 
@@ -9067,6 +9200,7 @@ QUERIES = {
     "wordpiece_train": wordpiece_train,
     "similarity_topk_mmr": similarity_topk_mmr,
     "token_label_chi2": token_label_chi2,
+    "rake_keywords": rake_keywords,
     "wordpiece_encode": wordpiece_encode,
     "sparse_dot_topk": sparse_dot_topk,
     "bm25_topk": bm25_topk,
@@ -9158,6 +9292,7 @@ ORACLES = {
     "wordpiece_train": _wordpiece_train_oracle(),
     "similarity_topk_mmr": _mmr_oracle_sql(),
     "token_label_chi2": _TOKEN_CHI2_SQL,
+    "rake_keywords": _rake_sql(),
     "wordpiece_encode": _wordpiece_encode_oracle(),
     "sparse_dot_topk": _SPARSE_TOPK_SQL,
     "embedding_pca_power": _pca_power_oracle_sql(),

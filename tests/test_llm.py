@@ -2479,3 +2479,25 @@ def test_token_label_chi2_discriminative_vs_uniform(spark, tmp_path):
     # df = N token: (n - df) = 0 -> NULL on both engines
     r3 = got[("the", "de")]
     assert r3.chi2_micro is None
+
+
+def test_rake_keywords_hand_computed(spark, tmp_path):
+    """Planted doc 'red apple and green apple in the basket':
+    stopword segmentation yields phrases [red apple], [green apple],
+    [basket]; deg/freq gives apple 4/2, others deg=len — phrase
+    scores 4.0/4.0/1.0 in micro, ties alphabetical."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm
+
+    rows = [(0, "red apple and green apple in the basket", "en", "t", 40)]
+    d = str(tmp_path / "rake")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = llm.rake_keywords(spark, d).collect()
+    assert [(r.phrase, r.n_words, r.n_occurrences, r.score_micro) for r in got] == [
+        ("green apple", 2, 1, 4_000_000),
+        ("red apple", 2, 1, 4_000_000),
+        ("basket", 1, 1, 1_000_000),
+    ]

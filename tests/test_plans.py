@@ -1094,9 +1094,9 @@ def test_holt_winters_fold_on_monthly_aggregate(spark):
 
 
 def test_cdc_chunk_dedup_single_chunk_aggregate(spark):
-    """CDC is narrow per-row chunking + ONE chunk-grain hash
-    aggregate: exactly one exchange below the final 1-row reduce,
-    no join of any kind."""
+    """CDC is one Arrow-vectorized chunking pass (MapInPandas — the
+    per-char hot loop) + ONE chunk-grain hash aggregate: no join of
+    any kind, nothing but the aggregate exchanges."""
     from cs537_spring2021_p3a_mapreduce_spark.operators import dedup
 
     df = dedup.cdc_chunk_dedup(spark, SF_SMOKE)
