@@ -1143,3 +1143,14 @@ def test_mann_kendall_shares_theil_sen_shape(spark):
     plan = P.plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_rake_phrase_extraction_narrow_no_window(spark):
+    """RAKE's phrase extraction is narrow array arithmetic — no
+    per-doc window, no appending fold pathology (the boundary-slice
+    construction), word scores broadcast back onto phrase words."""
+    df = llm.rake_keywords(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 4
