@@ -41,6 +41,14 @@ QUADRATIC_ORACLES = {
     "fuzzy_join_customers",
     "ann_lsh_pairs",
     "video_frame_dedup",
+    # r10 continuation: the recall report's truth is the exact
+    # all-pairs shingle join; the semantic decon and clip-segment
+    # oracles cross the corpus with an eval/group slice that GROWS
+    # with the generated corpus (deploy-fixed in production) — all
+    # three get the bounded-stage gate instead
+    "dedup_recall_report",
+    "decontaminate_embedding",
+    "video_shared_segments",
 }
 
 # Bounded row counts for the quadratic-oracle stage: a few hundred
