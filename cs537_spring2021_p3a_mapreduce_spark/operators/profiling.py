@@ -2952,8 +2952,602 @@ ORDER BY c.c_mktsegment, c.o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# kruskal_wallis_test / anova_oneway — the K-sample family
+# ---------------------------------------------------------------------------
+
+# The five TPC-H market segments are a FIXED domain, so every
+# K-sample statistic here pivots its per-group moments to ONE row of
+# conditional aggregates and folds the final statistic through a
+# single literal (fixed-evaluation-order) IEEE expression — float
+# combine-order-freedom by construction, never a float SUM over a
+# variable number of groups.
+KW_SEGS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+_KW_SUF = {
+    "AUTOMOBILE": "auto",
+    "BUILDING": "bldg",
+    "FURNITURE": "furn",
+    "HOUSEHOLD": "hshd",
+    "MACHINERY": "mach",
+}
+KW_CRIT_4_MICRO = 9_487_729  # chi-square 0.95 quantile at dof = K-1 = 4
+ANOVA_CRIT_4_INF_MICRO = 2_371_932  # F(4, inf) 0.95 = chi2_4 / 4
+
+
+def _kw_h_exprs() -> tuple[str, str]:
+    """Shared Spark/DuckDB H-statistic folds (plain + tie-corrected)."""
+    s2 = " + ".join(
+        f"(CAST(r2_{_KW_SUF[s]} AS DOUBLE) * CAST(r2_{_KW_SUF[s]} AS DOUBLE)"
+        f" / (4.0 * CAST(n_{_KW_SUF[s]} AS DOUBLE)))"
+        for s in KW_SEGS
+    )
+    nd = "CAST(n_total AS DOUBLE)"
+    h = f"(12.0 * ({s2}) / ({nd} * ({nd} + 1.0)) - 3.0 * ({nd} + 1.0))"
+    h_tie = (
+        f"({h} / (1.0 - CAST(tie_dec AS DOUBLE)"
+        f" / ({nd} * {nd} * {nd} - {nd})))"
+    )
+    return h, h_tie
+
+
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL–WALLIS H (Kruskal & Wallis 1952) — the K-SAMPLE rank
+    test completing the nonparametric family: ``mann_whitney_revenue``
+    answers "do these TWO segments differ?"; this answers "do ANY of
+    the five market segments' order-total distributions differ?" —
+    the omnibus check run before pairwise drill-down, robust to the
+    skew that breaks ``anova_oneway``'s mean comparison.
+
+    Exactness: the ``mann_whitney_revenue`` doubled-rank discipline
+    at VALUE grain — a tie group of size t after c smaller values
+    has 2·avg_rank = 2c + t + 1 (an integer), so each segment's
+    doubled rank sum R2_g and the tie term Σ(t³−t) are exact
+    integers (DECIMAL/HUGEINT-widened). H = 12/(N(N+1))·Σ R2_g²/(4n_g)
+    − 3(N+1) and its tie correction fold through ONE literal IEEE
+    expression over the 5-segment pivot row — fixed evaluation
+    order, bit-identical across engines. Verdict at α=0.05 vs the
+    chi-square dof-4 critical constant (9.487729; dof is fixed
+    because the segment domain is).
+
+    Scale shape: one map-side-combinable (cents, segment) aggregate
+    over the joined fact, a window over the DISTINCT-VALUE relation
+    (domain-bounded, the mann_whitney shape), a value-grain join,
+    and a 1-row conditional pivot. Never a row-grain global sort.
+
+    Output: n_total, per-segment (n_*, r2_*), tie_term, h_micro,
+    h_tie_micro, reject_05.
+    """
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pool = orders.join(F.broadcast(cust), "o_custkey").select(
+        "cents", "c_mktsegment"
+    )
+    cell = pool.groupBy("cents", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_vs")
+    )
+    byval = cell.groupBy("cents").agg(F.sum("n_vs").alias("t"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byval.withColumn("c_le", F.sum("t").over(w)).select(
+        "cents", "t", (F.col("c_le") - F.col("t")).alias("c_less")
+    )
+    glob = ranked.agg(
+        F.sum("t").alias("n_total"),
+        F.sum(F.expr(f"CAST(t AS {_DEC}) * t * t - t")).alias("tie_dec"),
+    )
+    joined = cell.join(ranked, "cents")
+    aggs = []
+    for seg in KW_SEGS:
+        suf = _KW_SUF[seg]
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN c_mktsegment = '{seg}' THEN n_vs ELSE 0 END"
+                )
+            ).alias(f"n_{suf}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN c_mktsegment = '{seg}' THEN"
+                    f" CAST(n_vs AS {_DEC}) * (2 * c_less + t + 1)"
+                    " ELSE 0 END"
+                )
+            ).alias(f"r2_{suf}")
+        )
+    per = joined.agg(*aggs).crossJoin(F.broadcast(glob))
+    h, h_tie = _kw_h_exprs()
+    # Degenerate-domain guard (an empty segment makes the rank terms
+    # 0/0 = NaN, which ANSI CAST-to-BIGINT rejects): the statistic is
+    # defined only when every group is populated — NULL otherwise,
+    # lazily (CASE branches don't evaluate when the guard fails).
+    ok = " AND ".join(f"n_{_KW_SUF[s]} > 0" for s in KW_SEGS)
+    out = [F.col("n_total").cast("long").alias("n_total")]
+    for seg in KW_SEGS:
+        suf = _KW_SUF[seg]
+        out.append(F.col(f"n_{suf}").cast("long").alias(f"n_{suf}"))
+        out.append(F.col(f"r2_{suf}").cast("long").alias(f"r2_{suf}"))
+    out.append(F.col("tie_dec").cast("long").alias("tie_term"))
+    out.append(
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(floor({h} * 1000000.0) AS BIGINT) END"
+        ).alias("h_micro")
+    )
+    out.append(
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(floor({h_tie} * 1000000.0) AS BIGINT) END"
+        ).alias("h_tie_micro")
+    )
+    out.append(
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(CAST(floor({h_tie} * 1000000.0) AS BIGINT)"
+            f" > {KW_CRIT_4_MICRO} AS INT) END"
+        ).alias("reject_05")
+    )
+    return per.select(*out)
+
+
+def _kruskal_sql() -> str:
+    h, h_tie = _kw_h_exprs()
+    ok = " AND ".join(f"n_{_KW_SUF[s]} > 0" for s in KW_SEGS)
+    per_cols = ",\n         ".join(
+        f"sum(CASE WHEN c_mktsegment = '{s}' THEN n_vs ELSE 0 END)::BIGINT"
+        f" AS n_{_KW_SUF[s]},\n         "
+        f"sum(CASE WHEN c_mktsegment = '{s}' THEN"
+        f" n_vs::HUGEINT * (2 * c_less + t + 1) ELSE 0 END) AS r2_{_KW_SUF[s]}"
+        for s in KW_SEGS
+    )
+    sel = ", ".join(
+        f"n_{_KW_SUF[s]}, r2_{_KW_SUF[s]}::BIGINT AS r2_{_KW_SUF[s]}"
+        for s in KW_SEGS
+    )
+    return f"""
+WITH pool AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS cents, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cell AS (
+  SELECT cents, c_mktsegment, count(*)::BIGINT AS n_vs
+  FROM pool GROUP BY 1, 2
+), byval AS (
+  SELECT cents, sum(n_vs)::BIGINT AS t FROM cell GROUP BY 1
+), ranked AS (
+  SELECT cents, t, (sum(t) OVER (ORDER BY cents) - t)::BIGINT AS c_less
+  FROM byval
+), gl AS (
+  SELECT sum(t)::BIGINT AS n_total,
+         sum(t::HUGEINT * t * t - t) AS tie_dec
+  FROM ranked
+), per AS (
+  SELECT {per_cols}
+  FROM cell JOIN ranked USING (cents)
+)
+SELECT n_total, {sel},
+       tie_dec::BIGINT AS tie_term,
+       CASE WHEN {ok} THEN
+         CAST(floor({h} * 1000000.0) AS BIGINT) END AS h_micro,
+       CASE WHEN {ok} THEN
+         CAST(floor({h_tie} * 1000000.0) AS BIGINT) END AS h_tie_micro,
+       CASE WHEN {ok} THEN
+         CAST(CAST(floor({h_tie} * 1000000.0) AS BIGINT)
+              > {KW_CRIT_4_MICRO} AS INT) END AS reject_05
+FROM per CROSS JOIN gl
+"""
+
+
+def _anova_f_expr() -> str:
+    """Shared fixed-order F-statistic fold over the 5-segment pivot."""
+    sterm = " + ".join(
+        f"(CAST(s_{_KW_SUF[s]} AS DOUBLE) * CAST(s_{_KW_SUF[s]} AS DOUBLE)"
+        f" / CAST(n_{_KW_SUF[s]} AS DOUBLE))"
+        for s in KW_SEGS
+    )
+    s_tot = " + ".join(f"CAST(s_{_KW_SUF[s]} AS DOUBLE)" for s in KW_SEGS)
+    q_tot = " + ".join(f"CAST(q_{_KW_SUF[s]} AS DOUBLE)" for s in KW_SEGS)
+    n_tot = " + ".join(f"CAST(n_{_KW_SUF[s]} AS DOUBLE)" for s in KW_SEGS)
+    ssb = f"(({sterm}) - ({s_tot}) * ({s_tot}) / ({n_tot}))"
+    ssw = f"(({q_tot}) - ({sterm}))"
+    return f"(({ssb} / 4.0) / ({ssw} / (({n_tot}) - 5.0)))"
+
+
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA (Fisher's F) — the PARAMETRIC K-sample leg
+    beside ``kruskal_wallis_test``'s ranks (the same pairing as
+    ``welch_ttest`` beside ``mann_whitney_revenue``): do the five
+    market segments differ in MEAN order total? SSB/SSW from exact
+    per-group integer moments, never a second subtract-the-mean
+    pass (catastrophic cancellation is avoided because the moments
+    are EXACT integers before the one double fold).
+
+    Exactness: per-segment (n, Σcents, Σcents²) are exact
+    DECIMAL(38)/HUGEINT moments pivoted to ONE row over the fixed
+    segment domain; F folds through a single literal IEEE expression
+    (fixed evaluation order); means quantize by integer DIV. The
+    α=0.05 verdict compares F_micro against the F(4, ∞) critical
+    constant 2.371932 (= chi²₄/4; n−5 ≫ 10³ here, the welch_ttest
+    asymptotic-constant contract).
+
+    Scale shape: ONE map-side-combinable aggregate over the joined
+    fact → one wide row. Wordcount-shaped at any corpus size.
+
+    Output: n_total, per-segment (n_*, mean_*_micro), f_micro,
+    reject_05.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("c")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pool = orders.join(F.broadcast(cust), "o_custkey").select(
+        "c", "c_mktsegment"
+    )
+    aggs = []
+    for seg in KW_SEGS:
+        suf = _KW_SUF[seg]
+        cond = f"c_mktsegment = '{seg}'"
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END")).alias(
+                f"n_{suf}"
+            )
+        )
+        aggs.append(
+            F.sum(
+                F.expr(f"CASE WHEN {cond} THEN CAST(c AS {_DEC}) ELSE 0 END")
+            ).alias(f"s_{suf}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN {cond} THEN CAST(c AS {_DEC}) * c ELSE 0 END"
+                )
+            ).alias(f"q_{suf}")
+        )
+    per = pool.agg(*aggs)
+    f_expr = _anova_f_expr()
+    n_tot = " + ".join(f"n_{_KW_SUF[s]}" for s in KW_SEGS)
+    # Defined only when every group is populated AND there is
+    # within-group dof (N > K) — NULL otherwise (lazy CASE; ANSI
+    # rejects the NaN/Inf cast and DIV-by-zero that arise if not).
+    ok = (
+        " AND ".join(f"n_{_KW_SUF[s]} > 0" for s in KW_SEGS)
+        + f" AND ({n_tot}) > 5"
+    )
+    out = [F.expr(f"CAST({n_tot} AS BIGINT)").alias("n_total")]
+    for seg in KW_SEGS:
+        suf = _KW_SUF[seg]
+        out.append(F.col(f"n_{suf}").cast("long").alias(f"n_{suf}"))
+        out.append(
+            F.expr(
+                f"CASE WHEN n_{suf} > 0 THEN"
+                f" CAST((s_{suf} * 1000000) DIV n_{suf} AS BIGINT) END"
+            ).alias(f"mean_{suf}_micro")
+        )
+    out.append(
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(floor({f_expr} * 1000000.0) AS BIGINT) END"
+        ).alias("f_micro")
+    )
+    out.append(
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(CAST(floor({f_expr} * 1000000.0) AS BIGINT)"
+            f" > {ANOVA_CRIT_4_INF_MICRO} AS INT) END"
+        ).alias("reject_05")
+    )
+    return per.select(*out)
+
+
+def _anova_sql() -> str:
+    per_cols = ",\n         ".join(
+        f"sum(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_{_KW_SUF[s]},\n         "
+        f"sum(CASE WHEN c_mktsegment = '{s}' THEN c::HUGEINT ELSE 0 END)"
+        f" AS s_{_KW_SUF[s]},\n         "
+        f"sum(CASE WHEN c_mktsegment = '{s}' THEN c::HUGEINT * c ELSE 0 END)"
+        f" AS q_{_KW_SUF[s]}"
+        for s in KW_SEGS
+    )
+    f_expr = _anova_f_expr()
+    n_tot = " + ".join(f"n_{_KW_SUF[s]}" for s in KW_SEGS)
+    ok = (
+        " AND ".join(f"n_{_KW_SUF[s]} > 0" for s in KW_SEGS)
+        + f" AND ({n_tot}) > 5"
+    )
+    sel = ", ".join(
+        f"n_{_KW_SUF[s]}, CASE WHEN n_{_KW_SUF[s]} > 0 THEN"
+        f" CAST((s_{_KW_SUF[s]} * 1000000) // n_{_KW_SUF[s]}"
+        f" AS BIGINT) END AS mean_{_KW_SUF[s]}_micro"
+        for s in KW_SEGS
+    )
+    return f"""
+WITH pool AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS c, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), per AS (
+  SELECT {per_cols}
+  FROM pool
+)
+SELECT CAST({n_tot} AS BIGINT) AS n_total, {sel},
+       CASE WHEN {ok} THEN
+         CAST(floor({f_expr} * 1000000.0) AS BIGINT) END AS f_micro,
+       CASE WHEN {ok} THEN
+         CAST(CAST(floor({f_expr} * 1000000.0) AS BIGINT)
+              > {ANOVA_CRIT_4_INF_MICRO} AS INT) END AS reject_05
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr / kendall_tau_segments — rank-correlation family
+# ---------------------------------------------------------------------------
+
+
+def _spearman_rho_expr() -> str:
+    """Shared Pearson-on-doubled-ranks fold (the 2× factors cancel)."""
+    return (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+    )
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation (tie-aware, via Pearson on average
+    ranks — the definitionally correct form, not the 6Σd²/n³ shortcut
+    that is wrong under ties) between lineitem quantity and discount:
+    the monotone-association companion to ``stats_correlation``'s
+    Pearson, robust to any monotone transform of either column.
+
+    Exactness: BOTH columns have tiny fixed domains (50 quantities ×
+    11 discount steps), so ranks live on the margins of a ≤550-cell
+    contingency grid: per-axis doubled average ranks (2c + t + 1, the
+    mann_whitney trick — exact integers), and all five Pearson
+    moments are exact DECIMAL/HUGEINT sums of c · rank products over
+    grid CELLS. ρ folds through one literal IEEE expression (the
+    doubled-rank 2× factors cancel between numerator and
+    denominator). Cross-engine note: moments can exceed 2⁵³, but
+    DECIMAL→DOUBLE (Spark) and HUGEINT→DOUBLE (DuckDB) are both
+    correctly-rounded casts, so the fold stays bit-identical.
+
+    Scale shape: ONE map-side-combinable (x, y) aggregate over the
+    fact → a domain-bounded grid; rank maps are computed ON the grid
+    margins and broadcast back. For unbounded domains, bucket or
+    aggregate at value grain first (the mann_whitney escape hatch).
+
+    Output: n_rows, nx_vals, ny_vals, rho_micro.
+    """
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    grid = li.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+
+    def ranks(axis: str) -> DataFrame:
+        m = grid.groupBy(axis).agg(F.sum("c").alias("t"))
+        w = Window.orderBy(axis).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return m.withColumn("c_le", F.sum("t").over(w)).select(
+            axis,
+            (
+                2 * (F.col("c_le") - F.col("t")) + F.col("t") + 1
+            ).alias(f"r{axis}2"),
+        )
+
+    j = grid.join(F.broadcast(ranks("x")), "x").join(
+        F.broadcast(ranks("y")), "y"
+    )
+    mom = j.agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("x").alias("nx_vals"),
+        F.countDistinct("y").alias("ny_vals"),
+        F.sum(F.expr(f"CAST(c AS {_DEC}) * rx2")).alias("sx"),
+        F.sum(F.expr(f"CAST(c AS {_DEC}) * ry2")).alias("sy"),
+        F.sum(F.expr(f"CAST(c AS {_DEC}) * rx2 * rx2")).alias("sxx"),
+        F.sum(F.expr(f"CAST(c AS {_DEC}) * ry2 * ry2")).alias("syy"),
+        F.sum(F.expr(f"CAST(c AS {_DEC}) * rx2 * ry2")).alias("sxy"),
+    )
+    rho = _spearman_rho_expr()
+    # Constant-column guard: a single-valued margin zeroes the rank
+    # variance (0/0 = NaN; ANSI CAST rejects) — ρ is undefined there.
+    return mom.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("nx_vals").cast("long").alias("nx_vals"),
+        F.col("ny_vals").cast("long").alias("ny_vals"),
+        F.expr(
+            "CASE WHEN nx_vals > 1 AND ny_vals > 1 THEN"
+            f" CAST(floor({rho} * 1000000.0) AS BIGINT) END"
+        ).alias("rho_micro"),
+    )
+
+
+def _spearman_sql() -> str:
+    rho = _spearman_rho_expr()
+    return f"""
+WITH li AS (
+  SELECT l_quantity::BIGINT AS x, round(l_discount * 100)::BIGINT AS y
+  FROM lineitem
+), grid AS (
+  SELECT x, y, count(*)::BIGINT AS c FROM li GROUP BY 1, 2
+), xr AS (
+  SELECT x, (2 * (sum(t) OVER (ORDER BY x) - t) + t + 1)::BIGINT AS rx2
+  FROM (SELECT x, sum(c)::BIGINT AS t FROM grid GROUP BY 1)
+), yr AS (
+  SELECT y, (2 * (sum(t) OVER (ORDER BY y) - t) + t + 1)::BIGINT AS ry2
+  FROM (SELECT y, sum(c)::BIGINT AS t FROM grid GROUP BY 1)
+), mom AS (
+  SELECT sum(c)::BIGINT AS n,
+         count(DISTINCT x)::BIGINT AS nx_vals,
+         count(DISTINCT y)::BIGINT AS ny_vals,
+         sum(c::HUGEINT * rx2) AS sx,
+         sum(c::HUGEINT * ry2) AS sy,
+         sum(c::HUGEINT * rx2 * rx2) AS sxx,
+         sum(c::HUGEINT * ry2 * ry2) AS syy,
+         sum(c::HUGEINT * rx2 * ry2) AS sxy
+  FROM grid JOIN xr USING (x) JOIN yr USING (y)
+)
+SELECT n AS n_rows, nx_vals, ny_vals,
+       CASE WHEN nx_vals > 1 AND ny_vals > 1 THEN
+         CAST(floor({rho} * 1000000.0) AS BIGINT) END AS rho_micro
+FROM mom
+"""
+
+
+KT_SEG_A = "BUILDING"
+KT_SEG_B = "MACHINERY"
+
+
+def kendall_tau_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL τ-b between two monthly revenue SERIES — do BUILDING
+    and MACHINERY revenues CO-MOVE month to month? The pairwise
+    concordance view of association (Kendall 1938), tie-corrected
+    (τ-b), complementing ``spearman_corr``'s rank-moment view and
+    ``mann_kendall_test``'s trend-vs-time S (which is Kendall vs the
+    time axis; here both axes are data).
+
+    Exactness: monthly revenues are exact cent sums; concordant /
+    discordant / per-axis-tie pair counts are exact integers over
+    month pairs; τ-b = (C−D)/√((n₀−Tₐ)(n₀−T_b)) folds through one
+    literal IEEE expression.
+
+    Scale shape: the pair generator runs on the MONTHLY series —
+    |months|² pairs, TIME-domain-bounded (84 months → ~3.5k pairs),
+    data-size-independent (the theil_sen_trend contract); the corpus
+    is touched by exactly one hash aggregate.
+
+    Output: n_months, n_pairs, conc, disc, tie_a, tie_b, tau_micro.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        _cents("o_totalprice").alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    monthly = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .where(F.col("c_mktsegment").isin(KT_SEG_A, KT_SEG_B))
+        .groupBy("mx")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN c_mktsegment = '{KT_SEG_A}'"
+                    " THEN cents ELSE 0 END"
+                )
+            ).alias("ya"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN c_mktsegment = '{KT_SEG_B}'"
+                    " THEN cents ELSE 0 END"
+                )
+            ).alias("yb"),
+        )
+    )
+    a = monthly.select(
+        F.col("mx").alias("m1"),
+        F.col("ya").alias("a1"),
+        F.col("yb").alias("b1"),
+    )
+    b = monthly.select(
+        F.col("mx").alias("m2"),
+        F.col("ya").alias("a2"),
+        F.col("yb").alias("b2"),
+    )
+    pairs = a.crossJoin(b).where(F.col("m1") < F.col("m2"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN CAST(a2 - a1 AS {_DEC}) * (b2 - b1) > 0"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("conc"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN CAST(a2 - a1 AS {_DEC}) * (b2 - b1) < 0"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("disc"),
+        F.sum(F.expr("CASE WHEN a2 = a1 THEN 1 ELSE 0 END")).alias("tie_a"),
+        F.sum(F.expr("CASE WHEN b2 = b1 THEN 1 ELSE 0 END")).alias("tie_b"),
+    )
+    tau = (
+        "(CAST(conc - disc AS DOUBLE)"
+        " / sqrt(CAST(n_pairs - tie_a AS DOUBLE)"
+        "        * CAST(n_pairs - tie_b AS DOUBLE)))"
+    )
+    n_months = monthly.agg(F.count(F.lit(1)).alias("n_months"))
+    # τ-b is undefined when either axis is fully tied (0 denominator).
+    return n_months.crossJoin(F.broadcast(agg)).select(
+        F.col("n_months").cast("long").alias("n_months"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("conc").cast("long").alias("conc"),
+        F.col("disc").cast("long").alias("disc"),
+        F.col("tie_a").cast("long").alias("tie_a"),
+        F.col("tie_b").cast("long").alias("tie_b"),
+        F.expr(
+            "CASE WHEN n_pairs > tie_a AND n_pairs > tie_b THEN"
+            f" CAST(floor({tau} * 1000000.0) AS BIGINT) END"
+        ).alias("tau_micro"),
+    )
+
+
+_KENDALL_SQL = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+         sum(CASE WHEN c_mktsegment = '{KT_SEG_A}'
+                  THEN round(o_totalprice * 100)::BIGINT ELSE 0 END)::BIGINT AS ya,
+         sum(CASE WHEN c_mktsegment = '{KT_SEG_B}'
+                  THEN round(o_totalprice * 100)::BIGINT ELSE 0 END)::BIGINT AS yb
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{KT_SEG_A}', '{KT_SEG_B}')
+  GROUP BY 1
+), pairs AS (
+  SELECT a.ya AS a1, a.yb AS b1, b.ya AS a2, b.yb AS b2
+  FROM monthly a JOIN monthly b ON a.mx < b.mx
+), agg AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN (a2 - a1)::HUGEINT * (b2 - b1) > 0
+                  THEN 1 ELSE 0 END)::BIGINT AS conc,
+         sum(CASE WHEN (a2 - a1)::HUGEINT * (b2 - b1) < 0
+                  THEN 1 ELSE 0 END)::BIGINT AS disc,
+         sum(CASE WHEN a2 = a1 THEN 1 ELSE 0 END)::BIGINT AS tie_a,
+         sum(CASE WHEN b2 = b1 THEN 1 ELSE 0 END)::BIGINT AS tie_b
+  FROM pairs
+), nm AS (SELECT count(*)::BIGINT AS n_months FROM monthly)
+SELECT n_months, n_pairs, conc, disc, tie_a, tie_b,
+       CASE WHEN n_pairs > tie_a AND n_pairs > tie_b THEN
+         CAST(floor((CAST(conc - disc AS DOUBLE)
+                     / sqrt(CAST(n_pairs - tie_a AS DOUBLE)
+                            * CAST(n_pairs - tie_b AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) END AS tau_micro
+FROM nm CROSS JOIN agg
+"""
+
+
 QUERIES = {
     "exact_median_selection": exact_median_selection,
+    "kruskal_wallis_test": kruskal_wallis_test,
+    "anova_oneway": anova_oneway,
+    "spearman_corr": spearman_corr,
+    "kendall_tau_segments": kendall_tau_segments,
     "ks_test_revenue": ks_test_revenue,
     "theil_sen_trend": theil_sen_trend,
     "mann_kendall_test": mann_kendall_test,
@@ -2989,6 +3583,10 @@ QUERIES = {
 
 ORACLES = {
     "exact_median_selection": _EXACT_MEDIAN_SQL,
+    "kruskal_wallis_test": _kruskal_sql(),
+    "anova_oneway": _anova_sql(),
+    "spearman_corr": _spearman_sql(),
+    "kendall_tau_segments": _KENDALL_SQL,
     "ks_test_revenue": _KS_TEST_SQL,
     "theil_sen_trend": _THEIL_SEN_SQL,
     "mann_kendall_test": _MANN_KENDALL_SQL,

@@ -1154,3 +1154,56 @@ def test_rake_phrase_extraction_narrow_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_kruskal_wallis_value_grain_shape(spark):
+    """Ranks live at VALUE grain: customer broadcast onto the fact,
+    the only window runs over the distinct-value relation, and the
+    5-segment pivot is one aggregate row — no row-grain global sort,
+    no cartesian."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.kruskal_wallis_test(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.uses_broadcast_join(df)
+    assert not P.uses_sort_merge_join(df)
+    assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_anova_oneway_is_wordcount_shaped(spark):
+    """ONE map-side-combinable aggregate over the broadcast-joined
+    fact — no window, no extra shuffle beyond the single agg."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.anova_oneway(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert P.uses_broadcast_join(df)
+    assert P.count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_spearman_grid_ranks_broadcast_back(spark):
+    """Moments aggregate over the domain-bounded (x, y) grid; the
+    per-axis rank maps join back by BROADCAST (never a fact-grain
+    shuffle join on the value columns)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.spearman_corr(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.uses_broadcast_join(df)
+    assert not P.uses_sort_merge_join(df)
+
+
+def test_kendall_tau_pairs_on_monthly_aggregate(spark):
+    """The pair generator touches only the month-grain aggregate
+    (theil_sen contract): the corpus feeds ONE hash aggregate; the
+    T^2-bounded pair join never sort-merges."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.kendall_tau_segments(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert not P.uses_sort_merge_join(df)
+    assert P.count_nodes(plan, "HashAggregate") >= 3

@@ -906,3 +906,220 @@ def test_welch_ttest_hand_computed(spark):
     assert r.t_micro == math.floor(t * 1_000_000)
     assert r.dof_micro == math.floor(dof * 1_000_000)
     assert r.reject_05 == 1
+
+
+def _write_seg_orders(spark, d, seg_vals, with_dates=False):
+    """orders+customer parquet from {segment: [dollar totals]} (one
+    synthetic customer per order; month index = position when dated)."""
+    import os
+
+    rows, cust = [], []
+    i = 0
+    for seg, vals in seg_vals.items():
+        for j, v in enumerate(vals):
+            if with_dates:
+                rows.append((i, i, float(v), f"1995-{j + 1:02d}-15"))
+            else:
+                rows.append((i, i, float(v)))
+            cust.append((i, seg))
+            i += 1
+    if with_dates:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double,"
+            " o_orderdate string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "CAST(o_orderdate AS DATE) AS o_orderdate",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+    else:
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        cust, "c_custkey long, c_mktsegment string"
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+
+
+def test_kruskal_wallis_hand_model(spark):
+    """From-scratch doubled-rank model (same literal fold order as
+    the operator, so the micro floors match bit-for-bit), with
+    cross-group ties; separated groups reject at alpha=0.05."""
+    import collections
+    import tempfile
+
+    seg_vals = {
+        "AUTOMOBILE": [10, 20, 20],
+        "BUILDING": [20, 30],
+        "FURNITURE": [40, 40, 50],
+        "HOUSEHOLD": [60],
+        "MACHINERY": [70, 80, 90],
+    }
+    d = tempfile.mkdtemp(prefix="kw_")
+    _write_seg_orders(spark, d, seg_vals)
+    r = prof.kruskal_wallis_test(spark, d).collect()[0]
+
+    cents = {s: [v * 100 for v in vs] for s, vs in seg_vals.items()}
+    allv = [v for vs in cents.values() for v in vs]
+    n = len(allv)
+    cnt = collections.Counter(allv)
+    r2 = {}
+    c = 0
+    for v in sorted(cnt):
+        r2[v] = 2 * c + cnt[v] + 1
+        c += cnt[v]
+    r2sum = {s: sum(r2[v] for v in vs) for s, vs in cents.items()}
+    assert r.n_total == n
+    for s in prof.KW_SEGS:
+        suf = prof._KW_SUF[s]
+        assert getattr(r, f"n_{suf}") == len(cents[s])
+        assert getattr(r, f"r2_{suf}") == r2sum[s]
+    assert r.tie_term == sum(t ** 3 - t for t in cnt.values())
+    s2 = 0.0
+    for s in prof.KW_SEGS:  # literal fold order of the operator
+        s2 = s2 + (float(r2sum[s]) * float(r2sum[s])) / (
+            4.0 * float(len(cents[s]))
+        )
+    h = 12.0 * s2 / (float(n) * (float(n) + 1.0)) - 3.0 * (float(n) + 1.0)
+    h_tie = h / (
+        1.0
+        - float(r.tie_term) / (float(n) * float(n) * float(n) - float(n))
+    )
+    assert r.h_micro == math.floor(h * 1_000_000.0)
+    assert r.h_tie_micro == math.floor(h_tie * 1_000_000.0)
+
+    # fully separated groups, 3 each: H = 13.5 > 9.4877 -> reject
+    d2 = tempfile.mkdtemp(prefix="kw_sep_")
+    _write_seg_orders(
+        spark,
+        d2,
+        {
+            s: [100 * (k + 1) + j for j in range(3)]
+            for k, s in enumerate(prof.KW_SEGS)
+        },
+    )
+    r2_ = prof.kruskal_wallis_test(spark, d2).collect()[0]
+    assert r2_.h_micro == 13_500_000 and r2_.reject_05 == 1
+
+
+def test_anova_oneway_hand_model(spark):
+    """Exact-moment F against the literal-order Python fold; planted
+    separation rejects, identical groups give F = 0."""
+    import tempfile
+
+    seg_vals = {
+        "AUTOMOBILE": [10, 12, 14],
+        "BUILDING": [20, 22, 24, 26],
+        "FURNITURE": [30, 31],
+        "HOUSEHOLD": [40, 44, 48],
+        "MACHINERY": [50, 55, 60, 65],
+    }
+    d = tempfile.mkdtemp(prefix="anova_")
+    _write_seg_orders(spark, d, seg_vals)
+    r = prof.anova_oneway(spark, d).collect()[0]
+
+    cents = {s: [v * 100 for v in vs] for s, vs in seg_vals.items()}
+    sterm = s_tot = q_tot = n_tot = 0.0
+    for s in prof.KW_SEGS:  # literal fold order
+        sg = float(sum(cents[s]))
+        qg = float(sum(v * v for v in cents[s]))
+        ng = float(len(cents[s]))
+        sterm = sterm + sg * sg / ng
+        s_tot = s_tot + sg
+        q_tot = q_tot + qg
+        n_tot = n_tot + ng
+    ssb = sterm - s_tot * s_tot / n_tot
+    ssw = q_tot - sterm
+    f = (ssb / 4.0) / (ssw / (n_tot - 5.0))
+    assert r.n_total == int(n_tot)
+    assert r.mean_auto_micro == (sum(cents["AUTOMOBILE"]) * 1_000_000) // 3
+    assert r.f_micro == math.floor(f * 1_000_000.0)
+    assert r.reject_05 == 1  # planted separation is enormous
+
+    d2 = tempfile.mkdtemp(prefix="anova_flat_")
+    _write_seg_orders(spark, d2, {s: [10, 20] for s in prof.KW_SEGS})
+    flat = prof.anova_oneway(spark, d2).collect()[0]
+    assert flat.f_micro == 0 and flat.reject_05 == 0
+
+
+def test_spearman_corr_monotone_and_tied(spark):
+    """rho = +1 on a perfect monotone map, -1 reversed; a tied grid
+    matches the from-scratch average-rank Pearson model exactly."""
+    import os
+    import tempfile
+
+    def run(pairs):
+        d = tempfile.mkdtemp(prefix="spear_")
+        spark.createDataFrame(
+            [(float(q), float(dc) / 100.0) for q, dc in pairs],
+            "l_quantity double, l_discount double",
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        return prof.spearman_corr(spark, d).collect()[0]
+
+    r = run([(i, i) for i in range(1, 11)])
+    assert (r.n_rows, r.rho_micro) == (10, 1_000_000)
+    r = run([(i, 10 - i) for i in range(1, 11)])
+    assert r.rho_micro == -1_000_000
+
+    pairs = [(1, 1), (1, 2), (2, 1), (2, 2), (2, 2), (3, 5), (3, 5)]
+    r = run(pairs)
+
+    def dranks(vals):
+        import collections
+
+        cnt = collections.Counter(vals)
+        out, c = {}, 0
+        for v in sorted(cnt):
+            out[v] = 2 * c + cnt[v] + 1
+            c += cnt[v]
+        return out
+
+    rx = dranks([p[0] for p in pairs])
+    ry = dranks([p[1] for p in pairs])
+    n = float(len(pairs))
+    sx = float(sum(rx[p[0]] for p in pairs))
+    sy = float(sum(ry[p[1]] for p in pairs))
+    sxx = float(sum(rx[p[0]] ** 2 for p in pairs))
+    syy = float(sum(ry[p[1]] ** 2 for p in pairs))
+    sxy = float(sum(rx[p[0]] * ry[p[1]] for p in pairs))
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert r.rho_micro == math.floor(rho * 1_000_000.0)
+    # constant margin -> undefined, NULL (not a crash)
+    assert run([(1, 3), (1, 7)]).rho_micro is None
+
+
+def test_kendall_tau_co_movement(spark):
+    """tau-b = +1 when both segment series rise together; a planted
+    mixed series matches the O(months^2) hand count, ties corrected."""
+    import tempfile
+
+    def run(ya, yb):
+        d = tempfile.mkdtemp(prefix="kt_")
+        _write_seg_orders(
+            spark, d, {prof.KT_SEG_A: ya, prof.KT_SEG_B: yb}, with_dates=True
+        )
+        return prof.kendall_tau_segments(spark, d).collect()[0]
+
+    r = run([10, 20, 30, 40], [5, 6, 7, 8])
+    assert (r.n_months, r.n_pairs) == (4, 6)
+    assert (r.conc, r.disc) == (6, 0) and r.tau_micro == 1_000_000
+
+    ya, yb = [10, 30, 20, 20, 50], [5, 1, 4, 4, 9]
+    r = run(ya, yb)
+    ca = [v * 100 for v in ya]
+    cb = [v * 100 for v in yb]
+    conc = disc = tie_a = tie_b = 0
+    for i in range(5):
+        for j in range(i + 1, 5):
+            p = (ca[j] - ca[i]) * (cb[j] - cb[i])
+            conc += p > 0
+            disc += p < 0
+            tie_a += ca[j] == ca[i]
+            tie_b += cb[j] == cb[i]
+    assert (r.conc, r.disc, r.tie_a, r.tie_b) == (conc, disc, tie_a, tie_b)
+    tau = (conc - disc) / math.sqrt(
+        (10.0 - tie_a) * (10.0 - tie_b)
+    )
+    assert r.tau_micro == math.floor(tau * 1_000_000.0)
