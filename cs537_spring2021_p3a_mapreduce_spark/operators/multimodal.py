@@ -1924,7 +1924,104 @@ video_shared_segments.bench_setup = stage_video_frames
 
 # the driver's rows-only check covers the pipeline end-to-end; the
 # byte-level oracle is in tests (deterministic synth + decode)
+def image_entropy(imgs: DataFrame) -> DataFrame:
+    """Composable kernel of ``image_entropy_real``: decoded-byte
+    bit-length entropy per image over any media frame with (media_id,
+    payload) BMP rows — split out so planted-corpus tests drive the
+    decode+entropy path directly (the ``image_phash`` convention)."""
+
+    def _ent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                offset = _struct.unpack_from("<2sIHHI", payload, 0)[4]
+                _hs, width, height = _struct.unpack_from("<Iii", payload, 14)
+                row_bytes = (3 * width + 3) // 4 * 4
+                arr = np.frombuffer(
+                    payload, dtype=np.uint8, count=height * row_bytes,
+                    offset=offset,
+                ).reshape(height, row_bytes)[:, : 3 * width]
+                counts = np.bincount(arr.reshape(-1), minlength=256)
+                n = int(counts.sum())
+                nb = n.bit_length()
+                ent = sum(
+                    int(c) * (nb - int(c).bit_length())
+                    for c in counts
+                    if c > 0
+                )
+                out.append(
+                    (
+                        int(row["media_id"]),
+                        n,
+                        int((counts > 0).sum()),
+                        ent,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_values", "distinct_vals", "ent_q"],
+            )
+
+    return imgs.mapInPandas(
+        _ent,
+        schema="media_id long, n_values long, distinct_vals long,"
+        " ent_q long",
+    ).orderBy("media_id")
+
+
+def image_entropy_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image byte-value ENTROPY from real decoded BMP bytes — the
+    image-quality/diversity scalar beside ``image_histogram_real``'s
+    4-bin exposure profile: a flat or synthetic image concentrates
+    its 256-value distribution (low entropy); a textured one spreads
+    it. The curation filter drops the near-constant scrapes.
+
+    Exactness: entropy is quantized to integer BIT-LENGTH logs (the
+    house oracle-exact log₂ idiom — length of bin(x), zero libm):
+    ent_q = Σ_v c_v·(bits(N) − bits(c_v)), an exact long both
+    engines compute identically. Coarse (log₂ grid) but
+    deterministic — a monitor statistic, like ``zipf_slope_fit``.
+
+    Shape: narrow Arrow-batched decode, ONE output row per image —
+    no shuffle before the output sort. The oracle recomputes the
+    256-value counts arithmetically from the BMP generator's
+    closed-form pixels ((x+y+id) mod 256, all channels equal), so a
+    decoder that misread padding/row-order/channels hash-mismatches.
+
+    Output: media_id, n_values, distinct_vals, ent_q.
+    """
+    return image_entropy(
+        synth_media_encoded(spark, sf_dir).filter(F.col("fmt") == "bmp")
+    )
+
+
+_IMG_ENTROPY_SQL = """
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 31 AS w, 12 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT media_id, (x + y + media_id) % 256 AS v
+  FROM imgs,
+       unnest(generate_series(0, w - 1)) AS ux(x),
+       unnest(generate_series(0, h - 1)) AS uy(y)
+), cnt AS (
+  SELECT media_id, v, (count(*) * 3)::BIGINT AS c FROM px GROUP BY 1, 2
+), tot AS (
+  SELECT media_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1
+)
+SELECT c.media_id, tot.n AS n_values,
+       count(*)::BIGINT AS distinct_vals,
+       sum(c.c * (length(bin(tot.n)) - length(bin(c.c))))::BIGINT AS ent_q
+FROM cnt c JOIN tot ON c.media_id = tot.media_id
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "image_entropy_real": image_entropy_real,
     "image_histogram_real": image_histogram_real,
     "image_resize_real": image_resize_real,
     "image_dedup_phash": image_dedup_phash,
@@ -1943,6 +2040,7 @@ QUERIES = {
 # n_bytes = 64 + (doc_id % 7) * 32 by construction (synth_media), so
 # the whole fake pipeline is SQL-expressible — full value oracle.
 ORACLES = {
+    "image_entropy_real": _IMG_ENTROPY_SQL,
     "image_histogram_real": _IMG_HIST_SQL,
     "image_resize_real": _IMG_RESIZE_SQL,
     "image_dedup_phash": _IMG_PHASH_SQL,

@@ -3409,6 +3409,268 @@ FROM mom
 """
 
 
+# ---------------------------------------------------------------------------
+# zipf_slope_fit
+# ---------------------------------------------------------------------------
+
+
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF's-LAW slope of the corpus token-frequency curve — the
+    vocabulary-naturalness signal a curation pipeline reads beside
+    ``vocabulary_growth``'s Heaps curve: natural language shows
+    freq ∝ rank^(−s) with s ≈ 1; machine-generated or templated text
+    flattens (s → 0) or cliffs. Fit = exact integer OLS of log₂(freq)
+    on log₂(rank).
+
+    Exactness: the logs are integer BIT-LENGTHS (length of bin(x) —
+    the house oracle-exact log₂ quantization, llm.py's unigram
+    scoring precedent), so all five OLS moments are exact longs and
+    slope/intercept quantize by ONE integer DIV each. The quantized
+    fit is coarse (log₂ grid) but deterministic and cross-engine
+    hash-exact — exactly what a drift MONITOR needs (compare corpus
+    vs corpus), not a parameter estimator.
+
+    Scale shape: one wordcount aggregate (map-side-combinable), a
+    rank window over the VOCABULARY-bounded frequency relation, and
+    a 1-row moment reduce. The corpus is touched once.
+
+    Output: n_types, n_tokens, slope_micro, intercept_micro.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = docs.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).select(
+        F.length(F.expr("bin(rnk)")).cast("long").alias("x"),
+        F.length(F.expr("bin(cnt)")).cast("long").alias("y"),
+        "cnt",
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN n > 1 AND n * sxx - sx * sx <> 0 THEN"
+            " CAST(((n * sxy - sx * sy) * 1000000)"
+            " DIV (n * sxx - sx * sx) AS BIGINT) END"
+        ).alias("slope_micro"),
+        F.expr(
+            "CASE WHEN n > 1 AND n * sxx - sx * sx <> 0 THEN"
+            " CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000)"
+            " DIV (n * sxx - sx * sx) * sx) DIV n AS BIGINT) END"
+        ).alias("intercept_micro"),
+    )
+
+
+_ZIPF_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1
+), ranked AS (
+  SELECT length(bin(row_number() OVER (ORDER BY cnt DESC, tok)))::BIGINT
+         AS x,
+         length(bin(cnt))::BIGINT AS y, cnt
+  FROM freq
+), mom AS (
+  SELECT count(*)::BIGINT AS n, sum(cnt)::BIGINT AS n_tokens,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+  FROM ranked
+)
+SELECT n AS n_types, n_tokens,
+       CASE WHEN n > 1 AND n * sxx - sx * sx <> 0 THEN
+         CAST(((n * sxy - sx * sy) * 1000000)
+              // (n * sxx - sx * sx) AS BIGINT) END AS slope_micro,
+       CASE WHEN n > 1 AND n * sxx - sx * sx <> 0 THEN
+         CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000)
+               // (n * sxx - sx * sx) * sx) // n AS BIGINT) END
+         AS intercept_micro
+FROM mom
+"""
+
+
+# ---------------------------------------------------------------------------
+# permutation_test_hash
+# ---------------------------------------------------------------------------
+
+PERM_R = 32  # relabeling replicas; one md5 per (replica, row), one agg pass
+
+
+def permutation_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION (permutation) TEST for the BUILDING-vs-MACHINERY
+    mean order total — the resampling-based significance check that
+    assumes NOTHING about the revenue distribution (the companion to
+    ``bootstrap_replica_means``' uncertainty bands, Chamandy 2012
+    deterministic-hash style): under H₀ the segment labels are
+    exchangeable, so relabeling rows by a hash independent of the
+    values yields the null distribution of the mean difference, and
+    the p-value is the fraction of relabelings at least as extreme
+    as the observed split.
+
+    Replica b assigns a row to pseudo-group A iff the first hex
+    nibble of md5('perm b' ‖ orderkey) < 8 (p = 1/2) — deterministic,
+    engine-portable, and independent of the revenue value, which is
+    all exchangeability needs. p uses the standard add-one form
+    (1 + #extreme)/(R + 1), reported in milli.
+
+    Exactness: every replica's (n, Σ) are exact longs computed as
+    conditional sums in the SAME single aggregate pass (the
+    bootstrap one-agg+stack rule — never R scans); means and p
+    quantize by integer DIV. No floats anywhere.
+
+    Scale shape: ONE map-side-combinable aggregate over the joined
+    fact (2·(R+1) conditional sums wide), a stack to R rows, and a
+    1-row reduce broadcast back. Wordcount-shaped at any size.
+
+    Output: replica, n_a_eff, diff_micro, obs_diff_micro, exceed,
+    p_milli.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("c")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pool = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .where(F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B))
+        .select(
+            "o_orderkey",
+            "c",
+            (F.col("c_mktsegment") == MW_SEG_A).alias("is_a"),
+        )
+    )
+    aggs = [
+        F.sum(F.expr("CASE WHEN is_a THEN 1 ELSE 0 END")).alias("n_obs"),
+        F.sum(F.expr("CASE WHEN is_a THEN c ELSE 0 END")).alias("sa_obs"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("c").alias("s_all"),
+    ]
+    for b in range(PERM_R):
+        flag = (
+            f"substring(md5(concat('perm{b}:', CAST(o_orderkey AS STRING)"
+            ")), 1, 1) < '8'"
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {flag} THEN 1 ELSE 0 END")).alias(
+                f"n{b}"
+            )
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {flag} THEN c ELSE 0 END")).alias(
+                f"s{b}"
+            )
+        )
+    wide = pool.agg(*aggs)
+
+    # mean_A − mean_B in micro-cents from (n_a, s_a, n_all, s_all);
+    # sums widen to DECIMAL before the ×10⁶ (Σcents·10⁶ passes int64
+    # at ~sf1 — the welch_ttest widening rule)
+    def diff(n: str, s: str) -> str:
+        return (
+            f"CASE WHEN {n} > 0 AND {n} < n_all THEN"
+            f" CAST((CAST({s} AS {_DEC}) * 1000000) DIV {n} AS BIGINT)"
+            f" - CAST((CAST(s_all - {s} AS {_DEC}) * 1000000)"
+            f" DIV (n_all - {n}) AS BIGINT) END"
+        )
+
+    stacked = wide.select(
+        F.expr(f"{diff('n_obs', 'sa_obs')} AS obs_diff_micro"),
+        F.expr(
+            "stack({n}, {args}) AS (replica, n_a_eff, diff_micro)".format(
+                n=PERM_R,
+                args=", ".join(
+                    f"{b}, n{b}, {diff(f'n{b}', f's{b}')}"
+                    for b in range(PERM_R)
+                ),
+            )
+        ),
+    )
+    flagged = stacked.select(
+        F.col("replica").cast("long").alias("replica"),
+        F.col("n_a_eff").cast("long").alias("n_a_eff"),
+        "diff_micro",
+        "obs_diff_micro",
+        F.expr(
+            "CAST(abs(diff_micro) >= abs(obs_diff_micro) AS INT)"
+        ).alias("exceed"),
+    )
+    p = flagged.agg(
+        F.expr(
+            f"CAST(((1 + sum(exceed)) * 1000) DIV ({PERM_R} + 1) AS BIGINT)"
+        ).alias("p_milli")
+    )
+    return flagged.crossJoin(F.broadcast(p)).orderBy("replica")
+
+
+def _perm_test_sql() -> str:
+    def diff(n: str, s: str) -> str:
+        return (
+            f"CASE WHEN {n} > 0 AND {n} < n_all THEN"
+            f" CAST(({s}::HUGEINT * 1000000) // {n} AS BIGINT)"
+            f" - CAST(((s_all - {s})::HUGEINT * 1000000) // (n_all - {n})"
+            " AS BIGINT) END"
+        )
+
+    rep_cols = ",\n         ".join(
+        f"sum(CASE WHEN substr(md5('perm{b}:' || o_orderkey::VARCHAR), 1, 1)"
+        f" < '8' THEN 1 ELSE 0 END)::BIGINT AS n{b},\n         "
+        f"sum(CASE WHEN substr(md5('perm{b}:' || o_orderkey::VARCHAR), 1, 1)"
+        f" < '8' THEN c ELSE 0 END)::BIGINT AS s{b}"
+        for b in range(PERM_R)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {b}::BIGINT AS replica, n{b} AS n_a_eff,"
+        f" {diff(f'n{b}', f's{b}')} AS diff_micro,"
+        " obs_diff_micro FROM wide"
+        for b in range(PERM_R)
+    )
+    return f"""
+WITH pool AS (
+  SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS c,
+         (c_mktsegment = '{MW_SEG_A}') AS is_a
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+), wide AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_obs,
+         sum(CASE WHEN is_a THEN c ELSE 0 END)::BIGINT AS sa_obs,
+         count(*)::BIGINT AS n_all,
+         sum(c)::BIGINT AS s_all,
+         {rep_cols}
+  FROM pool
+), wide2 AS (
+  SELECT *, {diff('n_obs', 'sa_obs')} AS obs_diff_micro FROM wide
+), stacked AS (
+  {branches.replace('FROM wide', 'FROM wide2')}
+), flagged AS (
+  SELECT replica, n_a_eff, diff_micro, obs_diff_micro,
+         CAST(abs(diff_micro) >= abs(obs_diff_micro) AS INT) AS exceed
+  FROM stacked
+), p AS (
+  SELECT CAST(((1 + sum(exceed)) * 1000) // ({PERM_R} + 1) AS BIGINT)
+         AS p_milli
+  FROM flagged
+)
+SELECT f.*, p.p_milli FROM flagged f CROSS JOIN p ORDER BY replica
+"""
+
+
 KT_SEG_A = "BUILDING"
 KT_SEG_B = "MACHINERY"
 
@@ -3548,6 +3810,8 @@ QUERIES = {
     "anova_oneway": anova_oneway,
     "spearman_corr": spearman_corr,
     "kendall_tau_segments": kendall_tau_segments,
+    "permutation_test_hash": permutation_test_hash,
+    "zipf_slope_fit": zipf_slope_fit,
     "ks_test_revenue": ks_test_revenue,
     "theil_sen_trend": theil_sen_trend,
     "mann_kendall_test": mann_kendall_test,
@@ -3587,6 +3851,8 @@ ORACLES = {
     "anova_oneway": _anova_sql(),
     "spearman_corr": _spearman_sql(),
     "kendall_tau_segments": _KENDALL_SQL,
+    "permutation_test_hash": _perm_test_sql(),
+    "zipf_slope_fit": _ZIPF_SQL,
     "ks_test_revenue": _KS_TEST_SQL,
     "theil_sen_trend": _THEIL_SEN_SQL,
     "mann_kendall_test": _MANN_KENDALL_SQL,

@@ -1241,7 +1241,169 @@ ORDER BY 1, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# seasonal_decompose
+# ---------------------------------------------------------------------------
+
+SD_SEASON = 12  # months per cycle; the centered MA spans 13 months
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL additive seasonal DECOMPOSITION (the moving-average
+    method behind statsmodels' seasonal_decompose / X-11's first
+    pass) of each segment's monthly revenue: y = trend + seasonal +
+    residual — the DIAGNOSTIC view beside ``holt_winters_forecast``'s
+    recursive state (HW predicts; this explains which part of a
+    month's revenue is trend vs calendar).
+
+    Semantics: trend = 2×12 centered moving average (half weights on
+    the ±6 endpoints), defined only where the full 13-month window
+    exists; seasonal = per month-of-year mean of the detrended
+    series, centered to sum≈0 across the 12 indices; residual = the
+    remainder.
+
+    Exactness: all integer micro-cents — the weighted MA numerator
+    is an exact DECIMAL/HUGEINT sum (weights 500000/1000000) with
+    ONE trunc-DIV by 12; seasonal means and the centering adjustment
+    are trunc-DIVs (negative detrended values rely on the verified
+    Spark DIV ≡ DuckDB // truncation parity); residual is integer
+    subtraction. No floats.
+
+    Scale shape: ONE hash aggregate collapses the corpus to the
+    monthly grain (|segments|·|months| rows, time-domain-bounded);
+    the 13-month window is a bounded self-join ON that relation
+    (gap-safe: a missing month yields NULL trend, not a silently
+    shifted window — the rows-window shortcut would misalign);
+    seasonal/adjustment aggregates touch only month-grain rows.
+
+    Output: c_mktsegment, mx, y_cents, trend_micro, seasonal_micro,
+    residual_micro.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    monthly = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_mktsegment", "mx")
+        .agg(F.sum("cents").alias("y"))
+    )
+    b = monthly.select(
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("mx").alias("bmx"),
+        F.col("y").alias("yb"),
+    )
+    half = SD_SEASON // 2
+    win = monthly.join(
+        F.broadcast(b),
+        (F.col("c_mktsegment") == F.col("seg_b"))
+        & (F.col("bmx") >= F.col("mx") - half)
+        & (F.col("bmx") <= F.col("mx") + half),
+    )
+    trend = win.groupBy("c_mktsegment", "mx", "y").agg(
+        F.count(F.lit(1)).alias("n_win"),
+        F.sum(
+            F.expr(
+                f"CAST(yb AS decimal(38,0)) * CASE WHEN abs(bmx - mx) ="
+                f" {half} THEN 500000 ELSE 1000000 END"
+            )
+        ).alias("tn"),
+    ).select(
+        "c_mktsegment",
+        "mx",
+        "y",
+        F.expr(
+            f"CASE WHEN n_win = {SD_SEASON + 1} THEN"
+            f" CAST(tn DIV {SD_SEASON} AS BIGINT) END"
+        ).alias("trend_micro"),
+    )
+    det = trend.withColumn(
+        "d",
+        F.expr("CASE WHEN trend_micro IS NOT NULL THEN"
+               " y * 1000000 - trend_micro END"),
+    ).withColumn("moy", F.expr(f"mx % {SD_SEASON}"))
+    sr = (
+        det.where(F.col("d").isNotNull())
+        .groupBy("c_mktsegment", "moy")
+        .agg(F.expr("CAST(sum(d) DIV count(*) AS BIGINT)").alias("s_raw"))
+    )
+    adj = sr.groupBy("c_mktsegment").agg(
+        F.expr("CAST(sum(s_raw) DIV count(*) AS BIGINT)").alias("s_adj")
+    )
+    seas = sr.join(F.broadcast(adj), "c_mktsegment").select(
+        "c_mktsegment",
+        "moy",
+        (F.col("s_raw") - F.col("s_adj")).alias("seasonal_micro"),
+    )
+    return (
+        det.join(F.broadcast(seas), ["c_mktsegment", "moy"], "left")
+        .select(
+            "c_mktsegment",
+            "mx",
+            F.col("y").alias("y_cents"),
+            "trend_micro",
+            "seasonal_micro",
+            F.expr(
+                "CASE WHEN d IS NOT NULL AND seasonal_micro IS NOT NULL"
+                " THEN d - seasonal_micro END"
+            ).alias("residual_micro"),
+        )
+        .orderBy("c_mktsegment", "mx")
+    )
+
+
+_SEASONAL_SQL = f"""
+WITH monthly AS (
+  SELECT c_mktsegment,
+         (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), trend AS (
+  SELECT a.c_mktsegment, a.mx, a.y,
+         CASE WHEN count(*) = {SD_SEASON + 1} THEN
+           CAST(sum(b.y::HUGEINT *
+                    CASE WHEN abs(b.mx - a.mx) = {SD_SEASON // 2}
+                         THEN 500000 ELSE 1000000 END)
+                // {SD_SEASON} AS BIGINT) END AS trend_micro
+  FROM monthly a JOIN monthly b
+    ON a.c_mktsegment = b.c_mktsegment
+   AND b.mx BETWEEN a.mx - {SD_SEASON // 2} AND a.mx + {SD_SEASON // 2}
+  GROUP BY 1, 2, 3
+), det AS (
+  SELECT *,
+         CASE WHEN trend_micro IS NOT NULL
+              THEN y * 1000000 - trend_micro END AS d,
+         mx % {SD_SEASON} AS moy
+  FROM trend
+), sr AS (
+  SELECT c_mktsegment, moy,
+         CAST(sum(d) // count(*) AS BIGINT) AS s_raw
+  FROM det WHERE d IS NOT NULL GROUP BY 1, 2
+), adj AS (
+  SELECT c_mktsegment, CAST(sum(s_raw) // count(*) AS BIGINT) AS s_adj
+  FROM sr GROUP BY 1
+), seas AS (
+  SELECT sr.c_mktsegment, sr.moy, (sr.s_raw - adj.s_adj)::BIGINT
+         AS seasonal_micro
+  FROM sr JOIN adj USING (c_mktsegment)
+)
+SELECT det.c_mktsegment, det.mx, det.y AS y_cents, det.trend_micro,
+       seas.seasonal_micro,
+       CASE WHEN det.d IS NOT NULL AND seas.seasonal_micro IS NOT NULL
+            THEN det.d - seas.seasonal_micro END AS residual_micro
+FROM det LEFT JOIN seas
+  ON det.c_mktsegment = seas.c_mktsegment AND det.moy = seas.moy
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "seasonal_decompose": seasonal_decompose,
     "holt_winters_forecast": holt_winters_forecast,
     "ohlc_bars": ohlc_bars,
     "latency_log_histogram": latency_log_histogram,
@@ -1262,6 +1424,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "seasonal_decompose": _SEASONAL_SQL,
     "holt_winters_forecast": _HW_SQL,
     "ohlc_bars": _OHLC_SQL,
     "latency_log_histogram": _LOG_HIST_SQL,

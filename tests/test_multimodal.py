@@ -606,3 +606,40 @@ def test_shared_frame_segments_gapped_islands(spark):
     assert (cd.n_shared, cd.run_start, cd.run_len) == (4, 5, 2)
     # no phantom cross pairs (hash namespaces disjoint)
     assert set(got) == {(1, 2), (3, 4)}
+
+
+def test_image_entropy_planted_flat_vs_textured(spark):
+    """Entropy contract on planted BMPs: a constant image scores
+    exactly 0, a clean two-value split scores exactly N (one quantized
+    bit per byte), and a full-range textured image scores above both —
+    all through real encoded payloads (padding included)."""
+    import numpy as np
+
+    h, w = 16, 24
+    flat = np.full((h, w), 77, dtype=np.uint8)
+    two = np.zeros((h, w), dtype=np.uint8)
+    two[:, w // 2:] = 255  # exactly half the bytes at each value
+    rng = np.random.RandomState(11)
+    tex = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    rows = [
+        (0, "image", "bmp", bytearray(_raw_bmp(flat)), w, h, None, None),
+        (1, "image", "bmp", bytearray(_raw_bmp(two)), w, h, None, None),
+        (2, "image", "bmp", bytearray(_raw_bmp(tex)), w, h, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, fmt string, payload binary, "
+        "width int, height int, sample_rate int, duration_ms int",
+    )
+    out = {r.media_id: r for r in mm.image_entropy(df).collect()}
+    n = 3 * h * w
+    assert all(r.n_values == n for r in out.values())
+    assert (out[0].distinct_vals, out[0].ent_q) == (1, 0)
+    # two equal halves: each count c = n/2, bits(n) - bits(n/2) = 1
+    assert out[1].distinct_vals == 2 and out[1].ent_q == n
+    assert out[2].distinct_vals > 2 and out[2].ent_q > n
+    # exact model for the textured image
+    counts = np.bincount(np.repeat(tex.reshape(-1), 3), minlength=256)
+    nb = int(n).bit_length()
+    ent = sum(int(c) * (nb - int(c).bit_length()) for c in counts if c)
+    assert out[2].ent_q == ent

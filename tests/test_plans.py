@@ -1207,3 +1207,57 @@ def test_kendall_tau_pairs_on_monthly_aggregate(spark):
     plan = P.plan(df, "simple")
     assert not P.uses_sort_merge_join(df)
     assert P.count_nodes(plan, "HashAggregate") >= 3
+
+
+def test_permutation_test_single_agg_pass(spark):
+    """All R+1 relabelings ride ONE aggregate over the joined fact
+    (the bootstrap one-agg+stack rule) — never R scans: exactly one
+    scan of orders in the plan, no sort-merge join."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.permutation_test_hash(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert plan.count("orders.parquet") <= 1 or (
+        P.plan(df, "formatted").count("orders.parquet") <= 2
+    )
+    assert not P.uses_sort_merge_join(df)
+    assert "Window" not in plan
+
+
+def test_zipf_slope_window_is_vocab_bounded(spark):
+    """One wordcount aggregate touches the corpus; the rank window
+    runs over the frequency relation only (post-aggregate)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.zipf_slope_fit(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert P.count_nodes(plan, "HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    # the window's input is the aggregated frequency relation: the
+    # wordcount HashAggregate prints BELOW the Window node
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and win_pos < plan.rfind("HashAggregate")
+
+
+def test_seasonal_decompose_bounded_self_join(spark):
+    """The 13-month MA window is a broadcast self-join ON the
+    month-grain aggregate — the corpus feeds one hash aggregate; no
+    sort-merge join, no cartesian."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as tp
+
+    df = tp.seasonal_decompose(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert not P.uses_sort_merge_join(df)
+    assert P.uses_broadcast_join(df)
+
+
+def test_image_entropy_narrow_decode(spark):
+    """One Arrow-batched decode pass, one row per image — no join,
+    no aggregate shuffle before the output sort."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import multimodal as mm
+
+    df = mm.image_entropy_real(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan

@@ -1123,3 +1123,101 @@ def test_kendall_tau_co_movement(spark):
         (10.0 - tie_a) * (10.0 - tie_b)
     )
     assert r.tau_micro == math.floor(tau * 1_000_000.0)
+
+
+def test_permutation_test_hash_model_exact(spark):
+    """Replicates the md5 relabeling in Python row-for-row: every
+    replica's diff matches, the planted extreme split is never
+    exceeded, and p lands at the add-one floor 1000//(R+1)."""
+    import hashlib
+    import tempfile
+
+    vals_a, vals_b = [10, 20, 30], [5000, 6000, 7000, 8000]
+    d = tempfile.mkdtemp(prefix="perm_")
+    _write_seg_orders(
+        spark, d, {prof.MW_SEG_A: vals_a, prof.MW_SEG_B: vals_b}
+    )
+    rows = {r.replica: r for r in
+            prof.permutation_test_hash(spark, d).collect()}
+    assert len(rows) == prof.PERM_R
+
+    # fixture keys: _write_seg_orders numbers orders 0..n-1 in dict
+    # order, so A rows are keys 0-2 and B rows 3-6
+    cents = [v * 100 for v in vals_a + vals_b]
+    keys = list(range(len(cents)))
+    n_all, s_all = len(cents), sum(cents)
+    obs = (sum(c * 100 for c in vals_a) * 1_000_000) // 3 - (
+        sum(c * 100 for c in vals_b) * 1_000_000
+    ) // 4
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    exceeds = 0
+    for b in range(prof.PERM_R):
+        in_a = [
+            k
+            for k in keys
+            if hashlib.md5(f"perm{b}:{k}".encode()).hexdigest()[0] < "8"
+        ]
+        r = rows[b]
+        assert r.n_a_eff == len(in_a)
+        if 0 < len(in_a) < n_all:
+            sa = sum(cents[k] for k in in_a)
+            diff = trunc_div(sa * 1_000_000, len(in_a)) - trunc_div(
+                (s_all - sa) * 1_000_000, n_all - len(in_a)
+            )
+            assert r.diff_micro == diff
+            exceeds += abs(diff) >= abs(obs)
+        else:
+            assert r.diff_micro is None
+        assert r.obs_diff_micro == obs
+    p = ((1 + exceeds) * 1000) // (prof.PERM_R + 1)
+    assert rows[0].p_milli == p
+    # with 7 rows a random relabel CAN reproduce the extreme split
+    # (md5 is fixed: exactly one of the 32 does); p stays far below
+    # any alpha while staying honest about the add-one floor
+    assert exceeds <= 1 and p <= ((1 + 1) * 1000) // (prof.PERM_R + 1)
+
+
+def test_zipf_slope_fit_hand_model(spark):
+    """Planted frequency curve 8/4/2/1: bit-length logs give the
+    exact integer OLS slope/intercept; steeper curve -> more
+    negative slope than a flat one."""
+    import os
+    import tempfile
+
+    def run(counts):
+        d = tempfile.mkdtemp(prefix="zipf_")
+        toks = []
+        for i, c in enumerate(counts):
+            toks.extend([f"w{i}"] * c)
+        # one doc holding the whole corpus keeps the wordcount exact
+        spark.createDataFrame(
+            [(0, " ".join(toks))], "doc_id long, text string"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        return prof.zipf_slope_fit(spark, d).collect()[0]
+
+    r = run([8, 4, 2, 1])
+    assert (r.n_types, r.n_tokens) == (4, 15)
+    xs = [1, 2, 2, 3]          # bits of ranks 1..4
+    ys = [4, 3, 2, 1]          # bits of counts 8,4,2,1
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    slope = trunc_div(num * 1_000_000, den)
+    assert r.slope_micro == slope
+    assert r.intercept_micro == trunc_div(
+        sy * 1_000_000 - slope * sx, n
+    )
+    assert r.slope_micro < 0
+    # flat curve (all counts equal): slope exactly 0
+    assert run([3, 3, 3, 3]).slope_micro == 0

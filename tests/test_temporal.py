@@ -407,3 +407,87 @@ def test_holt_winters_hand_computed_recurrence(spark, tmp_path):
     assert out[12].forecast_micro == (
         150_000_000 + 12 * 12_500_000 + 12_500_000
     )
+
+
+def test_seasonal_decompose_hand_model(spark):
+    """Planted 26-month single-segment series with a known 12-month
+    additive pattern: trend is the exact weighted-MA integer DIV,
+    seasonal indices recover the pattern's shape (centered), residual
+    is the exact remainder, and the 6-month edges are NULL."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import (
+        temporal as tp,
+    )
+
+    # y_m (dollars) = 100 + 2*m + pattern[m % 12] — linear trend plus
+    # a pure seasonal; one order per month
+    pattern = [0, 5, -3, 8, -6, 2, 9, -8, 4, -2, 7, -9]
+    months = []  # (mx offset from 1995-01, dollars)
+    for m in range(26):
+        months.append((m, 100 + 2 * m + pattern[m % 12]))
+    rows = [
+        (
+            i,
+            i,
+            float(v),
+            f"{1995 + m // 12}-{m % 12 + 1:02d}-10",
+        )
+        for i, (m, v) in enumerate(months)
+    ]
+    d = tempfile.mkdtemp(prefix="seas_")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(i, "BUILDING") for i in range(len(rows))],
+        "c_custkey long, c_mktsegment string",
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+
+    out = {r.mx - (1995 * 12 + 1): r
+           for r in tp.seasonal_decompose(spark, d).collect()}
+    assert len(out) == 26
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    y = {m: v * 100 for m, v in months}  # cents
+    trend = {}
+    for m in range(26):
+        if m - 6 < 0 or m + 6 > 25:
+            assert out[m].trend_micro is None
+            continue
+        num = y[m - 6] * 500_000 + y[m + 6] * 500_000 + sum(
+            y[k] * 1_000_000 for k in range(m - 5, m + 6)
+        )
+        trend[m] = trunc_div(num, 12)
+        assert out[m].trend_micro == trend[m]
+    det = {m: y[m] * 1_000_000 - t for m, t in trend.items()}
+    sr = {}
+    for moy in range(12):
+        ds = [d_ for m, d_ in det.items() if (m + 1) % 12 == moy]
+        # mx = 1995*12 + 1 + m, so moy_of(m) = (m + 1) % 12
+        if ds:
+            sr[moy] = trunc_div(sum(ds), len(ds))
+    adj = trunc_div(sum(sr.values()), len(sr))
+    for m in range(26):
+        moy = (m + 1) % 12
+        seas = sr[moy] - adj
+        assert out[m].seasonal_micro == seas
+        if m in det:
+            assert out[m].residual_micro == det[m] - seas
+        else:
+            assert out[m].residual_micro is None
+    # the recovered seasonal shape tracks the planted pattern's
+    # ordering (trend part cancels in the centered indices): the
+    # planted max (moy of +9) scores above the planted min (-9)
+    mx_moy = max(range(12), key=lambda k: pattern[k])
+    mn_moy = min(range(12), key=lambda k: pattern[k])
+    assert sr[(mx_moy + 1) % 12] > sr[(mn_moy + 1) % 12]
