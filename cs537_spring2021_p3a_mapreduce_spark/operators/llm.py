@@ -6659,6 +6659,166 @@ ORDER BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# stupid_backoff_score
+# ---------------------------------------------------------------------------
+
+SB_ALPHA_NUM, SB_ALPHA_DEN = 2, 5  # Brants' 0.4 backoff factor, exact
+
+
+def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIGRAM language-model fluency score with STUPID BACKOFF
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — the backoff rule built FOR distributed count-based
+    LMs: no discount mass bookkeeping, just S(w₃|w₁w₂) =
+    f(w₁w₂w₃)/f(w₁w₂), backing off through 0.4·f(w₂w₃)/f(w₂) to
+    0.4²·f(w₃)/T) — the longer-context upgrade of
+    ``ngram_lm_score``'s bigram mean, with the same LEAVE-ONE-OUT
+    discount at every level (a doc's own occurrence never supports
+    itself; a trigram/bigram/unigram seen nowhere else contributes
+    zero at that level and falls through).
+
+    Determinism: each term is CASE-selected at ONE level, computed
+    as a single IEEE division of exact counts (×0.4 and ×0.16 are
+    exact-rounded double ops), floor-quantized to 1e-9 longs before
+    the sum, mean by integer DIV — the ngram_lm_score contract.
+
+    Shape: three wordcount-family aggregates (trigram, bigram,
+    unigram — each map-side-combinable, each VOCAB³-bounded at most)
+    + equi-joins back onto the persisted trigram stream + one
+    per-doc aggregate. Corpus is scanned three times (the three
+    n-gram grains); every count relation is n-gram-type-bounded.
+    Docs shorter than 3 tokens have no trigrams and are absent, by
+    contract (the oracle mirrors).
+
+    Output: doc_id, n_trigrams, sb_micro.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.lower("text")).alias("t"))
+    arr = F.col("t")
+
+    def grams(n: int) -> DataFrame:
+        seq = F.when(
+            F.size(arr) >= n, F.sequence(F.lit(0), F.size(arr) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        cols = lambda i: [  # noqa: E731
+            F.get(arr, i + k).alias(f"w{k + 1}") for k in range(n)
+        ]
+        return toks.select(
+            "doc_id",
+            F.explode(F.transform(seq, lambda i: F.struct(*cols(i)))).alias(
+                "g"
+            ),
+        ).select("doc_id", "g.*")
+
+    tri = track_persist(grams(3))
+    big = grams(2)
+    uni = grams(1)
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t_total"))
+    scored = (
+        tri.join(F.broadcast(c3), ["w1", "w2", "w3"])
+        .join(
+            F.broadcast(c2.withColumnRenamed("c2", "c2_ctx")),
+            ["w1", "w2"],
+        )
+        .join(
+            F.broadcast(
+                c2.select(
+                    F.col("w1").alias("w2"),
+                    F.col("w2").alias("w3"),
+                    F.col("c2").alias("c2_bo"),
+                )
+            ),
+            ["w2", "w3"],
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w1").alias("w2"),
+                                  F.col("c1").alias("c1_w2"))),
+            "w2",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w1").alias("w3"),
+                                  F.col("c1").alias("c1_w3"))),
+            "w3",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    alpha = SB_ALPHA_NUM / SB_ALPHA_DEN
+    term = (
+        "CAST(floor(CASE"
+        " WHEN c3 > 1 THEN CAST(c3 - 1 AS DOUBLE) / CAST(c2_ctx AS DOUBLE)"
+        f" WHEN c2_bo > 1 THEN {alpha} * CAST(c2_bo - 1 AS DOUBLE)"
+        " / CAST(c1_w2 AS DOUBLE)"
+        f" ELSE {alpha * alpha} * CAST(c1_w3 - 1 AS DOUBLE)"
+        " / CAST(t_total AS DOUBLE)"
+        f" END * {LM_SCALE}.0) AS BIGINT)"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.expr(term)).alias("sq"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.expr(
+                f"sq DIV (n_trigrams * {LM_SCALE // 1_000_000})"
+            ).alias("sb_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _stupid_backoff_sql() -> str:
+    alpha = SB_ALPHA_NUM / SB_ALPHA_DEN
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), tri AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+  FROM toks, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+), big AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+), unig AS (
+  SELECT unnest(ts) AS w1 FROM toks
+), c3 AS (
+  SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM tri GROUP BY 1, 2, 3
+), c2 AS (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*)::BIGINT AS c1 FROM unig GROUP BY 1
+), tot AS (
+  SELECT count(*)::BIGINT AS t_total FROM unig
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_trigrams,
+       (sum(CAST(floor(CASE
+          WHEN c3.c3 > 1 THEN (c3.c3 - 1)::DOUBLE / cctx.c2::DOUBLE
+          WHEN cbo.c2 > 1 THEN {alpha} * (cbo.c2 - 1)::DOUBLE
+               / c1w2.c1::DOUBLE
+          ELSE {alpha * alpha} * (c1w3.c1 - 1)::DOUBLE
+               / tot.t_total::DOUBLE
+        END * {LM_SCALE}.0) AS BIGINT))
+        // (count(*) * {LM_SCALE // 1_000_000}))::BIGINT AS sb_micro
+FROM tri t
+JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+JOIN c2 cctx ON cctx.w1 = t.w1 AND cctx.w2 = t.w2
+JOIN c2 cbo ON cbo.w1 = t.w2 AND cbo.w2 = t.w3
+JOIN c1 c1w2 ON c1w2.w1 = t.w2
+JOIN c1 c1w3 ON c1w3.w1 = t.w3
+CROSS JOIN tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 WINNOW_K = 4  # tokens per k-gram
 WINNOW_W = 5  # k-gram hashes per winnowing window
 _WINNOW_POS = 1 << 30  # (hash, pos) encoded as hash*2^30 + pos
@@ -7331,6 +7491,103 @@ SELECT doc_id, n_words, mean_wlen_micro, alpha_frac_micro, n_stop,
        r_wordcount, r_wordlen, r_alpha, r_stop,
        (r_wordcount * r_wordlen * r_alpha * r_stop)::INT AS pass_all
 FROM rules ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter_agreement_kappa
+# ---------------------------------------------------------------------------
+
+
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA (Cohen 1960) between the repo's two quality
+    filters — the rule-based ``gopher_quality_rules`` verdict and the
+    model-based ``quality_classifier_linear`` label — the
+    inter-rater-agreement audit a curation pipeline runs before
+    swapping one filter for the other: raw agreement alone is
+    inflated by base rates (two filters that both keep 95% agree 90%
+    by chance); κ removes the chance floor.
+
+    Exactness: κ is RATIONAL in the 2×2 confusion counts —
+    κ = (N·(n₁₁+n₀₀) − (a₁b₁+a₀b₀)) / (N² − (a₁b₁+a₀b₀)) — so with
+    DECIMAL/HUGEINT widening the micro quantization is ONE integer
+    DIV. Zero floats anywhere.
+
+    Scale shape: both verdicts are per-row narrow expressions; they
+    share the corpus scan's cost class and join on doc_id (reusing
+    the REGISTERED operators — agreement measured on exactly what
+    runs in production, the hard_negative_mining shared-kernel
+    rule), then a 1-row confusion reduce.
+
+    Output: n_docs, n11, n10, n01, n00, agree_micro, kappa_micro.
+    """
+    g = gopher_flags(table(spark, sf_dir, "documents")).select(
+        "doc_id", "pass_all"
+    )
+    q = quality_classifier_linear(spark, sf_dir).select("doc_id", "label")
+    cells = g.join(q, "doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CASE WHEN pass_all = 1 AND label = 1 THEN 1 ELSE 0 END")
+        ).alias("n11"),
+        F.sum(
+            F.expr("CASE WHEN pass_all = 1 AND label = 0 THEN 1 ELSE 0 END")
+        ).alias("n10"),
+        F.sum(
+            F.expr("CASE WHEN pass_all = 0 AND label = 1 THEN 1 ELSE 0 END")
+        ).alias("n01"),
+        F.sum(
+            F.expr("CASE WHEN pass_all = 0 AND label = 0 THEN 1 ELSE 0 END")
+        ).alias("n00"),
+    )
+    chance = (
+        "(CAST(n11 + n10 AS decimal(38,0)) * (n11 + n01)"
+        " + CAST(n01 + n00 AS decimal(38,0)) * (n10 + n00))"
+    )
+    return cells.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.expr(
+            "CASE WHEN n > 0 THEN"
+            " CAST((CAST(n11 + n00 AS decimal(38,0)) * 1000000) DIV n"
+            " AS BIGINT) END"
+        ).alias("agree_micro"),
+        F.expr(
+            f"CASE WHEN CAST(n AS decimal(38,0)) * n - {chance} <> 0 THEN"
+            f" CAST(((CAST(n AS decimal(38,0)) * (n11 + n00) - {chance})"
+            " * 1000000)"
+            f" DIV (CAST(n AS decimal(38,0)) * n - {chance}) AS BIGINT) END"
+        ).alias("kappa_micro"),
+    )
+
+
+def _kappa_sql() -> str:
+    chance = (
+        "((n11 + n10)::HUGEINT * (n11 + n01)"
+        " + (n01 + n00)::HUGEINT * (n10 + n00))"
+    )
+    return f"""
+WITH g AS ({_GOPHER_SQL}),
+q AS ({_QCLF_SQL}),
+cells AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN pass_all = 1 AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+         sum(CASE WHEN pass_all = 1 AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+         sum(CASE WHEN pass_all = 0 AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+         sum(CASE WHEN pass_all = 0 AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS n00
+  FROM g JOIN q USING (doc_id)
+)
+SELECT n AS n_docs, n11, n10, n01, n00,
+       CASE WHEN n > 0 THEN
+         CAST(((n11 + n00)::HUGEINT * 1000000) // n AS BIGINT) END
+         AS agree_micro,
+       CASE WHEN n::HUGEINT * n - {chance} <> 0 THEN
+         CAST(((n::HUGEINT * (n11 + n00) - {chance}) * 1000000)
+              // (n::HUGEINT * n - {chance}) AS BIGINT) END AS kappa_micro
+FROM cells
 """
 
 
@@ -9212,6 +9469,7 @@ QUERIES = {
     "term_cooccurrence_lift": term_cooccurrence_lift,
     "curriculum_schedule": curriculum_schedule,
     "gopher_quality_rules": gopher_quality_rules,
+    "filter_agreement_kappa": filter_agreement_kappa,
     "source_cap_audit": source_cap_audit,
     "train_split_manifest": train_split_manifest,
     "char_gini_diversity": char_gini_diversity,
@@ -9223,6 +9481,7 @@ QUERIES = {
     "quality_filter_trained": quality_filter_trained,
     "dsir_importance_weights": dsir_importance_weights,
     "ngram_lm_score": ngram_lm_score,
+    "stupid_backoff_score": stupid_backoff_score,
     "winnow_fingerprints": winnow_fingerprints,
     "oov_rate": oov_rate,
     "duplicate_span_fraction": duplicate_span_fraction,
@@ -9299,6 +9558,7 @@ ORACLES = {
     "term_cooccurrence_lift": _COOC_SQL,
     "curriculum_schedule": _CURRICULUM_SQL,
     "gopher_quality_rules": _GOPHER_SQL,
+    "filter_agreement_kappa": _kappa_sql(),
     "source_cap_audit": _SOURCE_CAP_SQL,
     "train_split_manifest": _TRAIN_SPLIT_SQL,
     "char_gini_diversity": _CHAR_GINI_SQL,
@@ -9310,6 +9570,7 @@ ORACLES = {
     "quality_filter_trained": _QCLF_FILTER_SQL,
     "dsir_importance_weights": _DSIR_SQL,
     "ngram_lm_score": _LM_SQL,
+    "stupid_backoff_score": _stupid_backoff_sql(),
     "winnow_fingerprints": _winnow_sql(),
     "oov_rate": _OOV_SQL,
     "duplicate_span_fraction": _DUP_SPAN,

@@ -1402,8 +1402,113 @@ ORDER BY 1, 2
 """
 
 
+ACF_MAX_LAG = 12  # one seasonal cycle of monthly lags
+
+
+def autocorrelation_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample AUTOCORRELATION function (ACF, lags 1..12) of total
+    monthly revenue — the diagnostic that tells the forecasting tier
+    (``holt_winters_forecast``, ``seasonal_decompose``) whether a
+    seasonal cycle is actually present (a lag-12 spike) and how fast
+    momentum decays (lag-1..3 mass): r_L = Σ_{t≤T−L}(y_t−ȳ)(y_{t+L}−ȳ)
+    / Σ(y_t−ȳ)².
+
+    Exactness: multiplied through by T², both sides are exact
+    integers — num·T² = Σ (T·y_t − S)(T·y_{t+L} − S), den·T² =
+    Σ (T·y_t − S)² with S = Σy (DECIMAL/HUGEINT widened; the
+    deviations are longs but their products overflow int64) — so
+    r_L is ONE IEEE division per lag, floor-quantized micro. The ȳ
+    subtraction never happens in floats.
+
+    Scale shape: ONE hash aggregate collapses the corpus to the
+    T-month series; the lag pairs come from a bounded self-join
+    (T·12 rows) with the 1-row (T, S) moments broadcast — the
+    theil_sen monthly-grain contract.
+
+    Output: lag, n_pairs, acf_micro (ordered by lag).
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx"),
+    )
+    monthly = orders.groupBy("mx").agg(F.sum("cents").alias("y"))
+    glob = monthly.agg(
+        F.count(F.lit(1)).alias("t_n"),
+        F.sum(F.expr("CAST(y AS decimal(38,0))")).alias("s"),
+    )
+    m = monthly.crossJoin(F.broadcast(glob))
+    den = m.agg(
+        F.sum(
+            F.expr(
+                "CAST(t_n AS decimal(38,0)) * y - s"
+            ).cast("decimal(38,0)")
+            * F.expr("CAST(t_n AS decimal(38,0)) * y - s").cast(
+                "decimal(38,0)"
+            )
+        ).alias("den")
+    )
+    b = monthly.select(F.col("mx").alias("bmx"), F.col("y").alias("yb"))
+    pairs = m.join(
+        F.broadcast(b),
+        (F.col("bmx") > F.col("mx"))
+        & (F.col("bmx") <= F.col("mx") + ACF_MAX_LAG),
+    )
+    num = pairs.groupBy((F.col("bmx") - F.col("mx")).alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.expr("CAST(t_n AS decimal(38,0)) * y - s").cast(
+                "decimal(38,0)"
+            )
+            * F.expr("CAST(t_n AS decimal(38,0)) * yb - s").cast(
+                "decimal(38,0)"
+            )
+        ).alias("num"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr(
+                "CASE WHEN den <> 0 THEN CAST(floor(CAST(num AS DOUBLE)"
+                " / CAST(den AS DOUBLE) * 1000000.0) AS BIGINT) END"
+            ).alias("acf_micro"),
+        )
+        .orderBy("lag")
+    )
+
+
+_ACF_SQL = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+  FROM orders GROUP BY 1
+), gl AS (
+  SELECT count(*)::BIGINT AS t_n, sum(y::HUGEINT) AS s FROM monthly
+), den AS (
+  SELECT sum((gl.t_n * y::HUGEINT - gl.s) * (gl.t_n * y::HUGEINT - gl.s))
+         AS den
+  FROM monthly CROSS JOIN gl
+), num AS (
+  SELECT (b.mx - a.mx)::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+         sum((gl.t_n * a.y::HUGEINT - gl.s)
+             * (gl.t_n * b.y::HUGEINT - gl.s)) AS num
+  FROM monthly a CROSS JOIN gl
+  JOIN monthly b ON b.mx > a.mx AND b.mx <= a.mx + {ACF_MAX_LAG}
+  GROUP BY 1
+)
+SELECT lag, n_pairs,
+       CASE WHEN den.den <> 0 THEN
+         CAST(floor(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+                    * 1000000.0) AS BIGINT) END AS acf_micro
+FROM num CROSS JOIN den
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "seasonal_decompose": seasonal_decompose,
+    "autocorrelation_monthly": autocorrelation_monthly,
     "holt_winters_forecast": holt_winters_forecast,
     "ohlc_bars": ohlc_bars,
     "latency_log_histogram": latency_log_histogram,
@@ -1425,6 +1530,7 @@ QUERIES = {
 
 ORACLES = {
     "seasonal_decompose": _SEASONAL_SQL,
+    "autocorrelation_monthly": _ACF_SQL,
     "holt_winters_forecast": _HW_SQL,
     "ohlc_bars": _OHLC_SQL,
     "latency_log_histogram": _LOG_HIST_SQL,

@@ -2501,3 +2501,89 @@ def test_rake_keywords_hand_computed(spark, tmp_path):
         ("red apple", 2, 1, 4_000_000),
         ("basket", 1, 1, 1_000_000),
     ]
+
+
+def test_filter_agreement_kappa_matches_python_confusion(spark):
+    """κ recomputed in Python from the two REGISTERED filters'
+    outputs (independent arithmetic: exact Fraction, no micro
+    quantization until the final compare) matches the operator."""
+    from fractions import Fraction
+
+    g = {r.doc_id: r.pass_all
+         for r in llm.gopher_quality_rules(spark, SF).collect()}
+    q = {r.doc_id: r.label
+         for r in llm.quality_classifier_linear(spark, SF).collect()}
+    assert set(g) == set(q)
+    n11 = sum(1 for d in g if g[d] == 1 and q[d] == 1)
+    n10 = sum(1 for d in g if g[d] == 1 and q[d] == 0)
+    n01 = sum(1 for d in g if g[d] == 0 and q[d] == 1)
+    n00 = sum(1 for d in g if g[d] == 0 and q[d] == 0)
+    n = len(g)
+    r = llm.filter_agreement_kappa(spark, SF).collect()[0]
+    assert (r.n_docs, r.n11, r.n10, r.n01, r.n00) == (n, n11, n10, n01, n00)
+    chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    assert r.agree_micro == (n11 + n00) * 1_000_000 // n
+    if n * n != chance:
+        k = Fraction(n * (n11 + n00) - chance, n * n - chance)
+        # micro floor-quantization of an exact rational (DIV truncates;
+        # κ here is positive-or-negative — emulate trunc)
+        num, den = k.numerator * 1_000_000, k.denominator
+        expect = abs(num) // abs(den)
+        if (num < 0) != (den < 0):
+            expect = -expect
+        assert r.kappa_micro == expect
+    else:
+        assert r.kappa_micro is None
+
+
+def test_stupid_backoff_matches_python_model(spark):
+    """From-scratch Python stupid-backoff model on a planted corpus
+    that exercises all three levels: a repeated trigram (level 1), a
+    unique trigram over a repeated continuation bigram (level 2),
+    and a fully-novel trigram falling through to the unigram level."""
+    import math
+    import os
+    import tempfile
+
+    docs = [
+        (0, "a b c a b c x"),        # trigram (a,b,c) seen twice here
+        (1, "a b c q"),              # and once here -> c3 = 3
+        (2, "z b c"),                # unique trigram, bigram (b,c) repeated
+        (3, "p q r"),                # fully novel -> unigram level
+    ]
+    d = tempfile.mkdtemp(prefix="sb_")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = {r.doc_id: r for r in llm.stupid_backoff_score(spark, d).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    c3, c2, c1 = {}, {}, {}
+    t_total = 0
+    for ts in toks.values():
+        for i in range(len(ts) - 2):
+            c3[tuple(ts[i:i + 3])] = c3.get(tuple(ts[i:i + 3]), 0) + 1
+        for i in range(len(ts) - 1):
+            c2[tuple(ts[i:i + 2])] = c2.get(tuple(ts[i:i + 2]), 0) + 1
+        for w in ts:
+            c1[w] = c1.get(w, 0) + 1
+            t_total += 1
+
+    for i, ts in toks.items():
+        tris = [tuple(ts[k:k + 3]) for k in range(len(ts) - 2)]
+        if not tris:
+            assert i not in out
+            continue
+        sq = 0
+        for w1, w2, w3 in tris:
+            if c3[(w1, w2, w3)] > 1:
+                r = (c3[(w1, w2, w3)] - 1) / c2[(w1, w2)]
+            elif c2.get((w2, w3), 0) > 1:
+                r = 0.4 * (c2[(w2, w3)] - 1) / c1[w2]
+            else:
+                r = 0.4 * 0.4 * (c1[w3] - 1) / t_total
+            sq += math.floor(r * 1_000_000_000.0)
+        assert out[i].n_trigrams == len(tris)
+        assert out[i].sb_micro == sq // (len(tris) * 1000)
+    # the repeated-trigram doc outscores the fully-novel one
+    assert out[0].sb_micro > out[3].sb_micro

@@ -1261,3 +1261,39 @@ def test_image_entropy_narrow_decode(spark):
     plan = P.plan(df, "simple")
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_kappa_shares_scan_class_no_cartesian(spark):
+    """Both filter verdicts are per-row narrow; the doc_id join and
+    the 1-row confusion reduce are the only shuffles."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm as L
+
+    df = L.filter_agreement_kappa(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_acf_pairs_on_monthly_aggregate(spark):
+    """The corpus feeds one hash aggregate; lag pairs and moments
+    live on the T-month relation with 1-row broadcasts."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as tp
+
+    df = tp.autocorrelation_monthly(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert not P.uses_sort_merge_join(df)
+    assert P.count_nodes(plan, "HashAggregate") >= 3
+
+
+def test_stupid_backoff_counts_broadcast(spark):
+    """Every n-gram count relation (type-bounded) joins back onto the
+    persisted trigram stream by BROADCAST — the fact is never
+    shuffle-joined on n-gram keys."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm as L
+
+    df = L.stupid_backoff_score(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert not P.uses_sort_merge_join(df)
+    assert P.uses_broadcast_join(df)

@@ -491,3 +491,48 @@ def test_seasonal_decompose_hand_model(spark):
     mx_moy = max(range(12), key=lambda k: pattern[k])
     mn_moy = min(range(12), key=lambda k: pattern[k])
     assert sr[(mx_moy + 1) % 12] > sr[(mn_moy + 1) % 12]
+
+
+def test_autocorrelation_monthly_period4_pattern(spark):
+    """Planted period-4 series over 16 months: exact Python mirror of
+    the T^2-scaled integer moments; lag-4 ACF is strongly positive,
+    lag-2 strongly negative."""
+    import math
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import (
+        temporal as tp,
+    )
+
+    pattern = [50, 10, -40, -20]
+    vals = [200 + pattern[m % 4] for m in range(16)]
+    rows = [
+        (i, i, float(v), f"{1995 + m // 12}-{m % 12 + 1:02d}-05")
+        for i, (m, v) in enumerate(zip(range(16), vals))
+    ]
+    d = tempfile.mkdtemp(prefix="acf_")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+
+    out = {r.lag: r for r in
+           tp.autocorrelation_monthly(spark, d).collect()}
+    assert set(out) == set(range(1, 13))
+
+    y = [v * 100 for v in vals]
+    t_n, s = len(y), sum(y)
+    dev = [t_n * v - s for v in y]
+    den = sum(dv * dv for dv in dev)
+    for lag in range(1, 13):
+        num = sum(dev[t] * dev[t + lag] for t in range(t_n - lag))
+        expect = math.floor(num / den * 1_000_000.0)
+        assert out[lag].n_pairs == t_n - lag
+        assert out[lag].acf_micro == expect
+    assert out[4].acf_micro > 500_000      # the planted cycle
+    assert out[2].acf_micro < -500_000     # anti-phase
