@@ -2654,7 +2654,95 @@ FROM kept
 """
 
 
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANOMALY FLAGGING ON INGEST — the monitoring tier the streaming
+    suite lacked: per-event-type z-score outliers flagged AS EVENTS
+    ARRIVE, against a baseline TRAINED IN BATCH (baselines retrain on
+    release cadence, not per micro-batch — the
+    ``stream_quality_filter_trained`` model-lifecycle shape). The
+    batch twin is ``outlier_zscore_orders``; this is its deploy form.
+
+    Exactness — the z-test with ZERO floats: |x−μ|>3σ is equivalent
+    to (x·n − S)² > 9·(n·Q − S²) over exact integer cents moments
+    (S=Σx, Q=Σx², DECIMAL/HUGEINT-widened), so the verdict is pure
+    integer arithmetic both engines evaluate identically. (Contract
+    bound: the squared terms need ~2·(digits(x)+digits(n)) decimal
+    digits — at per-type n beyond ~10⁹ rows re-quantize x or shard
+    the baseline by time window.)
+
+    State honesty: ZERO streaming state — a stream-static broadcast
+    join of the |event-types|-row baseline onto the stream, per-row
+    arithmetic, append mode (the ``stream_decontaminate`` class).
+
+    Output: event_id, event_type, x_cents, n_base, is_anomaly.
+    """
+    import uuid
+
+    work = scratch_dir("stream_az_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "events", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    x = F.round(F.col("value") * 100).cast("long")
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .where(F.col("value").isNotNull())
+        .select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum(F.expr("CAST(x AS decimal(38,0))")).alias("s"),
+            F.sum(F.expr("CAST(x AS decimal(38,0)) * x")).alias("q"),
+        )
+    )
+    events = spark.readStream.schema(schema).parquet(src)
+    out = (
+        events.where(F.col("value").isNotNull())
+        .select("event_id", "event_type", x.alias("x_cents"))
+        .join(F.broadcast(base), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "x_cents",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.expr(
+                "CAST((CAST(x_cents AS decimal(38,0)) * n_base - s)"
+                " * (CAST(x_cents AS decimal(38,0)) * n_base - s)"
+                " > 9 * (CAST(n_base AS decimal(38,0)) * q - s * s)"
+                " AS INT)"
+            ).alias("is_anomaly"),
+        )
+    )
+    name = f"stream_az_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        out, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8
+    )
+    return spark.table(name).orderBy("event_id")
+
+
+_STREAM_ANOMALY_SQL = """
+WITH base AS (
+  SELECT event_type, count(*)::BIGINT AS n_base,
+         sum(round(value * 100)::BIGINT::HUGEINT) AS s,
+         sum(round(value * 100)::BIGINT::HUGEINT
+             * round(value * 100)::BIGINT) AS q
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(e.value * 100)::BIGINT AS x_cents,
+       b.n_base,
+       CAST((round(e.value * 100)::BIGINT::HUGEINT * b.n_base - b.s)
+            * (round(e.value * 100)::BIGINT::HUGEINT * b.n_base - b.s)
+            > 9 * (b.n_base::HUGEINT * b.q - b.s * b.s) AS INT)
+         AS is_anomaly
+FROM events e JOIN base b USING (event_type)
+WHERE e.value IS NOT NULL
+ORDER BY e.event_id
+"""
+
+
 QUERIES = {
+    "stream_anomaly_zscore": stream_anomaly_zscore,
     "stream_late_data_audit": stream_late_data_audit,
     "stream_pattern_match": stream_pattern_match,
     "stream_custom_sink_totals": stream_custom_sink_totals,
@@ -2693,6 +2781,7 @@ from ..operators.llm import ORACLES as _LLM_ORACLES  # noqa: E402
 from ..operators.llm import _qclf_score_docs_sql as _llm_score_docs_sql  # noqa: E402
 
 ORACLES = {
+    "stream_anomaly_zscore": _STREAM_ANOMALY_SQL,
     "stream_ohlc_bars": _TEMPORAL_ORACLES["ohlc_bars"],
     "stream_gopher_filter": (
         "SELECT count(*)::BIGINT AS n_docs, sum(pass_all)::BIGINT AS n_pass, "

@@ -1043,3 +1043,45 @@ def test_stream_bottomk_multibatch_order_invariance(spark, tmp_path):
         if r.n_seen == max(x.n_seen for x in src_rows)
     }
     assert finals == set(expected)
+
+
+def test_stream_anomaly_zscore_planted_spike(spark, tmp_path):
+    """Planted per-type series: 20 ticks at ~10 dollars plus one
+    1000-dollar spike — the spike flags, the baseline ticks don't,
+    and the verdict is reproduced by the exact integer inequality
+    (xn - S)^2 > 9(nQ - S^2) in Python; a two-batch staged drain
+    (stateless append) flags exactly the same set."""
+    import os
+
+    from pyspark.sql import functions as F
+    from cs537_spring2021_p3a_mapreduce_spark import streaming
+
+    vals = [10.0 + 0.25 * i for i in range(20)] + [1000.0]
+    rows = [
+        (i, "2024-01-01 00:00:00", i, "tick", v, None)
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.event_id: r
+           for r in streaming.stream_anomaly_zscore(spark, sf).collect()}
+    assert len(out) == len(vals)
+
+    x = [round(v * 100) for v in vals]
+    n, s = len(x), sum(x)
+    q = sum(v * v for v in x)
+    for i, xv in enumerate(x):
+        expect = int((xv * n - s) ** 2 > 9 * (n * q - s * s))
+        assert out[i].is_anomaly == expect
+        assert out[i].n_base == n and out[i].x_cents == xv
+    assert out[len(vals) - 1].is_anomaly == 1
+    assert sum(r.is_anomaly for r in out.values()) == 1
