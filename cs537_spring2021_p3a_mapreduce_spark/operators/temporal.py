@@ -1506,9 +1506,154 @@ ORDER BY lag
 """
 
 
+# ---------------------------------------------------------------------------
+# kaplan_meier_shipping
+# ---------------------------------------------------------------------------
+
+KM_WEEK = 7  # duration grid: weeks (bounds the fold at ~360 steps)
+
+
+def kaplan_meier_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER survival estimator (Kaplan & Meier 1958) of
+    order→first-ship latency WITH CENSORING — the estimator
+    ``order_to_ship_sla``'s fixed-threshold rates can't replace when
+    observation windows are incomplete: orders placed near the
+    dataset horizon haven't had time to ship (their first ship lands
+    PAST the last order date), and dropping them biases the curve
+    fast — KM keeps them in the risk set until their censor time.
+
+    Semantics: per order, T = days(first ship − order date) (negative
+    synthetic-noise durations excluded, documented); observation
+    window W = days(horizon − order date) with horizon = max order
+    date; event at week T/7 if T ≤ W else censored at week W/7.
+    Ŝ steps only at event weeks: Ŝ ← Ŝ·(n−d)/n over ascending weeks.
+
+    Exactness: d/c/n_risk are exact longs (descending cumulative
+    window over the WEEK-grid relation); the survival recurrence is
+    integer micro state — s ← (s·(n−d)) DIV n — and each output row
+    RE-RUNS the quantized recurrence from week 0 via a prefix fold
+    (O(k²/2) integer ops, k ≤ ~360 weeks — TIME-domain-bounded, never
+    corpus-bounded), so both engines produce identical micro values
+    without a float product or libm log anywhere. The oracle mirrors
+    with the same prefix folds via list_reduce.
+
+    Scale shape: one lineitem aggregate (first ship per order), one
+    broadcast horizon row, one week-grid aggregate, a window over the
+    ≤360-row grid, ONE collected-array row for the folds. The corpus
+    is touched twice (lineitem agg, orders join).
+
+    Output: week, n_risk, d_events, c_censored, surv_micro.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    ship = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("ship"))
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    j = (
+        orders.join(ship, orders.o_orderkey == ship.l_orderkey)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("ship", "o_orderdate").alias("t"),
+            F.datediff("h", "o_orderdate").alias("w"),
+        )
+        .where(F.col("t") >= 0)
+        .select(
+            F.expr(
+                f"CASE WHEN t <= w THEN t ELSE w END DIV {KM_WEEK}"
+            ).alias("week"),
+            F.expr("CAST(t <= w AS LONG)").alias("ev"),
+        )
+    )
+    grid = j.groupBy("week").agg(
+        F.sum("ev").alias("d"),
+        F.sum(1 - F.col("ev")).alias("c"),
+    )
+    from pyspark.sql.window import Window
+
+    wdesc = Window.orderBy(F.col("week").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(wdesc)
+    )
+    ev = risk.where(F.col("d") > 0)
+    ser = ev.agg(
+        F.array_sort(
+            F.collect_list(F.struct("week", "n_risk", "d", "c"))
+        ).alias("ser")
+    )
+    # prefix folds: surv at index i re-runs the integer recurrence
+    # over steps 1..i (k ≤ ~360 → ≤ k²/2 integer ops, domain-bounded)
+    folded = ser.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ser)), i -> named_struct("
+                "'week', ser[i - 1].week,"
+                "'n_risk', ser[i - 1].n_risk,"
+                "'d_events', ser[i - 1].d,"
+                "'c_censored', ser[i - 1].c,"
+                "'surv_micro', aggregate(slice(ser, 1, i),"
+                " CAST(1000000 AS BIGINT),"
+                " (s, p) -> (s * (p.n_risk - p.d)) DIV p.n_risk)))"
+            )
+        ).alias("r")
+    )
+    return folded.select("r.*").orderBy("week")
+
+
+_KM_SQL = f"""
+WITH fs AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem GROUP BY 1
+), hz AS (SELECT max(o_orderdate) AS h FROM orders),
+j AS (
+  SELECT date_diff('day', o_orderdate, ship) AS t,
+         date_diff('day', o_orderdate, hz.h) AS w
+  FROM orders JOIN fs ON o_orderkey = l_orderkey CROSS JOIN hz
+  WHERE date_diff('day', o_orderdate, ship) >= 0
+), pts AS (
+  SELECT (CASE WHEN t <= w THEN t ELSE w END // {KM_WEEK})::BIGINT AS week,
+         (t <= w)::BIGINT AS ev
+  FROM j
+), grid AS (
+  SELECT week, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c
+  FROM pts GROUP BY 1
+), risk AS (
+  SELECT week, d, c,
+         sum(d + c) OVER (ORDER BY week DESC)::BIGINT AS n_risk
+  FROM grid
+), ser AS (
+  -- four parallel week-ascending lists; each fold step packs
+  -- (n_risk, d) into one BIGINT so list_reduce's accumulator and
+  -- element types match (n·2^32 + d; n, d ≪ 2^32 here)
+  SELECT list(week ORDER BY week) AS wk,
+         list(n_risk ORDER BY week) AS nr,
+         list(d ORDER BY week) AS dd,
+         list(c ORDER BY week) AS cc
+  FROM risk WHERE d > 0
+), folded AS (
+  SELECT unnest(generate_series(1, len(wk))) AS i, wk, nr, dd, cc
+  FROM ser
+)
+SELECT wk[i]::BIGINT AS week, nr[i]::BIGINT AS n_risk,
+       dd[i]::BIGINT AS d_events, cc[i]::BIGINT AS c_censored,
+       list_reduce(
+         list_prepend(1000000::BIGINT,
+           list_transform(generate_series(1, i),
+                          k -> nr[k]::BIGINT * 4294967296 + dd[k])),
+         (s, e) -> (s * ((e // 4294967296) - (e % 4294967296)))
+                   // (e // 4294967296))::BIGINT AS surv_micro
+FROM folded ORDER BY week
+"""
+
+
 QUERIES = {
     "seasonal_decompose": seasonal_decompose,
     "autocorrelation_monthly": autocorrelation_monthly,
+    "kaplan_meier_shipping": kaplan_meier_shipping,
     "holt_winters_forecast": holt_winters_forecast,
     "ohlc_bars": ohlc_bars,
     "latency_log_histogram": latency_log_histogram,
@@ -1531,6 +1676,7 @@ QUERIES = {
 ORACLES = {
     "seasonal_decompose": _SEASONAL_SQL,
     "autocorrelation_monthly": _ACF_SQL,
+    "kaplan_meier_shipping": _KM_SQL,
     "holt_winters_forecast": _HW_SQL,
     "ohlc_bars": _OHLC_SQL,
     "latency_log_histogram": _LOG_HIST_SQL,

@@ -1297,3 +1297,15 @@ def test_stupid_backoff_counts_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert not P.uses_sort_merge_join(df)
     assert P.uses_broadcast_join(df)
+
+
+def test_kaplan_meier_folds_on_bounded_grid(spark):
+    """The corpus feeds two aggregates (first-ship, week grid); the
+    survival folds run on ONE collected array row whose length is
+    week-domain-bounded — no corpus-sized window, no cartesian."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as tp
+
+    df = tp.kaplan_meier_shipping(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 3

@@ -536,3 +536,63 @@ def test_autocorrelation_monthly_period4_pattern(spark):
         assert out[lag].acf_micro == expect
     assert out[4].acf_micro > 500_000      # the planted cycle
     assert out[2].acf_micro < -500_000     # anti-phase
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Planted cohort: events at weeks 1,1,2,3, one censor at week 0
+    (order near the horizon whose ship lands past it), one
+    negative-duration noise row excluded — risk sets and the integer
+    survival recurrence match the hand computation exactly."""
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import (
+        temporal as tp,
+    )
+
+    orders = [
+        (0, "2020-01-01"),  # ship +7d  -> event week 1
+        (1, "2020-01-01"),  # ship +7d  -> event week 1
+        (2, "2020-01-01"),  # ship +14d -> event week 2
+        (3, "2020-02-25"),  # ship +100d > 5d window -> censored week 0
+        (4, "2020-01-01"),  # ship +21d -> event week 3
+        (5, "2020-01-01"),  # ship BEFORE order -> excluded noise
+        (6, "2020-03-01"),  # the horizon order; ship +1d but t>w ->
+                            # censored week 0 as well? w=0, t=1 -> t>w
+    ]
+    ships = {0: "2020-01-08", 1: "2020-01-08", 2: "2020-01-15",
+             3: "2020-06-04", 4: "2020-01-22", 5: "2019-12-25",
+             6: "2020-03-02"}
+    d = tempfile.mkdtemp(prefix="km_")
+    spark.createDataFrame(
+        [(k, dt) for k, dt in orders],
+        "o_orderkey long, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS DATE) AS o_orderdate"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(k, v) for k, v in ships.items()],
+        "l_orderkey long, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "CAST(l_shipdate AS DATE) AS l_shipdate"
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+
+    rows = {r.week: r for r in
+            tp.kaplan_meier_shipping(spark, d).collect()}
+    # event weeks only; censors (orders 3 and 6, both week 0) shrink
+    # the risk set but emit no row
+    assert set(rows) == {1, 2, 3}
+    # risk sets: week grid {0: c=2, 1: d=2, 2: d=1, 3: d=1}
+    # desc cumsum -> week3: 1, week2: 2, week1: 4 (censors at week 0
+    # never enter any event week's risk set... they do: n_risk at
+    # week1 counts all with time >= 1 -> the two week-0 censors are
+    # NOT at risk at week 1. n_risk(1) = 4, n_risk(2) = 2, n_risk(3) = 1
+    assert (rows[1].n_risk, rows[1].d_events) == (4, 2)
+    assert (rows[2].n_risk, rows[2].d_events) == (2, 1)
+    assert (rows[3].n_risk, rows[3].d_events) == (1, 1)
+    s1 = (1_000_000 * (4 - 2)) // 4          # 500000
+    s2 = (s1 * (2 - 1)) // 2                 # 250000
+    s3 = (s2 * (1 - 1)) // 1                 # 0
+    assert rows[1].surv_micro == s1 == 500_000
+    assert rows[2].surv_micro == s2 == 250_000
+    assert rows[3].surv_micro == s3 == 0
