@@ -1650,10 +1650,185 @@ FROM folded ORDER BY week
 """
 
 
+LR_SEG_A = "BUILDING"
+LR_SEG_B = "MACHINERY"
+LR_CRIT_MICRO = 1_959_963  # |z| two-sided alpha=0.05 (dof-1 chi2 = z^2)
+
+
+def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST (Mantel 1966) — do BUILDING and MACHINERY orders
+    ship on DIFFERENT survival curves? The hypothesis-test companion
+    to ``kaplan_meier_shipping``: at every event week the observed
+    group-A deaths are compared against the expectation under H₀
+    (deaths split proportionally to the at-risk sets), censoring
+    handled exactly as KM does.
+
+    Exactness: per-week (n₁, n₂, d₁, d₂) are exact longs; the
+    per-week expectation d·n₁/n and variance
+    d·n₁·n₂·(n−d) / (n²·(n−1)) are rational — each floor-quantizes
+    to 1e-6 units via ONE widened integer DIV before the sums (the
+    quality_score combine-order rule), and z folds once through
+    (O−E)/√V. Verdict vs 1.96.
+
+    Scale shape: the KM pipeline with a group dimension — two corpus
+    aggregates, a week×group grid, windows over the bounded grid,
+    one 1-row reduce. Never a row-grain sort.
+
+    Output: n_weeks, o1, e1_micro, v_micro, z_micro, reject_05.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    ship = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("ship"))
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    j = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .where(F.col("c_mktsegment").isin(LR_SEG_A, LR_SEG_B))
+        .join(ship, orders.o_orderkey == ship.l_orderkey)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("c_mktsegment") == LR_SEG_A).alias("is_a"),
+            F.datediff("ship", "o_orderdate").alias("t"),
+            F.datediff("h", "o_orderdate").alias("w"),
+        )
+        .where(F.col("t") >= 0)
+        .select(
+            "is_a",
+            F.expr(
+                f"CASE WHEN t <= w THEN t ELSE w END DIV {KM_WEEK}"
+            ).alias("week"),
+            F.expr("CAST(t <= w AS LONG)").alias("ev"),
+        )
+    )
+    grid = j.groupBy("week").agg(
+        F.sum(F.expr("CASE WHEN is_a THEN ev ELSE 0 END")).alias("d1"),
+        F.sum(F.expr("CASE WHEN is_a THEN 0 ELSE ev END")).alias("d2"),
+        F.sum(F.expr("CASE WHEN is_a THEN 1 ELSE 0 END")).alias("a1"),
+        F.sum(F.expr("CASE WHEN is_a THEN 0 ELSE 1 END")).alias("a2"),
+    )
+    from pyspark.sql.window import Window
+
+    wdesc = Window.orderBy(F.col("week").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "week",
+        "d1",
+        "d2",
+        F.sum("a1").over(wdesc).alias("n1"),
+        F.sum("a2").over(wdesc).alias("n2"),
+    ).where(F.col("d1") + F.col("d2") > 0)
+    # per-week E and V quantized to micro via ONE widened DIV each
+    e1 = (
+        "CAST((CAST(d1 + d2 AS decimal(38,0)) * n1 * 1000000)"
+        " DIV (n1 + n2) AS BIGINT)"
+    )
+    v = (
+        "CASE WHEN n1 + n2 > 1 THEN"
+        " CAST((CAST(d1 + d2 AS decimal(38,0)) * n1 * n2"
+        " * (n1 + n2 - d1 - d2) * 1000000)"
+        " DIV (CAST(n1 + n2 AS decimal(38,0)) * (n1 + n2)"
+        " * (n1 + n2 - 1)) AS BIGINT) ELSE 0 END"
+    )
+    agg = risk.agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("d1").alias("o1"),
+        F.sum(F.expr(e1)).alias("e1_micro"),
+        F.sum(F.expr(v)).alias("v_micro"),
+    )
+    z = (
+        "(CAST(o1 * 1000000 - e1_micro AS DOUBLE)"
+        " / sqrt(CAST(v_micro AS DOUBLE) * 1000000.0))"
+    )
+    return agg.select(
+        F.col("n_weeks").cast("long").alias("n_weeks"),
+        F.col("o1").cast("long").alias("o1"),
+        "e1_micro",
+        "v_micro",
+        F.expr(
+            "CASE WHEN v_micro > 0 THEN"
+            f" CAST(floor({z} * 1000000.0) AS BIGINT) END"
+        ).alias("z_micro"),
+        F.expr(
+            "CASE WHEN v_micro > 0 THEN"
+            f" CAST(abs(CAST(floor({z} * 1000000.0) AS BIGINT))"
+            f" > {LR_CRIT_MICRO} AS INT) END"
+        ).alias("reject_05"),
+    )
+
+
+_LOG_RANK_SQL = f"""
+WITH fs AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem GROUP BY 1
+), hz AS (SELECT max(o_orderdate) AS h FROM orders),
+j AS (
+  SELECT (c_mktsegment = '{LR_SEG_A}') AS is_a,
+         date_diff('day', o_orderdate, ship) AS t,
+         date_diff('day', o_orderdate, hz.h) AS w
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN fs ON o_orderkey = l_orderkey
+  CROSS JOIN hz
+  WHERE c_mktsegment IN ('{LR_SEG_A}', '{LR_SEG_B}')
+    AND date_diff('day', o_orderdate, ship) >= 0
+), pts AS (
+  SELECT is_a,
+         (CASE WHEN t <= w THEN t ELSE w END // {KM_WEEK})::BIGINT AS week,
+         (t <= w)::BIGINT AS ev
+  FROM j
+), grid AS (
+  SELECT week,
+         sum(CASE WHEN is_a THEN ev ELSE 0 END)::BIGINT AS d1,
+         sum(CASE WHEN is_a THEN 0 ELSE ev END)::BIGINT AS d2,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS a1,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS a2
+  FROM pts GROUP BY 1
+), risk AS (
+  SELECT week, d1, d2,
+         sum(a1) OVER (ORDER BY week DESC)::BIGINT AS n1,
+         sum(a2) OVER (ORDER BY week DESC)::BIGINT AS n2
+  FROM grid
+), ev AS (
+  SELECT *,
+         CAST(((d1 + d2)::HUGEINT * n1 * 1000000) // (n1 + n2) AS BIGINT)
+           AS e1_q,
+         CASE WHEN n1 + n2 > 1 THEN
+           CAST(((d1 + d2)::HUGEINT * n1 * n2 * (n1 + n2 - d1 - d2)
+                 * 1000000)
+                // ((n1 + n2)::HUGEINT * (n1 + n2) * (n1 + n2 - 1))
+                AS BIGINT) ELSE 0 END AS v_q
+  FROM risk WHERE d1 + d2 > 0
+), agg AS (
+  SELECT count(*)::BIGINT AS n_weeks, sum(d1)::BIGINT AS o1,
+         sum(e1_q)::BIGINT AS e1_micro, sum(v_q)::BIGINT AS v_micro
+  FROM ev
+)
+SELECT n_weeks, o1, e1_micro, v_micro,
+       CASE WHEN v_micro > 0 THEN
+         CAST(floor((CAST(o1 * 1000000 - e1_micro AS DOUBLE)
+                     / sqrt(CAST(v_micro AS DOUBLE) * 1000000.0))
+                    * 1000000.0) AS BIGINT) END AS z_micro,
+       CASE WHEN v_micro > 0 THEN
+         CAST(abs(CAST(floor((CAST(o1 * 1000000 - e1_micro AS DOUBLE)
+                       / sqrt(CAST(v_micro AS DOUBLE) * 1000000.0))
+                      * 1000000.0) AS BIGINT)) > {LR_CRIT_MICRO} AS INT)
+         END AS reject_05
+FROM agg
+"""
+
+
 QUERIES = {
     "seasonal_decompose": seasonal_decompose,
     "autocorrelation_monthly": autocorrelation_monthly,
     "kaplan_meier_shipping": kaplan_meier_shipping,
+    "log_rank_test": log_rank_test,
     "holt_winters_forecast": holt_winters_forecast,
     "ohlc_bars": ohlc_bars,
     "latency_log_histogram": latency_log_histogram,
@@ -1677,6 +1852,7 @@ ORACLES = {
     "seasonal_decompose": _SEASONAL_SQL,
     "autocorrelation_monthly": _ACF_SQL,
     "kaplan_meier_shipping": _KM_SQL,
+    "log_rank_test": _LOG_RANK_SQL,
     "holt_winters_forecast": _HW_SQL,
     "ohlc_bars": _OHLC_SQL,
     "latency_log_histogram": _LOG_HIST_SQL,

@@ -1309,3 +1309,15 @@ def test_kaplan_meier_folds_on_bounded_grid(spark):
     plan = P.plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert P.count_nodes(plan, "HashAggregate") >= 3
+
+
+def test_log_rank_shares_km_bounded_shape(spark):
+    """Two corpus aggregates + windows over the bounded week grid +
+    one 1-row reduce; customer broadcasts; no cartesian."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import temporal as tp
+
+    df = tp.log_rank_test(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.uses_broadcast_join(df)
+    assert P.count_nodes(plan, "HashAggregate") >= 3

@@ -596,3 +596,89 @@ def test_kaplan_meier_hand_computed(spark):
     assert rows[1].surv_micro == s1 == 500_000
     assert rows[2].surv_micro == s2 == 250_000
     assert rows[3].surv_micro == s3 == 0
+
+
+def test_log_rank_hand_computed(spark):
+    """Two planted cohorts (A ships weeks 1,2; B ships weeks 4,5):
+    the per-week O/E/V integer quantizations match the hand model and
+    the divergent curves give a strongly negative z for A (fewer
+    early A-deaths would flip the sign; here A dies first -> O1 > E1
+    at A's weeks... computed exactly below). Identical cohorts give
+    z = 0."""
+    import math
+    import os
+    import tempfile
+
+    from cs537_spring2021_p3a_mapreduce_spark.operators import (
+        temporal as tp,
+    )
+
+    def run(ship_weeks_a, ship_weeks_b):
+        d = tempfile.mkdtemp(prefix="lr_")
+        orders, cust, line = [], [], []
+        k = 0
+        from datetime import date, timedelta
+
+        for seg, weeks in ((tp.LR_SEG_A, ship_weeks_a),
+                           (tp.LR_SEG_B, ship_weeks_b)):
+            for wk in weeks:
+                orders.append((k, k, "2020-01-01"))
+                cust.append((k, seg))
+                line.append(
+                    (k, str(date(2020, 1, 1) + timedelta(days=7 * wk)))
+                )
+                k += 1
+        # a horizon order far out so no planted order is censored
+        orders.append((k, k, "2020-12-01"))
+        cust.append((k, tp.LR_SEG_A))
+        line.append((k, "2020-12-02"))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderdate string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey",
+            "CAST(o_orderdate AS DATE) AS o_orderdate",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            cust, "c_custkey long, c_mktsegment string"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        spark.createDataFrame(
+            line, "l_orderkey long, l_shipdate string"
+        ).selectExpr(
+            "l_orderkey", "CAST(l_shipdate AS DATE) AS l_shipdate"
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        return tp.log_rank_test(spark, d).collect()[0]
+
+    r = run([1, 1, 2], [4, 4, 5])
+    # hand model: the horizon order has t(1 day) > w(0 days) so it is
+    # CENSORED at week 0 (ev=0) — in every risk set for week <= 0
+    # only; the planted orders are events at their weeks
+    pts = [(True, 1, 1), (True, 1, 1), (True, 2, 1),
+           (False, 4, 1), (False, 4, 1), (False, 5, 1), (True, 0, 0)]
+    weeks = sorted({wk for _, wk, _ in pts})
+    o1 = e1 = v = 0
+    nw = 0
+    for wk in weeks:
+        d1 = sum(1 for a, w_, e in pts if a and w_ == wk and e)
+        d2 = sum(1 for a, w_, e in pts if not a and w_ == wk and e)
+        n1 = sum(1 for a, w_, _ in pts if a and w_ >= wk)
+        n2 = sum(1 for a, w_, _ in pts if not a and w_ >= wk)
+        if d1 + d2 == 0:
+            continue
+        nw += 1
+        o1 += d1
+        dd, nn = d1 + d2, n1 + n2
+        e1 += (dd * n1 * 1_000_000) // nn
+        if nn > 1:
+            v += (dd * n1 * n2 * (nn - dd) * 1_000_000) // (
+                nn * nn * (nn - 1)
+            )
+    assert (r.n_weeks, r.o1, r.e1_micro, r.v_micro) == (nw, o1, e1, v)
+    z = (o1 * 1_000_000 - e1) / math.sqrt(v * 1_000_000.0)
+    assert r.z_micro == math.floor(z * 1_000_000.0)
+    assert r.reject_05 == (1 if abs(r.z_micro) > 1_959_963 else 0)
+
+    same = run([1, 2, 3], [1, 2, 3])
+    # identical curves: O = E exactly -> z = 0
+    assert same.o1 * 1_000_000 == same.e1_micro
+    assert same.z_micro == 0 and same.reject_05 == 0
