@@ -7564,6 +7564,162 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BURST_TOPK = 20  # report the K most bursty tokens
+
+
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN BURSTINESS (Church & Gale 1995 — "Poisson mixtures"):
+    the variance-to-mean ratio of each token's per-document count
+    against the Poisson null (VMR = 1). Function words arrive ~
+    Poisson (VMR ≈ 1); content/topical words BURST — they pile up in
+    the few documents about their topic (VMR ≫ 1). The corpus
+    statistic behind burst-aware term weighting and topical-keyword
+    surfacing, and a drift monitor for template spam (a boilerplate
+    token's VMR spikes).
+
+    Exactness: with D total docs, S = Σ per-doc counts, Q = Σ
+    squared per-doc counts (zeros contribute nothing to either), the
+    population VMR over ALL docs is (D·Q − S²)/(D·S) — rational in
+    exact longs, ONE widened integer DIV to micro. Zero floats.
+
+    Scale shape: one (token, doc) hash aggregate → one token-grain
+    aggregate (vocab-bounded) → 1-row doc-count broadcast → top-K
+    heap (TakeOrdered, never a global sort). Wordcount class.
+
+    Output: token, df, total_cnt, vmr_micro — top BURST_TOPK by
+    (vmr_micro DESC, token).
+    """
+    docs = table(spark, sf_dir, "documents")
+    td = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower("text"))).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    per_tok = td.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("CAST(x AS decimal(38,0)) * x")).alias("q"),
+    )
+    d_total = docs.agg(F.count(F.lit(1)).alias("d_docs"))
+    return (
+        per_tok.crossJoin(F.broadcast(d_total))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("df").cast("long").alias("df"),
+            F.col("s").cast("long").alias("total_cnt"),
+            F.expr(
+                "CASE WHEN s > 0 THEN"
+                " CAST(((CAST(d_docs AS decimal(38,0)) * q"
+                " - CAST(s AS decimal(38,0)) * s) * 1000000)"
+                " DIV (CAST(d_docs AS decimal(38,0)) * s) AS BIGINT) END"
+            ).alias("vmr_micro"),
+        )
+        .orderBy(F.col("vmr_micro").desc(), "token")
+        .limit(BURST_TOPK)
+    )
+
+
+_BURSTINESS_SQL = f"""
+WITH td AS (
+  SELECT tok, doc_id, count(*)::BIGINT AS x
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> t <> '')) AS tok
+    FROM documents
+  ) GROUP BY 1, 2
+), per_tok AS (
+  SELECT tok, count(*)::BIGINT AS df, sum(x)::BIGINT AS s,
+         sum(x::HUGEINT * x) AS q
+  FROM td GROUP BY 1
+), d_total AS (SELECT count(*)::BIGINT AS d_docs FROM documents)
+SELECT tok AS token, df, s AS total_cnt,
+       CASE WHEN s > 0 THEN
+         CAST(((d_docs::HUGEINT * q - s::HUGEINT * s) * 1000000)
+              // (d_docs::HUGEINT * s) AS BIGINT) END AS vmr_micro
+FROM per_tok CROSS JOIN d_total
+ORDER BY vmr_micro DESC, token
+LIMIT {BURST_TOPK}
+"""
+
+
+MCNEMAR_CRIT_MICRO = 3_841_459  # chi-square 0.95 quantile, dof = 1
+
+
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST (McNemar 1947) on the same paired filter
+    verdicts ``filter_agreement_kappa`` scores — the DIFFERENCE
+    question beside κ's agreement question: do the gopher rules and
+    the linear classifier disagree SYMMETRICALLY, or does one
+    systematically keep documents the other drops? Only the
+    discordant cells matter: χ² = (n₁₀ − n₀₁)²/(n₁₀ + n₀₁), dof 1.
+
+    Exactness: χ² is rational in two exact longs — ONE widened
+    integer DIV to micro; the α=0.05 verdict is an integer compare
+    against the dof-1 critical constant. Zero floats.
+
+    Scale shape: identical to ``filter_agreement_kappa`` (shared
+    confusion-cell aggregate shape) — two narrow per-row verdicts,
+    a doc_id join, a 1-row reduce.
+
+    Output: n_docs, n10, n01, chi2_micro, reject_05.
+    """
+    g = gopher_flags(table(spark, sf_dir, "documents")).select(
+        "doc_id", "pass_all"
+    )
+    q = quality_classifier_linear(spark, sf_dir).select("doc_id", "label")
+    cells = g.join(q, "doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CASE WHEN pass_all = 1 AND label = 0 THEN 1 ELSE 0 END")
+        ).alias("n10"),
+        F.sum(
+            F.expr("CASE WHEN pass_all = 0 AND label = 1 THEN 1 ELSE 0 END")
+        ).alias("n01"),
+    )
+    chi2 = (
+        "CAST((CAST(n10 - n01 AS decimal(38,0)) * (n10 - n01) * 1000000)"
+        " DIV (n10 + n01) AS BIGINT)"
+    )
+    return cells.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.expr(
+            f"CASE WHEN n10 + n01 > 0 THEN {chi2} END"
+        ).alias("chi2_micro"),
+        F.expr(
+            f"CASE WHEN n10 + n01 > 0 THEN"
+            f" CAST({chi2} > {MCNEMAR_CRIT_MICRO} AS INT) END"
+        ).alias("reject_05"),
+    )
+
+
+def _mcnemar_sql() -> str:
+    chi2 = (
+        "CAST(((n10 - n01)::HUGEINT * (n10 - n01) * 1000000)"
+        " // (n10 + n01) AS BIGINT)"
+    )
+    return f"""
+WITH g AS ({_GOPHER_SQL}),
+q AS ({_QCLF_SQL}),
+cells AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN pass_all = 1 AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+         sum(CASE WHEN pass_all = 0 AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS n01
+  FROM g JOIN q USING (doc_id)
+)
+SELECT n AS n_docs, n10, n01,
+       CASE WHEN n10 + n01 > 0 THEN {chi2} END AS chi2_micro,
+       CASE WHEN n10 + n01 > 0 THEN
+         CAST({chi2} > {MCNEMAR_CRIT_MICRO} AS INT) END AS reject_05
+FROM cells
+"""
+
+
 def _kappa_sql() -> str:
     chance = (
         "((n11 + n10)::HUGEINT * (n11 + n01)"
@@ -9470,6 +9626,8 @@ QUERIES = {
     "curriculum_schedule": curriculum_schedule,
     "gopher_quality_rules": gopher_quality_rules,
     "filter_agreement_kappa": filter_agreement_kappa,
+    "mcnemar_test": mcnemar_test,
+    "token_burstiness": token_burstiness,
     "source_cap_audit": source_cap_audit,
     "train_split_manifest": train_split_manifest,
     "char_gini_diversity": char_gini_diversity,
@@ -9559,6 +9717,8 @@ ORACLES = {
     "curriculum_schedule": _CURRICULUM_SQL,
     "gopher_quality_rules": _GOPHER_SQL,
     "filter_agreement_kappa": _kappa_sql(),
+    "mcnemar_test": _mcnemar_sql(),
+    "token_burstiness": _BURSTINESS_SQL,
     "source_cap_audit": _SOURCE_CAP_SQL,
     "train_split_manifest": _TRAIN_SPLIT_SQL,
     "char_gini_diversity": _CHAR_GINI_SQL,

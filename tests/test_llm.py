@@ -2587,3 +2587,46 @@ def test_stupid_backoff_matches_python_model(spark):
         assert out[i].sb_micro == sq // (len(tris) * 1000)
     # the repeated-trigram doc outscores the fully-novel one
     assert out[0].sb_micro > out[3].sb_micro
+
+
+def test_mcnemar_matches_python_confusion(spark):
+    """McNemar χ² recomputed from the two registered filters'
+    discordant cells (exact integers, trunc-div mirror)."""
+    g = {r.doc_id: r.pass_all
+         for r in llm.gopher_quality_rules(spark, SF).collect()}
+    q = {r.doc_id: r.label
+         for r in llm.quality_classifier_linear(spark, SF).collect()}
+    n10 = sum(1 for d in g if g[d] == 1 and q[d] == 0)
+    n01 = sum(1 for d in g if g[d] == 0 and q[d] == 1)
+    r = llm.mcnemar_test(spark, SF).collect()[0]
+    assert (r.n_docs, r.n10, r.n01) == (len(g), n10, n01)
+    if n10 + n01 > 0:
+        chi2 = ((n10 - n01) ** 2 * 1_000_000) // (n10 + n01)
+        assert r.chi2_micro == chi2
+        assert r.reject_05 == (1 if chi2 > 3_841_459 else 0)
+    else:
+        assert r.chi2_micro is None
+
+
+def test_token_burstiness_planted_bursty_vs_poisson(spark):
+    """A token piled into one doc (bursty) must out-VMR a token
+    spread one-per-doc (sub-Poisson); values match the exact
+    (D·Q − S²)/(D·S) rational."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="burst_")
+    # 10 docs; 'flat' once per doc (S=10, Q=10, D=10 -> VMR = 0 var?
+    # D·Q − S² = 100 − 100 = 0 -> vmr 0); 'burst' 10 times in doc 0
+    # (S=10, Q=100 -> (1000 − 100)/100 = 9.0)
+    rows = []
+    for i in range(10):
+        text = "flat " + ("burst " * 10 if i == 0 else "")
+        rows.append((i, text.strip()))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = {r.token: r for r in llm.token_burstiness(spark, d).collect()}
+    assert out["burst"].vmr_micro == 9_000_000
+    assert out["flat"].vmr_micro == 0
+    assert out["burst"].df == 1 and out["flat"].df == 10

@@ -1321,3 +1321,17 @@ def test_log_rank_shares_km_bounded_shape(spark):
     assert "CartesianProduct" not in plan
     assert P.uses_broadcast_join(df)
     assert P.count_nodes(plan, "HashAggregate") >= 3
+
+
+def test_mcnemar_and_burstiness_bounded_shapes(spark):
+    """McNemar shares the kappa confusion shape (no cartesian);
+    burstiness is two hash aggregates + a top-K heap, never a global
+    sort of the vocabulary."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm as L
+
+    m = L.mcnemar_test(spark, SF_SMOKE)
+    assert "CartesianProduct" not in P.plan(m, "simple")
+    b = L.token_burstiness(spark, SF_SMOKE)
+    plan = P.plan(b, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 4
