@@ -3154,8 +3154,11 @@ def _anova_f_expr() -> str:
     s_tot = " + ".join(f"CAST(s_{_KW_SUF[s]} AS DOUBLE)" for s in KW_SEGS)
     q_tot = " + ".join(f"CAST(q_{_KW_SUF[s]} AS DOUBLE)" for s in KW_SEGS)
     n_tot = " + ".join(f"CAST(n_{_KW_SUF[s]} AS DOUBLE)" for s in KW_SEGS)
-    ssb = f"(({sterm}) - ({s_tot}) * ({s_tot}) / ({n_tot}))"
-    ssw = f"(({q_tot}) - ({sterm}))"
+    # SSB/SSW are mathematically >= 0; the literal double fold can
+    # land a few ulps negative when groups are identical (5·(s²/n)
+    # vs S²/N round differently) — clamp so F floors to 0, not -1.
+    ssb = f"greatest(({sterm}) - ({s_tot}) * ({s_tot}) / ({n_tot}), 0.0)"
+    ssw = f"greatest(({q_tot}) - ({sterm}), 0.0)"
     return f"(({ssb} / 4.0) / ({ssw} / (({n_tot}) - 5.0)))"
 
 
@@ -3406,6 +3409,286 @@ SELECT n AS n_rows, nx_vals, ny_vals,
        CASE WHEN nx_vals > 1 AND ny_vals > 1 THEN
          CAST(floor({rho} * 1000000.0) AS BIGINT) END AS rho_micro
 FROM mom
+"""
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera_normality / brown_forsythe_test — assumption checks
+# ---------------------------------------------------------------------------
+
+JB_CRIT_2_MICRO = 5_991_465  # chi-square 0.95 quantile, dof = 2
+BF_CRIT_4_INF_MICRO = 2_371_932  # F(4, inf) 0.95 — the anova constant
+
+
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE–BERA normality test (Jarque & Bera 1980) on order
+    totals — the ASSUMPTION check run before trusting the parametric
+    tier (``welch_ttest``, ``anova_oneway``): JB = n/6·(S² + K²/4)
+    from sample skewness S and excess kurtosis K. Moment-based, so
+    it fits the house discipline exactly: no order statistics, no
+    quantile tables.
+
+    Exactness: raw power sums Σx, Σx², Σx³, Σx⁴ are exact
+    DECIMAL(38)/HUGEINT integers (cents⁴ needs ~30 digits at sf0.1 —
+    the widest moments in the repo); central moments and JB fold
+    through ONE literal fixed-order IEEE expression; verdict vs the
+    chi-square dof-2 constant.
+
+    Scale shape: ONE map-side-combinable aggregate → 1-row fold.
+    Wordcount-shaped.
+
+    Output: n_rows, skew_micro, kurt_micro, jb_micro, reject_05.
+    """
+    pool = table(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("c")
+    )
+    agg = pool.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(f"CAST(c AS {_DEC})")).alias("s1"),
+        F.sum(F.expr(f"CAST(c AS {_DEC}) * c")).alias("s2"),
+        F.sum(F.expr(f"CAST(c AS {_DEC}) * c * c")).alias("s3"),
+        F.sum(F.expr(f"CAST(c AS {_DEC}) * c * c * c")).alias("s4"),
+    )
+    # central moments from raw sums, one literal double fold:
+    # m2 = s2/n − μ², m3 = s3/n − 3μs2/n + 2μ³,
+    # m4 = s4/n − 4μs3/n + 6μ²s2/n − 3μ⁴, with μ = s1/n
+    nd = "CAST(n AS DOUBLE)"
+    mu = f"(CAST(s1 AS DOUBLE) / {nd})"
+    m2 = f"(CAST(s2 AS DOUBLE) / {nd} - {mu} * {mu})"
+    m3 = (
+        f"(CAST(s3 AS DOUBLE) / {nd}"
+        f" - 3.0 * {mu} * CAST(s2 AS DOUBLE) / {nd}"
+        f" + 2.0 * {mu} * {mu} * {mu})"
+    )
+    m4 = (
+        f"(CAST(s4 AS DOUBLE) / {nd}"
+        f" - 4.0 * {mu} * CAST(s3 AS DOUBLE) / {nd}"
+        f" + 6.0 * {mu} * {mu} * CAST(s2 AS DOUBLE) / {nd}"
+        f" - 3.0 * {mu} * {mu} * {mu} * {mu})"
+    )
+    skew = f"({m3} / sqrt({m2} * {m2} * {m2}))"
+    kurt = f"({m4} / ({m2} * {m2}) - 3.0)"
+    jb = f"({nd} / 6.0 * ({skew} * {skew} + {kurt} * {kurt} / 4.0))"
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(
+            f"CASE WHEN n > 1 AND {m2} > 0 THEN"
+            f" CAST(floor({skew} * 1000000.0) AS BIGINT) END"
+        ).alias("skew_micro"),
+        F.expr(
+            f"CASE WHEN n > 1 AND {m2} > 0 THEN"
+            f" CAST(floor({kurt} * 1000000.0) AS BIGINT) END"
+        ).alias("kurt_micro"),
+        F.expr(
+            f"CASE WHEN n > 1 AND {m2} > 0 THEN"
+            f" CAST(floor({jb} * 1000000.0) AS BIGINT) END"
+        ).alias("jb_micro"),
+        F.expr(
+            f"CASE WHEN n > 1 AND {m2} > 0 THEN"
+            f" CAST(CAST(floor({jb} * 1000000.0) AS BIGINT)"
+            f" > {JB_CRIT_2_MICRO} AS INT) END"
+        ).alias("reject_05"),
+    )
+
+
+def _jarque_bera_sql() -> str:
+    nd = "CAST(n AS DOUBLE)"
+    mu = f"(CAST(s1 AS DOUBLE) / {nd})"
+    m2 = f"(CAST(s2 AS DOUBLE) / {nd} - {mu} * {mu})"
+    m3 = (
+        f"(CAST(s3 AS DOUBLE) / {nd}"
+        f" - 3.0 * {mu} * CAST(s2 AS DOUBLE) / {nd}"
+        f" + 2.0 * {mu} * {mu} * {mu})"
+    )
+    m4 = (
+        f"(CAST(s4 AS DOUBLE) / {nd}"
+        f" - 4.0 * {mu} * CAST(s3 AS DOUBLE) / {nd}"
+        f" + 6.0 * {mu} * {mu} * CAST(s2 AS DOUBLE) / {nd}"
+        f" - 3.0 * {mu} * {mu} * {mu} * {mu})"
+    )
+    skew = f"({m3} / sqrt({m2} * {m2} * {m2}))"
+    kurt = f"({m4} / ({m2} * {m2}) - 3.0)"
+    jb = f"({nd} / 6.0 * ({skew} * {skew} + {kurt} * {kurt} / 4.0))"
+    return f"""
+WITH pool AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(c::HUGEINT) AS s1,
+         sum(c::HUGEINT * c) AS s2,
+         sum(c::HUGEINT * c * c) AS s3,
+         sum(c::HUGEINT * c * c * c) AS s4
+  FROM pool
+)
+SELECT n AS n_rows,
+       CASE WHEN n > 1 AND {m2} > 0 THEN
+         CAST(floor({skew} * 1000000.0) AS BIGINT) END AS skew_micro,
+       CASE WHEN n > 1 AND {m2} > 0 THEN
+         CAST(floor({kurt} * 1000000.0) AS BIGINT) END AS kurt_micro,
+       CASE WHEN n > 1 AND {m2} > 0 THEN
+         CAST(floor({jb} * 1000000.0) AS BIGINT) END AS jb_micro,
+       CASE WHEN n > 1 AND {m2} > 0 THEN
+         CAST(CAST(floor({jb} * 1000000.0) AS BIGINT)
+              > {JB_CRIT_2_MICRO} AS INT) END AS reject_05
+FROM agg
+"""
+
+
+def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN–FORSYTHE test (Brown & Forsythe 1974 — Levene's test
+    with the MEDIAN center) for equal variances across the five
+    market segments: the precondition check for pooled-variance
+    methods, robust because the center is the group median, not the
+    outlier-dragged mean. Statistic = one-way ANOVA F on the
+    absolute deviations z = |x − med_g|.
+
+    Exactness: group medians are LOWER order statistics located on
+    the VALUE-grain cumulative relation (price-domain-bounded — the
+    mann_whitney escape hatch), so each z is an exact long; the F
+    over z reuses the ``anova_oneway`` discipline — exact
+    DECIMAL/HUGEINT moments pivoted over the fixed segment domain,
+    one literal IEEE fold, F(4, ∞) verdict constant.
+
+    Scale shape: one (segment, cents) value-grain aggregate, a
+    per-segment window over the distinct-value relation, a 5-row
+    broadcast of medians back onto the fact, ONE moment aggregate.
+
+    Output: n_total, med_* (cents, per segment), f_micro, reject_05.
+    """
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("c")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pool = orders.join(F.broadcast(cust), "o_custkey").select(
+        "c", "c_mktsegment"
+    )
+    byval = pool.groupBy("c_mktsegment", "c").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("c_mktsegment")
+    med = (
+        byval.withColumn("cum", F.sum("t").over(w))
+        .withColumn("n_g", F.sum("t").over(wall))
+        .where(F.expr("cum >= (n_g + 1) DIV 2"))
+        .groupBy("c_mktsegment")
+        .agg(F.min("c").alias("med"))
+    )
+    z = pool.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", F.abs(F.col("c") - F.col("med")).alias("z")
+    )
+    aggs = []
+    for seg in KW_SEGS:
+        suf = _KW_SUF[seg]
+        cond = f"c_mktsegment = '{seg}'"
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END")).alias(
+                f"n_{suf}"
+            )
+        )
+        aggs.append(
+            F.sum(
+                F.expr(f"CASE WHEN {cond} THEN CAST(z AS {_DEC}) ELSE 0 END")
+            ).alias(f"s_{suf}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN {cond} THEN CAST(z AS {_DEC}) * z ELSE 0 END"
+                )
+            ).alias(f"q_{suf}")
+        )
+    per = z.agg(*aggs).crossJoin(
+        F.broadcast(
+            med.groupBy().pivot("c_mktsegment", list(KW_SEGS)).sum("med")
+        )
+    )
+    f_expr = _anova_f_expr()
+    n_tot = " + ".join(f"n_{_KW_SUF[s]}" for s in KW_SEGS)
+    ok = (
+        " AND ".join(f"n_{_KW_SUF[s]} > 0" for s in KW_SEGS)
+        + f" AND ({n_tot}) > 5"
+    )
+    out = [F.expr(f"CAST({n_tot} AS BIGINT)").alias("n_total")]
+    for seg in KW_SEGS:
+        out.append(
+            F.col(f"`{seg}`").cast("long").alias(f"med_{_KW_SUF[seg]}")
+        )
+    out.append(
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(floor({f_expr} * 1000000.0) AS BIGINT) END"
+        ).alias("f_micro")
+    )
+    out.append(
+        F.expr(
+            f"CASE WHEN {ok} THEN"
+            f" CAST(CAST(floor({f_expr} * 1000000.0) AS BIGINT)"
+            f" > {BF_CRIT_4_INF_MICRO} AS INT) END"
+        ).alias("reject_05")
+    )
+    return per.select(*out)
+
+
+def _brown_forsythe_sql() -> str:
+    per_cols = ",\n         ".join(
+        f"sum(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_{_KW_SUF[s]},\n         "
+        f"sum(CASE WHEN c_mktsegment = '{s}' THEN z::HUGEINT ELSE 0 END)"
+        f" AS s_{_KW_SUF[s]},\n         "
+        f"sum(CASE WHEN c_mktsegment = '{s}' THEN z::HUGEINT * z ELSE 0 END)"
+        f" AS q_{_KW_SUF[s]}"
+        for s in KW_SEGS
+    )
+    med_cols = ", ".join(
+        f"max(CASE WHEN c_mktsegment = '{s}' THEN med END)::BIGINT"
+        f" AS med_{_KW_SUF[s]}"
+        for s in KW_SEGS
+    )
+    f_expr = _anova_f_expr()
+    n_tot = " + ".join(f"n_{_KW_SUF[s]}" for s in KW_SEGS)
+    ok = (
+        " AND ".join(f"n_{_KW_SUF[s]} > 0" for s in KW_SEGS)
+        + f" AND ({n_tot}) > 5"
+    )
+    med_sel = ", ".join(f"med_{_KW_SUF[s]}" for s in KW_SEGS)
+    return f"""
+WITH pool AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS c, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), byval AS (
+  SELECT c_mktsegment, c, count(*)::BIGINT AS t FROM pool GROUP BY 1, 2
+), med AS (
+  SELECT c_mktsegment, min(c)::BIGINT AS med
+  FROM (
+    SELECT c_mktsegment, c,
+           sum(t) OVER (PARTITION BY c_mktsegment ORDER BY c) AS cum,
+           sum(t) OVER (PARTITION BY c_mktsegment) AS n_g
+    FROM byval
+  ) WHERE cum >= (n_g + 1) // 2
+  GROUP BY 1
+), z AS (
+  SELECT p.c_mktsegment, abs(p.c - m.med)::BIGINT AS z
+  FROM pool p JOIN med m USING (c_mktsegment)
+), per AS (
+  SELECT {per_cols}
+  FROM z
+), meds AS (
+  SELECT {med_cols} FROM med
+)
+SELECT CAST({n_tot} AS BIGINT) AS n_total, {med_sel},
+       CASE WHEN {ok} THEN
+         CAST(floor({f_expr} * 1000000.0) AS BIGINT) END AS f_micro,
+       CASE WHEN {ok} THEN
+         CAST(CAST(floor({f_expr} * 1000000.0) AS BIGINT)
+              > {BF_CRIT_4_INF_MICRO} AS INT) END AS reject_05
+FROM per CROSS JOIN meds
 """
 
 
@@ -3812,6 +4095,8 @@ QUERIES = {
     "kendall_tau_segments": kendall_tau_segments,
     "permutation_test_hash": permutation_test_hash,
     "zipf_slope_fit": zipf_slope_fit,
+    "jarque_bera_normality": jarque_bera_normality,
+    "brown_forsythe_test": brown_forsythe_test,
     "ks_test_revenue": ks_test_revenue,
     "theil_sen_trend": theil_sen_trend,
     "mann_kendall_test": mann_kendall_test,
@@ -3853,6 +4138,8 @@ ORACLES = {
     "kendall_tau_segments": _KENDALL_SQL,
     "permutation_test_hash": _perm_test_sql(),
     "zipf_slope_fit": _ZIPF_SQL,
+    "jarque_bera_normality": _jarque_bera_sql(),
+    "brown_forsythe_test": _brown_forsythe_sql(),
     "ks_test_revenue": _KS_TEST_SQL,
     "theil_sen_trend": _THEIL_SEN_SQL,
     "mann_kendall_test": _MANN_KENDALL_SQL,

@@ -1335,3 +1335,19 @@ def test_mcnemar_and_burstiness_bounded_shapes(spark):
     plan = P.plan(b, "simple")
     assert "TakeOrderedAndProject" in plan
     assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_jb_and_bf_bounded_shapes(spark):
+    """JB is one wordcount-shaped aggregate; Brown-Forsythe's median
+    lives on the value-grain relation with the 5-row median map
+    broadcast back — no sort-merge join, no cartesian."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    jb = prof.jarque_bera_normality(spark, SF_SMOKE)
+    p1 = P.plan(jb, "simple")
+    assert "Window" not in p1 and "CartesianProduct" not in p1
+    bf = prof.brown_forsythe_test(spark, SF_SMOKE)
+    p2 = P.plan(bf, "simple")
+    assert "CartesianProduct" not in p2
+    assert not P.uses_sort_merge_join(bf)
+    assert P.uses_broadcast_join(bf)

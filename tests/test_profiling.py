@@ -1221,3 +1221,86 @@ def test_zipf_slope_fit_hand_model(spark):
     assert r.slope_micro < 0
     # flat curve (all counts equal): slope exactly 0
     assert run([3, 3, 3, 3]).slope_micro == 0
+
+
+def test_jarque_bera_hand_model(spark):
+    """Literal-fold-order Python mirror on a planted skewed sample;
+    a symmetric two-point sample has skew exactly 0 and excess
+    kurtosis exactly -2 (the two-point distribution's kurtosis)."""
+    import os
+    import tempfile
+
+    def run(vals):
+        d = tempfile.mkdtemp(prefix="jb_")
+        spark.createDataFrame(
+            [(i, i, float(v)) for i, v in enumerate(vals)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        return prof.jarque_bera_normality(spark, d).collect()[0]
+
+    vals = [10, 11, 12, 13, 14, 100]  # one big outlier: heavy skew
+    r = run(vals)
+    c = [v * 100 for v in vals]
+    n = float(len(c))
+    s1, s2 = float(sum(c)), float(sum(v * v for v in c))
+    s3 = float(sum(v ** 3 for v in c))
+    s4 = float(sum(v ** 4 for v in c))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * s2 / n + 2.0 * mu * mu * mu
+    m4 = (s4 / n - 4.0 * mu * s3 / n + 6.0 * mu * mu * s2 / n
+          - 3.0 * mu * mu * mu * mu)
+    skew = m3 / math.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    assert r.n_rows == 6
+    assert r.skew_micro == math.floor(skew * 1_000_000.0)
+    assert r.kurt_micro == math.floor(kurt * 1_000_000.0)
+    assert r.jb_micro == math.floor(jb * 1_000_000.0)
+    assert r.skew_micro > 1_000_000  # visibly right-skewed
+
+    sym = run([10, 20] * 8)  # symmetric two-point sample
+    assert sym.skew_micro == 0
+    assert sym.kurt_micro == -2_000_000
+
+
+def test_brown_forsythe_hand_model(spark):
+    """Planted groups with equal medians but wildly different spreads
+    reject; groups with identical spread give F = 0. Medians are the
+    LOWER order statistic (even-n group pinned)."""
+    import tempfile
+
+    wide = {
+        "AUTOMOBILE": [10, 50, 90, 130],   # med = 50 (lower), spread big
+        "BUILDING": [69, 70, 71],
+        "FURNITURE": [69, 70, 71],
+        "HOUSEHOLD": [69, 70, 71],
+        "MACHINERY": [69, 70, 71],
+    }
+    d = tempfile.mkdtemp(prefix="bf_")
+    _write_seg_orders(spark, d, wide)
+    r = prof.brown_forsythe_test(spark, d).collect()[0]
+    assert r.med_auto == 5000  # lower median of [1000,5000,9000,13000]
+    assert r.med_bldg == 7000
+    # Python mirror of the F fold on z = |c - med|
+    meds = {s: sorted(v * 100 for v in vs)[(len(vs) + 1) // 2 - 1]
+            for s, vs in wide.items()}
+    sterm = s_tot = q_tot = n_tot = 0.0
+    for s in prof.KW_SEGS:
+        zs = [abs(v * 100 - meds[s]) for v in wide[s]]
+        sg, qg, ng = float(sum(zs)), float(sum(z * z for z in zs)), float(len(zs))
+        sterm += sg * sg / ng
+        s_tot += sg
+        q_tot += qg
+        n_tot += ng
+    ssb = sterm - s_tot * s_tot / n_tot
+    ssw = q_tot - sterm
+    f = (ssb / 4.0) / (ssw / (n_tot - 5.0))
+    assert r.f_micro == math.floor(f * 1_000_000.0)
+    assert r.reject_05 == 1
+
+    flat = {s: [10, 20, 30] for s in prof.KW_SEGS}
+    d2 = tempfile.mkdtemp(prefix="bf_flat_")
+    _write_seg_orders(spark, d2, flat)
+    r2 = prof.brown_forsythe_test(spark, d2).collect()[0]
+    assert r2.f_micro == 0 and r2.reject_05 == 0
