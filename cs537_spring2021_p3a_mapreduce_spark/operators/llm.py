@@ -6684,12 +6684,17 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sum, mean by integer DIV — the ngram_lm_score contract.
 
     Shape: three wordcount-family aggregates (trigram, bigram,
-    unigram — each map-side-combinable, each VOCAB³-bounded at most)
-    + equi-joins back onto the persisted trigram stream + one
-    per-doc aggregate. Corpus is scanned three times (the three
-    n-gram grains); every count relation is n-gram-type-bounded.
-    Docs shorter than 3 tokens have no trigrams and are absent, by
-    contract (the oracle mirrors).
+    unigram — each map-side-combinable) + equi-joins back onto the
+    persisted trigram stream + one per-doc aggregate. Corpus is
+    scanned three times (the three n-gram grains); every count
+    relation is n-gram-TYPE-bounded (≪ corpus rows). The broadcast
+    hints fit type counts up to executor memory (fixture: 31-token
+    vocab; real LMs prune singleton trigrams first, Brants §3) —
+    at web-scale trigram-type counts, drop the hints and let these
+    become shuffle joins on the n-gram key: same semantics, the
+    partial-agg + equi-join shape already distributes. Docs shorter
+    than 3 tokens have no trigrams and are absent, by contract (the
+    oracle mirrors).
 
     Output: doc_id, n_trigrams, sb_micro.
     """
