@@ -3834,12 +3834,18 @@ WITH arr AS (
 ), win AS (
   SELECT doc_id, i - 1 AS pos, {_RDS_SPAN_EXPR} AS sh
   FROM arr, unnest(generate_series(1, greatest(len(ts) - {DUP_SPAN_K - 1}, 0))) AS t(i)
-), keep AS (
-  SELECT sh, min(row(doc_id, pos)) AS k FROM win GROUP BY 1
+), keep2 AS (
+  -- lexicographic (doc_id, pos) min PACKED into one BIGINT
+  -- (doc_id·2^21 + pos; pos < 2^21 by doc length): identical order
+  -- semantics to min(row(...)), but DuckDB's hash join with a
+  -- STRUCT payload hits a >25x cliff at ~3M build rows (measured
+  -- r10: scalar payload 4.2 s, struct payload OOM-killed the x10
+  -- synth gate) — scalar payloads only in join-carried aggregates
+  SELECT sh, min(doc_id * 2097152 + pos) AS k FROM win GROUP BY 1
 ), dupwin AS (
   SELECT w.doc_id, w.pos
-  FROM win w JOIN keep ON w.sh = keep.sh
-  WHERE row(w.doc_id, w.pos) <> keep.k
+  FROM win w JOIN keep2 ON w.sh = keep2.sh
+  WHERE w.doc_id * 2097152 + w.pos <> keep2.k
 ), removed AS (
   SELECT DISTINCT d.doc_id, u.p
   FROM dupwin d, unnest(generate_series(d.pos, d.pos + {DUP_SPAN_K - 1})) AS u(p)

@@ -143,18 +143,40 @@ def main() -> int:
 
     names = sorted(set(entry.queries()) - QUADRATIC_ORACLES)
     print(f"# built x{mult} at {out}; gating {len(names)} queries", flush=True)
-    full_art = os.path.join(tempfile.mkdtemp(prefix="synth_art_"), "full.json")
-    small_art = os.path.join(os.path.dirname(full_art), "bounded.json")
-    # fresh process: check_oracles owns its own session/conf
-    rc = subprocess.call(
-        [
-            sys.executable,
-            os.path.join("tools", "check_oracles.py"),
-            out,
-            f"--out={full_art}",
-            *names,
-        ]
+    art_dir = tempfile.mkdtemp(prefix="synth_art_")
+    small_art = os.path.join(art_dir, "bounded.json")
+    # CHUNKED full stage: one check_oracles process accumulates
+    # RSS across hundreds of queries (JVM + DuckDB buffers + Arrow
+    # frames) and at ~150 queries on the x10 dataset the kernel
+    # OOM-kills it (observed r10: exit 137 mid-`remove_dup_spans`,
+    # 125 GiB box). Fresh subprocess per chunk resets the floor;
+    # the per-chunk artifacts merge into one full_stage record.
+    chunk = int(
+        next(
+            (a.split("=", 1)[1] for a in sys.argv[1:]
+             if a.startswith("--chunk=")),
+            "90",
+        )
     )
+    rc = 0
+    chunk_arts = []
+    for ci in range(0, len(names), chunk):
+        part = names[ci:ci + chunk]
+        art = os.path.join(art_dir, f"full_{ci // chunk}.json")
+        chunk_arts.append(art)
+        print(
+            f"# full-stage chunk {ci // chunk + 1}: {len(part)} queries",
+            flush=True,
+        )
+        rc = subprocess.call(
+            [
+                sys.executable,
+                os.path.join("tools", "check_oracles.py"),
+                out,
+                f"--out={art}",
+                *part,
+            ]
+        ) or rc
     quad = sorted(QUADRATIC_ORACLES & set(entry.queries()))
     print(
         f"# bounded stage at {small_out}; gating {len(quad)} quadratic-oracle "
@@ -179,11 +201,28 @@ def main() -> int:
             except OSError:
                 return None
 
+        parts = [_load(a) for a in chunk_arts]
+        full = None
+        if any(p is not None for p in parts):
+            got = [p for p in parts if p is not None]
+            full = {
+                "sf_dir": got[0]["sf_dir"],
+                "exact": got[0]["exact"],
+                "chunks": len(chunk_arts),
+                "chunks_missing": sum(1 for p in parts if p is None),
+                "n_checked": sum(p["n_checked"] for p in got),
+                "n_ok": sum(p["n_ok"] for p in got),
+                "n_rows_only": sum(p["n_rows_only"] for p in got),
+                "failures": sum(p["failures"] for p in got),
+                "queries": {
+                    k: v for p in got for k, v in p["queries"].items()
+                },
+            }
         with open(out_path, "w") as f:
             json.dump(
                 {
                     "mult": mult,
-                    "full_stage": _load(full_art),
+                    "full_stage": full,
                     "bounded_stage": _load(small_art),
                 },
                 f,
