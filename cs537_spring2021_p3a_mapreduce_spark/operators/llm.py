@@ -5537,6 +5537,133 @@ ORDER BY d.doc_id
 """
 
 
+MMD_Q = 1000  # milli quantization for the MMD kernel (|q| ≤ ~10³)
+
+
+def mmd_drift_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KERNEL MMD² drift test (Gretton et al. 2012, "A Kernel
+    Two-Sample Test", JMLR) between two embedding cohorts — the
+    DISTRIBUTION-level drift check beside ``embedding_drift``'s
+    per-label centroid distance (centroids can match while shape
+    drifts; MMD with a characteristic-enough kernel sees variance
+    and correlation shifts too). Kernel = degree-2 polynomial
+    k(x,y) = (x·y)², chosen because its MMD is EXACT in moments:
+    Σ_{ij}(x_i·x_j)² = Σ_{ab} M_ab² with M = Σ_i x_i x_iᵀ, so the
+    whole pairwise-kernel sum collapses to Gram-moment arithmetic —
+    ZERO pairwise joins, one corpus pass.
+
+    Exactness: vectors quantize to exact milli longs; per-cohort
+    second-moment matrices M_x, M_y are exact longs per (a,b) cell
+    (one map-side-combinable aggregate over the d²-fanned rows);
+    S_xx = ‖M_x‖², S_yy, S_xy = ⟨M_x, M_y⟩ are exact
+    DECIMAL/HUGEINT sums; the biased V-statistic
+    MMD² = S_xx/n² + S_yy/m² − 2·S_xy/(nm) folds once in doubles
+    (kernel-normalized by Q⁴, ulp-clamped at 0 — MMD² ≥ 0 by
+    construction). Cohorts = vec_id parity (the embedding_drift
+    split): same distribution, so the registered value is the
+    near-zero null reading; the pytest plants a shifted cohort and
+    watches it fire.
+
+    Scale shape: one narrow d²-fanout posexplode (n·4096 rows,
+    map-side combined to 4096 cells), a 4096-row moment reduce, a
+    1-row fold. Never an n×m kernel matrix.
+
+    Output: n_x, n_y, mmd2_micro.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return mmd_poly(
+        emb.select(
+            (F.col("vec_id") % 2 == 0).alias("is_x"), "embedding"
+        )
+    )
+
+
+def mmd_poly(cohorts: DataFrame) -> DataFrame:
+    """MMD² kernel over any (is_x boolean, embedding) relation —
+    split out so planted-shift tests drive the same code path."""
+    qv = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * MMD_Q).cast("long"),
+    )
+    prod = F.expr(
+        "flatten(transform(qv, x -> transform(qv, y -> x * y)))"
+    )
+    rows = cohorts.select("is_x", qv.alias("qv")).select(
+        "is_x", F.posexplode(prod).alias("ab", "v")
+    )
+    m = rows.groupBy("ab").agg(
+        F.sum(F.expr("CASE WHEN is_x THEN v ELSE 0 END")).alias("mx"),
+        F.sum(F.expr("CASE WHEN is_x THEN 0 ELSE v END")).alias("my"),
+    )
+    counts = cohorts.agg(
+        F.sum(F.expr("CASE WHEN is_x THEN 1 ELSE 0 END")).alias("n_x"),
+        F.sum(F.expr("CASE WHEN is_x THEN 0 ELSE 1 END")).alias("n_y"),
+    )
+    mom = m.agg(
+        F.sum(F.expr("CAST(mx AS decimal(38,0)) * mx")).alias("sxx"),
+        F.sum(F.expr("CAST(my AS decimal(38,0)) * my")).alias("syy"),
+        F.sum(F.expr("CAST(mx AS decimal(38,0)) * my")).alias("sxy"),
+    )
+    mmd = _mmd_fold_expr()
+    return mom.crossJoin(F.broadcast(counts)).select(
+        F.col("n_x").cast("long").alias("n_x"),
+        F.col("n_y").cast("long").alias("n_y"),
+        F.expr(
+            "CASE WHEN n_x > 0 AND n_y > 0 THEN"
+            f" CAST(floor({mmd} * 1000000.0) AS BIGINT) END"
+        ).alias("mmd2_micro"),
+    )
+
+
+def _mmd_fold_expr() -> str:
+    """Shared Spark/DuckDB biased-MMD² fold, kernel-normalized by Q⁴
+    and ulp-clamped at 0 (a V-statistic is ≥ 0 by construction)."""
+    q4 = float(MMD_Q) ** 4
+    return (
+        "greatest((CAST(sxx AS DOUBLE)"
+        " / (CAST(n_x AS DOUBLE) * CAST(n_x AS DOUBLE))"
+        " + CAST(syy AS DOUBLE)"
+        " / (CAST(n_y AS DOUBLE) * CAST(n_y AS DOUBLE))"
+        " - 2.0 * CAST(sxy AS DOUBLE)"
+        " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))"
+        f" / {q4}, 0.0)"
+    )
+
+
+def _mmd_sql() -> str:
+    mmd = _mmd_fold_expr()
+    return f"""
+WITH q AS (
+  SELECT (vec_id % 2 = 0) AS is_x,
+         list_transform(embedding, x -> round(x * {MMD_Q})::BIGINT) AS qv
+  FROM embeddings
+), pr AS (
+  SELECT is_x, (i - 1) * {EMB_DIM} + (j - 1) AS ab, qv[i] * qv[j] AS v
+  FROM q,
+       unnest(generate_series(1, {EMB_DIM})) AS ui(i),
+       unnest(generate_series(1, {EMB_DIM})) AS uj(j)
+), m AS (
+  SELECT ab,
+         sum(CASE WHEN is_x THEN v ELSE 0 END)::BIGINT AS mx,
+         sum(CASE WHEN is_x THEN 0 ELSE v END)::BIGINT AS my
+  FROM pr GROUP BY 1
+), counts AS (
+  SELECT sum(CASE WHEN is_x THEN 1 ELSE 0 END)::BIGINT AS n_x,
+         sum(CASE WHEN is_x THEN 0 ELSE 1 END)::BIGINT AS n_y
+  FROM q
+), mom AS (
+  SELECT sum(mx::HUGEINT * mx) AS sxx,
+         sum(my::HUGEINT * my) AS syy,
+         sum(mx::HUGEINT * my) AS sxy
+  FROM m
+)
+SELECT n_x, n_y,
+       CASE WHEN n_x > 0 AND n_y > 0 THEN
+         CAST(floor({mmd} * 1000000.0) AS BIGINT) END AS mmd2_micro
+FROM mom CROSS JOIN counts
+"""
+
+
 def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space DRIFT per label between two corpus halves
     (vec_id parity — a deterministic stand-in for time/batch splits):
@@ -9643,6 +9770,7 @@ QUERIES = {
     "train_split_manifest": train_split_manifest,
     "char_gini_diversity": char_gini_diversity,
     "embedding_drift": embedding_drift,
+    "mmd_drift_poly": mmd_drift_poly,
     "quantile_normalize_quality": quantile_normalize_quality,
     "feature_hash_vectors": feature_hash_vectors,
     "quality_classifier_linear": quality_classifier_linear,
@@ -9734,6 +9862,7 @@ ORACLES = {
     "train_split_manifest": _TRAIN_SPLIT_SQL,
     "char_gini_diversity": _CHAR_GINI_SQL,
     "embedding_drift": _EMB_DRIFT_SQL,
+    "mmd_drift_poly": _mmd_sql(),
     "quantile_normalize_quality": _QNORM,
     "feature_hash_vectors": _FEATURE_HASH_SQL,
     "quality_classifier_linear": _QCLF_SQL,

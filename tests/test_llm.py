@@ -2630,3 +2630,46 @@ def test_token_burstiness_planted_bursty_vs_poisson(spark):
     assert out["burst"].vmr_micro == 9_000_000
     assert out["flat"].vmr_micro == 0
     assert out["burst"].df == 1 and out["flat"].df == 10
+
+
+def test_mmd_poly_null_vs_planted_shift(spark):
+    """The MMD² contract: identical cohorts read ~0 (exactly 0 when
+    both cohorts are the SAME vectors); a planted mean-shifted cohort
+    fires; values match the from-scratch pairwise-kernel model
+    (Gram-moment identity Σ(x·y)² = Σ_ab M_ab² exercised end-to-end)."""
+    import numpy as np
+
+    def frame(xs, ys):
+        rows = [(True, [float(v) for v in x]) for x in xs]
+        rows += [(False, [float(v) for v in y]) for y in ys]
+        return spark.createDataFrame(
+            rows, "is_x boolean, embedding array<float>"
+        )
+
+    rng = np.random.RandomState(5)
+    base = rng.uniform(-0.4, 0.4, size=(30, llm.EMB_DIM))
+    # identical cohorts: the biased V-statistic is EXACTLY 0
+    r = llm.mmd_poly(frame(base, base)).collect()[0]
+    assert (r.n_x, r.n_y, r.mmd2_micro) == (30, 30, 0)
+
+    shifted = base + 0.25
+    r = llm.mmd_poly(frame(base, shifted)).collect()[0]
+    # from-scratch pairwise model on the quantized vectors
+    qx = np.round(base * llm.MMD_Q).astype(np.int64)
+    qy = np.round(shifted * llm.MMD_Q).astype(np.int64)
+
+    def ksum(a, b):
+        g = a @ b.T
+        return float((g.astype(object) ** 2).sum())
+
+    n, m = float(len(qx)), float(len(qy))
+    # literal fold order of _mmd_fold_expr (same ulps)
+    mmd2 = (
+        ksum(qx, qx) / (n * n)
+        + ksum(qy, qy) / (m * m)
+        - 2.0 * ksum(qx, qy) / (n * m)
+    ) / float(llm.MMD_Q) ** 4
+    import math
+
+    assert r.mmd2_micro == math.floor(max(mmd2, 0.0) * 1_000_000.0)
+    assert r.mmd2_micro > 0

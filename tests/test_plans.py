@@ -1351,3 +1351,16 @@ def test_jb_and_bf_bounded_shapes(spark):
     assert "CartesianProduct" not in p2
     assert not P.uses_sort_merge_join(bf)
     assert P.uses_broadcast_join(bf)
+
+
+def test_mmd_never_builds_kernel_matrix(spark):
+    """The pairwise-kernel sum collapses to Gram-moment arithmetic:
+    no join of any kind (an n x m kernel matrix would be one), one
+    d^2-cell aggregate + a 1-row reduce."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import llm as L
+
+    df = L.mmd_drift_poly(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 4
