@@ -5635,7 +5635,7 @@ def _mmd_sql() -> str:
     return f"""
 WITH q AS (
   SELECT (vec_id % 2 = 0) AS is_x,
-         list_transform(embedding, x -> round(x * {MMD_Q})::BIGINT) AS qv
+         list_transform(embedding, x -> round(x::DOUBLE * {MMD_Q})::BIGINT) AS qv
   FROM embeddings
 ), pr AS (
   SELECT is_x, (i - 1) * {EMB_DIM} + (j - 1) AS ab, qv[i] * qv[j] AS v

@@ -1590,8 +1590,13 @@ def kaplan_meier_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over steps 1..i (k ≤ ~360 → ≤ k²/2 integer ops, domain-bounded)
     folded = ser.select(
         F.explode(
+            # guard: sequence(1, 0) descends to [1, 0] (default step
+            # -1), which would emit two bogus NULL-week rows on an
+            # empty event series while the oracle's generate_series(1,
+            # 0) is empty (r10 ADVICE). Empty-array branch matches.
             F.expr(
-                "transform(sequence(1, size(ser)), i -> named_struct("
+                "transform(if(size(ser) > 0, sequence(1, size(ser)), "
+                "cast(array() as array<int>)), i -> named_struct("
                 "'week', ser[i - 1].week,"
                 "'n_risk', ser[i - 1].n_risk,"
                 "'d_events', ser[i - 1].d,"

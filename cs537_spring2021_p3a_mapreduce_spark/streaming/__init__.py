@@ -2668,7 +2668,9 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic both engines evaluate identically. (Contract
     bound: the squared terms need ~2·(digits(x)+digits(n)) decimal
     digits — at per-type n beyond ~10⁹ rows re-quantize x or shard
-    the baseline by time window.)
+    the baseline by time window. The bound is ASSERTED at runtime via
+    raise_error so an out-of-contract input fails loudly instead of
+    the decimal square silently overflowing to NULL.)
 
     State honesty: ZERO streaming state — a stream-static broadcast
     join of the |event-types|-row baseline onto the stream, per-row
@@ -2705,11 +2707,25 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "x_cents",
             F.col("n_base").cast("long").alias("n_base"),
+            # r10 ADVICE: past the contract bound the decimal(38,0)
+            # squares would overflow to NULL silently (non-ANSI) —
+            # assert the bound at runtime so divergence fails loudly.
+            # |x|,n ≤ 1e9 and |S|,Q ≤ 1e18 keep every product ≤ ~4e36
+            # < 10^38-1: d=x·n−S ≤ 2e18, d² ≤ 4e36; 9(n·Q−S²) ≤ ~9e27.
             F.expr(
-                "CAST((CAST(x_cents AS decimal(38,0)) * n_base - s)"
+                "CASE WHEN abs(x_cents) <= 1000000000"
+                " AND n_base <= 1000000000"
+                " AND abs(s) <= CAST(1e18 AS decimal(38,0))"
+                " AND q <= CAST(1e18 AS decimal(38,0)) THEN"
+                " CAST((CAST(x_cents AS decimal(38,0)) * n_base - s)"
                 " * (CAST(x_cents AS decimal(38,0)) * n_base - s)"
                 " > 9 * (CAST(n_base AS decimal(38,0)) * q - s * s)"
                 " AS INT)"
+                " ELSE CAST(raise_error('stream_anomaly_zscore:"
+                " moments exceed the decimal(38,0) overflow-safe"
+                " bound (|x_cents|,n_base<=1e9, |S|,Q<=1e18);"
+                " re-quantize x or shard the baseline by window')"
+                " AS INT) END"
             ).alias("is_anomaly"),
         )
     )
