@@ -1291,6 +1291,120 @@ FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
 """
 
 
+def concurrent_writers_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC MULTI-WRITER semantics on the manifest table — the
+    Delta/Iceberg ConcurrentModification contract
+    (``sources/manifest_sink.commit_transaction``): every transaction
+    records the generation its reads were based on; at commit time,
+    under the lock, the generations committed since are snapshot-
+    diffed. Two staged writer pairs exercise both branches:
+
+    - DISJOINT: txn A (rewrites the clicks file) and txn B (rewrites
+      the views file) both plan against the same base; B commits
+      first; A's commit detects no file overlap and REBASES onto B's
+      listing — both deletions land, neither clobbers the other (the
+      lost-update the lock alone could not prevent).
+    - OVERLAPPING: txn C and txn D both plan a rewrite of the SAME
+      clicks file against the same base; C commits first; D's commit
+      finds its base superseded by a commit that removed the very
+      file D rewrote → ABORTS with ConcurrentWriteConflictError, and
+      its staged part file (never manifest-visible) is cleaned.
+
+    The final table state is therefore exact and oracle-checkable:
+    clicks lose odd ids (A) then multiples of 3 (C, applied to A's
+    survivors); views lose even ids (B); D's multiples-of-5 delete
+    never applies. Protocol outcomes ride along as flag columns —
+    a wrong branch (A clobbered, D committed, bad generation, stray
+    file leaked) zeroes a flag and fails the correctness hash.
+
+    Output: event_type, n_live, sum_cents, disjoint_both_committed,
+    overlap_aborted, gen_ok.
+    """
+    from ..sources.manifest_sink import (
+        MANIFEST,
+        ConcurrentWriteConflictError,
+        ManifestParquetSink,
+        abort_transaction,
+        commit_transaction,
+        plan_delete,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_cc_"), "t")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    # one file per slice so predicates map to disjoint file sets
+    for pred in (
+        "event_type = 'click'",
+        "event_type = 'view'",
+        "event_type NOT IN ('click', 'view')",
+    ):
+        ev.where(pred).coalesce(1).write.format("mr_manifest").option(
+            "path", path
+        ).mode("append").save()
+
+    # -- disjoint pair: both must land ------------------------------
+    txn_a = plan_delete(spark, path, "event_type = 'click' AND event_id % 2 = 1")
+    txn_b = plan_delete(spark, path, "event_type = 'view' AND event_id % 2 = 0")
+    commit_transaction(path, txn_b)  # B lands first
+    a_committed = True
+    try:
+        commit_transaction(path, txn_a)  # disjoint → rebase over B
+    except ConcurrentWriteConflictError:
+        a_committed = False
+
+    # -- overlapping pair: second committer must abort ---------------
+    txn_c = plan_delete(spark, path, "event_type = 'click' AND event_id % 3 = 0")
+    txn_d = plan_delete(spark, path, "event_type = 'click' AND event_id % 5 = 0")
+    commit_transaction(path, txn_c)  # C lands first
+    d_aborted = False
+    try:
+        commit_transaction(path, txn_d)
+    except ConcurrentWriteConflictError:
+        abort_transaction(path, txn_d)
+        d_aborted = True
+    stray_cleaned = all(
+        not os.path.exists(os.path.join(path, e["file"]))
+        for e in txn_d["add_entries"]
+    )
+
+    # 3 appends + B + A + C = generation 6
+    import json as _json
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        gen_ok = _json.load(fh).get("generation") == 6
+
+    live = read_manifest_table(spark, path)
+    return live.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+        F.lit(int(a_committed)).alias("disjoint_both_committed"),
+        F.lit(int(d_aborted and stray_cleaned)).alias("overlap_aborted"),
+        F.lit(int(gen_ok)).alias("gen_ok"),
+    )
+
+
+_CONCURRENT_WRITERS = """
+SELECT event_type, count(*)::BIGINT AS n_live,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+       1 AS disjoint_both_committed, 1 AS overlap_aborted, 1 AS gen_ok
+FROM events
+WHERE CASE WHEN event_type = 'click'
+             THEN event_id % 2 = 0 AND event_id % 3 <> 0
+           WHEN event_type = 'view' THEN event_id % 2 = 1
+           ELSE TRUE END
+GROUP BY 1
+"""
+
+
 GREP_NEEDLE = "stream"  # a mid-frequency vocabulary word
 
 
@@ -1950,6 +2064,7 @@ QUERIES = {
     "multi_table_commit_roundtrip": multi_table_commit_roundtrip,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
+    "concurrent_writers_conflict": concurrent_writers_conflict,
     "manifest_changes_cdc": manifest_changes_cdc,
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "file_metadata_scan": file_metadata_scan,
@@ -2035,6 +2150,7 @@ ORACLES = {
     "multi_table_commit_roundtrip": _MULTI_TABLE_SQL,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,
+    "concurrent_writers_conflict": _CONCURRENT_WRITERS,
     "manifest_changes_cdc": _MANIFEST_CDC,
     "dynamic_partition_overwrite": _DYN_OVERWRITE,
     "file_metadata_scan": _FILE_META,

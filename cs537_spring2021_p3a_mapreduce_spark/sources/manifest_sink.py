@@ -91,6 +91,120 @@ def _commit_lock(dir_path: str):
             pass
 
 
+class ConcurrentWriteConflictError(RuntimeError):
+    """A transaction's base snapshot was superseded by an OVERLAPPING
+    commit — the Delta ConcurrentDeleteDeleteException / Iceberg
+    ValidationException class. Raised at commit time, under the lock,
+    after snapshot-diff conflict detection; the staged part files are
+    left uncommitted (manifest-invisible) for the caller to retry or
+    clean."""
+
+    def __init__(self, base_generation: int, conflicting_generation: int,
+                 overlap: set[str] | None = None, reason: str = ""):
+        self.base_generation = base_generation
+        self.conflicting_generation = conflicting_generation
+        self.overlap = overlap or set()
+        super().__init__(
+            f"transaction based on generation {base_generation} conflicts "
+            f"with committed generation {conflicting_generation}: "
+            + (reason or f"both remove/rewrite {sorted(self.overlap)}")
+        )
+
+
+def _snapshot_files(path: str, gen: int) -> set[str]:
+    with open(
+        os.path.join(path, f"{MANIFEST}.g{gen}"), encoding="utf-8"
+    ) as fh:
+        return {e["file"] for e in json.load(fh)["files"]}
+
+
+def commit_transaction(path: str, txn: dict) -> int:
+    """OPTIMISTIC concurrent-writer commit — the multi-writer contract
+    every real lake needs eventually (Delta's ConcurrentModification
+    checks, Iceberg's snapshot validation), in the repo's minimal
+    honest form. The commit lock gives mutual EXCLUSION; this adds
+    conflict DETECTION on top: a transaction records the generation
+    its reads were based on (``base_generation``) plus the files it
+    removes/rewrites, and at commit time, under the lock, every
+    generation committed since the base is snapshot-diffed
+    (removed(g) = files(g−1) − files(g), derivable because commits
+    snapshot themselves):
+
+    - an intervening commit REMOVED a file this transaction also
+      removes/rewrites → both rewrote the same data → ABORT
+      (``ConcurrentWriteConflictError``);
+    - an intervening OVERWRITE replaced the whole listing → the base
+      snapshot is gone entirely → ABORT;
+    - otherwise the transactions are file-disjoint → REBASE: apply
+      this transaction's remove/add on top of the LATEST listing (so
+      a concurrent append's files are carried, never clobbered — the
+      lost-update the pre-transaction delete_where had).
+
+    File-level granularity is Delta's WriteSerializable default: a
+    disjoint concurrent append whose rows would have matched this
+    transaction's predicate is carried, not re-filtered (the append
+    serializes AFTER the delete). A vacuumed (missing) intervening
+    snapshot aborts conservatively — disjointness can no longer be
+    proven.
+
+    ``txn`` keys: ``base_generation`` (int), ``remove_files``
+    (list[str]), ``add_entries`` (list of manifest file entries),
+    ``op`` (str, recorded in the committed doc). Returns the new
+    generation number.
+    """
+    _require_local(path, "commit_transaction")
+    remove = set(txn["remove_files"])
+    with _commit_lock(path):
+        manifest_path = os.path.join(path, MANIFEST)
+        with open(manifest_path, encoding="utf-8") as fh:
+            cur = json.load(fh)
+        cur_gen = cur.get("generation", 0)
+        base = txn["base_generation"]
+        for g in range(base + 1, cur_gen + 1):
+            try:
+                with open(
+                    os.path.join(path, f"{MANIFEST}.g{g}"), encoding="utf-8"
+                ) as fh:
+                    snap = json.load(fh)
+                if snap.get("op") == "overwrite":
+                    raise ConcurrentWriteConflictError(
+                        base, g, reason="an intervening OVERWRITE replaced "
+                        "the entire listing this transaction was based on"
+                    )
+                removed_g = (
+                    _snapshot_files(path, g - 1) if g > 1 else set()
+                ) - {e["file"] for e in snap["files"]}
+            except FileNotFoundError:
+                raise ConcurrentWriteConflictError(
+                    base, g, reason="intervening snapshot was vacuumed; "
+                    "file-disjointness can no longer be proven"
+                ) from None
+            overlap = removed_g & remove
+            if overlap:
+                raise ConcurrentWriteConflictError(base, g, overlap)
+        # disjoint: rebase onto the LATEST listing
+        new_files = [
+            e for e in cur["files"] if e["file"] not in remove
+        ] + txn["add_entries"]
+        generation = cur_gen + 1
+        doc = {
+            "generation": generation,
+            "files": new_files,
+            "op": txn.get("op", "txn"),
+            "base_generation": base,
+        }
+        tmp = os.path.join(path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        snap_path = os.path.join(path, f"{MANIFEST}.g{generation}")
+        tmp_snap = f"{snap_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp_snap, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp_snap, snap_path)
+        os.replace(tmp, manifest_path)
+        return generation
+
+
 def _require_local(path: str, op: str) -> None:
     """The whole commit protocol here (O_CREAT|O_EXCL lock files,
     os.replace publish) is atomic ONLY on a local/POSIX filesystem.
@@ -237,7 +351,13 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                 generation = prev.get("generation", 0) + 1
                 if not self.overwrite:
                     files = prev["files"] + files
-            doc = {"generation": generation, "files": files}
+            # op is recorded so optimistic transactions can detect an
+            # intervening whole-listing replace (commit_transaction)
+            doc = {
+                "generation": generation,
+                "files": files,
+                "op": "overwrite" if self.overwrite else "append",
+            }
             # every commit also snapshots itself as _MANIFEST.g<N>:
             # TIME TRAVEL in its minimal honest form — old generations
             # stay readable because commits never delete part files
@@ -263,20 +383,20 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                     pass
 
 
-def delete_where(spark, path: str, condition: str) -> int:
-    """Row-level DELETE with FILE-SCOPED rewrite — the table-format
-    delete contract (Delta/Iceberg copy-on-write): only files that
-    actually CONTAIN matching rows are rewritten (without their
-    matches); untouched files carry into the new manifest generation
-    by reference, zero bytes moved. At lake scale a predicate that
-    hits 3 of 10 000 files costs 3 file rewrites, not a table scan
-    rewrite. Old generations still see the deleted rows (time
-    travel) until vacuum. Returns the number of files rewritten."""
-    _require_local(path, "delete_where")
+def plan_delete(spark, path: str, condition: str) -> dict:
+    """Phase 1 of copy-on-write DELETE as an optimistic TRANSACTION:
+    scan at the current generation (the transaction's BASE), rewrite
+    only the files that actually CONTAIN matching rows (without their
+    matches) to staged part files — unique names, manifest-invisible
+    until commit. Returns the staged transaction for
+    ``commit_transaction``; a conflict abort leaves only invisible
+    strays (clean with ``abort_transaction``)."""
+    _require_local(path, "plan_delete")
     from pyspark.sql import functions as F
 
     with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
         manifest = json.load(fh)
+    base_generation = manifest.get("generation", 0)
     files = [f["file"] for f in manifest["files"]]
     full = [os.path.join(path, f) for f in files]
     # which files contain matches — one filtered scan, file-grouped;
@@ -290,18 +410,16 @@ def delete_where(spark, path: str, condition: str) -> int:
         .collect()
     )
     hit_files = {os.path.basename(r.f.removeprefix("file:")) for r in hit_rows}
-    new_files = []
+    add_entries = []
     for f in files:
         if f not in hit_files:
-            keep = next(e for e in manifest["files"] if e["file"] == f)
-            new_files.append(keep)
-            continue
+            continue  # untouched: carried by reference at commit
         survivors = spark.read.parquet(os.path.join(path, f)).where(
             f"NOT ({condition})"
         )
         n = survivors.count()
         if n == 0:
-            continue  # whole file deleted: drop from the manifest
+            continue  # whole file deleted: remove with no replacement
         # executor-side rewrite (no driver materialization): write
         # the survivor set as one file to scratch, adopt it into the
         # table directory under a unique name
@@ -315,22 +433,47 @@ def delete_where(spark, path: str, condition: str) -> int:
         newname = f"part-{uuid.uuid4().hex}.parquet"
         _shutil.move(written, os.path.join(path, newname))
         _shutil.rmtree(tmpdir, ignore_errors=True)
-        new_files.append({"file": newname, "n_rows": n})
-    with _commit_lock(path):
-        with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
-            cur = json.load(fh)
-        generation = cur.get("generation", 0) + 1
-        doc = {"generation": generation, "files": new_files}
-        tmp = os.path.join(path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(doc, fh)
-        snap = os.path.join(path, f"{MANIFEST}.g{generation}")
-        tmp_snap = f"{snap}.{uuid.uuid4().hex}.tmp"
-        with open(tmp_snap, "w", encoding="utf-8") as fh:
-            json.dump(doc, fh)
-        os.replace(tmp_snap, snap)
-        os.replace(tmp, os.path.join(path, MANIFEST))
-    return len(hit_files)
+        add_entries.append({"file": newname, "n_rows": n})
+    return {
+        "base_generation": base_generation,
+        "remove_files": sorted(hit_files),
+        "add_entries": add_entries,
+        "op": "delete",
+        "condition": condition,
+    }
+
+
+def abort_transaction(path: str, txn: dict) -> None:
+    """Remove a staged transaction's part files (never-committed, so
+    no reader ever saw them) — the cleanup arm of a conflict abort."""
+    for e in txn["add_entries"]:
+        try:
+            os.remove(os.path.join(path, e["file"]))
+        except OSError:
+            pass
+
+
+def delete_where(spark, path: str, condition: str) -> int:
+    """Row-level DELETE with FILE-SCOPED rewrite — the table-format
+    delete contract (Delta/Iceberg copy-on-write): only files that
+    actually CONTAIN matching rows are rewritten (without their
+    matches); untouched files carry into the new manifest generation
+    by reference, zero bytes moved. At lake scale a predicate that
+    hits 3 of 10 000 files costs 3 file rewrites, not a table scan
+    rewrite. Old generations still see the deleted rows (time
+    travel) until vacuum. Returns the number of files rewritten.
+
+    Plan + immediate optimistic commit: a commit that lands between
+    the scan and the commit aborts (overlapping rewrite) or is
+    rebased over (disjoint — e.g. a concurrent append's files carry
+    into the new generation instead of being clobbered)."""
+    txn = plan_delete(spark, path, condition)
+    try:
+        commit_transaction(path, txn)
+    except ConcurrentWriteConflictError:
+        abort_transaction(path, txn)
+        raise
+    return len(txn["remove_files"])
 
 
 def vacuum_manifest_table(path: str, keep_generations: int = 1) -> list[str]:

@@ -612,6 +612,99 @@ def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
     assert g1 == set(range(1000))
 
 
+def test_optimistic_txn_disjoint_rebases_overlap_aborts(spark, tmp_path):
+    """Optimistic concurrent-writer contract (commit_transaction):
+    file-disjoint transactions on the same base both land (the later
+    one REBASES onto the earlier's listing), overlapping rewrites of
+    the same file ABORT the second committer, an intervening blind
+    APPEND is carried through a rebase (the lost-update delete_where
+    used to have), and an intervening OVERWRITE aborts everything
+    based on the replaced listing."""
+    import json
+    import os
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        MANIFEST,
+        ConcurrentWriteConflictError,
+        ManifestParquetSink,
+        abort_transaction,
+        commit_transaction,
+        plan_delete,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    mk = lambda lo, hi, tag: spark.createDataFrame(
+        [(i, tag) for i in range(lo, hi)], "k long, tag string"
+    ).coalesce(1)
+    # two single-file slices: a (k<100), b (k>=100)
+    mk(0, 100, "a").write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    mk(100, 200, "b").write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+
+    # DISJOINT: A rewrites slice a, B rewrites slice b, same base
+    txn_a = plan_delete(spark, path, "tag = 'a' AND k % 2 = 1")
+    txn_b = plan_delete(spark, path, "tag = 'b' AND k % 2 = 0")
+    assert txn_a["base_generation"] == txn_b["base_generation"] == 2
+    commit_transaction(path, txn_b)
+    gen_a = commit_transaction(path, txn_a)  # disjoint → rebase
+    assert gen_a == 4
+    got = {r.k for r in read_manifest_table(spark, path).collect()}
+    assert got == {k for k in range(100) if k % 2 == 0} | {
+        k for k in range(100, 200) if k % 2 == 1
+    }, "B's delete must survive A's rebase and vice versa"
+
+    # APPEND lands between plan and commit: rebase carries its file
+    txn_c = plan_delete(spark, path, "tag = 'a' AND k % 4 = 0")
+    mk(200, 210, "c").write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    commit_transaction(path, txn_c)
+    got = {r.k for r in read_manifest_table(spark, path).collect()}
+    assert set(range(200, 210)) <= got, "concurrent append was clobbered"
+    assert not any(k % 4 == 0 for k in got if k < 100)
+
+    # OVERLAPPING: D and E both rewrite the current slice-a file
+    txn_d = plan_delete(spark, path, "tag = 'a' AND k % 3 = 0")
+    txn_e = plan_delete(spark, path, "tag = 'a' AND k % 5 = 0")
+    commit_transaction(path, txn_d)
+    with pytest.raises(ConcurrentWriteConflictError) as ei:
+        commit_transaction(path, txn_e)
+    assert ei.value.overlap, "conflict must name the contested file(s)"
+    abort_transaction(path, txn_e)
+    assert all(
+        not os.path.exists(os.path.join(path, e["file"]))
+        for e in txn_e["add_entries"]
+    ), "aborted txn must leave no staged files after cleanup"
+    got = {r.k for r in read_manifest_table(spark, path).collect()}
+    assert any(k % 5 == 0 for k in got if k < 100 and k % 2 == 0), (
+        "E's delete must NOT have applied"
+    )
+
+    # OVERWRITE supersedes any transaction based on the old listing
+    txn_f = plan_delete(spark, path, "tag = 'b' AND k % 7 = 0")
+    mk(0, 10, "z").write.format("mr_manifest").option("path", path).mode(
+        "overwrite"
+    ).save()
+    with pytest.raises(ConcurrentWriteConflictError):
+        commit_transaction(path, txn_f)
+    abort_transaction(path, txn_f)
+
+    # committed docs record op + base generation for auditability
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        doc = json.load(fh)
+    assert doc["op"] == "overwrite"
+
+
 def test_dynamic_overwrite_touches_only_written_partitions(spark):
     """The non-error partitions must come back byte-identical after
     the dynamic-mode rewrite of the error partition."""
