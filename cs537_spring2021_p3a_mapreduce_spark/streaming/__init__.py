@@ -1506,9 +1506,16 @@ LSH_WATERMARK = "7 days"
 _LSH_EV_EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
 
 
-def _lsh_band_rows(docs: DataFrame, watermark: str) -> DataFrame:
+def _lsh_band_rows(
+    docs: DataFrame, watermark: str, payload: str = "exact"
+) -> DataFrame:
     """Document stream → watermarked banded rows
-    ``(doc_id, ev, shd, band, bk)`` — every step narrow (per-row).
+    ``(doc_id, ev, <payload>, band, bk)`` — every step narrow
+    (per-row). ``payload="exact"`` carries ``shd`` (the distinct
+    shingle-fold set, for candidate-scoped exact-Jaccard verify);
+    ``payload="estimated"`` carries ``sig`` (just the 32 mins, for
+    matching-min-fraction verify) — the state-per-doc drop the two
+    deploy tiers trade correctness tightness for.
 
     The 32-seed integer MinHash signature is the
     ``dedup_minhash_int`` hash family computed the
@@ -1588,8 +1595,14 @@ def _lsh_band_rows(docs: DataFrame, watermark: str) -> DataFrame:
             for b in range(N_HASHES // BAND_ROWS)
         ]
     )
+    if payload == "estimated":
+        carry = F.array(*[F.col(f"m{s}") for s in range(N_HASHES)]).alias(
+            "sig"
+        )
+    else:
+        carry = F.col("shd")
     return sigs.select(
-        "doc_id", "ev", "shd", F.posexplode(band_keys).alias("band", "bk")
+        "doc_id", "ev", carry, F.posexplode(band_keys).alias("band", "bk")
     ).withWatermark("ev", watermark)
 
 
@@ -1800,6 +1813,193 @@ SELECT b_id AS dup_id, min(a_id) AS dup_of,
        arg_min(j, a_id) AS jaccard,
        count(*)::BIGINT AS n_witnesses
 FROM jac GROUP BY 1 ORDER BY 1
+"""
+
+
+# Estimated-verify acceptance: n_match/32 (matching-min fraction) is
+# an unbiased estimator of Jaccard, so the batch threshold J >= 0.7
+# maps to the INTEGER bound n_match >= ceil(0.7 * 32) = 23 — both
+# engines compare exact integers, no float verdict anywhere.
+LSH_EST_MATCH_MIN = 23
+
+
+def dedup_docs_lsh_stream_estimated(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    horizon_s: int = LSH_HORIZON_S,
+) -> DataFrame:
+    """The LIGHTER streaming-LSH deploy tier: identical band-keyed
+    bounded join as ``dedup_docs_lsh_stream``, but verify on the 32
+    mins ALONE — estimated Jaccard = matching-min fraction — so each
+    doc's join state carries a fixed 32-long signature instead of its
+    distinct shingle-fold SET. At crawl scale that is the difference
+    between O(32) longs and O(|doc shingles|) longs per band row
+    (state measured and compared in
+    tests/test_streaming.py::test_lsh_estimated_tier_state_drop).
+
+    Estimated-vs-exact disagreement band: E[n_match/32] = J with
+    σ = sqrt(J(1−J)/32) ≈ 0.081 at J = 0.7, so pairs with true
+    Jaccard roughly in [0.55, 0.85] can flip verdicts vs the exact
+    tier (~±2σ); outside that band the two tiers agree with ≥95%
+    probability per pair. Deploys that need the exact batch-parity
+    verdict keep the exact tier; this one is for ingest paths where
+    state size is the binding constraint.
+
+    Output (streaming, append): a_id, b_id, band, n_match.
+    """
+    a = docs_a.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("ev").alias("a_ev"),
+        F.col("sig").alias("a_sig"),
+        "band",
+        "bk",
+    )
+    b = docs_b.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("ev").alias("b_ev"),
+        F.col("sig").alias("b_sig"),
+        F.col("band").alias("b_band"),
+        F.col("bk").alias("b_bk"),
+    )
+    joined = a.join(
+        b,
+        (a["band"] == b["b_band"])
+        & (a["bk"] == b["b_bk"])
+        & (b["b_ev"] > a["a_ev"])
+        & (b["b_ev"] <= a["a_ev"] + F.expr(f"INTERVAL {horizon_s} SECONDS")),
+    )
+    n_match = F.size(
+        F.expr("filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v)")
+    ).cast("long")
+    return joined.select(
+        "a_id", "b_id", "band", n_match.alias("n_match")
+    ).where(F.col("n_match") >= LSH_EST_MATCH_MIN)
+
+
+def stream_dedup_docs_lsh_estimated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-visible entry for the ESTIMATED-VERIFY streaming LSH
+    tier (``dedup_docs_lsh_stream_estimated``): same staged two-reader
+    drain and per-doc rollup as ``stream_dedup_docs_lsh``, with the
+    O(32 longs)/band-row state contract and the integer matching-min
+    acceptance (n_match >= 23 of 32 ⇔ estimated J >= 0.7).
+
+    Oracle: DuckDB replays every stage — shingle folds, 32 mins, 8
+    band keys, horizon as the doc_id bound, per-pair matching-min
+    COUNT (32 integer equality terms), the same rollup. Fully
+    hash-exact: the verdict is an integer comparison, so unlike the
+    batch ``dedup_minhash`` estimate there is no float tolerance
+    anywhere.
+
+    Output: dup_id, dup_of, n_match, n_witnesses.
+    """
+    import uuid
+
+    work = scratch_dir("stream_lshe_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "documents", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs_a = _lsh_band_rows(
+        spark.readStream.schema(schema).parquet(src),
+        LSH_WATERMARK,
+        payload="estimated",
+    )
+    docs_b = _lsh_band_rows(
+        spark.readStream.schema(schema).parquet(src),
+        LSH_WATERMARK,
+        payload="estimated",
+    )
+    pairs = dedup_docs_lsh_stream_estimated(docs_a, docs_b)
+    name = f"stream_lshe_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        pairs, name, os.path.join(work, "ckpt"), "append", shuffle_partitions=8
+    )
+    return (
+        spark.table(name)
+        .groupBy("b_id")
+        .agg(
+            F.min(F.struct(F.col("a_id"), F.col("n_match"))).alias("m"),
+            F.countDistinct("a_id").alias("n_witnesses"),
+        )
+        .select(
+            F.col("b_id").alias("dup_id"),
+            F.col("m.a_id").alias("dup_of"),
+            F.col("m.n_match").alias("n_match"),
+            "n_witnesses",
+        )
+        .orderBy("dup_id")
+    )
+
+
+def _stream_dedup_docs_lsh_est_sql() -> str:
+    from ..operators.dedup import (
+        _MINHASH_INT_AB,
+        _MINHASH_INT_P,
+        BAND_ROWS,
+        N_HASHES,
+        SHINGLE_K,
+        _md5_fold_sql,
+    )
+
+    sh_expr = " || chr(31) || ".join(f"ts[i+{j}]" for j in range(SHINGLE_K))
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_INT_P})::BIGINT AS m{s}"
+        for s, (a, b) in enumerate(_MINHASH_INT_AB)
+    )
+    band_keys = ",\n       ".join(
+        _md5_fold_sql(
+            " || ',' || ".join(
+                f"m{b * BAND_ROWS + r}" for r in range(BAND_ROWS)
+            ),
+            1,
+            12,
+        )
+        + f" AS bk{b}"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    band_or = " OR ".join(
+        f"a.bk{b} = b.bk{b}" for b in range(N_HASHES // BAND_ROWS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END"
+        for s in range(N_HASHES)
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), win AS (
+  SELECT doc_id, {sh_expr} AS sh
+  FROM arr,
+       unnest(generate_series(1, greatest(len(ts) - {SHINGLE_K - 1}, 0))) AS u(i)
+), hashed AS (
+  SELECT doc_id, {_md5_fold_sql("sh", 1, 12)} AS h FROM win
+), sigs0 AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT *,
+       {band_keys}
+  FROM sigs0
+), est AS (
+  -- horizon: ev is doc_id-synthesized, so the event-time bound is
+  -- exactly the id bound; verify = matching-min count of the 32
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ({match_sum})::BIGINT AS n_match
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id
+   AND b.doc_id - a.doc_id <= {LSH_HORIZON_S}
+   AND ({band_or})
+)
+SELECT b_id AS dup_id, min(a_id) AS dup_of,
+       arg_min(n_match, a_id) AS n_match,
+       count(*)::BIGINT AS n_witnesses
+FROM est WHERE n_match >= {LSH_EST_MATCH_MIN}
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -2770,6 +2970,7 @@ QUERIES = {
     "stream_dedup_docs_minhash": stream_dedup_docs_minhash,
     "stream_dedup_docs_lsh": stream_dedup_docs_lsh,
     "stream_dedup_docs_minhash_bounded": stream_dedup_docs_minhash_bounded,
+    "stream_dedup_docs_lsh_estimated": stream_dedup_docs_lsh_estimated,
     "stream_ivf_assign": stream_ivf_assign,
     "stream_wordcount": stream_wordcount,
     "stream_topk_words": stream_topk_words,
@@ -2826,6 +3027,7 @@ ORACLES = {
     # stage, the batch 8x4 banding + candidate-scoped exact-Jaccard
     # verify restricted to the implemented ingest horizon
     "stream_dedup_docs_lsh": _stream_dedup_docs_lsh_sql(),
+    "stream_dedup_docs_lsh_estimated": _stream_dedup_docs_lsh_est_sql(),
     # the bounded deploy form guarantees exactly one survivor per
     # in-horizon signature; the deterministic contract is the SET of
     # signatures (survivor ids are arrival-order)

@@ -792,6 +792,83 @@ def test_stream_dedup_docs_lsh_horizon_and_state_eviction(spark, tmp_path):
     assert removed > 0
 
 
+def test_lsh_estimated_tier_state_drop(spark, tmp_path):
+    """The lighter estimated-verify LSH tier must (a) find the same
+    planted high-J near-dup as the exact tier via the integer
+    matching-min bound, (b) not flag the unrelated doc, and (c)
+    actually buffer LESS join state — same band-row COUNT (8 per doc
+    per side), materially fewer BYTES per row (32-long signature vs
+    the distinct shingle-fold set), read from the same state-operator
+    metrics the eviction test probes."""
+    import os
+    import uuid
+
+    from cs537_spring2021_p3a_mapreduce_spark.streaming import (
+        LSH_EST_MATCH_MIN,
+        _lsh_band_rows,
+        dedup_docs_lsh_stream,
+        dedup_docs_lsh_stream_estimated,
+        run_to_memory,
+    )
+
+    base = [f"tok{i}" for i in range(300)]
+    near = list(base)
+    near[150] = "swapped"  # 3 shingles differ → J ≈ 0.98
+    rows = [
+        (0, " ".join(base)),
+        (10, " ".join(near)),
+        (20, " ".join(f"zz{i}" for i in range(300))),  # unrelated
+    ]
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    def reader():
+        return spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    def drain(pairs, tag):
+        name = f"lshtier_{tag}_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(
+            pairs, name, str(tmp_path / f"ckpt_{tag}"), "append",
+            shuffle_partitions=4,
+        )
+        state = [
+            op
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        ]
+        rows_max = max((op.get("numRowsTotal", 0) for op in state), default=0)
+        bytes_max = max((op.get("memoryUsedBytes", 0) for op in state), default=0)
+        return spark.table(name).collect(), rows_max, bytes_max
+
+    got_e, rows_e, bytes_e = drain(
+        dedup_docs_lsh_stream(
+            _lsh_band_rows(reader(), "7 days"),
+            _lsh_band_rows(reader(), "7 days"),
+        ),
+        "exact",
+    )
+    got_l, rows_l, bytes_l = drain(
+        dedup_docs_lsh_stream_estimated(
+            _lsh_band_rows(reader(), "7 days", payload="estimated"),
+            _lsh_band_rows(reader(), "7 days", payload="estimated"),
+        ),
+        "est",
+    )
+    # same verdicts on the planted corpus
+    assert {(r.a_id, r.b_id) for r in got_e} == {(0, 10)}
+    assert {(r.a_id, r.b_id) for r in got_l} == {(0, 10)}
+    assert all(r.n_match >= LSH_EST_MATCH_MIN for r in got_l)
+    # same state ROW count (band rows), materially fewer BYTES: each
+    # exact band row buffers ~300 shingle folds, each estimated one a
+    # fixed 32-long signature (~10x); require >= 3x to stay robust to
+    # per-row overheads
+    assert rows_l == rows_e > 0
+    assert 0 < bytes_l < bytes_e / 3, (bytes_l, bytes_e)
+
+
 def test_stream_ivf_assign_partitions_whole_corpus(spark):
     """On-ingest routing: every vector lands in exactly one of the
     <= IVF_INT_K cells (counts sum to the corpus), and min_vec_id is
