@@ -4087,7 +4087,177 @@ FROM nm CROSS JOIN agg
 """
 
 
+# --- Benjamini-Hochberg FDR over a hypothesis-test battery ---------
+# r10 VERDICT Next #5: with ~20 tests in the battery, "which are
+# significant after multiple-testing correction" is the pipeline
+# question. The battery here is m exact one-sided SIGN TESTS (one per
+# priority x status stratum of orders) so every p-value is an exact
+# binomial tail — integer micro-units end to end, no CDF
+# transcendentals anywhere; the BH step-up then runs as one
+# domain-bounded window (m <= 15 rows). The same step-up applies
+# verbatim to any battery that emits p_micro rows.
+BH_N_PAIRS = 20  # fixed pairs per test: exact Binomial(20, 1/2) null
+BH_ALPHA_MICRO = 50_000  # alpha = 0.05
+# P(X >= x) for X ~ Binomial(20, 1/2), floor-quantized to micro:
+# precomputed tail sums T[x] = sum_{k=x..20} C(20,k); p_micro[x] =
+# T[x] * 10^6 DIV 2^20 — a literal lookup, bit-identical by fiat.
+BH_P_MICRO = [
+    1000000, 999999, 999979, 999798, 998711, 994091, 979305, 942340,
+    868412, 748277, 588098, 411901, 251722, 131587, 57659, 20694,
+    5908, 1288, 201, 20, 0,
+]
+
+
+def benjamini_hochberg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE-TESTING CONTROL (Benjamini & Hochberg 1995) over an
+    in-query hypothesis-test battery: per (o_orderpriority,
+    o_orderstatus) stratum with >= 2*BH_N_PAIRS orders, pair the
+    first 40 orders by key (consecutive pairs) and run the exact
+    one-sided sign test "is the earlier order's total greater" —
+    x = #(first > second) of n = 20, p = P(Binom(20, 1/2) >= x), an
+    exact binomial tail baked as integer-micro literals (BH_P_MICRO),
+    ties counted as non-greater (conservative, keeps n fixed). The
+    BH step-up then ranks the m strata by (p_micro, stratum), finds
+    k* = max{i : p_(i) <= i*alpha/m} (integer DIV both engines), and
+    rejects ranks <= k* — the FDR discovery set, vs the naive
+    per-test alpha = 0.05 column beside it.
+
+    Null design honesty: consecutive-order totals are exchangeable,
+    so the battery is ~all-null on real data and BH should discover
+    ~nothing while naive alpha leaks ~m*alpha false positives — the
+    planted pytest pins the disagreement the other way too (a strong
+    effect survives BH, a marginal one only naive). Scale: one scan,
+    one 40-row-per-stratum window, then an m-row window — bounded by
+    the 15-stratum domain, not data size.
+
+    Output: stratum, x_greater, p_micro, p_rank, naive_reject,
+    bh_reject.
+    """
+    n2 = 2 * BH_N_PAIRS
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.concat_ws(
+                "/", F.col("o_orderpriority"), F.col("o_orderstatus")
+            ).alias("stratum"),
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stratum").orderBy("o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= n2
+    )
+    qualified = (
+        ranked.groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") == n2)
+        .select("stratum")
+    )
+    pairs = (
+        ranked.join(qualified, "stratum")
+        .groupBy("stratum", ((F.col("rn") - 1) / 2).cast("long").alias("pid"))
+        .agg(
+            F.max(F.when(F.col("rn") % 2 == 1, F.col("cents"))).alias("f"),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col("cents"))).alias("s"),
+        )
+    )
+    p_lookup = F.array(*[F.lit(p) for p in BH_P_MICRO])
+    tests = pairs.groupBy("stratum").agg(
+        F.sum((F.col("f") > F.col("s")).cast("long")).alias("x_greater")
+    ).select(
+        "stratum",
+        "x_greater",
+        F.element_at(p_lookup, F.col("x_greater").cast("int") + 1).alias(
+            "p_micro"
+        ),
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrank = Window.orderBy("p_micro", "stratum")
+    stepped = (
+        tests.withColumn("p_rank", F.row_number().over(wrank))
+        .withColumn("m_tests", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "bh_ok",
+            F.expr(
+                f"CAST(p_micro <= (p_rank * {BH_ALPHA_MICRO}) DIV m_tests"
+                " AS INT)"
+            ),
+        )
+        .withColumn(
+            "k_star",
+            F.max(F.when(F.col("bh_ok") == 1, F.col("p_rank")).otherwise(0)).over(
+                wall
+            ),
+        )
+    )
+    return stepped.select(
+        "stratum",
+        "x_greater",
+        "p_micro",
+        "p_rank",
+        F.expr(f"CAST(p_micro <= {BH_ALPHA_MICRO} AS INT)").alias(
+            "naive_reject"
+        ),
+        F.expr("CAST(p_rank <= k_star AS INT)").alias("bh_reject"),
+    ).orderBy("stratum")
+
+
+def _bh_sql() -> str:
+    lookup = "[" + ", ".join(str(p) for p in BH_P_MICRO) + "]"
+    n2 = 2 * BH_N_PAIRS
+    return f"""
+WITH ranked AS (
+  SELECT o_orderpriority || '/' || o_orderstatus AS stratum,
+         round(o_totalprice * 100)::BIGINT AS cents,
+         row_number() OVER (
+           PARTITION BY o_orderpriority || '/' || o_orderstatus
+           ORDER BY o_orderkey) AS rn
+  FROM orders
+), capped AS (
+  SELECT * FROM ranked WHERE rn <= {n2}
+), qualified AS (
+  SELECT stratum FROM capped GROUP BY 1 HAVING count(*) = {n2}
+), pairs AS (
+  SELECT c.stratum, (rn - 1) // 2 AS pid,
+         max(CASE WHEN rn % 2 = 1 THEN cents END) AS f,
+         max(CASE WHEN rn % 2 = 0 THEN cents END) AS s
+  FROM capped c JOIN qualified q ON c.stratum = q.stratum
+  GROUP BY 1, 2
+), tests AS (
+  SELECT stratum,
+         sum(CASE WHEN f > s THEN 1 ELSE 0 END)::BIGINT AS x_greater
+  FROM pairs GROUP BY 1
+), scored AS (
+  SELECT stratum, x_greater,
+         ({lookup})[x_greater::INT + 1]::BIGINT AS p_micro
+  FROM tests
+), stepped AS (
+  SELECT *,
+         row_number() OVER (ORDER BY p_micro, stratum) AS p_rank,
+         count(*) OVER () AS m_tests
+  FROM scored
+), flagged AS (
+  SELECT *,
+         CASE WHEN p_micro <= (p_rank * {BH_ALPHA_MICRO}) // m_tests
+              THEN p_rank ELSE 0 END AS ok_rank
+  FROM stepped
+)
+SELECT stratum, x_greater, p_micro, p_rank::BIGINT AS p_rank,
+       CASE WHEN p_micro <= {BH_ALPHA_MICRO} THEN 1 ELSE 0 END AS naive_reject,
+       CASE WHEN p_rank <= (SELECT max(ok_rank) FROM flagged)
+            THEN 1 ELSE 0 END AS bh_reject
+FROM flagged
+ORDER BY stratum
+"""
+
+
 QUERIES = {
+    "benjamini_hochberg_battery": benjamini_hochberg_battery,
     "exact_median_selection": exact_median_selection,
     "kruskal_wallis_test": kruskal_wallis_test,
     "anova_oneway": anova_oneway,
@@ -4131,6 +4301,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "benjamini_hochberg_battery": _bh_sql(),
     "exact_median_selection": _EXACT_MEDIAN_SQL,
     "kruskal_wallis_test": _kruskal_sql(),
     "anova_oneway": _anova_sql(),

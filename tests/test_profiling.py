@@ -1304,3 +1304,38 @@ def test_brown_forsythe_hand_model(spark):
     _write_seg_orders(spark, d2, flat)
     r2 = prof.brown_forsythe_test(spark, d2).collect()[0]
     assert r2.f_micro == 0 and r2.reject_05 == 0
+
+
+def test_bh_battery_planted_naive_vs_fdr_disagreement(spark):
+    """The multiple-testing point, pinned: a battery with one STRONG
+    effect (x=20/20, p=0), one MARGINAL one (x=15/20, p=.0207 —
+    naive-significant at .05), and four nulls (x=10/20). Naive alpha
+    rejects both effects; BH at m=6 rejects only the strong one
+    (rank-2 threshold 2*.05/6 = .0167 < .0207) — the step-up must
+    separate them. Exact-integer p lookup, deterministic strata."""
+    import os
+    import tempfile
+
+    rows = []
+    # per stratum: 20 consecutive-key pairs; f>s in `x` of them
+    strata = [("S1", 20), ("S2", 15), ("S3", 10), ("S4", 10),
+              ("S5", 10), ("S6", 10)]
+    for si, (name, x) in enumerate(strata):
+        for p in range(20):
+            base = si * 1000 + p * 2
+            f, s = (100.0, 50.0) if p < x else (50.0, 100.0)
+            rows.append((base + 1, name, "F", f))
+            rows.append((base + 2, name, "F", s))
+    d = tempfile.mkdtemp(prefix="bh_plant_")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderstatus string, "
+        "o_totalprice double",
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+
+    got = {r.stratum: r for r in prof.benjamini_hochberg_battery(spark, d).collect()}
+    assert got["S1/F"].p_micro == 0 and got["S2/F"].p_micro == 20694
+    assert got["S1/F"].naive_reject == 1 and got["S2/F"].naive_reject == 1
+    assert got["S1/F"].bh_reject == 1 and got["S2/F"].bh_reject == 0
+    for s in ("S3/F", "S4/F", "S5/F", "S6/F"):
+        assert got[s].naive_reject == 0 and got[s].bh_reject == 0
