@@ -702,3 +702,99 @@ def test_image_entropy_planted_flat_vs_textured(spark):
     nb = int(n).bit_length()
     ent = sum(int(c) * (nb - int(c).bit_length()) for c in counts if c)
     assert out[2].ent_q == ent
+
+
+def test_jpeg_dc_roundtrip_exact():
+    """The baseline-JPEG DC subset round-trips exactly from real
+    bytes: canonical DHT build, DC prediction, and the crop
+    arithmetic on non-multiple-of-8 dims."""
+    for doc in (0, 5, 17, 123, 255, 300, 4096):
+        w, h = 24 + doc % 17, 16 + doc % 13
+        p = mm._encode_jpeg_dc(w, h, doc)
+        dw, dh, n, s = mm._decode_jpeg_dc(p)
+        want = sum(
+            ((x // 8) * 3 + (y // 8) * 7 + doc) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        assert (dw, dh, n, s) == (w, h, w * h, want)
+
+
+def test_jpeg_byte_stuffing_unstuffed_exactly():
+    """A hand-built scan whose DC jumps (0 -> -128 -> 127) byte-align
+    an 8-ones run produces a REAL stuffed 0xFF00 in the entropy data;
+    the decoder must un-stuff it and still reconstruct exactly."""
+    import struct as st
+
+    dc_tab = mm._huff_canonical(mm._JPG_DC_BITS, mm._JPG_DC_VALS)
+    ac_tab = mm._huff_canonical(mm._JPG_AC_BITS, mm._JPG_AC_VALS)
+    w = mm._BitWriter()
+    pred = 0
+    for dc_target in (0, -128, 127):
+        diff = dc_target - pred
+        pred = dc_target
+        cat = abs(diff).bit_length()
+        code, ln = dc_tab[cat]
+        w.put(code, ln)
+        if cat:
+            bitsv = diff if diff >= 0 else diff + (1 << cat) - 1
+            w.put(bitsv, cat)
+        code, ln = ac_tab[0x00]
+        w.put(code, ln)
+    scan = w.flush()
+    assert b"\xff\x00" in scan  # the run really byte-aligned
+
+    def seg(marker, body):
+        return st.pack(">HH", marker, len(body) + 2) + body
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
+        + seg(0xFFC0, st.pack(">BHHB", 8, 24, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00] + mm._JPG_DC_BITS + mm._JPG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10] + mm._JPG_AC_BITS + mm._JPG_AC_VALS))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    assert mm._decode_jpeg_dc(payload) == (8, 24, 192, 128 * 64 + 255 * 64)
+
+
+def test_jpeg_nonzero_ac_hits_narrowed_seam():
+    """A spec-valid scan carrying ONE nonzero AC coefficient must
+    raise the narrowed NotImplementedError (full IDCT), not decode
+    wrong: hand-build an 8x8 stream whose AC table has a (0,1)
+    symbol and emit it."""
+    import struct as st
+
+    import pytest
+
+    ac_bits = [0, 2] + [0] * 14  # EOB='00', (run0,size1)='01'
+    ac_vals = [0x00, 0x01]
+    dc_tab = mm._huff_canonical(mm._JPG_DC_BITS, mm._JPG_DC_VALS)
+    ac_tab = mm._huff_canonical(ac_bits, ac_vals)
+    w = mm._BitWriter()
+    code, ln = dc_tab[0]
+    w.put(code, ln)  # DC diff 0
+    code, ln = ac_tab[0x01]
+    w.put(code, ln)  # AC (run 0, size 1)
+    w.put(1, 1)  # coefficient +1
+    code, ln = ac_tab[0x00]
+    w.put(code, ln)  # EOB
+    scan = w.flush()
+
+    def seg(marker, body):
+        return st.pack(">HH", marker, len(body) + 2) + body
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
+        + seg(0xFFC0, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00] + mm._JPG_DC_BITS + mm._JPG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10] + ac_bits + ac_vals))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="AC"):
+        mm._decode_jpeg_dc(payload)
