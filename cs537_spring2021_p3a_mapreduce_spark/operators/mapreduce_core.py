@@ -1291,6 +1291,88 @@ FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
 """
 
 
+def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE INTO on the manifest table with FILE-SCOPED
+    copy-on-write (``sources/manifest_sink.merge_upsert``) — the
+    upsert arm of the CRUD lifecycle, now as an optimistic
+    transaction like DELETE: orders land priority-clustered (one
+    file per priority), then one merge batch UPDATES the urgent
+    orders with o_orderkey % 7 = 0 (price bumped by exactly 1000.00)
+    and INSERTS synthetic new orders under fresh keys. Only the
+    urgent file is rewritten (matched rows anti-joined out with a
+    broadcast of the update keys); the other priority files carry by
+    reference; all update rows land in one appended file —
+    last-write-wins per key, verified by reading the merged view
+    back. A commit landing between plan and commit would abort or
+    rebase via ``commit_transaction`` (pinned in
+    tests/test_sources.py).
+
+    Output: o_orderpriority, n_orders, sum_cents.
+    """
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        merge_upsert,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_mrg_"), "t")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition("o_orderpriority")
+    )
+    orders.write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    updates = base.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 7 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+    inserts = (
+        spark.range(1, 11)
+        .select(
+            (F.col("id") + max_key).alias("o_orderkey"),
+            F.lit("9-SYNTH").alias("o_orderpriority"),
+            (F.col("id") * 10.0).alias("o_totalprice"),
+        )
+    )
+    merge_upsert(
+        spark, path, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    back = read_manifest_table(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+_MANIFEST_MERGE = """
+WITH max_k AS (SELECT max(o_orderkey) AS mk FROM orders),
+merged AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
+              THEN o_totalprice + 1000.0 ELSE o_totalprice END AS p
+  FROM orders
+  UNION ALL
+  SELECT '9-SYNTH', id * 10.0
+  FROM max_k, unnest(generate_series(1, 10)) AS u(id)
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(round(p * 100)::BIGINT)::BIGINT AS sum_cents
+FROM merged GROUP BY 1
+"""
+
+
 def concurrent_writers_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMISTIC MULTI-WRITER semantics on the manifest table — the
     Delta/Iceberg ConcurrentModification contract
@@ -2064,6 +2146,7 @@ QUERIES = {
     "multi_table_commit_roundtrip": multi_table_commit_roundtrip,
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
+    "manifest_merge_upsert": manifest_merge_upsert,
     "concurrent_writers_conflict": concurrent_writers_conflict,
     "manifest_changes_cdc": manifest_changes_cdc,
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
@@ -2150,6 +2233,7 @@ ORACLES = {
     "multi_table_commit_roundtrip": _MULTI_TABLE_SQL,
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,
+    "manifest_merge_upsert": _MANIFEST_MERGE,
     "concurrent_writers_conflict": _CONCURRENT_WRITERS,
     "manifest_changes_cdc": _MANIFEST_CDC,
     "dynamic_partition_overwrite": _DYN_OVERWRITE,

@@ -443,6 +443,89 @@ def plan_delete(spark, path: str, condition: str) -> dict:
     }
 
 
+def plan_merge(spark, path: str, updates, key_cols: list[str]) -> dict:
+    """Phase 1 of keyed MERGE (upsert) as an optimistic transaction —
+    the Delta ``MERGE INTO`` / Iceberg copy-on-write upsert in the
+    repo's minimal honest form: only files CONTAINING matched keys
+    are rewritten (their matched rows dropped); every update row —
+    matched or brand-new — lands in one appended file, so the merged
+    view is last-write-wins per key. File scoping mirrors
+    ``plan_delete``: one semi-join scan finds the hit files, each is
+    rewritten with a broadcast anti-join on the keys; untouched files
+    carry by reference at commit. Returns the staged transaction for
+    ``commit_transaction`` (conflicts abort; disjoint commits rebase).
+    """
+    _require_local(path, "plan_merge")
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    base_generation = manifest.get("generation", 0)
+    files = [f["file"] for f in manifest["files"]]
+    keys = updates.select(*key_cols).distinct()
+    hit_rows = (
+        spark.read.parquet(*[os.path.join(path, f) for f in files])
+        # input_file_name() must be captured BEFORE the join: Spark
+        # rejects it once the plan has more than one source
+        .select(F.input_file_name().alias("f"), *key_cols)
+        .join(broadcast(keys), key_cols, "left_semi")
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hit_files = {os.path.basename(r.f.removeprefix("file:")) for r in hit_rows}
+
+    def _adopt(df) -> dict | None:
+        n = df.count()
+        if n == 0:
+            return None
+        tmpdir = _tempfile.mkdtemp(prefix="mmerge_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+        written = _glob.glob(os.path.join(tmpdir, "part-*.parquet"))[0]
+        newname = f"part-{uuid.uuid4().hex}.parquet"
+        _shutil.move(written, os.path.join(path, newname))
+        _shutil.rmtree(tmpdir, ignore_errors=True)
+        return {"file": newname, "n_rows": n}
+
+    add_entries = []
+    for f in sorted(hit_files):
+        survivors = (
+            spark.read.parquet(os.path.join(path, f))
+            .join(broadcast(keys), key_cols, "left_anti")
+        )
+        entry = _adopt(survivors)
+        if entry is not None:
+            add_entries.append(entry)
+    upd_entry = _adopt(updates)
+    if upd_entry is not None:
+        add_entries.append(upd_entry)
+    return {
+        "base_generation": base_generation,
+        "remove_files": sorted(hit_files),
+        "add_entries": add_entries,
+        "op": "merge",
+        "keys": key_cols,
+    }
+
+
+def merge_upsert(spark, path: str, updates, key_cols: list[str]) -> int:
+    """Keyed MERGE with immediate optimistic commit: returns the
+    number of files rewritten; a superseding overlapping commit
+    aborts (staged files cleaned) and raises."""
+    txn = plan_merge(spark, path, updates, key_cols)
+    try:
+        commit_transaction(path, txn)
+    except ConcurrentWriteConflictError:
+        abort_transaction(path, txn)
+        raise
+    return len(txn["remove_files"])
+
+
 def abort_transaction(path: str, txn: dict) -> None:
     """Remove a staged transaction's part files (never-committed, so
     no reader ever saw them) — the cleanup arm of a conflict abort."""

@@ -705,6 +705,68 @@ def test_optimistic_txn_disjoint_rebases_overlap_aborts(spark, tmp_path):
     assert doc["op"] == "overwrite"
 
 
+def test_merge_upsert_file_scoped_and_optimistic(spark, tmp_path):
+    """Keyed MERGE: only files containing matched keys are rewritten
+    (cold file carries by name), update rows win per key, inserts
+    appear, and two merges that rewrite the SAME file conflict —
+    second committer aborts cleanly."""
+    import json
+    import os
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        MANIFEST,
+        ConcurrentWriteConflictError,
+        ManifestParquetSink,
+        abort_transaction,
+        commit_transaction,
+        merge_upsert,
+        plan_merge,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 100 else "cold", i * 1.0) for i in range(1000)],
+        "k long, tag string, v double",
+    ).repartitionByRange(4, "k")
+    df.write.format("mr_manifest").option("path", path).mode("append").save()
+
+    def files():
+        with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+            return {e["file"] for e in json.load(fh)["files"]}
+
+    before = files()
+    updates = spark.createDataFrame(
+        [(5, "hot", 555.0), (2000, "new", 1.0)], "k long, tag string, v double"
+    )
+    n_rewritten = merge_upsert(spark, path, updates, ["k"])
+    after = files()
+    assert n_rewritten == 1  # only the hot file contained k=5
+    assert before & after, "cold files must carry over by name"
+    got = {r.k: (r.tag, r.v) for r in read_manifest_table(spark, path).collect()}
+    assert got[5] == ("hot", 555.0)  # update won
+    assert got[2000] == ("new", 1.0)  # insert landed
+    assert len(got) == 1001 and got[6] == ("hot", 6.0)
+
+    # overlapping merges: both rewrite the (new) file holding k=7
+    u1 = spark.createDataFrame([(7, "hot", 7.7)], "k long, tag string, v double")
+    u2 = spark.createDataFrame([(7, "hot", 8.8)], "k long, tag string, v double")
+    t1 = plan_merge(spark, path, u1, ["k"])
+    t2 = plan_merge(spark, path, u2, ["k"])
+    commit_transaction(path, t1)
+    with pytest.raises(ConcurrentWriteConflictError):
+        commit_transaction(path, t2)
+    abort_transaction(path, t2)
+    got = {r.k: r.v for r in read_manifest_table(spark, path).collect()}
+    assert got[7] == 7.7  # first committer's value stands
+
+
 def test_dynamic_overwrite_touches_only_written_partitions(spark):
     """The non-error partitions must come back byte-identical after
     the dynamic-mode rewrite of the error partition."""
