@@ -193,6 +193,14 @@ def commit_transaction(path: str, txn: dict) -> int:
             "op": txn.get("op", "txn"),
             "base_generation": base,
         }
+        # streaming exactly-once bookkeeping (the Delta txn
+        # appId→version idempotence contract): per-writer last-applied
+        # epoch, carried forward through every commit and rebased like
+        # the listing, so a REPLAYED foreachBatch epoch is detectable
+        # no matter which commits landed in between.
+        epochs = {**cur.get("epochs", {}), **txn.get("epochs", {})}
+        if epochs:
+            doc["epochs"] = epochs
         tmp = os.path.join(path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(doc, fh)
@@ -358,6 +366,10 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                 "files": files,
                 "op": "overwrite" if self.overwrite else "append",
             }
+            if os.path.exists(manifest_path) and prev.get("epochs"):
+                # streaming writers' exactly-once bookkeeping survives
+                # batch commits (Delta keeps txn versions across both)
+                doc["epochs"] = prev["epochs"]
             # every commit also snapshots itself as _MANIFEST.g<N>:
             # TIME TRAVEL in its minimal honest form — old generations
             # stay readable because commits never delete part files
@@ -468,7 +480,7 @@ def plan_merge(spark, path: str, updates, key_cols: list[str]) -> dict:
     base_generation = manifest.get("generation", 0)
     files = [f["file"] for f in manifest["files"]]
     keys = updates.select(*key_cols).distinct()
-    hit_rows = (
+    hit_rows = [] if not files else (
         spark.read.parquet(*[os.path.join(path, f) for f in files])
         # input_file_name() must be captured BEFORE the join: Spark
         # rejects it once the plan has more than one source
@@ -597,6 +609,36 @@ def vacuum_manifest_table(path: str, keep_generations: int = 1) -> list[str]:
             elif f.startswith(f"{MANIFEST}.g") and f not in keep_snaps:
                 os.remove(os.path.join(path, f))
         return deleted
+
+
+def create_manifest_table(path: str) -> None:
+    """Initialize an EMPTY manifest table (generation 1, no files) —
+    the CREATE TABLE a streaming writer needs before its first
+    micro-batch can run the read-merge-commit loop."""
+    _require_local(path, "create_manifest_table")
+    os.makedirs(path, exist_ok=True)
+    with _commit_lock(path):
+        manifest_path = os.path.join(path, MANIFEST)
+        if os.path.exists(manifest_path):
+            return
+        doc = {"generation": 1, "files": [], "op": "create"}
+        tmp = os.path.join(path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        snap = os.path.join(path, f"{MANIFEST}.g1")
+        tmp_snap = f"{snap}.{uuid.uuid4().hex}.tmp"
+        with open(tmp_snap, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp_snap, snap)
+        os.replace(tmp, manifest_path)
+
+
+def last_stream_epoch(path: str, app_id: str) -> int:
+    """The last foreachBatch epoch COMMITTED for ``app_id`` (-1 if
+    none) — read it, skip any batch_id <= it: exactly-once upserts
+    under micro-batch replay."""
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        return int(json.load(fh).get("epochs", {}).get(app_id, -1))
 
 
 def read_manifest_table(

@@ -2681,6 +2681,134 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("pattern")
 
 
+def stream_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXACTLY-ONCE MERGE into the manifest table — the
+    lakehouse sink pattern (Delta's foreachBatch + txn appId→version
+    idempotence): per-user event counts are upserted into a manifest
+    table by a ``foreachBatch`` loop that (1) SKIPS any epoch at or
+    below the table's recorded last-applied epoch for this writer,
+    (2) reads current totals, adds the batch's increments
+    (read-modify-write under the optimistic transaction), and (3)
+    commits the merge WITH the epoch in one atomic manifest swap —
+    so a replayed micro-batch (crash between sink commit and
+    checkpoint advance, the classic double-apply window) cannot
+    double-count. The replay is then EXERCISED, not assumed: the
+    whole staged input is re-applied under the final epoch id and the
+    table generation must not move.
+
+    Output: user_id, n_events, replay_noop (1 iff the staged replay
+    changed nothing).
+    """
+    import uuid
+
+    from ..sources.manifest_sink import (
+        MANIFEST,
+        ManifestParquetSink,
+        commit_transaction,
+        create_manifest_table,
+        last_stream_epoch,
+        plan_merge,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    work = scratch_dir("stream_mm_")
+    src = os.path.join(work, "in")
+    os.makedirs(src, exist_ok=True)
+    _copy_table_files(sf_dir, "events", src)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = os.path.join(work, "t")
+    create_manifest_table(path)
+    app_id = "user_counts_v1"
+
+    def _totals(spark_):
+        try:
+            return read_manifest_table(spark_, path)
+        except ValueError:
+            return None  # empty table: first batch
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        if batch_id <= last_stream_epoch(path, app_id):
+            return  # replayed epoch: exactly-once skip
+        inc = bdf.groupBy("user_id").agg(F.count(F.lit(1)).alias("inc"))
+        cur = _totals(sp)
+        if cur is None:
+            updates = inc.select(
+                "user_id", F.col("inc").alias("n_events")
+            )
+        else:
+            updates = (
+                inc.join(cur, "user_id", "left")
+                .select(
+                    "user_id",
+                    (
+                        F.col("inc")
+                        + F.coalesce(F.col("n_events"), F.lit(0))
+                    ).alias("n_events"),
+                )
+            )
+        txn = plan_merge(sp, path, updates, ["user_id"])
+        txn["op"] = "stream_merge"
+        txn["epochs"] = {app_id: int(batch_id)}
+        commit_transaction(path, txn)
+
+    # ~3 micro-batches regardless of how many part files the staging
+    # produced: epoch bookkeeping needs multi-batch progression, but a
+    # merge-commit PER FILE on a 32-part staging is per-batch overhead
+    # × 32 for no extra coverage
+    n_files = sum(
+        1 for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    per_trigger = max(1, (n_files + 2) // 3)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(per_trigger))
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation", os.path.join(work, f"ckpt_{uuid.uuid4().hex[:8]}")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # exercise the double-apply window: replay the ENTIRE input under
+    # the final epoch — the skip must hold and the generation not move
+    import json as _json
+
+    def _gen() -> int:
+        with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+            return _json.load(fh)["generation"]
+
+    gen_before = _gen()
+    apply_batch(
+        spark.read.parquet(src), last_stream_epoch(path, app_id)
+    )
+    replay_noop = int(_gen() == gen_before)
+
+    return (
+        read_manifest_table(spark, path)
+        .select(
+            "user_id",
+            "n_events",
+            F.lit(replay_noop).alias("replay_noop"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAM_MERGE_MANIFEST = """
+SELECT user_id, count(*)::BIGINT AS n_events, 1 AS replay_noop
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def stream_custom_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry for the CUSTOM PYTHON STREAMING SINK
     (DataSource ``streamWriter`` with per-epoch idempotent commits):
@@ -2962,6 +3090,7 @@ QUERIES = {
     "stream_late_data_audit": stream_late_data_audit,
     "stream_pattern_match": stream_pattern_match,
     "stream_custom_sink_totals": stream_custom_sink_totals,
+    "stream_merge_manifest": stream_merge_manifest,
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_gopher_filter": stream_gopher_filter,
     "stream_decontaminate": stream_decontaminate,
@@ -3045,6 +3174,7 @@ ORACLES = {
         "sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents "
         "FROM events GROUP BY 1 ORDER BY 1"
     ),
+    "stream_merge_manifest": _STREAM_MERGE_MANIFEST,
     # idle users (last event + 30 min ≤ max ts − 1 h) must have ALL
     # their sessions closed by the end watermark, so their closed
     # totals equal their plain event counts — batch-split-invariant.

@@ -767,6 +767,55 @@ def test_merge_upsert_file_scoped_and_optimistic(spark, tmp_path):
     assert got[7] == 7.7  # first committer's value stands
 
 
+def test_stream_epoch_bookkeeping_survives_commits(spark, tmp_path):
+    """Exactly-once epochs: a committed merge records its writer's
+    epoch; the epoch map is carried forward by LATER transactions,
+    blind appends, and rebases, so a replayed epoch is detectable no
+    matter what landed in between; two writers' epochs coexist."""
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ConcurrentWriteConflictError,
+        ManifestParquetSink,
+        commit_transaction,
+        create_manifest_table,
+        last_stream_epoch,
+        plan_merge,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    create_manifest_table(path)
+    assert last_stream_epoch(path, "app_a") == -1
+
+    def merge(rows, app, epoch):
+        upd = spark.createDataFrame(rows, "k long, v long")
+        txn = plan_merge(spark, path, upd, ["k"])
+        txn["epochs"] = {app: epoch}
+        commit_transaction(path, txn)
+
+    merge([(1, 10), (2, 20)], "app_a", 0)
+    merge([(2, 21), (3, 30)], "app_a", 1)
+    assert last_stream_epoch(path, "app_a") == 1
+    # a second writer's epochs coexist without clobbering the first
+    merge([(9, 90)], "app_b", 5)
+    assert last_stream_epoch(path, "app_a") == 1
+    assert last_stream_epoch(path, "app_b") == 5
+    # a blind batch APPEND carries the epoch map forward
+    spark.createDataFrame([(100, 0)], "k long, v long").write.format(
+        "mr_manifest"
+    ).option("path", path).mode("append").save()
+    assert last_stream_epoch(path, "app_a") == 1
+    # replayed epoch is detectable (the caller's skip contract)
+    assert 1 <= last_stream_epoch(path, "app_a")
+    got = {r.k: r.v for r in read_manifest_table(spark, path).collect()}
+    assert got == {1: 10, 2: 21, 3: 30, 9: 90, 100: 0}
+
+
 def test_dynamic_overwrite_touches_only_written_partitions(spark):
     """The non-error partitions must come back byte-identical after
     the dynamic-mode rewrite of the error partition."""
