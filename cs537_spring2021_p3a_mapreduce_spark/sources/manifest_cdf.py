@@ -1,0 +1,173 @@
+"""CHANGE DATA FEED as a custom STREAMING source over the manifest
+table: the offset axis is the table GENERATION, each micro-batch
+emits the row-level changes of exactly one commit (insert/delete
+rows derived by multiset-diffing the files that commit added against
+the files it removed) — Delta's CDF `readChangeFeed` / Iceberg's
+changelog scan, derived from the snapshots the sink already writes
+rather than logged separately.
+
+Scale honesty: a generation's change volume is bounded by the COMMIT
+size (the added/removed files), not the table size — the same
+file-scoping property `delete_where`/`plan_merge` have on the write
+side. Rows moved between files by a rewrite cancel in the multiset
+diff and never surface as changes. The driver side is pure offset
+arithmetic on the manifest json; executors read only the touched
+part files.
+
+Completes the connector matrix on the table-format axis: batch sink
+(`manifest_sink`), batch CDC (`manifest_changes_cdc`), custom
+streaming source (`eventlog_stream`) — and now the streaming CDC
+read path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .eventlog_stream import _ARROW_TO_DDL
+
+MANIFEST = "_MANIFEST"
+
+
+def _load(path: str, name: str) -> dict:
+    with open(os.path.join(path, name), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _gen_files(path: str, gen: int) -> list[str]:
+    if gen <= 0:
+        return []
+    return [e["file"] for e in _load(path, f"{MANIFEST}.g{gen}")["files"]]
+
+
+class GenRange(InputPartition):
+    """One executor task: the change feed of a single generation."""
+
+    def __init__(self, path: str, gen: int):
+        self.path = path
+        self.gen = gen
+
+
+class ManifestCDFStreamSource(DataSource):
+    """``spark.readStream.format("mr_manifest_cdf")
+    .option("path", <table dir>).option("start_gen", g)`` — emits
+    (gen, change_type, <table columns>) rows, one generation per
+    micro-batch, starting after generation ``start_gen``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mr_manifest_cdf"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("mr_manifest_cdf requires option('path', <dir>)")
+        files = _load(path, MANIFEST)["files"]
+        if not files:
+            raise ValueError(f"empty manifest table at {path}")
+        sch = pq.read_schema(os.path.join(path, files[0]["file"]))
+        cols = ["gen int", "change_type string"]
+        for field in sch:
+            ddl = _ARROW_TO_DDL.get(str(field.type))
+            if ddl is None:
+                raise ValueError(
+                    f"unmapped arrow type {field.type} for column {field.name}"
+                )
+            cols.append(f"{field.name} {ddl}")
+        return ", ".join(cols)
+
+    def streamReader(self, schema) -> "ManifestCDFStreamReader":
+        return ManifestCDFStreamReader(self.options)
+
+
+class ManifestCDFStreamReader(DataSourceStreamReader):
+    """Offset = {"gen": g}: change feeds of generations <= g are
+    consumed. latestOffset paces ONE generation per trigger (the
+    maxOffsetsPerTrigger analog), so a backlog of commits drains as
+    deterministic per-commit batches and recovery replays exact
+    generation ranges via ``partitions(start, end)``."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mr_manifest_cdf requires option('path', <dir>)")
+        self.start_gen = int(options.get("start_gen", 0))
+        self._cur = self.start_gen
+
+    def initialOffset(self) -> dict:
+        return {"gen": self.start_gen}
+
+    def latestOffset(self) -> dict:
+        cur_gen = int(_load(self.path, MANIFEST).get("generation", 0))
+        self._cur = max(self._cur, min(self._cur + 1, cur_gen))
+        return {"gen": self._cur}
+
+    def partitions(self, start: dict, end: dict) -> list[GenRange]:
+        lo, hi = start["gen"], end["gen"]
+        # recovery: never plan behind a committed checkpoint again
+        self._cur = max(self._cur, hi)
+        return [GenRange(self.path, g) for g in range(lo + 1, hi + 1)]
+
+    def read(self, part: GenRange):
+        from collections import Counter
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        prev = set(_gen_files(part.path, part.gen - 1))
+        cur = set(_gen_files(part.path, part.gen))
+        arrow_schema = None
+
+        def rows_of(files: set[str]) -> Counter:
+            nonlocal arrow_schema
+            counter: Counter = Counter()
+            for f in sorted(files):
+                tbl = pq.read_table(os.path.join(part.path, f))
+                arrow_schema = tbl.schema
+                names = tbl.schema.names
+                for row in tbl.to_pylist():
+                    counter[tuple(row[c] for c in names)] += 1
+            return counter
+
+        added = rows_of(cur - prev)
+        removed = rows_of(prev - cur)
+        if arrow_schema is None:
+            return
+        names = arrow_schema.names
+        out: dict[str, list] = {"gen": [], "change_type": []}
+        for c in names:
+            out[c] = []
+
+        def emit(kind: str, mine: Counter, other: Counter) -> None:
+            for key, n in sorted(mine.items(), key=lambda kv: str(kv[0])):
+                surplus = n - other.get(key, 0)
+                for _ in range(max(0, surplus)):
+                    out["gen"].append(part.gen)
+                    out["change_type"].append(kind)
+                    for c, v in zip(names, key):
+                        out[c].append(v)
+
+        emit("insert", added, removed)
+        emit("delete", removed, added)
+        if not out["gen"]:
+            return
+        tbl = pa.table(
+            {k: pa.array(v) for k, v in out.items()},
+            schema=pa.schema(
+                [("gen", pa.int32()), ("change_type", pa.string())]
+                + [(c, arrow_schema.field(c).type) for c in names]
+            ),
+        )
+        yield from tbl.to_batches(max_chunksize=8192)
+
+    def commit(self, end: dict) -> None:
+        pass

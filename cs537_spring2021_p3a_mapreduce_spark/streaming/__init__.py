@@ -2809,6 +2809,169 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHANGE DATA FEED over the manifest table
+    (``sources/manifest_cdf.ManifestCDFStreamSource``): the offset
+    axis is the table GENERATION — each micro-batch emits exactly one
+    commit's row-level changes, derived by multiset-diffing the files
+    that commit added against the files it removed (rows a rewrite
+    merely MOVED cancel; change volume is bounded by commit size, not
+    table size). The staged table takes three commits: append (gen 1,
+    skipped via start_gen), an optimistic keyed MERGE (updates +
+    inserts, gen 2), and a copy-on-write DELETE (gen 3); the drained
+    feed is reclassified — a key appearing as both insert and delete
+    within one generation is an update (pre/post images) — and rolled
+    up per (gen, change_type).
+
+    Output: gen, change_type, n_rows, sum_cents.
+    """
+    import uuid
+
+    from ..catalog import table as _table
+    from ..sources.manifest_cdf import ManifestCDFStreamSource
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where,
+        merge_upsert,
+    )
+
+    for src_cls in (ManifestParquetSink, ManifestCDFStreamSource):
+        try:
+            spark.dataSource.register(src_cls)
+        except Exception:
+            pass
+
+    work = scratch_dir("stream_cdf_")
+    path = os.path.join(work, "t")
+    base = _table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    k = F.col("k")
+    base.where(k % 2 == 0).coalesce(1).write.format("mr_manifest").option(
+        "path", path
+    ).mode("append").save()  # gen 1
+    updates = base.where((k % 2 == 0) & (k % 10 == 0)).withColumn(
+        "cents", F.col("cents") + 111
+    )
+    inserts = base.where(k % 10 == 1)
+    merge_upsert(spark, path, updates.unionByName(inserts), ["k"])  # gen 2
+    delete_where(spark, path, "k % 2 = 0 AND k % 14 = 0 AND k % 10 <> 0")  # 3
+
+    feed = (
+        spark.readStream.format("mr_manifest_cdf")
+        .option("path", path)
+        .option("start_gen", "1")
+        .load()
+    )
+    name = f"stream_cdf_{uuid.uuid4().hex[:8]}"
+    # a Python micro-batch source doesn't support availableNow (it
+    # would snapshot one paced offset step); drain with a continuous
+    # trigger and stop once the committed offset reaches the table's
+    # current generation — the offset axis IS the progress signal
+    # (the mr_eventlog drain discipline)
+    import json as _json
+    import time as _time
+
+    from ..sources.manifest_sink import MANIFEST as _MF
+
+    with open(os.path.join(path, _MF), encoding="utf-8") as fh:
+        target_gen = _json.load(fh)["generation"]
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+        p = q.lastProgress
+        if p and p["sources"]:
+            end = p["sources"][0].get("endOffset")
+            if isinstance(end, str):
+                import ast
+
+                try:
+                    end = _json.loads(end)
+                except ValueError:
+                    end = ast.literal_eval(end)
+            if end and end.get("gen", 0) >= target_gen:
+                q.processAllAvailable()
+                break
+        _time.sleep(0.05)
+    else:
+        q.stop()
+        raise TimeoutError("mr_manifest_cdf drain did not reach head gen")
+    q.stop()
+    raw = spark.table(name)
+    # update keys = (gen, k) carrying BOTH an insert and a delete —
+    # one aggregate, and re-aliased to fresh names so the join back
+    # onto `raw` has no conflicting memory-view lineage
+    upd_keys = (
+        raw.groupBy("gen", "k")
+        .agg(
+            F.max((F.col("change_type") == "insert").cast("int")).alias("hi"),
+            F.max((F.col("change_type") == "delete").cast("int")).alias("hd"),
+        )
+        .where((F.col("hi") == 1) & (F.col("hd") == 1))
+        .select(
+            F.col("gen").alias("u_gen"),
+            F.col("k").alias("u_k"),
+            F.lit(1).alias("is_upd"),
+        )
+    )
+    classified = raw.join(
+        upd_keys,
+        (F.col("gen") == F.col("u_gen")) & (F.col("k") == F.col("u_k")),
+        "left",
+    ).select(
+        "gen",
+        F.when(
+            F.col("is_upd").isNotNull(),
+            F.when(
+                F.col("change_type") == "insert", F.lit("update_post")
+            ).otherwise(F.lit("update_pre")),
+        )
+        .otherwise(F.col("change_type"))
+        .alias("change_type"),
+        "cents",
+    )
+    return (
+        classified.groupBy("gen", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("gen", "change_type")
+    )
+
+
+_STREAM_MANIFEST_CDF = """
+WITH base AS (
+  SELECT o_orderkey AS k, round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+), evens AS (SELECT * FROM base WHERE k % 2 = 0),
+ch AS (
+  SELECT 2 AS gen, 'update_pre' AS change_type, cents
+  FROM evens WHERE k % 10 = 0
+  UNION ALL
+  SELECT 2, 'update_post', cents + 111 FROM evens WHERE k % 10 = 0
+  UNION ALL
+  SELECT 2, 'insert', cents FROM base WHERE k % 10 = 1
+  UNION ALL
+  SELECT 3, 'delete', cents FROM evens WHERE k % 14 = 0 AND k % 10 <> 0
+)
+SELECT gen, change_type, count(*)::BIGINT AS n_rows,
+       sum(cents)::BIGINT AS sum_cents
+FROM ch GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def stream_custom_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible entry for the CUSTOM PYTHON STREAMING SINK
     (DataSource ``streamWriter`` with per-epoch idempotent commits):
@@ -3091,6 +3254,7 @@ QUERIES = {
     "stream_pattern_match": stream_pattern_match,
     "stream_custom_sink_totals": stream_custom_sink_totals,
     "stream_merge_manifest": stream_merge_manifest,
+    "stream_manifest_cdf": stream_manifest_cdf,
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_gopher_filter": stream_gopher_filter,
     "stream_decontaminate": stream_decontaminate,
@@ -3175,6 +3339,7 @@ ORACLES = {
         "FROM events GROUP BY 1 ORDER BY 1"
     ),
     "stream_merge_manifest": _STREAM_MERGE_MANIFEST,
+    "stream_manifest_cdf": _STREAM_MANIFEST_CDF,
     # idle users (last event + 30 min ≤ max ts − 1 h) must have ALL
     # their sessions closed by the end watermark, so their closed
     # totals equal their plain event counts — batch-split-invariant.

@@ -1365,3 +1365,93 @@ def test_catalog_concurrent_publishers_serialize(spark, tmp_path):
     doc = read_catalog(base)
     assert doc["version"] == 4  # every publish landed, serialized
     assert doc["tables"] == {"x": 1, "y": 1}
+
+
+def test_manifest_cdf_stream_per_generation_diffs(spark, tmp_path):
+    """The CDF streaming source: each generation drains as its own
+    offset step, a copy-on-write DELETE surfaces ONLY the deleted
+    rows (survivors the rewrite merely moved between files cancel in
+    the multiset diff), and an append surfaces only its new rows."""
+    import json
+    import time
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_cdf import (
+        ManifestCDFStreamSource,
+    )
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        MANIFEST,
+        ManifestParquetSink,
+        delete_where,
+    )
+
+    for cls in (ManifestParquetSink, ManifestCDFStreamSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "k long, v long"
+    ).coalesce(1).write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()  # gen 1
+    delete_where(spark, path, "k < 3")  # gen 2: rewrite, survivors move
+    spark.createDataFrame(
+        [(100, 1), (101, 2)], "k long, v long"
+    ).coalesce(1).write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()  # gen 3
+
+    feed = (
+        spark.readStream.format("mr_manifest_cdf")
+        .option("path", path)
+        .option("start_gen", "1")
+        .load()
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("cdf_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.exception() is not None:
+            raise q.exception()
+        p = q.lastProgress
+        if p and p["sources"]:
+            end = p["sources"][0].get("endOffset")
+            if isinstance(end, str):
+                import ast
+
+                try:
+                    end = json.loads(end)
+                except ValueError:
+                    end = ast.literal_eval(end)
+            if end and end.get("gen", 0) >= 3:
+                q.processAllAvailable()
+                break
+        time.sleep(0.05)
+    else:
+        q.stop()
+        raise TimeoutError("cdf drain stalled")
+    # each generation drained as its own micro-batch (offset pacing)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2
+    q.stop()
+    got = [
+        (r.gen, r.change_type, r.k, r.v)
+        for r in spark.table("cdf_test").collect()
+    ]
+    # gen 2: ONLY the three deleted rows — no insert/delete noise for
+    # the 7 survivors the rewrite moved into a new file
+    assert sorted(t for t in got if t[0] == 2) == [
+        (2, "delete", 0, 0), (2, "delete", 1, 10), (2, "delete", 2, 20)
+    ]
+    # gen 3: only the appended rows
+    assert sorted(t for t in got if t[0] == 3) == [
+        (3, "insert", 100, 1), (3, "insert", 101, 2)
+    ]
+    assert {t[0] for t in got} == {2, 3}
