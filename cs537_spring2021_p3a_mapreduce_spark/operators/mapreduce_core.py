@@ -1373,6 +1373,113 @@ FROM merged GROUP BY 1
 """
 
 
+def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLD-TABLE MAINTENANCE FROM THE CHANGE FEED — the lakehouse
+    pipeline shape (Delta CDF → incremental MERGE into a downstream
+    rollup): a materialized group rollup of the table's FIRST
+    generation absorbs the later commits' changes as SIGNED deltas
+    read from ONLY the files each commit added/removed (never a
+    snapshot rescan — refresh work ∝ commit size, the counting-method
+    IVM ``ivm_aggregate_maintenance`` proves on synthetic deltas, here
+    driven by the real table log). Rows a rewrite merely moved appear
+    +1/−1 and cancel inside the keyed aggregate, so no explicit
+    multiset diff is even needed; groups whose maintained count hits
+    zero vanish. The staged table takes the same three commits as
+    ``stream_manifest_cdf`` (append, optimistic keyed merge,
+    copy-on-write delete); the oracle rebuilds the rollup from the
+    FINAL logical state closed-form — a missed retraction or
+    double-applied insert hash-mismatches.
+
+    Output: grp, n_rows, sum_cents.
+    """
+    from ..sources.manifest_cdf import _gen_files
+    from ..sources.manifest_sink import (
+        MANIFEST,
+        ManifestParquetSink,
+        delete_where,
+        merge_upsert,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("cdf_ivm_"), "t")
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    k = F.col("k")
+    base.where(k % 2 == 0).coalesce(1).write.format("mr_manifest").option(
+        "path", path
+    ).mode("append").save()  # gen 1
+    updates = base.where((k % 2 == 0) & (k % 10 == 0)).withColumn(
+        "cents", F.col("cents") + 111
+    )
+    merge_upsert(
+        spark, path, updates.unionByName(base.where(k % 10 == 1)), ["k"]
+    )  # gen 2
+    delete_where(spark, path, "k % 2 = 0 AND k % 14 = 0 AND k % 10 <> 0")  # 3
+
+    grp = (F.col("k") % 100).alias("grp")
+    v1 = read_manifest_table(spark, path, as_of=1).select(
+        grp, F.lit(1).alias("dn"), F.col("cents").alias("ds")
+    )
+    import json as _json
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        head = _json.load(fh)["generation"]
+    parts = [v1]
+    for g in range(2, head + 1):
+        prev = set(_gen_files(path, g - 1))
+        cur = set(_gen_files(path, g))
+        added = sorted(cur - prev)
+        removed = sorted(prev - cur)
+        if added:
+            parts.append(
+                spark.read.parquet(*[os.path.join(path, f) for f in added])
+                .select(grp, F.lit(1).alias("dn"), F.col("cents").alias("ds"))
+            )
+        if removed:
+            parts.append(
+                spark.read.parquet(*[os.path.join(path, f) for f in removed])
+                .select(
+                    grp,
+                    F.lit(-1).alias("dn"),
+                    (-F.col("cents")).alias("ds"),
+                )
+            )
+    from functools import reduce
+
+    allrows = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        allrows.groupBy("grp")
+        .agg(F.sum("dn").alias("n_rows"), F.sum("ds").alias("sum_cents"))
+        .where(F.col("n_rows") > 0)
+        .orderBy("grp")
+    )
+
+
+_CDF_IVM = """
+WITH base AS (
+  SELECT o_orderkey AS k, round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+), final_rows AS (
+  SELECT k, cents FROM base
+  WHERE k % 2 = 0 AND k % 10 <> 0 AND k % 14 <> 0
+  UNION ALL
+  SELECT k, cents + 111 FROM base WHERE k % 2 = 0 AND k % 10 = 0
+  UNION ALL
+  SELECT k, cents FROM base WHERE k % 10 = 1
+)
+SELECT k % 100 AS grp, count(*)::BIGINT AS n_rows,
+       sum(cents)::BIGINT AS sum_cents
+FROM final_rows GROUP BY 1 ORDER BY 1
+"""
+
+
 def concurrent_writers_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMISTIC MULTI-WRITER semantics on the manifest table — the
     Delta/Iceberg ConcurrentModification contract
@@ -2148,6 +2255,7 @@ QUERIES = {
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_merge_upsert": manifest_merge_upsert,
     "concurrent_writers_conflict": concurrent_writers_conflict,
+    "cdf_incremental_rollup": cdf_incremental_rollup,
     "manifest_changes_cdc": manifest_changes_cdc,
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "file_metadata_scan": file_metadata_scan,
@@ -2235,6 +2343,7 @@ ORACLES = {
     "manifest_delete_rows": _MANIFEST_DEL,
     "manifest_merge_upsert": _MANIFEST_MERGE,
     "concurrent_writers_conflict": _CONCURRENT_WRITERS,
+    "cdf_incremental_rollup": _CDF_IVM,
     "manifest_changes_cdc": _MANIFEST_CDC,
     "dynamic_partition_overwrite": _DYN_OVERWRITE,
     "file_metadata_scan": _FILE_META,
