@@ -1392,36 +1392,10 @@ def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: grp, n_rows, sum_cents.
     """
-    from ..sources.manifest_cdf import _gen_files
-    from ..sources.manifest_sink import (
-        MANIFEST,
-        ManifestParquetSink,
-        delete_where,
-        merge_upsert,
-        read_manifest_table,
-    )
+    from ..sources.manifest_cdf import _gen_files, staged_cdf_table
+    from ..sources.manifest_sink import MANIFEST, read_manifest_table
 
-    try:
-        spark.dataSource.register(ManifestParquetSink)
-    except Exception:
-        pass
-
-    path = os.path.join(scratch_dir("cdf_ivm_"), "t")
-    base = table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    k = F.col("k")
-    base.where(k % 2 == 0).coalesce(1).write.format("mr_manifest").option(
-        "path", path
-    ).mode("append").save()  # gen 1
-    updates = base.where((k % 2 == 0) & (k % 10 == 0)).withColumn(
-        "cents", F.col("cents") + 111
-    )
-    merge_upsert(
-        spark, path, updates.unionByName(base.where(k % 10 == 1)), ["k"]
-    )  # gen 2
-    delete_where(spark, path, "k % 2 = 0 AND k % 14 = 0 AND k % 10 <> 0")  # 3
+    path = staged_cdf_table(spark, sf_dir)  # gens 1-3, process-memoized
 
     grp = (F.col("k") % 100).alias("grp")
     v1 = read_manifest_table(spark, path, as_of=1).select(

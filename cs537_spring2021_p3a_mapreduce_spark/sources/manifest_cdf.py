@@ -47,6 +47,54 @@ def _gen_files(path: str, gen: int) -> list[str]:
     return [e["file"] for e in _load(path, f"{MANIFEST}.g{gen}")["files"]]
 
 
+_CDF_TABLE_CACHE: dict = {}
+
+
+def staged_cdf_table(spark, sf_dir: str) -> str:
+    """Build (once per process per corpus) the canonical 3-commit
+    manifest table the CDF entries read: gen 1 = append of the even
+    orders, gen 2 = optimistic keyed MERGE (updates +111 cents on
+    k%10==0, inserts k%10==1), gen 3 = copy-on-write DELETE
+    (k%2=0 ∧ k%14=0 ∧ k%10≠0). Read-only after creation, so
+    `stream_manifest_cdf` and `cdf_incremental_rollup` share one
+    staging instead of each paying the three commits."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import table as _table
+    from ..scratch import scratch_dir
+    from .manifest_sink import (
+        ManifestParquetSink,
+        delete_where,
+        merge_upsert,
+    )
+
+    cached = _CDF_TABLE_CACHE.get(sf_dir)
+    if cached is not None and os.path.exists(os.path.join(cached, MANIFEST)):
+        return cached
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = os.path.join(scratch_dir("cdf_table_"), "t")
+    base = _table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    k = F.col("k")
+    base.where(k % 2 == 0).coalesce(1).write.format("mr_manifest").option(
+        "path", path
+    ).mode("append").save()
+    updates = base.where((k % 2 == 0) & (k % 10 == 0)).withColumn(
+        "cents", F.col("cents") + 111
+    )
+    merge_upsert(
+        spark, path, updates.unionByName(base.where(k % 10 == 1)), ["k"]
+    )
+    delete_where(spark, path, "k % 2 = 0 AND k % 14 = 0 AND k % 10 <> 0")
+    _CDF_TABLE_CACHE[sf_dir] = path
+    return path
+
+
 class GenRange(InputPartition):
     """One executor task: the change feed of a single generation."""
 

@@ -2827,36 +2827,18 @@ def stream_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    from ..catalog import table as _table
-    from ..sources.manifest_cdf import ManifestCDFStreamSource
-    from ..sources.manifest_sink import (
-        ManifestParquetSink,
-        delete_where,
-        merge_upsert,
+    from ..sources.manifest_cdf import (
+        ManifestCDFStreamSource,
+        staged_cdf_table,
     )
 
-    for src_cls in (ManifestParquetSink, ManifestCDFStreamSource):
-        try:
-            spark.dataSource.register(src_cls)
-        except Exception:
-            pass
+    try:
+        spark.dataSource.register(ManifestCDFStreamSource)
+    except Exception:
+        pass
 
     work = scratch_dir("stream_cdf_")
-    path = os.path.join(work, "t")
-    base = _table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    k = F.col("k")
-    base.where(k % 2 == 0).coalesce(1).write.format("mr_manifest").option(
-        "path", path
-    ).mode("append").save()  # gen 1
-    updates = base.where((k % 2 == 0) & (k % 10 == 0)).withColumn(
-        "cents", F.col("cents") + 111
-    )
-    inserts = base.where(k % 10 == 1)
-    merge_upsert(spark, path, updates.unionByName(inserts), ["k"])  # gen 2
-    delete_where(spark, path, "k % 2 = 0 AND k % 14 = 0 AND k % 10 <> 0")  # 3
+    path = staged_cdf_table(spark, sf_dir)  # gens 1-3, process-memoized
 
     feed = (
         spark.readStream.format("mr_manifest_cdf")
