@@ -1373,6 +1373,77 @@ FROM merged GROUP BY 1
 """
 
 
+def manifest_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the manifest table — the small-files fix as an
+    optimistic TRANSACTION (``sources/manifest_sink.optimize_compact``
+    — Delta OPTIMIZE / Iceberg rewrite_data_files): streaming-style
+    ingest leaves one file per task (24 small files here), compaction
+    greedily bin-packs them to a row target and rewrites each bin as
+    one file, committing through the same snapshot-diff conflict
+    check as DELETE/MERGE (a concurrent rewrite of a compacting file
+    would abort the compactor; disjoint ingest rebases — why OPTIMIZE
+    can run beside ingest). Logically invisible by construction: the
+    oracle hash-checks the aggregate over the compacted table against
+    the plain events table, and the file-count drop + time travel to
+    the pre-compaction generation ride along as flag columns.
+
+    Output: event_type, n_events, sum_cents, fewer_files,
+    history_intact.
+    """
+    from ..sources.manifest_sink import (
+        MANIFEST,
+        ManifestParquetSink,
+        optimize_compact,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_opt_"), "t")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    # ingest-shaped landing: one small file per task
+    ev.repartition(24).write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    import json as _json
+
+    def _listing():
+        with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+            return _json.load(fh)["files"]
+
+    n_before = len(_listing())
+    total = sum(e["n_rows"] for e in _listing())
+    compacted, bins = optimize_compact(spark, path, max(1, total // 4))
+    n_after = len(_listing())
+    fewer = int(compacted > 0 and bins > 0 and n_after < n_before)
+    # history: the pre-compaction generation still reads in full
+    history_intact = int(
+        read_manifest_table(spark, path, as_of=1).count() == total
+    )
+    back = read_manifest_table(spark, path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+        F.lit(fewer).alias("fewer_files"),
+        F.lit(history_intact).alias("history_intact"),
+    )
+
+
+_MANIFEST_OPTIMIZE = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+       1 AS fewer_files, 1 AS history_intact
+FROM events GROUP BY 1
+"""
+
+
 def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOLD-TABLE MAINTENANCE FROM THE CHANGE FEED — the lakehouse
     pipeline shape (Delta CDF → incremental MERGE into a downstream
@@ -2230,6 +2301,7 @@ QUERIES = {
     "manifest_merge_upsert": manifest_merge_upsert,
     "concurrent_writers_conflict": concurrent_writers_conflict,
     "cdf_incremental_rollup": cdf_incremental_rollup,
+    "manifest_optimize_compact": manifest_optimize_compact,
     "manifest_changes_cdc": manifest_changes_cdc,
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "file_metadata_scan": file_metadata_scan,
@@ -2318,6 +2390,7 @@ ORACLES = {
     "manifest_merge_upsert": _MANIFEST_MERGE,
     "concurrent_writers_conflict": _CONCURRENT_WRITERS,
     "cdf_incremental_rollup": _CDF_IVM,
+    "manifest_optimize_compact": _MANIFEST_OPTIMIZE,
     "manifest_changes_cdc": _MANIFEST_CDC,
     "dynamic_partition_overwrite": _DYN_OVERWRITE,
     "file_metadata_scan": _FILE_META,

@@ -525,6 +525,78 @@ def plan_merge(spark, path: str, updates, key_cols: list[str]) -> dict:
     }
 
 
+def plan_optimize(spark, path: str, target_rows: int) -> dict:
+    """Phase 1 of OPTIMIZE (bin-packing compaction) as an optimistic
+    transaction — Delta's OPTIMIZE / Iceberg's rewrite_data_files:
+    committed files under ``target_rows`` are greedily binned to the
+    target and each bin rewritten as ONE file. Logically invisible by
+    construction (pure rewrite, no predicate); the transaction's
+    conflict class is the same file-level one as DELETE/MERGE, so a
+    concurrent rewrite of a file being compacted aborts the
+    compactor, while disjoint appends/deletes rebase over it — which
+    is exactly why OPTIMIZE runs safely alongside ingest on a real
+    lake. Files at or above the target carry by reference."""
+    _require_local(path, "plan_optimize")
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    base_generation = manifest.get("generation", 0)
+    smalls = [e for e in manifest["files"] if e["n_rows"] < target_rows]
+    bins: list[list[dict]] = []
+    cur: list[dict] = []
+    n_cur = 0
+    for e in smalls:
+        cur.append(e)
+        n_cur += e["n_rows"]
+        if n_cur >= target_rows:
+            bins.append(cur)
+            cur, n_cur = [], 0
+    if cur:
+        bins.append(cur)
+    # a 1-file bin is already as compact as it can get: skip it
+    bins = [b for b in bins if len(b) >= 2]
+    add_entries = []
+    remove_files = []
+    for b in bins:
+        srcs = [os.path.join(path, e["file"]) for e in b]
+        tmpdir = _tempfile.mkdtemp(prefix="mopt_")
+        spark.read.parquet(*srcs).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmpdir)
+        written = _glob.glob(os.path.join(tmpdir, "part-*.parquet"))[0]
+        newname = f"part-{uuid.uuid4().hex}.parquet"
+        _shutil.move(written, os.path.join(path, newname))
+        _shutil.rmtree(tmpdir, ignore_errors=True)
+        add_entries.append(
+            {"file": newname, "n_rows": sum(e["n_rows"] for e in b)}
+        )
+        remove_files.extend(e["file"] for e in b)
+    return {
+        "base_generation": base_generation,
+        "remove_files": sorted(remove_files),
+        "add_entries": add_entries,
+        "op": "optimize",
+    }
+
+
+def optimize_compact(spark, path: str, target_rows: int) -> tuple[int, int]:
+    """OPTIMIZE with immediate optimistic commit; returns (files
+    compacted away, bins written). No-op (no commit) when nothing
+    qualifies."""
+    txn = plan_optimize(spark, path, target_rows)
+    if not txn["remove_files"]:
+        return (0, 0)
+    try:
+        commit_transaction(path, txn)
+    except ConcurrentWriteConflictError:
+        abort_transaction(path, txn)
+        raise
+    return (len(txn["remove_files"]), len(txn["add_entries"]))
+
+
 def merge_upsert(spark, path: str, updates, key_cols: list[str]) -> int:
     """Keyed MERGE with immediate optimistic commit: returns the
     number of files rewritten; a superseding overlapping commit

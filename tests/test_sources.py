@@ -1455,3 +1455,56 @@ def test_manifest_cdf_stream_per_generation_diffs(spark, tmp_path):
         (3, "insert", 100, 1), (3, "insert", 101, 2)
     ]
     assert {t[0] for t in got} == {2, 3}
+
+
+def test_optimize_compact_invisible_and_conflict_safe(spark, tmp_path):
+    """OPTIMIZE: bin-packs small files to the row target (logical
+    content identical, fewer files), skips 1-file bins, no-ops when
+    nothing qualifies, and conflicts like any rewrite: a delete that
+    rewrote a file mid-compaction aborts the compactor."""
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ConcurrentWriteConflictError,
+        ManifestParquetSink,
+        abort_transaction,
+        commit_transaction,
+        delete_where,
+        optimize_compact,
+        plan_optimize,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 7) for i in range(600)], "k long, v long"
+    ).repartition(12).write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    before = {r.k for r in read_manifest_table(spark, path).collect()}
+    compacted, bins = optimize_compact(spark, path, 200)
+    assert compacted >= 4 and 1 <= bins < compacted
+    after = {r.k for r in read_manifest_table(spark, path).collect()}
+    assert after == before  # logically invisible
+    # second pass: everything already at/above target → no-op
+    assert optimize_compact(spark, path, 200) == (0, 0)
+
+    # conflict: a delete rewrites a small file while a compaction of
+    # the same files is in flight → the compactor must abort
+    spark.createDataFrame(
+        [(1000 + i, 0) for i in range(40)], "k long, v long"
+    ).repartition(4).write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    txn = plan_optimize(spark, path, 50)
+    assert txn["remove_files"]
+    delete_where(spark, path, "k = 1001")  # rewrites one of those files
+    with pytest.raises(ConcurrentWriteConflictError):
+        commit_transaction(path, txn)
+    abort_transaction(path, txn)
+    got = {r.k for r in read_manifest_table(spark, path).collect()}
+    assert 1001 not in got and 1002 in got  # the delete's result stands
