@@ -9744,6 +9744,129 @@ ORDER BY doc_id
 """
 
 
+# --- binary-quantized ANN: sign-bit codes + exact re-rank -----------
+BQ_SHORTLIST = 25  # Hamming shortlist size per query (then exact top-K)
+BQ_SCALE = 1000  # milli quantization for the exact re-rank dot
+
+
+def similarity_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZED retrieval with exact re-rank — the 1-bit ANN
+    tier beside IVF/PQ/LSH (the memory-bound deploy: 64 dims → 8
+    BYTES per vector, a 32× compression of float32, scanned with XOR
+    + popcount): each vector's sign bits pack into two BIGINT halves
+    (dims 0-31 / 32-63 — two halves so no code ever touches the sign
+    bit, exact in both engines); per query the BQ_SHORTLIST nearest
+    by Hamming distance are then re-ranked by the exact
+    integer-quantized dot product (round(x·1000) per dim, the
+    `_PQ_INT_SQL` idiom) and the top SIM_K returned.
+
+    Determinism over recall: the shortlist is a deterministic
+    function of the codes (ties by vec_id), so the oracle replays the
+    whole pipeline hash-exactly; recall vs exact top-k is the
+    documented trade (the `ann_recall_report` class measures that
+    axis for the other tiers).
+
+    Scale shape: queries broadcast; the corpus scan is narrow
+    (pack + XOR + popcount per row, no shuffle before the per-query
+    k-row window); the re-rank touches BQ_SHORTLIST rows per query.
+
+    Output: query_id, neighbor_id, hamming, dot_scaled.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def half(lo: int):
+        return F.expr(
+            f"aggregate(sequence({lo}, {lo + 31}), CAST(0 AS BIGINT), "
+            "(acc, d) -> acc + if(element_at(embedding, d + 1) > 0, "
+            "shiftleft(CAST(1 AS BIGINT), d - " + str(lo) + "), "
+            "CAST(0 AS BIGINT)))"
+        )
+
+    qv = F.expr(
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {BQ_SCALE}) AS BIGINT))"
+    )
+    codes = emb.select(
+        "vec_id", half(0).alias("b0"), half(32).alias("b1"), qv.alias("q")
+    )
+    queries = F.broadcast(
+        codes.filter(F.col("vec_id") < SIM_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("b0").alias("qb0"),
+            F.col("b1").alias("qb1"),
+            F.col("q").alias("qq"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("b0").bitwiseXOR(F.col("qb0")))
+        + F.bit_count(F.col("b1").bitwiseXOR(F.col("qb1")))
+    ).cast("int")
+    scored = (
+        queries.join(codes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+            F.expr(
+                "aggregate(zip_with(qq, q, (a, b) -> a * b), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot_scaled"),
+        )
+    )
+    wham = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("hrn", F.row_number().over(wham))
+        .filter(F.col("hrn") <= BQ_SHORTLIST)
+        .drop("hrn")
+    )
+    wdot = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_scaled"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.withColumn("rn", F.row_number().over(wdot))
+        .filter(F.col("rn") <= SIM_K)
+        .drop("rn")
+        .orderBy("query_id", F.desc("dot_scaled"), "neighbor_id")
+    )
+
+
+_BQ_RERANK = f"""
+WITH codes AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(0, 31),
+           d -> CASE WHEN embedding[d + 1] > 0
+                     THEN (1::BIGINT << d) ELSE 0::BIGINT END))::BIGINT AS b0,
+         list_sum(list_transform(generate_series(32, 63),
+           d -> CASE WHEN embedding[d + 1] > 0
+                     THEN (1::BIGINT << (d - 32)) ELSE 0::BIGINT END))::BIGINT
+           AS b1,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * {BQ_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (bit_count(xor(c.b0, qs.b0))
+          + bit_count(xor(c.b1, qs.b1)))::INT AS hamming,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           j -> qs.q[j] * c.q[j])) AS BIGINT) AS dot_scaled
+  FROM codes qs JOIN codes c ON c.vec_id <> qs.vec_id
+  WHERE qs.vec_id < {SIM_N_QUERIES}
+), short AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS hrn
+  FROM scored
+), reranked AS (
+  SELECT query_id, neighbor_id, hamming, dot_scaled, row_number() OVER (
+    PARTITION BY query_id ORDER BY dot_scaled DESC, neighbor_id ASC) AS rn
+  FROM short WHERE hrn <= {BQ_SHORTLIST}
+)
+SELECT query_id, neighbor_id, hamming, dot_scaled
+FROM reranked WHERE rn <= {SIM_K}
+ORDER BY query_id, dot_scaled DESC, neighbor_id
+"""
+
+
 QUERIES = {
     "template_prefix_audit": template_prefix_audit,
     "flesch_readability": flesch_readability,
@@ -9793,6 +9916,7 @@ QUERIES = {
     "dedup_ngram": dedup_ngram,
     "dedup_embedding": dedup_embedding,
     "similarity_topk": similarity_topk,
+    "similarity_binary_rerank": similarity_binary_rerank,
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_ivf_trained": similarity_ann_ivf_trained,
     "similarity_pq": similarity_pq,
@@ -9885,6 +10009,7 @@ ORACLES = {
     "dedup_ngram": _DEDUP_NGRAM,
     "dedup_embedding": _DEDUP_EMB,
     "similarity_topk": _SIM_TOPK,
+    "similarity_binary_rerank": _BQ_RERANK,
     "similarity_pq_int": _PQ_INT_SQL,
     "similarity_ann_ivf_int": _ANN_IVF_INT_SQL,
     "similarity_ann_ivfpq_int": _ANN_IVFPQ_INT_SQL,

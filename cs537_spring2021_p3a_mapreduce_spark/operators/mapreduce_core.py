@@ -1444,6 +1444,80 @@ FROM events GROUP BY 1
 """
 
 
+def manifest_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY on the manifest table: one row per committed
+    generation with the recorded operation, the file-churn counts
+    (snapshot-diff of the listings — the same derivation the CDF
+    source uses), and the net row delta from the committed per-file
+    row counts. Pure manifest-metadata arithmetic — zero data files
+    read, which is the point: a table's audit log must be answerable
+    from the log alone at any scale. Runs over the shared 3-commit
+    staging (append → optimistic merge → copy-on-write delete), so
+    every value is closed-form for the oracle.
+
+    Output: gen, op, files_added, files_removed, rows_delta.
+    """
+    import json as _json
+
+    from ..sources.manifest_cdf import staged_cdf_table
+    from ..sources.manifest_sink import MANIFEST
+
+    path = staged_cdf_table(spark, sf_dir)
+
+    def snap(g: int) -> dict:
+        with open(
+            os.path.join(path, f"{MANIFEST}.g{g}"), encoding="utf-8"
+        ) as fh:
+            return _json.load(fh)
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        head = _json.load(fh)["generation"]
+    rows = []
+    prev_files: dict[str, int] = {}
+    for g in range(1, head + 1):
+        doc = snap(g)
+        cur_files = {e["file"]: e["n_rows"] for e in doc["files"]}
+        added = set(cur_files) - set(prev_files)
+        removed = set(prev_files) - set(cur_files)
+        rows.append(
+            (
+                g,
+                doc.get("op", "append"),
+                len(added),
+                len(removed),
+                sum(cur_files[f] for f in added)
+                - sum(prev_files[f] for f in removed),
+            )
+        )
+        prev_files = cur_files
+    return spark.createDataFrame(
+        rows,
+        "gen int, op string, files_added int, files_removed int, "
+        "rows_delta long",
+    ).orderBy("gen")
+
+
+_MANIFEST_HISTORY = """
+WITH base AS (
+  SELECT o_orderkey AS k FROM orders
+), n AS (
+  SELECT
+    (SELECT count(*) FROM base WHERE k % 2 = 0) AS n_evens,
+    (SELECT count(*) FROM base WHERE k % 10 = 1) AS n_ins,
+    (SELECT count(*) FROM base
+     WHERE k % 2 = 0 AND k % 14 = 0 AND k % 10 <> 0) AS n_del
+)
+SELECT * FROM (
+  SELECT 1 AS gen, 'append' AS op, 1 AS files_added, 0 AS files_removed,
+         n_evens::BIGINT AS rows_delta FROM n
+  UNION ALL
+  SELECT 2, 'merge', 2, 1, n_ins::BIGINT FROM n
+  UNION ALL
+  SELECT 3, 'delete', 1, 1, -n_del::BIGINT FROM n
+) ORDER BY gen
+"""
+
+
 def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOLD-TABLE MAINTENANCE FROM THE CHANGE FEED — the lakehouse
     pipeline shape (Delta CDF → incremental MERGE into a downstream
@@ -2302,6 +2376,7 @@ QUERIES = {
     "concurrent_writers_conflict": concurrent_writers_conflict,
     "cdf_incremental_rollup": cdf_incremental_rollup,
     "manifest_optimize_compact": manifest_optimize_compact,
+    "manifest_history_audit": manifest_history_audit,
     "manifest_changes_cdc": manifest_changes_cdc,
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "file_metadata_scan": file_metadata_scan,
@@ -2391,6 +2466,7 @@ ORACLES = {
     "concurrent_writers_conflict": _CONCURRENT_WRITERS,
     "cdf_incremental_rollup": _CDF_IVM,
     "manifest_optimize_compact": _MANIFEST_OPTIMIZE,
+    "manifest_history_audit": _MANIFEST_HISTORY,
     "manifest_changes_cdc": _MANIFEST_CDC,
     "dynamic_partition_overwrite": _DYN_OVERWRITE,
     "file_metadata_scan": _FILE_META,
