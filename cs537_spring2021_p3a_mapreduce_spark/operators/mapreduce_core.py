@@ -1444,6 +1444,72 @@ FROM events GROUP BY 1
 """
 
 
+def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY CLONE + copy-on-write divergence
+    (``sources/manifest_sink.shallow_clone`` — Delta SHALLOW CLONE):
+    the clone's manifest references the source's part files by
+    absolute path (no data bytes move — asserted: the clone directory
+    holds no parquet at clone time), then a DELETE on the clone
+    rewrites into the clone's own directory and drops the absolute
+    references from its listing while the SOURCE reads back
+    bit-identical (asserted as a flag column). The dev/test-table
+    workflow every lake team runs: fork a production table for an
+    experiment without copying 100 TB.
+
+    Output: o_orderpriority, n_orders, sum_cents, zero_copy,
+    source_intact.
+    """
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where,
+        read_manifest_table,
+        shallow_clone,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    work = scratch_dir("manifest_cl_")
+    src_path = os.path.join(work, "src")
+    dst_path = os.path.join(work, "clone")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition("o_orderpriority")
+    )
+    orders.write.format("mr_manifest").option("path", src_path).mode(
+        "append"
+    ).save()
+    n_src = read_manifest_table(spark, src_path).count()
+    shallow_clone(src_path, dst_path)
+    zero_copy = int(
+        not any(f.endswith(".parquet") for f in os.listdir(dst_path))
+    )
+    delete_where(spark, dst_path, "o_orderpriority = '1-URGENT'")
+    source_intact = int(
+        read_manifest_table(spark, src_path).count() == n_src
+    )
+    back = read_manifest_table(spark, dst_path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+        F.lit(zero_copy).alias("zero_copy"),
+        F.lit(source_intact).alias("source_intact"),
+    )
+
+
+_MANIFEST_CLONE = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+       1 AS zero_copy, 1 AS source_intact
+FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+"""
+
+
 def manifest_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY on the manifest table: one row per committed
     generation with the recorded operation, the file-churn counts
@@ -2377,6 +2443,7 @@ QUERIES = {
     "cdf_incremental_rollup": cdf_incremental_rollup,
     "manifest_optimize_compact": manifest_optimize_compact,
     "manifest_history_audit": manifest_history_audit,
+    "manifest_shallow_clone": manifest_shallow_clone,
     "manifest_changes_cdc": manifest_changes_cdc,
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "file_metadata_scan": file_metadata_scan,
@@ -2467,6 +2534,7 @@ ORACLES = {
     "cdf_incremental_rollup": _CDF_IVM,
     "manifest_optimize_compact": _MANIFEST_OPTIMIZE,
     "manifest_history_audit": _MANIFEST_HISTORY,
+    "manifest_shallow_clone": _MANIFEST_CLONE,
     "manifest_changes_cdc": _MANIFEST_CDC,
     "dynamic_partition_overwrite": _DYN_OVERWRITE,
     "file_metadata_scan": _FILE_META,

@@ -421,11 +421,13 @@ def plan_delete(spark, path: str, condition: str) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    hit_files = {os.path.basename(r.f.removeprefix("file:")) for r in hit_rows}
+    hit_base = {os.path.basename(r.f.removeprefix("file:")) for r in hit_rows}
+    # match on BASENAME: a shallow clone's listing references source
+    # files by absolute path while input_file_name reports the same
+    # file — names are uuid-unique, so basename matching is exact
+    hit_files = [f for f in files if os.path.basename(f) in hit_base]
     add_entries = []
-    for f in files:
-        if f not in hit_files:
-            continue  # untouched: carried by reference at commit
+    for f in hit_files:
         survivors = spark.read.parquet(os.path.join(path, f)).where(
             f"NOT ({condition})"
         )
@@ -490,7 +492,10 @@ def plan_merge(spark, path: str, updates, key_cols: list[str]) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    hit_files = {os.path.basename(r.f.removeprefix("file:")) for r in hit_rows}
+    hit_base = {os.path.basename(r.f.removeprefix("file:")) for r in hit_rows}
+    # basename matching: clone listings reference source files by
+    # absolute path (see plan_delete)
+    hit_files = [f for f in files if os.path.basename(f) in hit_base]
 
     def _adopt(df) -> dict | None:
         n = df.count()
@@ -681,6 +686,46 @@ def vacuum_manifest_table(path: str, keep_generations: int = 1) -> list[str]:
             elif f.startswith(f"{MANIFEST}.g") and f not in keep_snaps:
                 os.remove(os.path.join(path, f))
         return deleted
+
+
+def shallow_clone(src_path: str, dst_path: str) -> int:
+    """ZERO-COPY table clone (Delta SHALLOW CLONE): the clone's
+    manifest references the source's data files by ABSOLUTE path —
+    no bytes move — and the clone then diverges copy-on-write: a
+    delete/merge/optimize on the clone rewrites into the CLONE's
+    directory and merely drops the absolute references from its
+    listing, never touching the source. Reader compatibility is free
+    (``os.path.join(dir, abs_path)`` returns the absolute path
+    unchanged), and the clone's vacuum only ever inspects its own
+    directory, so source files are structurally un-deletable from
+    the clone side. Returns the number of files referenced."""
+    _require_local(src_path, "shallow_clone")
+    _require_local(dst_path, "shallow_clone")
+    os.makedirs(dst_path, exist_ok=True)
+    with open(os.path.join(src_path, MANIFEST), encoding="utf-8") as fh:
+        src = json.load(fh)
+    abs_src = os.path.abspath(src_path)
+    files = [
+        {**e, "file": os.path.join(abs_src, e["file"])} for e in src["files"]
+    ]
+    with _commit_lock(dst_path):
+        doc = {
+            "generation": 1,
+            "files": files,
+            "op": "clone",
+            "source": abs_src,
+            "source_generation": src.get("generation", 0),
+        }
+        tmp = os.path.join(dst_path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        snap = os.path.join(dst_path, f"{MANIFEST}.g1")
+        tmp_snap = f"{snap}.{uuid.uuid4().hex}.tmp"
+        with open(tmp_snap, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp_snap, snap)
+        os.replace(tmp, os.path.join(dst_path, MANIFEST))
+    return len(files)
 
 
 def create_manifest_table(path: str) -> None:

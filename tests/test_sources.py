@@ -1508,3 +1508,55 @@ def test_optimize_compact_invisible_and_conflict_safe(spark, tmp_path):
     abort_transaction(path, txn)
     got = {r.k for r in read_manifest_table(spark, path).collect()}
     assert 1001 not in got and 1002 in got  # the delete's result stands
+
+
+def test_shallow_clone_zero_copy_and_cow_divergence(spark, tmp_path):
+    """SHALLOW CLONE: no data bytes move at clone time; reads on the
+    clone serve the source's files; a delete on the clone rewrites
+    into the CLONE's directory only; vacuum on the clone cannot
+    touch source files; the source never changes."""
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where,
+        read_manifest_table,
+        shallow_clone,
+        vacuum_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    spark.createDataFrame(
+        [(i, "hot" if i < 50 else "cold") for i in range(200)],
+        "k long, tag string",
+    ).repartitionByRange(2, "k").write.format("mr_manifest").option(
+        "path", src
+    ).mode("append").save()
+    n_ref = shallow_clone(src, dst)
+    assert n_ref == 2
+    assert not any(f.endswith(".parquet") for f in os.listdir(dst))
+    assert read_manifest_table(spark, dst).count() == 200
+
+    delete_where(spark, dst, "tag = 'hot'")
+    # clone diverged; source intact
+    assert read_manifest_table(spark, dst).count() == 150
+    assert read_manifest_table(spark, src).count() == 200
+    # the rewrite landed in the clone's own directory
+    assert any(f.endswith(".parquet") for f in os.listdir(dst))
+    src_files_before = {
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    # vacuum on the clone must not delete ANY source file (absolute
+    # references are never eligible — it only inspects its own dir)
+    vacuum_manifest_table(dst, keep_generations=1)
+    src_files_after = {
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    assert src_files_after == src_files_before
+    assert read_manifest_table(spark, src).count() == 200
+    assert read_manifest_table(spark, dst).count() == 150
