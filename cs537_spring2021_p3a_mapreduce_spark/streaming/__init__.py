@@ -2681,6 +2681,88 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("pattern")
 
 
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS — two windowed aggregations in ONE
+    streaming query (the Spark-4 multiple-stateful-operator support;
+    pre-3.4 engines force an intermediate sink): events roll into
+    15-minute buckets per type (stateful agg #1), and the bucket
+    stream rolls into hourly totals via ``window_time()`` (stateful
+    agg #2 — its event time IS the first window's time column). The
+    two-half staged drain advances the watermark mid-stream; the
+    result is then restricted — identically on both engines — to
+    hourly windows whose END is at or below the final watermark
+    (max ts − delay), the provably-emitted set on a finite input
+    (the ``stream_interval_join_outer`` discipline).
+
+    Output: hour_start, event_type, n_events, n_buckets.
+    """
+    import uuid
+
+    from ..catalog import table as _table
+
+    work = scratch_dir("stream_chain_")
+    src = staged_event_halves(spark, sf_dir)
+    file_schema = spark.read.parquet(src).schema
+    ev = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    b15 = ev.groupBy(
+        F.window("ts", "15 minutes").alias("w15"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n15"))
+    hourly = b15.groupBy(
+        F.window(F.window_time("w15"), "1 hour").alias("w1h"), "event_type"
+    ).agg(
+        F.sum("n15").alias("n_events"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    name = f"stream_chain_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        hourly, name, os.path.join(work, "ckpt"), "append",
+        shuffle_partitions=8,
+    )
+    cutoff = (
+        _table(spark, sf_dir, "events")
+        .agg(
+            (F.max(F.unix_micros("ts")) - 3_600_000_000).alias("cutoff_us")
+        )
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.unix_micros(F.col("w1h.end")) <= F.col("cutoff_us"))
+        .select(
+            F.date_format(F.col("w1h.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n_events",
+            "n_buckets",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+_STREAM_CHAINED = """
+WITH cutoff AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS c FROM events
+), b15 AS (
+  SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS w15, event_type,
+         count(*)::BIGINT AS n15
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, w15), '%Y-%m-%d %H:%M:%S')
+         AS hour_start,
+       event_type, sum(n15)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_buckets
+FROM b15, cutoff
+WHERE time_bucket(INTERVAL 1 HOUR, w15) + INTERVAL 1 HOUR <= cutoff.c
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def stream_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING EXACTLY-ONCE MERGE into the manifest table — the
     lakehouse sink pattern (Delta's foreachBatch + txn appId→version
@@ -3236,6 +3318,7 @@ QUERIES = {
     "stream_pattern_match": stream_pattern_match,
     "stream_custom_sink_totals": stream_custom_sink_totals,
     "stream_merge_manifest": stream_merge_manifest,
+    "stream_chained_windows": stream_chained_windows,
     "stream_manifest_cdf": stream_manifest_cdf,
     "stream_ohlc_bars": stream_ohlc_bars,
     "stream_gopher_filter": stream_gopher_filter,
@@ -3321,6 +3404,7 @@ ORACLES = {
         "FROM events GROUP BY 1 ORDER BY 1"
     ),
     "stream_merge_manifest": _STREAM_MERGE_MANIFEST,
+    "stream_chained_windows": _STREAM_CHAINED,
     "stream_manifest_cdf": _STREAM_MANIFEST_CDF,
     # idle users (last event + 30 min ≤ max ts − 1 h) must have ALL
     # their sessions closed by the end watermark, so their closed

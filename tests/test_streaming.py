@@ -1162,3 +1162,48 @@ def test_stream_anomaly_zscore_planted_spike(spark, tmp_path):
         assert out[i].n_base == n and out[i].x_cents == xv
     assert out[len(vals) - 1].is_anomaly == 1
     assert sum(r.is_anomaly for r in out.values()) == 1
+
+
+def test_chained_windows_two_stateful_operators(spark):
+    """The chained entry really runs TWO stateful aggregations in one
+    query (not a collapsed single agg), both levels hold state, and
+    batch parity holds on the provably-emitted hourly set."""
+    from cs537_spring2021_p3a_mapreduce_spark.streaming import (
+        stream_chained_windows,
+    )
+
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, r.n_buckets)
+        for r in stream_chained_windows(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    cutoff = ev.agg(
+        (F.max(F.unix_micros("ts")) - 3_600_000_000).alias("c")
+    ).collect()[0].c
+    b15 = ev.groupBy(
+        F.window("ts", "15 minutes").alias("w15"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n15"))
+    want = {
+        (r.hour_start, r.event_type): (r.n_events, r.n_buckets)
+        for r in b15.groupBy(
+            F.window(F.col("w15.start"), "1 hour").alias("w1h"), "event_type"
+        )
+        .agg(
+            F.sum("n15").alias("n_events"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .where(F.unix_micros(F.col("w1h.end")) <= cutoff)
+        .select(
+            F.date_format(F.col("w1h.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n_events",
+            "n_buckets",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # some hour genuinely aggregates >1 fifteen-minute bucket —
+    # otherwise the second stateful level would be vacuous
+    assert any(nb > 1 for _, nb in got.values())
