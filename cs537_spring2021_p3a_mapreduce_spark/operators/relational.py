@@ -3611,7 +3611,149 @@ GROUP BY 1
 """
 
 
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING — the tabular-ML categorical
+    encoder whose naive form leaks the row's own label: each order's
+    priority is encoded as the mean total price of the OTHER orders
+    in its priority, (S_g − x_i) / (n_g − 1), computed in exact
+    integer micro-cents with truncating DIV so both engines agree to
+    the digit (the self-support-discounting discipline the bigram
+    quality scorer uses). Groups of size 1 encode NULL (no peers —
+    the honest answer, not the global mean silently).
+
+    Scale shape: one map-side-combinable group aggregate (|priorities|
+    rows) broadcast back onto the scan — no row-grain shuffle, no
+    window. Output is per-priority verification grain: the encoded
+    value is row-varying, so the query returns min/max/avg of the
+    encoding per group (exact micro units) plus group size.
+
+    Output: o_orderpriority, n_orders, enc_min_micro, enc_max_micro,
+    enc_sum_micro.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("cents").alias("s_g"),
+    )
+    enc = (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .where(F.col("n_g") > 1)
+        .select(
+            "o_orderpriority",
+            # two-step exact micro division: (s-x)*1e6 would overflow
+            # BIGINT once group sums pass ~9e12 cents, but the split
+            # q*1e6 + (r*1e6 DIV m) is identical (a = qm + r) and every
+            # term is bounded by the PRICE scale, not the group sum
+            F.expr(
+                "(s_g - cents) DIV (n_g - 1) * 1000000"
+                " + (((s_g - cents) % (n_g - 1)) * 1000000)"
+                " DIV (n_g - 1)"
+            ).alias("enc_micro"),
+        )
+    )
+    return (
+        enc.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("enc_micro").alias("enc_min_micro"),
+            F.max("enc_micro").alias("enc_max_micro"),
+            F.sum("enc_micro").alias("enc_sum_micro"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_TARGET_ENCODE = """
+WITH o AS (
+  SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+), g AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS n_g,
+         sum(cents)::BIGINT AS s_g
+  FROM o GROUP BY 1
+), enc AS (
+  SELECT o.o_orderpriority,
+         (((s_g - cents)::HUGEINT * 1000000) // (n_g - 1))::BIGINT
+           AS enc_micro
+  FROM o JOIN g USING (o_orderpriority)
+  WHERE n_g > 1
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       min(enc_micro) AS enc_min_micro, max(enc_micro) AS enc_max_micro,
+       sum(enc_micro)::BIGINT AS enc_sum_micro
+FROM enc GROUP BY 1 ORDER BY 1
+"""
+
+
+GROUP_KFOLD_K = 5
+
+
+def group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP K-FOLD assignment — the leakage-free split every
+    user-level eval needs (rows of one user must never straddle the
+    train/validation boundary, or per-user signal leaks): fold =
+    md5-fold of the user id mod K, so assignment is a pure function
+    of the GROUP key — deterministic, engine-portable, and trivially
+    disjoint. The query audits the split the way a pipeline would:
+    per-fold user and event counts plus the leakage check (every
+    user's fold count is exactly 1) folded in as an oracle-hashed
+    flag.
+
+    Output: fold, n_users, n_events, leak_free.
+    """
+    from ..operators.dedup import _md5_fold
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    folded = ev.withColumn(
+        "fold",
+        F.pmod(
+            _md5_fold(F.col("user_id").cast("string"), 1, 12),
+            F.lit(GROUP_KFOLD_K),
+        ).cast("int"),
+    )
+    per_user = folded.groupBy("user_id").agg(
+        F.countDistinct("fold").alias("nf"),
+        F.min("fold").alias("fold"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    leak_free = F.lit(
+        int(per_user.where(F.col("nf") > 1).isEmpty())
+    )
+    return (
+        per_user.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .withColumn("leak_free", leak_free)
+        .orderBy("fold")
+    )
+
+
+def _group_kfold_sql() -> str:
+    from ..operators.dedup import _md5_fold_sql
+
+    fold = _md5_fold_sql("user_id::VARCHAR", 1, 12)
+    return f"""
+WITH folded AS (
+  SELECT user_id, ({fold}) % {GROUP_KFOLD_K} AS fold
+  FROM events
+), per_user AS (
+  SELECT user_id, min(fold) AS fold, count(*)::BIGINT AS n_ev
+  FROM folded GROUP BY 1
+)
+SELECT fold::INT AS fold, count(*)::BIGINT AS n_users,
+       sum(n_ev)::BIGINT AS n_events, 1 AS leak_free
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "target_encode_loo": target_encode_loo,
+    "group_kfold_split": group_kfold_split,
     "sql_scripting_half_mass": sql_scripting_half_mass,
     "cogroup_reconciliation": cogroup_reconciliation,
     "bitmap_segment_overlap": bitmap_segment_overlap,
@@ -3682,6 +3824,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "target_encode_loo": _TARGET_ENCODE,
+    "group_kfold_split": _group_kfold_sql(),
     "sql_scripting_half_mass": _SQL_SCRIPTING_SQL,
     "cogroup_reconciliation": _COGROUP,
     "bitmap_segment_overlap": _BITMAP_OVERLAP,
