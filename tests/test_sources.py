@@ -1560,3 +1560,49 @@ def test_shallow_clone_zero_copy_and_cow_divergence(spark, tmp_path):
     assert src_files_after == src_files_before
     assert read_manifest_table(spark, src).count() == 200
     assert read_manifest_table(spark, dst).count() == 150
+
+
+def test_vacuumed_snapshot_aborts_stale_transaction(spark, tmp_path):
+    """Conservative-abort branch: when vacuum has dropped an
+    intervening snapshot, a transaction based on a generation before
+    it can no longer PROVE file-disjointness and must abort rather
+    than guess — even if it would in fact have been disjoint."""
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ConcurrentWriteConflictError,
+        ManifestParquetSink,
+        abort_transaction,
+        commit_transaction,
+        delete_where,
+        plan_delete,
+        read_manifest_table,
+        vacuum_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    mk = lambda lo, hi, tag: spark.createDataFrame(
+        [(i, tag) for i in range(lo, hi)], "k long, tag string"
+    ).coalesce(1)
+    mk(0, 100, "a").write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    mk(100, 200, "b").write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    # txn planned against gen 2, touching only slice b
+    txn = plan_delete(spark, path, "tag = 'b' AND k % 2 = 0")
+    # a disjoint delete lands (gen 3), then vacuum drops old snapshots
+    delete_where(spark, path, "tag = 'a' AND k % 3 = 0")
+    vacuum_manifest_table(path, keep_generations=1)
+    with pytest.raises(ConcurrentWriteConflictError, match="vacuumed"):
+        commit_transaction(path, txn)
+    abort_transaction(path, txn)
+    # table state reflects only the committed delete
+    got = {r.k for r in read_manifest_table(spark, path).collect()}
+    assert all(k in got for k in range(100, 200))
+    assert not any(k % 3 == 0 for k in got if k < 100)
