@@ -1396,3 +1396,37 @@ def test_concurrent_writers_final_read_is_manifest_scan(spark):
     plan = P.plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert P.count_nodes(plan, "HashAggregate") >= 2  # partial + final
+
+
+def test_binary_rerank_narrow_scan_and_bounded_windows(spark):
+    """1-bit ANN tier: queries broadcast (10 rows), corpus scan stays
+    narrow (pack + XOR + popcount per row), and the only exchanges
+    are for the per-query shortlist/rerank windows."""
+    df = llm.similarity_binary_rerank(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Broadcast" in plan  # query side broadcast, corpus never
+    assert P.shuffle_count(df) <= 2
+
+
+def test_target_encode_and_kfold_no_row_windows(spark):
+    """Both ML-prep encoders must be group-aggregate shapes: no
+    row-grain window, no cartesian, broadcast for the group stats."""
+    df = rel.target_encode_loo(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    df2 = rel.group_kfold_split(spark, SF_SMOKE)
+    plan2 = P.plan(df2, "simple")
+    assert "Window" not in plan2 and "CartesianProduct" not in plan2
+
+
+def test_bh_battery_windows_are_domain_bounded(spark):
+    """The step-up runs on an m-row relation (m = strata count), so
+    the unpartitioned windows are domain-bounded by construction —
+    and the per-stratum pairing window partitions by stratum."""
+    from cs537_spring2021_p3a_mapreduce_spark.operators import profiling as prof
+
+    df = prof.benjamini_hochberg_battery(spark, SF_SMOKE)
+    plan = P.plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert P.count_nodes(plan, "Window") >= 2  # rank + step-up levels
