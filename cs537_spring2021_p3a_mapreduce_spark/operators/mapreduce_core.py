@@ -1510,6 +1510,62 @@ FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
 """
 
 
+def manifest_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT-ROT DETECTION from commit-time digests
+    (``sources/manifest_sink.integrity_audit``): every sink commit
+    now records each part file's sha256; the audit re-hashes the
+    listed files distributed (Arrow-batched map, one pass over the
+    bytes) and reports per-file status. The query plants real
+    corruption — one byte flipped in one committed file — and the
+    audit must name exactly that file corrupt while the other three
+    verify ok; a rewrite-adopted file without a digest would report
+    'unverified' rather than pretending (honesty over green).
+
+    Output: status, n_files.
+    """
+    from ..sources.manifest_sink import (
+        MANIFEST,
+        ManifestParquetSink,
+        integrity_audit,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_int_"), "t")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.repartition(4).write.format("mr_manifest").option(
+        "path", path
+    ).mode("append").save()
+    import json as _json
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        files = sorted(e["file"] for e in _json.load(fh)["files"])
+    victim = os.path.join(path, files[0])
+    with open(victim, "r+b") as fh:
+        fh.seek(-1, os.SEEK_END)
+        last = fh.read(1)
+        fh.seek(-1, os.SEEK_END)
+        fh.write(bytes([last[0] ^ 0xFF]))
+    return (
+        integrity_audit(spark, path)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy("status")
+    )
+
+
+_MANIFEST_INTEGRITY = """
+SELECT * FROM (VALUES ('corrupt', 1::BIGINT), ('ok', 3::BIGINT))
+  AS t(status, n_files)
+ORDER BY status
+"""
+
+
 def manifest_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY on the manifest table: one row per committed
     generation with the recorded operation, the file-churn counts
@@ -2444,6 +2500,7 @@ QUERIES = {
     "manifest_optimize_compact": manifest_optimize_compact,
     "manifest_history_audit": manifest_history_audit,
     "manifest_shallow_clone": manifest_shallow_clone,
+    "manifest_integrity_audit": manifest_integrity_audit,
     "manifest_changes_cdc": manifest_changes_cdc,
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "file_metadata_scan": file_metadata_scan,
@@ -2535,6 +2592,7 @@ ORACLES = {
     "manifest_optimize_compact": _MANIFEST_OPTIMIZE,
     "manifest_history_audit": _MANIFEST_HISTORY,
     "manifest_shallow_clone": _MANIFEST_CLONE,
+    "manifest_integrity_audit": _MANIFEST_INTEGRITY,
     "manifest_changes_cdc": _MANIFEST_CDC,
     "dynamic_partition_overwrite": _DYN_OVERWRITE,
     "file_metadata_scan": _FILE_META,

@@ -236,13 +236,23 @@ def _require_local(path: str, op: str) -> None:
 
 
 class PartFileCommit(WriterCommitMessage):
-    def __init__(self, filename: str, n_rows: int, stats: dict | None = None):
+    def __init__(
+        self,
+        filename: str,
+        n_rows: int,
+        stats: dict | None = None,
+        sha256: str | None = None,
+    ):
         self.filename = filename
         self.n_rows = n_rows
         # per-column {name: [min, max]} ZONE MAP for the file —
         # JSON-safe scalars only (ints/floats/strings); commit()
         # publishes them so readers can skip files by predicate
         self.stats = stats or {}
+        # content digest of the WRITTEN bytes: the manifest becomes a
+        # bit-rot detector (integrity_audit) — at lake scale silent
+        # disk/object-store corruption is a when, not an if
+        self.sha256 = sha256
 
 
 class ManifestParquetSink(DataSource):
@@ -319,7 +329,13 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         if writer is None:
             # empty partition: no file, commit message carries 0 rows
             return PartFileCommit("", 0)
-        return PartFileCommit(fname, n, stats)
+        import hashlib as _hl
+
+        h = _hl.sha256()
+        with open(os.path.join(self.dir, fname), "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return PartFileCommit(fname, n, stats, h.hexdigest())
 
     def commit(self, messages) -> None:
         # Driver side, runs once after every task succeeded: the
@@ -347,6 +363,7 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                     "file": m.filename,
                     "n_rows": m.n_rows,
                     "stats": getattr(m, "stats", {}),
+                    "sha256": getattr(m, "sha256", None),
                 }
                 for m in messages
                 if m is not None and m.filename
@@ -686,6 +703,48 @@ def vacuum_manifest_table(path: str, keep_generations: int = 1) -> list[str]:
             elif f.startswith(f"{MANIFEST}.g") and f not in keep_snaps:
                 os.remove(os.path.join(path, f))
         return deleted
+
+
+def integrity_audit(spark, path: str):
+    """Distributed BIT-ROT check: re-hash every manifest-listed part
+    file and compare against the digest recorded at commit time —
+    the audit a 100 TB lake runs on a schedule, because silent
+    storage corruption is a when, not an if. Files committed without
+    a digest (rewrite paths that adopt Spark-written files) report
+    'unverified' rather than pretending: honesty over green. The
+    hashing is an Arrow-batched map over (file, expected) rows —
+    embarrassingly parallel, one pass over the bytes.
+
+    Returns a DataFrame: file, status ('ok'|'corrupt'|'unverified').
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        entries = json.load(fh)["files"]
+    rows = [(e["file"], e.get("sha256")) for e in entries]
+    df = spark.createDataFrame(rows, "file string, expected string")
+
+    def _check(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for f, expected in zip(pdf["file"], pdf["expected"]):
+                if expected is None:
+                    out.append((f, "unverified"))
+                    continue
+                h = _hl.sha256()
+                with open(os.path.join(path, f), "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+                out.append(
+                    (f, "ok" if h.hexdigest() == expected else "corrupt")
+                )
+            yield pd.DataFrame(out, columns=["file", "status"])
+
+    return df.mapInPandas(_check, "file string, status string")
 
 
 def shallow_clone(src_path: str, dst_path: str) -> int:
