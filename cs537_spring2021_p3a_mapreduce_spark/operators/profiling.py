@@ -4256,7 +4256,172 @@ ORDER BY stratum
 """
 
 
+CONF_BUCKETS = 4096  # residual-selection histogram width (the
+#                      exact_median_selection discipline)
+
+
+def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVAL (Vovk et al.; the
+    distribution-free uncertainty wrapper every deployed predictor
+    should ship with): orders split 60/20/20 into train/cal/test by
+    an md5 fold of the key (leakage-free, engine-portable); the
+    predictor is the per-priority mean price from TRAIN (exact
+    trunc-DIV cents); the calibration quantile q̂ = the
+    ⌈0.9·(n_cal+1)⌉-th smallest absolute residual gives the 90%
+    interval, and TEST coverage of |x − p̂| ≤ q̂ is reported in exact
+    integer micro units — conformal's finite-sample guarantee says
+    it lands ≥ 0.9 in expectation.
+
+    Scale shape: q̂ comes from the histogram-refinement SELECTION
+    (the ``exact_median_selection`` discipline — two scans + one
+    bucket-bounded ranking, never an ORDER BY over the calibration
+    split); everything else is group aggregates and 1-row
+    broadcasts. Exactness: integer cents, trunc DIV, tie-order-free
+    k-th VALUE.
+
+    Output: n_train, n_cal, n_test, qhat_cents, covered_micro.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import _md5_fold
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    folded = o.withColumn(
+        "fold",
+        F.pmod(_md5_fold(F.col("o_orderkey").cast("string"), 1, 12), F.lit(5)),
+    )
+    from ..session import track_persist
+
+    folded = track_persist(folded)
+    means = (
+        folded.where(F.col("fold") <= 2)
+        .groupBy("o_orderpriority")
+        .agg(F.expr("sum(cents) DIV count(1)").alias("p"))
+    )
+    cal = (
+        folded.where(F.col("fold") == 3)
+        .join(F.broadcast(means), "o_orderpriority")
+        .select(F.expr("abs(cents - p)").alias("r"))
+    )
+    cal = track_persist(cal)
+    stats = cal.agg(
+        F.min("r").alias("lo"),
+        F.max("r").alias("hi"),
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr("(9 * (count(1) + 1) + 9) DIV 10").alias("k"),
+    )
+    staged = cal.crossJoin(F.broadcast(stats))
+    width = f"((hi - lo) DIV {CONF_BUCKETS} + 1)"
+    bucketed = staged.select(
+        "n_cal", "k", "r", F.expr(f"(r - lo) DIV {width}").alias("b")
+    )
+    hist = bucketed.groupBy("n_cal", "k", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    target = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .where(F.col("cum") >= F.col("k"))
+        .orderBy("b")
+        .limit(1)
+        .select("b", (F.col("k") - F.col("cum") + F.col("c")).alias("k_in"))
+    )
+    in_bucket = bucketed.join(F.broadcast(target), "b")
+    per_value = in_bucket.groupBy("k_in", "r").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wval = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qhat = (
+        per_value.withColumn("cum", F.sum("c").over(wval))
+        .where(F.col("cum") >= F.col("k_in"))
+        .orderBy("r")
+        .limit(1)
+        .select(F.col("r").alias("qhat_cents"))
+    )
+    test = (
+        folded.where(F.col("fold") == 4)
+        .join(F.broadcast(means), "o_orderpriority")
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            (F.expr("abs(cents - p)") <= F.col("qhat_cents")).cast(
+                "long"
+            ).alias("cov"),
+            "qhat_cents",
+        )
+    )
+    counts = folded.groupBy().pivot("fold", [0, 1, 2, 3, 4]).count()
+    return (
+        test.groupBy("qhat_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.expr("(sum(cov) * 1000000) DIV count(1)").alias(
+                "covered_micro"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                counts.select(
+                    (F.col("0") + F.col("1") + F.col("2")).alias("n_train"),
+                    F.col("3").alias("n_cal"),
+                )
+            )
+        )
+        .select(
+            "n_train", "n_cal", "n_test", "qhat_cents", "covered_micro"
+        )
+    )
+
+
+def _conformal_sql() -> str:
+    from ..operators.dedup import _md5_fold_sql
+
+    fold = _md5_fold_sql("o_orderkey::VARCHAR", 1, 12)
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         round(o_totalprice * 100)::BIGINT AS cents,
+         ({fold}) % 5 AS fold
+  FROM orders
+), means AS (
+  SELECT o_orderpriority,
+         (sum(cents) // count(*))::BIGINT AS p
+  FROM o WHERE fold <= 2 GROUP BY 1
+), cal AS (
+  SELECT abs(cents - p) AS r
+  FROM o JOIN means USING (o_orderpriority) WHERE fold = 3
+), kq AS (
+  SELECT count(*)::BIGINT AS n_cal,
+         ((9 * (count(*) + 1) + 9) // 10)::BIGINT AS k
+  FROM cal
+), ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal
+), q AS (
+  SELECT r AS qhat_cents FROM ranked, kq WHERE rn = k
+), test AS (
+  SELECT CASE WHEN abs(cents - p) <= qhat_cents THEN 1 ELSE 0 END AS cov,
+         qhat_cents
+  FROM o JOIN means USING (o_orderpriority) CROSS JOIN q
+  WHERE fold = 4
+)
+SELECT (SELECT count(*) FROM o WHERE fold <= 2)::BIGINT AS n_train,
+       (SELECT n_cal FROM kq) AS n_cal,
+       count(*)::BIGINT AS n_test,
+       qhat_cents,
+       (sum(cov)::HUGEINT * 1000000 // count(*))::BIGINT AS covered_micro
+FROM test GROUP BY qhat_cents
+"""
+
+
 QUERIES = {
+    "conformal_interval_orders": conformal_interval_orders,
     "benjamini_hochberg_battery": benjamini_hochberg_battery,
     "exact_median_selection": exact_median_selection,
     "kruskal_wallis_test": kruskal_wallis_test,
@@ -4301,6 +4466,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conformal_interval_orders": _conformal_sql(),
     "benjamini_hochberg_battery": _bh_sql(),
     "exact_median_selection": _EXACT_MEDIAN_SQL,
     "kruskal_wallis_test": _kruskal_sql(),

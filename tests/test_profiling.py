@@ -1339,3 +1339,53 @@ def test_bh_battery_planted_naive_vs_fdr_disagreement(spark):
     assert got["S1/F"].bh_reject == 1 and got["S2/F"].bh_reject == 0
     for s in ("S3/F", "S4/F", "S5/F", "S6/F"):
         assert got[s].naive_reject == 0 and got[s].bh_reject == 0
+
+
+def test_conformal_interval_coverage_guarantee(spark):
+    """Split-conformal's finite-sample promise: test coverage of the
+    90% interval lands at or above 0.9 (within the binomial wobble a
+    few hundred test rows allow), splits are disjoint and exhaustive,
+    and qhat really is the ceil(0.9*(n_cal+1))-th smallest residual
+    (recomputed naively here)."""
+    r = prof.conformal_interval_orders(spark, "/root/testdata/sf0.001").collect()[0]
+    n = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    assert r.n_train + r.n_cal + r.n_test == n
+    # the conformal guarantee is MARGINAL over the calibration draw
+    # too: conditional-on-cal coverage wobbles with ~Beta variance of
+    # the same order as the test binomial — allow 3 sigma of both
+    import math
+
+    slack = 3 * math.sqrt(
+        0.9 * 0.1 * (1 / max(r.n_test, 1) + 1 / max(r.n_cal, 1))
+    )
+    assert r.covered_micro >= int((0.9 - slack) * 1_000_000)
+    # naive qhat recomputation (tiny sf): same value
+    from cs537_spring2021_p3a_mapreduce_spark.operators.dedup import _md5_fold
+    from pyspark.sql import functions as F
+
+    o = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn(
+            "fold",
+            F.pmod(_md5_fold(F.col("o_orderkey").cast("string"), 1, 12), F.lit(5)),
+        )
+    )
+    means = (
+        o.where("fold <= 2")
+        .groupBy("o_orderpriority")
+        .agg(F.expr("sum(cents) DIV count(1)").alias("p"))
+    )
+    res = sorted(
+        x.r
+        for x in o.where("fold = 3")
+        .join(means, "o_orderpriority")
+        .select(F.expr("abs(cents - p)").alias("r"))
+        .collect()
+    )
+    k = (9 * (len(res) + 1) + 9) // 10
+    assert r.qhat_cents == res[k - 1]
