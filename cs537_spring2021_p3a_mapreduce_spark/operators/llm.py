@@ -5722,7 +5722,7 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_DRIFT_SQL = f"""
 WITH rows_ AS (
   SELECT label, vec_id % 2 = 0 AS a, i - 1 AS dim,
-         round(embedding[i] * {CENTROID_SCALE})::BIGINT AS q
+         round(embedding[i]::DOUBLE * {CENTROID_SCALE})::BIGINT AS q
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
 ), per AS (
   SELECT label, dim,
