@@ -124,6 +124,49 @@ def main() -> None:
             .start()
         )
         sq.awaitTermination(60)
+        # ...and the STREAM-STREAM JOIN machinery specifically: the
+        # first join-state query in a process pays several extra
+        # seconds beyond the plain-agg warm-up above (join state
+        # providers + per-side watermark plumbing — measured: first
+        # banded-join drain 17.5 s cold vs 13.5 s steady at sf0.1
+        # once THIS 32-row two-reader join has run). Matters since
+        # the rotation can place the heavy streaming entries first.
+        from pyspark.sql import functions as _F
+
+        spark.range(32).select(
+            _F.col("id"),
+            _F.timestamp_seconds(_F.lit(1_704_067_200) + _F.col("id")).alias(
+                "ts"
+            ),
+        ).write.mode("overwrite").parquet(f"{wdir}/jin")
+
+        def _jreader():
+            return (
+                spark.readStream.schema("id long, ts timestamp")
+                .parquet(f"{wdir}/jin")
+                .withWatermark("ts", "10 seconds")
+            )
+
+        a = _jreader().select(
+            _F.col("id").alias("a_id"), _F.col("ts").alias("a_ts")
+        )
+        b = _jreader().select(
+            _F.col("id").alias("b_id"), _F.col("ts").alias("b_ts")
+        )
+        jq = (
+            a.join(
+                b,
+                (a["a_id"] == b["b_id"])
+                & (b["b_ts"] >= a["a_ts"])
+                & (b["b_ts"] <= a["a_ts"] + _F.expr("INTERVAL 5 SECONDS")),
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{wdir}/jckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        jq.awaitTermination(60)
         import shutil
 
         shutil.rmtree(wdir, ignore_errors=True)
