@@ -1373,6 +1373,181 @@ FROM merged GROUP BY 1
 """
 
 
+def manifest_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete via DELETION VECTORS
+    (``sources/manifest_sink.delete_where_dv`` — Delta 2.x deletion
+    vectors / Iceberg v2 position deletes): where copy-on-write
+    rewrites every file containing a match, a DV delete records the
+    deleted (file, row_index) positions in a tiny sidecar and leaves
+    every data file byte-identical — at 100 TB a 0.1%-selectivity
+    delete costs one narrow scan + kilobytes, not thousands of file
+    rewrites. Readers anti-join the broadcast sidecar against the
+    scan's hidden ``_metadata`` columns. Two successive DV deletes
+    accumulate sidecars on the same entries (the second scan applies
+    the first DV, so positions are never double-recorded); PURGE
+    (``purge_deletion_vectors`` — Delta's REORG APPLY PURGE) then
+    materializes them, and the pre-delete generation still
+    time-travels. Three phases, all value-checked against the same
+    relational semantics: 'dv' = merge-on-read view after both
+    deletes, 'purged' = the same view after physical materialization
+    (equality is the purge-correctness proof), 'asof' = generation 1
+    (nothing deleted). The no-file-rewritten invariant and conflict/
+    vacuum interplay are pinned in tests/test_sources.py.
+
+    Output: phase, o_orderpriority, n_orders, sum_cents.
+    """
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where_dv,
+        purge_deletion_vectors,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_dv_"), "t")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition("o_orderpriority")  # priority-clustered files
+    )
+    orders.write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    delete_where_dv(
+        spark, path, "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0"
+    )
+    delete_where_dv(spark, path, "o_orderkey % 5 = 0")
+
+    def _agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(phase).alias("phase"), F.col("o_orderpriority")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).alias("sum_cents"),
+        )
+
+    live = _agg(read_manifest_table(spark, path), "dv")
+    purge_deletion_vectors(spark, path)
+    purged = _agg(read_manifest_table(spark, path), "purged")
+    asof = _agg(read_manifest_table(spark, path, as_of=1), "asof")
+    return live.unionByName(purged).unionByName(asof)
+
+
+_MANIFEST_DV = """
+WITH live AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+    AND NOT (o_orderkey % 5 = 0)
+),
+phased AS (
+  SELECT 'dv' AS phase, o_orderpriority, o_totalprice FROM live
+  UNION ALL
+  SELECT 'purged', o_orderpriority, o_totalprice FROM live
+  UNION ALL
+  SELECT 'asof', o_orderpriority, o_totalprice FROM orders
+)
+SELECT phase, o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM phased GROUP BY 1, 2
+"""
+
+
+def manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF as a NEW COMMIT
+    (``sources/manifest_sink.restore_table`` — Delta's RESTORE): after
+    a bad delete (g2: urgent orders dropped) and a stray append (g3:
+    synthetic '9-SYNTH' rows), restoring to generation 1 re-publishes
+    g1's listing at generation 4 — pure metadata, zero bytes moved,
+    because commits never delete part files until vacuum. History is
+    preserved: the restore is itself a commit, so the broken g3 view
+    still time-travels (phase 'pre_restore') while the live table is
+    back to the original (phase 'restored'). A restore whose target
+    snapshot or data files were vacuumed fails loudly, and a commit
+    racing the restore aborts/rebases via the standard transaction
+    rules (both pinned in tests/test_sources.py).
+
+    Output: phase, o_orderpriority, n_orders, sum_cents.
+    """
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where,
+        read_manifest_table,
+        restore_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_rst_"), "t")
+    base = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition("o_orderpriority")
+    )
+    base.write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()  # g1
+    delete_where(spark, path, "o_orderpriority = '1-URGENT'")  # g2
+    max_key = (
+        table(spark, sf_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+    )
+    (
+        spark.range(1, 11)
+        .select(
+            (F.col("id") + max_key).alias("o_orderkey"),
+            F.lit("9-SYNTH").alias("o_orderpriority"),
+            (F.col("id") * 10.0).alias("o_totalprice"),
+        )
+        .write.format("mr_manifest")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )  # g3
+    restore_table(path, 1)  # g4 == g1's listing
+
+    def _agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(phase).alias("phase"), F.col("o_orderpriority")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).alias("sum_cents"),
+        )
+
+    restored = _agg(read_manifest_table(spark, path), "restored")
+    pre = _agg(read_manifest_table(spark, path, as_of=3), "pre_restore")
+    return restored.unionByName(pre)
+
+
+_MANIFEST_RESTORE = """
+WITH max_k AS (SELECT max(o_orderkey) AS mk FROM orders),
+pre AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT '9-SYNTH', id * 10.0
+  FROM max_k, unnest(generate_series(1, 10)) AS u(id)
+),
+phased AS (
+  SELECT 'restored' AS phase, o_orderpriority, o_totalprice FROM orders
+  UNION ALL
+  SELECT 'pre_restore', o_orderpriority, o_totalprice FROM pre
+)
+SELECT phase, o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM phased GROUP BY 1, 2
+"""
+
+
 def manifest_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE on the manifest table — the small-files fix as an
     optimistic TRANSACTION (``sources/manifest_sink.optimize_compact``
@@ -2495,6 +2670,8 @@ QUERIES = {
     "indexed_token_lookup": indexed_token_lookup,
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_merge_upsert": manifest_merge_upsert,
+    "manifest_delete_dv": manifest_delete_dv,
+    "manifest_restore": manifest_restore,
     "concurrent_writers_conflict": concurrent_writers_conflict,
     "cdf_incremental_rollup": cdf_incremental_rollup,
     "manifest_optimize_compact": manifest_optimize_compact,
@@ -2587,6 +2764,8 @@ ORACLES = {
     "indexed_token_lookup": _IDX_LOOKUP,
     "manifest_delete_rows": _MANIFEST_DEL,
     "manifest_merge_upsert": _MANIFEST_MERGE,
+    "manifest_delete_dv": _MANIFEST_DV,
+    "manifest_restore": _MANIFEST_RESTORE,
     "concurrent_writers_conflict": _CONCURRENT_WRITERS,
     "cdf_incremental_rollup": _CDF_IVM,
     "manifest_optimize_compact": _MANIFEST_OPTIMIZE,

@@ -171,9 +171,19 @@ def commit_transaction(path: str, txn: dict) -> int:
                         base, g, reason="an intervening OVERWRITE replaced "
                         "the entire listing this transaction was based on"
                     )
-                removed_g = (
-                    _snapshot_files(path, g - 1) if g > 1 else set()
-                ) - {e["file"] for e in snap["files"]}
+                # prefer the commit's RECORDED remove set (Delta's log
+                # records remove actions explicitly): a deletion-vector
+                # commit removes and re-ADDS the same file name (entry
+                # replaced, DV appended), so the listing diff below
+                # would be empty and two DV deletes of the same file
+                # would silently both land. Fall back to the snapshot
+                # diff for commits that predate the recording.
+                if "removed" in snap:
+                    removed_g = set(snap["removed"])
+                else:
+                    removed_g = (
+                        _snapshot_files(path, g - 1) if g > 1 else set()
+                    ) - {e["file"] for e in snap["files"]}
             except FileNotFoundError:
                 raise ConcurrentWriteConflictError(
                     base, g, reason="intervening snapshot was vacuumed; "
@@ -182,6 +192,23 @@ def commit_transaction(path: str, txn: dict) -> int:
             overlap = removed_g & remove
             if overlap:
                 raise ConcurrentWriteConflictError(base, g, overlap)
+        # a VACUUM that ran while this transaction was staged may have
+        # reclaimed its manifest-invisible part files (vacuum deletes
+        # every unreferenced parquet); publishing a listing that names
+        # vacuumed files would be a torn table — abort loudly instead.
+        gone = [
+            f
+            for e in txn["add_entries"]
+            for f in (e["file"], *e.get("dvs", []))
+            if not os.path.exists(os.path.join(path, f))
+        ]
+        if gone:
+            raise ConcurrentWriteConflictError(
+                base,
+                cur_gen,
+                reason="transaction's staged files were vacuumed while "
+                f"in flight: {sorted(set(gone))[:5]}",
+            )
         # disjoint: rebase onto the LATEST listing
         new_files = [
             e for e in cur["files"] if e["file"] not in remove
@@ -192,6 +219,10 @@ def commit_transaction(path: str, txn: dict) -> int:
             "files": new_files,
             "op": txn.get("op", "txn"),
             "base_generation": base,
+            # explicit remove actions for conflict detection: the
+            # listing diff alone cannot see same-name entry
+            # replacements (deletion-vector commits)
+            "removed": sorted(remove),
         }
         # streaming exactly-once bookkeeping (the Delta txn
         # appId→version idempotence contract): per-writer last-applied
@@ -412,6 +443,20 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                     pass
 
 
+def _refuse_dv(entries: list[dict], op: str) -> None:
+    """Copy-on-write rewrites read part files RAW, so running one
+    over a listing that carries deletion vectors would RESURRECT the
+    DV-deleted rows into the rewritten files. Purge first
+    (``purge_deletion_vectors``) or stay on the merge-on-read path
+    (``delete_where_dv``)."""
+    if any(e.get("dvs") for e in entries):
+        raise NotImplementedError(
+            f"{op} on a listing carrying deletion vectors would "
+            "resurrect DV-deleted rows; run purge_deletion_vectors "
+            "first or use delete_where_dv"
+        )
+
+
 def plan_delete(spark, path: str, condition: str) -> dict:
     """Phase 1 of copy-on-write DELETE as an optimistic TRANSACTION:
     scan at the current generation (the transaction's BASE), rewrite
@@ -425,6 +470,7 @@ def plan_delete(spark, path: str, condition: str) -> dict:
 
     with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
         manifest = json.load(fh)
+    _refuse_dv(manifest["files"], "plan_delete")
     base_generation = manifest.get("generation", 0)
     files = [f["file"] for f in manifest["files"]]
     full = [os.path.join(path, f) for f in files]
@@ -496,6 +542,7 @@ def plan_merge(spark, path: str, updates, key_cols: list[str]) -> dict:
 
     with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
         manifest = json.load(fh)
+    _refuse_dv(manifest["files"], "plan_merge")
     base_generation = manifest.get("generation", 0)
     files = [f["file"] for f in manifest["files"]]
     keys = updates.select(*key_cols).distinct()
@@ -566,7 +613,14 @@ def plan_optimize(spark, path: str, target_rows: int) -> dict:
     with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
         manifest = json.load(fh)
     base_generation = manifest.get("generation", 0)
-    smalls = [e for e in manifest["files"] if e["n_rows"] < target_rows]
+    # DV'd entries are skipped, not refused: compacting one raw would
+    # resurrect its DV-deleted rows, and materializing them is the
+    # purge op's job — OPTIMIZE only bin-packs clean files.
+    smalls = [
+        e
+        for e in manifest["files"]
+        if e["n_rows"] < target_rows and not e.get("dvs")
+    ]
     bins: list[list[dict]] = []
     cur: list[dict] = []
     n_cur = 0
@@ -634,10 +688,19 @@ def merge_upsert(spark, path: str, updates, key_cols: list[str]) -> int:
 
 def abort_transaction(path: str, txn: dict) -> None:
     """Remove a staged transaction's part files (never-committed, so
-    no reader ever saw them) — the cleanup arm of a conflict abort."""
-    for e in txn["add_entries"]:
+    no reader ever saw them) — the cleanup arm of a conflict abort.
+
+    Removes the files the transaction STAGED (``staged_files`` when
+    present), not blindly its ``add_entries``: a deletion-vector
+    transaction's add_entries re-reference LIVE committed data files
+    (same name, new DV list), and deleting those on abort would
+    destroy committed data."""
+    staged = txn.get("staged_files")
+    if staged is None:
+        staged = [e["file"] for e in txn["add_entries"]]
+    for f in staged:
         try:
-            os.remove(os.path.join(path, e["file"]))
+            os.remove(os.path.join(path, f))
         except OSError:
             pass
 
@@ -692,7 +755,12 @@ def vacuum_manifest_table(path: str, keep_generations: int = 1) -> list[str]:
         for name in keep_snaps | {MANIFEST}:
             try:
                 with open(os.path.join(path, name), encoding="utf-8") as fh:
-                    referenced |= {f["file"] for f in json.load(fh)["files"]}
+                    for e in json.load(fh)["files"]:
+                        referenced.add(e["file"])
+                        # DV sidecars are part of the snapshot's read
+                        # view: vacuuming one would silently resurrect
+                        # its deleted rows
+                        referenced.update(e.get("dvs", []))
             except FileNotFoundError:
                 continue
         deleted = []
@@ -833,17 +901,45 @@ def read_manifest_table(
     the ADDITIVE schema-evolution contract (Delta's mergeSchema /
     Iceberg's schema id): generations committed with extra columns
     read as one relation, older rows NULL-filled; history is never
-    rewritten."""
+    rewritten.
+
+    Entries carrying deletion vectors (``dvs``, written by
+    ``delete_where_dv``) are applied MERGE-ON-READ: the sidecars'
+    (file, pos) rows are anti-joined against the scan's hidden
+    ``_metadata`` (file_name, row_index) — a broadcast of the tiny
+    DV set against a narrow scan, never a rewrite. Tables without
+    DVs take the plain one-scan path unchanged."""
     name = MANIFEST if as_of is None else f"{MANIFEST}.g{as_of}"
     with open(os.path.join(path, name), encoding="utf-8") as fh:
         manifest = json.load(fh)
-    files = [os.path.join(path, f["file"]) for f in manifest["files"]]
+    entries = manifest["files"]
+    files = [os.path.join(path, f["file"]) for f in entries]
     if not files:
         raise ValueError(f"empty manifest at {path}")
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    df = reader.parquet(*files)
+    dvs = [os.path.join(path, d) for e in entries for d in e.get("dvs", [])]
+    if not dvs:
+        return df
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    dv = spark.read.parquet(*dvs).select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    tagged = df.select(
+        F.col("_metadata.file_name").alias("__row_file"),
+        F.col("_metadata.row_index").alias("__row_pos"),
+        "*",
+    )
+    return tagged.join(
+        broadcast(dv),
+        (tagged["__row_file"] == dv["__dv_file"])
+        & (tagged["__row_pos"] == dv["__dv_pos"]),
+        "left_anti",
+    ).drop("__row_file", "__row_pos")
 
 
 def zone_map_files(
@@ -888,3 +984,241 @@ def read_manifest_table_pruned(spark, path: str, column: str, lo, hi):
             f"no committed file overlaps {column} in [{lo}, {hi}] at {path}"
         )
     return spark.read.parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: MERGE-ON-READ row-level delete (Delta 2.x deletion
+# vectors / Iceberg v2 position deletes, in the repo's minimal honest
+# form). Copy-on-write (`plan_delete`) pays a full rewrite of every hit
+# file to drop a few rows; a deletion vector instead records the DELETED
+# ROW POSITIONS in a tiny sidecar and leaves the data files untouched —
+# at 100 TB a delete that hits 0.1% of rows across 3 000 files costs one
+# narrow scan plus kilobytes of sidecar, not 3 000 file rewrites.
+# Readers apply DVs as a broadcast anti-join on the scan's hidden
+# (_metadata.file_name, _metadata.row_index) — the exact pair Delta's
+# scan nodes key their roaring bitmaps on. Sidecars accumulate per
+# entry (`dvs` list) until `purge_deletion_vectors` materializes them.
+# ---------------------------------------------------------------------------
+
+
+def _adopt_one_file(spark_df, path: str, prefix: str) -> tuple[str, int]:
+    """Write a DataFrame as ONE parquet file adopted into the table
+    directory under a unique name; returns (name, row_count)."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    tmpdir = _tempfile.mkdtemp(prefix="madopt_")
+    spark_df.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+    written = _glob.glob(os.path.join(tmpdir, "part-*.parquet"))[0]
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(written).num_rows
+    newname = f"{prefix}{uuid.uuid4().hex}.parquet"
+    _shutil.move(written, os.path.join(path, newname))
+    _shutil.rmtree(tmpdir, ignore_errors=True)
+    return newname, n
+
+
+def plan_delete_dv(spark, path: str, condition: str) -> dict:
+    """Phase 1 of MERGE-ON-READ delete as an optimistic transaction:
+    one narrow scan (existing DVs applied, so already-deleted rows are
+    never re-recorded) finds the matching (file_name, row_index)
+    pairs and writes them as ONE ``dv-*.parquet`` sidecar; each hit
+    file's manifest entry is replaced by the same entry with the
+    sidecar appended to its ``dvs`` list. Data files are NOT
+    rewritten and NOT removed — but the hit entries still go through
+    ``remove_files``, so the standard conflict rules apply: a
+    concurrent rewrite (or concurrent DV delete) of the same file
+    aborts, disjoint commits rebase — Delta's
+    ConcurrentDeleteDelete semantics for free. ``staged_files`` names
+    only the sidecar: an abort must never unlink live data files."""
+    _require_local(path, "plan_delete_dv")
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    base_generation = manifest.get("generation", 0)
+    entries = manifest["files"]
+    files = [os.path.join(path, e["file"]) for e in entries]
+    empty = {
+        "base_generation": base_generation,
+        "remove_files": [],
+        "add_entries": [],
+        "staged_files": [],
+        "op": "delete_dv",
+        "condition": condition,
+        "dv_rows": 0,
+    }
+    if not files:
+        return empty
+    scan = spark.read.parquet(*files).select(
+        F.col("_metadata.file_name").alias("__row_file"),
+        F.col("_metadata.row_index").alias("__row_pos"),
+        "*",
+    )
+    prior = [os.path.join(path, d) for e in entries for d in e.get("dvs", [])]
+    if prior:
+        pdv = spark.read.parquet(*prior).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
+        scan = scan.join(
+            broadcast(pdv),
+            (scan["__row_file"] == pdv["__dv_file"])
+            & (scan["__row_pos"] == pdv["__dv_pos"]),
+            "left_anti",
+        )
+    matches = scan.where(condition).select(
+        F.col("__row_file").alias("file"), F.col("__row_pos").alias("pos")
+    )
+    dv_name, total = _adopt_one_file(matches, path, "dv-")
+    if total == 0:
+        os.remove(os.path.join(path, dv_name))
+        return empty
+    # per-file hit counts from the (tiny) adopted sidecar — one row
+    # per hit file on the driver, never the positions themselves
+    counts = {
+        r["file"]: r["n"]
+        for r in spark.read.parquet(os.path.join(path, dv_name))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hit = [e for e in entries if os.path.basename(e["file"]) in counts]
+    add_entries = [
+        {
+            **e,
+            "dvs": [*e.get("dvs", []), dv_name],
+            "dv_rows": e.get("dv_rows", 0)
+            + counts[os.path.basename(e["file"])],
+        }
+        for e in hit
+    ]
+    return {
+        "base_generation": base_generation,
+        "remove_files": sorted(e["file"] for e in hit),
+        "add_entries": add_entries,
+        "staged_files": [dv_name],
+        "op": "delete_dv",
+        "condition": condition,
+        "dv_rows": total,
+    }
+
+
+def delete_where_dv(spark, path: str, condition: str) -> int:
+    """Merge-on-read DELETE with immediate optimistic commit; returns
+    the number of rows newly deleted (0 = no matching live rows, no
+    commit). Conflicts abort with the sidecar cleaned up."""
+    txn = plan_delete_dv(spark, path, condition)
+    if not txn["remove_files"]:
+        return 0
+    try:
+        commit_transaction(path, txn)
+    except ConcurrentWriteConflictError:
+        abort_transaction(path, txn)
+        raise
+    return txn["dv_rows"]
+
+
+def purge_deletion_vectors(spark, path: str) -> int:
+    """Materialize every deletion vector: each DV'd file is rewritten
+    WITHOUT its deleted positions (anti-join on row_index, per file)
+    and its entry replaced by a clean one — Delta's
+    REORG TABLE ... APPLY (PURGE). The logical table is unchanged
+    (pinned by the caller reading before/after); the old files and
+    sidecars stay on disk for time travel until vacuum. Returns the
+    number of files rewritten. Runs as one optimistic transaction:
+    a concurrent commit touching a purged file aborts the purge."""
+    _require_local(path, "purge_deletion_vectors")
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    dved = [e for e in manifest["files"] if e.get("dvs")]
+    if not dved:
+        return 0
+    add_entries = []
+    staged = []
+    for e in dved:
+        src = os.path.join(path, e["file"])
+        base = os.path.basename(e["file"])
+        df = spark.read.parquet(src).select(
+            F.col("_metadata.row_index").alias("__row_pos"), "*"
+        )
+        dv = (
+            spark.read.parquet(*[os.path.join(path, d) for d in e["dvs"]])
+            .where(F.col("file") == base)
+            .select(F.col("pos").alias("__dv_pos"))
+        )
+        survivors = df.join(
+            broadcast(dv),
+            df["__row_pos"] == dv["__dv_pos"],
+            "left_anti",
+        ).drop("__row_pos")
+        newname, n = _adopt_one_file(survivors, path, "part-")
+        if n == 0:
+            os.remove(os.path.join(path, newname))
+            continue  # fully deleted file: removed with no successor
+        staged.append(newname)
+        add_entries.append({"file": newname, "n_rows": n})
+    txn = {
+        "base_generation": manifest.get("generation", 0),
+        "remove_files": sorted(e["file"] for e in dved),
+        "add_entries": add_entries,
+        "staged_files": staged,
+        "op": "purge_dv",
+    }
+    try:
+        commit_transaction(path, txn)
+    except ConcurrentWriteConflictError:
+        abort_transaction(path, txn)
+        raise
+    return len(dved)
+
+
+def restore_table(path: str, to_generation: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — as a NEW commit (Delta's
+    RESTORE): the target snapshot's listing is re-published at
+    generation N+1 through the optimistic transaction path, so
+    history is preserved (the restore itself is a commit you can
+    time-travel back across, and its snapshot-diff is derivable like
+    any other) and a commit racing the restore aborts or rebases by
+    the standard file-level rules. The full current listing is
+    replaced (remove = all current, add = all target entries), which
+    also rolls back deletion-vector state — a restore across a DV
+    delete restores the PRE-delete entries verbatim. Fails loudly if
+    the target snapshot or any file it references was vacuumed.
+    Returns the new generation."""
+    _require_local(path, "restore_table")
+    snap_path = os.path.join(path, f"{MANIFEST}.g{to_generation}")
+    try:
+        with open(snap_path, encoding="utf-8") as fh:
+            target = json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"cannot restore {path} to generation {to_generation}: "
+            "snapshot was vacuumed"
+        ) from None
+    missing = [
+        e["file"]
+        for e in target["files"]
+        if not os.path.exists(os.path.join(path, e["file"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to generation {to_generation}: "
+            f"data files vacuumed: {sorted(missing)[:5]}"
+        )
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        cur = json.load(fh)
+    txn = {
+        "base_generation": cur.get("generation", 0),
+        "remove_files": sorted(e["file"] for e in cur["files"]),
+        "add_entries": list(target["files"]),
+        "staged_files": [],
+        "op": "restore",
+        "restore_to": to_generation,
+    }
+    return commit_transaction(path, txn)

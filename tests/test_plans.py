@@ -1430,3 +1430,34 @@ def test_bh_battery_windows_are_domain_bounded(spark):
     plan = P.plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert P.count_nodes(plan, "Window") >= 2  # rank + step-up levels
+
+
+def test_dv_read_is_broadcast_antijoin_no_rewrite_shapes(spark, tmp_path):
+    """The deletion-vector read path: DV application must plan as ONE
+    scan anti-joined against a BROADCAST of the tiny sidecar (the
+    Delta DV scan shape) — never a shuffled join of the data by
+    (file, pos), never a cartesian. A clean table must read as a
+    plain scan with no join at all."""
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where_dv,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 4) for i in range(400)], "k long, shard long"
+    ).repartition("shard").write.format("mr_manifest").option(
+        "path", path
+    ).mode("append").save()
+    clean = P.plan(read_manifest_table(spark, path))
+    assert "Join" not in clean  # no-DV fast path: plain scan
+    delete_where_dv(spark, path, "k % 3 = 0")
+    p = P.plan(read_manifest_table(spark, path))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # sidecar must never shuffle the scan

@@ -1563,13 +1563,21 @@ def test_shallow_clone_zero_copy_and_cow_divergence(spark, tmp_path):
 
 
 def test_vacuumed_snapshot_aborts_stale_transaction(spark, tmp_path):
-    """Conservative-abort branch: when vacuum has dropped an
-    intervening snapshot, a transaction based on a generation before
-    it can no longer PROVE file-disjointness and must abort rather
-    than guess — even if it would in fact have been disjoint."""
+    """Vacuum vs stale-transaction adjudication, both formats. A
+    commit that RECORDS its remove actions (every commit_transaction
+    since the deletion-vector round) keeps disjointness provable even
+    after vacuum drops the pre-commit snapshot — the stale-but-
+    disjoint transaction lands by rebase. A LEGACY intervening commit
+    (no recorded removes, emulated by stripping the key) forces the
+    listing-diff path, which needs the vacuumed g−1 snapshot and must
+    abort conservatively rather than guess."""
+    import json
+    import os
+
     import pytest
 
     from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        MANIFEST,
         ConcurrentWriteConflictError,
         ManifestParquetSink,
         abort_transaction,
@@ -1594,15 +1602,269 @@ def test_vacuumed_snapshot_aborts_stale_transaction(spark, tmp_path):
     mk(100, 200, "b").write.format("mr_manifest").option("path", path).mode(
         "append"
     ).save()
-    # txn planned against gen 2, touching only slice b
-    txn = plan_delete(spark, path, "tag = 'b' AND k % 2 = 0")
+    # staged-file hazard: a PARTIAL delete stages a survivor file that
+    # is manifest-invisible; a vacuum racing the transaction reclaims
+    # it, and the commit must abort rather than publish a torn listing
+    torn = plan_delete(spark, path, "tag = 'b' AND k % 2 = 0")
+    assert torn["add_entries"]  # staged a survivor file
+    # whole-file txn stages NOTHING (no survivors) — immune to vacuum
+    txn = plan_delete(spark, path, "tag = 'b'")
+    assert not txn["add_entries"]
     # a disjoint delete lands (gen 3), then vacuum drops old snapshots
+    # AND the staged survivor file (unreferenced parquet)
     delete_where(spark, path, "tag = 'a' AND k % 3 = 0")
     vacuum_manifest_table(path, keep_generations=1)
-    with pytest.raises(ConcurrentWriteConflictError, match="vacuumed"):
-        commit_transaction(path, txn)
-    abort_transaction(path, txn)
-    # table state reflects only the committed delete
+    with pytest.raises(ConcurrentWriteConflictError, match="staged"):
+        commit_transaction(path, torn)
+    abort_transaction(path, torn)
+    # modern path: gen 3 recorded its removes, so disjointness is
+    # provable without the vacuumed gen-2 snapshot → rebase lands
+    gen = commit_transaction(path, txn)
+    assert gen == 4
     got = {r.k for r in read_manifest_table(spark, path).collect()}
-    assert all(k in got for k in range(100, 200))
-    assert not any(k % 3 == 0 for k in got if k < 100)
+    assert not any(k % 3 == 0 for k in got if k < 100)  # delete kept
+    assert not any(k >= 100 for k in got)  # whole-file txn landed
+
+    # legacy path: strip gen 3's recorded removes to emulate a
+    # pre-recording commit; a transaction stale across it must fall
+    # back to the listing diff, which needs the VACUUMED gen-2
+    # snapshot → conservative abort
+    stale = plan_delete(spark, path, "tag = 'a' AND k % 9 = 0")
+    stale["base_generation"] = 2  # stale across legacy gen 3
+    snap3 = os.path.join(path, f"{MANIFEST}.g3")
+    with open(snap3, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    doc.pop("removed")
+    with open(snap3, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+    with pytest.raises(ConcurrentWriteConflictError, match="vacuumed"):
+        commit_transaction(path, stale)
+    abort_transaction(path, stale)
+    assert {r.k for r in read_manifest_table(spark, path).collect()} == got
+
+
+def test_deletion_vectors_merge_on_read_lifecycle(spark, tmp_path):
+    """Deletion vectors: a DV delete leaves every data file
+    byte-identical (merge-on-read), sidecars accumulate across two
+    deletes without double-recording positions, reads apply them,
+    time travel sees the pre-delete rows, purge materializes the same
+    logical table with clean entries, and vacuum never reclaims a
+    sidecar a retained snapshot still needs."""
+    import hashlib
+    import json
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        MANIFEST,
+        ManifestParquetSink,
+        delete_where_dv,
+        purge_deletion_vectors,
+        read_manifest_table,
+        vacuum_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 4) for i in range(400)], "k long, shard long"
+    ).repartition("shard").write.format("mr_manifest").option(
+        "path", path
+    ).mode("append").save()
+
+    def digests():
+        return {
+            f: hashlib.sha256(
+                open(os.path.join(path, f), "rb").read()
+            ).hexdigest()
+            for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        }
+
+    before = digests()
+    n1 = delete_where_dv(spark, path, "k % 3 = 0")
+    n2 = delete_where_dv(spark, path, "k % 5 = 0")
+    assert n1 == len([k for k in range(400) if k % 3 == 0])
+    # second delete must not re-record rows the first already deleted
+    assert n2 == len([k for k in range(400) if k % 5 == 0 and k % 3 != 0])
+    assert digests() == before  # merge-on-read: zero data bytes moved
+    live = {r.k for r in read_manifest_table(spark, path).collect()}
+    assert live == {k for k in range(400) if k % 3 != 0 and k % 5 != 0}
+    # sidecars accumulated on the entries; dv_rows bookkeeping adds up
+    with open(os.path.join(path, MANIFEST)) as fh:
+        entries = json.load(fh)["files"]
+    assert all(len(e.get("dvs", [])) >= 1 for e in entries)
+    assert sum(e["dv_rows"] for e in entries) == n1 + n2
+    # time travel: generation 1 predates both deletes
+    g1 = {r.k for r in read_manifest_table(spark, path, as_of=1).collect()}
+    assert g1 == set(range(400))
+    # no-match delete: no commit, no sidecar left behind
+    gen_files = set(os.listdir(path))
+    assert delete_where_dv(spark, path, "k = -1") == 0
+    assert set(os.listdir(path)) == gen_files
+    # purge: same logical table, clean entries, rewritten files
+    assert purge_deletion_vectors(spark, path) == len(entries)
+    assert {r.k for r in read_manifest_table(spark, path).collect()} == live
+    with open(os.path.join(path, MANIFEST)) as fh:
+        clean = json.load(fh)["files"]
+    assert not any(e.get("dvs") for e in clean)
+    assert sum(e["n_rows"] for e in clean) == len(live)
+    # purge on a clean table is a no-op
+    assert purge_deletion_vectors(spark, path) == 0
+    # vacuum keeping the DV'd generation must retain its sidecars...
+    kept = vacuum_manifest_table(path, keep_generations=3)
+    assert {r.k for r in read_manifest_table(spark, path, as_of=3).collect()
+            } == live  # post-second-delete snapshot still readable
+    # ...and vacuuming history away reclaims data files AND sidecars
+    deleted = vacuum_manifest_table(path, keep_generations=1)
+    assert any(f.startswith("dv-") for f in kept + deleted)
+    assert not any(f.startswith("dv-") for f in os.listdir(path))
+    assert {r.k for r in read_manifest_table(spark, path).collect()} == live
+
+
+def test_deletion_vector_conflicts_and_cow_guards(spark, tmp_path):
+    """DV transactions conflict like rewrites (concurrent DV deletes
+    of the same file: second aborts, and the abort removes ONLY the
+    staged sidecar — never live data files); copy-on-write
+    delete/merge refuse a DV'd listing (raw rewrite would resurrect
+    deleted rows); OPTIMIZE skips DV'd entries instead."""
+    import json
+    import os
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        MANIFEST,
+        ConcurrentWriteConflictError,
+        ManifestParquetSink,
+        abort_transaction,
+        commit_transaction,
+        delete_where,
+        merge_upsert,
+        plan_delete_dv,
+        plan_optimize,
+        read_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 2) for i in range(100)], "k long, shard long"
+    ).repartition("shard").write.format("mr_manifest").option(
+        "path", path
+    ).mode("append").save()
+
+    # two writers plan DV deletes over the same files from the same base
+    txn_a = plan_delete_dv(spark, path, "k % 10 = 0")
+    txn_b = plan_delete_dv(spark, path, "k % 10 = 1")
+    commit_transaction(path, txn_a)
+    with pytest.raises(ConcurrentWriteConflictError):
+        commit_transaction(path, txn_b)
+    data_before = {
+        f for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    }
+    abort_transaction(path, txn_b)
+    data_after = {
+        f for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    }
+    assert data_after == data_before  # abort removed only the sidecar
+    assert txn_b["staged_files"][0] not in os.listdir(path)
+    live = {r.k for r in read_manifest_table(spark, path).collect()}
+    assert live == {k for k in range(100) if k % 10 != 0}
+
+    # copy-on-write ops refuse the DV'd listing instead of resurrecting
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        delete_where(spark, path, "k = 7")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame([(7, 0)], "k long, shard long"),
+            ["k"],
+        )
+    # OPTIMIZE: DV'd entries are not compactable (raw rewrite would
+    # resurrect); with every entry DV'd nothing qualifies
+    with open(os.path.join(path, MANIFEST)) as fh:
+        entries = json.load(fh)["files"]
+    assert all(e.get("dvs") for e in entries)
+    assert plan_optimize(spark, path, 10_000)["remove_files"] == []
+
+
+def test_restore_table_metadata_only_and_vacuum_guard(spark, tmp_path):
+    """RESTORE re-publishes an old generation as a NEW commit: the
+    live view returns to the target listing with zero data bytes
+    moved, the pre-restore generation still time-travels (history
+    preserved), a restore across a DV delete rolls the DV state back,
+    and a vacuumed target fails loudly."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where,
+        delete_where_dv,
+        read_manifest_table,
+        restore_table,
+        vacuum_manifest_table,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "k long, shard long"
+    ).repartition("shard").write.format("mr_manifest").option(
+        "path", path
+    ).mode("append").save()  # g1
+    delete_where(spark, path, "k % 2 = 0")  # g2: COW delete
+    spark.createDataFrame(
+        [(1000 + i, 9) for i in range(5)], "k long, shard long"
+    ).coalesce(1).write.format("mr_manifest").option("path", path).mode(
+        "append"
+    ).save()  # g3: stray append
+
+    def digests():
+        return {
+            f: hashlib.sha256(
+                open(os.path.join(path, f), "rb").read()
+            ).hexdigest()
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    before = digests()
+    gen = restore_table(path, 1)  # g4
+    assert gen == 4
+    assert digests() == before  # metadata-only: no file written/changed
+    assert {r.k for r in read_manifest_table(spark, path).collect()} == set(
+        range(300)
+    )
+    # history preserved: the broken pre-restore view still travels
+    pre = {r.k for r in read_manifest_table(spark, path, as_of=3).collect()}
+    assert pre == {k for k in range(300) if k % 2 != 0} | {
+        1000 + i for i in range(5)
+    }
+    # restore across a DV delete rolls the deletion-vector state back
+    delete_where_dv(spark, path, "k % 7 = 0")  # g5
+    restore_table(path, 4)  # g6: listing without dvs again
+    assert {r.k for r in read_manifest_table(spark, path).collect()} == set(
+        range(300)
+    )
+    # vacuumed target snapshot → loud failure, table unchanged
+    vacuum_manifest_table(path, keep_generations=1)
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        restore_table(path, 3)
+    assert {r.k for r in read_manifest_table(spark, path).collect()} == set(
+        range(300)
+    )
