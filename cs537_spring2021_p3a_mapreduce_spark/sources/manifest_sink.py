@@ -920,6 +920,13 @@ def read_manifest_table(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*files)
+    return _apply_dvs(spark, path, df, entries)
+
+
+def _apply_dvs(spark, path: str, df, entries: list[dict]):
+    """Anti-join the entries' DV sidecars (if any) out of a scan over
+    exactly those entries' files. No-DV listings return ``df``
+    unchanged (plain scan, no join node)."""
     dvs = [os.path.join(path, d) for e in entries for d in e.get("dvs", [])]
     if not dvs:
         return df
@@ -977,13 +984,25 @@ def zone_map_files(
 def read_manifest_table_pruned(spark, path: str, column: str, lo, hi):
     """Manifest read restricted to zone-map-overlapping files; the
     predicate itself must still be applied by the caller (zone maps
-    bound files, not rows)."""
+    bound files, not rows). Deletion vectors of the KEPT entries are
+    applied like the full reader's — zone maps stay valid upper
+    bounds under DVs (deletes only shrink the live set), but the
+    deleted rows themselves must not resurface through the pruned
+    path."""
     files, _total = zone_map_files(path, column, lo, hi)
     if not files:
         raise ValueError(
             f"no committed file overlaps {column} in [{lo}, {hi}] at {path}"
         )
-    return spark.read.parquet(*files)
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        entries = json.load(fh)["files"]
+    kept_names = {os.path.basename(f) for f in files}
+    kept_entries = [
+        e for e in entries if os.path.basename(e["file"]) in kept_names
+    ]
+    return _apply_dvs(
+        spark, path, spark.read.parquet(*files), kept_entries
+    )
 
 
 # ---------------------------------------------------------------------------

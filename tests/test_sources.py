@@ -1868,3 +1868,32 @@ def test_restore_table_metadata_only_and_vacuum_guard(spark, tmp_path):
     assert {r.k for r in read_manifest_table(spark, path).collect()} == set(
         range(300)
     )
+
+
+def test_pruned_read_applies_deletion_vectors(spark, tmp_path):
+    """The zone-map-pruned read path must not resurface DV-deleted
+    rows: pruning bounds FILES, DVs bound ROWS, and both apply."""
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+        delete_where_dv,
+        read_manifest_table_pruned,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i // 100) for i in range(400)], "k long, shard long"
+    ).repartition("shard").write.format("mr_manifest").option(
+        "path", path
+    ).mode("append").save()
+    delete_where_dv(spark, path, "k % 3 = 0")
+    got = {
+        r.k
+        for r in read_manifest_table_pruned(spark, path, "k", 0, 199)
+        .where("k BETWEEN 0 AND 199")
+        .collect()
+    }
+    assert got == {k for k in range(200) if k % 3 != 0}
