@@ -1548,6 +1548,100 @@ FROM phased GROUP BY 1, 2
 """
 
 
+def manifest_bloom_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-FILTER index for equality-probe FILE SKIPPING
+    (``sources/manifest_sink.build_bloom_index`` — Delta's Bloom
+    filter index / Iceberg's Puffin blobs): orders land
+    priority-clustered (one append per priority ⇒ 5 files), so every
+    file spans the FULL o_orderkey range and zone maps cannot prune a
+    point lookup — the committed per-file bloom (65536 bits, 7 ×
+    xxhash64, built by one distributed scan whose shuffle is at most
+    files × 1024 bit-or'd words) prunes it to the one file actually
+    containing the key. Three deterministic probes (min key, max key,
+    first key above the integer midpoint — integer arithmetic both
+    engines, never a float avg boundary) read through
+    ``read_manifest_table_point``; the ``pruned`` flag rides along
+    (bloom bits are a pure function of the data, so pruning is
+    deterministic; a false positive would add a file, never lose the
+    row). Zone-map-vs-bloom contrast, definitive-miss behavior, and
+    DV interplay are pinned in tests/test_sources.py.
+
+    Output: o_orderkey, o_orderpriority, cents, pruned.
+    """
+    from ..sources.manifest_sink import (
+        ManifestParquetSink,
+        bloom_prune_files,
+        build_bloom_index,
+        read_manifest_table_point,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+
+    path = os.path.join(scratch_dir("manifest_blm_"), "t")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for pri in (
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    ):
+        orders.where(F.col("o_orderpriority") == pri).coalesce(1).write.format(
+            "mr_manifest"
+        ).option("path", path).mode("append").save()
+    build_bloom_index(spark, path, "o_orderkey")
+    lo, hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    mid = (
+        orders.where(F.col("o_orderkey") > (lo + hi) // 2)
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    parts = []
+    for key in (lo, mid, hi):
+        kept, total = bloom_prune_files(
+            spark, path, "o_orderkey", "bigint", int(key)
+        )
+        parts.append(
+            read_manifest_table_point(
+                spark, path, "o_orderkey", "bigint", int(key)
+            )
+            .where(F.col("o_orderkey") == int(key))
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+                F.lit(len(kept) < total).alias("pruned"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_MANIFEST_BLOOM = """
+WITH bounds AS (
+  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+),
+keys AS (
+  SELECT lo AS k FROM bounds
+  UNION ALL
+  SELECT min(o_orderkey) FROM orders, bounds
+  WHERE o_orderkey > (lo + hi) // 2
+  UNION ALL
+  SELECT hi FROM bounds
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       round(o.o_totalprice * 100)::BIGINT AS cents, TRUE AS pruned
+FROM orders o JOIN keys ON o.o_orderkey = keys.k
+"""
+
+
 def manifest_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE on the manifest table — the small-files fix as an
     optimistic TRANSACTION (``sources/manifest_sink.optimize_compact``
@@ -2672,6 +2766,7 @@ QUERIES = {
     "manifest_merge_upsert": manifest_merge_upsert,
     "manifest_delete_dv": manifest_delete_dv,
     "manifest_restore": manifest_restore,
+    "manifest_bloom_point": manifest_bloom_point,
     "concurrent_writers_conflict": concurrent_writers_conflict,
     "cdf_incremental_rollup": cdf_incremental_rollup,
     "manifest_optimize_compact": manifest_optimize_compact,
@@ -2766,6 +2861,7 @@ ORACLES = {
     "manifest_merge_upsert": _MANIFEST_MERGE,
     "manifest_delete_dv": _MANIFEST_DV,
     "manifest_restore": _MANIFEST_RESTORE,
+    "manifest_bloom_point": _MANIFEST_BLOOM,
     "concurrent_writers_conflict": _CONCURRENT_WRITERS,
     "cdf_incremental_rollup": _CDF_IVM,
     "manifest_optimize_compact": _MANIFEST_OPTIMIZE,

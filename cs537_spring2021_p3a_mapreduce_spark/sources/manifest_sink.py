@@ -1241,3 +1241,186 @@ def restore_table(path: str, to_generation: int) -> int:
         "restore_to": to_generation,
     }
     return commit_transaction(path, txn)
+
+
+# ---------------------------------------------------------------------------
+# Per-file BLOOM FILTER index: equality-probe file skipping where zone
+# maps cannot prune (files clustered by another column all span the
+# probe column's full min-max range — e.g. priority-clustered orders
+# probed by o_orderkey). The lakehouse analog is Delta's Bloom filter
+# index / Iceberg's Puffin blobs: tiny per-file bitsets committed as
+# table metadata, consulted driver-side before planning the scan.
+# Blooms are a PURE FUNCTION of the file's data (xxhash64, fixed
+# seeds), so pruning decisions are deterministic; like zone maps they
+# are an optimization, never a correctness filter — files without a
+# bloom for the column are conservatively included, and the probe's
+# predicate must still be applied by the caller.
+# ---------------------------------------------------------------------------
+
+_BLOOM_MIN_BITS = 1 << 16  # floor: 64 Kib → 1024 longs (~8 KB hex)
+_BLOOM_BITS_PER_ROW = 16  # sizing target (k=7 → per-file FP ~7e-4)
+_BLOOM_K = 7  # hash functions (seeds 1001..1007)
+
+
+def _bloom_m(n_rows: int) -> int:
+    """Per-file filter size: next power of two ≥ 16 bits/row (floor
+    2^16). Power-of-two sizes make probe reduction exact: xxhash64
+    reduced mod 2^a then mod 2^b (b ≤ a) equals reduction mod 2^b,
+    so one set of raw hashes serves every file's own m."""
+    m = _BLOOM_MIN_BITS
+    while m < n_rows * _BLOOM_BITS_PER_ROW:
+        m <<= 1
+    return m
+
+
+def build_bloom_index(spark, path: str, column: str) -> int:
+    """Compute a per-file Bloom filter over ``column`` for every
+    manifest-listed file and commit the bitsets into the listing as
+    an optimistic transaction (op ``bloom_index``; entries replaced
+    in place, data files untouched — the same remove-and-re-add shape
+    as a DV commit, so concurrent rewrites of an indexed file
+    conflict correctly). Each file's filter is sized from its
+    COMMITTED row count (``_bloom_m`` — a fixed-size filter saturates
+    at scale: 2^16 bits over 30k keys reads ~75% false positive), the
+    per-file m broadcast-joined into the build scan.
+
+    The aggregation is fully distributed and shuffle-light: each row
+    expands to its k bit positions, positions group to (file,
+    word_idx) with ``bit_or`` of the masks — at most files × m/64
+    rows ever reach the driver, independent of row count. Bitsets
+    are stored hex-in-manifest here (honest at test scale); at lake
+    scale the same bytes belong in a sidecar blob per file (Iceberg's
+    Puffin / Delta's index files) with only the reference committed.
+    Returns the number of files indexed."""
+    _require_local(path, "build_bloom_index")
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    entries = manifest["files"]
+    if not entries:
+        return 0
+    files = [os.path.join(path, e["file"]) for e in entries]
+    ms = {
+        os.path.basename(e["file"]): _bloom_m(e["n_rows"]) for e in entries
+    }
+    m_df = spark.createDataFrame(
+        list(ms.items()), "f string, bloom_m long"
+    )
+    pos_exprs = ", ".join(
+        f"pmod(xxhash64({column}, {1000 + i}), bloom_m)"
+        for i in range(1, _BLOOM_K + 1)
+    )
+    scan = spark.read.parquet(*files).select(
+        F.col("_metadata.file_name").alias("f"), F.col(column)
+    )
+    words = (
+        scan.join(broadcast(m_df), "f")
+        .select("f", F.explode(F.expr(f"array({pos_exprs})")).alias("p"))
+        .select(
+            "f",
+            (F.col("p") / 64).cast("long").alias("w"),
+            # shiftleft's bit-count arg must be a literal in the
+            # DataFrame API; the SQL form takes a column
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"),
+        )
+        .groupBy("f", "w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    blooms: dict[str, list[int]] = {}
+    for r in words:
+        blooms.setdefault(r["f"], [0] * (ms[r["f"]] >> 6))[r["w"]] = r["bits"]
+    add_entries = []
+    for e in entries:
+        base = os.path.basename(e["file"])
+        bloom = blooms.get(base)
+        idx = {**e.get("blooms", {})}
+        if bloom is not None:
+            # two's-complement longs → unsigned hex words
+            idx[column] = {
+                "m": ms[base],
+                "bits": "".join(
+                    f"{w & ((1 << 64) - 1):016x}" for w in bloom
+                ),
+            }
+        add_entries.append({**e, "blooms": idx})
+    txn = {
+        "base_generation": manifest.get("generation", 0),
+        "remove_files": sorted(e["file"] for e in entries),
+        "add_entries": add_entries,
+        "staged_files": [],
+        "op": "bloom_index",
+        "column": column,
+    }
+    commit_transaction(path, txn)
+    return len(blooms)
+
+
+def bloom_probe_hashes(spark, column_type: str, value) -> list[int]:
+    """The probe value's k RAW xxhash64 values, computed BY SPARK (a
+    1-row control-plane job) so driver-side pruning uses bit-identical
+    hash semantics to the build — never a Python reimplementation
+    that could silently diverge. Reduction to each file's own
+    power-of-two m happens at probe time (Python ``%`` on a positive
+    modulus matches Spark's pmod)."""
+    exprs = ", ".join(
+        f"xxhash64(cast({value!r} as {column_type}), {1000 + i})"
+        for i in range(1, _BLOOM_K + 1)
+    )
+    return [
+        int(h)
+        for h in spark.range(1).selectExpr(f"array({exprs}) as p").head()["p"]
+    ]
+
+
+def bloom_prune_files(
+    spark, path: str, column: str, column_type: str, value
+) -> tuple[list[str], int]:
+    """FILE SKIPPING by committed Bloom filters: the manifest-listed
+    files whose bloom for ``column`` claims ``value`` may be present,
+    plus the total listed count. Files with no bloom for the column
+    are conservatively INCLUDED. Deterministic: blooms and probe
+    positions are pure functions of the data and value."""
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        entries = json.load(fh)["files"]
+    hashes = bloom_probe_hashes(spark, column_type, value)
+    kept = []
+    for e in entries:
+        idx = e.get("blooms", {}).get(column)
+        if idx is None:
+            kept.append(os.path.join(path, e["file"]))
+            continue
+        m, hexbits = idx["m"], idx["bits"]
+        words = [
+            int(hexbits[i * 16 : (i + 1) * 16], 16) for i in range(m >> 6)
+        ]
+        positions = [h % m for h in hashes]
+        if all(words[p >> 6] & (1 << (p & 63)) for p in positions):
+            kept.append(os.path.join(path, e["file"]))
+    return kept, len(entries)
+
+
+def read_manifest_table_point(
+    spark, path: str, column: str, column_type: str, value
+):
+    """Manifest read restricted to bloom-candidate files for an
+    equality probe — the caller must still apply the predicate
+    (blooms admit false positives, never false negatives). Deletion
+    vectors of the kept entries apply as in every other read path.
+    Raises if no file can contain the value (definitive miss)."""
+    files, _total = bloom_prune_files(spark, path, column, column_type, value)
+    if not files:
+        raise ValueError(
+            f"no committed file can contain {column} = {value!r} at {path}"
+        )
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        entries = json.load(fh)["files"]
+    kept_names = {os.path.basename(f) for f in files}
+    kept_entries = [
+        e for e in entries if os.path.basename(e["file"]) in kept_names
+    ]
+    return _apply_dvs(
+        spark, path, spark.read.parquet(*files), kept_entries
+    )

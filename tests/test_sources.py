@@ -1897,3 +1897,82 @@ def test_pruned_read_applies_deletion_vectors(spark, tmp_path):
         .collect()
     }
     assert got == {k for k in range(200) if k % 3 != 0}
+
+
+def test_bloom_index_prunes_where_zone_maps_cannot(spark, tmp_path):
+    """Per-file Bloom index: files clustered by shard all span the
+    probe column's full range (zone maps useless), but the bloom
+    prunes the point lookup to the one file actually containing the
+    key; misses prune to zero files; unindexed columns stay
+    conservative; the indexed read returns exactly the probed row
+    and applies DVs; the index commit is metadata-only."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+        bloom_prune_files,
+        build_bloom_index,
+        delete_where_dv,
+        read_manifest_table_point,
+        zone_map_files,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    # 4 shard-clustered files (one append per shard — hash
+    # repartitioning can collapse 4 tiny key groups into one
+    # partition); k is interleaved so EVERY file spans the full key
+    # range — zone maps on k cannot prune an equality probe
+    base = spark.createDataFrame(
+        [(i, i % 4) for i in range(4000)], "k long, shard long"
+    )
+    for s in range(4):
+        base.where(F.col("shard") == s).coalesce(1).write.format(
+            "mr_manifest"
+        ).option("path", path).mode("append").save()
+
+    def digests():
+        return {
+            f: hashlib.sha256(
+                open(os.path.join(path, f), "rb").read()
+            ).hexdigest()
+            for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        }
+
+    before = digests()
+    assert build_bloom_index(spark, path, "k") == 4
+    assert digests() == before  # index commit is pure metadata
+
+    zm_kept, zm_total = zone_map_files(path, "k", 1234, 1234)
+    assert len(zm_kept) == zm_total == 4  # zone maps: no pruning
+    bl_kept, bl_total = bloom_prune_files(spark, path, "k", "bigint", 1234)
+    assert bl_total == 4 and len(bl_kept) == 1  # bloom: one candidate
+    got = (
+        read_manifest_table_point(spark, path, "k", "bigint", 1234)
+        .where("k = 1234")
+        .collect()
+    )
+    assert [(r.k, r.shard) for r in got] == [(1234, 1234 % 4)]
+    # definitive miss: no file claims the key
+    missing, _ = bloom_prune_files(spark, path, "k", "bigint", 999_999)
+    assert missing == []
+    with pytest.raises(ValueError, match="no committed file"):
+        read_manifest_table_point(spark, path, "k", "bigint", 999_999)
+    # unindexed column: conservative include-all
+    cons, total = bloom_prune_files(spark, path, "shard", "bigint", 2)
+    assert len(cons) == total == 4
+    # DVs apply through the point-read path
+    delete_where_dv(spark, path, "k = 1234")
+    assert (
+        read_manifest_table_point(spark, path, "k", "bigint", 1234)
+        .where("k = 1234")
+        .count()
+        == 0
+    )
