@@ -1293,7 +1293,15 @@ def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_arr,
         lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     )
-    hashed = toks.select("doc_id", folds.alias("hs")).where(F.size("hs") >= 1)
+    # filter on the TOKEN count (>= 1 shingle window ⟺ >= SHINGLE_K
+    # tokens) BEFORE projecting the folds: a post-projection
+    # size(hs) >= 1 filter gets pushed below the projection with the
+    # whole md5-fold pipeline substituted in — and the tokenize
+    # re-evaluates inside the per-element lambdas (measured 0.4 s →
+    # 7.5 s on 10k docs at sf0.1)
+    hashed = toks.where(F.size("toks") >= SHINGLE_K).select(
+        "doc_id", folds.alias("hs")
+    )
     mins = [
         F.array_min(
             F.expr(f"transform(hs, h -> pmod({a} * h + {b}, {_MINHASH_INT_P}))")
@@ -1422,8 +1430,11 @@ def stream_dedup_docs_minhash_bounded(
         shingle_arr,
         lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     )
-    hashed = toks.select("doc_id", "ev", folds.alias("hs")).where(
-        F.size("hs") >= 1
+    # pre-filter on token count, not size(hs) — see the
+    # stream_dedup_docs_minhash comment (pushdown re-inlines the fold
+    # pipeline into per-element lambdas otherwise)
+    hashed = toks.where(F.size("toks") >= SHINGLE_K).select(
+        "doc_id", "ev", folds.alias("hs")
     )
     mins = [
         F.array_min(
@@ -1567,8 +1578,12 @@ def _lsh_band_rows(
             ).alias("ev"),
             tokens("text").alias("toks"),
         )
+        # pre-filter on token count, not size(hs): pushing a
+        # size(hs) >= 1 filter below the fold projection re-inlines
+        # the tokenize into the per-element lambdas (see
+        # stream_dedup_docs_minhash; measured 16 s → <1 s at sf0.1)
+        .where(F.size("toks") >= SHINGLE_K)
         .select("doc_id", "ev", folds.alias("hs"))
-        .where(F.size("hs") >= 1)
     )
     mins = [
         F.array_min(
@@ -3586,3 +3601,9 @@ def run_to_memory(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the drain is done: release its state-store provider maps
+        # now rather than holding them on heap until the maintenance
+        # tick (see session.unload_state_providers)
+        from ..session import unload_state_providers
+
+        unload_state_providers(spark)
