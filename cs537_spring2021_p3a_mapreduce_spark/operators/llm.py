@@ -4728,7 +4728,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: step, left_sym, right_sym, pair_count.
     """
-    words = (
+    # persist the collapsed vocabulary: every merge round's argmax
+    # re-evaluates the whole vocab lineage, which without the persist
+    # re-scans + re-tokenizes + re-aggregates the CORPUS per round
+    # (K rounds → K corpus passes; at 100 TB the corpus pass dwarfs
+    # everything else in this loop)
+    words = track_persist(
         table(spark, sf_dir, "documents")
         .select(F.explode(tokens("text")).alias("word"))
         .filter(~F.col("word").contains("|"))
@@ -4894,17 +4899,28 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return e
 
-    enc_arr = F.transform(words, _enc)
-    n_syms_per = F.transform(
-        enc_arr, lambda e: F.size(F.split(F.btrim(e, F.lit("|")), r"\|\|"))
-    )
-    return toks.select(
+    # materialize the encoded-word array in its OWN projection:
+    # n_symbols and enc_hash both consume it, and lambda-bearing
+    # expressions are outside codegen subexpression elimination, so
+    # an inline enc_arr would run the regexp-wrap + K-replace chain
+    # TWICE per word (multi-referenced non-cheap projections stay
+    # un-collapsed, so this single evaluation survives the optimizer)
+    enc_df = toks.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
+        F.transform(words, _enc).alias("encs"),
+    )
+    n_syms_per = F.transform(
+        F.col("encs"),
+        lambda e: F.size(F.split(F.btrim(e, F.lit("|")), r"\|\|")),
+    )
+    return enc_df.select(
+        "doc_id",
+        "n_words",
         F.aggregate(
             n_syms_per, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("n_symbols"),
-        F.md5(F.concat_ws(" ", enc_arr)).alias("enc_hash"),
+        F.md5(F.concat_ws(" ", "encs")).alias("enc_hash"),
     ).orderBy("doc_id")
 
 
@@ -9201,7 +9217,10 @@ def _wp_rounds(spark: SparkSession, sf_dir: str):
     Returns (per-step 1-row best DataFrames, the FINAL rewritten
     vocabulary) — the latter feeds ``wordpiece_encode``.
     """
-    words = (
+    # persisted for the same reason as bpe_train_merges: each round
+    # re-evaluates the vocab lineage TWICE (symbol counts + pair
+    # counts), which without the persist is 2·K corpus passes
+    words = track_persist(
         table(spark, sf_dir, "documents")
         .select(F.explode(tokens("text")).alias("word"))
         .filter(~F.col("word").contains("|"))
