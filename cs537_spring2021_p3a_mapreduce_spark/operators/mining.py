@@ -250,52 +250,57 @@ def bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    wins = grid.groupBy("i").agg(F.sum("ns").alias("w"))
-    n_items = items.agg(F.count(F.lit(1)).alias("n_items"))
-    pi = items.select(
-        F.col("nationkey").alias("i"), F.lit(1_000_000).alias("pi")
-    ).localCheckpoint()
-    for _ in range(BT_ROUNDS):
-        t = (
-            grid.join(F.broadcast(pi), "i")
-            .join(
-                F.broadcast(
-                    pi.select(F.col("i").alias("j"), F.col("pi").alias("pj"))
-                ),
-                "j",
-            )
-            .select(
-                "i",
-                F.expr(
-                    f"CAST((CAST(g AS DECIMAL(38,0)) * {BT_SCALE})"
-                    " DIV greatest(pi + pj, 1) AS BIGINT)"
-                ).alias("term"),
-            )
+    # The MM fixed-point runs on the DENSE grid alone — ≤ 25² rows, a
+    # data-independent bound — so the rounds belong in ONE
+    # vocabulary-bounded Arrow-batched pass (the _uni_segment
+    # discipline), not BT_ROUNDS separate jobs each with two
+    # broadcast joins, a shuffle and a localCheckpoint over ~600 rows
+    # (measured: the per-round job overhead was ~3 s of this query's
+    # 7 s at sf0.1; the distributed part that scales with the corpus
+    # — the comparison self-join + count aggregate above — is
+    # untouched). Python ints replicate the DECIMAL(38) DIV
+    # arithmetic exactly: every operand is nonnegative, so floor
+    # division == truncating DIV, and arbitrary precision covers the
+    # widened multiplications.
+    def _mm(batches):
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        g = pd.concat(parts)
+        items_l = sorted({int(i) for i in g["i"]})
+        n_items = len(items_l)
+        wins = dict.fromkeys(items_l, 0)
+        for i, ns in zip(g["i"], g["ns"]):
+            wins[int(i)] += int(ns)
+        pairs = [
+            (int(i), int(j), int(gg))
+            for i, j, gg in zip(g["i"], g["j"], g["g"])
+        ]
+        pi_m = dict.fromkeys(items_l, 1_000_000)
+        for _ in range(BT_ROUNDS):
+            denom = dict.fromkeys(items_l, 0)
+            for i, j, gg in pairs:
+                denom[i] += (gg * BT_SCALE) // max(pi_m[i] + pi_m[j], 1)
+            pr = {
+                i: (wins[i] * BT_SCALE) // max(denom[i], 1)
+                for i in items_l
+            }
+            s = sum(pr.values())
+            pi_m = {
+                i: (pr[i] * n_items * 1_000_000) // max(s, 1)
+                for i in items_l
+            }
+        yield pd.DataFrame(
+            {"i": items_l, "pi": [pi_m[i] for i in items_l]}
         )
-        denom = t.groupBy("i").agg(F.sum("term").alias("denom"))
-        raw = (
-            wins.join(denom, "i")
-            .select(
-                "i",
-                F.expr(
-                    f"CAST((CAST(w AS DECIMAL(38,0)) * {BT_SCALE})"
-                    " DIV greatest(denom, 1) AS BIGINT)"
-                ).alias("pr"),
-            )
-        )
-        total = raw.agg(F.sum("pr").alias("s"))
-        pi = (
-            raw.crossJoin(F.broadcast(total))
-            .crossJoin(F.broadcast(n_items))
-            .select(
-                "i",
-                F.expr(
-                    "CAST((CAST(pr AS DECIMAL(38,0)) * n_items * 1000000)"
-                    " DIV greatest(s, 1) AS BIGINT)"
-                ).alias("pi"),
-            )
-            .localCheckpoint()
-        )
+
+    # `i` keeps the source nationkey dtype (int32) so the output
+    # schema is byte-identical to the pre-rewrite plan
+    pi = grid.select("i", "j", "ns", "g").coalesce(1).mapInPandas(
+        _mm, "i int, pi long"
+    )
     w_rank = Window.orderBy(F.desc("pi_micro"), F.asc("nationkey"))
     raw_w = nij_raw.groupBy(F.col("winner").alias("i")).agg(
         F.sum("n").alias("n_wins")
@@ -304,8 +309,12 @@ def bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_losses")
     )
     return (
-        pi.join(raw_w, "i", "left")
-        .join(raw_l, "i", "left")
+        # raw_w/raw_l are nation-bounded (≤ 25 rows at any corpus
+        # size): broadcast explicitly — the mapInPandas π relation
+        # has no size statistics, so the planner would otherwise
+        # sort-merge these
+        pi.join(F.broadcast(raw_w), "i", "left")
+        .join(F.broadcast(raw_l), "i", "left")
         .select(
             F.col("i").alias("nationkey"),
             F.coalesce("n_wins", F.lit(0)).alias("n_wins"),

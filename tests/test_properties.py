@@ -1316,6 +1316,16 @@ def test_bradley_terry_planted_dominance(spark, tmp_path):
     assert (got[2].n_wins, got[2].n_losses) == (3, 3)
     assert (got[3].n_wins, got[3].n_losses) == (0, 6)
     assert got[1].pi_micro > got[2].pi_micro > got[3].pi_micro
+    # EXACT MM fixed-point pin (the rounds run as one grid-bounded
+    # Arrow pass since r11 — this pins its integer arithmetic to the
+    # values the unrolled DuckDB oracle replays: any drift to float
+    # division or a changed round structure fails here, not only at
+    # the gate)
+    assert (got[1].pi_micro, got[2].pi_micro, got[3].pi_micro) == (
+        1_936_178,
+        773_295,
+        290_525,
+    )
     assert [r.nationkey for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
     total = sum(r.pi_micro for r in rows)
     assert 3_000_000 - 3 <= total <= 3_000_000
