@@ -212,7 +212,10 @@ def bradley_terry_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(nij_raw.select(F.col("loser").alias("nationkey")))
         .distinct()
     )
-    grid = track_persist(
+    # grid is consumed exactly once (the coalesce(1) Arrow pass below)
+    # since the mapInPandas rewrite — no persist (a cached copy would
+    # just sit until the next query's release_persisted)
+    grid = (
         items.select(F.col("nationkey").alias("i"))
         .crossJoin(F.broadcast(items.select(F.col("nationkey").alias("j"))))
         .where(F.col("i") != F.col("j"))

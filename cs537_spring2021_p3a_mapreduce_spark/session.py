@@ -116,23 +116,41 @@ def release_persisted() -> int:
 
 def unload_state_providers(spark) -> None:
     """Drop the in-memory state-store providers retained from
-    TERMINATED streaming queries.
+    terminated streaming queries. The underlying ``StateStore.stop()``
+    call is GLOBAL: it unloads ALL loaded providers (and stops the
+    maintenance thread), not just those of terminated queries — so
+    this helper refuses to run while any stream is still active
+    (an active query would have to reload its state from checkpoint
+    on the next batch: correct by the checkpoint contract, but a
+    pointless perf hit and a task-retry risk in local mode).
 
     A long-lived session that drains hundreds of bounded streams (the
     driver's gate, bench.py) otherwise keeps every drain's HDFS-backed
     provider maps on heap until the provider-maintenance tick (60 s
     default) unloads them — measured at sf0.1: back-to-back LSH-join
     drains escalate 18 s → 55 s per run from the accumulated heap
-    pressure, and hold flat at 2-7 s with prompt unload. Correctness-
-    free by the checkpoint contract: an active query whose provider is
-    dropped reloads it from its checkpoint on the next batch; callers
-    here only invoke this between queries / after awaitTermination.
-    On a real cluster the call touches the driver-local providers
-    only; executor providers unload via the coordinator's
-    deactivation broadcast as usual. No-op on sessions without a
-    JVM gateway."""
+    pressure, and hold flat at 2-7 s with prompt unload. Callers
+    invoke this between queries / after awaitTermination, where every
+    query is terminated. On a real cluster the call touches the
+    driver-local providers only; executor providers unload via the
+    coordinator's deactivation broadcast as usual. No-op on sessions
+    without a JVM gateway (logged once, not swallowed silently)."""
     try:
+        if spark.streams.active:
+            return
         jvm = spark._jvm
         jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    except Exception:
-        pass
+    except Exception as exc:
+        global _UNLOAD_WARNED
+        if not _UNLOAD_WARNED:
+            _UNLOAD_WARNED = True
+            import sys
+
+            print(
+                f"unload_state_providers: JVM call failed ({exc!r}); "
+                "state providers will unload on the maintenance tick",
+                file=sys.stderr,
+            )
+
+
+_UNLOAD_WARNED = False

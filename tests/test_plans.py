@@ -1481,6 +1481,12 @@ def test_stream_sig_prefilter_never_inlines_fold_pipeline(spark):
     assert conds, "expected the token-count pre-filter in the plan"
     assert all("md5" not in c for c in conds)
     # and the fold pipeline itself must appear exactly once per
-    # projection stage (1 shingle fold + 8 band folds = 9), never
-    # duplicated below a filter
-    assert len(re.findall(r"md5\(", p)) == 9
+    # projection stage (1 shingle fold + one fold per band), never
+    # duplicated below a filter — derive the count from the config
+    # so a N_HASHES/BAND_ROWS change moves the pin with it
+    from cs537_spring2021_p3a_mapreduce_spark.operators.dedup import (
+        BAND_ROWS,
+        N_HASHES,
+    )
+
+    assert len(re.findall(r"md5\(", p)) == 1 + N_HASHES // BAND_ROWS

@@ -134,7 +134,7 @@ def main() -> None:
     for n in names:
         if n not in qs:
             print(f"unknown query: {n}", file=sys.stderr)
-            return
+            sys.exit(1)  # scripts must see the failure, not a silent 0
         setup = getattr(qs[n], "bench_setup", None)
         if setup is not None:
             setup(spark, sf_dir)
