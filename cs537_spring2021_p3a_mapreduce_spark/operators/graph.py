@@ -45,8 +45,10 @@ def connected_components(
 
     Pure DataFrame iteration: labels start as identity; each round
     every vertex takes min(own label, neighbors' labels); fixpoint
-    when no label changes (one tiny count action per round — the
-    driver only ever sees a scalar, never the data).
+    when no label changes. The changed-label count rides the round's
+    ONE materializing action (an Observation on the localCheckpoint
+    job) — the driver only ever sees a scalar, never the data, and
+    pays no second per-round job for the convergence check.
 
     If the component diameter exceeds ``max_iter`` (propagation
     needs O(diameter) rounds), the loop AUTO-ESCALATES to
@@ -65,23 +67,37 @@ def connected_components(
         e.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
     ).localCheckpoint()
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels, e["d"] == labels["v"])
             .groupBy("s")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        obs = Observation()
         stepped = (
             labels.join(nbr_min, labels["v"] == nbr_min["s"], "left")
             .select(
                 "v",
-                F.col("lbl").alias("old_lbl"),
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias(
+                    "lbl"
+                ),
+                (
+                    F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl"))
+                    != F.col("lbl")
+                ).alias("changed"),
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("changed").cast("long")), F.lit(0)
+                ).alias("n_changed"),
             )
         ).localCheckpoint()
-        if stepped.filter(F.col("lbl") != F.col("old_lbl")).count() == 0:
-            return stepped.select("v", "lbl")
         labels = stepped.select("v", "lbl")
+        if obs.get["n_changed"] == 0:
+            return labels
     # diameter > max_iter: escalate to star contraction. Star runs on
     # the ORIGINAL edges unioned with the v→lbl shortcut edges the
     # loop already earned — the shortcuts alone can split a component
@@ -394,16 +410,23 @@ def bfs_hops(edges: DataFrame, src: str, dst: str, source_vertex: int,
         e.sparkSession.createDataFrame([(source_vertex, 0)], "v long, hops int")
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     frontier = visited
     for hop in range(1, max_hops + 1):
+        # frontier-emptiness check fused into the materializing
+        # action: the row count rides the localCheckpoint job as an
+        # Observation instead of costing a second job per round
+        obs = Observation()
         nxt = (
             e.join(frontier, e["s"] == frontier["v"])
             .select(F.col("d").alias("v"))
             .distinct()
             .join(visited, "v", "left_anti")
             .withColumn("hops", F.lit(hop))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         ).localCheckpoint()
-        if nxt.limit(1).count() == 0:
+        if obs.get["n"] == 0:
             break
         # visited is a union of ALREADY-CHECKPOINTED frontiers —
         # lineage depth = hops, shallow by construction, so no
@@ -543,12 +566,19 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int = KCORE_K,
 
     Shape per round: one degree aggregate + one semi-join restrict —
     the CC loop's cost profile, lineage cut per round with
-    localCheckpoint, convergence detected by a scalar count. Rounds
-    are bounded by the peeling depth (≤ |V| pathologically; tiny in
-    practice — each round must delete ≥1 vertex or stop).
+    localCheckpoint. Convergence (no sub-k vertex) is read from an
+    Observation riding the restrict's checkpoint job, so a round is
+    ONE job, and the degree aggregate is evaluated twice per round
+    (once per semi-join side — Catalyst does not CSE DataFrame
+    subplans) instead of the previous three times (the separate
+    scalar-count job). Rounds are bounded by the peeling depth
+    (≤ |V| pathologically; tiny in practice — each round must delete
+    ≥1 vertex or stop).
 
     Output: vertex, core_degree (its degree WITHIN the k-core).
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     e = (
         e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -558,16 +588,35 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int = KCORE_K,
     )
     for _ in range(max_rounds):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-        low = deg.where(F.col("deg") < k).select("s")
-        n_low = low.count()
-        if n_low == 0:
-            return deg.select(F.col("s").alias("vertex"), F.col("deg").alias("core_degree"))
-        keep = deg.where(F.col("deg") >= k).select("s")
-        e = (
-            e.join(keep, "s", "left_semi")
-            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+        obs = Observation()
+        # the Observation node sits on ONE semi-join branch only (a
+        # duplicated CollectMetrics would double-count); both
+        # branches recompute deg, as the old restrict already did
+        keep_s = (
+            deg.observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("deg") < k).cast("long")), F.lit(0)
+                ).alias("n_low"),
+            )
+            .where(F.col("deg") >= k)
+            .select("s")
+        )
+        keep_d = deg.where(F.col("deg") >= k).select(F.col("s").alias("d"))
+        e2 = (
+            e.join(keep_s, "s", "left_semi")
+            .join(keep_d, "d", "left_semi")
             .localCheckpoint()
         )
+        if obs.get["n_low"] == 0:
+            # fixpoint: e2 == e, so degrees over e2 ARE the core
+            # degrees (computed lazily by the caller's action)
+            return e2.groupBy("s").agg(
+                F.count(F.lit(1)).alias("deg")
+            ).select(
+                F.col("s").alias("vertex"), F.col("deg").alias("core_degree")
+            )
+        e = e2
     # Round exhaustion means sub-k vertices may remain — returning the
     # current degrees would hand the caller a non-core with no signal.
     # Match connected_components_star: fail loudly. (Each round deletes

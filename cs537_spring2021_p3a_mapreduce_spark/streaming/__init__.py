@@ -1517,43 +1517,18 @@ LSH_WATERMARK = "7 days"
 _LSH_EV_EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
 
 
-def _lsh_band_rows(
-    docs: DataFrame, watermark: str, payload: str = "exact"
-) -> DataFrame:
-    """Document stream → watermarked banded rows
-    ``(doc_id, ev, <payload>, band, bk)`` — every step narrow
-    (per-row). ``payload="exact"`` carries ``shd`` (the distinct
-    shingle-fold set, for candidate-scoped exact-Jaccard verify);
-    ``payload="estimated"`` carries ``sig`` (just the 32 mins, for
-    matching-min-fraction verify) — the state-per-doc drop the two
-    deploy tiers trade correctness tightness for.
-
-    The 32-seed integer MinHash signature is the
-    ``dedup_minhash_int`` hash family computed the
-    ``stream_dedup_docs_minhash`` way (shingle array → md5-fold array
-    → 32 array_min's, no explode/shuffle); the 8 band keys are
-    md5-folds of each band's four mins (the batch twin's single-long
-    band key); ``shd`` is the distinct shingle-fold set carried for
-    the candidate-scoped exact-Jaccard verify. Event time is
-    synthesized from doc_id (deterministic fixtures); a real deploy
-    uses ingest time. Docs under SHINGLE_K tokens have no shingles
-    and pass through unexamined (never banded), as in every tier.
-
-    State honesty: each doc buffers 8 band rows × its shd array in
-    the join state until the horizon passes it — the price of EXACT
-    verify on ingest. The lighter deploy variant verifies on the 32
-    mins alone (estimated Jaccard = matching-min fraction, state
-    O(32 longs/doc)); this entry keeps exact verify for parity with
-    the batch tier's semantics."""
+def _lsh_hashed(docs: DataFrame) -> DataFrame:
+    """Shared signature front of the streaming LSH tiers:
+    ``(doc_id, ev, hs)`` where ``hs`` is the per-window shingle
+    md5-fold array (the ``dedup_minhash_int`` hash family computed
+    the ``stream_dedup_docs_minhash`` way — no explode/shuffle).
+    Works on a stream OR a static read of the same corpus — the
+    exact tier's side relation derives from this same pipeline so
+    the verify sets are bit-identical to what the band rows hashed.
+    Docs under SHINGLE_K tokens have no shingles and pass through
+    unexamined (never banded), as in every tier."""
     from ..functions.text import tokens
-    from ..operators.dedup import (
-        _MINHASH_INT_AB,
-        _MINHASH_INT_P,
-        BAND_ROWS,
-        N_HASHES,
-        SHINGLE_K,
-        _md5_fold,
-    )
+    from ..operators.dedup import SHINGLE_K
 
     arr = F.col("toks")
     n_windows = F.size(arr) - (SHINGLE_K - 1)
@@ -1570,7 +1545,7 @@ def _lsh_band_rows(
         shingle_arr,
         lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     )
-    hashed = (
+    return (
         docs.select(
             "doc_id",
             F.timestamp_seconds(
@@ -1585,15 +1560,65 @@ def _lsh_band_rows(
         .where(F.size("toks") >= SHINGLE_K)
         .select("doc_id", "ev", folds.alias("hs"))
     )
+
+
+def _lsh_shd_lookup(docs: DataFrame) -> DataFrame:
+    """STATIC side relation for the exact tier's post-join verify:
+    ``(doc_id, shd)`` — each doc's distinct shingle-fold set, from
+    the SAME pipeline the band rows hash (``_lsh_hashed``), so the
+    candidate-scoped exact Jaccard is computed over bit-identical
+    sets. In a deploy this is the doc store the ingest path already
+    writes (every witness pair's docs have, by definition, arrived
+    and been stored by the time the pair emits)."""
+    return _lsh_hashed(docs).select(
+        "doc_id", F.array_distinct("hs").alias("shd")
+    )
+
+
+def _lsh_band_rows(
+    docs: DataFrame, watermark: str, payload: str = "keys"
+) -> DataFrame:
+    """Document stream → watermarked banded rows
+    ``(doc_id, ev[, <payload>], band, bk)`` — every step narrow
+    (per-row). ``payload="keys"`` (the exact tier) carries NO
+    payload: band rows are pure routing keys, and the exact-Jaccard
+    verify attaches each candidate's distinct shingle-fold set from
+    a static side relation AFTER the band join
+    (``_lsh_shd_lookup``) — join state stays O(1) per band row
+    regardless of document size. ``payload="estimated"`` carries
+    ``sig`` (the 32 mins) IN state for matching-min-fraction verify
+    — the tier for ingest paths with no doc-store dependency.
+
+    The 32-seed integer MinHash signature is the
+    ``dedup_minhash_int`` hash family computed the
+    ``stream_dedup_docs_minhash`` way (shingle array → md5-fold array
+    → 32 array_min's, no explode/shuffle); the 8 band keys are
+    md5-folds of each band's four mins (the batch twin's single-long
+    band key). Event time is synthesized from doc_id (deterministic
+    fixtures); a real deploy uses ingest time.
+
+    State honesty: the exact tier used to buffer 8 band rows × the
+    full shd array per doc — 8× state amplification on the largest
+    column (measured 59-115 MB of join state at sf0.1). Payload-free
+    band rows cut that to 8 × ~32 bytes per doc; the price moved to
+    one static-side lookup join per emitted candidate, which is the
+    right trade at any corpus size (candidates ≪ band rows)."""
+    from ..operators.dedup import (
+        _MINHASH_INT_AB,
+        _MINHASH_INT_P,
+        BAND_ROWS,
+        N_HASHES,
+        _md5_fold,
+    )
+
+    hashed = _lsh_hashed(docs)
     mins = [
         F.array_min(
             F.expr(f"transform(hs, h -> pmod({a} * h + {b}, {_MINHASH_INT_P}))")
         ).alias(f"m{s}")
         for s, (a, b) in enumerate(_MINHASH_INT_AB)
     ]
-    sigs = hashed.select(
-        "doc_id", "ev", F.array_distinct("hs").alias("shd"), *mins
-    )
+    sigs = hashed.select("doc_id", "ev", *mins)
     band_keys = F.array(
         *[
             _md5_fold(
@@ -1611,19 +1636,20 @@ def _lsh_band_rows(
         ]
     )
     if payload == "estimated":
-        carry = F.array(*[F.col(f"m{s}") for s in range(N_HASHES)]).alias(
-            "sig"
-        )
-    else:
-        carry = F.col("shd")
+        carry = [
+            F.array(*[F.col(f"m{s}") for s in range(N_HASHES)]).alias("sig")
+        ]
+    else:  # "keys": payload-free routing rows for the exact tier
+        carry = []
     return sigs.select(
-        "doc_id", "ev", carry, F.posexplode(band_keys).alias("band", "bk")
+        "doc_id", "ev", *carry, F.posexplode(band_keys).alias("band", "bk")
     ).withWatermark("ev", watermark)
 
 
 def dedup_docs_lsh_stream(
     docs_a: DataFrame,
     docs_b: DataFrame,
+    shd_of: DataFrame,
     watermark: str = LSH_WATERMARK,
     horizon_s: int = LSH_HORIZON_S,
 ) -> DataFrame:
@@ -1641,33 +1667,38 @@ def dedup_docs_lsh_stream(
     batch threshold. Inner-join rows emit as soon as both sides have
     arrived (append mode, no watermark wait).
 
+    The exact verify attaches each side's distinct shingle-fold set
+    from ``shd_of`` — a STATIC ``(doc_id, shd)`` relation
+    (``_lsh_shd_lookup`` over the same corpus; in a deploy, the doc
+    store the ingest path writes) — via two stateless stream-static
+    joins AFTER the band join. Band rows therefore carry no payload
+    into join state (previously each doc buffered its full shd array
+    ×8 band rows — 8× state amplification on the largest column);
+    the witness stream is candidates only, so the lookup joins touch
+    candidates ≪ band rows. Every candidate's docs have arrived by
+    emission time, so the inner attach joins lose no rows.
+
     State bound — IMPLEMENTED, not documented-away: the join
     condition bounds each side's event time against the other
     (ev_b ∈ (ev_a, ev_a + horizon]), so the engine derives per-side
     eviction horizons from the watermark — an a-row whose ev is more
     than `horizon` behind the watermark can never match a future b
-    and its 8 band rows + shingle set leave the state store (probed
-    by tests/test_streaming.py's staged multi-batch drain via the
+    and its 8 band rows leave the state store (probed by
+    tests/test_streaming.py's staged multi-batch drain via the
     state-operator metrics). An un-watermarked banded join would
-    buffer the crawl in full. (Expected log noise: the optimizer
-    pushes the Jaccard-threshold filter into the join condition and
-    StreamingJoinHelper WARNs it can't extract a state watermark
-    from THAT conjunct — harmless; the two ev conjuncts are the
-    ones that carry the bound.)
+    buffer the crawl in full.
 
     Output (streaming, append): a_id, b_id, band, jaccard.
     """
     a = docs_a.select(
         F.col("doc_id").alias("a_id"),
         F.col("ev").alias("a_ev"),
-        F.col("shd").alias("a_shd"),
         "band",
         "bk",
     )
     b = docs_b.select(
         F.col("doc_id").alias("b_id"),
         F.col("ev").alias("b_ev"),
-        F.col("shd").alias("b_shd"),
         F.col("band").alias("b_band"),
         F.col("bk").alias("b_bk"),
     )
@@ -1678,11 +1709,23 @@ def dedup_docs_lsh_stream(
         & (b["b_ev"] > a["a_ev"])
         & (b["b_ev"] <= a["a_ev"] + F.expr(f"INTERVAL {horizon_s} SECONDS")),
     )
+    wit = joined.select("a_id", "b_id", "band")
+    wit = wit.join(
+        shd_of.select(
+            F.col("doc_id").alias("a_id"), F.col("shd").alias("a_shd")
+        ),
+        "a_id",
+    ).join(
+        shd_of.select(
+            F.col("doc_id").alias("b_id"), F.col("shd").alias("b_shd")
+        ),
+        "b_id",
+    )
     shared = F.size(F.array_intersect("a_shd", "b_shd"))
     union = F.size("a_shd") + F.size("b_shd") - shared
     from ..operators.dedup import MINHASH_JACCARD_THRESHOLD
 
-    return joined.select(
+    return wit.select(
         "a_id",
         "b_id",
         "band",
@@ -1727,7 +1770,12 @@ def stream_dedup_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_b = _lsh_band_rows(
         spark.readStream.schema(schema).parquet(src), LSH_WATERMARK
     )
-    pairs = dedup_docs_lsh_stream(docs_a, docs_b)
+    # static verify side (the "doc store"): NOT persisted — the two
+    # attach joins share one BroadcastExchange (ReusedExchange in the
+    # plan), so the lookup pipeline runs once per microbatch as-is,
+    # and the drain is a single availableNow batch
+    shd_of = _lsh_shd_lookup(spark.read.parquet(src))
+    pairs = dedup_docs_lsh_stream(docs_a, docs_b, shd_of)
     name = f"stream_lsh_{uuid.uuid4().hex[:8]}"
     # 4 state partitions (the estimated tier's measured sizing:
     # bounded staged drain, per-batch cost = state commits x

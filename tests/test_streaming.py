@@ -733,6 +733,7 @@ def test_stream_dedup_docs_lsh_horizon_and_state_eviction(spark, tmp_path):
 
     from cs537_spring2021_p3a_mapreduce_spark.streaming import (
         _lsh_band_rows,
+        _lsh_shd_lookup,
         dedup_docs_lsh_stream,
         run_to_memory,
     )
@@ -765,9 +766,13 @@ def test_stream_dedup_docs_lsh_horizon_and_state_eviction(spark, tmp_path):
             .parquet(str(src))
         )
 
+    shd_of = _lsh_shd_lookup(
+        spark.read.schema("doc_id long, text string").parquet(str(src))
+    )
     pairs = dedup_docs_lsh_stream(
         _lsh_band_rows(reader(), "100 seconds"),
         _lsh_band_rows(reader(), "100 seconds"),
+        shd_of,
         watermark="100 seconds",
         horizon_s=1000,
     )
@@ -793,19 +798,23 @@ def test_stream_dedup_docs_lsh_horizon_and_state_eviction(spark, tmp_path):
 
 
 def test_lsh_estimated_tier_state_drop(spark, tmp_path):
-    """The lighter estimated-verify LSH tier must (a) find the same
-    planted high-J near-dup as the exact tier via the integer
-    matching-min bound, (b) not flag the unrelated doc, and (c)
-    actually buffer LESS join state — same band-row COUNT (8 per doc
-    per side), materially fewer BYTES per row (32-long signature vs
-    the distinct shingle-fold set), read from the same state-operator
-    metrics the eviction test probes."""
+    """The two LSH deploy tiers' STATE contracts, read from the same
+    state-operator metrics the eviction test probes. Both must (a)
+    find the same planted high-J near-dup and (b) not flag the
+    unrelated doc. State: same band-row COUNT (8 per doc per side);
+    the exact tier's band rows are PAYLOAD-FREE (verify attaches the
+    shingle-fold sets from the static side relation after the band
+    join), so its per-row state must be materially SMALLER than the
+    estimated tier's in-state 32-long signature — the r12 inversion
+    of the original contract, where exact carried the full shd set
+    ×8 and was the heavier tier."""
     import os
     import uuid
 
     from cs537_spring2021_p3a_mapreduce_spark.streaming import (
         LSH_EST_MATCH_MIN,
         _lsh_band_rows,
+        _lsh_shd_lookup,
         dedup_docs_lsh_stream,
         dedup_docs_lsh_stream_estimated,
         run_to_memory,
@@ -843,10 +852,14 @@ def test_lsh_estimated_tier_state_drop(spark, tmp_path):
         bytes_max = max((op.get("memoryUsedBytes", 0) for op in state), default=0)
         return spark.table(name).collect(), rows_max, bytes_max
 
+    shd_of = _lsh_shd_lookup(
+        spark.read.schema("doc_id long, text string").parquet(src)
+    )
     got_e, rows_e, bytes_e = drain(
         dedup_docs_lsh_stream(
             _lsh_band_rows(reader(), "7 days"),
             _lsh_band_rows(reader(), "7 days"),
+            shd_of,
         ),
         "exact",
     )
@@ -861,12 +874,16 @@ def test_lsh_estimated_tier_state_drop(spark, tmp_path):
     assert {(r.a_id, r.b_id) for r in got_e} == {(0, 10)}
     assert {(r.a_id, r.b_id) for r in got_l} == {(0, 10)}
     assert all(r.n_match >= LSH_EST_MATCH_MIN for r in got_l)
-    # same state ROW count (band rows), materially fewer BYTES: each
-    # exact band row buffers ~300 shingle folds, each estimated one a
-    # fixed 32-long signature (~10x); require >= 3x to stay robust to
-    # per-row overheads
+    # same state ROW count (band rows); the exact tier's rows are
+    # payload-free (doc_id, ev, band, bk) while the estimated tier
+    # buffers a 32-long signature per row — exact must be materially
+    # smaller. On this 3-doc corpus the fixed per-partition store
+    # overhead (4 partitions x 2 join sides) dominates both numbers,
+    # so the observable margin is modest (measured 28.7 KB vs
+    # 42.1 KB); require a 20% gap, which only the payload difference
+    # can produce
     assert rows_l == rows_e > 0
-    assert 0 < bytes_l < bytes_e / 3, (bytes_l, bytes_e)
+    assert 0 < bytes_e < bytes_l * 0.8, (bytes_e, bytes_l)
 
 
 def test_stream_ivf_assign_partitions_whole_corpus(spark):
