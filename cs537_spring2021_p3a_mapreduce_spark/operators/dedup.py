@@ -1110,11 +1110,19 @@ def dedup_ppjoin(
         )
     )
     # prefix_len = n - ceil(t·n) + 1, with ceil(p·n/q) = (p·n + q - 1) DIV q
-    # — exact integer arithmetic for the rational threshold
+    # — exact integer arithmetic for the rational threshold.
+    # PERSISTED: the candidate self-join broadcasts one side, and a
+    # broadcast side never gets ReusedExchange — unpersisted, the
+    # whole 2-exchange window pipeline ran TWICE per query (plan
+    # showed Window(df)+Window(n,rk) duplicated under the
+    # BroadcastExchange; the semdedup alias-projection gotcha).
     p, q = PPJOIN_T_NUM, PPJOIN_T_DEN
-    prefix = ranked.where(
-        F.col("rk") <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + F.lit(1)
-    ).select("doc_id", "sh", "rk", "n")
+    prefix = track_persist(
+        ranked.where(
+            F.col("rk")
+            <= F.col("n") - F.expr(f"({p} * n + {q - 1}) DIV {q}") + F.lit(1)
+        ).select("doc_id", "sh", "rk", "n")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     # The candidate join carries PPJoin's two other LOSSLESS pruning
     # bounds as plain join predicates (the equi-key stays `sh`, so
