@@ -1584,12 +1584,18 @@ def manifest_bloom_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    for pri in (
-        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
-    ):
-        orders.where(F.col("o_orderpriority") == pri).coalesce(1).write.format(
-            "mr_manifest"
-        ).option("path", path).mode("append").save()
+    # ONE hash-clustered append: at 8 partitions the 5 priority
+    # strings occupy 5 DISTINCT murmur3 buckets (verified; pinned in
+    # tests/test_sources.py::test_bloom_point_clustered_write_layout),
+    # so the sink — which writes one file per non-empty partition —
+    # lands the same one-file-per-priority layout as the previous 5
+    # serialized commit-locked appends, in a single scan + a single
+    # manifest transaction (measured 2.7 s → 0.6 s at sf0.1). Every
+    # file still spans the full o_orderkey range, so the zone-map-
+    # can't-prune / bloom-prunes contrast is unchanged.
+    orders.repartition(8, "o_orderpriority").write.format(
+        "mr_manifest"
+    ).option("path", path).mode("append").save()
     build_bloom_index(spark, path, "o_orderkey")
     lo, hi = orders.agg(
         F.min("o_orderkey"), F.max("o_orderkey")

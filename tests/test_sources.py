@@ -1976,3 +1976,47 @@ def test_bloom_index_prunes_where_zone_maps_cannot(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_bloom_point_clustered_write_layout(spark, tmp_path):
+    """The ``manifest_bloom_point`` write path pin: ONE hash-clustered
+    append at 8 partitions must land exactly one file per order
+    priority (the 5 priority strings occupy 5 distinct murmur3
+    buckets at 8 — this test is the canary for that hash property),
+    in a single manifest commit, with each file's o_orderpriority
+    zone map collapsed to a point (min == max) — the layout the
+    query's zone-map-can't-prune / bloom-prunes contrast relies on."""
+    import json
+    import os
+
+    from cs537_spring2021_p3a_mapreduce_spark.catalog import table
+    from cs537_spring2021_p3a_mapreduce_spark.sources import manifest_sink
+    from cs537_spring2021_p3a_mapreduce_spark.sources.manifest_sink import (
+        ManifestParquetSink,
+    )
+
+    try:
+        spark.dataSource.register(ManifestParquetSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "t")
+    orders = table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.repartition(8, "o_orderpriority").write.format(
+        "mr_manifest"
+    ).option("path", path).mode("append").save()
+    with open(os.path.join(path, manifest_sink.MANIFEST), encoding="utf-8") as fh:
+        man = json.load(fh)
+    pris = {
+        r.o_orderpriority for r in orders.select("o_orderpriority").distinct().collect()
+    }
+    assert len(man["files"]) == len(pris)  # one file per priority
+    # single commit: every entry shares the one transaction's snapshot
+    assert len({e.get("snapshot", man.get("snapshot")) for e in man["files"]}) <= 1
+    got_pris = set()
+    for e in man["files"]:
+        lo, hi = e["stats"]["o_orderpriority"]
+        assert lo == hi  # priority zone map collapsed to a point
+        got_pris.add(lo)
+    assert got_pris == pris
