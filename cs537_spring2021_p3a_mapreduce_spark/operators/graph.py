@@ -821,8 +821,14 @@ def label_propagation(edges: DataFrame, src: str, dst: str,
     argmax is ``max(struct(cnt, -label))`` (maximize count, then
     minimize label; struct comparison IS the tie-break), an aggregate
     rather than a rank window, so each round costs two hash shuffles
-    and no sort. Labels localCheckpoint per round: constant plan
-    depth, the iteration discipline every kernel here follows.
+    and no sort. The round chain is LAZY (the ``pagerank``
+    fixed-iteration discipline): rounds are data-independent with no
+    convergence action, and labels_{t} is referenced exactly ONCE by
+    round t+1 (inside votes), so the plan grows linearly in rounds
+    and the whole fixed-round propagation executes inside the
+    consumer's one job — no per-round localCheckpoint job (the
+    CC/BFS loops keep theirs because they need a materialized
+    convergence scalar each round; this kernel does not).
 
     Output: vertex, community (the surviving label after ``rounds``).
     """
@@ -835,7 +841,7 @@ def label_propagation(edges: DataFrame, src: str, dst: str,
     )
     labels = e.select(F.col("s").alias("v")).distinct().withColumn(
         "lbl", F.col("v")
-    ).localCheckpoint()
+    )
     for _ in range(rounds):
         votes = (
             e.join(labels, e["s"] == labels["v"])
@@ -850,7 +856,6 @@ def label_propagation(edges: DataFrame, src: str, dst: str,
                 ).alias("m")
             )
             .select("v", (-F.col("m.nl")).alias("lbl"))
-            .localCheckpoint()
         )
     return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("community"))
 
