@@ -448,12 +448,24 @@ def sssp_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and after K rounds dist(v) is EXACTLY the min-cost path using
     ≤K edges (the bounded-hop contract makes the answer closed-form
     and SQL-expressible: the oracle unrolls the same K relaxations
-    as CTEs). localCheckpoint cuts lineage per round like BFS/CC.
+    as CTEs).
 
     At scale: per-round work is one shuffle of |edges| + |dist|
     rows; K is a constant (graph diameter class), so total work is
     O(K·E) — the textbook distributed Bellman-Ford (Pregel's hello
     world), no priority queue needed or wanted on a cluster.
+
+    The round chain is LAZY (the ``pagerank`` fixed-iteration
+    discipline): the relaxation is stated in min-plus matrix-power
+    form — the edge set carries a zero-weight SELF-LOOP per vertex,
+    so dist_{t+1}(v) = min over e'∋(u,v) of dist_t(u) + w(u,v)
+    covers the "keep my current cost" case (the self-loop) and the
+    union-with-previous disappears. dist_t is then referenced
+    exactly ONCE per round (the naive union form references it
+    twice, which doubles the lazy subtree per round — the reason it
+    needed a localCheckpoint job per round), the plan grows linearly
+    in K, and the whole bounded Bellman-Ford executes inside the
+    consumer's one job.
 
     Output: vertex, min_cost (vertices within SSSP_HOPS edges).
     """
@@ -469,20 +481,29 @@ def sssp_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e0.unionByName(
         e0.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
-    ).localCheckpoint()
-    dist = spark.createDataFrame(
-        [(2 * BFS_SOURCE, 0)], "v long, c long"
-    ).localCheckpoint()
-    for _ in range(SSSP_HOPS):
-        relaxed = (
-            e.join(dist, e["s"] == dist["v"])
-            .select(F.col("d").alias("v"), (F.col("c") + F.col("w")).alias("c"))
+    )
+    # min-plus identity diagonal: a zero-weight self-loop per vertex
+    # (sources ∪ destinations == sources on this both-directions
+    # graph, PLUS the source vertex — an edgeless source must still
+    # keep its dist-0 row) — "dist_t(v) survives unchanged" becomes
+    # an ordinary relaxation over the self-loop instead of a second
+    # dist reference
+    loops = (
+        e.select(F.col("s").alias("s"))
+        .unionByName(
+            li.sparkSession.createDataFrame([(2 * BFS_SOURCE,)], "s long")
         )
+        .distinct()
+        .select("s", F.col("s").alias("d"), F.lit(0).cast("long").alias("w"))
+    )
+    e = e.unionByName(loops).localCheckpoint()
+    dist = spark.createDataFrame([(2 * BFS_SOURCE, 0)], "v long, c long")
+    for _ in range(SSSP_HOPS):
         dist = (
-            dist.unionByName(relaxed)
-            .groupBy("v")
-            .agg(F.min("c").alias("c"))
-            .localCheckpoint()
+            e.join(dist, e["s"] == dist["v"])
+            .groupBy(F.col("d").alias("dv"))
+            .agg(F.min(F.col("c") + F.col("w")).alias("c"))
+            .select(F.col("dv").alias("v"), "c")
         )
     return dist.select(F.col("v").alias("vertex"), F.col("c").alias("min_cost"))
 
