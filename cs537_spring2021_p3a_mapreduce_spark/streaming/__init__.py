@@ -1770,12 +1770,19 @@ def stream_dedup_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_b = _lsh_band_rows(
         spark.readStream.schema(schema).parquet(src), LSH_WATERMARK
     )
-    # static verify side (the "doc store"): NOT persisted — the two
-    # attach joins share one BroadcastExchange (ReusedExchange in the
-    # plan), so the lookup pipeline runs once per microbatch as-is,
-    # and the drain is a single availableNow batch
-    shd_of = _lsh_shd_lookup(spark.read.parquet(src))
-    pairs = dedup_docs_lsh_stream(docs_a, docs_b, shd_of)
+    # static verify side (the "doc store"), STAGED to scratch parquet
+    # once per query: a streaming query re-executes its static side
+    # every microbatch (including the trailing watermark-eviction
+    # batch), so an un-staged lookup re-runs the whole tokenize→
+    # shingle→fold pipeline per batch inside each broadcast build —
+    # measured ~2 s/drain at sf0.1. Staged, each batch's static side
+    # is a tiny scan with exact stats (and the deploy shape is the
+    # same: the ingest path persists the doc store to storage).
+    shd_dir = os.path.join(work, "shd")
+    _lsh_shd_lookup(spark.read.parquet(src)).write.mode("overwrite").parquet(
+        shd_dir
+    )
+    pairs = dedup_docs_lsh_stream(docs_a, docs_b, spark.read.parquet(shd_dir))
     name = f"stream_lsh_{uuid.uuid4().hex[:8]}"
     # 4 state partitions (the estimated tier's measured sizing:
     # bounded staged drain, per-batch cost = state commits x
